@@ -1,0 +1,91 @@
+"""Surrogate-key operators (SURVEY §2.5 W1/W2, recipes §7.4).
+
+Two distinct semantics in the reference:
+
+- W1 ``ROW_NUMBER() OVER (ORDER BY k...)`` with no PARTITION BY
+  (/root/reference/dags/ELT.py:194,213,234) — dense 1-based ids over a
+  *deduplicated* key set, Postgres ordering (``ASC`` places NULLs LAST,
+  unlike Spark's default ASC = NULLS FIRST).
+- W2 ``ALTER TABLE ... ADD id SERIAL`` after COPY
+  (/root/reference/dags/ELT.py:100) — 1..N in load order.
+
+A partition-less window collapses to one partition, which is fine at
+dimension cardinality but not in general; ``dense_ids`` below is the
+scale-safe two-phase form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _nulls_last(cols: list[str | Column]) -> list[Column]:
+    return [F.asc_nulls_last(c) if isinstance(c, str) else c for c in cols]
+
+
+def surrogate_key(
+    df: DataFrame, order_cols: list[str], key_name: str, key_type: str = "int"
+) -> DataFrame:
+    """W1: dense 1-based surrogate key over ``order_cols`` ascending,
+    NULLS LAST (Postgres ``ORDER BY`` fidelity — Spark's default would
+    silently assign different ids to NULL-keyed dim rows).
+
+    Single-partition window by design: callers use this only on deduped
+    dimension-cardinality data (the reference does exactly the same —
+    the window runs on the DISTINCT subquery output, dags/ELT.py:197).
+    For fact-cardinality data use :func:`dense_ids`.
+    """
+    w = Window.orderBy(*_nulls_last(order_cols))
+    return df.select(
+        F.row_number().over(w).cast(key_type).alias(key_name), *df.columns
+    )
+
+
+def dense_ids(df: DataFrame, order_cols: list[str], key_name: str) -> DataFrame:
+    """Scale-safe dense 1..N ids ordered by ``order_cols`` (NULLS LAST).
+
+    Two-phase: range-repartition by the sort keys (so partitions are
+    globally ordered), number within each partition, then add exact
+    per-partition offsets computed from partition counts. No
+    single-partition exchange; the only extra cost over a plain sort is
+    one tiny count-per-partition aggregate.
+    """
+    sorted_df = df.repartitionByRange(*_nulls_last(order_cols)).sortWithinPartitions(
+        *_nulls_last(order_cols)
+    )
+    part = F.spark_partition_id()
+    local_w = Window.partitionBy(part).orderBy(*_nulls_last(order_cols))
+    with_local = sorted_df.select(
+        part.alias("__pid"),
+        F.row_number().over(local_w).cast("long").alias("__local"),
+        *df.columns,
+    )
+    counts = with_local.groupBy("__pid").agg(F.max("__local").alias("__n"))
+    offsets = counts.select(
+        "__pid",
+        (
+            F.sum("__n").over(Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1))
+        ).alias("__offset"),
+    ).fillna({"__offset": 0})
+    return (
+        with_local.join(F.broadcast(offsets), "__pid")
+        .select((F.col("__local") + F.col("__offset")).alias(key_name), *df.columns)
+    )
+
+
+def load_order_id(df: DataFrame, key_name: str = "id") -> DataFrame:
+    """W2: 1..N in input order, without a single-partition shuffle.
+
+    ``zipWithIndex`` numbers rows partition-by-partition in partition
+    order, preserving input order with one lightweight job to count
+    partitions — the scale-safe equivalent of ``ADD COLUMN id SERIAL``
+    after COPY. Determinism is defined only for order-stable inputs
+    (single-file reads); parquet multi-file scans order splits by size,
+    so callers needing reproducible ids should pass an explicit sort or
+    use :func:`dense_ids`.
+    """
+    schema = StructType(list(df.schema.fields) + [StructField(key_name, LongType(), False)])
+    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1] + 1))
+    return df.sparkSession.createDataFrame(rdd, schema)

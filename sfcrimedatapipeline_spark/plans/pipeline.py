@@ -1,0 +1,93 @@
+"""End-to-end pipeline composition (SURVEY §2.9, §3).
+
+The reference's orchestration is an Airflow DAG ``fetch → load →
+transform [→ serve]`` (/root/reference/dags/ELT.py:361-378). Here each
+stage is a pure DataFrame transform; ``run_pipeline`` is the plain
+function composition. Atomicity maps to per-table overwrite writes —
+same observable behavior as the reference's per-stage transactions,
+because every run rebuilds all tables from staging anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sfcrimedatapipeline_spark.operators.keys import load_order_id
+from sfcrimedatapipeline_spark.plans.dims import (
+    build_dim_incident,
+    build_dim_location,
+    build_dim_report_type,
+    generate_dim_date,
+    generate_dim_time,
+)
+from sfcrimedatapipeline_spark.plans.fact import build_fact_crime, serve_initial_reports
+from sfcrimedatapipeline_spark.sources.csv import read_staging_csv
+from sfcrimedatapipeline_spark.sources.tables import write_table
+
+
+def transform(
+    staging_with_id: DataFrame,
+    dim_date: DataFrame,
+    dim_time: DataFrame,
+    fix_report_time_id: bool = False,
+) -> dict[str, DataFrame]:
+    """The 7-statement transform graph (dags/ELT.py:113-301) as dataflow."""
+    dims = {
+        "DimDate": dim_date,
+        "DimTime": dim_time,
+        "DimLocation": build_dim_location(staging_with_id),
+        "DimIncident": build_dim_incident(staging_with_id),
+        "DimReportType": build_dim_report_type(staging_with_id),
+    }
+    fact = build_fact_crime(
+        staging_with_id,
+        dims["DimDate"],
+        dims["DimTime"],
+        dims["DimLocation"],
+        dims["DimIncident"],
+        dims["DimReportType"],
+        fix_report_time_id=fix_report_time_id,
+    )
+    return {**dims, "FactCrime": fact}
+
+
+def run_pipeline(
+    spark: SparkSession,
+    staging: DataFrame | str,
+    output_dir: str | None = None,
+    date_range: tuple[str, str] = ("2018-01-01", "2024-12-31"),
+    fix_report_time_id: bool = False,
+    serve: bool = True,
+) -> dict[str, DataFrame]:
+    """Full refresh: load → transform → (optional) serve.
+
+    ``staging`` is either an already-loaded DataFrame or a path to the
+    pipe-delimited feed. If ``output_dir`` is given every table is
+    materialized as parquet (overwrite, the reference's TRUNCATE+rebuild),
+    with FactCrime partitioned by incident date id's year for pruning.
+    """
+    if isinstance(staging, str):
+        staging = read_staging_csv(spark, staging)
+    staging_with_id = load_order_id(staging, "id")
+
+    tables = transform(
+        staging_with_id,
+        generate_dim_date(spark, *date_range),
+        generate_dim_time(spark),
+        fix_report_time_id=fix_report_time_id,
+    )
+    if serve:
+        tables["ServeInitialReports"] = serve_initial_reports(
+            tables["FactCrime"],
+            tables["DimDate"],
+            tables["DimTime"],
+            tables["DimLocation"],
+            tables["DimIncident"],
+            tables["DimReportType"],
+        )
+    if output_dir:
+        for name, df in tables.items():
+            write_table(df, os.path.join(output_dir, name))
+    return tables

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference delegates every physical decision to the Postgres 13
+planner (no indexes, no hints — /root/reference/dags/ELT.py has zero
+physical tuning). On Spark we make the equivalent decisions explicit
+once, here, so every entry point (tests, bench, driver harness) runs
+the same configuration:
+
+- AQE on (runtime coalescing + skew-join splitting) — the 100 TB story.
+- Shuffle partitions sized to the local core count; at cluster scale
+  AQE re-coalesces, so a too-high static number is safe, a too-low one
+  is not.
+- UTC session timezone — required for value-identical comparison with
+  the DuckDB oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled for every pandas interchange (toPandas, pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "sfcrimedatapipeline-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``cpus`` controls both ``local[n]`` parallelism and the static
+    shuffle-partition count. On a real cluster the master URL comes from
+    the environment and only the shuffle/AQE settings below matter.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.crossJoin.enabled", "true")
+    )
+    if not os.environ.get("SPARK_MASTER"):  # local mode unless a cluster is configured
+        builder = builder.master(f"local[{n}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
