@@ -1,0 +1,76 @@
+"""Text primitives: tokenization, n-grams, normalization, stopwords.
+
+Each primitive exists twice — as a Column expression and as a DuckDB SQL
+fragment built from the SAME Python constants — so the text-analysis
+operators stay oracle-checkable. Everything is built-in Catalyst
+expressions (split/filter/transform/aggregate); no UDFs in this layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Per-language stopword lists (public common-word lists; the lang-id
+#: heuristic scores token overlap). Keys sorted — the tie-break order.
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit", "auf"],
+    "en": ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on"],
+    "es": ["el", "la", "los", "las", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "dans", "pour", "sur"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "人", "他", "中"],
+}
+
+_WS = r"\s+"
+
+
+# --- Spark side ------------------------------------------------------------
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), _WS), lambda t: t != "")
+
+
+def ngrams(toks: Column, n: int = 3) -> Column:
+    """Word n-grams (space-joined) from a token array; empty if < n tokens."""
+    count = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(0)))
+    return F.when(count >= 1, F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def normalized(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace,
+    trimmed."""
+    return F.trim(F.regexp_replace(F.lower(text), _WS, " "))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Number of tokens (with multiplicity) found in ``lang``'s list."""
+    return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+
+
+# --- DuckDB side (fragments referencing a column named `text`) -------------
+
+SQL_TOKENS = f"list_filter(regexp_split_to_array(lower(text), '{_WS}'), t -> t <> '')"
+SQL_NORMALIZED = f"trim(regexp_replace(lower(text), '{_WS}', ' ', 'g'))"
+
+
+def sql_ngrams(toks_col: str, n: int = 3) -> str:
+    """N-gram list from an already-computed token-array column (use in a
+    CTE: ``WITH tok AS (SELECT ..., <SQL_TOKENS> AS t ...)``)."""
+    parts = " || ' ' || ".join(f"{toks_col}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks_col}) >= {n} THEN "
+        f"[{parts} for i in generate_series(1, len({toks_col}) - {n - 1})] "
+        f"ELSE [] END"
+    )
+
+
+def sql_stopword_hits(toks_expr: str, lang: str) -> str:
+    wordlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({toks_expr}, t -> list_contains([{wordlist}], t)))"

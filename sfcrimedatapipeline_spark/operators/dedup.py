@@ -1,0 +1,257 @@
+"""Deduplication operators (north-star surface): exact, MinHash+LSH,
+n-gram Jaccard, SimHash, embedding-cosine near-dup.
+
+Scale design: nothing here ever builds an all-pairs cross join. Every
+near-dup path is *blocked* first (LSH band buckets, shared-ngram
+candidates, simhash band equality), so the quadratic step only runs
+inside buckets — the standard shuffle-light pattern for 100 TB corpora
+(hash-partitioned self-joins on bucket keys; skew handled by AQE).
+
+Hashes are the portable md5-based ones (functions/hashing.py) so the
+whole MinHash pipeline is oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+from sfcrimedatapipeline_spark.functions.text import ngrams, normalized, tokens
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # 16 hashes → 4 bands × 4 rows
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized text: keep the lowest id per group.
+
+    One hash-aggregate shuffle on the md5 fingerprint (never on the full
+    text — at 100 TB the shuffle payload is 32 bytes/row, not the doc).
+    """
+    return (
+        df.select(
+            F.col(id_col), F.md5(normalized(F.col(text_col))).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("kept_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, distinct word-n-gram array) per document."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(ngrams(tokens(F.col(text_col)), n)).alias("shingles"),
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """MinHash signature per doc: for each seed, min portable hash over
+    the shingle set. Pure array expressions — per-row, no shuffle, no UDF."""
+    def _seed_hash(seed: int):
+        # single-parameter lambda: a two-parameter one (e.g. ``lambda s,
+        # i=i``) would be treated by F.transform as (element, index) and
+        # the array index would silently override the seed
+        return lambda s: portable_hash64(s, seed)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), _seed_hash(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return shingled.withColumn("signature", sig)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """LSH banding: split each signature into bands, bucket by band
+    hash, emit distinct candidate pairs (a < b) sharing ≥1 bucket.
+
+    The self-join is on (band_idx, band_key) — co-partitioned on both
+    sides, bucket sizes are small by construction, and the distinct
+    collapses multi-band matches.
+    """
+    num_hashes = DEFAULT_NUM_HASHES
+    rows = num_hashes // num_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.element_at("signature", b * rows + r + 1) for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    buckets = signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, "band.band_idx", "band.band_key"
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    candidates: DataFrame, shingled: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from their distinct shingle sets.
+
+    |A∩B| via array_intersect on the two (already distinct) arrays;
+    |A∪B| = |A|+|B|−|A∩B|. Joins bring only the shingle arrays of the
+    candidate rows — never a full cross join.
+    """
+    sh_a = shingled.select(
+        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = shingled.select(
+        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
+    bucket-join → exact-Jaccard verify ≥ threshold."""
+    # docs with < n tokens have no shingles and can never pass a
+    # positive threshold — drop them before signing (also keeps the
+    # empty-set signature out of the band buckets)
+    shingled = shingle_sets(df, id_col, text_col).filter(F.size("shingles") > 0)
+    sigs = minhash_signatures(shingled)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    return jaccard_pairs(cands, shingled, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup, relationally: explode distinct
+    shingles, self-join on shingle (the block key), count shared
+    shingles per pair, derive Jaccard. No minhash approximation — the
+    candidate set is every pair sharing ≥1 shingle, which is exactly the
+    set that can pass any threshold > 0."""
+    exploded = (
+        shingle_sets(df, id_col, text_col, n)
+        .select(F.col(id_col), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return pair_counts.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc from portable token hashes.
+
+    Expressed with built-in array expressions: per bit position, the
+    sign of Σ_tokens(±1) decides the bit. O(bits × tokens) work per row,
+    all inside codegen; returned as a hex string (sign-safe for
+    comparison and banding).
+    """
+    toks = tokens(F.col(text_col))
+    th = F.transform(toks, lambda t: portable_hash64(t, 0))
+
+    def _vote(bit: int):
+        # Σ_t (2*bit_b(h(t)) - 1): positive → simhash bit is 1
+        return F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, bit).bitwiseAND(1) * 2 - 1,
+        )
+
+    bit_cols = []
+    for chunk_start in range(0, bits, 16):
+        chunk_bits = []
+        for b in range(chunk_start, min(chunk_start + 16, bits)):
+            chunk_bits.append((_vote(b) > 0).cast("long") * F.lit(2**(b - chunk_start)))
+        chunk_val = chunk_bits[0]
+        for c in chunk_bits[1:]:
+            chunk_val = chunk_val + c
+        bit_cols.append(F.lpad(F.hex(chunk_val), 4, "0"))
+    # 60-bit portable hashes: bits 60..63 are always 0-voted (vote = -n_tokens → bit 0)
+    return df.select(
+        F.col(id_col), F.concat(*reversed(bit_cols)).alias("simhash")
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold.
+
+    Exact all-pairs within id-blocked halves — suitable for verify
+    stages and small/medium corpora; the ANN path for full-corpus scale
+    is operators/similarity.py (LSH-bucketed)."""
+    from sfcrimedatapipeline_spark.functions.vectors import cosine_similarity
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(sim, 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

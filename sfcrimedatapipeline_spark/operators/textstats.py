@@ -1,0 +1,95 @@
+"""Text-analysis operators for the LLM-data-pipeline surface
+(BASELINE.json north star): token counting, quality scoring, language
+ID, document fingerprinting.
+
+All pure Catalyst expressions (split/filter/size/md5) — no UDFs, so the
+hot path stays inside whole-stage codegen and scales linearly with
+partitions; there is no shuffle in any of these (per-row transforms).
+Ratios divide exact integer counts, so double results are bit-identical
+across engines (IEEE division is correctly rounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sfcrimedatapipeline_spark.functions.text import (
+    STOPWORDS,
+    normalized,
+    stopword_hits,
+    tokens,
+)
+
+#: quality-score thresholds (shared with the SQL oracle builder below)
+QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS = 10, 5000
+QUALITY_MIN_MEAN_LEN, QUALITY_MAX_MEAN_LEN = 2.0, 12.0
+QUALITY_MIN_STOPWORD_RATIO = 0.01
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, char count, mean token length, non-alnum ratio."""
+    toks = tokens(F.col(text_col))
+    n_toks = F.size(toks)
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    text_len = F.length(F.col(text_col))
+    non_alnum = text_len - F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", "")
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_toks,
+            "n_chars_obs": text_len,
+            "mean_token_len": F.when(n_toks > 0, total_tok_chars / n_toks).otherwise(
+                F.lit(0.0)
+            ),
+            "non_alnum_ratio": F.when(text_len > 0, non_alnum / text_len).otherwise(
+                F.lit(0.0)
+            ),
+        }
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """0-3 integer quality score from length / token-shape / stopword
+    signals (deterministic ints — no float comparisons in the gate)."""
+    toks = tokens(F.col(text_col))
+    n_toks = F.size(toks)
+    en_hits = stopword_hits(toks, "en")
+    mean_len = F.when(
+        n_toks > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)) / n_toks,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_toks > 0, en_hits / n_toks).otherwise(F.lit(0.0))
+    score = (
+        n_toks.between(QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS).cast("int")
+        + mean_len.between(QUALITY_MIN_MEAN_LEN, QUALITY_MAX_MEAN_LEN).cast("int")
+        + (stop_ratio >= QUALITY_MIN_STOPWORD_RATIO).cast("int")
+    )
+    return df.withColumns(
+        {"stopword_ratio": stop_ratio, "quality_score": score}
+    )
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    toks = tokens(F.col(text_col))
+    return {lang: stopword_hits(toks, lang) for lang in sorted(STOPWORDS)}
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits,
+    alphabetical tie-break, 'und' when nothing matches."""
+    scores = lang_scores(text_col)
+    best = F.greatest(*scores.values())
+    pred: Column = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return df.withColumn("lang_pred", pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return df.withColumn("fingerprint", F.md5(normalized(F.col(text_col))))

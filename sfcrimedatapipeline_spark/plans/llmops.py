@@ -1,0 +1,316 @@
+"""LLM-data-pipeline queries over the ``documents`` / ``embeddings``
+test tables, each with a DuckDB oracle GENERATED from the same Python
+constants as the Spark implementation (functions/text.py,
+functions/hashing.py) — stopword lists, hash formula, seeds, band
+layout and thresholds literally cannot drift between the two sides.
+
+Oracle-checkable here (full value-hash gate): token stats, quality,
+lang-id, fingerprint dedup, MinHash+LSH near-dup, n-gram Jaccard,
+SimHash fingerprints, exact ANN top-k, LSH ANN top-k, embedding
+near-dup. (The LSH ANN oracle replicates the same deterministic
+hyperplanes, so even the "approximate" path is exactly reproducible.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfcrimedatapipeline_spark.functions.hashing import sql_hash64
+from sfcrimedatapipeline_spark.functions.text import (
+    SQL_NORMALIZED,
+    SQL_TOKENS,
+    STOPWORDS,
+    sql_ngrams,
+    sql_stopword_hits,
+)
+from sfcrimedatapipeline_spark.operators import dedup, similarity, textstats
+from sfcrimedatapipeline_spark.sources.tables import read_table
+
+JACCARD_THRESHOLD = 0.5
+EMB_NEAR_DUP_THRESHOLD = 0.4
+ANN_K = 5
+ANN_N_QUERIES = 10
+NUM_HASHES = dedup.DEFAULT_NUM_HASHES
+NUM_BANDS = dedup.DEFAULT_BANDS
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+
+# --- Spark queries ---------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return textstats.with_token_stats(docs).select(
+        "doc_id", "n_tokens", "mean_token_len", "non_alnum_ratio"
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return textstats.with_quality(docs).select(
+        "doc_id", "stopword_ratio", "quality_score"
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return textstats.with_lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=JACCARD_THRESHOLD)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    # tokenless docs have no votes; the oracle's unnest drops them, so
+    # filter them here too (consistent semantics, not just hash parity)
+    docs = read_table(spark, sf_dir, "documents").filter(F.size(tokens(F.col("text"))) > 0)
+    return dedup.simhash_fingerprints(docs)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return similarity.cosine_topk(emb, queries, k=ANN_K)
+
+
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return similarity.cosine_topk_lsh(emb, queries, k=ANN_K)
+
+
+def emb_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates(emb, threshold=EMB_NEAR_DUP_THRESHOLD)
+
+
+# --- oracle SQL builders ---------------------------------------------------
+
+def _sql_cosine(av: str, bv: str, dim: int = 64) -> str:
+    dot = f"list_sum([{av}[i] * {bv}[i] for i in generate_series(1, {dim})])"
+    na = f"sqrt(list_sum([{av}[i] * {av}[i] for i in generate_series(1, {dim})]))"
+    nb = f"sqrt(list_sum([{bv}[i] * {bv}[i] for i in generate_series(1, {dim})]))"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def _lang_case() -> str:
+    langs = sorted(STOPWORDS)
+    scores = ", ".join(f"{sql_stopword_hits('t', lang)} AS s_{lang}" for lang in langs)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = " ".join(f"WHEN s_{lang} = __best THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH tok AS (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM documents),
+        scored AS (SELECT doc_id, lang, {scores} FROM tok),
+        best AS (SELECT *, {best} AS __best FROM scored)
+        SELECT doc_id, lang,
+               CASE WHEN __best = 0 THEN 'und' {whens} ELSE 'und' END AS lang_pred
+        FROM best
+    """
+
+
+def _minhash_sql() -> str:
+    h = sql_hash64("sh", seed="seed")
+    return f"""
+        WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+        shingled AS (SELECT doc_id, list_distinct({sql_ngrams('t')}) AS shingles FROM tok),
+        nonempty AS (SELECT * FROM shingled WHERE len(shingles) > 0),
+        hashes AS (
+            SELECT doc_id, seed, min({h}) AS mh
+            FROM (SELECT doc_id, unnest(shingles) AS sh FROM nonempty),
+                 (SELECT unnest(generate_series(0, {NUM_HASHES - 1})) AS seed)
+            GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, seed // {ROWS_PER_BAND} AS band_idx,
+                   string_agg(CAST(mh AS VARCHAR), '_' ORDER BY seed) AS band_key
+            FROM hashes GROUP BY doc_id, seed // {ROWS_PER_BAND}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.shingles, sb.shingles)) AS ni,
+                   len(sa.shingles) AS na, len(sb.shingles) AS nb
+            FROM cand
+            JOIN nonempty sa ON sa.doc_id = doc_a
+            JOIN nonempty sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jaccard
+        FROM verified
+        WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= {JACCARD_THRESHOLD}
+    """
+
+
+def _simhash_sql() -> str:
+    h = sql_hash64("t", seed="0")
+    chunks = []
+    for chunk_start in (48, 32, 16, 0):  # high→low, matching the Spark concat
+        chunks.append(
+            f"lpad(hex(sum(CASE WHEN vote > 0 THEN 1 ELSE 0 END "
+            f"* CASE WHEN b >= {chunk_start} AND b < {chunk_start + 16} "
+            f"THEN 1 << (b - {chunk_start}) ELSE 0 END)), 4, '0')"
+        )
+    hex_expr = " || ".join(chunks)
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest({SQL_TOKENS}) AS t FROM documents),
+        th AS (SELECT doc_id, {h} AS hv FROM tok),
+        votes AS (
+            SELECT doc_id, b, sum(((hv >> b) & 1) * 2 - 1) AS vote
+            FROM th, (SELECT unnest(generate_series(0, 63)) AS b)
+            GROUP BY doc_id, b
+        )
+        SELECT doc_id, {hex_expr} AS simhash
+        FROM votes GROUP BY doc_id
+    """
+
+
+def _ann_sql(lsh: bool) -> str:
+    if lsh:
+        planes = [similarity._hyperplane(64, p) for p in range(6)]
+        bucket_terms = []
+        for p_idx, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            proj = f"list_sum([__v[i] * ({lit}::DOUBLE[])[i] for i in generate_series(1, 64)])"
+            bucket_terms.append(
+                f"(CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END * {2 ** p_idx})"
+            )
+        bucket = " + ".join(bucket_terms)
+        vecs = f"""
+        v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v FROM embeddings),
+        vb AS (SELECT vec_id, __v, {bucket} AS bucket FROM v),
+        q AS (SELECT vec_id AS query_id, __v AS qv, bucket FROM vb WHERE vec_id < {ANN_N_QUERIES}),
+        c AS (SELECT vec_id AS neighbor_id, __v AS cv, bucket FROM vb),
+        scored AS (
+            SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS cosine
+            FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id
+        )"""
+    else:
+        vecs = f"""
+        v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, __v AS qv FROM v WHERE vec_id < {ANN_N_QUERIES}),
+        c AS (SELECT vec_id AS neighbor_id, __v AS cv FROM v),
+        scored AS (
+            SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS cosine
+            FROM c, q WHERE neighbor_id <> query_id
+        )"""
+    return f"""
+        WITH {vecs}
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        ) r
+        WHERE rank <= {ANN_K}
+    """
+
+
+def build_oracle_sql() -> dict[str, str]:
+    q = textstats
+    return {
+        "text_token_stats": f"""
+            WITH tok AS (SELECT doc_id, text, {SQL_TOKENS} AS t FROM documents)
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   CASE WHEN len(t) > 0
+                        THEN CAST(CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS DOUBLE) / len(t)
+                        ELSE 0.0 END AS mean_token_len,
+                   CASE WHEN len(text) > 0
+                        THEN CAST(len(text) - len(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)
+                        ELSE 0.0 END AS non_alnum_ratio
+            FROM tok
+        """,
+        "text_quality": f"""
+            WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+            m AS (
+                SELECT doc_id, len(t) AS n,
+                       {sql_stopword_hits('t', 'en')} AS hits,
+                       CASE WHEN len(t) > 0
+                            THEN CAST(CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS DOUBLE) / len(t)
+                            ELSE 0.0 END AS mean_len
+                FROM tok
+            )
+            SELECT doc_id,
+                   CASE WHEN n > 0 THEN CAST(hits AS DOUBLE) / n ELSE 0.0 END AS stopword_ratio,
+                   CAST((n BETWEEN {q.QUALITY_MIN_TOKENS} AND {q.QUALITY_MAX_TOKENS}) AS INTEGER)
+                   + CAST((mean_len BETWEEN {q.QUALITY_MIN_MEAN_LEN} AND {q.QUALITY_MAX_MEAN_LEN}) AS INTEGER)
+                   + CAST((CASE WHEN n > 0 THEN CAST(hits AS DOUBLE) / n ELSE 0.0 END)
+                          >= {q.QUALITY_MIN_STOPWORD_RATIO} AS INTEGER) AS quality_score
+            FROM m
+        """,
+        "text_lang_id": _lang_case(),
+        "dedup_exact_fingerprint": f"""
+            SELECT md5({SQL_NORMALIZED}) AS fingerprint,
+                   min(doc_id) AS kept_doc_id,
+                   count(*) AS n_copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_ngram_jaccard": f"""
+            WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+            sh AS (SELECT doc_id, list_distinct({sql_ngrams('t')}) AS shingles FROM tok),
+            ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS g FROM sh),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n_sh AS na, b.n_sh AS nb, count(*) AS ni
+                FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jaccard
+            FROM p
+            WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= {JACCARD_THRESHOLD}
+        """,
+        "dedup_simhash": _simhash_sql(),
+        "ann_cosine_topk": _ann_sql(lsh=False),
+        "ann_cosine_topk_lsh": _ann_sql(lsh=True),
+        "emb_near_duplicates": f"""
+            WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_sql_cosine("a.__v", "b.__v")} AS cosine
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+              AND {_sql_cosine("a.__v", "b.__v")} >= {EMB_NEAR_DUP_THRESHOLD}
+        """,
+    }
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "dedup_exact_fingerprint": dedup_exact_fingerprint,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
+    "emb_near_duplicates": emb_near_duplicates,
+}
+
+ORACLE_SQL = build_oracle_sql()
