@@ -154,8 +154,14 @@ def minhash_near_duplicates(
     # docs with < n tokens have no shingles and can never pass a
     # positive threshold — drop them before signing (also keeps the
     # empty-set signature out of the band buckets)
-    shingled = shingle_sets(df, id_col, text_col).filter(F.size("shingles") > 0)
-    sigs = minhash_signatures(shingled)
+    #
+    # shingled feeds both the signature pass and the verify join, and
+    # sigs feeds both sides of the bucket self-join; without persist
+    # Spark re-derives the whole tokenize→shingle→hash subtree once per
+    # consumer. Both frames are O(corpus) with small rows (id + shingle
+    # array / 16 longs) — MEMORY_AND_DISK spills safely at scale.
+    shingled = shingle_sets(df, id_col, text_col).filter(F.size("shingles") > 0).persist()
+    sigs = minhash_signatures(shingled).select(id_col, "signature").persist()
     cands = lsh_candidate_pairs(sigs, id_col)
     return jaccard_pairs(cands, shingled, id_col).filter(
         F.col("jaccard") >= threshold
@@ -177,6 +183,7 @@ def ngram_jaccard_pairs(
     exploded = (
         shingle_sets(df, id_col, text_col, n)
         .select(F.col(id_col), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
+        .persist()  # consumed by both sides of the shingle self-join
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     pair_counts = (
@@ -204,33 +211,33 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """64-bit SimHash per doc from portable token hashes.
 
-    Expressed with built-in array expressions: per bit position, the
-    sign of Σ_tokens(±1) decides the bit. O(bits × tokens) work per row,
-    all inside codegen; returned as a hex string (sign-safe for
-    comparison and banding).
+    Shape: explode tokens → hash each token ONCE → groupBy(doc) with 64
+    integer bit-vote sums. The md5 runs exactly one pass over the token
+    stream (an inline per-bit formulation would re-evaluate it per bit),
+    and the aggregation gets map-side partial combine — one small
+    shuffle of 64 ints per doc regardless of document size. Docs with
+    zero tokens have no votes and are dropped (same semantics as the
+    oracle's unnest).
     """
-    toks = tokens(F.col(text_col))
-    th = F.transform(toks, lambda t: portable_hash64(t, 0))
-
-    def _vote(bit: int):
-        # Σ_t (2*bit_b(h(t)) - 1): positive → simhash bit is 1
-        return F.aggregate(
-            th,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, bit).bitwiseAND(1) * 2 - 1,
-        )
-
+    tok_hashes = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).select(id_col, portable_hash64(F.col("__t"), 0).alias("__hv"))
+    # vote_b = Σ_tokens (2*bit_b(h) - 1): positive → simhash bit b is 1
+    votes = tok_hashes.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("__hv"), b).bitwiseAND(1) * 2 - 1).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
     bit_cols = []
     for chunk_start in range(0, bits, 16):
-        chunk_bits = []
+        chunk_val = None
         for b in range(chunk_start, min(chunk_start + 16, bits)):
-            chunk_bits.append((_vote(b) > 0).cast("long") * F.lit(2**(b - chunk_start)))
-        chunk_val = chunk_bits[0]
-        for c in chunk_bits[1:]:
-            chunk_val = chunk_val + c
+            term = (F.col(f"v{b}") > 0).cast("long") * F.lit(2 ** (b - chunk_start))
+            chunk_val = term if chunk_val is None else chunk_val + term
         bit_cols.append(F.lpad(F.hex(chunk_val), 4, "0"))
     # 60-bit portable hashes: bits 60..63 are always 0-voted (vote = -n_tokens → bit 0)
-    return df.select(
+    return votes.select(
         F.col(id_col), F.concat(*reversed(bit_cols)).alias("simhash")
     )
 
@@ -240,18 +247,29 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.98,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ threshold.
 
     Exact all-pairs within id-blocked halves — suitable for verify
     stages and small/medium corpora; the ANN path for full-corpus scale
-    is operators/similarity.py (LSH-bucketed)."""
-    from sfcrimedatapipeline_spark.functions.vectors import cosine_similarity
+    is operators/similarity.py (LSH-bucketed). Norms are computed once
+    per vector per side; the per-pair work is one unrolled codegen dot.
+    """
+    from sfcrimedatapipeline_spark.functions.vectors import cosine_fixed, norm_fixed
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_fixed(F.col(vec_col), dim).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_fixed(F.col(vec_col), dim).alias("nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    sim = cosine_fixed(F.col("va"), F.col("vb"), dim, F.col("na"), F.col("nb"))
     return pairs.select(
         "id_a", "id_b", F.round(sim, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)

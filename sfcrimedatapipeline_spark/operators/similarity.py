@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
-from sfcrimedatapipeline_spark.functions.vectors import cosine_similarity
+from sfcrimedatapipeline_spark.functions.vectors import cosine_fixed, norm_fixed
+
+DEFAULT_DIM = 64
 
 
 def cosine_topk(
@@ -26,25 +28,35 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
 
     Deterministic ranking: (cosine DESC, neighbor id ASC) — ties cannot
-    reorder across engines.
+    reorder across engines. Norms are computed once per vector on each
+    side; the per-pair work is a single unrolled codegen dot product.
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm_fixed(F.col(vec_col), dim).alias("qn"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_fixed(F.col(vec_col), dim).alias("cn"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                cosine_fixed(F.col("qv"), F.col("cv"), dim, F.col("qn"), F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -95,7 +107,7 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 6,
-    dim: int = 64,
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. Equi-join on the bucket key instead of a cross join — the
@@ -106,12 +118,14 @@ def cosine_topk_lsh(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            norm_fixed(F.col(vec_col), dim).alias("qn"),
             lsh_bucket(F.col(vec_col), planes).alias("bucket"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm_fixed(F.col(vec_col), dim).alias("cn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
@@ -120,7 +134,9 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                cosine_fixed(F.col("qv"), F.col("cv"), dim, F.col("qn"), F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -24,8 +24,15 @@ from sfcrimedatapipeline_spark.functions.text import (
     sql_ngrams,
     sql_stopword_hits,
 )
+from sfcrimedatapipeline_spark.functions.partitioning import ensure_min_partitions
 from sfcrimedatapipeline_spark.operators import dedup, similarity, textstats
 from sfcrimedatapipeline_spark.sources.tables import read_table
+
+
+def _read_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a test table, fanning a single-split local file out across
+    cores (no-op on multi-split cluster-scale inputs)."""
+    return ensure_min_partitions(read_table(spark, sf_dir, name))
 
 JACCARD_THRESHOLD = 0.5
 EMB_NEAR_DUP_THRESHOLD = 0.4
@@ -39,31 +46,31 @@ ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 # --- Spark queries ---------------------------------------------------------
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _read_parallel(spark, sf_dir, "documents")
     return textstats.with_token_stats(docs).select(
         "doc_id", "n_tokens", "mean_token_len", "non_alnum_ratio"
     )
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _read_parallel(spark, sf_dir, "documents")
     return textstats.with_quality(docs).select(
         "doc_id", "stopword_ratio", "quality_score"
     )
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _read_parallel(spark, sf_dir, "documents")
     return textstats.with_lang_id(docs).select("doc_id", "lang", "lang_pred")
 
 
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _read_parallel(spark, sf_dir, "documents")
     return dedup.dedup_exact(docs)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _read_parallel(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_duplicates(docs, threshold=JACCARD_THRESHOLD)
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
@@ -71,34 +78,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _read_parallel(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sfcrimedatapipeline_spark.functions.text import tokens
-
-    # tokenless docs have no votes; the oracle's unnest drops them, so
-    # filter them here too (consistent semantics, not just hash parity)
-    docs = read_table(spark, sf_dir, "documents").filter(F.size(tokens(F.col("text"))) > 0)
+    # tokenless docs are dropped by the operator's explode, matching the
+    # oracle's unnest semantics
+    docs = _read_parallel(spark, sf_dir, "documents")
     return dedup.simhash_fingerprints(docs)
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _read_parallel(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
     return similarity.cosine_topk(emb, queries, k=ANN_K)
 
 
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _read_parallel(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
     return similarity.cosine_topk_lsh(emb, queries, k=ANN_K)
 
 
 def emb_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _read_parallel(spark, sf_dir, "embeddings")
     return dedup.embedding_near_duplicates(emb, threshold=EMB_NEAR_DUP_THRESHOLD)
 
 
