@@ -1,0 +1,162 @@
+"""Sessionization: split each user's event stream into sessions at
+inactivity gaps > ``gap``.
+
+Two implementations with identical output semantics:
+
+- ``sessionize`` (batch): lag + running-sum window per user — one
+  shuffle on user_id, no state. Gap math is integer microseconds
+  (``unix_micros``), so the session boundaries are exact and
+  oracle-checkable against DuckDB's ``epoch_us``.
+- ``sessionize_stream`` (streaming): applyInPandasWithState keyed by
+  user_id with an event-time timeout — emits a session row when the
+  watermark passes start-of-gap. State per key is one open session
+  (constant size), the streaming-scale shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_GAP_MINUTES = 30
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """One row per (user, session): bounds, event count, value sum."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    new_session = (
+        F.when(F.lag(ts_col).over(w).isNull(), 1)
+        .when(us - F.unix_micros(F.lag(ts_col).over(w)) > gap_us, 1)
+        .otherwise(0)
+    )
+    with_idx = events.withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_idx.groupBy(user_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            # exact, order-independent sum (see streaming/events.py)
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .withColumn("session_idx", F.col("session_idx").cast("long"))
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via per-user state with event-time timeout.
+
+    Emits each session once it is CLOSED (gap elapsed past the
+    watermark). Output schema matches ``sessionize`` minus the
+    open-session tail rows that batch mode can see.
+    """
+    from typing import Any, Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        Row,
+        StructField,
+        StructType,
+        TimestampType,
+        DoubleType,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_idx", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("session_idx", LongType()),
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                idx, start_us, end_us, n, total = state.get
+                closed.append((user_id, idx, start_us, end_us, n, total))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values("ts")
+            idx, start_us, end_us, n, total = (
+                state.get if state.exists else (0, None, None, 0, 0.0)
+            )
+            for ts, value in zip(rows["ts"], rows["value"]):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                if start_us is None:
+                    idx, start_us, end_us, n, total = idx + 1, t_us, t_us, 1, float(value)
+                elif t_us - end_us > gap_us:
+                    closed.append((user_id, idx, start_us, end_us, n, total))
+                    idx, start_us, end_us, n, total = idx + 1, t_us, t_us, 1, float(value)
+                else:
+                    end_us, n, total = max(end_us, t_us), n + 1, total + float(value)
+            state.update((idx, start_us, end_us, n, total))
+            # close the open session once event time passes end + gap;
+            # clamp above the current watermark (a timeout in the past
+            # is invalid — such sessions just close on the next trigger)
+            state.setTimeoutTimestamp(
+                max(
+                    end_us // 1000 + gap_us // 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_idx": [c[1] for c in closed],
+                    "session_start": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[3], unit="us") for c in closed],
+                    "n_events": [c[4] for c in closed],
+                    "sum_value": [round(c[5], 6) for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,108 @@
+"""Event-stream queries (batch twins of the streaming surface) with
+DuckDB oracles.
+
+Each query here is the BATCH execution of a transform that
+streaming/events.py can also run incrementally — Spark's unified
+engine guarantees the same logical plan; tests/test_streaming.py
+asserts batch/stream result parity, and the oracles below pin the
+values themselves.
+
+Oracle notes: event sums use DECIMAL(18,2) (exact, order-independent —
+double sums would depend on partial-aggregation order); timestamps are
+compared at microsecond precision on both sides (read_table truncates
+TIMESTAMP(NANOS) exactly like DuckDB's CAST(ts AS TIMESTAMP)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfcrimedatapipeline_spark.operators import sessionize as sz
+from sfcrimedatapipeline_spark.sources.tables import read_table
+from sfcrimedatapipeline_spark.streaming.events import hourly_event_counts
+
+GAP_MINUTES = sz.DEFAULT_GAP_MINUTES
+
+
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return hourly_event_counts(events)
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract the integer ``k`` property from the JSON ``props`` column
+    and aggregate per event_type — all-integer outputs, exact compare."""
+    events = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return sz.sessionize(events, gap_minutes=GAP_MINUTES)
+
+
+def build_oracle_sql() -> dict[str, str]:
+    gap_us = GAP_MINUTES * 60 * 1_000_000
+    return {
+        "events_hourly_agg": """
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "events_json_extract": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events
+            GROUP BY 1
+        """,
+        "events_sessionize": f"""
+            WITH e AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+            ),
+            lagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            idx AS (
+                SELECT *, sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                ) AS session_idx
+                FROM lagged
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+            FROM idx GROUP BY 1, 2
+        """,
+    }
+
+
+QUERIES = {
+    "events_hourly_agg": events_hourly_agg,
+    "events_json_extract": events_json_extract,
+    "events_sessionize": events_sessionize,
+}
+
+ORACLE_SQL = build_oracle_sql()

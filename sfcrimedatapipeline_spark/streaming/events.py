@@ -1,0 +1,105 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference is batch-only (full-refresh ELT, SURVEY.md §2.8); this
+module is the north-star streaming extension. The transforms are
+written once against a plain DataFrame and applied unchanged to both
+``spark.read`` and ``spark.readStream`` inputs — Spark's
+batch/streaming unification means the SAME logical plan serves both,
+so every streaming transform here has an oracle-checkable batch twin
+in plans/events_queries.py.
+
+Scale notes: windowed aggregation state is bounded by the watermark
+(late rows beyond it are dropped and their state evicted); the
+aggregation itself gets map-side partial combine per micro-batch, so
+state traffic is one row per (window × key), not per event.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Explicit schema — streaming sources cannot infer (and must not:
+#: SURVEY §1.2 bans inference engine-wide).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+
+
+def hourly_event_counts(
+    events: DataFrame, watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + value sum.
+
+    Works identically on batch and streaming inputs; ``watermark`` only
+    applies (and is only legal) on the streaming side, where it bounds
+    aggregation state and admits late data up to the delay.
+    """
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal sum: exact and order-independent, so partial
+            # aggregation order (batch) and micro-batch order (stream)
+            # cannot flip a low bit the way a double sum can
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    source_dir: str,
+    transform,
+    query_name: str = "stream_test",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a stream to completion against a static directory (test
+    harness): readStream → transform → memory sink, process everything,
+    return the sink contents as a DataFrame."""
+    stream = transform(read_events_stream(spark, source_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

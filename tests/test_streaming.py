@@ -1,0 +1,109 @@
+"""Batch/stream parity for the Structured Streaming surface.
+
+The streaming transforms are the SAME functions the oracle-checked
+batch queries run (plans/events_queries.py); these tests prove the
+incremental execution converges to the batch answer.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sfcrimedatapipeline_spark.operators.sessionize import sessionize, sessionize_stream
+from sfcrimedatapipeline_spark.sources.tables import read_table
+from sfcrimedatapipeline_spark.streaming.events import (
+    hourly_event_counts,
+    run_stream_to_memory,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events rewritten as 4 TIME-SLICED parquet files (µs timestamps)
+    so micro-batches arrive in rough event-time order — a round-robin
+    split would make most rows late against the watermark, which drops
+    them before the stateful operator (realistic streams are
+    time-ordered; the watermark contract assumes it)."""
+    path = tmp_path_factory.mktemp("events_stream") / "events"
+    path.mkdir()
+    rows = read_table(spark, SF_DIR, "events").orderBy("ts").collect()
+    quarter = (len(rows) + 3) // 4
+    schema = read_table(spark, SF_DIR, "events").schema
+    for i in range(4):
+        part = rows[i * quarter : (i + 1) * quarter]
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+            str(path / f"slice-{i}")
+        )
+    # flatten: the file source watches one directory; pin strictly
+    # increasing mtimes — the source orders files by modification time,
+    # and near-identical copy times would randomize micro-batch order
+    import os
+    import shutil
+    import time
+
+    flat = tmp_path_factory.mktemp("events_stream_flat")
+    base_t = time.time() - 1000
+    for i in range(4):
+        for f in sorted((path / f"slice-{i}").glob("*.parquet")):
+            dest = flat / f"part-{i}.parquet"
+            shutil.copy(f, dest)
+            os.utime(dest, (base_t + i * 10, base_t + i * 10))
+    return str(flat)
+
+
+def _rows(df, cols):
+    return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+
+def test_hourly_counts_stream_matches_batch(spark, events_dir):
+    batch = hourly_event_counts(spark.read.parquet(events_dir))
+    streamed = run_stream_to_memory(
+        spark, events_dir, hourly_event_counts, query_name="hourly_parity"
+    )
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_sessionize_stream_emits_closed_batch_sessions(spark, events_dir):
+    events = spark.read.parquet(events_dir)
+    batch = sessionize(events).collect()
+
+    streamed = run_stream_to_memory(
+        spark,
+        events_dir,
+        lambda s: sessionize_stream(s, watermark="1 hour"),
+        query_name="sessionize_parity",
+        output_mode="append",
+    ).collect()
+    assert streamed, "stream emitted no closed sessions"
+
+    # every emitted session must equal a batch session for that user
+    # (session_idx numbering can differ between engines' orderings, so
+    # compare on the session content key)
+    batch_keys = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"]): float(
+            r["sum_value"]
+        )
+        for r in batch
+    }
+    for r in streamed:
+        key = (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        assert key in batch_keys, f"stream session {key} not found in batch"
+        assert abs(batch_keys[key] - r["sum_value"]) < 1e-6
+
+    # completeness: every batch session that closed safely before the
+    # final watermark must have been emitted
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(hours=1) - dt.timedelta(minutes=35)
+    emitted = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in streamed
+    }
+    for key in batch_keys:
+        if key[2] < horizon:
+            assert key in emitted, f"closed batch session {key} missing from stream"
