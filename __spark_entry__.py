@@ -28,13 +28,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    from sfcrimedatapipeline_spark.plans import events_queries, llmops, tpch
+    from sfcrimedatapipeline_spark.plans import events_queries, llmops, media, tpch
 
-    return {**tpch.QUERIES, **llmops.QUERIES, **events_queries.QUERIES}
+    return {
+        **tpch.QUERIES,
+        **llmops.QUERIES,
+        **events_queries.QUERIES,
+        **media.QUERIES,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; omitted keys get rows-only checks."""
-    from sfcrimedatapipeline_spark.plans import events_queries, llmops, tpch
+    from sfcrimedatapipeline_spark.plans import events_queries, llmops, media, tpch
 
-    return {**tpch.ORACLE_SQL, **llmops.ORACLE_SQL, **events_queries.ORACLE_SQL}
+    return {
+        **tpch.ORACLE_SQL,
+        **llmops.ORACLE_SQL,
+        **events_queries.ORACLE_SQL,
+        **media.ORACLE_SQL,
+    }

@@ -54,6 +54,17 @@ def stopword_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+#: marks. Explicit ASCII classes — identical semantics in Java regex
+#: (Spark) and RE2 (DuckDB), unlike \p{L}-style classes.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """Sub-word-ish tokens per the shared BPE_PATTERN."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
 # --- DuckDB side (fragments referencing a column named `text`) -------------
 
 SQL_TOKENS = f"list_filter(regexp_split_to_array(lower(text), '{_WS}'), t -> t <> '')"
@@ -74,3 +85,6 @@ def sql_ngrams(toks_col: str, n: int = 3) -> str:
 def sql_stopword_hits(toks_expr: str, lang: str) -> str:
     wordlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return f"len(list_filter({toks_expr}, t -> list_contains([{wordlist}], t)))"
+
+
+SQL_BPE_TOKENS = f"regexp_extract_all(text, '{BPE_PATTERN}')"

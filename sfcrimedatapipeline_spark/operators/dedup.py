@@ -45,10 +45,17 @@ def dedup_exact(
 def shingle_sets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, distinct word-n-gram array) per document."""
-    return df.select(
+    """(id, distinct word-n-gram array) per document.
+
+    Tokens are bound to a column before the n-gram transform — an
+    expression embedded in a higher-order-function lambda re-evaluates
+    per array element, so inlining the tokenizer would re-split the
+    text once per n-gram position.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    return toked.select(
         F.col(id_col),
-        F.array_distinct(ngrams(tokens(F.col(text_col)), n)).alias("shingles"),
+        F.array_distinct(ngrams(F.col("__toks"), n)).alias("shingles"),
     )
 
 

@@ -93,3 +93,73 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return df.withColumn("fingerprint", F.md5(normalized(F.col(text_col))))
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-word and BPE-ish sub-word token counts + their exact
+    ratio (sub-word fertility — the usual LLM-cost estimator)."""
+    from sfcrimedatapipeline_spark.functions.text import bpe_tokens
+
+    n_words = F.size(tokens(F.col(text_col)))
+    n_bpe = F.size(bpe_tokens(F.col(text_col)))
+    return df.withColumns(
+        {
+            "n_word_tokens": n_words,
+            "n_bpe_tokens": n_bpe,
+            "bpe_per_word": F.when(n_words > 0, n_bpe / n_words).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+#: winnowing defaults: k-char grams, window of w consecutive gram hashes
+WINNOW_K, WINNOW_W = 8, 4
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every k-char gram of the normalized text, take the minimum in
+    each window of w consecutive gram hashes, emit the distinct minima.
+
+    The gram hash is the portable md5 formula (oracle-parity) rather
+    than a true rolling Rabin–Karp — positions are independent, so the
+    whole thing stays a per-row array expression: no shuffle, no UDF,
+    parallel across documents.
+    """
+    from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+
+    # STAGED selects, one alias per stage: an expression referenced
+    # inside a higher-order-function lambda is re-evaluated PER ARRAY
+    # ELEMENT, so `normalized(text)` (a regex) or the gram-hash array
+    # must be bound to a column first. Multi-use non-cheap aliases are
+    # exempt from CollapseProject, so the boundary holds.
+    normed = df.select(F.col(id_col), normalized(F.col(text_col)).alias("__norm"))
+
+    n_grams = F.length("__norm") - (k - 1)
+    # guard BEFORE building sequence(1, n): Spark's sequence DESCENDS
+    # when start > stop, so an unguarded sequence(1, 0) yields [1, 0]
+    gram_hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: portable_hash64(F.col("__norm").substr(i, F.lit(k)), 0),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    hashed = normed.select(F.col(id_col), gram_hashes.alias("__hs"))
+
+    n_windows = F.size("__hs") - (w - 1)
+    minima = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(F.col("__hs"), j, w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(minima)).alias("fingerprint")
+    )

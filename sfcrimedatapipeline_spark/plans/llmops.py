@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from sfcrimedatapipeline_spark.functions.hashing import sql_hash64
 from sfcrimedatapipeline_spark.functions.text import (
+    SQL_BPE_TOKENS,
     SQL_NORMALIZED,
     SQL_TOKENS,
     STOPWORDS,
@@ -62,6 +63,18 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_parallel(spark, sf_dir, "documents")
     return textstats.with_lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return textstats.with_bpe_token_count(docs).select(
+        "doc_id", "n_word_tokens", "n_bpe_tokens", "bpe_per_word"
+    )
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return textstats.winnow_fingerprints(docs)
 
 
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +247,32 @@ def _ann_sql(lsh: bool) -> str:
     """
 
 
+def _winnow_sql() -> str:
+    k, w = textstats.WINNOW_K, textstats.WINNOW_W
+    h = sql_hash64(f"substr(t, CAST(i AS INTEGER), {k})", "0")
+    return f"""
+        WITH n AS (SELECT doc_id, {SQL_NORMALIZED} AS t FROM documents),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= {k}
+                        THEN [{h} for i in generate_series(1, len(t) - {k - 1})]
+                        ELSE [] END AS hs
+            FROM n
+        ),
+        wnd AS (
+            SELECT doc_id,
+                   CASE WHEN len(hs) >= {w}
+                        THEN list_distinct([
+                            list_min(hs[j:j + {w - 1}])
+                            for j in generate_series(1, len(hs) - {w - 1})
+                        ])
+                        ELSE [] END AS fps
+            FROM g
+        )
+        SELECT doc_id, unnest(fps) AS fingerprint FROM wnd
+    """
+
+
 def build_oracle_sql() -> dict[str, str]:
     q = textstats
     return {
@@ -268,6 +307,20 @@ def build_oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "text_lang_id": _lang_case(),
+        "text_token_count_bpe": f"""
+            WITH tok AS (
+                SELECT doc_id, {SQL_TOKENS} AS t, {SQL_BPE_TOKENS} AS bpe
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(t) AS n_word_tokens,
+                   len(bpe) AS n_bpe_tokens,
+                   CASE WHEN len(t) > 0
+                        THEN CAST(len(bpe) AS DOUBLE) / len(t)
+                        ELSE 0.0 END AS bpe_per_word
+            FROM tok
+        """,
+        "text_winnow_fingerprints": _winnow_sql(),
         "dedup_exact_fingerprint": f"""
             SELECT md5({SQL_NORMALIZED}) AS fingerprint,
                    min(doc_id) AS kept_doc_id,
@@ -309,6 +362,8 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
+    "text_token_count_bpe": text_token_count_bpe,
+    "text_winnow_fingerprints": text_winnow_fingerprints,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

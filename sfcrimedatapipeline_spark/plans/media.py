@@ -1,0 +1,116 @@
+"""Multimodal driver queries with DuckDB oracles.
+
+The Spark side runs the REAL plumbing — binary payload synthesis in
+JVM expressions, then Arrow-batched mapInPandas (numpy byte stats,
+frame slicing). The oracles recompute the same values relationally:
+payload == encode(text), so blob length is octet_length, byte values
+come from hex-pair arithmetic, and frame content compares as hex
+substrings at doubled offsets (DuckDB cannot slice blobs directly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfcrimedatapipeline_spark.functions.partitioning import ensure_min_partitions
+from sfcrimedatapipeline_spark.operators import multimodal as mm
+from sfcrimedatapipeline_spark.sources.tables import read_table
+
+N_TYPES = len(mm.MEDIA_TYPES)
+_TYPE_CASE = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    return mm.synthesize_media(docs)
+
+
+def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes per media type — exercises the JVM binary-payload path."""
+    return (
+        _media(spark, sf_dir)
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.max(F.octet_length("payload")).alias("max_bytes"),
+        )
+    )
+
+
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/mapInPandas numpy byte stats, value-checked exactly."""
+    return mm.image_features(_media(spark, sf_dir))
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through mapInPandas; frames compared as hex."""
+    return mm.sample_frames(_media(spark, sf_dir)).select(
+        "doc_id", "frame_idx", "frame_hex"
+    )
+
+
+def build_oracle_sql() -> dict[str, str]:
+    fs, stride = mm.FRAME_SIZE, mm.FRAME_STRIDE
+    return {
+        "media_inventory": f"""
+            SELECT {_TYPE_CASE} AS media_type,
+                   count(*) AS n_items,
+                   sum(octet_length(encode(text))) AS total_bytes,
+                   max(octet_length(encode(text))) AS max_bytes
+            FROM documents
+            GROUP BY 1
+        """,
+        "media_image_features": """
+            WITH img AS (
+                SELECT doc_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS n
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            b AS (
+                SELECT doc_id, n,
+                       CASE WHEN n > 0
+                            THEN [CAST(('0x' || substring(hx, i*2+1, 2)) AS INT)
+                                  for i in generate_series(0, n - 1)]
+                            ELSE [] END AS bytes
+                FROM img
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN n > 0 THEN list_min(bytes) ELSE 0 END AS INTEGER) AS byte_min,
+                   CAST(CASE WHEN n > 0 THEN list_max(bytes) ELSE 0 END AS INTEGER) AS byte_max,
+                   CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS byte_sum
+            FROM b
+        """,
+        "media_frame_sample": f"""
+            WITH vid AS (
+                SELECT doc_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) // {fs} AS n_frames
+                FROM documents WHERE doc_id % 3 = 2
+            ),
+            idx AS (
+                SELECT doc_id, hx,
+                       unnest(CASE WHEN n_frames > 0
+                                   THEN [x for x in generate_series(0, n_frames - 1)
+                                         if x % {stride} = 0]
+                                   ELSE [] END) AS i
+                FROM vid
+            )
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   substring(hx, CAST(i * {fs} * 2 + 1 AS INTEGER), {fs * 2}) AS frame_hex
+            FROM idx
+        """,
+    }
+
+
+QUERIES = {
+    "media_inventory": media_inventory,
+    "media_image_features": media_image_features,
+    "media_frame_sample": media_frame_sample,
+}
+
+ORACLE_SQL = build_oracle_sql()

@@ -1,0 +1,61 @@
+"""Multimodal plumbing invariants (schemas, batch shapes, stub decode)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sfcrimedatapipeline_spark.operators import multimodal as mm
+from sfcrimedatapipeline_spark.sources.tables import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _media(spark):
+    return mm.synthesize_media(read_table(spark, SF_DIR, "documents"))
+
+
+def test_media_types_partition_docs(spark):
+    media = _media(spark)
+    counts = {r["media_type"]: r["n"] for r in media.groupBy("media_type").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(mm.MEDIA_TYPES)
+    assert sum(counts.values()) == media.count()
+
+
+def test_image_features_match_payload_bytes(spark):
+    media = _media(spark).cache()
+    feats = {r["doc_id"]: r for r in mm.image_features(media).collect()}
+    rows = media.filter("media_type = 'image'").select("doc_id", "payload").collect()
+    assert feats and len(feats) == len(rows)
+    for r in rows:
+        buf = bytes(r["payload"])
+        f = feats[r["doc_id"]]
+        assert f["n_bytes"] == len(buf)
+        assert f["byte_sum"] == sum(buf)
+        if buf:
+            assert f["byte_min"] == min(buf) and f["byte_max"] == max(buf)
+    media.unpersist()
+
+
+def test_frame_sampling_slices_and_strides(spark):
+    media = _media(spark)
+    frames = mm.sample_frames(media, frame_size=16, stride=2).collect()
+    assert frames
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in media.filter("media_type = 'video'").collect()
+    }
+    for fr in frames:
+        assert fr["frame_idx"] % 2 == 0
+        buf = payloads[fr["doc_id"]]
+        expected = buf[fr["frame_idx"] * 16 : (fr["frame_idx"] + 1) * 16]
+        assert bytes(fr["frame"]) == expected
+        assert fr["frame_hex"] == expected.hex().upper()
+        assert len(fr["frame"]) == 16  # only complete frames are emitted
+
+
+def test_resize_fake_pads_and_truncates(spark):
+    resized = mm.resize_images(_media(spark), width=8, height=8).collect()
+    assert resized
+    for r in resized:
+        assert len(bytes(r["resized"])) == 64
+        assert (r["width"], r["height"]) == (8, 8)
