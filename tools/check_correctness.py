@@ -64,6 +64,7 @@ def main() -> int:
         spark_rows = [tuple(r) for r in sdf.collect()]
         spark_cols = sdf.columns
         dt = time.time() - t0
+        spark.catalog.clearCache()  # drop operator-persisted frames between queries
         if name not in oracles:
             print(f"  {name:28s} rows-only: {len(spark_rows):7d} rows  ({dt:.1f}s)")
             continue
