@@ -1,0 +1,82 @@
+"""Physical-plan assertions: correctness tests prove WHAT the queries
+compute; these prove the plans are the ones we'd want at 100 TB —
+broadcast joins for dims, filter pushdown into the parquet scan, column
+pruning, and no row-at-a-time Python in JVM-expressible hot paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    from sfcrimedatapipeline_spark.plans import llmops, tpch
+
+    return {
+        "j8": _plan(tpch.QUERIES["j8_star_join_monthly"](spark, SF_DIR)),
+        "p5": _plan(tpch.QUERIES["p5_in_filter"](spark, SF_DIR)),
+        "p1": _plan(tpch.QUERIES["p1_project_alias"](spark, SF_DIR)),
+        "tok": _plan(llmops.QUERIES["text_token_stats"](spark, SF_DIR)),
+        "simhash": _plan(llmops.QUERIES["dedup_simhash"](spark, SF_DIR)),
+        "ann": _plan(llmops.QUERIES["ann_cosine_topk"](spark, SF_DIR)),
+    }
+
+
+def test_star_join_broadcasts_dims(plans):
+    # J8: every dim join must be broadcast-hash — a sort-merge join here
+    # would shuffle the fact table once per dim at scale.
+    assert "BroadcastHashJoin" in plans["j8"]
+    assert "SortMergeJoin" not in plans["j8"]
+
+
+def test_in_filter_pushed_to_scan(plans):
+    # P5: the IN-list must reach the parquet reader, not run post-scan only.
+    assert "PushedFilters: [" in plans["p5"]
+    assert "o_orderpriority" in plans["p5"].split("PushedFilters")[1][:200]
+
+
+def test_projection_prunes_columns(plans):
+    # P1 selects 3 of customer's 8 columns; ReadSchema must not contain
+    # unused ones (pruning failed if the scan reads the full row).
+    read_schema = plans["p1"].split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in read_schema
+    assert "c_acctbal" not in read_schema and "c_address" not in read_schema
+
+
+@pytest.mark.parametrize("key", ["tok", "simhash", "j8", "p5"])
+def test_no_python_row_udfs_in_jvm_paths(plans, key):
+    # These are fully JVM-expressible; BatchEvalPython (row-at-a-time
+    # pickling) in the plan means a hot path fell off codegen.
+    assert "BatchEvalPython" not in plans[key]
+
+
+def test_plans_use_whole_stage_codegen(spark):
+    # AQE's formatted pre-execution plan hides codegen stages; execute and
+    # read the final plan's `*(n)` whole-stage markers instead.
+    from sfcrimedatapipeline_spark.plans import llmops, tpch
+
+    for name, mod in (
+        ("j8_star_join_monthly", tpch),
+        ("p5_in_filter", tpch),
+        ("text_token_stats", llmops),
+    ):
+        df = mod.QUERIES[name](spark, SF_DIR)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in final, f"{name} has no whole-stage-codegen span"
+
+
+def test_ann_broadcasts_query_vectors(plans):
+    # Brute-force cosine top-k must broadcast the tiny query side and
+    # scan the corpus once — never shuffle the corpus.
+    assert "BroadcastNestedLoopJoin" in plans["ann"] or "BroadcastHashJoin" in plans["ann"]
+    assert "SortMergeJoin" not in plans["ann"]
