@@ -6,6 +6,14 @@
 
 Per-query time = full plan build + execution + collect at the driver
 (the same surface the correctness gate measures, minus the oracle).
+
+Each query is first run once at sf0.001 (~100x smaller) before being
+timed at the target scale: Catalyst analysis, codegen compilation, and
+JVM JIT of a query's operators are one-time costs that do not grow
+with data, and letting them land arbitrarily on whichever query runs
+first made successive bench runs differ by 10x per query. The timed
+number is the steady-state, data-proportional cost — the quantity that
+scales to the cluster.
 """
 
 from __future__ import annotations
@@ -18,6 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARM_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _sf_from_dir(path: str) -> float:
@@ -52,6 +61,9 @@ def main() -> None:
     for name, fn in e.queries().items():
         if only and name not in only:
             continue
+        if os.path.isdir(WARM_SF_DIR) and WARM_SF_DIR != SF_DIR:
+            fn(spark, WARM_SF_DIR).collect()  # compile/JIT warm-up (see module doc)
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -80,14 +80,29 @@ def lang_scores(text_col: str = "text") -> dict[str, Column]:
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hits,
-    alphabetical tie-break, 'und' when nothing matches."""
-    scores = lang_scores(text_col)
-    best = F.greatest(*scores.values())
+    alphabetical tie-break, 'und' when nothing matches.
+
+    Staged selects, mirroring the oracle's CTEs: tokenize ONCE, bind the
+    per-language hit counts to real columns, then argmax over the bound
+    ints. Inlining instead would nest the tokenizer (a regex split) and
+    five filter-HOFs — none of which codegen — into every arm of the
+    greatest/when tree, and Catalyst does not CSE duplicated lambda
+    subtrees: each output row would re-tokenize tens of times in the
+    interpreted evaluator.
+    """
+    toked = df.withColumn("__toks", tokens(F.col(text_col)))
+    langs = sorted(STOPWORDS)
+    scored = toked.withColumns(
+        {f"__s_{lang}": stopword_hits(F.col("__toks"), lang) for lang in langs}
+    )
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
     pred: Column = F.lit("und")
-    for lang in sorted(STOPWORDS, reverse=True):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"__s_{lang}") == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    return df.withColumn("lang_pred", pred)
+    return scored.withColumn("lang_pred", pred).drop(
+        "__toks", *[f"__s_{lang}" for lang in langs]
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
