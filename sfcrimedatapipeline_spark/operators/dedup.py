@@ -280,3 +280,99 @@ def embedding_near_duplicates(
     return pairs.select(
         "id_a", "id_b", F.round(sim, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_duplicates_blas(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    dim: int = 64,
+) -> DataFrame:
+    """Same pairs as :func:`embedding_near_duplicates`, computed as
+    dense tiles in numpy over Arrow batches — the vectorized form of
+    exact all-pairs verify.
+
+    The corpus side is broadcast as one (m, dim) float64 matrix; each
+    Arrow batch of the streamed side scores against it as dim-sequential
+    vectorized accumulation. Per-pair cost drops from an interpreted/
+    codegen 64-term expression to a fused numpy op over the whole tile.
+    At full scale, tile the broadcast side too (grid of blocks) — the
+    batch side already streams.
+
+    Bit-parity with the JVM/or oracle version is engineered, not
+    approximate: float32→float64 widening is exact; accumulating one
+    dimension at a time over the tile reproduces the unrolled
+    left-to-right sum exactly (numpy's own matmul/sum use pairwise
+    reduction and WOULD drift in the last bits); rounding uses exact
+    binary Decimal HALF_UP — the same algorithm as Spark's ``round`` —
+    applied only to near-threshold candidates.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    corpus = (
+        emb.select(F.col(id_col).cast("long"), vec_col)
+        .sort(id_col)
+        .collect()
+    )
+    ids_b = np.array([r[0] for r in corpus], dtype=np.int64)
+    mat_b = np.array(
+        [np.asarray(r[1], dtype=np.float32) for r in corpus], dtype=np.float32
+    ).astype(np.float64)
+    bc = emb.sparkSession.sparkContext.broadcast((ids_b, mat_b))
+    quantum = Decimal(1).scaleb(-6)
+
+    def _seq_sq_norm(m: np.ndarray) -> np.ndarray:
+        acc = m[:, 0] * m[:, 0]
+        for d in range(1, m.shape[1]):
+            acc = acc + m[:, d] * m[:, d]
+        return np.sqrt(acc)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_mat = bc.value
+        nb = _seq_sq_norm(b_mat)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.array(
+                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]],
+                dtype=np.float32,
+            ).astype(np.float64)
+            na = _seq_sq_norm(a_mat)
+            acc = np.multiply.outer(a_mat[:, 0], b_mat[:, 0])
+            for d in range(1, dim):
+                acc = acc + np.multiply.outer(a_mat[:, d], b_mat[:, d])
+            cos = acc / np.multiply.outer(na, nb)
+            cand = (cos >= threshold - 1e-6) & (a_ids[:, None] < b_ids[None, :])
+            ai, bi = np.nonzero(cand)
+            out_a, out_b, out_c = [], [], []
+            for i, j in zip(ai, bi):
+                # Decimal(repr(x)): shortest round-trip repr, the same
+                # algorithm as the BigDecimal.valueOf inside Spark's round
+                rounded = float(
+                    Decimal(repr(float(cos[i, j]))).quantize(
+                        quantum, rounding=ROUND_HALF_UP
+                    )
+                )
+                if rounded >= threshold:
+                    out_a.append(a_ids[i])
+                    out_b.append(b_ids[j])
+                    out_c.append(rounded)
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    return emb.select(F.col(id_col).cast("long").alias(id_col), vec_col).mapInPandas(
+        score, schema
+    )

@@ -120,6 +120,14 @@ def emb_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_duplicates(emb, threshold=EMB_NEAR_DUP_THRESHOLD)
 
 
+def emb_near_duplicates_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pairs as emb_near_duplicates via numpy tiles over Arrow
+    batches (operators/dedup.py:embedding_near_duplicates_blas) —
+    bit-parity engineered, so it shares the oracle."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates_blas(emb, threshold=EMB_NEAR_DUP_THRESHOLD)
+
+
 # --- oracle SQL builders ---------------------------------------------------
 
 def _sql_cosine(av: str, bv: str, dim: int = 64) -> str:
@@ -371,6 +379,8 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
     "emb_near_duplicates": emb_near_duplicates,
+    "emb_near_duplicates_blas": emb_near_duplicates_blas,
 }
 
 ORACLE_SQL = build_oracle_sql()
+ORACLE_SQL["emb_near_duplicates_blas"] = ORACLE_SQL["emb_near_duplicates"]
