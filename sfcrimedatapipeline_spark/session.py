@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode runs every executor thread inside the driver JVM, so
+        # this IS the executor memory. 8g is the validated setting for the
+        # recorded baseline; raising it (24g/48g tried) did NOT remove the
+        # occasional 10-20s GC/variance spikes on heavy queries and slowed
+        # some runs outright, so it stays. Per-container on a real cluster.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.crossJoin.enabled", "true")
