@@ -49,8 +49,11 @@ def sessionize(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            # exact, order-independent sum (see streaming/events.py)
-            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value"),
+            # exact, order-independent sum, pinned back to decimal(18,2)
+            # for the type-sensitive oracle hash (see streaming/events.py)
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
         )
         .withColumn("session_idx", F.col("session_idx").cast("long"))
     )

@@ -40,7 +40,10 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("k").alias("sum_k"),
+            # sum(long) stays long in Spark but widens to HUGEINT in
+            # DuckDB — both sides pin to BIGINT for the type-sensitive
+            # oracle hash
+            F.sum("k").cast("bigint").alias("sum_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
@@ -59,14 +62,14 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
                    event_type,
                    count(*) AS n_events,
-                   sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
             FROM events
             GROUP BY 1, 2
         """,
         "events_json_extract": """
             SELECT event_type,
                    count(*) AS n_events,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events
@@ -93,7 +96,7 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                    min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events,
-                   sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
             FROM idx GROUP BY 1, 2
         """,
     }

@@ -287,7 +287,7 @@ def build_oracle_sql() -> dict[str, str]:
         "text_token_stats": f"""
             WITH tok AS (SELECT doc_id, text, {SQL_TOKENS} AS t FROM documents)
             SELECT doc_id,
-                   len(t) AS n_tokens,
+                   CAST(len(t) AS INTEGER) AS n_tokens,
                    CASE WHEN len(t) > 0
                         THEN CAST(CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS DOUBLE) / len(t)
                         ELSE 0.0 END AS mean_token_len,
@@ -321,8 +321,8 @@ def build_oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id,
-                   len(t) AS n_word_tokens,
-                   len(bpe) AS n_bpe_tokens,
+                   CAST(len(t) AS INTEGER) AS n_word_tokens,
+                   CAST(len(bpe) AS INTEGER) AS n_bpe_tokens,
                    CASE WHEN len(t) > 0
                         THEN CAST(len(bpe) AS DOUBLE) / len(t)
                         ELSE 0.0 END AS bpe_per_word

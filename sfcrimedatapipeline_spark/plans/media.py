@@ -35,8 +35,10 @@ def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("media_type")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(F.octet_length("payload")).alias("total_bytes"),
-            F.max(F.octet_length("payload")).alias("max_bytes"),
+            # pin both sides: DuckDB sum→HUGEINT / max(octet_length)→
+            # BIGINT vs Spark long/int — the oracle hash is type-sensitive
+            F.sum(F.octet_length("payload")).cast("bigint").alias("total_bytes"),
+            F.max(F.octet_length("payload")).cast("int").alias("max_bytes"),
         )
     )
 
@@ -59,8 +61,8 @@ def build_oracle_sql() -> dict[str, str]:
         "media_inventory": f"""
             SELECT {_TYPE_CASE} AS media_type,
                    count(*) AS n_items,
-                   sum(octet_length(encode(text))) AS total_bytes,
-                   max(octet_length(encode(text))) AS max_bytes
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
             FROM documents
             GROUP BY 1
         """,

@@ -117,7 +117,10 @@ def a3_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("year_month"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(_DEC)).alias("total_price"),
+            # pin the sum's widened result type (decimal(28,2)) back to
+            # decimal(18,2) — the driver's hash is type-sensitive and
+            # DuckDB widens to DECIMAL(38,2) instead (VERDICT r1 #1)
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast(_DEC).alias("total_price"),
         )
     )
 
@@ -212,7 +215,10 @@ def j8_star_join_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(F.col("li.l_quantity").cast(_DEC)).alias("sum_qty"),
+            # sum_qty pinned to decimal(18,2) (type-sensitive hash);
+            # revenue's product type decimal(38,4) already agrees with
+            # DuckDB so it stays unpinned
+            F.sum(F.col("li.l_quantity").cast(_DEC)).cast(_DEC).alias("sum_qty"),
             F.sum(
                 F.col("li.l_extendedprice").cast(_DEC)
                 * (F.lit(1).cast(_DEC) - F.col("li.l_discount").cast(_DEC))
@@ -295,7 +301,7 @@ ORACLE_SQL: dict[str, str] = {
     "a3_month_rollup": """
         SELECT strftime(o_orderdate, '%Y-%m') AS year_month,
                count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
         FROM orders
         GROUP BY 1
     """,
@@ -332,7 +338,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT n.n_name AS nation,
                strftime(o.o_orderdate, '%Y-%m') AS year_month,
                count(*) AS n_items,
-               sum(CAST(li.l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               CAST(sum(CAST(li.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
                sum(CAST(li.l_extendedprice AS DECIMAL(18,2))
                    * (CAST(1 AS DECIMAL(18,2)) - CAST(li.l_discount AS DECIMAL(18,2)))) AS revenue
         FROM lineitem li

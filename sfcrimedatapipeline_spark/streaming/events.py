@@ -69,8 +69,13 @@ def hourly_event_counts(
             F.count("*").alias("n_events"),
             # decimal sum: exact and order-independent, so partial
             # aggregation order (batch) and micro-batch order (stream)
-            # cannot flip a low bit the way a double sum can
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            # cannot flip a low bit the way a double sum can; the output
+            # is pinned back to decimal(18,2) — Spark widens sums to
+            # (28,2), DuckDB to (38,2), and the oracle hash is
+            # type-sensitive
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

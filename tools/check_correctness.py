@@ -2,8 +2,15 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given scale factor, then compares row count, column
-names, and an order-insensitive value hash (columns sorted by name,
-rows sorted, values stringified). Exit 0 iff everything matches.
+names, column DTYPES, and an order-insensitive value hash (columns
+sorted by name, rows sorted, exact value reprs — no float smoothing).
+
+Type sensitivity is the point: round 1 proved the driver's hash
+distinguishes Spark's widened aggregate types (sum(decimal(18,2)) →
+decimal(28,2)) from DuckDB's (→ DECIMAL(38,2)) even when every value
+matches, so this replica hashes the canonicalized dtype of every
+column alongside the values — a local ALL MATCH must predict a driver
+pass (VERDICT.md round 1, "What's wrong" #1).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -25,22 +32,35 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+#: DuckDB type-name → Spark dtype-string canonicalization. Anything not
+#: listed maps through lowercase unchanged (decimal(p,s), bigint,
+#: double, timestamp, date, boolean all agree modulo case).
+_DUCK_CANON = {"integer": "int", "varchar": "string"}
+
+
+def canon_type(t: str) -> str:
+    t = t.lower()
+    return _DUCK_CANON.get(t, t)
+
 
 def norm_cell(v) -> str:
     if v is None:
         return "␀"
-    if isinstance(v, float):
-        return f"{v:.9g}"
     if isinstance(v, bool):
         return str(bool(v)).lower()
-    return str(v)
+    if isinstance(v, float):
+        return repr(v)  # shortest round-trip — exact, no :.9g smoothing
+    return str(v)  # Decimal str() keeps scale: Decimal('1.10') -> '1.10'
 
 
-def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
+def frame_hash(
+    cols: list[str], dtypes: list[str], rows: list[tuple]
+) -> tuple[str, list[str]]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    typed_cols = [f"{cols[i]}:{canon_type(dtypes[i])}" for i in order]
     lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
-    return h, sorted(cols)
+    h = hashlib.sha256(("|".join(typed_cols) + "\n" + "\n".join(lines)).encode())
+    return h.hexdigest()[:16], typed_cols
 
 
 def main() -> int:
@@ -63,21 +83,23 @@ def main() -> int:
         sdf = fn(spark, SF_DIR)
         spark_rows = [tuple(r) for r in sdf.collect()]
         spark_cols = sdf.columns
+        spark_types = [t for _, t in sdf.dtypes]
         dt = time.time() - t0
         spark.catalog.clearCache()  # drop operator-persisted frames between queries
         if name not in oracles:
             print(f"  {name:28s} rows-only: {len(spark_rows):7d} rows  ({dt:.1f}s)")
             continue
         try:
-            rel = con.execute(oracles[name])
-            duck_cols = [d[0] for d in rel.description]
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            duck_types = [str(t) for t in rel.types]
             duck_rows = rel.fetchall()
         except Exception as ex:
             failures.append(name)
             print(f"✗ {name:28s} ORACLE ERROR: {ex}")
             continue
-        sh, scols = frame_hash(spark_cols, spark_rows)
-        dh, dcols = frame_hash(duck_cols, duck_rows)
+        sh, scols = frame_hash(spark_cols, spark_types, spark_rows)
+        dh, dcols = frame_hash(duck_cols, duck_types, duck_rows)
         ok = len(spark_rows) == len(duck_rows) and scols == dcols and sh == dh
         mark = "✓" if ok else "✗"
         if not ok:
