@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 
 def _nulls_last(cols: list[str | Column]) -> list[Column]:
@@ -76,16 +75,40 @@ def dense_ids(df: DataFrame, order_cols: list[str], key_name: str) -> DataFrame:
 
 
 def load_order_id(df: DataFrame, key_name: str = "id") -> DataFrame:
-    """W2: 1..N in input order, without a single-partition shuffle.
+    """W2: 1..N in input order, JVM-side, with no full-data shuffle.
 
-    ``zipWithIndex`` numbers rows partition-by-partition in partition
-    order, preserving input order with one lightweight job to count
-    partitions — the scale-safe equivalent of ``ADD COLUMN id SERIAL``
-    after COPY. Determinism is defined only for order-stable inputs
-    (single-file reads); parquet multi-file scans order splits by size,
-    so callers needing reproducible ids should pass an explicit sort or
-    use :func:`dense_ids`.
+    Two-phase, the scale-safe equivalent of ``ADD COLUMN id SERIAL``
+    after COPY (/root/reference/dags/ELT.py:100):
+
+    1. ``monotonically_increasing_id`` documents its layout as the
+       partition id in the upper bits and a consecutive 0-based record
+       number within each partition in the lower 33 — masking the low
+       bits yields the local index for free, with no window exchange
+       and no Python round-trip (the old ``rdd.zipWithIndex`` pickled
+       every row through Python).
+    2. Exact partition offsets come from a per-partition max (one tiny
+       map-side-combined aggregate, one row per partition) cumulated
+       with a window over that dim-sized frame and broadcast back.
+
+    Determinism is defined only for order-stable inputs (single-file
+    reads); parquet multi-file scans order splits by size, so callers
+    needing reproducible ids should pass an explicit sort or use
+    :func:`dense_ids`.
     """
-    schema = StructType(list(df.schema.fields) + [StructField(key_name, LongType(), False)])
-    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1] + 1))
-    return df.sparkSession.createDataFrame(rdd, schema)
+    low_mask = (1 << 33) - 1
+    with_local = df.select(
+        F.spark_partition_id().alias("__pid"),
+        F.monotonically_increasing_id().bitwiseAND(F.lit(low_mask)).alias("__local"),
+        *df.columns,
+    )
+    counts = with_local.groupBy("__pid").agg((F.max("__local") + 1).alias("__n"))
+    offsets = counts.select(
+        "__pid",
+        F.sum("__n")
+        .over(Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__offset"),
+    ).fillna({"__offset": 0})
+    return with_local.join(F.broadcast(offsets), "__pid").select(
+        (F.col("__local") + F.col("__offset") + 1).cast("long").alias(key_name),
+        *df.columns,
+    )

@@ -75,6 +75,22 @@ def test_plans_use_whole_stage_codegen(spark):
         assert "*(" in final, f"{name} has no whole-stage-codegen span"
 
 
+def test_load_order_id_stays_jvm_side(spark):
+    # W2's default id path must not route rows through Python (the old
+    # rdd.zipWithIndex pickled every staging row) and must not collapse
+    # to a single-partition window over the full data.
+    from sfcrimedatapipeline_spark.operators.keys import load_order_id
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    df = load_order_id(read_table(spark, SF_DIR, "orders"), "id")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" not in plan  # createDataFrame(rdd) round-trip
+    # ids must still be dense 1..N in partition order
+    ids = sorted(r["id"] for r in df.select("id").collect())
+    assert ids == list(range(1, len(ids) + 1))
+
+
 def test_ann_broadcasts_query_vectors(plans):
     # Brute-force cosine top-k must broadcast the tiny query side and
     # scan the corpus once — never shuffle the corpus.
