@@ -256,12 +256,14 @@ def embedding_near_duplicates(
     threshold: float = 0.98,
     dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ threshold.
+    """Embedding-cosine near-dup pairs ≥ threshold (verify primitive).
 
-    Exact all-pairs within id-blocked halves — suitable for verify
-    stages and small/medium corpora; the ANN path for full-corpus scale
-    is operators/similarity.py (LSH-bucketed). Norms are computed once
-    per vector per side; the per-pair work is one unrolled codegen dot.
+    Exact all-pairs via a non-equi self-join — O(n²) pairs, fine for
+    small-corpus verification only. The production paths are
+    :func:`embedding_near_duplicates_blas` (exact, grid-blocked tiles)
+    and :func:`embedding_near_duplicates_lsh` (bucketed, the 100 TB
+    default). Norms are computed once per vector per side; the per-pair
+    work is one unrolled codegen dot.
     """
     from sfcrimedatapipeline_spark.functions.vectors import cosine_fixed, norm_fixed
 
@@ -282,97 +284,188 @@ def embedding_near_duplicates(
     ).filter(F.col("cosine") >= threshold)
 
 
+def _seq_sq_norm(m):
+    """Vector norms via dim-sequential accumulation (bit-parity with the
+    unrolled left-to-right JVM/DuckDB sum — numpy's fused sum uses
+    pairwise reduction and would drift in the last bits)."""
+    import numpy as np
+
+    acc = m[:, 0] * m[:, 0]
+    for d in range(1, m.shape[1]):
+        acc = acc + m[:, d] * m[:, d]
+    return np.sqrt(acc)
+
+
+def _tile_cosine(a_mat, b_mat, na, nb, dim: int):
+    """Dense cosine tile, accumulated one dimension at a time (exact
+    left-to-right sum order, see :func:`_seq_sq_norm`)."""
+    import numpy as np
+
+    acc = np.multiply.outer(a_mat[:, 0], b_mat[:, 0])
+    for d in range(1, dim):
+        acc = acc + np.multiply.outer(a_mat[:, d], b_mat[:, d])
+    return acc / np.multiply.outer(na, nb)
+
+
+def _ids_mat(pdf, id_col: str, vec_col: str):
+    import numpy as np
+
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array(
+        [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]], dtype=np.float32
+    ).astype(np.float64)  # float32→float64 widening is exact
+    return ids, mat
+
+
+def _round6_filter(ids_a, ids_b, cos, cand, threshold: float):
+    """Round near-threshold candidates exactly like Spark's ``round`` /
+    DuckDB's ``round`` (shortest-repr Decimal, HALF_UP) and keep pairs
+    ≥ threshold, ids oriented (min, max)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    quantum = Decimal(1).scaleb(-6)
+    ai, bi = np.nonzero(cand)
+    out_a, out_b, out_c = [], [], []
+    for i, j in zip(ai, bi):
+        rounded = float(
+            Decimal(repr(float(cos[i, j]))).quantize(quantum, rounding=ROUND_HALF_UP)
+        )
+        if rounded >= threshold:
+            x, y = int(ids_a[i]), int(ids_b[j])
+            out_a.append(min(x, y))
+            out_b.append(max(x, y))
+            out_c.append(rounded)
+    return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+
+_PAIR_SCHEMA = "id_a long, id_b long, cosine double"
+
+
 def embedding_near_duplicates_blas(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.98,
     dim: int = 64,
+    grid: int = 8,
 ) -> DataFrame:
     """Same pairs as :func:`embedding_near_duplicates`, computed as
-    dense tiles in numpy over Arrow batches — the vectorized form of
-    exact all-pairs verify.
+    dense numpy tiles inside grid-blocked Arrow groups — exact all-pairs
+    with NO driver materialization and no O(n²) row-at-a-time join.
 
-    The corpus side is broadcast as one (m, dim) float64 matrix; each
-    Arrow batch of the streamed side scores against it as dim-sequential
-    vectorized accumulation. Per-pair cost drops from an interpreted/
-    codegen 64-term expression to a fused numpy op over the whole tile.
-    At full scale, tile the broadcast side too (grid of blocks) — the
-    batch side already streams.
+    Each vector lands in block ``g = id % grid``; every unordered block
+    pair (gi ≤ gj) becomes one ``applyInPandas`` group holding exactly
+    two blocks' vectors, scored as one dense tile. Pair (a, b) is
+    covered exactly once — in group (min(ga,gb), max(ga,gb)). Costs:
+    shuffle replication ×grid per row, task memory 2/grid of the
+    corpus, grid·(grid+1)/2 parallel tasks — the knob that trades
+    parallelism against replication at any corpus size (vs the old
+    driver-side ``collect()`` + broadcast, a driver OOM at scale).
 
-    Bit-parity with the JVM/or oracle version is engineered, not
-    approximate: float32→float64 widening is exact; accumulating one
-    dimension at a time over the tile reproduces the unrolled
-    left-to-right sum exactly (numpy's own matmul/sum use pairwise
-    reduction and WOULD drift in the last bits); rounding uses exact
-    binary Decimal HALF_UP — the same algorithm as Spark's ``round`` —
-    applied only to near-threshold candidates.
+    Bit-parity with the JVM expression / DuckDB oracle is engineered:
+    exact float32→float64 widening, dim-sequential tile accumulation
+    (left-to-right sum order), shortest-repr Decimal HALF_UP rounding —
+    see the helpers above.
     """
-    from decimal import ROUND_HALF_UP, Decimal
-    from collections.abc import Iterator
-
-    import numpy as np
     import pandas as pd
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    corpus = (
-        emb.select(F.col(id_col).cast("long"), vec_col)
-        .sort(id_col)
-        .collect()
-    )
-    ids_b = np.array([r[0] for r in corpus], dtype=np.int64)
-    mat_b = np.array(
-        [np.asarray(r[1], dtype=np.float32) for r in corpus], dtype=np.float32
-    ).astype(np.float64)
-    bc = emb.sparkSession.sparkContext.broadcast((ids_b, mat_b))
-    quantum = Decimal(1).scaleb(-6)
-
-    def _seq_sq_norm(m: np.ndarray) -> np.ndarray:
-        acc = m[:, 0] * m[:, 0]
-        for d in range(1, m.shape[1]):
-            acc = acc + m[:, d] * m[:, d]
-        return np.sqrt(acc)
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_mat = bc.value
-        nb = _seq_sq_norm(b_mat)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array(
-                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]],
-                dtype=np.float32,
-            ).astype(np.float64)
-            na = _seq_sq_norm(a_mat)
-            acc = np.multiply.outer(a_mat[:, 0], b_mat[:, 0])
-            for d in range(1, dim):
-                acc = acc + np.multiply.outer(a_mat[:, d], b_mat[:, d])
-            cos = acc / np.multiply.outer(na, nb)
-            cand = (cos >= threshold - 1e-6) & (a_ids[:, None] < b_ids[None, :])
-            ai, bi = np.nonzero(cand)
-            out_a, out_b, out_c = [], [], []
-            for i, j in zip(ai, bi):
-                # Decimal(repr(x)): shortest round-trip repr, the same
-                # algorithm as the BigDecimal.valueOf inside Spark's round
-                rounded = float(
-                    Decimal(repr(float(cos[i, j]))).quantize(
-                        quantum, rounding=ROUND_HALF_UP
-                    )
-                )
-                if rounded >= threshold:
-                    out_a.append(a_ids[i])
-                    out_b.append(b_ids[j])
-                    out_c.append(rounded)
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
-
-    schema = StructType(
-        [
-            StructField("id_a", LongType()),
-            StructField("id_b", LongType()),
-            StructField("cosine", DoubleType()),
+    g = (F.col(id_col).cast("long") % grid).cast("int")
+    entries = F.array(
+        *[
+            F.struct(
+                F.least(g, F.lit(j)).alias("gi"),
+                F.greatest(g, F.lit(j)).alias("gj"),
+                (g > F.lit(j)).cast("int").alias("side"),
+            )
+            for j in range(grid)
         ]
     )
-    return emb.select(F.col(id_col).cast("long").alias(id_col), vec_col).mapInPandas(
-        score, schema
+    blocked = emb.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.explode(entries).alias("e"),
+    ).select("__id", "__v", "e.gi", "e.gj", "e.side")
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = key
+        if gi == gj:
+            ids, mat = _ids_mat(pdf, "__id", "__v")
+            if len(ids) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            norms = _seq_sq_norm(mat)
+            cos = _tile_cosine(mat, mat, norms, norms, dim)
+            cand = (cos >= threshold - 1e-6) & (ids[:, None] < ids[None, :])
+            return _round6_filter(ids, ids, cos, cand, threshold)
+        pa, pb = pdf[pdf["side"] == 0], pdf[pdf["side"] == 1]
+        if not len(pa) or not len(pb):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids_a, mat_a = _ids_mat(pa, "__id", "__v")
+        ids_b, mat_b = _ids_mat(pb, "__id", "__v")
+        cos = _tile_cosine(mat_a, mat_b, _seq_sq_norm(mat_a), _seq_sq_norm(mat_b), dim)
+        return _round6_filter(ids_a, ids_b, cos, cos >= threshold - 1e-6, threshold)
+
+    return blocked.groupBy("gi", "gj").applyInPandas(score, _PAIR_SCHEMA)
+
+
+def embedding_near_duplicates_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    dim: int = 64,
+    n_bands: int = 2,
+    planes_per_band: int = 3,
+) -> DataFrame:
+    """LSH-bucketed near-dup — the default 100 TB path: hyperplane
+    buckets (reusing :func:`similarity.lsh_bucket`'s deterministic
+    planes) bound the quadratic step to within-bucket tiles, so no
+    all-pairs set is ever materialized anywhere.
+
+    Banded like MinHash-LSH: ``n_bands`` independent bucket tables of
+    ``planes_per_band`` sign bits each; a pair is a candidate if it
+    collides in ANY band (recall 1−(1−pᵣ)ᵇ for per-plane collision
+    probability p = 1−θ/π). Candidates are scored exactly (same
+    dim-sequential BLAS tile + rounding as the grid verifier) and
+    deduped across bands with one distinct on the tiny pair output.
+    Skewed buckets split across tasks by AQE; more planes per band →
+    smaller buckets, more bands → higher recall.
+    """
+    import pandas as pd
+
+    from sfcrimedatapipeline_spark.operators.similarity import _hyperplane, lsh_bucket
+
+    planes = [_hyperplane(dim, p) for p in range(n_bands * planes_per_band)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                lsh_bucket(
+                    F.col(vec_col),
+                    planes[b * planes_per_band : (b + 1) * planes_per_band],
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
     )
+    bucketed = emb.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.explode(bands).alias("band"),
+    ).select("__id", "__v", "band.band_idx", "band.bucket")
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, mat = _ids_mat(pdf, "__id", "__v")
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        norms = _seq_sq_norm(mat)
+        cos = _tile_cosine(mat, mat, norms, norms, dim)
+        cand = (cos >= threshold - 1e-6) & (ids[:, None] < ids[None, :])
+        return _round6_filter(ids, ids, cos, cand, threshold)
+
+    pairs = bucketed.groupBy("band_idx", "bucket").applyInPandas(score, _PAIR_SCHEMA)
+    # a pair colliding in several bands is scored identically in each —
+    # distinct on the (small) pair output is the cross-band dedup
+    return pairs.distinct() if n_bands > 1 else pairs

@@ -37,6 +37,8 @@ def _read_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.5
 EMB_NEAR_DUP_THRESHOLD = 0.4
+EMB_LSH_BANDS = 2
+EMB_LSH_PLANES_PER_BAND = 3
 ANN_K = 5
 ANN_N_QUERIES = 10
 NUM_HASHES = dedup.DEFAULT_NUM_HASHES
@@ -116,16 +118,27 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read_parallel(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_duplicates(emb, threshold=EMB_NEAR_DUP_THRESHOLD)
-
-
-def emb_near_duplicates_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same pairs as emb_near_duplicates via numpy tiles over Arrow
-    batches (operators/dedup.py:embedding_near_duplicates_blas) —
-    bit-parity engineered, so it shares the oracle."""
+    """Exact all-pairs near-dup via the grid-blocked BLAS tiles
+    (operators/dedup.py:embedding_near_duplicates_blas) — no driver
+    collect, no O(n²) nested-loop join; bit-parity with the JVM
+    expression form (kept as the library verify primitive
+    ``dedup.embedding_near_duplicates``, pytest-parity-tested)."""
     emb = _read_parallel(spark, sf_dir, "embeddings")
     return dedup.embedding_near_duplicates_blas(emb, threshold=EMB_NEAR_DUP_THRESHOLD)
+
+
+def emb_near_duplicates_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup (the 100 TB default path): banded
+    hyperplane buckets → exact BLAS verify within buckets. The oracle
+    replicates the same deterministic planes, so the approximate path
+    is still exactly reproducible."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates_lsh(
+        emb,
+        threshold=EMB_NEAR_DUP_THRESHOLD,
+        n_bands=EMB_LSH_BANDS,
+        planes_per_band=EMB_LSH_PLANES_PER_BAND,
+    )
 
 
 # --- oracle SQL builders ---------------------------------------------------
@@ -255,6 +268,50 @@ def _ann_sql(lsh: bool) -> str:
     """
 
 
+def _emb_lsh_sql() -> str:
+    """Replicates embedding_near_duplicates_lsh's banded hyperplane
+    buckets with the identical plane constants, then scores candidate
+    pairs with the same rounded cosine — exact oracle for the
+    'approximate' path."""
+    total = EMB_LSH_BANDS * EMB_LSH_PLANES_PER_BAND
+    planes = [similarity._hyperplane(64, p) for p in range(total)]
+
+    def bucket_expr(band: int) -> str:
+        terms = []
+        for p_idx in range(EMB_LSH_PLANES_PER_BAND):
+            plane = planes[band * EMB_LSH_PLANES_PER_BAND + p_idx]
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            proj = (
+                f"list_sum([__v[i] * ({lit}::DOUBLE[])[i] "
+                f"for i in generate_series(1, 64)])"
+            )
+            terms.append(f"(CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END * {2 ** p_idx})")
+        return " + ".join(terms)
+
+    band_buckets = ", ".join(
+        f"({bucket_expr(b)}) AS bucket{b}" for b in range(EMB_LSH_BANDS)
+    )
+    # UNION (not ALL) = the cross-band distinct on candidate pairs
+    cand = " UNION ".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM vb a JOIN vb b "
+        f"ON a.bucket{b} = b.bucket{b} AND a.vec_id < b.vec_id"
+        for b in range(EMB_LSH_BANDS)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v FROM embeddings),
+        vb AS (SELECT vec_id, __v, {band_buckets} FROM v),
+        cand AS ({cand}),
+        scored AS (
+            SELECT id_a, id_b, {_sql_cosine("a.__v", "b.__v")} AS cosine
+            FROM cand
+            JOIN v a ON a.vec_id = id_a
+            JOIN v b ON b.vec_id = id_b
+        )
+        SELECT id_a, id_b, cosine FROM scored
+        WHERE cosine >= {EMB_NEAR_DUP_THRESHOLD}
+    """
+
+
 def _winnow_sql() -> str:
     k, w = textstats.WINNOW_K, textstats.WINNOW_W
     h = sql_hash64(f"substr(t, CAST(i AS INTEGER), {k})", "0")
@@ -355,6 +412,7 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "ann_cosine_topk": _ann_sql(lsh=False),
         "ann_cosine_topk_lsh": _ann_sql(lsh=True),
+        "emb_near_duplicates_lsh": _emb_lsh_sql(),
         "emb_near_duplicates": f"""
             WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -379,8 +437,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
     "emb_near_duplicates": emb_near_duplicates,
-    "emb_near_duplicates_blas": emb_near_duplicates_blas,
+    "emb_near_duplicates_lsh": emb_near_duplicates_lsh,
 }
 
 ORACLE_SQL = build_oracle_sql()
-ORACLE_SQL["emb_near_duplicates_blas"] = ORACLE_SQL["emb_near_duplicates"]
