@@ -14,12 +14,20 @@ with data, and letting them land arbitrarily on whichever query runs
 first made successive bench runs differ by 10x per query. The timed
 number is the steady-state, data-proportional cost — the quantity that
 scales to the cluster.
+
+Each query is then timed ``$SPARK_GRAFT_BENCH_REPS`` times (default 3)
+and the MEDIAN is reported: this container shows real 10-20 s
+per-query variance spikes (round-1 bench recorded text_lang_id at
+10 s vs a 0.4-0.9 s steady state), and a median of 3 makes a single
+GC/compaction/noisy-neighbor event invisible instead of defining the
+recorded number.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_SF_DIR = "/root/testdata/sf0.001"
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
 def _sf_from_dir(path: str) -> float:
@@ -64,13 +73,16 @@ def main() -> None:
         if os.path.isdir(WARM_SF_DIR) and WARM_SF_DIR != SF_DIR:
             fn(spark, WARM_SF_DIR).collect()  # compile/JIT warm-up (see module doc)
             spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators persist reused intermediates (e.g. minhash shingle
-        # frames); drop them between queries so storage memory from
-        # query N doesn't evict/execute-spill query N+1
-        spark.catalog.clearCache()
+        reps = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            reps.append(time.perf_counter() - t0)
+            # operators persist reused intermediates (e.g. minhash
+            # shingle frames); drop them between runs so storage memory
+            # from one run doesn't evict/execute-spill the next
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(reps), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +93,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "reps": REPS,
             }
         )
     )

@@ -227,6 +227,167 @@ def j8_star_join_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j2_time_string_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 LEFT join on the engine's TIME representation — the unpadded
+    "H:mm:ss" string (dags/ELT.py:280, SURVEY §1.2) — against the
+    GENERATED DimTime (plans/dims.py:generate_dim_time). The oracle
+    derives TimeID/TimeOfDay arithmetically from the timestamp, so this
+    doubles as an independent check of the dim_time formula layer
+    through the join path."""
+    from sfcrimedatapipeline_spark.plans.dims import generate_dim_time
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", F.date_format(F.col("ts"), "H:mm:ss").alias("event_time")
+    )
+    dt = F.broadcast(generate_dim_time(spark))
+    return ev.join(dt, ev.event_time == dt.FullTime24, "left").select(
+        "event_id",
+        "event_time",
+        F.col("TimeID").alias("time_id"),
+        F.col("TimeOfDay").alias("time_of_day"),
+    )
+
+
+def j4_dead_join_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 bug-compat + fixed ReportTimeID side by side: the reference
+    computes a report-time join (t2) but takes the id from the incident
+    join (t1) (dags/ELT.py:270,282; plans/fact.py keeps the same
+    default + fix flag). Twin: a second timestamp is synthesized per
+    event; the bug column joins the FIRST time, the fixed column the
+    SECOND — both through DimTime's string key, both oracle-derived
+    arithmetically."""
+    from sfcrimedatapipeline_spark.plans.dims import generate_dim_time
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format(F.col("ts"), "H:mm:ss").alias("t1_key"),
+        F.date_format(
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts")) + (F.col("event_id") % 777) * F.lit(1_000_000)
+            ),
+            "H:mm:ss",
+        ).alias("t2_key"),
+    )
+    dim = generate_dim_time(spark).select("TimeID", "FullTime24")
+    t1 = F.broadcast(dim.alias("t1"))
+    t2 = F.broadcast(dim.alias("t2"))
+    return (
+        ev.join(t1, ev.t1_key == F.col("t1.FullTime24"), "left")
+        .join(t2, ev.t2_key == F.col("t2.FullTime24"), "left")
+        .select(
+            "event_id",
+            F.col("t1.TimeID").alias("report_time_id_bug"),
+            F.col("t2.TimeID").alias("report_time_id_fixed"),
+        )
+    )
+
+
+def j6_composite_2key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 composite 2-key LEFT join (dags/ELT.py:286-287): the
+    DimLocation shape — project 2 columns (one NULL-seeded), DISTINCT,
+    NULLS-LAST surrogate key, join back with plain ``==`` so NULL keys
+    never match."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_nationkey").alias("nation_key"),
+        F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")).alias("segment"),
+    )
+    dim = c.select("nation_key", "segment").distinct()
+    w = Window.orderBy(F.asc_nulls_last("nation_key"), F.asc_nulls_last("segment"))
+    dim = dim.select(
+        F.row_number().over(w).cast("int").alias("location_id"), "nation_key", "segment"
+    )
+    joined = c.alias("s").join(
+        F.broadcast(dim.alias("d")),
+        (F.col("s.nation_key") == F.col("d.nation_key"))
+        & (F.col("s.segment") == F.col("d.segment")),
+        "left",
+    )
+    return joined.select("s.cust_key", F.col("d.location_id").alias("location_id"))
+
+
+def j7_dedup_nonkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (dags/ELT.py:288-289): dim deduped on THREE columns but
+    joined on TWO, so a key pair with several values of the non-key
+    column fans out — the documented edge (SURVEY §2.4 J7). Also
+    reproduces DimReportType's NULL→false normalization AFTER the
+    DISTINCT (dags/ELT.py:237-240)."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").between("1995-01-01", "1995-03-31"))
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").alias("line_number"),
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+            F.nullif(F.month("l_shipdate").cast("int"), F.lit(2)).alias("sm_raw"),
+        )
+    )
+    dim = li.select("return_flag", "line_status", "sm_raw").distinct()
+    w = Window.orderBy(
+        F.asc_nulls_last("return_flag"),
+        F.asc_nulls_last("line_status"),
+        F.asc_nulls_last("sm_raw"),
+    )
+    dim = dim.select(
+        F.row_number().over(w).cast("int").alias("report_type_id"),
+        "return_flag",
+        "line_status",
+        F.coalesce(F.col("sm_raw") == 1, F.lit(False)).alias("filed_online"),
+    )
+    joined = li.alias("s").join(
+        F.broadcast(dim.alias("d")),
+        (F.col("s.return_flag") == F.col("d.return_flag"))
+        & (F.col("s.line_status") == F.col("d.line_status")),
+        "left",
+    )
+    return joined.select(
+        "s.order_key",
+        "s.line_number",
+        F.col("d.report_type_id").alias("report_type_id"),
+        F.col("d.filed_online").alias("filed_online"),
+    )
+
+
+# --- dimension generators (SURVEY §2.7) ------------------------------------
+
+def dim_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generate_dim_time checked end-to-end: the oracle recomputes the
+    HHMMSS encoding and TimeOfDay buckets from generate_series(0,86399)
+    — independent of the golden CSV test."""
+    from sfcrimedatapipeline_spark.plans.dims import generate_dim_time
+
+    return (
+        generate_dim_time(spark)
+        .groupBy("TimeOfDay", "AMPM")
+        .agg(
+            F.count("*").alias("n_seconds"),
+            F.min("TimeID").alias("min_time_id"),
+            F.max("TimeID").alias("max_time_id"),
+        )
+    )
+
+
+def dim_date_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generate_dim_date checked per year: day counts, weekend days,
+    holiday count (fixed + floating rules), month ends, DateID range —
+    every formula recomputed by the oracle from a raw date series."""
+    from sfcrimedatapipeline_spark.plans.dims import generate_dim_date
+
+    return (
+        generate_dim_date(spark, "2018-01-01", "2024-12-31")
+        .groupBy(F.col("CalenderYear").cast("int").alias("year"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.col("isWeekend").cast("int")).cast("bigint").alias("n_weekend_days"),
+            F.sum(F.col("isHoliday").cast("int")).cast("bigint").alias("n_holidays"),
+            F.sum(F.col("isEndOfMonth").cast("int")).cast("bigint").alias("n_month_ends"),
+            F.min("DateID").alias("min_date_id"),
+            F.max("DateID").alias("max_date_id"),
+        )
+    )
+
+
 # --- windows (W-series) ----------------------------------------------------
 
 def w1_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,6 +418,27 @@ def w2_load_order_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("order_key")
     )
     return dense_ids(orders, ["order_key"], "id")
+
+
+def _duck_timestr(ts: str) -> str:
+    """The engine's unpadded-hour "H:mm:ss" TIME string in DuckDB."""
+    return (
+        f"CAST(hour({ts}) AS VARCHAR) || ':' || "
+        f"lpad(CAST(minute({ts}) AS VARCHAR), 2, '0') || ':' || "
+        f"lpad(CAST(second({ts}) AS VARCHAR), 2, '0')"
+    )
+
+
+def _duck_time_id(ts: str) -> str:
+    """The HHMMSS TimeID encoding (SURVEY §2.7) in DuckDB."""
+    return f"CAST(hour({ts})*10000 + minute({ts})*100 + second({ts}) AS INTEGER)"
+
+
+_DUCK_TIME_OF_DAY = (
+    "CASE WHEN hour({ts}) < 6 THEN 'Night' WHEN hour({ts}) < 12 THEN 'Morning' "
+    "WHEN hour({ts}) < 13 THEN 'Noon' WHEN hour({ts}) < 17 THEN 'Afternoon' "
+    "WHEN hour({ts}) < 20 THEN 'Evening' ELSE 'Night' END"
+)
 
 
 #: DuckDB oracle for every query above — identical aliases, identical
@@ -349,6 +531,114 @@ ORACLE_SQL: dict[str, str] = {
         WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH') AND r.r_name = 'ASIA'
         GROUP BY 1, 2
     """,
+    "j2_time_string_join": f"""
+        SELECT event_id,
+               {_duck_timestr('ts')} AS event_time,
+               {_duck_time_id('ts')} AS time_id,
+               {_DUCK_TIME_OF_DAY.format(ts='ts')} AS time_of_day
+        FROM events
+    """,
+    "j4_dead_join_pair": f"""
+        WITH e AS (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts1,
+                   make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))
+                                  + (event_id % 777) * 1000000) AS ts2
+            FROM events
+        )
+        SELECT event_id,
+               {_duck_time_id('ts1')} AS report_time_id_bug,
+               {_duck_time_id('ts2')} AS report_time_id_fixed
+        FROM e
+    """,
+    "j6_composite_2key": """
+        WITH s AS (
+            SELECT c_custkey AS cust_key, c_nationkey AS nation_key,
+                   nullif(c_mktsegment, 'AUTOMOBILE') AS segment
+            FROM customer
+        ),
+        d AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY nation_key ASC NULLS LAST,
+                                           segment ASC NULLS LAST) AS INTEGER) AS location_id,
+                   nation_key, segment
+            FROM (SELECT DISTINCT nation_key, segment FROM s) t
+        )
+        SELECT s.cust_key, d.location_id AS location_id
+        FROM s LEFT JOIN d
+          ON s.nation_key = d.nation_key AND s.segment = d.segment
+    """,
+    "j7_dedup_nonkey_join": """
+        WITH s AS (
+            SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+                   l_returnflag AS return_flag, l_linestatus AS line_status,
+                   nullif(CAST(month(l_shipdate) AS INTEGER), 2) AS sm_raw
+            FROM lineitem
+            WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        ),
+        d AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY return_flag ASC NULLS LAST,
+                                           line_status ASC NULLS LAST,
+                                           sm_raw ASC NULLS LAST) AS INTEGER) AS report_type_id,
+                   return_flag, line_status,
+                   coalesce(sm_raw = 1, false) AS filed_online
+            FROM (SELECT DISTINCT return_flag, line_status, sm_raw FROM s) t
+        )
+        SELECT s.order_key, s.line_number,
+               d.report_type_id AS report_type_id, d.filed_online AS filed_online
+        FROM s LEFT JOIN d
+          ON s.return_flag = d.return_flag AND s.line_status = d.line_status
+    """,
+    "dim_time_rollup": """
+        WITH t AS (
+            SELECT CAST(sod // 3600 AS INTEGER) AS h,
+                   CAST((sod % 3600) // 60 AS INTEGER) AS m,
+                   CAST(sod % 60 AS INTEGER) AS s
+            FROM (SELECT unnest(generate_series(0, 86399)) AS sod)
+        )
+        SELECT CASE WHEN h < 6 THEN 'Night' WHEN h < 12 THEN 'Morning'
+                    WHEN h < 13 THEN 'Noon' WHEN h < 17 THEN 'Afternoon'
+                    WHEN h < 20 THEN 'Evening' ELSE 'Night' END AS TimeOfDay,
+               CASE WHEN h < 12 THEN 'AM' ELSE 'PM' END AS AMPM,
+               count(*) AS n_seconds,
+               CAST(min(h*10000 + m*100 + s) AS INTEGER) AS min_time_id,
+               CAST(max(h*10000 + m*100 + s) AS INTEGER) AS max_time_id
+        FROM t GROUP BY 1, 2
+    """,
+    "dim_date_yearly": """
+        WITH d AS (
+            SELECT unnest(generate_series(DATE '2018-01-01', DATE '2024-12-31',
+                                          INTERVAL 1 DAY))::DATE AS fd
+        ),
+        x AS (
+            -- DuckDB dayofweek: Sunday=0..Saturday=6 (Spark: Sunday=1..7)
+            SELECT fd, year(fd) AS y, month(fd) AS mo,
+                   dayofmonth(fd) AS dom, dayofweek(fd) AS dow,
+                   CAST(strftime(fd, '%Y%m%d') AS INTEGER) AS date_id
+            FROM d
+        ),
+        h AS (
+            SELECT *,
+                   CASE WHEN (mo=1 AND dom=1)
+                          OR (mo=1 AND dow=1 AND dom BETWEEN 15 AND 21)
+                          OR (mo=2 AND dow=1 AND dom BETWEEN 15 AND 21)
+                          OR (mo=5 AND dow=1 AND dom >= 25)
+                          OR (mo=6 AND dom=19) OR (mo=7 AND dom=4)
+                          OR (mo=9 AND dow=1 AND dom <= 7)
+                          OR (mo=10 AND dow=1 AND dom BETWEEN 8 AND 14)
+                          OR (mo=11 AND dom=11)
+                          OR (mo=11 AND dow=4 AND dom BETWEEN 22 AND 28)
+                          OR (mo=12 AND dom=25)
+                        THEN 1 ELSE 0 END AS is_holiday
+            FROM x
+        )
+        SELECT CAST(y AS INTEGER) AS year,
+               count(*) AS n_days,
+               CAST(sum(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend_days,
+               CAST(sum(is_holiday) AS BIGINT) AS n_holidays,
+               CAST(sum(CASE WHEN fd = last_day(fd) THEN 1 ELSE 0 END) AS BIGINT) AS n_month_ends,
+               CAST(min(date_id) AS INTEGER) AS min_date_id,
+               CAST(max(date_id) AS INTEGER) AS max_date_id
+        FROM h GROUP BY 1
+    """,
     "w1_surrogate_key": """
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY nation_key ASC NULLS LAST,
                                        market_segment ASC NULLS LAST) AS INTEGER) AS location_id,
@@ -377,9 +667,15 @@ QUERIES: dict[str, QueryFn] = {
     "a2_distinct_3col": a2_distinct_3col,
     "a3_month_rollup": a3_month_rollup,
     "j1_left_join_dim": j1_left_join_dim,
+    "j2_time_string_join": j2_time_string_join,
     "j3_dim_aliased_twice": j3_dim_aliased_twice,
+    "j4_dead_join_pair": j4_dead_join_pair,
     "j5_composite_null_keys": j5_composite_null_keys,
+    "j6_composite_2key": j6_composite_2key,
+    "j7_dedup_nonkey_join": j7_dedup_nonkey_join,
     "j8_star_join_monthly": j8_star_join_monthly,
+    "dim_time_rollup": dim_time_rollup,
+    "dim_date_yearly": dim_date_yearly,
     "w1_surrogate_key": w1_surrogate_key,
     "w2_load_order_id": w2_load_order_id,
 }
