@@ -181,17 +181,37 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.4,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard dedup, relationally: explode distinct
     shingles, self-join on shingle (the block key), count shared
     shingles per pair, derive Jaccard. No minhash approximation — the
     candidate set is every pair sharing ≥1 shingle, which is exactly the
-    set that can pass any threshold > 0."""
+    set that can pass any threshold > 0.
+
+    ``max_df`` bounds the self-join skew: a shingle present in k docs
+    contributes k² candidate pairs, so one ubiquitous n-gram produces a
+    quadratic blow-up at corpus scale. Shingles with document frequency
+    above the cap carry no near-dup signal and are dropped from BOTH
+    candidate generation and the Jaccard sets — the semantics become
+    "Jaccard over discriminative shingles" (exact and unchanged for any
+    pair none of whose shingles exceeds the cap). None = no cap (the
+    small-corpus verify mode)."""
     exploded = (
         shingle_sets(df, id_col, text_col, n)
         .select(F.col(id_col), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
         .persist()  # consumed by both sides of the shingle self-join
     )
+    if max_df is not None:
+        keep = (
+            exploded.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        filtered = exploded.select(id_col, "sh").join(keep, "sh")
+        sizes = filtered.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        exploded = filtered.join(sizes, id_col).persist()
     a, b = exploded.alias("a"), exploded.alias("b")
     pair_counts = (
         a.join(

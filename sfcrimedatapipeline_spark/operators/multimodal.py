@@ -152,41 +152,46 @@ RESIZE_SCHEMA = StructType(
 )
 
 
-def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
-    """Resize each image payload to width×height "pixels".
+def _resize_payload(buf: bytes, width: int, height: int) -> bytes:
+    """Resize one payload to exactly width*height bytes.
 
-    Uses PIL when available; otherwise a DETERMINISTIC FAKE (truncate /
-    zero-pad the byte stream to exactly width*height bytes) keeps the
-    pipeline runnable in codec-less environments with the identical
-    schema and batch shape.
+    With PIL importable the payload is interpreted as a square L-mode
+    (grayscale) pixel stream — side = isqrt(len) — and resized with
+    ``Image.resize(..., NEAREST)``: a real decode→resize→tobytes pass
+    (the synthesized payloads ARE raw pixel streams; a codec container
+    format would swap ``frombytes`` for ``Image.open``). Without PIL, a
+    DETERMINISTIC FAKE (truncate / zero-pad) keeps the pipeline runnable
+    in codec-less environments with the identical schema and length.
     """
+    import math
+
+    target = width * height
+    try:
+        from PIL import Image
+    except ImportError:
+        return buf[:target].ljust(target, b"\x00")
+    side = max(1, math.isqrt(len(buf)))
+    pixels = buf[: side * side].ljust(side * side, b"\x00")
+    img = Image.frombytes("L", (side, side), pixels)
+    return img.resize((width, height), Image.NEAREST).tobytes()
+
+
+def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Resize each image payload to width×height "pixels" — real PIL
+    nearest-neighbor path where PIL ships, deterministic fake elsewhere
+    (see :func:`_resize_payload`); schema and batch shape identical in
+    both environments."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-
-            have_pil = True
-        except ImportError:
-            have_pil = False
-        target = width * height
         for pdf in batches:
-            out = []
-            for payload in pdf["payload"]:
-                buf = bytes(payload)
-                if have_pil:
-                    # real path (exercised only where PIL ships):
-                    # Image.frombytes → .resize((width, height)) → bytes
-                    raise NotImplementedError(
-                        "real image decode requires a codec-enabled image; "
-                        "this environment synthesizes payloads (see module doc)"
-                    )
-                out.append(buf[:target].ljust(target, b"\x00"))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
                     "width": width,
                     "height": height,
-                    "resized": out,
+                    "resized": [
+                        _resize_payload(bytes(p), width, height) for p in pdf["payload"]
+                    ],
                 }
             )
 

@@ -39,6 +39,9 @@ JACCARD_THRESHOLD = 0.5
 EMB_NEAR_DUP_THRESHOLD = 0.4
 EMB_LSH_BANDS = 2
 EMB_LSH_PLANES_PER_BAND = 3
+#: shingle document-frequency cap for the driver's n-gram Jaccard query
+#: (bounds the k² self-join blow-up of ubiquitous shingles; VERDICT r1 #9)
+NGRAM_MAX_DF = 20
 ANN_K = 5
 ANN_N_QUERIES = 10
 NUM_HASHES = dedup.DEFAULT_NUM_HASHES
@@ -94,7 +97,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_parallel(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
+    )
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -397,17 +402,21 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": f"""
             WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
             sh AS (SELECT doc_id, list_distinct({sql_ngrams('t')}) AS shingles FROM tok),
-            ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS g FROM sh),
+            ex0 AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+            keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= {NGRAM_MAX_DF}),
+            ex AS (SELECT doc_id, g FROM ex0 JOIN keep USING (g)),
+            sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
             p AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       a.n_sh AS na, b.n_sh AS nb, count(*) AS ni
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
                 FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY 1, 2, 3, 4
+                GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,
-                   round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jaccard
+                   round(CAST(ni AS DOUBLE) / (sa.n_sh + sb.n_sh - ni), 6) AS jaccard
             FROM p
-            WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= {JACCARD_THRESHOLD}
+            JOIN sz sa ON sa.doc_id = p.doc_a
+            JOIN sz sb ON sb.doc_id = p.doc_b
+            WHERE CAST(ni AS DOUBLE) / (sa.n_sh + sb.n_sh - ni) >= {JACCARD_THRESHOLD}
         """,
         "dedup_simhash": _simhash_sql(),
         "ann_cosine_topk": _ann_sql(lsh=False),

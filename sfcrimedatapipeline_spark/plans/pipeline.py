@@ -24,6 +24,7 @@ from sfcrimedatapipeline_spark.plans.dims import (
 )
 from sfcrimedatapipeline_spark.plans.fact import build_fact_crime, serve_initial_reports
 from sfcrimedatapipeline_spark.sources.csv import read_staging_csv
+from sfcrimedatapipeline_spark.sources.serve import export_csv, fetch
 from sfcrimedatapipeline_spark.sources.tables import write_table
 
 
@@ -60,14 +61,23 @@ def run_pipeline(
     date_range: tuple[str, str] = ("2018-01-01", "2024-12-31"),
     fix_report_time_id: bool = False,
     serve: bool = True,
+    source_url: str | None = None,
+    serve_export_dir: str | None = None,
 ) -> dict[str, DataFrame]:
-    """Full refresh: load → transform → (optional) serve.
+    """Full refresh: extract (optional) → load → transform → (optional)
+    serve + export — the reference DAG end-to-end (dags/ELT.py:361-378).
 
     ``staging`` is either an already-loaded DataFrame or a path to the
-    pipe-delimited feed. If ``output_dir`` is given every table is
-    materialized as parquet (overwrite, the reference's TRUNCATE+rebuild),
-    with FactCrime partitioned by incident date id's year for pruning.
+    pipe-delimited feed; with ``source_url`` set, the feed is first
+    streamed to that path (S1, dags/ELT.py:22-36). If ``output_dir`` is
+    given every table is materialized as parquet (overwrite, the
+    reference's TRUNCATE+rebuild). ``serve_export_dir`` writes the
+    serve result through the neutral CSV sink (S7, the Sheets stand-in).
     """
+    if source_url is not None:
+        if not isinstance(staging, str):
+            raise ValueError("source_url requires `staging` to be a local path")
+        fetch(source_url, staging)
     if isinstance(staging, str):
         staging = read_staging_csv(spark, staging)
     staging_with_id = load_order_id(staging, "id")
@@ -87,6 +97,8 @@ def run_pipeline(
             tables["DimIncident"],
             tables["DimReportType"],
         )
+        if serve_export_dir:
+            export_csv(tables["ServeInitialReports"], serve_export_dir)
     if output_dir:
         for name, df in tables.items():
             write_table(df, os.path.join(output_dir, name))

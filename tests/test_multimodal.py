@@ -59,3 +59,38 @@ def test_resize_fake_pads_and_truncates(spark):
     for r in resized:
         assert len(bytes(r["resized"])) == 64
         assert (r["width"], r["height"]) == (8, 8)
+
+
+def test_resize_pil_branch(monkeypatch):
+    """The PIL path must actually run where PIL is importable (round-1
+    regression: it raised NotImplementedError precisely when PIL
+    existed). Exercised via the module-level kernel with a minimal
+    PIL.Image stand-in when the real library is absent."""
+    import sys
+    import types
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        class _Img:
+            def __init__(self, data, size):
+                self.data, self.size = data, size
+
+            def resize(self, size, resample):
+                w, h = size
+                return _Img(self.data[: w * h].ljust(w * h, b"\x00"), size)
+
+            def tobytes(self):
+                return self.data
+
+        image_mod = types.SimpleNamespace(
+            frombytes=lambda mode, size, data: _Img(data, size),
+            NEAREST=0,
+        )
+        pil_mod = types.ModuleType("PIL")
+        pil_mod.Image = image_mod
+        monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+
+    out = mm._resize_payload(bytes(range(100)), 4, 4)
+    assert isinstance(out, bytes) and len(out) == 16
+    assert mm._resize_payload(b"", 4, 4) == b"\x00" * 16

@@ -1,0 +1,168 @@
+"""Source/sink round-trips: the pipe-delimited staging feed (S2 — the
+reference's actual entry surface, COPY at dags/ELT.py:92-98), the S1
+fetch utility, and the S6/S7 serve tail, exercised end-to-end through
+run_pipeline on a real file.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sfcrimedatapipeline_spark.schemas import STAGING_SCHEMA
+from sfcrimedatapipeline_spark.sources.csv import read_staging_csv
+from sfcrimedatapipeline_spark.sources.serve import export_csv, fetch, to_pandas
+
+COLS = [f.name for f in STAGING_SCHEMA.fields]
+
+
+def _row(**overrides: str) -> str:
+    """One pipe-delimited staging line; unset columns are empty → NULL
+    (the COPY ``NULL ''`` semantics, dags/ELT.py:95)."""
+    vals = {c: "" for c in COLS}
+    vals.update(overrides)
+    return "|".join(vals[c] for c in COLS)
+
+
+BASE = dict(
+    **{
+        "Incident Datetime": "2023/01/31 09:15:00 AM",
+        "Incident Date": "2023-01-31",
+        "Incident Time": "9:15:00",
+        "Incident Year": "2023",
+        "Incident Day of Week": "Tuesday",
+        "Report Datetime": "2023/01/31 10:00:00 PM",
+        "Row ID": "123456789",
+        "Incident Number": "230001",
+        "Report Type Code": "II",
+        "Report Type Description": "Initial",
+        "Incident Category": "Larceny Theft",
+        "Incident Subcategory": "Shoplifting",
+        "Incident Description": "Theft from store",
+        "Resolution": "Open or Active",
+        "Police District": "Mission",
+        "Analysis Neighborhood": "Mission",
+        "Latitude": "37.77",
+        "Longitude": "-122.42",
+    }
+)
+
+
+@pytest.fixture()
+def staging_csv(tmp_path) -> str:
+    lines = [
+        "|".join(COLS),
+        _row(**{**BASE, "Filed Online": "true"}),
+        # Filed Online matches row 1: a (desc, code) pair with BOTH a
+        # true and a NULL variant would fan out through the J7 join (the
+        # documented reference edge, covered by j7_dedup_nonkey_join)
+        _row(
+            **{
+                **BASE,
+                "Filed Online": "true",
+                "Incident Time": "23:59:59",
+                "Row ID": "123456790",
+            }
+        ),
+        _row(  # sparse row: most fields empty → NULL
+            **{
+                "Incident Datetime": "2023/02/01 12:00:00 PM",
+                "Incident Date": "2023-02-01",
+                "Incident Time": "12:00:00",
+                "Report Datetime": "2023/02/01 01:30:00 PM",
+                "Row ID": "123456791",
+                "Report Type Code": "VI",
+                "Report Type Description": "Vehicle Initial",
+            }
+        ),
+    ]
+    path = tmp_path / "staging.csv"
+    path.write_text("\n".join(lines) + "\n")
+    return str(path)
+
+
+def test_staging_csv_round_trip(spark, staging_csv):
+    df = read_staging_csv(spark, staging_csv)
+    rows = {r["Row ID"]: r for r in df.collect()}
+    assert len(rows) == 3
+    full = rows[123456789]
+    # pinned SFPD timestamp format: 09:15:00 AM parses to 09:15, PM to 22:00
+    assert (full["Incident Datetime"].hour, full["Incident Datetime"].minute) == (9, 15)
+    assert rows[123456789]["Report Datetime"].hour == 22
+    assert full["Filed Online"] is True
+    assert full["Latitude"] == 37.77
+    # empty fields load as NULL, not empty string / zero
+    assert full["CAD Number"] is None and full["Intersection"] is None
+    sparse = rows[123456791]
+    assert sparse["Filed Online"] is None
+    assert sparse["Incident Category"] is None
+    assert sparse["Police District"] is None
+
+
+def test_staging_csv_failfast_on_malformed(spark, tmp_path):
+    path = tmp_path / "bad.csv"
+    path.write_text(
+        "|".join(COLS) + "\n" + _row(**{"Incident Datetime": "not-a-timestamp"}) + "\n"
+    )
+    with pytest.raises(Exception, match="(?i)malformed|failfast|cannot"):
+        read_staging_csv(spark, str(path)).collect()
+    # PERMISSIVE mode keeps the row with a NULL in the bad column
+    lenient = read_staging_csv(spark, str(path), failfast=False).collect()
+    assert len(lenient) == 1 and lenient[0]["Incident Datetime"] is None
+
+
+def test_fetch_streams_to_local_file(tmp_path):
+    src = tmp_path / "feed.csv"
+    payload = "a|b|c\n1|2|3\n" * 1000  # multiple 8K chunks
+    src.write_text(payload)
+    dst = tmp_path / "fetched.csv"
+    out = fetch(src.as_uri(), str(dst))
+    assert out == str(dst)
+    assert dst.read_text() == payload
+
+
+def test_export_csv_and_to_pandas(spark, tmp_path):
+    df = spark.range(5).select(
+        F.col("id"), (F.col("id") * 2).alias("doubled")
+    )
+    pdf = to_pandas(df)
+    assert list(pdf.columns) == ["id", "doubled"] and len(pdf) == 5
+    out_dir = str(tmp_path / "export")
+    export_csv(df, out_dir)
+    parts = glob.glob(os.path.join(out_dir, "part-*.csv"))
+    assert len(parts) == 1  # single-sheet shape
+    lines = open(parts[0]).read().strip().splitlines()
+    assert lines[0] == "id,doubled" and len(lines) == 6
+
+
+def test_pipeline_end_to_end_from_file(spark, staging_csv, tmp_path):
+    """fetch → load (real CSV) → transform → serve → export, the full
+    reference DAG shape (dags/ELT.py:361-378) on a real feed file."""
+    from sfcrimedatapipeline_spark.plans.pipeline import run_pipeline
+
+    feed = str(tmp_path / "downloaded.csv")
+    export_dir = str(tmp_path / "serve_out")
+    tables = run_pipeline(
+        spark,
+        feed,
+        source_url="file://" + staging_csv,
+        date_range=("2023-01-01", "2023-12-31"),
+        serve_export_dir=export_dir,
+    )
+    assert tables["FactCrime"].count() == 3
+    # load-order ids are dense 1..N from the file
+    ids = sorted(r["CrimeID"] for r in tables["FactCrime"].collect())
+    assert ids == [1, 2, 3]
+    # the serve star join is INNER on every FK (dags/ELT.py:322-327): the
+    # sparse row's NULL LocationID/IncidentID drop it, leaving the two
+    # fully-populated Initial reports
+    serve_rows = tables["ServeInitialReports"].collect()
+    assert len(serve_rows) == 2
+    parts = glob.glob(os.path.join(export_dir, "part-*.csv"))
+    assert len(parts) == 1
+    exported = open(parts[0]).read().strip().splitlines()
+    assert exported[0].startswith("IncidentDescription,")
+    assert len(exported) == 3
