@@ -43,7 +43,11 @@ def dedup_exact(
 
 
 def shingle_sets(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    drop_empty: bool = False,
 ) -> DataFrame:
     """(id, distinct word-n-gram array) per document.
 
@@ -51,8 +55,18 @@ def shingle_sets(
     expression embedded in a higher-order-function lambda re-evaluates
     per array element, so inlining the tokenizer would re-split the
     text once per n-gram position.
+
+    ``drop_empty`` removes docs that produce no shingles using the
+    EQUIVALENT cheap predicate ``size(tokens) >= n`` (shingles are
+    nonempty iff the doc has ≥ n tokens). Filtering on
+    ``size(shingles) > 0`` downstream instead would let predicate
+    pushdown sink the filter below any repartition Exchange with the
+    whole tokenize+shingle tree inlined — serializing the entire
+    shingling cost into the (often single-split) scan stage.
     """
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    if drop_empty:
+        toked = toked.filter(F.size("__toks") >= n)
     return toked.select(
         F.col(id_col),
         F.array_distinct(ngrams(F.col("__toks"), n)).alias("shingles"),
@@ -159,15 +173,16 @@ def minhash_near_duplicates(
     """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
     bucket-join → exact-Jaccard verify ≥ threshold."""
     # docs with < n tokens have no shingles and can never pass a
-    # positive threshold — drop them before signing (also keeps the
-    # empty-set signature out of the band buckets)
+    # positive threshold — dropped inside shingle_sets via the cheap
+    # token-count predicate (see its docstring for why NOT a filter on
+    # size(shingles): pushdown would serialize shingling into the scan)
     #
     # shingled feeds both the signature pass and the verify join, and
     # sigs feeds both sides of the bucket self-join; without persist
     # Spark re-derives the whole tokenize→shingle→hash subtree once per
     # consumer. Both frames are O(corpus) with small rows (id + shingle
     # array / 16 longs) — MEMORY_AND_DISK spills safely at scale.
-    shingled = shingle_sets(df, id_col, text_col).filter(F.size("shingles") > 0).persist()
+    shingled = shingle_sets(df, id_col, text_col, drop_empty=True).persist()
     sigs = minhash_signatures(shingled).select(id_col, "signature").persist()
     cands = lsh_candidate_pairs(sigs, id_col)
     return jaccard_pairs(cands, shingled, id_col).filter(
@@ -197,9 +212,19 @@ def ngram_jaccard_pairs(
     "Jaccard over discriminative shingles" (exact and unchanged for any
     pair none of whose shingles exceeds the cap). None = no cap (the
     small-corpus verify mode)."""
+    # explode_outer + isNotNull, NOT plain explode: a non-outer Generate
+    # makes Catalyst infer `size(shingles) > 0` and push it to the scan
+    # with the whole tokenize+shingle tree inlined — serializing all
+    # shingling into the (often single-split) scan task. The outer form
+    # infers nothing; the post-filter can't sink below the Generate.
     exploded = (
         shingle_sets(df, id_col, text_col, n)
-        .select(F.col(id_col), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
+        .select(
+            F.col(id_col),
+            F.size("shingles").alias("n_sh"),
+            F.explode_outer("shingles").alias("sh"),
+        )
+        .filter(F.col("sh").isNotNull())
         .persist()  # consumed by both sides of the shingle self-join
     )
     if max_df is not None:
@@ -246,9 +271,14 @@ def simhash_fingerprints(
     zero tokens have no votes and are dropped (same semantics as the
     oracle's unnest).
     """
-    tok_hashes = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
-    ).select(id_col, portable_hash64(F.col("__t"), 0).alias("__hv"))
+    # explode_outer + isNotNull (not plain explode): see
+    # ngram_jaccard_pairs — the inferred non-outer Generate filter would
+    # re-tokenize every row inside the scan task
+    tok_hashes = (
+        df.select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("__t"))
+        .filter(F.col("__t").isNotNull())
+        .select(id_col, portable_hash64(F.col("__t"), 0).alias("__hv"))
+    )
     # vote_b = Σ_tokens (2*bit_b(h) - 1): positive → simhash bit b is 1
     votes = tok_hashes.groupBy(id_col).agg(
         *[

@@ -175,6 +175,14 @@ def winnow_fingerprints(
             lambda j: F.array_min(F.slice(F.col("__hs"), j, w)),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    return hashed.select(
-        F.col(id_col), F.explode(F.array_distinct(minima)).alias("fingerprint")
+    # explode_outer + isNotNull (not plain explode): a non-outer
+    # Generate makes Catalyst infer size(minima) > 0 and push it to the
+    # scan with the whole gram-hash tree inlined, serializing the
+    # hashing into the scan task (see dedup.ngram_jaccard_pairs)
+    return (
+        hashed.select(
+            F.col(id_col),
+            F.explode_outer(F.array_distinct(minima)).alias("fingerprint"),
+        )
+        .filter(F.col("fingerprint").isNotNull())
     )
