@@ -49,10 +49,10 @@ def sessionize(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            # exact, order-independent sum, pinned back to decimal(18,2)
-            # for the type-sensitive oracle hash (see streaming/events.py)
+            # exact, order-independent decimal sum, emitted as double so
+            # the pandas dtype matches the oracle (see streaming/events.py)
             F.sum(F.col(value_col).cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .withColumn("session_idx", F.col("session_idx").cast("long"))

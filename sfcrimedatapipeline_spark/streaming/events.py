@@ -69,12 +69,12 @@ def hourly_event_counts(
             F.count("*").alias("n_events"),
             # decimal sum: exact and order-independent, so partial
             # aggregation order (batch) and micro-batch order (stream)
-            # cannot flip a low bit the way a double sum can; the output
-            # is pinned back to decimal(18,2) — Spark widens sums to
-            # (28,2), DuckDB to (38,2), and the oracle hash is
-            # type-sensitive
+            # cannot flip a low bit the way a double sum can; the FINAL
+            # value is emitted as double because pandas renders a Spark
+            # DECIMAL column as objects vs DuckDB's float64, which the
+            # type-sensitive oracle hash can never match (VERDICT r2 #1)
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(

@@ -5,12 +5,15 @@ DuckDB at the given scale factor, then compares row count, column
 names, column DTYPES, and an order-insensitive value hash (columns
 sorted by name, rows sorted, exact value reprs — no float smoothing).
 
-Type sensitivity is the point: round 1 proved the driver's hash
-distinguishes Spark's widened aggregate types (sum(decimal(18,2)) →
-decimal(28,2)) from DuckDB's (→ DECIMAL(38,2)) even when every value
-matches, so this replica hashes the canonicalized dtype of every
-column alongside the values — a local ALL MATCH must predict a driver
-pass (VERDICT.md round 1, "What's wrong" #1).
+The comparison happens at the PANDAS level — ``sdf.toPandas()`` vs
+duckdb ``rel.df()`` — because that is where the driver compares.
+Round 2 proved this matters: the JVM-row compare used here previously
+saw ``Decimal('50853905.90')`` on BOTH sides of a DECIMAL output column
+and said ALL MATCH, while the driver's pandas bridge saw a Spark
+object-dtype Decimal column vs a DuckDB float64 column and failed the
+hash (VERDICT.md round 2, "What's wrong" #2). Dtypes and cell reprs are
+hashed RAW — any normalization here is a way to green-light a query the
+driver will fail.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -24,6 +27,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
@@ -32,35 +36,51 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-#: DuckDB type-name → Spark dtype-string canonicalization. Anything not
-#: listed maps through lowercase unchanged (decimal(p,s), bigint,
-#: double, timestamp, date, boolean all agree modulo case).
-_DUCK_CANON = {"integer": "int", "varchar": "string"}
-
-
-def canon_type(t: str) -> str:
-    t = t.lower()
-    return _DUCK_CANON.get(t, t)
-
 
 def norm_cell(v) -> str:
-    if v is None:
-        return "␀"
-    if isinstance(v, bool):
-        return str(bool(v)).lower()
-    if isinstance(v, float):
-        return repr(v)  # shortest round-trip — exact, no :.9g smoothing
-    return str(v)  # Decimal str() keeps scale: Decimal('1.10') -> '1.10'
+    """Raw, type-revealing repr of one pandas cell.
+
+    The leading type name is the point: ``Decimal('1.10')`` and
+    ``np.float64(1.1)`` must NOT collide, nor ``int`` vs ``np.int64``.
+    Only genuine missing values collapse (None/NaN/NaT all print as
+    pandas missing on both bridges).
+    """
+    try:
+        if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+            return "␀"
+    except Exception:
+        pass
+    return f"{type(v).__name__}:{v!r}"
 
 
-def frame_hash(
-    cols: list[str], dtypes: list[str], rows: list[tuple]
-) -> tuple[str, list[str]]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    typed_cols = [f"{cols[i]}:{canon_type(dtypes[i])}" for i in order]
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+def frame_sig(df: pd.DataFrame) -> tuple[str, list[str], int]:
+    """(value-hash, [col:dtype...], nrows) of a pandas frame, columns
+    sorted by name, rows sorted — mirroring the driver's compare."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    # Two divergences the driver demonstrably tolerates (green rows in
+    # CORRECTNESS_r02/r03 across them), canonicalized here and ONLY here:
+    # 1. datetime64 unit — Spark's bridge yields [ns], DuckDB's [us];
+    #    cell values are pd.Timestamp on both sides, repr unit-free.
+    # 2. DATE columns — Spark yields object(datetime.date), DuckDB
+    #    yields datetime64 (p3_cast_date is driver-green across this).
+    # Everything else (notably Decimal-vs-float64) stays raw — that is
+    # the class the driver fails.
+    for c in df.columns:
+        if df[c].dtype == object:
+            nonnull = df[c].dropna()
+            if len(nonnull) and all(
+                type(v).__name__ == "date" for v in nonnull
+            ):
+                df[c] = pd.to_datetime(df[c])
+    typed_cols = [
+        f"{c}:{str(df[c].dtype).replace('[us]', '[ns]')}" for c in df.columns
+    ]
+    lines = sorted(
+        "|".join(norm_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    )
     h = hashlib.sha256(("|".join(typed_cols) + "\n" + "\n".join(lines)).encode())
-    return h.hexdigest()[:16], typed_cols
+    return h.hexdigest()[:16], typed_cols, len(df)
 
 
 def main() -> int:
@@ -81,40 +101,41 @@ def main() -> int:
             continue
         t0 = time.time()
         sdf = fn(spark, SF_DIR)
-        spark_rows = [tuple(r) for r in sdf.collect()]
-        spark_cols = sdf.columns
-        spark_types = [t for _, t in sdf.dtypes]
+        spark_pdf = sdf.toPandas()
         dt = time.time() - t0
         spark.catalog.clearCache()  # drop operator-persisted frames between queries
         if name not in oracles:
-            print(f"  {name:28s} rows-only: {len(spark_rows):7d} rows  ({dt:.1f}s)")
+            print(f"  {name:28s} rows-only: {len(spark_pdf):7d} rows  ({dt:.1f}s)")
             continue
         try:
-            rel = con.sql(oracles[name])
-            duck_cols = list(rel.columns)
-            duck_types = [str(t) for t in rel.types]
-            duck_rows = rel.fetchall()
+            duck_pdf = con.sql(oracles[name]).df()
         except Exception as ex:
             failures.append(name)
             print(f"✗ {name:28s} ORACLE ERROR: {ex}")
             continue
-        sh, scols = frame_hash(spark_cols, spark_types, spark_rows)
-        dh, dcols = frame_hash(duck_cols, duck_types, duck_rows)
-        ok = len(spark_rows) == len(duck_rows) and scols == dcols and sh == dh
+        sh, scols, sn = frame_sig(spark_pdf)
+        dh, dcols, dn = frame_sig(duck_pdf)
+        ok = sn == dn and scols == dcols and sh == dh
         mark = "✓" if ok else "✗"
         if not ok:
             failures.append(name)
         print(
-            f"{mark} {name:28s} spark={len(spark_rows):7d} duck={len(duck_rows):7d} "
+            f"{mark} {name:28s} spark={sn:7d} duck={dn:7d} "
             f"cols={'=' if scols == dcols else f'{scols} vs {dcols}'} "
             f"hash={'=' if sh == dh else f'{sh} vs {dh}'} ({dt:.1f}s)"
         )
-        if not ok and len(spark_rows) == len(duck_rows) and scols == dcols:
+        if not ok and sn == dn and scols == dcols:
             # show first differing row pair for debugging
-            order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
-            s_lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in spark_rows)
-            dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-            d_lines = sorted("|".join(norm_cell(r[i]) for i in dorder) for r in duck_rows)
+            s_lines = sorted(
+                "|".join(norm_cell(v) for v in row)
+                for row in spark_pdf.reindex(sorted(spark_pdf.columns), axis=1)
+                .itertuples(index=False, name=None)
+            )
+            d_lines = sorted(
+                "|".join(norm_cell(v) for v in row)
+                for row in duck_pdf.reindex(sorted(duck_pdf.columns), axis=1)
+                .itertuples(index=False, name=None)
+            )
             for a, b in zip(s_lines, d_lines):
                 if a != b:
                     print(f"    spark: {a}\n    duck : {b}")
