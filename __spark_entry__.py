@@ -28,23 +28,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    from sfcrimedatapipeline_spark.plans import events_queries, llmops, media, tpch
+    from sfcrimedatapipeline_spark.plans import (
+        events_queries,
+        fact_queries,
+        llmops,
+        media,
+        tpch,
+    )
 
     return {
         **tpch.QUERIES,
         **llmops.QUERIES,
         **events_queries.QUERIES,
         **media.QUERIES,
+        **fact_queries.QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; omitted keys get rows-only checks."""
-    from sfcrimedatapipeline_spark.plans import events_queries, llmops, media, tpch
+    from sfcrimedatapipeline_spark.plans import (
+        events_queries,
+        fact_queries,
+        llmops,
+        media,
+        tpch,
+    )
 
     return {
         **tpch.ORACLE_SQL,
         **llmops.ORACLE_SQL,
         **events_queries.ORACLE_SQL,
         **media.ORACLE_SQL,
+        **fact_queries.ORACLE_SQL,
     }

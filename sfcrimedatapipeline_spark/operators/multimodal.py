@@ -152,7 +152,7 @@ RESIZE_SCHEMA = StructType(
 )
 
 
-def _resize_payload(buf: bytes, width: int, height: int) -> bytes:
+def _resize_payload(buf: bytes, width: int, height: int, method: str = "auto") -> bytes:
     """Resize one payload to exactly width*height bytes.
 
     With PIL importable the payload is interpreted as a square L-mode
@@ -162,10 +162,14 @@ def _resize_payload(buf: bytes, width: int, height: int) -> bytes:
     format would swap ``frombytes`` for ``Image.open``). Without PIL, a
     DETERMINISTIC FAKE (truncate / zero-pad) keeps the pipeline runnable
     in codec-less environments with the identical schema and length.
+    ``method="bytes"`` forces the fake regardless of PIL — pure byte
+    arithmetic, environment-independent, hence oracle-checkable.
     """
     import math
 
     target = width * height
+    if method == "bytes":
+        return buf[:target].ljust(target, b"\x00")
     try:
         from PIL import Image
     except ImportError:
@@ -176,11 +180,13 @@ def _resize_payload(buf: bytes, width: int, height: int) -> bytes:
     return img.resize((width, height), Image.NEAREST).tobytes()
 
 
-def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int = 16, height: int = 16, method: str = "auto"
+) -> DataFrame:
     """Resize each image payload to width×height "pixels" — real PIL
     nearest-neighbor path where PIL ships, deterministic fake elsewhere
     (see :func:`_resize_payload`); schema and batch shape identical in
-    both environments."""
+    both environments. ``method="bytes"`` pins the deterministic path."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -190,7 +196,8 @@ def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFr
                     "width": width,
                     "height": height,
                     "resized": [
-                        _resize_payload(bytes(p), width, height) for p in pdf["payload"]
+                        _resize_payload(bytes(p), width, height, method)
+                        for p in pdf["payload"]
                     ],
                 }
             )

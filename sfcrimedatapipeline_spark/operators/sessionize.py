@@ -100,13 +100,29 @@ def sessionize_stream(
             StructField("start_us", LongType()),
             StructField("end_us", LongType()),
             StructField("n", LongType()),
-            StructField("total", DoubleType()),
+            # exact integer cents, NOT a float accumulator: mirrors the
+            # batch twin's cast(value AS decimal(18,2)) → exact sum →
+            # double, so stream and batch sums are bit-identical even on
+            # drift-adversarial value sets (VERDICT r2 #7)
+            StructField("total_cents", LongType()),
         ]
     )
 
     def update(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        cent = Decimal("0.01")
+
+        def to_cents(v) -> int:
+            # Spark's double→decimal(18,2) cast goes through the
+            # shortest decimal repr (BigDecimal.valueOf) then HALF_UP —
+            # Python's repr() is the same shortest round-trip string
+            return int(
+                Decimal(repr(float(v))).quantize(cent, rounding=ROUND_HALF_UP).scaleb(2)
+            )
+
         (user_id,) = key
         closed: list[tuple] = []
 
@@ -118,17 +134,17 @@ def sessionize_stream(
         else:
             rows = pd.concat(list(pdfs)).sort_values("ts")
             idx, start_us, end_us, n, total = (
-                state.get if state.exists else (0, None, None, 0, 0.0)
+                state.get if state.exists else (0, None, None, 0, 0)
             )
             for ts, value in zip(rows["ts"], rows["value"]):
                 t_us = int(pd.Timestamp(ts).value // 1000)
                 if start_us is None:
-                    idx, start_us, end_us, n, total = idx + 1, t_us, t_us, 1, float(value)
+                    idx, start_us, end_us, n, total = idx + 1, t_us, t_us, 1, to_cents(value)
                 elif t_us - end_us > gap_us:
                     closed.append((user_id, idx, start_us, end_us, n, total))
-                    idx, start_us, end_us, n, total = idx + 1, t_us, t_us, 1, float(value)
+                    idx, start_us, end_us, n, total = idx + 1, t_us, t_us, 1, to_cents(value)
                 else:
-                    end_us, n, total = max(end_us, t_us), n + 1, total + float(value)
+                    end_us, n, total = max(end_us, t_us), n + 1, total + to_cents(value)
             state.update((idx, start_us, end_us, n, total))
             # close the open session once event time passes end + gap;
             # clamp above the current watermark (a timeout in the past
@@ -148,7 +164,10 @@ def sessionize_stream(
                     "session_start": [pd.Timestamp(c[2], unit="us") for c in closed],
                     "session_end": [pd.Timestamp(c[3], unit="us") for c in closed],
                     "n_events": [c[4] for c in closed],
-                    "sum_value": [round(c[5], 6) for c in closed],
+                    # cents/100.0 is the correctly-rounded double of the
+                    # exact decimal sum — identical to the batch twin's
+                    # final .cast("double")
+                    "sum_value": [c[5] / 100.0 for c in closed],
                 }
             )
 

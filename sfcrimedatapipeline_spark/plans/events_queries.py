@@ -58,6 +58,35 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sz.sessionize(events, gap_minutes=GAP_MINUTES)
 
 
+def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL streaming sessionizer (applyInPandasWithState,
+    event-time timeout) driven end-to-end: events rewritten as
+    time-sliced stream files, streamed through the operator, memory
+    sink collected. Deliberately has NO oracle_sql entry — emission
+    depends on watermark progression across micro-batches (closed
+    sessions only; late rows dropped), which SQL cannot express; the
+    rows-only driver check gates schema + execution, and
+    tests/test_streaming.py pins the batch-parity semantics."""
+    import tempfile
+
+    from sfcrimedatapipeline_spark.streaming.events import (
+        run_stream_to_memory,
+        write_time_sliced_stream_dir,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    stream_dir = write_time_sliced_stream_dir(
+        events, tempfile.mkdtemp(prefix="sfcdp_sessionize_stream_")
+    )
+    return run_stream_to_memory(
+        spark,
+        stream_dir,
+        lambda s: sz.sessionize_stream(s, gap_minutes=GAP_MINUTES),
+        query_name="events_sessionize_stream",
+        output_mode="append",
+    )
+
+
 def build_oracle_sql() -> dict[str, str]:
     gap_us = GAP_MINUTES * 60 * 1_000_000
     return {
@@ -109,6 +138,8 @@ QUERIES = {
     "events_hourly_agg": events_hourly_agg,
     "events_json_extract": events_json_extract,
     "events_sessionize": events_sessionize,
+    # rows-only: no oracle_sql entry by design (see docstring)
+    "events_sessionize_stream": events_sessionize_stream,
 }
 
 ORACLE_SQL = build_oracle_sql()

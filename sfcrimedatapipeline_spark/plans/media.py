@@ -55,6 +55,21 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing under the oracle: the deterministic byte path
+    (``method="bytes"`` — truncate/zero-pad to width*height) through the
+    REAL Arrow/mapInPandas pipeline, so the value check is pure byte
+    arithmetic DuckDB can replay as hex slicing. The PIL decode path is
+    covered separately by tests/test_multimodal.py (environment-bound,
+    not oracle-checkable)."""
+    return mm.resize_images(_media(spark, sf_dir), method="bytes").select(
+        "doc_id",
+        "width",
+        "height",
+        F.hex(F.col("resized")).alias("resized_hex"),
+    )
+
+
 def build_oracle_sql() -> dict[str, str]:
     fs, stride = mm.FRAME_SIZE, mm.FRAME_STRIDE
     return {
@@ -106,6 +121,13 @@ def build_oracle_sql() -> dict[str, str]:
                    substring(hx, CAST(i * {fs} * 2 + 1 AS INTEGER), {fs * 2}) AS frame_hex
             FROM idx
         """,
+        "media_resize": """
+            SELECT doc_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   rpad(substring(hex(encode(text)), 1, 512), 512, '0') AS resized_hex
+            FROM documents WHERE doc_id % 3 = 0
+        """,
     }
 
 
@@ -113,6 +135,7 @@ QUERIES = {
     "media_inventory": media_inventory,
     "media_image_features": media_image_features,
     "media_frame_sample": media_frame_sample,
+    "media_resize": media_resize,
 }
 
 ORACLE_SQL = build_oracle_sql()

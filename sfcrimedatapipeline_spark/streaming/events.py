@@ -86,6 +86,49 @@ def hourly_event_counts(
     )
 
 
+def write_time_sliced_stream_dir(
+    events: DataFrame, out_dir: str, n_slices: int = 4
+) -> str:
+    """Materialize a batch events frame as ``n_slices`` time-ordered
+    parquet files with strictly increasing mtimes — the shape a file
+    source needs for event-time streaming (files arrive in rough
+    event-time order; the source orders by modification time, so
+    near-identical copy times would randomize micro-batch order and a
+    round-robin split would make most rows late against the watermark).
+
+    Distributed-safe: slices are range FILTERS written by executors
+    (exact quantile boundaries via approxQuantile(relativeError=0) —
+    a driver-side scalar fetch, not a row collect).
+    """
+    import os
+    import shutil
+    import time
+
+    us = F.unix_micros(F.col("ts"))
+    with_us = events.withColumn("_us", us)
+    probs = [i / n_slices for i in range(1, n_slices)]
+    bounds = with_us.approxQuantile("_us", probs, 0.0) if probs else []
+    lows = [None, *bounds]
+    highs = [*bounds, None]
+    os.makedirs(out_dir, exist_ok=True)
+    base_t = time.time() - 1000
+    for i, (lo, hi) in enumerate(zip(lows, highs)):
+        part = with_us
+        if lo is not None:
+            part = part.filter(F.col("_us") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("_us") < hi)
+        slice_dir = os.path.join(out_dir, f"_slice-{i}")
+        part.drop("_us").coalesce(1).write.mode("overwrite").parquet(slice_dir)
+        for f in sorted(os.listdir(slice_dir)):
+            if f.endswith(".parquet"):
+                dest = os.path.join(out_dir, f"part-{i}.parquet")
+                shutil.copy(os.path.join(slice_dir, f), dest)
+                os.utime(dest, (base_t + i * 10, base_t + i * 10))
+        shutil.rmtree(slice_dir)
+    return out_dir
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_dir: str,

@@ -107,3 +107,51 @@ def test_sessionize_stream_emits_closed_batch_sessions(spark, events_dir):
     for key in batch_keys:
         if key[2] < horizon:
             assert key in emitted, f"closed batch session {key} missing from stream"
+
+
+def test_sessionize_stream_sum_exact_on_adversarial_values(spark, tmp_path):
+    """Stream and batch sums must be BIT-IDENTICAL, not just close.
+
+    The value set is adversarial for a float accumulator: 0.005 repeats
+    (each rounds to 0.01 under the batch decimal(18,2) cast — a raw
+    float sum diverges by 0.005*n, far past any tolerance) plus the
+    classic shortest-repr rounding edges (0.105, 2.675). The stateful
+    path's integer-cents accumulator reproduces the batch decimal
+    discipline exactly (VERDICT r2 #7)."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [(1, base + pd.Timedelta(seconds=i), 0.005) for i in range(200)]
+    rows += [
+        (1, base + pd.Timedelta(seconds=200 + j), v)
+        for j, v in enumerate([0.105, 0.115, 2.675, 1.005])
+    ]
+    # far-future successor: closes session 1 inside the first micro-batch
+    rows.append((1, base + pd.Timedelta(hours=3), 1.0))
+    df = spark.createDataFrame(
+        [(u, t.to_pydatetime(), v) for u, t, v in rows],
+        "user_id long, ts timestamp, value double",
+    )
+    d = str(tmp_path / "adversarial")
+    df.coalesce(1).write.parquet(d)
+
+    batch = {
+        (r["user_id"], r["session_start"]): r["sum_value"]
+        for r in sessionize(spark.read.parquet(d)).collect()
+    }
+    streamed = run_stream_to_memory(
+        spark,
+        d,
+        lambda s: sessionize_stream(s),
+        query_name="adversarial_parity",
+        output_mode="append",
+    ).collect()
+    assert streamed, "no closed session emitted"
+    for r in streamed:
+        key = (r["user_id"], r["session_start"])
+        assert r["sum_value"] == batch[key], (r["sum_value"], batch[key])
+    # the 200x0.005 session must have summed the ROUNDED values
+    # (0.105→0.11, 0.115→0.12, 2.675→2.68, 1.005→1.01 under the
+    # shortest-repr HALF_UP cast)
+    first = min(batch)
+    assert batch[first] == pytest.approx(2.0 + 0.11 + 0.12 + 2.68 + 1.01, abs=0)
