@@ -468,6 +468,7 @@ def embedding_near_duplicates_lsh(
     dim: int = 64,
     n_bands: int = 2,
     planes_per_band: int = 3,
+    max_bucket_rows: int = 4096,
 ) -> DataFrame:
     """LSH-bucketed near-dup — the default 100 TB path: hyperplane
     buckets (reusing :func:`similarity.lsh_bucket`'s deterministic
@@ -480,8 +481,20 @@ def embedding_near_duplicates_lsh(
     probability p = 1−θ/π). Candidates are scored exactly (same
     dim-sequential BLAS tile + rounding as the grid verifier) and
     deduped across bands with one distinct on the tiny pair output.
-    Skewed buckets split across tasks by AQE; more planes per band →
-    smaller buckets, more bands → higher recall.
+
+    **Skew bound**: an ``applyInPandas`` group cannot be split by AQE,
+    so a mega-bucket (every vector in one orthant) would otherwise
+    materialize the whole bucket — and an n×n tile — in ONE task.
+    Buckets larger than ``max_bucket_rows`` are therefore sub-split
+    with the same grid-block scheme as the exact verifier: each bucket
+    gets ``s = ceil(count / max_bucket_rows)`` id-hashed sub-blocks and
+    every (gi ≤ gj) sub-block pair becomes its own group, capping task
+    input at ~2·max_bucket_rows rows and the tile at
+    ~max_bucket_rows² regardless of skew. ``s`` is data-dependent:
+    per-bucket counts are a map-side-combined aggregate broadcast back
+    onto the (persisted) bucketed frame, so the vector payload still
+    shuffles exactly once — for the final group-by — and unskewed
+    buckets (s = 1) keep the original single-group plan.
     """
     import pandas as pd
 
@@ -500,22 +513,55 @@ def embedding_near_duplicates_lsh(
             for b in range(n_bands)
         ]
     )
-    bucketed = emb.select(
-        F.col(id_col).cast("long").alias("__id"),
-        F.col(vec_col).alias("__v"),
-        F.explode(bands).alias("band"),
-    ).select("__id", "__v", "band.band_idx", "band.bucket")
+    bucketed = (
+        emb.select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.explode(bands).alias("band"),
+        )
+        .select("__id", "__v", "band.band_idx", "band.bucket")
+        .persist()
+    )
+    # ≤ n_bands · 2^planes_per_band rows by construction — always tiny
+    counts = bucketed.groupBy("band_idx", "bucket").agg(
+        F.ceil(F.count("*") / max_bucket_rows).cast("int").alias("__s")
+    )
+    blocked = (
+        bucketed.join(F.broadcast(counts), ["band_idx", "bucket"])
+        .withColumn("__g", (F.col("__id") % F.col("__s")).cast("int"))
+        .withColumn("__j", F.explode(F.sequence(F.lit(0), F.col("__s") - 1)))
+        .select(
+            "__id",
+            "__v",
+            "band_idx",
+            "bucket",
+            F.least("__g", "__j").alias("gi"),
+            F.greatest("__g", "__j").alias("gj"),
+            (F.col("__g") > F.col("__j")).cast("int").alias("side"),
+        )
+    )
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, mat = _ids_mat(pdf, "__id", "__v")
-        if len(ids) < 2:
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _band, _bucket, gi, gj = key
+        if gi == gj:
+            ids, mat = _ids_mat(pdf, "__id", "__v")
+            if len(ids) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            norms = _seq_sq_norm(mat)
+            cos = _tile_cosine(mat, mat, norms, norms, dim)
+            cand = (cos >= threshold - 1e-6) & (ids[:, None] < ids[None, :])
+            return _round6_filter(ids, ids, cos, cand, threshold)
+        pa, pb = pdf[pdf["side"] == 0], pdf[pdf["side"] == 1]
+        if not len(pa) or not len(pb):
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        norms = _seq_sq_norm(mat)
-        cos = _tile_cosine(mat, mat, norms, norms, dim)
-        cand = (cos >= threshold - 1e-6) & (ids[:, None] < ids[None, :])
-        return _round6_filter(ids, ids, cos, cand, threshold)
+        ids_a, mat_a = _ids_mat(pa, "__id", "__v")
+        ids_b, mat_b = _ids_mat(pb, "__id", "__v")
+        cos = _tile_cosine(mat_a, mat_b, _seq_sq_norm(mat_a), _seq_sq_norm(mat_b), dim)
+        return _round6_filter(ids_a, ids_b, cos, cos >= threshold - 1e-6, threshold)
 
-    pairs = bucketed.groupBy("band_idx", "bucket").applyInPandas(score, _PAIR_SCHEMA)
+    pairs = blocked.groupBy("band_idx", "bucket", "gi", "gj").applyInPandas(
+        score, _PAIR_SCHEMA
+    )
     # a pair colliding in several bands is scored identically in each —
     # distinct on the (small) pair output is the cross-band dedup
     return pairs.distinct() if n_bands > 1 else pairs

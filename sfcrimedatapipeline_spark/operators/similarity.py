@@ -81,7 +81,20 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Random-hyperplane signature: one sign bit per plane."""
+    """Random-hyperplane signature: one sign bit per plane.
+
+    Kept as the HOF ``aggregate`` fold DELIBERATELY: unrolling each
+    projection into a flat ``vec[i] * <literal>`` sum (the
+    ``dot_fixed`` pattern) was tried and MEASURED 4x SLOWER at sf0.1
+    (ann_cosine_topk_lsh 2.4 s → 9.5 s, emb_near_duplicates_lsh
+    0.85 s → 3.0 s, 3-rep medians): 6 planes × 64 terms = 384-term
+    expression trees per row blow past the whole-stage-codegen method
+    budget and drop the operator to interpreted eval — the opposite of
+    the scoring path, where ONE 64-term dot per pair fits codegen and
+    the unroll wins an order of magnitude. Projection cost here is
+    per-row linear, not per-pair, so the interpreted HOF is not the
+    bottleneck at any scale.
+    """
     bits = []
     for p_idx, plane in enumerate(planes):
         proj = F.aggregate(
