@@ -29,6 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
     from sfcrimedatapipeline_spark.plans import (
+        corpus_queries,
         events_queries,
         fact_queries,
         llmops,
@@ -42,12 +43,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **events_queries.QUERIES,
         **media.QUERIES,
         **fact_queries.QUERIES,
+        **corpus_queries.QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; omitted keys get rows-only checks."""
     from sfcrimedatapipeline_spark.plans import (
+        corpus_queries,
         events_queries,
         fact_queries,
         llmops,
@@ -61,4 +64,5 @@ def oracle_sql() -> dict[str, str]:
         **events_queries.ORACLE_SQL,
         **media.ORACLE_SQL,
         **fact_queries.ORACLE_SQL,
+        **corpus_queries.ORACLE_SQL,
     }

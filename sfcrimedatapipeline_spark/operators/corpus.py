@@ -1,0 +1,160 @@
+"""Corpus-curation operators for the training-data pipeline surface:
+dup-graph connected components, deterministic stratified sampling,
+per-group top-k selection, and tf-idf keyword extraction.
+
+All four are relational compositions (joins/windows/aggregations) —
+no UDFs anywhere, so every hot path stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → one
+    ``(doc_id, canonical_id)`` row per node, canonical = min id in the
+    component. The canonical use: collapse near-duplicate clusters
+    (MinHash/SimHash pair output) to one representative document each —
+    pairwise dedup alone keeps B and C when A~B and A~C but B≁C.
+
+    Min-label propagation: each round, every node takes the min of its
+    own label and its neighbors' labels; converges in O(graph diameter)
+    rounds. Near-dup clusters are dense and tiny in diameter, so this
+    terminates in a handful of rounds at any corpus size; a long-chain
+    adversarial graph would want the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce", SoCC'14) —
+    same per-round dataflow, fewer rounds.
+
+    Scale shape: per round, one shuffle of (edge, label) keyed by node
+    id + one tiny driver SCALAR (the changed-count that decides
+    convergence — an aggregate, never a row collect).
+    ``localCheckpoint`` truncates the lineage each round so the plan
+    does not grow with iterations (a production cluster job would use a
+    reliable checkpoint dir instead).
+    """
+    fwd = pairs.select(
+        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        merged = (
+            labels.alias("l")
+            .join(nbr_min.alias("m"), F.col("l.id") == F.col("m.src"), "left")
+            .select(
+                F.col("l.id").alias("id"),
+                F.col("l.label").alias("label"),
+                F.least(
+                    F.col("l.label"), F.coalesce(F.col("m.nbr_min"), F.col("l.label"))
+                ).alias("new_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("new_label") < F.col("label")).count()
+        labels = merged.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
+def deterministic_uniform(key: Column) -> Column:
+    """Uniform [0,1) from md5 of the key's string form — deterministic,
+    engine-portable (DuckDB twin: hex-prefix arithmetic on md5), and
+    independent of partitioning, unlike ``rand(seed)``."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    key_col: str,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample with a DETERMINISTIC hash coin:
+    row kept iff ``uniform(md5(key)) < rate(stratum)``. The standard
+    corpus re-balancing op (e.g. downsample the dominant language);
+    hash-keyed sampling keeps the decision stable across runs, engines,
+    and repartitions — ``df.sample()`` is none of those.
+
+    Pure per-row filter: no shuffle, fully pushed into the scan stage.
+    """
+    rate: Column = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return df.filter(deterministic_uniform(F.col(key_col)) < rate)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group by a total order (callers must include a
+    tie-break column — row_number over a partial order is
+    nondeterministic). One shuffle on the group key; with k small the
+    window's running state is O(1) per partition."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("int"))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf·(N/df) — RATIONAL
+    idf, not ln(N/df): the ranking ties only differ where ln would also
+    tie (ln is monotone in N/df at fixed tf... not across mixed tf, but
+    the rational score is the documented semantic here), and exact
+    integer→double division is bit-identical across engines where ln
+    can differ in the last ulp and flip a rank under hash comparison.
+
+    Shuffle plan: explode → groupBy(doc, term) [shuffle 1, map-side
+    combined] → df per term from the tf frame [shuffle 2, tiny: one row
+    per distinct term] → join back on term [shuffle 2's output joins
+    the tf frame] → per-doc window [shuffle 3 on doc_id]. N (distinct
+    docs with ≥1 token) is a 1-row broadcast, not a driver action.
+    """
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_per_term, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.col("n_docs") / F.col("df_docs"))
+    )
+    return top_k_per_group(
+        scored,
+        ["doc_id"],
+        [F.desc("score"), F.asc("term")],
+        k,
+    ).select("doc_id", "term", "tf", "df_docs", "score", "rank")

@@ -1,0 +1,156 @@
+"""Corpus-curation driver queries (operators/corpus.py) with DuckDB
+oracles: dup-graph connected components, deterministic stratified
+sampling, per-group top-k quality selection, tf-idf keywords.
+
+These are the curation steps a training-data pipeline runs AFTER the
+per-document analytics: collapse near-dup clusters to one canonical
+doc, rebalance languages, keep the best documents per stratum, and
+extract characteristic terms. Oracles are exact — the sampling coin is
+an md5-derived uniform (not rand()), the idf is rational (not ln, whose
+last-ulp can differ across engines), and cluster canonicals come from a
+recursive-CTE transitive closure over the SAME MinHash pair SQL the
+dedup gate uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfcrimedatapipeline_spark.functions.text import SQL_TOKENS, sql_stopword_hits
+from sfcrimedatapipeline_spark.operators import corpus, textstats
+from sfcrimedatapipeline_spark.operators import dedup as dd
+from sfcrimedatapipeline_spark.plans.llmops import _minhash_sql
+from sfcrimedatapipeline_spark.sources.tables import read_table
+
+#: stratified-sample rates: downsample the dominant language, keep the
+#: rest at a higher rate (the usual rebalancing shape)
+SAMPLE_RATES = {"en": 0.3, "zh": 0.8}
+SAMPLE_DEFAULT_RATE = 0.6
+TOPK_PER_LANG = 5
+TFIDF_K = 3
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph (MinHash+LSH, the gated dedup default) →
+    connected components → (doc_id, canonical_id)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_duplicates(docs)
+    return corpus.connected_components(pairs).orderBy("doc_id")
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus.stratified_sample(
+        docs, "lang", SAMPLE_RATES, SAMPLE_DEFAULT_RATE, "doc_id"
+    ).select("doc_id", "lang", "source")
+
+
+def quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-documents-per-language: the quality score (textstats) ranked
+    within the table's own lang column, top 5 per stratum."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = textstats.with_quality(docs)
+    return corpus.top_k_per_group(
+        scored,
+        ["lang"],
+        [F.desc("quality_score"), F.asc("doc_id")],
+        TOPK_PER_LANG,
+    ).select("lang", "doc_id", "quality_score", "rank")
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus.tfidf_top_terms(docs, k=TFIDF_K)
+
+
+def build_oracle_sql() -> dict[str, str]:
+    rate_case = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    ) + f" ELSE {SAMPLE_DEFAULT_RATE} END"
+    uniform = (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296.0"
+    )
+    return {
+        # transitive closure by recursive CTE over the same MinHash pair
+        # SQL as the dedup_minhash_lsh oracle; canonical = min reachable
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT doc_a, doc_b FROM ({_minhash_sql()}) p
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+            )
+            SELECT CAST(id AS BIGINT) AS doc_id,
+                   CAST(min(r) AS BIGINT) AS canonical_id
+            FROM reach GROUP BY id
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE {uniform} < {rate_case}
+        """,
+        "quality_topk_per_lang": f"""
+            WITH tok AS (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM documents),
+            m AS (
+                SELECT doc_id, lang, len(t) AS n,
+                       {sql_stopword_hits('t', 'en')} AS hits,
+                       CASE WHEN len(t) > 0
+                            THEN CAST(CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS DOUBLE) / len(t)
+                            ELSE 0.0 END AS mean_len
+                FROM tok
+            ),
+            q AS (
+                SELECT doc_id, lang,
+                       CAST((n BETWEEN {textstats.QUALITY_MIN_TOKENS} AND {textstats.QUALITY_MAX_TOKENS}) AS INTEGER)
+                       + CAST((mean_len BETWEEN {textstats.QUALITY_MIN_MEAN_LEN} AND {textstats.QUALITY_MAX_MEAN_LEN}) AS INTEGER)
+                       + CAST((CASE WHEN n > 0 THEN CAST(hits AS DOUBLE) / n ELSE 0.0 END)
+                              >= {textstats.QUALITY_MIN_STOPWORD_RATIO} AS INTEGER) AS quality_score
+                FROM m
+            )
+            SELECT lang, doc_id, quality_score, rank FROM (
+                SELECT *, CAST(ROW_NUMBER() OVER (
+                    PARTITION BY lang ORDER BY quality_score DESC, doc_id ASC
+                ) AS INTEGER) AS rank
+                FROM q
+            ) r WHERE rank <= {TOPK_PER_LANG}
+        """,
+        "text_tfidf_topterms": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+            ),
+            dfx AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
+            SELECT doc_id, term, tf, df_docs, score, rank FROM (
+                SELECT tf.doc_id, tf.term, tf.tf, dfx.df_docs,
+                       tf.tf * n.n_docs / dfx.df_docs AS score,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * n.n_docs / dfx.df_docs DESC, tf.term ASC
+                       ) AS INTEGER) AS rank
+                FROM tf JOIN dfx USING (term), n
+            ) r WHERE rank <= {TFIDF_K}
+        """,
+    }
+
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+    "sample_stratified": sample_stratified,
+    "quality_topk_per_lang": quality_topk_per_lang,
+    "text_tfidf_topterms": text_tfidf_topterms,
+}
+
+ORACLE_SQL = build_oracle_sql()
