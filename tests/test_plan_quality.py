@@ -96,3 +96,43 @@ def test_ann_broadcasts_query_vectors(plans):
     # scan the corpus once — never shuffle the corpus.
     assert "BroadcastNestedLoopJoin" in plans["ann"] or "BroadcastHashJoin" in plans["ann"]
     assert "SortMergeJoin" not in plans["ann"]
+
+
+def test_fact_build_broadcasts_all_dims(spark):
+    # The 7-join fact build must broadcast every dimension side — a
+    # sort-merge join would shuffle the fact rows once per dim at scale.
+    from sfcrimedatapipeline_spark.plans import fact_queries
+
+    plan = _plan(fact_queries.QUERIES["fact_crime_build"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_serve_query_broadcasts_and_stays_jvm(spark):
+    from sfcrimedatapipeline_spark.plans import fact_queries
+
+    plan = _plan(fact_queries.QUERIES["serve_initial_reports"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_filter_reaches_scan_stage(spark):
+    # The md5-coin sample is a pure per-row filter: no shuffle anywhere
+    # in the plan (Exchange only appears if something aggregates/joins).
+    from sfcrimedatapipeline_spark.plans import corpus_queries
+
+    plan = _plan(corpus_queries.QUERIES["sample_stratified"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_broadcasts_corpus_size(spark):
+    # N (1-row) must broadcast; the tf/df join may shuffle, but nothing
+    # routes through Python.
+    from sfcrimedatapipeline_spark.plans import corpus_queries
+
+    plan = _plan(corpus_queries.QUERIES["text_tfidf_topterms"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
