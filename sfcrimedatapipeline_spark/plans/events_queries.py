@@ -58,6 +58,35 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sz.sessionize(events, gap_minutes=GAP_MINUTES)
 
 
+def events_hourly_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling-window aggregation executed as a genuine
+    Structured Streaming query (readStream → watermark → window agg →
+    memory sink, complete mode) — and hash-gated against the SAME
+    DuckDB oracle as the batch twin. This is sound, not best-effort:
+    the stream files are range-partitioned by event time, so no row is
+    ever late against the 2-hour watermark and complete-mode output
+    must equal the batch aggregation bit for bit (Spark's unified
+    engine runs the same logical plan incrementally)."""
+    import tempfile
+
+    from sfcrimedatapipeline_spark.streaming.events import (
+        run_stream_to_memory,
+        write_time_sliced_stream_dir,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    stream_dir = write_time_sliced_stream_dir(
+        events, tempfile.mkdtemp(prefix="sfcdp_hourly_stream_")
+    )
+    return run_stream_to_memory(
+        spark,
+        stream_dir,
+        hourly_event_counts,
+        query_name="events_hourly_agg_stream",
+        output_mode="complete",
+    )
+
+
 def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STATEFUL streaming sessionizer (applyInPandasWithState,
     event-time timeout) driven end-to-end: events rewritten as
@@ -89,15 +118,19 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_oracle_sql() -> dict[str, str]:
     gap_us = GAP_MINUTES * 60 * 1_000_000
-    return {
-        "events_hourly_agg": """
+    hourly = """
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
                    event_type,
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
-        """,
+        """
+    return {
+        "events_hourly_agg": hourly,
+        # the streaming execution must converge to the identical result
+        # (no late rows possible with time-range-partitioned files)
+        "events_hourly_agg_stream": hourly,
         "events_json_extract": """
             SELECT event_type,
                    count(*) AS n_events,
@@ -136,6 +169,8 @@ def build_oracle_sql() -> dict[str, str]:
 
 QUERIES = {
     "events_hourly_agg": events_hourly_agg,
+    # genuine streaming execution, gated by the same oracle (see docstring)
+    "events_hourly_agg_stream": events_hourly_agg_stream,
     "events_json_extract": events_json_extract,
     "events_sessionize": events_sessionize,
     # rows-only: no oracle_sql entry by design (see docstring)
