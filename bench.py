@@ -41,7 +41,11 @@ REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 #: time measures test-harness fixture work (rewriting the input as
 #: time-sliced stream files per run), not operator throughput, which
 #: would distort the cross-round non-regression comparison.
-BENCH_SKIP = {"events_sessionize_stream", "events_hourly_agg_stream"}
+BENCH_SKIP = {
+    "events_sessionize_stream",
+    "events_hourly_agg_stream",
+    "dedup_exact_stream",
+}
 
 
 def _sf_from_dir(path: str) -> float:

@@ -123,6 +123,48 @@ def top_k_per_group(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    cap: int = 2048,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing: assign documents to training-context bins of
+    ~``cap`` tokens — ``(shard, bin_id)`` identifies one packed sample.
+
+    Semantics: first-fit-in-order chunking per shard — docs are taken
+    in id order and a doc opens a new bin when the tokens BEFORE it
+    fill the cap, so a bin may overflow by at most one document (the
+    standard streaming-packing approximation; exact bin packing is
+    NP-hard and inherently sequential). Packing is per-shard by
+    design, not a global scan: real training pipelines pack
+    worker-locally, and a global running sum would force a
+    single-partition window over fact-cardinality data. One shuffle
+    on the shard key; every shard packs independently.
+    """
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    shard = (F.col(id_col) % n_shards).cast("int")
+    sized = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sized.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / F.lit(cap)).cast("long").alias("bin_id"),
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by tf·(N/df) — RATIONAL
     idf, not ln(N/df): the ranking ties only differ where ln would also

@@ -42,6 +42,23 @@ def dedup_exact(
     )
 
 
+def dedup_exact_stream(docs_stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: the same md5-of-normalized-text
+    fingerprint as :func:`dedup_exact`, deduplicated INCREMENTALLY with
+    streaming ``dropDuplicates`` — append mode emits each distinct
+    fingerprint exactly once, on first arrival; state is one 32-hex key
+    per distinct document (bounded by distinct count, not stream
+    length). Projecting to the fingerprint BEFORE dedup keeps both the
+    state rows and the emitted rows order-independent — emitting whole
+    first-seen rows would make the output depend on intra-batch
+    scheduling. Production note: with an event-time column, use
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` to bound
+    state by time instead of by corpus cardinality."""
+    return docs_stream.select(
+        F.md5(normalized(F.col(text_col))).alias("fingerprint")
+    ).dropDuplicates(["fingerprint"])
+
+
 def shingle_sets(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -126,6 +126,42 @@ def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: PII patterns — explicit ASCII classes only, so Java regex (Spark)
+#: and RE2 (DuckDB) agree; scrub order matters (URLs may contain
+#: email-shaped substrings, so URLs go first).
+PII_URL_RE = r"https?://[^ \t\n]+"
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE_RE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+PII_ORDER = (
+    (PII_URL_RE, "<URL>"),
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_PHONE_RE, "<PHONE>"),
+)
+
+
+def with_pii_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact URLs, emails, and international-format phone numbers with
+    typed placeholders + per-class match counts — the standard
+    pre-training scrub pass. Pure regexp_replace/regexp_count chain: no
+    UDF, no shuffle, linear per row. Each count is taken on the text as
+    it stood BEFORE that class's own scrub but AFTER the earlier ones
+    (an email inside a URL counts as URL, not email) — the oracle
+    mirrors the same staging."""
+    stage = F.col(text_col)
+    counts = {}
+    for pat, token in PII_ORDER:
+        counts[token] = F.regexp_count(stage, F.lit(pat)).cast("int")
+        stage = F.regexp_replace(stage, pat, token)
+    return df.withColumns(
+        {
+            "n_urls": counts["<URL>"],
+            "n_emails": counts["<EMAIL>"],
+            "n_phones": counts["<PHONE>"],
+            "scrubbed": stage,
+        }
+    )
+
+
 #: winnowing defaults: k-char grams, window of w consecutive gram hashes
 WINNOW_K, WINNOW_W = 8, 4
 

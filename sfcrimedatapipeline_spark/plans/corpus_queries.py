@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sfcrimedatapipeline_spark.functions.text import SQL_TOKENS, sql_stopword_hits
+from sfcrimedatapipeline_spark.functions.text import (
+    SQL_NORMALIZED,
+    SQL_TOKENS,
+    sql_stopword_hits,
+)
 from sfcrimedatapipeline_spark.operators import corpus, textstats
 from sfcrimedatapipeline_spark.operators import dedup as dd
 from sfcrimedatapipeline_spark.plans.llmops import _minhash_sql
@@ -62,6 +66,66 @@ def quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return corpus.tfidf_top_terms(docs, k=TFIDF_K)
+
+
+PACK_CAP, PACK_SHARDS = 512, 8
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus.pack_sequences(docs, cap=PACK_CAP, n_shards=PACK_SHARDS)
+
+
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return textstats.with_pii_scrubbed(docs).select(
+        "doc_id", "n_urls", "n_emails", "n_phones", "scrubbed"
+    )
+
+
+def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup driven end-to-end and hash-gated: the
+    documents table streamed in doc_id-sliced files through streaming
+    dropDuplicates. Sound for the full hash gate because the output is
+    the SET of distinct fingerprints — order- and batching-independent
+    — so it must equal the batch DISTINCT the oracle computes."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sfcrimedatapipeline_spark.streaming.events import (
+        run_stream_to_memory,
+        write_time_sliced_stream_dir,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    stream_dir = write_time_sliced_stream_dir(
+        docs,
+        tempfile.mkdtemp(prefix="sfcdp_dedup_stream_"),
+        order_by=F.col("doc_id"),
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return run_stream_to_memory(
+        spark,
+        stream_dir,
+        dd.dedup_exact_stream,
+        query_name="dedup_exact_stream",
+        output_mode="append",
+        schema=schema,
+    )
 
 
 def build_oracle_sql() -> dict[str, str]:
@@ -143,6 +207,41 @@ def build_oracle_sql() -> dict[str, str]:
                 FROM tf JOIN dfx USING (term), n
             ) r WHERE rank <= {TFIDF_K}
         """,
+        "pack_sequences": f"""
+            WITH sized AS (
+                SELECT doc_id,
+                       CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+                       CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {PACK_CAP} AS BIGINT) AS bin_id
+            FROM sized
+        """,
+        "text_scrub_pii": f"""
+            WITH s1 AS (
+                SELECT doc_id, text AS t0,
+                       regexp_replace(text, '{textstats.PII_URL_RE}', '<URL>', 'g') AS t1
+                FROM documents
+            ),
+            s2 AS (
+                SELECT *, regexp_replace(t1, '{textstats.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t0, '{textstats.PII_URL_RE}')) AS INTEGER) AS n_urls,
+                   CAST(len(regexp_extract_all(t1, '{textstats.PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(t2, '{textstats.PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+                   regexp_replace(t2, '{textstats.PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+            FROM s2
+        """,
+        # the streaming dedup's emitted set must equal the batch DISTINCT
+        "dedup_exact_stream": f"""
+            SELECT DISTINCT md5({SQL_NORMALIZED}) AS fingerprint FROM documents
+        """,
     }
 
 
@@ -151,6 +250,10 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "quality_topk_per_lang": quality_topk_per_lang,
     "text_tfidf_topterms": text_tfidf_topterms,
+    "pack_sequences": pack_sequences,
+    "text_scrub_pii": text_scrub_pii,
+    # streaming execution, gated by the batch-DISTINCT oracle
+    "dedup_exact_stream": dedup_exact_stream,
 }
 
 ORACLE_SQL = build_oracle_sql()

@@ -87,14 +87,18 @@ def hourly_event_counts(
 
 
 def write_time_sliced_stream_dir(
-    events: DataFrame, out_dir: str, n_slices: int = 4
+    events: DataFrame, out_dir: str, n_slices: int = 4, order_by=None
 ) -> str:
-    """Materialize a batch events frame as ``n_slices`` time-ordered
-    parquet files with strictly increasing mtimes — the shape a file
-    source needs for event-time streaming (files arrive in rough
-    event-time order; the source orders by modification time, so
-    near-identical copy times would randomize micro-batch order and a
-    round-robin split would make most rows late against the watermark).
+    """Materialize a batch frame as ``n_slices`` ordered parquet files
+    with strictly increasing mtimes — the shape a file source needs for
+    event-time streaming (files arrive in rough event-time order; the
+    source orders by modification time, so near-identical copy times
+    would randomize micro-batch order and a round-robin split would
+    make most rows late against the watermark).
+
+    ``order_by`` is the long-typed Column defining arrival order
+    (default: event time in microseconds — pass e.g. ``F.col("doc_id")``
+    to stream a keyed table in key order).
 
     Distributed-safe: slices are range FILTERS written by executors
     (exact quantile boundaries via approxQuantile(relativeError=0) —
@@ -104,7 +108,7 @@ def write_time_sliced_stream_dir(
     import shutil
     import time
 
-    us = F.unix_micros(F.col("ts"))
+    us = F.unix_micros(F.col("ts")) if order_by is None else order_by.cast("long")
     with_us = events.withColumn("_us", us)
     probs = [i / n_slices for i in range(1, n_slices)]
     bounds = with_us.approxQuantile("_us", probs, 0.0) if probs else []
@@ -135,11 +139,21 @@ def run_stream_to_memory(
     transform,
     query_name: str = "stream_test",
     output_mode: str = "complete",
+    schema=None,
 ) -> DataFrame:
     """Drive a stream to completion against a static directory (test
     harness): readStream → transform → memory sink, process everything,
-    return the sink contents as a DataFrame."""
-    stream = transform(read_events_stream(spark, source_dir))
+    return the sink contents as a DataFrame. ``schema`` overrides the
+    default events schema for non-events sources."""
+    if schema is None:
+        source = read_events_stream(spark, source_dir)
+    else:
+        source = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+        )
+    stream = transform(source)
     q = (
         stream.writeStream.format("memory")
         .queryName(query_name)

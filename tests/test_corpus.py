@@ -85,3 +85,81 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert top[2] == "filler"  # 2*3/1=6 beats common 2*3/3=2
     assert top[3] == "other"   # 3*3/1=9 beats common 1*3/3=1
     assert all(r.rank == 1 for r in out)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from sfcrimedatapipeline_spark.operators.textstats import with_pii_scrubbed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or visit https://a.example.com/p?q=1 now"),
+            (2, "call +1 (415) 555-0199 twice"),
+            (3, "url with email inside https://x.test/u@example.com trailing"),
+            (4, "clean text, nothing to scrub"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in with_pii_scrubbed(docs).collect()}
+    assert out[1].n_urls == 1 and out[1].n_emails == 1
+    assert out[1].scrubbed == "mail me at <EMAIL> or visit <URL> now"
+    assert out[2].n_phones == 1 and out[2].scrubbed == "call <PHONE> twice"
+    # the email-shaped substring sits INSIDE the URL: counted as URL only
+    assert out[3].n_urls == 1 and out[3].n_emails == 0
+    assert out[3].scrubbed == "url with email inside <URL> trailing"
+    assert out[4].scrubbed == out[4].text
+
+
+def test_pii_scrub_matches_duckdb_on_real_matches(spark):
+    # The sf-testdata contains no PII, so the driver gate never
+    # exercises a real match — prove Java-regex vs RE2 parity here.
+    import duckdb
+
+    from sfcrimedatapipeline_spark.operators import textstats
+    from sfcrimedatapipeline_spark.operators.textstats import with_pii_scrubbed
+
+    rows = [
+        (1, "a@b.io and c.d-e@f-g.h.ij plus http://x.y/z#frag and +44 20 7946 0958 end"),
+        (2, "no pii at all"),
+        (3, "edge: trailing http://e.co"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_urls, r.n_emails, r.n_phones, r.scrubbed)
+        for r in with_pii_scrubbed(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    sql = f"""
+        WITH s1 AS (SELECT doc_id, text AS t0,
+                    regexp_replace(text, '{textstats.PII_URL_RE}', '<URL>', 'g') AS t1 FROM d),
+        s2 AS (SELECT *, regexp_replace(t1, '{textstats.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t2 FROM s1)
+        SELECT doc_id,
+               len(regexp_extract_all(t0, '{textstats.PII_URL_RE}')),
+               len(regexp_extract_all(t1, '{textstats.PII_EMAIL_RE}')),
+               len(regexp_extract_all(t2, '{textstats.PII_PHONE_RE}')),
+               regexp_replace(t2, '{textstats.PII_PHONE_RE}', '<PHONE>', 'g')
+        FROM s2
+    """
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_pack_sequences_respects_cap_semantics(spark):
+    from sfcrimedatapipeline_spark.operators import corpus
+
+    # one shard, docs of 10 tokens each, cap 25. bin = floor(cum_before
+    # / cap): a doc opens the bin its cumulative start falls in, so a
+    # bin may overflow by at most one doc (docs 0-2: starts 0,10,20 →
+    # bin 0 holds 30 tokens) and a bin whose start lands exactly on a
+    # cap multiple begins cleanly (doc 5: start 50 = 2*cap → bin 2).
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * 10)) for i in range(9)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.bin_id for r in corpus.pack_sequences(docs, cap=25, n_shards=1).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3}
+    # every bin's PRE-OVERFLOW load is under the cap: max one straddler
+    loads: dict[int, int] = {}
+    for doc, b in sorted(out.items()):
+        loads[b] = loads.get(b, 0) + 10
+    assert all(load - 10 < 25 for load in loads.values())
