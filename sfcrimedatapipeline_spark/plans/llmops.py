@@ -122,6 +122,21 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, queries, k=ANN_K)
 
 
+ANN_IVF_CENTROIDS, ANN_IVF_PROBE = 8, 2
+
+
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return similarity.cosine_topk_ivf(
+        emb,
+        queries,
+        k=ANN_K,
+        n_centroids=ANN_IVF_CENTROIDS,
+        n_probe=ANN_IVF_PROBE,
+    )
+
+
 def emb_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs near-dup via the grid-blocked BLAS tiles
     (operators/dedup.py:embedding_near_duplicates_blas) — no driver
@@ -148,11 +163,15 @@ def emb_near_duplicates_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- oracle SQL builders ---------------------------------------------------
 
-def _sql_cosine(av: str, bv: str, dim: int = 64) -> str:
+def _sql_cosine_raw(av: str, bv: str, dim: int = 64) -> str:
     dot = f"list_sum([{av}[i] * {bv}[i] for i in generate_series(1, {dim})])"
     na = f"sqrt(list_sum([{av}[i] * {av}[i] for i in generate_series(1, {dim})]))"
     nb = f"sqrt(list_sum([{bv}[i] * {bv}[i] for i in generate_series(1, {dim})]))"
-    return f"round({dot} / ({na} * {nb}), 6)"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _sql_cosine(av: str, bv: str, dim: int = 64) -> str:
+    return f"round({_sql_cosine_raw(av, bv, dim)}, 6)"
 
 
 def _lang_case() -> str:
@@ -421,6 +440,46 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "ann_cosine_topk": _ann_sql(lsh=False),
         "ann_cosine_topk_lsh": _ann_sql(lsh=True),
+        # IVF: assignment/probe use the RAW cosine (both engines produce
+        # identical doubles — rounding first could merge near-ties the
+        # Spark side distinguishes); only the output cosine is rounded
+        "ann_cosine_topk_ivf": f"""
+            WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v
+                       FROM embeddings),
+            cent AS (SELECT vec_id AS centroid_id, __v AS cvv FROM v
+                     ORDER BY vec_id LIMIT {ANN_IVF_CENTROIDS}),
+            ca AS (
+                SELECT vec_id AS neighbor_id, __v AS cv, centroid_id FROM (
+                    SELECT v.vec_id, v.__v, cent.centroid_id,
+                           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                               ORDER BY {_sql_cosine_raw("v.__v", "cent.cvv")} DESC,
+                                        cent.centroid_id ASC) AS r
+                    FROM v, cent
+                ) t WHERE r = 1
+            ),
+            qp AS (
+                SELECT vec_id AS query_id, __v AS qv, centroid_id FROM (
+                    SELECT v.vec_id, v.__v, cent.centroid_id,
+                           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                               ORDER BY {_sql_cosine_raw("v.__v", "cent.cvv")} DESC,
+                                        cent.centroid_id ASC) AS r
+                    FROM v, cent WHERE v.vec_id < {ANN_N_QUERIES}
+                ) t WHERE r <= {ANN_IVF_PROBE}
+            ),
+            scored AS (
+                SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS cosine
+                FROM ca JOIN qp USING (centroid_id)
+                WHERE neighbor_id <> query_id
+            )
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                ) AS rank
+                FROM scored
+            ) r
+            WHERE rank <= {ANN_K}
+        """,
         "emb_near_duplicates_lsh": _emb_lsh_sql(),
         "emb_near_duplicates": f"""
             WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v FROM embeddings)
@@ -445,6 +504,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
+    "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
     "emb_near_duplicates": emb_near_duplicates,
     "emb_near_duplicates_lsh": emb_near_duplicates_lsh,
 }

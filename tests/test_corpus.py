@@ -163,3 +163,27 @@ def test_pack_sequences_respects_cap_semantics(spark):
     for doc, b in sorted(out.items()):
         loads[b] = loads.get(b, 0) + 10
     assert all(load - 10 < 25 for load in loads.values())
+
+
+def test_ivf_matches_brute_force_on_clustered_data(spark):
+    """On well-separated clusters, IVF with a probe that covers the
+    query's own cluster must return exactly the brute-force top-k (all
+    true neighbors live in the probed inverted list)."""
+    from sfcrimedatapipeline_spark.operators import similarity
+
+    rows = []
+    for i in range(60):
+        c = i % 3  # cluster id; centroids (ids 0..7) cover all 3
+        vec = [0.0] * 64
+        vec[c] = 1.0
+        vec[10 + (i % 7)] = 0.02 + 0.001 * (i % 11)  # distinct cosines
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id < 3")
+
+    brute = similarity.cosine_topk(emb, queries, k=4).collect()
+    ivf = similarity.cosine_topk_ivf(
+        emb, queries, k=4, n_centroids=8, n_probe=3
+    ).collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine)
+    assert sorted(map(key, ivf)) == sorted(map(key, brute))
