@@ -69,6 +69,15 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_CAP, PACK_SHARDS = 512, 8
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass numeric profile of the biggest table — the
+    data-quality preflight (operators/profile.py)."""
+    from sfcrimedatapipeline_spark.operators.profile import profile_columns
+
+    return profile_columns(read_table(spark, sf_dir, "lineitem"), PROFILE_COLS)
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,6 +251,19 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_exact_stream": f"""
             SELECT DISTINCT md5({SQL_NORMALIZED}) AS fingerprint FROM documents
         """,
+        # DuckDB may scan per column; ONE-pass is the Spark-side claim
+        "profile_lineitem": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name,
+                   count(*) AS n_rows,
+                   count(*) - count({c}) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS DOUBLE) AS min_value,
+                   CAST(max({c}) AS DOUBLE) AS max_value
+            FROM lineitem
+            """
+            for c in PROFILE_COLS
+        ),
     }
 
 
@@ -254,6 +276,7 @@ QUERIES = {
     "text_scrub_pii": text_scrub_pii,
     # streaming execution, gated by the batch-DISTINCT oracle
     "dedup_exact_stream": dedup_exact_stream,
+    "profile_lineitem": profile_lineitem,
 }
 
 ORACLE_SQL = build_oracle_sql()

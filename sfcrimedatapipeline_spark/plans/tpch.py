@@ -422,6 +422,33 @@ def w2_load_order_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_ids(orders, ["order_key"], "id")
 
 
+def j9_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 (extension): LEFT join under a pathologically hot key, salted.
+
+    A third of lineitem collapses onto key 1 — under plain hash
+    partitioning every one of those rows lands in ONE task. The salted
+    join scatters them across 8 sub-partitions (operators/joins.py) and
+    must produce the IDENTICAL result set, which is exactly what the
+    oracle checks: the DuckDB twin is the plain, unsalted join."""
+    from sfcrimedatapipeline_spark.operators.joins import salted_left_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("__uid"),
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("skew_key"),
+    )
+    dim = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("skew_key"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return salted_left_join(li, dim, on=["skew_key"], salt=8, left_unique_col="__uid").select(
+        "order_key", "line_number", "skew_key", "priority"
+    )
+
+
 def _duck_timestr(ts: str) -> str:
     """The engine's unpadded-hour "H:mm:ss" TIME string in DuckDB."""
     return (
@@ -446,6 +473,19 @@ _DUCK_TIME_OF_DAY = (
 #: DuckDB oracle for every query above — identical aliases, identical
 #: decimal arithmetic. Views are pre-registered by the driver.
 ORACLE_SQL: dict[str, str] = {
+    # the salted join's result set must equal the PLAIN join
+    "j9_salted_skew_join": """
+        WITH li AS (
+            SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+                   CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_orderkey END AS skew_key
+            FROM lineitem
+        ),
+        dim AS (
+            SELECT o_orderkey AS skew_key, o_orderpriority AS priority FROM orders
+        )
+        SELECT li.order_key, li.line_number, li.skew_key, dim.priority
+        FROM li LEFT JOIN dim USING (skew_key)
+    """,
     "p1_project_alias": """
         SELECT c_custkey AS customer_id, c_name AS customer_name,
                c_mktsegment AS market_segment
@@ -680,4 +720,5 @@ QUERIES: dict[str, QueryFn] = {
     "dim_date_yearly": dim_date_yearly,
     "w1_surrogate_key": w1_surrogate_key,
     "w2_load_order_id": w2_load_order_id,
+    "j9_salted_skew_join": j9_salted_skew_join,
 }
