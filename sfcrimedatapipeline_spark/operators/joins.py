@@ -43,3 +43,37 @@ def salted_left_join(
     )
     joined = l.join(r, [*on, "__salt"], "left")
     return joined.drop("__salt")
+
+
+def write_bucketed(df: DataFrame, name: str, path: str, key: str, buckets: int = 8) -> None:
+    """Materialize ``df`` as a bucketed+sorted catalog table at ``path``.
+
+    Bucketing pre-shuffles the data ONCE at write time: every later
+    equi-join or aggregation on ``key`` between tables bucketed the
+    same way runs with NO exchange and NO sort — the co-located-join
+    strategy for repeatedly-joined fact/dim tables at scale. Uses the
+    session catalog's native (non-Hive) bucketed V1 tables.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(name)
+    )
+
+
+def bucketed_colocated_join(
+    left_name: str, right_name: str, left_key: str, right_key: str
+):
+    """Join two same-bucketed catalog tables on their bucket keys with a
+    sort-merge hint (a small side would otherwise broadcast, hiding the
+    point): the plan must contain NO Exchange — asserted by
+    tests/test_plan_quality.py."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    l, r = spark.table(left_name), spark.table(right_name)
+    return l.hint("merge").join(r, F.col(left_key) == F.col(right_key))

@@ -449,6 +449,39 @@ def j9_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 (extension): co-located join via bucketed tables. Orders and
+    customer are written bucketed+sorted on the customer key once; the
+    join then runs with NO exchange and NO sort (plan-asserted in
+    tests/test_plan_quality.py) — the write-once/join-many strategy for
+    a fact table joined on the same key every day. Result set is
+    oracle-checked against the plain join."""
+    import tempfile
+
+    from sfcrimedatapipeline_spark.operators.joins import (
+        bucketed_colocated_join,
+        write_bucketed,
+    )
+
+    base = tempfile.mkdtemp(prefix="sfcdp_bucketed_")
+    write_bucketed(
+        read_table(spark, sf_dir, "orders"), "b_orders", f"{base}/orders", "o_custkey"
+    )
+    write_bucketed(
+        read_table(spark, sf_dir, "customer"),
+        "b_customer",
+        f"{base}/customer",
+        "c_custkey",
+    )
+    return bucketed_colocated_join(
+        "b_orders", "b_customer", "o_custkey", "c_custkey"
+    ).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("market_segment"),
+    )
+
+
 def _duck_timestr(ts: str) -> str:
     """The engine's unpadded-hour "H:mm:ss" TIME string in DuckDB."""
     return (
@@ -473,6 +506,12 @@ _DUCK_TIME_OF_DAY = (
 #: DuckDB oracle for every query above — identical aliases, identical
 #: decimal arithmetic. Views are pre-registered by the driver.
 ORACLE_SQL: dict[str, str] = {
+    # the co-located bucketed join's result set must equal the plain join
+    "j10_bucketed_join": """
+        SELECT o_orderkey AS order_key, c_name AS customer_name,
+               c_mktsegment AS market_segment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
     # the salted join's result set must equal the PLAIN join
     "j9_salted_skew_join": """
         WITH li AS (
@@ -721,4 +760,5 @@ QUERIES: dict[str, QueryFn] = {
     "w1_surrogate_key": w1_surrogate_key,
     "w2_load_order_id": w2_load_order_id,
     "j9_salted_skew_join": j9_salted_skew_join,
+    "j10_bucketed_join": j10_bucketed_join,
 }

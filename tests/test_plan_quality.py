@@ -136,3 +136,14 @@ def test_tfidf_broadcasts_corpus_size(spark):
     plan = _plan(corpus_queries.QUERIES["text_tfidf_topterms"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # The whole point of bucketing: both sides pre-shuffled at write
+    # time, so the sort-merge join runs with NO Exchange and NO Sort.
+    from sfcrimedatapipeline_spark.plans import tpch
+
+    df = tpch.QUERIES["j10_bucketed_join"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketing failed to co-locate the join"
