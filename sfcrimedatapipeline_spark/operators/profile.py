@@ -19,6 +19,58 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
+    """Exact linear-interpolation quantiles of a numeric column,
+    computed distributed (no driver collect, no approximation).
+
+    Spark's global ``orderBy`` range-partitions then sorts per
+    partition — the standard distributed sort; ``row_number`` over it
+    is the only single-lineage step and carries just (rank, value)
+    pairs. For each prob p: position h = p·(n-1) (0-based), value =
+    v[floor(h)] + (v[ceil(h)] - v[floor(h)])·(h - floor(h)) — the
+    EXPLICIT formula, written identically in the DuckDB oracle, because
+    the built-ins (`percentile` vs `quantile_cont`) use algebraically
+    equal but differently-rounded expressions that can diverge in the
+    last ulp. Engine-identical arithmetic: h is a product of exact
+    doubles, the interpolation is 3 IEEE ops in a fixed order.
+    """
+    from pyspark.sql import Window
+
+    ranked = df.select(F.col(col).cast("double").alias("__v")).select(
+        "__v", (F.row_number().over(Window.orderBy("__v")) - 1).alias("__r")
+    )
+    n = df.count()  # driver scalar (an aggregate, not a row collect)
+
+    spots: dict[float, tuple[int, int, float]] = {}
+    for p in probs:
+        h = p * (n - 1)
+        lo = int(h // 1)
+        spots[p] = (lo, min(lo + 1, n - 1), h - (h // 1))
+    positions = sorted({x for lo, hi, _ in spots.values() for x in (lo, hi)})
+
+    # ONE filtered pass + ONE conditional aggregation — the sort runs
+    # once regardless of how many probs are requested
+    row = ranked.filter(F.col("__r").isin(positions)).agg(
+        *[
+            F.min(F.when(F.col("__r") == pos, F.col("__v"))).alias(f"__v_{pos}")
+            for pos in positions
+        ]
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("prob"),
+                (
+                    F.col(f"__v_{lo}")
+                    + (F.col(f"__v_{hi}") - F.col(f"__v_{lo}")) * F.lit(frac)
+                ).alias("value"),
+            )
+            for p, (lo, hi, frac) in sorted(spots.items())
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select("e.*")
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """One row per profiled column: n_rows, n_nulls, n_distinct,
     min/max as double."""

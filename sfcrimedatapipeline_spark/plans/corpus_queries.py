@@ -80,6 +80,20 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(read_table(spark, sf_dir, "lineitem"), PROFILE_COLS)
 
 
+QUANTILE_PROBS = [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]
+
+
+def quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quantiles (sort-based, explicit interpolation —
+    see operators/profile.py:exact_quantiles for why the built-ins
+    can't be oracle-gated)."""
+    from sfcrimedatapipeline_spark.operators.profile import exact_quantiles
+
+    return exact_quantiles(
+        read_table(spark, sf_dir, "lineitem"), "l_extendedprice", QUANTILE_PROBS
+    )
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return corpus.pack_sequences(docs, cap=PACK_CAP, n_shards=PACK_SHARDS)
@@ -251,6 +265,23 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_exact_stream": f"""
             SELECT DISTINCT md5({SQL_NORMALIZED}) AS fingerprint FROM documents
         """,
+        # identical explicit interpolation formula on both sides —
+        # vlo + (vhi - vlo)·frac with h = p·(n-1) — because the
+        # built-ins round differently (percentile vs quantile_cont)
+        "quantiles_extendedprice": f"""
+            WITH ranked AS (
+                SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                       ROW_NUMBER() OVER (ORDER BY CAST(l_extendedprice AS DOUBLE)) - 1 AS r
+                FROM lineitem
+            ),
+            n AS (SELECT count(*) AS cnt FROM lineitem),
+            probs AS (SELECT unnest([{", ".join(repr(p) for p in QUANTILE_PROBS)}]) AS p)
+            SELECT p AS prob,
+                   lo.v + (hi.v - lo.v) * (p * (cnt - 1) - floor(p * (cnt - 1))) AS value
+            FROM probs, n
+            JOIN ranked lo ON lo.r = CAST(floor(p * (cnt - 1)) AS BIGINT)
+            JOIN ranked hi ON hi.r = least(CAST(floor(p * (cnt - 1)) AS BIGINT) + 1, cnt - 1)
+        """,
         # DuckDB may scan per column; ONE-pass is the Spark-side claim
         "profile_lineitem": " UNION ALL ".join(
             f"""
@@ -277,6 +308,7 @@ QUERIES = {
     # streaming execution, gated by the batch-DISTINCT oracle
     "dedup_exact_stream": dedup_exact_stream,
     "profile_lineitem": profile_lineitem,
+    "quantiles_extendedprice": quantiles_extendedprice,
 }
 
 ORACLE_SQL = build_oracle_sql()
