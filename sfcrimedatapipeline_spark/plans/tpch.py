@@ -422,6 +422,92 @@ def w2_load_order_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_ids(orders, ["order_key"], "id")
 
 
+def a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (extension): ROLLUP with subtotal rows + grouping_id — the
+    multi-level aggregation surface (Catalyst expands to one Expand +
+    one hash-agg pass, not one pass per level)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_price"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "n_orders",
+            "total_price",
+            "gid",
+        )
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def a5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (extension): PIVOT — one output column per event type, sums in
+    decimal emitted as double. The value list is explicit: without it
+    Spark must pre-scan for distinct values (two passes)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).cast("int").alias("user_bucket"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast(_DEC)).cast("double"))
+    )
+
+
+def j11_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 (extension): LEFT SEMI + LEFT ANTI joins — EXISTS/NOT EXISTS
+    without materializing the probe side's columns (the filter-join
+    family; semi/anti never duplicate left rows on multi-matches)."""
+    customer = read_table(spark, sf_dir, "customer")
+    urgent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cond = customer.c_custkey == urgent.o_custkey
+    semi = customer.join(urgent, cond, "left_semi").select(
+        F.col("c_custkey").alias("customer_id"), F.lit(True).alias("has_urgent")
+    )
+    anti = customer.join(urgent, cond, "left_anti").select(
+        F.col("c_custkey").alias("customer_id"), F.lit(False).alias("has_urgent")
+    )
+    return semi.unionAll(anti)
+
+
+def w3_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (extension): the analytic-window family beyond row_number —
+    rank/dense_rank/lag/lead/ntile and a running decimal sum, all over
+    one partition spec so Catalyst evaluates them in a single Window
+    operator (one shuffle on l_orderkey).
+
+    The ordering includes qty and price as tie-breakers because this
+    testdata has duplicate (orderkey, linenumber) pairs — lag/lead/
+    ntile over a non-total order are engine-dependent. Residual ties
+    are identical in every column the functions read, so the output is
+    deterministic."""
+    order = [
+        F.col("l_linenumber"),
+        F.col("l_quantity").cast("double"),
+        F.col("l_extendedprice").cast("double"),
+    ]
+    w = Window.partitionBy("l_orderkey").orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.lag(F.col("l_quantity").cast("double"), 1).over(w).alias("prev_qty"),
+        F.lead(F.col("l_quantity").cast("double"), 1).over(w).alias("next_qty"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).over(run).cast("double").alias("running_price"),
+    )
+
+
 def j9_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 (extension): LEFT join under a pathologically hot key, salted.
 
@@ -506,6 +592,50 @@ _DUCK_TIME_OF_DAY = (
 #: DuckDB oracle for every query above — identical aliases, identical
 #: decimal arithmetic. Views are pre-registered by the driver.
 ORACLE_SQL: dict[str, str] = {
+    "a4_rollup": """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "a5_pivot": """
+        SELECT CAST(user_id % 10 AS INTEGER) AS user_bucket,
+               CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        FROM events
+        GROUP BY 1
+    """,
+    "j11_semi_anti_join": """
+        WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        SELECT c_custkey AS customer_id, TRUE AS has_urgent
+        FROM customer WHERE EXISTS (SELECT 1 FROM urgent WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT c_custkey AS customer_id, FALSE AS has_urgent
+        FROM customer WHERE NOT EXISTS (SELECT 1 FROM urgent WHERE o_custkey = c_custkey)
+    """,
+    "w3_window_suite": """
+        SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+               CAST(rank() OVER w AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+               lag(CAST(l_quantity AS DOUBLE), 1) OVER w AS prev_qty,
+               lead(CAST(l_quantity AS DOUBLE), 1) OVER w AS next_qty,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, CAST(l_quantity AS DOUBLE),
+                            CAST(l_extendedprice AS DOUBLE)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_price
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, CAST(l_quantity AS DOUBLE),
+                              CAST(l_extendedprice AS DOUBLE))
+    """,
     # the co-located bucketed join's result set must equal the plain join
     "j10_bucketed_join": """
         SELECT o_orderkey AS order_key, c_name AS customer_name,
@@ -761,4 +891,8 @@ QUERIES: dict[str, QueryFn] = {
     "w2_load_order_id": w2_load_order_id,
     "j9_salted_skew_join": j9_salted_skew_join,
     "j10_bucketed_join": j10_bucketed_join,
+    "a4_rollup": a4_rollup,
+    "a5_pivot": a5_pivot,
+    "j11_semi_anti_join": j11_semi_anti_join,
+    "w3_window_suite": w3_window_suite,
 }
