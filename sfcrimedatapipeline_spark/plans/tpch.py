@@ -422,6 +422,74 @@ def w2_load_order_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_ids(orders, ["order_key"], "id")
 
 
+def s8_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 (extension): INTERSECT / EXCEPT / UNION — the relational set
+    operators (distinct semantics, matching SQL's defaults)."""
+    building = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("customer_id"))
+    )
+    urgent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("customer_id"))
+    )
+    both = building.intersect(urgent).select("*", F.lit("both").alias("src"))
+    # subtract == SQL EXCEPT (distinct semantics); exceptAll would keep
+    # surviving duplicates of a partially-matched key
+    only_seg = building.subtract(urgent).select(
+        "*", F.lit("building_only").alias("src")
+    )
+    return both.unionAll(only_seg)
+
+
+def j12_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 (extension): null-safe equality join (``<=>`` / IS NOT
+    DISTINCT FROM) — the opposite NULL contract from the fact build's
+    plain ``=`` (J5): NULL keys DO match each other here."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.nullif(F.col("l_returnflag"), F.lit("R")).alias("rf"),
+    )
+    dim = (
+        li.select("rf")
+        .distinct()
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.asc_nulls_last("rf")))
+            .cast("int")
+            .alias("dim_id"),
+            F.col("rf").alias("d_rf"),
+        )
+    )
+    return (
+        li.join(F.broadcast(dim), li.rf.eqNullSafe(dim.d_rf), "left")
+        .select("order_key", "line_number", "dim_id")
+    )
+
+
+def f1_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (extension): the higher-order-function surface exercised
+    directly — transform / filter / aggregate / exists / forall over a
+    token array, mirrored by DuckDB's list_* family."""
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    toks = tokens(F.col("text"))
+    lens = F.transform(toks, lambda t: F.length(t))
+    longs = F.filter(toks, lambda t: F.length(t) > 3)
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(longs).cast("int").alias("n_long_tokens"),
+        F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "total_chars"
+        ),
+        F.exists(toks, lambda t: t == F.lit("the")).alias("has_the"),
+        F.forall(toks, lambda t: F.length(t) < 50).alias("all_short"),
+    )
+
+
 def a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 (extension): ROLLUP with subtotal rows + grouping_id — the
     multi-level aggregation surface (Catalyst expands to one Expand +
@@ -592,6 +660,48 @@ _DUCK_TIME_OF_DAY = (
 #: DuckDB oracle for every query above — identical aliases, identical
 #: decimal arithmetic. Views are pre-registered by the driver.
 ORACLE_SQL: dict[str, str] = {
+    "f1_hof_suite": """
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(t, x -> len(x) > 3)) AS INTEGER) AS n_long_tokens,
+               CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS total_chars,
+               len(list_filter(t, x -> x = 'the')) > 0 AS has_the,
+               len(list_filter(t, x -> NOT (len(x) < 50))) = 0 AS all_short
+        FROM tok
+    """,
+    "s8_set_ops": """
+        WITH building AS (
+            SELECT c_custkey AS customer_id FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        ),
+        urgent AS (
+            SELECT o_custkey AS customer_id FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT customer_id, 'both' AS src
+        FROM (SELECT customer_id FROM building INTERSECT SELECT customer_id FROM urgent) t
+        UNION ALL
+        SELECT customer_id, 'building_only' AS src
+        FROM (SELECT customer_id FROM building EXCEPT SELECT customer_id FROM urgent) t
+    """,
+    "j12_nullsafe_join": """
+        WITH li AS (
+            SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+                   nullif(l_returnflag, 'R') AS rf
+            FROM lineitem
+        ),
+        dim AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY rf ASC NULLS LAST) AS INTEGER) AS dim_id,
+                   rf AS d_rf
+            FROM (SELECT DISTINCT rf FROM li) t
+        )
+        SELECT order_key, line_number, dim_id
+        FROM li LEFT JOIN dim ON li.rf IS NOT DISTINCT FROM dim.d_rf
+    """,
     "a4_rollup": """
         SELECT o_orderstatus AS status, o_orderpriority AS priority,
                count(*) AS n_orders,
@@ -892,6 +1002,9 @@ QUERIES: dict[str, QueryFn] = {
     "j9_salted_skew_join": j9_salted_skew_join,
     "j10_bucketed_join": j10_bucketed_join,
     "a4_rollup": a4_rollup,
+    "s8_set_ops": s8_set_ops,
+    "j12_nullsafe_join": j12_nullsafe_join,
+    "f1_hof_suite": f1_hof_suite,
     "a5_pivot": a5_pivot,
     "j11_semi_anti_join": j11_semi_anti_join,
     "w3_window_suite": w3_window_suite,
