@@ -1,0 +1,61 @@
+"""Semantics tests for the SQL-surface extensions (set ops, null-safe
+join, exact quantiles) on adversarial mini-fixtures the driver testdata
+doesn't contain (duplicate keys, NULL keys, fractional interpolation).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_except_distinct_semantics_with_duplicates(spark):
+    # a key that appears TWICE on the left and once on the right must
+    # vanish entirely under EXCEPT — exceptAll would keep one copy
+    left = spark.createDataFrame([(1,), (1,), (2,)], "customer_id long")
+    right = spark.createDataFrame([(1,)], "customer_id long")
+    assert {r.customer_id for r in left.subtract(right).collect()} == {2}
+    # and the buggy construction really does differ (regression guard
+    # for why s8_set_ops uses subtract)
+    assert {r.customer_id for r in left.exceptAll(right).collect()} == {1, 2}
+
+
+def test_nullsafe_join_matches_null_keys(spark):
+    left = spark.createDataFrame([(1, "a"), (2, None)], "id long, k string")
+    dim = spark.createDataFrame([("a", 10), (None, 99)], "k string, v int")
+    plain = left.join(dim, left.k == dim.k, "left").select("id", "v").collect()
+    safe = left.join(dim, left.k.eqNullSafe(dim.k), "left").select("id", "v").collect()
+    assert {(r.id, r.v) for r in plain} == {(1, 10), (2, None)}
+    assert {(r.id, r.v) for r in safe} == {(1, 10), (2, 99)}
+
+
+def test_exact_quantiles_interpolation(spark):
+    from sfcrimedatapipeline_spark.operators.profile import exact_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in (50, 10, 30, 20, 40)], "x double")
+    out = {
+        r.prob: r.value
+        for r in exact_quantiles(df, "x", [0.0, 0.1, 0.25, 0.5, 1.0]).collect()
+    }
+    # sorted values [10,20,30,40,50]; h = p*(n-1)
+    assert out[0.0] == 10.0
+    assert out[0.1] == pytest.approx(10 + (20 - 10) * 0.4, abs=0)  # h=0.4
+    assert out[0.25] == 20.0  # h=1.0 exactly
+    assert out[0.5] == 30.0
+    assert out[1.0] == 50.0
+
+
+def test_rollup_levels_and_grouping_id(spark):
+    df = spark.createDataFrame(
+        [("A", "x", 1), ("A", "y", 2), ("B", "x", 3)], "s string, p string, v long"
+    )
+    rows = (
+        df.rollup("s", "p")
+        .agg(F.sum("v").alias("t"), F.grouping_id().cast("int").alias("gid"))
+        .collect()
+    )
+    by_key = {(r.s, r.p, r.gid): r.t for r in rows}
+    assert by_key[("A", "x", 0)] == 1
+    assert by_key[("A", None, 1)] == 3  # subtotal over A
+    assert by_key[(None, None, 3)] == 6  # grand total
+    assert len(rows) == 3 + 2 + 1  # leaves + per-s subtotals + total
