@@ -422,6 +422,71 @@ def w2_load_order_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_ids(orders, ["order_key"], "id")
 
 
+def p6_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (extension): schema-applied JSON parsing (from_json → struct
+    access), the typed counterpart of get_json_object string probing."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = read_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), StructType([StructField("k", IntegerType())]))
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        F.to_json(F.struct(F.col("event_type").alias("t"))).alias("rejson"),
+    )
+
+
+def p7_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 (extension): the calendar-arithmetic surface — date_add,
+    datediff, month truncation, last_day, day-of-week, quarter."""
+    d = F.to_date("o_orderdate")
+    return read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(d, F.lit("2020-01-01").cast("date")).cast("int").alias("days_since_2020"),
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.quarter(d).cast("int").alias("qtr"),
+    )
+
+
+def p8_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 (extension): the string-function surface — case, slicing,
+    padding, splitting, position, and edit distance (levenshtein: both
+    engines implement the unit-cost DP)."""
+    name = F.col("c_name")
+    return read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.upper(name).alias("upper_name"),
+        F.substring(name, 1, 8).alias("prefix8"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_id"),
+        F.length(name).cast("int").alias("name_len"),
+        F.element_at(F.split(name, "#"), 2).alias("suffix"),
+        F.instr(name, "#").cast("int").alias("hash_pos"),
+        F.levenshtein(F.substring(name, 1, 10), F.lit("Customer#0")).cast("int").alias(
+            "edit_dist"
+        ),
+    )
+
+
+def f2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (extension): UNPIVOT/melt — wide numeric columns to tall
+    (col_name, value) rows, the inverse of a5_pivot."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.col("o_custkey").cast("double").alias("cust_key"),
+    )
+    return o.unpivot(
+        ids=["order_key"],
+        values=["total_price", "cust_key"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 def s8_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 (extension): INTERSECT / EXCEPT / UNION — the relational set
     operators (distinct semantics, matching SQL's defaults)."""
@@ -660,6 +725,42 @@ _DUCK_TIME_OF_DAY = (
 #: DuckDB oracle for every query above — identical aliases, identical
 #: decimal arithmetic. Views are pre-registered by the driver.
 ORACLE_SQL: dict[str, str] = {
+    "p6_from_json": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               '{"t":"' || event_type || '"}' AS rejson
+        FROM events
+    """,
+    "p7_date_functions": """
+        SELECT o_orderkey AS order_key,
+               CAST(o_orderdate AS DATE) AS order_date,
+               CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+               CAST(date_diff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_2020,
+               CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+               CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr
+        FROM orders
+    """,
+    "p8_string_functions": """
+        SELECT c_custkey AS customer_id,
+               upper(c_name) AS upper_name,
+               substring(c_name, 1, 8) AS prefix8,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_id,
+               CAST(length(c_name) AS INTEGER) AS name_len,
+               split_part(c_name, '#', 2) AS suffix,
+               CAST(instr(c_name, '#') AS INTEGER) AS hash_pos,
+               CAST(levenshtein(substring(c_name, 1, 10), 'Customer#0') AS INTEGER) AS edit_dist
+        FROM customer
+    """,
+    "f2_unpivot": """
+        SELECT o_orderkey AS order_key, 'total_price' AS metric,
+               CAST(o_totalprice AS DOUBLE) AS value
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'cust_key', CAST(o_custkey AS DOUBLE)
+        FROM orders
+    """,
     "f1_hof_suite": """
         WITH tok AS (
             SELECT doc_id,
@@ -1003,6 +1104,10 @@ QUERIES: dict[str, QueryFn] = {
     "j10_bucketed_join": j10_bucketed_join,
     "a4_rollup": a4_rollup,
     "s8_set_ops": s8_set_ops,
+    "p6_from_json": p6_from_json,
+    "p7_date_functions": p7_date_functions,
+    "p8_string_functions": p8_string_functions,
+    "f2_unpivot": f2_unpivot,
     "j12_nullsafe_join": j12_nullsafe_join,
     "f1_hof_suite": f1_hof_suite,
     "a5_pivot": a5_pivot,
