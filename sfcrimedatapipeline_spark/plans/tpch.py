@@ -487,6 +487,90 @@ def f2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s9_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (extension): global ORDER BY + LIMIT top-N.
+
+    The sort key (price DESC, key ASC) is a total order, so the selected
+    set is deterministic. Spark plans this as TakeOrderedAndProject —
+    per-partition top-N then a driver-side merge of N·partitions rows,
+    never a global sort shuffle (asserted in test_plan_quality)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("order_key").asc())
+        .limit(25)
+    )
+
+
+def f3_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (extension): posexplode / LATERAL VIEW — one row per array
+    element with its position (the UNNEST WITH ORDINALITY shape).
+
+    Positions are emitted 0-based (Spark's convention); the oracle
+    subtracts 1 from generate_subscripts' 1-based index. Both engines
+    keep empty tokens from consecutive delimiters."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode("toks").alias("pos", "token"),
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+
+
+def a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (extension): CUBE multi-dimensional aggregation — all 4
+    grouping combinations of (priority, status) plus a grouping_id
+    disambiguating real NULLs from subtotal rows.
+
+    Spark's grouping_id() bit order (first grouping col = high bit)
+    is reproduced in the oracle as grouping(a)*2 + grouping(b)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.cube(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_price"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+def w4_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (extension): RANGE-framed window — trailing 1-hour event count
+    and max value per user, frame bounded by event-time distance (not
+    row count).
+
+    The frame key is epoch seconds (timestamp truncated to long) so the
+    frame bound is engine-portable; aggregates are count/max only —
+    order-independent, so the hash is stable. One shuffle on user_id."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("epoch_s"),
+        F.col("value").cast("double").alias("value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        F.count("*").over(w).alias("n_1h"),
+        F.max("value").over(w).alias("max_1h"),
+    )
+
+
 def s8_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 (extension): INTERSECT / EXCEPT / UNION — the relational set
     operators (distinct semantics, matching SQL's defaults)."""
@@ -760,6 +844,41 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT o_orderkey, 'cust_key', CAST(o_custkey AS DOUBLE)
         FROM orders
+    """,
+    "s9_topn": """
+        SELECT o_orderkey AS order_key,
+               CAST(o_totalprice AS DOUBLE) AS total_price,
+               o_orderpriority AS priority
+        FROM orders
+        ORDER BY total_price DESC, order_key ASC
+        LIMIT 25
+    """,
+    "f3_explode_pos": """
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    """,
+    "a6_cube": """
+        SELECT o_orderpriority AS priority,
+               o_orderstatus AS status,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INTEGER) AS gid
+        FROM orders
+        GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    "w4_range_window": """
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+               count(*) OVER w AS n_1h,
+               max(CAST(value AS DOUBLE)) OVER w AS max_1h
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+        )
     """,
     "f1_hof_suite": """
         WITH tok AS (
@@ -1104,6 +1223,10 @@ QUERIES: dict[str, QueryFn] = {
     "j10_bucketed_join": j10_bucketed_join,
     "a4_rollup": a4_rollup,
     "s8_set_ops": s8_set_ops,
+    "s9_topn": s9_topn,
+    "f3_explode_pos": f3_explode_pos,
+    "a6_cube": a6_cube,
+    "w4_range_window": w4_range_window,
     "p6_from_json": p6_from_json,
     "p7_date_functions": p7_date_functions,
     "p8_string_functions": p8_string_functions,

@@ -147,3 +147,24 @@ def test_bucketed_join_has_no_exchange(spark):
     plan = _plan(df)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, "bucketing failed to co-locate the join"
+
+
+def test_topn_avoids_global_sort_shuffle(spark):
+    # S9: ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    # partition top-N merged on the driver), never a full-sort Exchange.
+    from sfcrimedatapipeline_spark.plans import tpch
+
+    plan = _plan(tpch.QUERIES["s9_topn"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_range_window_single_user_shuffle(spark):
+    # W4: one hashpartitioning exchange on user_id feeds the RANGE
+    # window; no second shuffle, nothing Python-side.
+    from sfcrimedatapipeline_spark.plans import tpch
+
+    plan = _plan(tpch.QUERIES["w4_range_window"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]  # the indented operator tree, not the details
+    assert tree.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
