@@ -1,0 +1,128 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+range (interval) join, both expressed as shuffle-bounded compositions
+of DataFrame ops — never an inequality join, which Spark can only plan
+as BroadcastNestedLoop (quadratic at scale).
+
+Reference provenance: the reference pipeline (dags/ELT.py) has no
+temporal joins — these are north-star extension operators for the
+training-data use case (aligning events to the latest snapshot /
+counting activity inside promo windows).
+
+Scale notes
+-----------
+``asof_join`` uses the union-merge formulation: tag both inputs, union
+them, and take ``last(right_value, ignorenulls=True)`` over a window
+partitioned by the join key and ordered by event time. Cost is ONE
+shuffle of (left + right) on the key — the same shuffle a plain
+equi-join would pay — and the merge scans each key's timeline once.
+This is the standard large-scale formulation (Flink's temporal join and
+kdb's aj are the same shape).
+
+``binned_range_join`` buckets time into fixed-width bins: each interval
+explodes to the bins it spans, each point belongs to exactly ONE bin,
+and the pair space collapses to an equi-join on bin followed by a
+residual ``lo <= ts < hi`` filter. Output pairs are produced exactly
+once (the point's single bin), so no dedup pass is needed. Shuffle is
+proportional to rows × (interval span / bin width) — pick the bin width
+near the median interval span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: microseconds per second, for epoch arithmetic
+US = 1_000_000
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach ``value_cols``
+    from the latest right row with ``right.ts <= left.ts`` and the same
+    ``on`` key (DuckDB ``ASOF LEFT JOIN`` / pandas ``merge_asof``
+    semantics — a ts-equal right row DOES match). Unmatched left rows
+    keep NULL value columns, like a LEFT join.
+
+    Both inputs must share the ``on`` and ``ts`` column names;
+    ``value_cols`` exist only on the right. ``tiebreak`` (a right
+    column) makes the winner deterministic when several right rows
+    carry the same (key, ts) — the LARGEST tiebreak wins ("last write
+    wins").
+    """
+    null = F.lit(None)
+    l_tagged = left.withColumn("_side", F.lit(1))
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(f"_r_{c}", null.cast(right.schema[c].dataType))
+
+    r_tagged = right.select(
+        on,
+        ts,
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    # align schemas: left columns the right side lacks become nulls
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, null.cast(l_tagged.schema[c].dataType))
+    r_tagged = r_tagged.select(*l_tagged.columns)
+
+    # Sort: time, then right-before-left at equal ts (so ts-equal right
+    # rows ARE visible to the left row — the >= contract), then the
+    # tiebreak so duplicate (key, ts) right rows resolve greatest-last.
+    order = [F.col(ts).asc(), F.col("_side").asc()]
+    if tiebreak is not None:
+        order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    for c in value_cols:
+        merged = merged.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    out = merged.filter(F.col("_side") == 1).drop("_side")
+    for c in value_cols:
+        out = out.withColumnRenamed(f"_r_{c}", c)
+    return out
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    lo: str,
+    hi: str,
+    bin_width_s: int,
+) -> DataFrame:
+    """Join every point row to every interval row with
+    ``lo <= ts < hi`` (half-open), as an equi-join on time bins.
+
+    ``ts``/``lo``/``hi`` are epoch-MICROSECOND long columns (use
+    ``F.unix_micros`` upstream). Intervals explode to each bin they
+    overlap; points carry their single bin; the residual filter removes
+    same-bin non-overlaps. Each qualifying pair appears exactly once.
+
+    Bin ids use integer ``div`` (never float division — an epoch-micros
+    quotient near a bin boundary could round across it in a double).
+    """
+    binus = bin_width_s * US
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            # every bin with some instant in [lo, hi)
+            F.sequence(F.expr(f"{lo} div {binus}"), F.expr(f"({hi} - 1) div {binus}"))
+        ),
+    )
+    pt = points.withColumn("_bin", F.expr(f"{ts} div {binus}"))
+    return (
+        pt.join(iv, on="_bin", how="inner")
+        .filter((F.col(ts) >= F.col(lo)) & (F.col(ts) < F.col(hi)))
+        .drop("_bin")
+    )

@@ -116,6 +116,71 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 (extension): backward as-of join — every click gets the
+    latest prior-or-simultaneous purchase by the same user, via the
+    union-merge operator (one shuffle; see operators/temporal.py).
+
+    Oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    implementation of the same contract, so the hash gate proves the
+    window formulation IS as-of semantics."""
+    from sfcrimedatapipeline_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").cast("double").alias("purchase_value"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts="ts",
+        value_cols=["purchase_id", "purchase_value", "purchase_ts_us"],
+        tiebreak="purchase_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_id",
+        "purchase_value",
+        (F.unix_micros("ts") - F.col("purchase_ts_us")).alias("micros_since"),
+    )
+
+
+def j14_range_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 (extension): range (interval) join — count the events and
+    distinct users inside every [purchase, purchase + 30 min) window of
+    a high-value purchase, via the binned equi-join operator (each
+    event joins only its own time bin — never a nested-loop inequality
+    join; see operators/temporal.py)."""
+    from sfcrimedatapipeline_spark.operators.temporal import US, binned_range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    points = ev.select("user_id", F.unix_micros("ts").alias("ts_us"))
+    windows = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100.0)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        F.unix_micros("ts").alias("lo_us"),
+        (F.unix_micros("ts") + F.lit(1800 * US)).alias("hi_us"),
+    )
+    joined = binned_range_join(
+        points, windows, ts="ts_us", lo="lo_us", hi="hi_us", bin_width_s=1800
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def build_oracle_sql() -> dict[str, str]:
     gap_us = GAP_MINUTES * 60 * 1_000_000
     hourly = """
@@ -138,6 +203,41 @@ def build_oracle_sql() -> dict[str, str]:
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events
+            GROUP BY 1
+        """,
+        "j13_asof_join": """
+            WITH c AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       event_id AS purchase_id,
+                       CAST(value AS DOUBLE) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   p.purchase_id, p.purchase_value,
+                   date_diff('microsecond', p.ts, c.ts) AS micros_since
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "j14_range_window_count": """
+            WITH p AS (
+                SELECT event_id AS window_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS lo_us,
+                       epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS hi_us
+                FROM events
+                WHERE event_type = 'purchase' AND CAST(value AS DOUBLE) > 100.0
+            ),
+            e AS (
+                SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                FROM events
+            )
+            SELECT p.window_id,
+                   count(*) AS n_events,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM p JOIN e ON e.ts_us >= p.lo_us AND e.ts_us < p.hi_us
             GROUP BY 1
         """,
         "events_sessionize": f"""
@@ -172,6 +272,8 @@ QUERIES = {
     # genuine streaming execution, gated by the same oracle (see docstring)
     "events_hourly_agg_stream": events_hourly_agg_stream,
     "events_json_extract": events_json_extract,
+    "j13_asof_join": j13_asof_join,
+    "j14_range_window_count": j14_range_window_count,
     "events_sessionize": events_sessionize,
     # rows-only: no oracle_sql entry by design (see docstring)
     "events_sessionize_stream": events_sessionize_stream,
