@@ -1,0 +1,70 @@
+"""Upsert (MERGE) and slowly-changing-dimension operators.
+
+The reference rebuilds every warehouse table from scratch each run
+(dags/ELT.py:102-110 — full refresh inside one transaction); these
+operators are the incremental-maintenance counterparts a 100 TB
+deployment needs, where a full rebuild is not an option.
+
+Scale notes
+-----------
+``merge_upsert`` is anti-join + union, NOT a full-outer join with
+per-column coalesce: the typical delta is orders of magnitude smaller
+than the base, so the anti-join broadcasts the delta's keys and the
+base table is never shuffled at all — the merge costs one scan of the
+base plus a broadcast. (A full-outer join would shuffle the entire
+base on the key.)
+
+``scd2_from_changelog`` is one window over the key: valid_to is the
+next change's timestamp (half-open intervals), so the whole history
+derives from a single shuffle of the changelog — no self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """MERGE semantics: rows of ``updates`` replace base rows with the
+    same key ("WHEN MATCHED THEN UPDATE" — whole-row), unmatched update
+    rows are inserted ("WHEN NOT MATCHED THEN INSERT"), all other base
+    rows survive unchanged. Both frames must share one schema.
+
+    ``broadcast_updates`` (default) hints the delta's key set for the
+    anti-join — correct whenever the delta fits an executor, which is
+    the normal incremental-load case.
+    """
+    delta_keys = updates.select(*keys).distinct()
+    if broadcast_updates:
+        delta_keys = F.broadcast(delta_keys)
+    surviving = base.join(delta_keys, on=keys, how="left_anti")
+    return surviving.unionByName(updates)
+
+
+def scd2_from_changelog(
+    changelog: DataFrame,
+    key: str,
+    change_ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Type-2 SCD history from a change log: one output row per change,
+    with half-open validity ``[valid_from, valid_to)``, ``valid_to``
+    NULL on the current version, a 1-based ``version`` counter, and
+    ``is_current``.
+
+    ``tiebreak`` orders simultaneous changes of one key (later tiebreak
+    = later version), making the history deterministic.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(change_ts).asc(), F.col(tiebreak).asc())
+    return (
+        changelog.withColumn("valid_from", F.col(change_ts))
+        .withColumn("valid_to", F.lead(change_ts).over(w))
+        .withColumn("version", F.row_number().over(w).cast("int"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

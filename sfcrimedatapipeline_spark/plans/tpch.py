@@ -571,6 +571,64 @@ def w4_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared projection for the MERGE/SCD queries."""
+    return read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+
+
+def m1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 (extension): MERGE / upsert — a pre-1997 base snapshot takes a
+    delta of whole-row updates (every 10th key re-priced) plus inserts
+    (fresh keys shifted out of the base key space). The operator is
+    broadcast-anti-join + union, so the base is scanned once and never
+    shuffled (see operators/merge.py); the oracle spells out the same
+    MERGE semantics as ANTI JOIN + UNION ALL."""
+    from sfcrimedatapipeline_spark.operators.merge import merge_upsert
+
+    o = _orders_snapshot(spark, sf_dir)
+    base = o.filter(F.col("order_date") < F.lit("1997-01-01").cast("date"))
+    changed = base.filter(F.col("order_key") % 10 == 0).select(
+        "order_key",
+        F.lit("U").alias("status"),
+        (F.col("total_price") * F.lit(1.1)).alias("total_price"),
+        "order_date",
+    )
+    fresh = (
+        o.filter(F.col("order_date") >= F.lit("1997-01-01").cast("date"))
+        .filter(F.col("order_key") % 97 == 0)
+        .select(
+            (F.col("order_key") + F.lit(100000000)).alias("order_key"),
+            "status",
+            "total_price",
+            "order_date",
+        )
+    )
+    return merge_upsert(base, changed.unionByName(fresh), keys=["order_key"])
+
+
+def m2_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 (extension): SCD Type-2 history from a change log — orders as
+    per-customer status changes, one window pass deriving half-open
+    [valid_from, valid_to) validity, a version counter, and the
+    is_current flag (see operators/merge.py)."""
+    from sfcrimedatapipeline_spark.operators.merge import scd2_from_changelog
+
+    log = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_id"),
+        F.to_date("o_orderdate").alias("change_date"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderkey").alias("order_key"),
+    )
+    return scd2_from_changelog(
+        log, key="customer_id", change_ts="change_date", tiebreak="order_key"
+    )
+
+
 def s8_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 (extension): INTERSECT / EXCEPT / UNION — the relational set
     operators (distinct semantics, matching SQL's defaults)."""
@@ -844,6 +902,44 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT o_orderkey, 'cust_key', CAST(o_custkey AS DOUBLE)
         FROM orders
+    """,
+    "m1_merge_upsert": """
+        WITH o AS (
+            SELECT o_orderkey AS order_key, o_orderstatus AS status,
+                   CAST(o_totalprice AS DOUBLE) AS total_price,
+                   CAST(o_orderdate AS DATE) AS order_date
+            FROM orders
+        ),
+        base AS (SELECT * FROM o WHERE order_date < DATE '1997-01-01'),
+        changed AS (
+            SELECT order_key, 'U' AS status,
+                   total_price * CAST(1.1 AS DOUBLE) AS total_price, order_date
+            FROM base WHERE order_key % 10 = 0
+        ),
+        fresh AS (
+            SELECT order_key + 100000000 AS order_key, status, total_price, order_date
+            FROM o WHERE order_date >= DATE '1997-01-01' AND order_key % 97 = 0
+        ),
+        upd AS (SELECT * FROM changed UNION ALL SELECT * FROM fresh)
+        SELECT b.* FROM base b ANTI JOIN upd u ON b.order_key = u.order_key
+        UNION ALL
+        SELECT * FROM upd
+    """,
+    "m2_scd2_history": """
+        WITH log AS (
+            SELECT o_custkey AS customer_id,
+                   CAST(o_orderdate AS DATE) AS change_date,
+                   o_orderstatus AS status,
+                   o_orderkey AS order_key
+            FROM orders
+        )
+        SELECT customer_id, change_date, status, order_key,
+               change_date AS valid_from,
+               lead(change_date) OVER w AS valid_to,
+               CAST(row_number() OVER w AS INTEGER) AS version,
+               (lead(change_date) OVER w IS NULL) AS is_current
+        FROM log
+        WINDOW w AS (PARTITION BY customer_id ORDER BY change_date ASC, order_key ASC)
     """,
     "s9_topn": """
         SELECT o_orderkey AS order_key,
@@ -1223,6 +1319,8 @@ QUERIES: dict[str, QueryFn] = {
     "j10_bucketed_join": j10_bucketed_join,
     "a4_rollup": a4_rollup,
     "s8_set_ops": s8_set_ops,
+    "m1_merge_upsert": m1_merge_upsert,
+    "m2_scd2_history": m2_scd2_history,
     "s9_topn": s9_topn,
     "f3_explode_pos": f3_explode_pos,
     "a6_cube": a6_cube,

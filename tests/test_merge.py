@@ -1,0 +1,66 @@
+"""MERGE-upsert and SCD2 semantics on small deterministic fixtures,
+plus the plan contract (delta broadcasts; base never shuffles)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from sfcrimedatapipeline_spark.operators.merge import merge_upsert, scd2_from_changelog
+
+
+def test_merge_update_insert_and_untouched(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {
+        1: ("a", 10.0),  # untouched
+        2: ("B", 99.0),  # whole-row update wins
+        3: ("c", 30.0),  # untouched
+        4: ("d", 40.0),  # inserted
+    }
+
+
+def test_merge_duplicate_delta_keys_do_not_multiply_base(spark):
+    # two delta rows for one key: the base row is removed once, both
+    # delta rows land (caller-resolved dedup, SQL MERGE would reject) —
+    # the distinct() on delta keys is what protects the anti-join.
+    base = spark.createDataFrame([(1, "a")], "k long, s string")
+    updates = spark.createDataFrame([(1, "x"), (1, "y")], "k long, s string")
+    out = merge_upsert(base, updates, ["k"]).collect()
+    assert sorted(r["s"] for r in out) == ["x", "y"]
+
+
+def test_merge_broadcasts_delta_keys(spark):
+    base = spark.createDataFrame([(1, "a")], "k long, s string")
+    updates = spark.createDataFrame([(2, "b")], "k long, s string")
+    df = merge_upsert(base, updates, ["k"])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan  # the base side must not shuffle
+
+
+def test_scd2_versions_chain_and_tiebreak(spark):
+    d = dt.date
+    log = spark.createDataFrame(
+        [
+            (1, d(2020, 1, 1), "new", 100),
+            (1, d(2020, 3, 1), "gold", 101),
+            # simultaneous changes: higher tiebreak becomes the later version
+            (2, d(2021, 1, 1), "first", 200),
+            (2, d(2021, 1, 1), "second", 201),
+        ],
+        "k long, ts date, status string, seq long",
+    )
+    hist = scd2_from_changelog(log, key="k", change_ts="ts", tiebreak="seq")
+    rows = {(r["k"], r["version"]): r for r in hist.collect()}
+    assert rows[(1, 1)]["valid_to"] == d(2020, 3, 1) and not rows[(1, 1)]["is_current"]
+    assert rows[(1, 2)]["valid_to"] is None and rows[(1, 2)]["is_current"]
+    # zero-duration version from the simultaneous change, deterministic order
+    assert rows[(2, 1)]["status"] == "first" and rows[(2, 1)]["valid_to"] == d(2021, 1, 1)
+    assert rows[(2, 2)]["status"] == "second" and rows[(2, 2)]["is_current"]
