@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         llmops,
         media,
         tpch,
+        udx_queries,
     )
 
     return {
@@ -44,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **media.QUERIES,
         **fact_queries.QUERIES,
         **corpus_queries.QUERIES,
+        **udx_queries.QUERIES,
     }
 
 
@@ -56,6 +58,7 @@ def oracle_sql() -> dict[str, str]:
         llmops,
         media,
         tpch,
+        udx_queries,
     )
 
     return {
@@ -65,4 +68,5 @@ def oracle_sql() -> dict[str, str]:
         **media.ORACLE_SQL,
         **fact_queries.ORACLE_SQL,
         **corpus_queries.ORACLE_SQL,
+        **udx_queries.ORACLE_SQL,
     }

@@ -1,0 +1,78 @@
+"""User-defined execution surfaces: a grouped-aggregate pandas UDAF and
+a Python UDTF — the two extension points a user reaches for when an
+aggregation or a row-expansion genuinely cannot be expressed with
+built-in expressions.
+
+Both are demonstrated on semantics that DO have SQL twins, precisely so
+the driver's DuckDB hash gate can prove the custom-code path computes
+the exact same result as the relational formulation.
+
+Scale notes
+-----------
+``weighted_mean_by`` is ``groupBy().applyInPandas`` — Arrow-batched,
+one shuffle on the group key, numpy int64 accumulation inside each
+group (exact, order-independent — float sums would make the hash
+depend on row order). Skew caveat from the project playbook applies:
+applyInPandas groups can't be split by AQE, so group cardinality must
+be bounded (here: grouping keys are low-cardinality flags).
+
+``SplitSentences`` is a Python UDTF (Spark 4, arrow-optimized when
+``spark.sql.execution.pythonUDTF.arrow.enabled`` is set). For plain
+delimiter splits the JVM path (``posexplode(split(...))`` — see
+tpch.f3_explode_pos) is strictly faster; the UDTF exists for expansions
+that need imperative Python per row, and the oracle-gated query proves
+the plumbing end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import udtf
+
+#: output schema of weighted_mean_by
+_WMEAN_SCHEMA = "group_key string, n_items long, sum_qty long, wavg_price double"
+
+
+def weighted_mean_by(df: DataFrame, key: str, price: str, weight: str) -> DataFrame:
+    """Per-``key`` weighted mean of ``price`` weighted by ``weight``,
+    as a pandas grouped-map UDAF with exact integer-cents accumulation.
+
+    ``price`` is a 2-decimal money double; ``weight`` an integral
+    double. Accumulation is int64 cents × int64 weight — exact and
+    order-independent, so the result is bit-identical to the SQL twin
+    ``(sum(cents*w)/sum(w))/100`` regardless of partitioning.
+    """
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        # floor(x*100 + 0.5): engine-portable nearest-cent (no tie-mode
+        # dependence; the .5 boundary is unreachable from 2-dec doubles)
+        cents = np.floor(pdf[price].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        w = pdf[weight].to_numpy().astype(np.int64)
+        wsum = int((cents * w).sum())
+        sum_qty = int(w.sum())
+        return pd.DataFrame(
+            {
+                "group_key": [pdf[key].iloc[0]],
+                "n_items": [len(pdf)],
+                "sum_qty": [sum_qty],
+                "wavg_price": [(wsum / sum_qty) / 100.0],
+            }
+        )
+
+    return df.select(key, price, weight).groupBy(key).applyInPandas(agg, _WMEAN_SCHEMA)
+
+
+@udtf(returnType="sent_idx int, sentence string")
+class SplitSentences:
+    """UDTF: expand one document into ``'. '``-delimited sentence rows
+    with 0-based positions (Python ``str.split`` keeps empty segments,
+    matching DuckDB's ``string_split``)."""
+
+    def eval(self, text: str):  # noqa: D102 — UDTF contract method
+        if text is None:
+            return
+        for i, s in enumerate(text.split(". ")):
+            yield i, s

@@ -1,0 +1,71 @@
+"""Driver queries for the user-defined execution surfaces (UDAF/UDTF),
+each hash-gated against a pure-SQL DuckDB twin — the gate proves the
+custom Python path reproduces the relational semantics exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfcrimedatapipeline_spark.sources.tables import read_table
+
+
+def u1_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: pandas grouped-aggregate UDAF — quantity-weighted mean
+    extended price per return flag, exact int-cents accumulation
+    (operators/udx.py:weighted_mean_by)."""
+    from sfcrimedatapipeline_spark.operators.udx import weighted_mean_by
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return weighted_mean_by(
+        li, key="l_returnflag", price="l_extendedprice", weight="l_quantity"
+    )
+
+
+def u2_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: Python UDTF in a LATERAL join — sentence expansion with
+    positions (operators/udx.py:SplitSentences), arrow-optimized.
+
+    The documents view is scoped per-session; registration is
+    idempotent so repeated driver calls are safe."""
+    from sfcrimedatapipeline_spark.operators.udx import SplitSentences
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("split_sentences", SplitSentences)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("_udx_documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM _udx_documents d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+QUERIES = {
+    "u1_udaf_weighted_mean": u1_udaf_weighted_mean,
+    "u2_udtf_sentences": u2_udtf_sentences,
+}
+
+ORACLE_SQL = {
+    "u1_udaf_weighted_mean": """
+        WITH c AS (
+            SELECT l_returnflag AS group_key,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem
+        )
+        SELECT group_key,
+               count(*) AS n_items,
+               CAST(sum(w) AS BIGINT) AS sum_qty,
+               (CAST(sum(cents * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE)) / 100.0
+                   AS wavg_price
+        FROM c GROUP BY 1
+    """,
+    "u2_udtf_sentences": """
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, '. '), 1) - 1 AS INTEGER)
+                   AS sent_idx,
+               unnest(string_split(text, '. ')) AS sentence
+        FROM documents
+    """,
+}

@@ -1,0 +1,37 @@
+"""UDAF/UDTF unit semantics: partitioning-independence of the exact
+int-cents accumulation, and UDTF null/empty handling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sfcrimedatapipeline_spark.operators.udx import SplitSentences, weighted_mean_by
+
+
+def test_weighted_mean_partitioning_independent(spark):
+    rows = [("a", 10.01, 2.0), ("a", 19.99, 3.0), ("b", 5.00, 1.0)]
+    df = spark.createDataFrame(rows, "k string, p double, w double")
+    one = {r["group_key"]: r.asDict() for r in weighted_mean_by(df, "k", "p", "w").collect()}
+    many = {
+        r["group_key"]: r.asDict()
+        for r in weighted_mean_by(df.repartition(7), "k", "p", "w").collect()
+    }
+    assert one == many
+    # exact: (1001*2 + 1999*3) / 5 / 100
+    assert one["a"]["wavg_price"] == ((1001 * 2 + 1999 * 3) / 5) / 100.0
+    assert one["a"]["sum_qty"] == 5 and one["a"]["n_items"] == 2
+
+
+def test_udtf_null_and_empty_text(spark):
+    spark.udtf.register("split_sentences_t", SplitSentences)
+    df = spark.createDataFrame(
+        [(1, "one. two"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("_udx_t")
+    out = spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence "
+        "FROM _udx_t d, LATERAL split_sentences_t(d.text) s"
+    ).collect()
+    got = sorted((r["doc_id"], r["sent_idx"], r["sentence"]) for r in out)
+    # empty text -> one empty sentence (str.split contract); NULL -> no rows
+    assert got == [(1, 0, "one"), (1, 1, "two"), (2, 0, "")]
