@@ -44,6 +44,7 @@ REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 BENCH_SKIP = {
     "events_sessionize_stream",
     "events_hourly_agg_stream",
+    "events_stream_stream_join",
     "dedup_exact_stream",
 }
 

@@ -116,6 +116,43 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream join (streaming/events.py:
+    click_purchase_within): clicks joined to same-user purchases within
+    the next hour — equi key + time-range residual, one shuffle."""
+    from sfcrimedatapipeline_spark.streaming.events import click_purchase_within
+
+    return click_purchase_within(read_table(spark, sf_dir, "events"))
+
+
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME join executed as a genuine watermarked stream-stream
+    join (two filtered streams of one file source, append mode) and
+    hash-gated against the SAME oracle as the batch twin: the stream
+    files are event-time ordered, so no row is late, and an inner join
+    with watermarks drops no on-time match — the emitted pair set must
+    equal the batch join exactly."""
+    import tempfile
+
+    from sfcrimedatapipeline_spark.streaming.events import (
+        click_purchase_within,
+        run_stream_to_memory,
+        write_time_sliced_stream_dir,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    stream_dir = write_time_sliced_stream_dir(
+        events, tempfile.mkdtemp(prefix="sfcdp_ss_join_")
+    )
+    return run_stream_to_memory(
+        spark,
+        stream_dir,
+        click_purchase_within,
+        query_name="events_stream_stream_join",
+        output_mode="append",
+    )
+
+
 def j13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J13 (extension): backward as-of join — every click gets the
     latest prior-or-simultaneous purchase by the same user, via the
@@ -181,6 +218,25 @@ def j14_range_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLICK_PURCHASE_SQL = """
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+               CAST(value AS DOUBLE) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, c.user_id, c.click_ts,
+           p.purchase_id, p.purchase_ts, p.purchase_value
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts < c.click_ts + INTERVAL 60 MINUTE
+"""
+
+
 def build_oracle_sql() -> dict[str, str]:
     gap_us = GAP_MINUTES * 60 * 1_000_000
     hourly = """
@@ -205,6 +261,11 @@ def build_oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
+        "events_click_purchase_join": _CLICK_PURCHASE_SQL,
+        # the streaming execution must emit the identical pair set
+        # (event-time-ordered files → no late rows; inner join → no
+        # watermark-dropped matches)
+        "events_stream_stream_join": _CLICK_PURCHASE_SQL,
         "j13_asof_join": """
             WITH c AS (
                 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
@@ -272,6 +333,8 @@ QUERIES = {
     # genuine streaming execution, gated by the same oracle (see docstring)
     "events_hourly_agg_stream": events_hourly_agg_stream,
     "events_json_extract": events_json_extract,
+    "events_click_purchase_join": events_click_purchase_join,
+    "events_stream_stream_join": events_stream_stream_join,
     "j13_asof_join": j13_asof_join,
     "j14_range_window_count": j14_range_window_count,
     "events_sessionize": events_sessionize,

@@ -86,6 +86,58 @@ def hourly_event_counts(
     )
 
 
+def click_purchase_within(
+    events: DataFrame, horizon_minutes: int = 60, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream (or batch) self-join: every (click, purchase) pair
+    by the same user with the purchase inside ``[click, click+horizon)``.
+
+    One transform, both engines: on a streaming input each side gets a
+    watermark and the time-range predicate bounds the join state — a
+    click's state is evicted once the watermark passes
+    ``click_ts + horizon``, so state is O(rows inside the horizon), not
+    O(stream). Because the join is INNER with an equi user key plus a
+    time range, Spark emits a match as soon as both rows have arrived
+    and guarantees no on-time match is dropped; with event-time-ordered
+    input files (write_time_sliced_stream_dir) no row is ever late, so
+    the emitted pair SET equals the batch join exactly — which is what
+    lets the streaming execution share the batch twin's DuckDB oracle.
+
+    On the batch side the equi key makes this a plain shuffled hash/
+    sort-merge join with a residual range filter — never a nested loop.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").cast("double").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def write_time_sliced_stream_dir(
     events: DataFrame, out_dir: str, n_slices: int = 4, order_by=None
 ) -> str:
