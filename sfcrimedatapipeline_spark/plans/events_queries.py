@@ -116,6 +116,47 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 (extension): JSONL sink + source round trip under the hash
+    gate — events written as JSON lines, read back with an explicit
+    schema (FAILFAST), then aggregated; the oracle computes the same
+    aggregate straight from the parquet, so any corruption in the
+    round trip (double precision, escaping, nulls) breaks the hash."""
+    import tempfile
+
+    from sfcrimedatapipeline_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="sfcdp_jsonl_")
+    write_jsonl(ev, path)
+    back = read_jsonl(
+        spark, path, "event_id long, user_id long, event_type string, value double"
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def a7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (extension): HyperLogLog++ approximate distinct count.
+
+    Deliberately has NO oracle_sql entry: Spark's HLL++ and DuckDB's
+    HLL use different sketches, so values legitimately differ — the
+    driver records the weaker rows-only check, and
+    tests/test_sources.py pins the ±5% accuracy contract against the
+    exact count."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def events_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-stream join (streaming/events.py:
     click_purchase_within): clicks joined to same-user purchases within
@@ -261,6 +302,15 @@ def build_oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
+        "src_jsonl_roundtrip": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   min(event_id) AS min_id,
+                   max(event_id) AS max_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1
+        """,
         "events_click_purchase_join": _CLICK_PURCHASE_SQL,
         # the streaming execution must emit the identical pair set
         # (event-time-ordered files → no late rows; inner join → no
@@ -333,6 +383,9 @@ QUERIES = {
     # genuine streaming execution, gated by the same oracle (see docstring)
     "events_hourly_agg_stream": events_hourly_agg_stream,
     "events_json_extract": events_json_extract,
+    "src_jsonl_roundtrip": src_jsonl_roundtrip,
+    # rows-only: approximate sketch values differ across engines by design
+    "a7_approx_distinct": a7_approx_distinct,
     "events_click_purchase_join": events_click_purchase_join,
     "events_stream_stream_join": events_stream_stream_join,
     "j13_asof_join": j13_asof_join,

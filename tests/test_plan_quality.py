@@ -168,3 +168,19 @@ def test_range_window_single_user_shuffle(spark):
     tree = plan.split("\n\n")[0]  # the indented operator tree, not the details
     assert tree.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    # S4's partitionBy must yield partition PRUNING on a filtered read:
+    # the event_type predicate becomes a PartitionFilter (directory
+    # skip), not a data filter over every file.
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.sources.tables import read_table, write_table
+
+    out = str(tmp_path / "ev_by_type")
+    write_table(read_table(spark, SF_DIR, "events"), out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _plan(back)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_type" in pf

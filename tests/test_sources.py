@@ -166,3 +166,25 @@ def test_pipeline_end_to_end_from_file(spark, staging_csv, tmp_path):
     exported = open(parts[0]).read().strip().splitlines()
     assert exported[0].startswith("IncidentDescription,")
     assert len(exported) == 3
+
+
+def test_approx_distinct_within_tolerance(spark):
+    # HLL++ rsd=0.02: assert the ±5% practical contract vs exact counts
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.plans.events_queries import a7_approx_distinct
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r["approx_users"] for r in a7_approx_distinct(spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in read_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.05 * n), (et, approx[et], n)
