@@ -142,6 +142,50 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 (extension): ORC sink + source round trip under the hash
+    gate (Spark's second first-class columnar format) — same contract
+    as src_jsonl_roundtrip but bucketed by user to exercise integer
+    modulo through the round trip as well."""
+    import tempfile
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="sfcdp_orc_")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).orc(path)
+    return back.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def z1_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z1 (extension): Morton z-values over (user_id, day-of-month) —
+    the clustering key behind zorder_write's data-skipping layout
+    (operators/layout.py). The oracle SQL is GENERATED from the same
+    (column, bits) constants as the Spark expression, so the gate
+    proves both formulas are the same function."""
+    from sfcrimedatapipeline_spark.operators.layout import zorder_value
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.dayofmonth("ts") - 1).cast("long").alias("day_idx"),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "day_idx",
+        zorder_value(["user_id", "day_idx"]).alias("zval"),
+    )
+
+
 def a7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 (extension): HyperLogLog++ approximate distinct count.
 
@@ -259,6 +303,23 @@ def j14_range_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle_sql() -> str:
+    """DuckDB twin of z1_zorder_values, generated from the SAME
+    (columns, bits) constants as the Spark expression."""
+    from sfcrimedatapipeline_spark.operators.layout import zorder_sql
+
+    return f"""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(day(CAST(ts AS TIMESTAMP)) - 1 AS BIGINT) AS day_idx
+            FROM events
+        )
+        SELECT event_id, user_id, day_idx,
+               {zorder_sql(["user_id", "day_idx"])} AS zval
+        FROM e
+    """
+
+
 _CLICK_PURCHASE_SQL = """
     WITH c AS (
         SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
@@ -311,6 +372,16 @@ def build_oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
+        "src_orc_roundtrip": """
+            SELECT user_id % 10 AS bucket,
+                   count(*) AS n_events,
+                   min(event_id) AS min_id,
+                   max(event_id) AS max_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1
+        """,
+        "z1_zorder_values": _zorder_oracle_sql(),
         "events_click_purchase_join": _CLICK_PURCHASE_SQL,
         # the streaming execution must emit the identical pair set
         # (event-time-ordered files → no late rows; inner join → no
@@ -384,6 +455,8 @@ QUERIES = {
     "events_hourly_agg_stream": events_hourly_agg_stream,
     "events_json_extract": events_json_extract,
     "src_jsonl_roundtrip": src_jsonl_roundtrip,
+    "src_orc_roundtrip": src_orc_roundtrip,
+    "z1_zorder_values": z1_zorder_values,
     # rows-only: approximate sketch values differ across engines by design
     "a7_approx_distinct": a7_approx_distinct,
     "events_click_purchase_join": events_click_purchase_join,

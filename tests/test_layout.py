@@ -1,0 +1,79 @@
+"""Storage-layout operators: z-value math, the data-skipping effect of
+z-order clustering on parquet footer stats, and small-file compaction."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from sfcrimedatapipeline_spark.operators.layout import (
+    compact_parquet_dir,
+    zorder_value,
+    zorder_write,
+)
+from sfcrimedatapipeline_spark.sources.tables import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_zorder_value_interleaves_bits(spark):
+    df = spark.createDataFrame([(3, 1)], "x long, y long")
+    # x bits -> even positions, y bits -> odd: x=0b11 -> 0b101, y=0b01 -> 0b010
+    assert df.select(zorder_value(["x", "y"]).alias("z")).first()["z"] == 0b111
+
+
+def _file_stats(path, col):
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def test_zorder_write_tightens_file_stats(spark, tmp_path):
+    # 64×64 uniform grid, 16 files: each file is a contiguous z-interval
+    # = a ~16×16 quadtree block, so a point predicate on EITHER axis
+    # overlaps only the ~4 files of that axis strip. A layout sorted by
+    # one column alone would leave all 16 files overlapping for the
+    # other column — that asymmetry is what z-order removes.
+    n = 64
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    n_files = 16
+    zpath = str(tmp_path / "zordered")
+    zorder_write(grid, zpath, ["x", "y"], n_files=n_files)
+
+    assert spark.read.parquet(zpath).count() == n * n  # data intact
+
+    probe = n // 2 + 1
+    for col in ("x", "y"):
+        stats = _file_stats(zpath, col)
+        assert len(stats) == n_files
+        overlapping = sum(1 for lo, hi in stats if lo <= probe <= hi)
+        assert overlapping <= n_files // 2, (col, probe, stats)
+
+
+def test_compact_parquet_dir_reduces_files_preserves_rows(spark, tmp_path):
+    ev = read_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    path = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(path)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 64
+
+    before = ev.count()
+    n = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert n == 1 and len(files) == 1
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert after.agg(F.sum("event_id")).first()[0] == ev.agg(F.sum("event_id")).first()[0]
