@@ -487,6 +487,59 @@ def f2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a8_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (extension): array aggregation made deterministic —
+    collect_set is partition-order-nondeterministic, so the contract is
+    sort-then-join: per customer, the ordered distinct set of order
+    priorities as one string. (The raw collect_list/array output would
+    also bridge to pandas as numpy arrays vs Python lists — stringified
+    output keeps the hash comparable.)"""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def s12_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 (extension): statistical aggregates (mean/variance/stddev/
+    covariance/correlation) computed scale-correctly: the built-in
+    stddev/corr merge partial states in partition order, so their low
+    bits are nondeterministic on a cluster — here the moments are
+    accumulated EXACTLY (integer cents / bigint cross terms, one
+    map-side-combined pass) and the statistics derived from them in
+    IEEE double with formulas shared verbatim with the oracle, making
+    the result bit-stable under any partitioning."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    base = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s_p"),
+        # cents² ≈ 1e14/row: bigint would overflow by ~sf3, decimal(38,0) never
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("ss_p"),
+        F.sum(qty).alias("s_q"),
+        F.sum(qty * qty).alias("ss_q"),
+        F.sum(cents * qty).alias("s_pq"),
+    )
+    n = F.col("n").cast("double")
+    mp = F.col("s_p").cast("double") / n
+    mq = F.col("s_q").cast("double") / n
+    var_p = F.col("ss_p").cast("double") / n - mp * mp
+    var_q = F.col("ss_q").cast("double") / n - mq * mq
+    cov = F.col("s_pq").cast("double") / n - mp * mq
+    return base.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("n"),
+        (mp / F.lit(100.0)).alias("mean_price"),
+        F.sqrt(var_p).alias("stddev_cents"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        (cov / F.sqrt(var_p * var_q)).alias("corr_price_qty"),
+    )
+
+
 def s9_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 (extension): global ORDER BY + LIMIT top-N.
 
@@ -902,6 +955,52 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT o_orderkey, 'cust_key', CAST(o_custkey AS DOUBLE)
         FROM orders
+    """,
+    "a8_array_agg": """
+        WITH counts AS (
+            SELECT o_custkey AS customer_id, count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        prios AS (
+            SELECT customer_id,
+                   string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+                       AS priorities
+            FROM (SELECT DISTINCT o_custkey AS customer_id, o_orderpriority
+                  FROM orders)
+            GROUP BY 1
+        )
+        SELECT c.customer_id, p.priorities, c.n_orders
+        FROM counts c JOIN prios p USING (customer_id)
+    """,
+    "s12_moment_stats": """
+        WITH base AS (
+            SELECT l_returnflag AS flag,
+                   count(*) AS n,
+                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS s_p,
+                   sum(CAST(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                            * CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                            AS DECIMAL(38,0))) AS ss_p,
+                   sum(CAST(l_quantity AS BIGINT)) AS s_q,
+                   sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS ss_q,
+                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS s_pq
+            FROM lineitem GROUP BY 1
+        ),
+        m AS (
+            SELECT flag, n,
+                   CAST(s_p AS DOUBLE) / CAST(n AS DOUBLE) AS mp,
+                   CAST(s_q AS DOUBLE) / CAST(n AS DOUBLE) AS mq,
+                   CAST(ss_p AS DOUBLE) / CAST(n AS DOUBLE) AS msp,
+                   CAST(ss_q AS DOUBLE) / CAST(n AS DOUBLE) AS msq,
+                   CAST(s_pq AS DOUBLE) / CAST(n AS DOUBLE) AS mpq
+            FROM base
+        )
+        SELECT flag, n,
+               mp / 100.0 AS mean_price,
+               sqrt(msp - mp*mp) AS stddev_cents,
+               sqrt(msq - mq*mq) AS stddev_qty,
+               (mpq - mp*mq) / sqrt((msp - mp*mp) * (msq - mq*mq)) AS corr_price_qty
+        FROM m
     """,
     "m1_merge_upsert": """
         WITH o AS (
@@ -1319,6 +1418,8 @@ QUERIES: dict[str, QueryFn] = {
     "j10_bucketed_join": j10_bucketed_join,
     "a4_rollup": a4_rollup,
     "s8_set_ops": s8_set_ops,
+    "a8_array_agg": a8_array_agg,
+    "s12_moment_stats": s12_moment_stats,
     "m1_merge_upsert": m1_merge_upsert,
     "m2_scd2_history": m2_scd2_history,
     "s9_topn": s9_topn,

@@ -59,3 +59,34 @@ def test_rollup_levels_and_grouping_id(spark):
     assert by_key[("A", None, 1)] == 3  # subtotal over A
     assert by_key[(None, None, 3)] == 6  # grand total
     assert len(rows) == 3 + 2 + 1  # leaves + per-s subtotals + total
+
+
+def test_moment_stats_partitioning_invariant(spark):
+    # the point of exact-moment accumulation: identical DOUBLE bits no
+    # matter how the rows are partitioned (built-in stddev/corr merge
+    # partial states in partition order and cannot promise this)
+    from sfcrimedatapipeline_spark.plans.tpch import s12_moment_stats
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["flag"]: r.asDict() for r in s12_moment_stats(spark, sf).collect()}
+
+    li = read_table(spark, sf, "lineitem").repartition(13).cache()
+    li.count()
+    import sfcrimedatapipeline_spark.sources.tables as tables
+
+    orig = tables.read_table
+    try:
+        tables.read_table = lambda s, d, t, **kw: li if t == "lineitem" else orig(s, d, t, **kw)
+        import sfcrimedatapipeline_spark.plans.tpch as tpch_mod
+
+        orig_tpch = tpch_mod.read_table
+        tpch_mod.read_table = tables.read_table
+        try:
+            b = {r["flag"]: r.asDict() for r in s12_moment_stats(spark, sf).collect()}
+        finally:
+            tpch_mod.read_table = orig_tpch
+    finally:
+        tables.read_table = orig
+        li.unpersist()
+    assert a == b  # exact dict equality: every double bit-identical
