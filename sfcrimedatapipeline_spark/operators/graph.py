@@ -1,0 +1,93 @@
+"""Iterative graph algorithms beyond connected components
+(operators/corpus.py): PageRank over a pair graph.
+
+The corpus use: rank documents inside a near-duplicate / citation /
+link graph to pick cluster representatives by centrality instead of
+min-id, and to weight crawl frontiers.
+
+Scale shape (per iteration): ONE shuffle — contributions are
+``edges ⋈ ranks`` on src (edges persist partitioned once; ranks are
+node-cardinality, far smaller than edges) then a map-side-combined
+``groupBy(dst).sum()``. ``localCheckpoint`` truncates lineage per
+round exactly as in connected_components (a cluster job would use a
+reliable checkpoint dir). Dangling-node mass is redistributed
+uniformly via a 1-row aggregate, never a collect of rows.
+
+Rank values are IEEE double sums whose low bits depend on aggregation
+order, so the driver query is rows-only by design; the numeric
+contract (parity with a dense numpy power iteration to 1e-12, rank
+mass ≈ 1) is pinned in tests/test_graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    damping: float = 0.85,
+    iters: int = 10,
+    undirected: bool = True,
+) -> DataFrame:
+    """PageRank over the pair graph → ``(doc_id, rank)``; ranks sum to
+    ~1. ``undirected=True`` mirrors every edge first (the near-dup
+    graph is symmetric)."""
+    fwd = pairs.select(
+        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+    )
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        if undirected
+        else fwd
+    )
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # mass parked on dangling nodes (no out-edges) spreads uniformly.
+        # An undirected graph cannot have dangling nodes (every node is
+        # an edge endpoint, so out_deg >= 1 after mirroring): skip the
+        # per-round aggregate action entirely — on a tiny graph the
+        # round's wall time is dominated by action count, not data.
+        if undirected:
+            dangling = 0.0
+        else:
+            dangling = (
+                ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+                .first()["m"]
+            )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    nodes.unpersist()
+    return ranks.select(F.col("id").alias("doc_id"), "rank")

@@ -43,6 +43,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.connected_components(pairs).orderBy("doc_id")
 
 
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup pair graph
+    (operators/graph.py) — rank-ordered cluster representatives.
+
+    Deliberately has NO oracle_sql entry: the rank doubles are
+    aggregation-order-dependent in their low bits, which SQL cannot pin
+    across engines; the rows-only driver check gates schema + execution
+    and tests/test_graph.py pins numeric parity with a dense numpy
+    power iteration to 1e-12."""
+    from sfcrimedatapipeline_spark.operators.graph import pagerank
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_duplicates(docs)
+    # 5 iterations: the dup clusters are tiny-diameter, ranks settle
+    # fast; the numeric contract at 10 iters lives in the tests
+    return pagerank(pairs, iters=5).orderBy("doc_id")
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return corpus.stratified_sample(
@@ -300,6 +318,8 @@ def build_oracle_sql() -> dict[str, str]:
 
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    # rows-only: rank low bits are aggregation-order-dependent (see docstring)
+    "pagerank_dup_graph": pagerank_dup_graph,
     "sample_stratified": sample_stratified,
     "quality_topk_per_lang": quality_topk_per_lang,
     "text_tfidf_topterms": text_tfidf_topterms,

@@ -487,6 +487,60 @@ def f2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w5_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 (extension): the distribution/navigation window functions not
+    in w3 — percent_rank, cume_dist, first_value, nth_value — over a
+    TOTAL order (price, key): without the tie-break the ranks would be
+    well-defined but first/nth_value row-dependent. Both sides pin the
+    frame to ROWS unbounded-preceding..current (nth_value's default
+    RANGE frame differs between engines on paper; with a total order
+    they coincide, but pinning removes the question)."""
+    w = Window.partitionBy("priority").orderBy(
+        F.col("total_price").asc(), F.col("order_key").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+    return o.select(
+        "order_key",
+        "priority",
+        "total_price",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first_value(F.col("order_key")).over(wf).alias("cheapest_key"),
+        F.nth_value(F.col("order_key"), 2).over(wf).alias("second_cheapest_key"),
+    )
+
+
+def a9_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (extension): explicit GROUPING SETS — the two single-column
+    marginals only (neither the cross table nor the grand total),
+    which neither ROLLUP (a4) nor CUBE (a6) can express."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"]],
+            F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_price"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+            "n_orders",
+            "total_price",
+            "gid",
+        )
+    )
+
+
 def a8_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 (extension): array aggregation made deterministic —
     collect_set is partition-order-nondeterministic, so the contract is
@@ -956,6 +1010,34 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderkey, 'cust_key', CAST(o_custkey AS DOUBLE)
         FROM orders
     """,
+    "w5_window_distribution": """
+        WITH o AS (
+            SELECT o_orderkey AS order_key,
+                   o_orderpriority AS priority,
+                   CAST(o_totalprice AS DOUBLE) AS total_price
+            FROM orders
+        )
+        SELECT order_key, priority, total_price,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               first_value(order_key) OVER wf AS cheapest_key,
+               nth_value(order_key, 2) OVER wf AS second_cheapest_key
+        FROM o
+        WINDOW w AS (PARTITION BY priority
+                     ORDER BY total_price ASC, order_key ASC),
+               wf AS (PARTITION BY priority
+                      ORDER BY total_price ASC, order_key ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "a9_grouping_sets": """
+        SELECT o_orderpriority AS priority,
+               o_orderstatus AS status,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INTEGER) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
     "a8_array_agg": """
         WITH counts AS (
             SELECT o_custkey AS customer_id, count(*) AS n_orders
@@ -1418,6 +1500,8 @@ QUERIES: dict[str, QueryFn] = {
     "j10_bucketed_join": j10_bucketed_join,
     "a4_rollup": a4_rollup,
     "s8_set_ops": s8_set_ops,
+    "w5_window_distribution": w5_window_distribution,
+    "a9_grouping_sets": a9_grouping_sets,
     "a8_array_agg": a8_array_agg,
     "s12_moment_stats": s12_moment_stats,
     "m1_merge_upsert": m1_merge_upsert,
