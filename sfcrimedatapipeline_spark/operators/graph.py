@@ -55,7 +55,7 @@ def pagerank(
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             edges.join(ranks, edges.src == ranks.id)
             .join(out_deg, "src")
@@ -76,18 +76,20 @@ def pagerank(
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
                 .first()["m"]
             )
-        ranks = (
-            nodes.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
         )
+        # truncate lineage every SECOND round (and on the last): a
+        # 2-round-deep plan is still tiny, and halving the eager
+        # checkpoint actions halves the wall time on small graphs,
+        # where per-action scheduling dominates
+        if it % 2 == 1 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     edges.unpersist()
     nodes.unpersist()
     return ranks.select(F.col("id").alias("doc_id"), "rank")
