@@ -35,19 +35,33 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     vectorized reader rejects) by reading them as longs
     (``nanosAsLong``) and converting to microsecond timestamps — the
     same truncation DuckDB applies when materializing TIMESTAMP_NS.
+
+    Tz-naive parquet timestamps (which Spark 4 reads as TIMESTAMP_NTZ)
+    are normalized to TIMESTAMP: under the engine's fixed UTC session
+    timezone the wall-clock → instant mapping is the identity, and it
+    matches how the DuckDB oracle reads the same column (naive = UTC).
+    Keeping one timestamp type engine-wide lets every downstream
+    operator use instant functions (``unix_micros``, windowing,
+    watermarks) unconditionally.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _nanos_columns(path)
-    if not nanos_cols:
-        return spark.read.parquet(path)
-    from pyspark.sql import functions as F
+    if nanos_cols:
+        from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in nanos_cols:
-        # integer division — (col / 1000).cast("long") would round
-        # through a double (ns epochs exceed 2^53) and drift by 1 µs
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in nanos_cols:
+            # integer division — (col / 1000).cast("long") would round
+            # through a double (ns epochs exceed 2^53) and drift by 1 µs
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    else:
+        df = spark.read.parquet(path)
+    ntz_cols = [
+        f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, df[c].cast("timestamp"))
     return df
 
 
