@@ -32,9 +32,17 @@ def connected_components(
     (Kiveris et al., "Connected Components in MapReduce", SoCC'14) —
     same per-round dataflow, fewer rounds.
 
-    Scale shape: per round, one shuffle of (edge, label) keyed by node
-    id + one tiny driver SCALAR (the changed-count that decides
-    convergence — an aggregate, never a row collect).
+    Scale shape: the mirrored edge list gets a SELF-LOOP per node, so
+    each round is a single ``edges ⋈ labels`` (labels keyed by dst) +
+    ``groupBy(src).min`` — the self-loop carries the node's own label
+    through the min, removing the old second "merge with own label"
+    join entirely. Convergence is decided by the label SUM (an
+    aggregate scalar, never a row collect): labels only ever decrease,
+    so an unchanged sum ⟺ a fixed point; that one agg action also
+    materializes the round's eager ``localCheckpoint``, so each round
+    costs exactly one shuffle round-trip + one scalar. The sum is
+    accumulated in DECIMAL(38) — a long sum would overflow once
+    node-count × id-magnitude passes 2^63 at corpus scale.
     ``localCheckpoint`` truncates the lineage each round so the plan
     does not grow with iterations (a production cluster job would use a
     reliable checkpoint dir instead).
@@ -42,33 +50,30 @@ def connected_components(
     fwd = pairs.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
-    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    both = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = both.select(F.col("src").alias("id")).distinct().persist()
+    edges = (
+        both.union(nodes.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+        .persist()
     )
+    labels = nodes.withColumn("label", F.col("id"))
+    prev_sum = None
     for _ in range(max_iters):
-        nbr_min = (
+        labels = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "id")
+            .localCheckpoint(eager=False)
         )
-        merged = (
-            labels.alias("l")
-            .join(nbr_min.alias("m"), F.col("l.id") == F.col("m.src"), "left")
-            .select(
-                F.col("l.id").alias("id"),
-                F.col("l.label").alias("label"),
-                F.least(
-                    F.col("l.label"), F.coalesce(F.col("m.nbr_min"), F.col("l.label"))
-                ).alias("new_label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = merged.filter(F.col("new_label") < F.col("label")).count()
-        labels = merged.select("id", F.col("new_label").alias("label"))
-        if changed == 0:
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
+    nodes.unpersist()
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
     )

@@ -5,13 +5,21 @@ The corpus use: rank documents inside a near-duplicate / citation /
 link graph to pick cluster representatives by centrality instead of
 min-id, and to weight crawl frontiers.
 
-Scale shape (per iteration): ONE shuffle — contributions are
-``edges ⋈ ranks`` on src (edges persist partitioned once; ranks are
-node-cardinality, far smaller than edges) then a map-side-combined
-``groupBy(dst).sum()``. ``localCheckpoint`` truncates lineage per
-round exactly as in connected_components (a cluster job would use a
-reliable checkpoint dir). Dangling-node mass is redistributed
-uniformly via a 1-row aggregate, never a collect of rows.
+Scale shape (per iteration): the out-degree join is loop-INVARIANT,
+so it is folded into the persisted edge list once; each round is then
+``edges ⋈ ranks`` on src (edges pre-partitioned by src and persisted,
+so only the node-cardinality ranks side shuffles) followed by a
+map-side-combined ``groupBy(dst).sum()``. On the undirected path the
+mirrored edge list gives every node in-degree ≥ 1, so the per-round
+"nodes LEFT JOIN contribs" backfill is provably a no-op and is
+skipped — two joins per round become one. The edge partition count
+tracks edge volume (bounded by the session parallelism) instead of
+inheriting the static shuffle setting, so a tiny graph schedules a
+handful of tasks per round while a cluster-scale graph still fans
+out. ``localCheckpoint`` truncates lineage every second round exactly
+as in connected_components (a cluster job would use a reliable
+checkpoint dir). Dangling-node mass is redistributed uniformly via a
+1-row aggregate, never a collect of rows.
 
 Rank values are IEEE double sums whose low bits depend on aggregation
 order, so the driver query is rows-only by design; the numeric
@@ -44,7 +52,7 @@ def pagerank(
         if undirected
         else fwd
     )
-    edges = edges.persist()
+    edges = edges.persist()  # upstream may be a whole dedup pipeline
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -52,13 +60,25 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    # Fold the loop-invariant out-degree into the edge list ONCE, and
+    # pre-partition it by the join key so each round shuffles only the
+    # node-cardinality ranks frame. Partition count tracks edge volume
+    # (~1M edges/partition) up to the session parallelism — a static
+    # shuffle.partitions would schedule that many near-empty tasks per
+    # round on a small graph.
+    spark = edges.sparkSession
+    e_cnt = edges.count()
+    parts = max(1, min(spark.sparkContext.defaultParallelism, 1 + e_cnt // 1_000_000))
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = (
+        edges.join(out_deg, "src").repartition(parts, "src").persist()
+    )
+    edges_deg.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iters):
         contribs = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(out_deg, "src")
+            edges_deg.join(ranks, edges_deg.src == ranks.id)
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
@@ -76,14 +96,18 @@ def pagerank(
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
                 .first()["m"]
             )
-        ranks = nodes.join(contribs, "id", "left").select(
-            "id",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("rank"),
-        )
+        new_rank = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping)
+            * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+        ).alias("rank")
+        if undirected:
+            # mirrored edges ⇒ every node has in-degree ≥ 1 ⇒ contribs
+            # already covers the full node set; the backfill join is a
+            # provable no-op, so each round is one join + one agg.
+            ranks = contribs.select("id", new_rank)
+        else:
+            ranks = nodes.join(contribs, "id", "left").select("id", new_rank)
         # truncate lineage every SECOND round (and on the last): a
         # 2-round-deep plan is still tiny, and halving the eager
         # checkpoint actions halves the wall time on small graphs,
@@ -91,5 +115,6 @@ def pagerank(
         if it % 2 == 1 or it == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     edges.unpersist()
+    edges_deg.unpersist()
     nodes.unpersist()
     return ranks.select(F.col("id").alias("doc_id"), "rank")
