@@ -337,15 +337,15 @@ def embedding_near_duplicates(
     a = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        norm_fixed(F.col(vec_col), dim).alias("na"),
+        norm_fixed(vec_col, dim).alias("na"),
     )
     b = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        norm_fixed(F.col(vec_col), dim).alias("nb"),
+        norm_fixed(vec_col, dim).alias("nb"),
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = cosine_fixed(F.col("va"), F.col("vb"), dim, F.col("na"), F.col("nb"))
+    sim = cosine_fixed("va", "vb", dim, "na", "nb")
     return pairs.select(
         "id_a", "id_b", F.round(sim, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
