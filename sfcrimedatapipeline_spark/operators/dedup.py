@@ -296,20 +296,24 @@ def simhash_fingerprints(
         .filter(F.col("__t").isNotNull())
         .select(id_col, portable_hash64(F.col("__t"), 0).alias("__hv"))
     )
-    # vote_b = Σ_tokens (2*bit_b(h) - 1): positive → simhash bit b is 1
+    # vote_b = Σ_tokens (2*bit_b(h) - 1): positive → simhash bit b is 1.
+    # Each per-bit expression is ONE parsed SQL string — composing the
+    # 64 vote sums + 64 reconstruction terms from Column operators cost
+    # ~2 s of py4j round-trips per plan build (the dot_fixed lesson,
+    # functions/vectors.py), with an identical parsed tree.
     votes = tok_hashes.groupBy(id_col).agg(
         *[
-            F.sum(F.shiftright(F.col("__hv"), b).bitwiseAND(1) * 2 - 1).alias(f"v{b}")
+            F.expr(f"sum((shiftright(`__hv`, {b}) & 1) * 2 - 1)").alias(f"v{b}")
             for b in range(bits)
         ]
     )
     bit_cols = []
     for chunk_start in range(0, bits, 16):
-        chunk_val = None
-        for b in range(chunk_start, min(chunk_start + 16, bits)):
-            term = (F.col(f"v{b}") > 0).cast("long") * F.lit(2 ** (b - chunk_start))
-            chunk_val = term if chunk_val is None else chunk_val + term
-        bit_cols.append(F.lpad(F.hex(chunk_val), 4, "0"))
+        terms = " + ".join(
+            f"CAST(`v{b}` > 0 AS BIGINT) * {2 ** (b - chunk_start)}"
+            for b in range(chunk_start, min(chunk_start + 16, bits))
+        )
+        bit_cols.append(F.expr(f"lpad(hex({terms}), 4, '0')"))
     # 60-bit portable hashes: bits 60..63 are always 0-voted (vote = -n_tokens → bit 0)
     return votes.select(
         F.col(id_col), F.concat(*reversed(bit_cols)).alias("simhash")

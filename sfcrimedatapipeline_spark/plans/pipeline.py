@@ -34,7 +34,19 @@ def transform(
     dim_time: DataFrame,
     fix_report_time_id: bool = False,
 ) -> dict[str, DataFrame]:
-    """The 7-statement transform graph (dags/ELT.py:113-301) as dataflow."""
+    """The 7-statement transform graph (dags/ELT.py:113-301) as dataflow.
+
+    The staging frame feeds the fact build AND three dim DISTINCTs, and
+    the generated dims are each joined more than once (DimTime twice in
+    the fact build alone) — persist them so one evaluation serves the
+    whole graph. This mirrors the reference, which materializes every
+    one of these as a Postgres table before joining; Spark's cache is
+    the in-memory equivalent and CacheManager transparently reuses the
+    entries across the downstream serve query too.
+    """
+    staging_with_id = staging_with_id.persist()
+    dim_date = dim_date.persist()
+    dim_time = dim_time.persist()
     dims = {
         "DimDate": dim_date,
         "DimTime": dim_time,
