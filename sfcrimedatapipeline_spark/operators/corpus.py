@@ -205,3 +205,131 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         [F.desc("score"), F.asc("term")],
         k,
     ).select("doc_id", "term", "tf", "df_docs", "score", "rank")
+
+
+def reservoir_sample_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Fixed-size k-per-key sample with a DETERMINISTIC coin: rank rows
+    inside each key by ``md5(id)`` (ties broken by id) and keep the
+    first k. Statistically equivalent to reservoir sampling — every row
+    of a key has equal probability under the hash coin's uniform order —
+    but restartable, partitioning-independent, and oracle-exact, which
+    ``rand()``-based reservoirs are not.
+
+    Scale shape: one hash-partition shuffle on the key + a per-key
+    top-k window (no global sort). For keys with billions of rows the
+    windowed rank still streams: row_number needs only the sort within
+    the key partition, and AQE splits skewed keys.
+    """
+    coin = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*key_cols).orderBy(coin.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rsk", F.row_number().over(w))
+        .filter(F.col("__rsk") <= k)
+        .drop("__rsk")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Overlapping character-window chunks — the training-prep split of
+    long documents into model-context-sized pieces with ``size-stride``
+    characters of overlap (so no boundary sentence is lost). Emits
+    ``(id, chunk_idx, chunk_start, chunk_len, chunk_md5)``; the chunk
+    fingerprint instead of the text keeps the gated result narrow (the
+    text itself is one substring call away in a real pipeline).
+
+    Pure per-row array expressions (sequence → transform → posexplode):
+    no UDF, no shuffle, chunk count ~ len/stride per row. Empty texts
+    produce no chunks (same as the oracle's generate_series).
+    """
+    # guard BEFORE sequence(1, n, stride): n = 0 raises (illegal
+    # boundaries with an explicit positive step) — the winnowing lesson
+    n = F.length(F.col(text_col))
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunked = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(starts, lambda s: F.substring(F.col(text_col), s, size))
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    return chunked.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * stride + 1).cast("int").alias("chunk_start"),
+        F.length("chunk_text").cast("int").alias("chunk_len"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Train/eval decontamination: which training documents share
+    winnowing fingerprints (textstats.winnow_fingerprints, SIGMOD'03)
+    with an evaluation document. The standard guard against benchmark
+    leakage into a pretraining corpus — n-gram-level, so
+    paraphrase-resistant up to the gram size.
+
+    The gating metric is CONTAINMENT — shared fingerprints over the
+    eval document's total — not a raw shared count: boilerplate grams
+    common to a whole corpus give most doc pairs a few shared
+    fingerprints (a count threshold either drowns in that noise or
+    misses short eval docs), while containment asks "how much of THIS
+    benchmark item also appears in that training doc", which is the
+    leakage question.
+
+    Output: ``(train_id, eval_id, n_shared, n_eval_fps, containment)``
+    pairs with containment ≥ ``min_containment``.
+
+    Scale shape: both corpora reduce to (doc, fingerprint) int64 pairs
+    (the text never shuffles); the equi-join on fingerprint is
+    hash-partitioned and AQE-skew-safe, and ubiquitous-gram hot spots
+    are bounded because winnowing emits only per-window minima (~2/(w+1)
+    of all grams). With a small benchmark side, Catalyst broadcasts it.
+    """
+    from sfcrimedatapipeline_spark.operators.textstats import winnow_fingerprints
+
+    tf = winnow_fingerprints(train, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("train_id"), "fingerprint"
+    )
+    ef = winnow_fingerprints(eval_df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("eval_id"), "fingerprint"
+    )
+    ef = ef.persist()  # scanned for both the join and the per-doc totals
+    # fingerprints are distinct within a doc, so count(*) counts distinct
+    # shared fingerprints without a dedup pass
+    ef_totals = ef.groupBy("eval_id").agg(F.count("*").alias("n_eval_fps"))
+    shared = (
+        tf.join(ef, "fingerprint")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(ef_totals), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            "n_shared",
+            F.col("n_eval_fps").cast("long").alias("n_eval_fps"),
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_eval_fps"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sfcrimedatapipeline_spark.functions.hashing import sql_hash64
 from sfcrimedatapipeline_spark.functions.text import (
     SQL_NORMALIZED,
     SQL_TOKENS,
@@ -124,6 +125,43 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESERVOIR_K = 3
+CHUNK_SIZE, CHUNK_STRIDE = 200, 150
+#: benchmark stand-in for the contamination check: three sources play
+#: the eval set, the rest are the training corpus
+EVAL_SOURCES = ("src0", "src1", "src2")
+CONTAM_MIN_CONTAINMENT = 0.5
+
+
+def sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic per-language sample (k rows per lang,
+    md5-coin order) — the fixed-budget companion to the rate-based
+    stratified sample."""
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus.reservoir_sample_per_key(
+        docs, ["lang"], RESERVOIR_K, "doc_id"
+    ).select("doc_id", "lang")
+
+
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking of every document."""
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus.chunk_documents(
+        docs, size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+
+
+def contamination_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination over the winnowing fingerprints:
+    (train doc, eval doc, shared-fingerprint count) pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(~F.col("source").isin(*EVAL_SOURCES))
+    eval_df = docs.filter(F.col("source").isin(*EVAL_SOURCES))
+    return corpus.cross_corpus_contamination(
+        train, eval_df, min_containment=CONTAM_MIN_CONTAINMENT
+    )
+
+
 def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup driven end-to-end and hash-gated: the
     documents table streamed in doc_id-sliced files through streaming
@@ -167,6 +205,33 @@ def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         schema=schema,
     )
+
+
+def _winnow_fps_sql(pred: str) -> str:
+    """(doc_id, fingerprint) winnow subquery over ``documents WHERE
+    pred`` — the same formula as llmops._winnow_sql, parameterized by a
+    corpus-split predicate."""
+    k, w = textstats.WINNOW_K, textstats.WINNOW_W
+    h = sql_hash64(f"substr(t, CAST(i AS INTEGER), {k})", "0")
+    return f"""
+        SELECT doc_id, unnest(fps) AS fingerprint FROM (
+            SELECT doc_id,
+                   CASE WHEN len(hs) >= {w}
+                        THEN list_distinct([
+                            list_min(hs[j:j + {w - 1}])
+                            FOR j IN generate_series(1, len(hs) - {w - 1})
+                        ])
+                        ELSE [] END AS fps
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= {k}
+                            THEN [{h} FOR i IN generate_series(1, len(t) - {k - 1})]
+                            ELSE [] END AS hs
+                FROM (SELECT doc_id, {SQL_NORMALIZED} AS t
+                      FROM documents WHERE {pred}) n
+            ) g
+        ) wnd
+    """
 
 
 def build_oracle_sql() -> dict[str, str]:
@@ -300,6 +365,44 @@ def build_oracle_sql() -> dict[str, str]:
             JOIN ranked lo ON lo.r = CAST(floor(p * (cnt - 1)) AS BIGINT)
             JOIN ranked hi ON hi.r = least(CAST(floor(p * (cnt - 1)) AS BIGINT) + 1, cnt - 1)
         """,
+        "sample_reservoir_per_lang": f"""
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                       ) AS r
+                FROM documents
+            ) t WHERE r <= {RESERVOIR_K}
+        """,
+        # chunk grid: starts 1, 1+stride, ... while start <= len(text);
+        # md5 of the substring is the gated chunk identity
+        "docs_chunk_overlap": f"""
+            SELECT doc_id,
+                   CAST((s - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+                   CAST(s AS INTEGER) AS chunk_start,
+                   CAST(len(substr(text, CAST(s AS INTEGER), {CHUNK_SIZE})) AS INTEGER) AS chunk_len,
+                   md5(substr(text, CAST(s AS INTEGER), {CHUNK_SIZE})) AS chunk_md5
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(1, len(text), {CHUNK_STRIDE})) AS s) g
+        """,
+        "contamination_winnow": f"""
+            WITH tf AS ({_winnow_fps_sql("source NOT IN " + repr(EVAL_SOURCES))}),
+            ef AS ({_winnow_fps_sql("source IN " + repr(EVAL_SOURCES))}),
+            et AS (SELECT doc_id AS eval_id, count(*) AS n_eval_fps
+                   FROM ef GROUP BY 1),
+            shared AS (
+                SELECT tf.doc_id AS train_id, ef.doc_id AS eval_id,
+                       count(*) AS n_shared
+                FROM tf JOIN ef USING (fingerprint)
+                GROUP BY 1, 2
+            )
+            SELECT train_id, eval_id, n_shared,
+                   n_eval_fps,
+                   round(CAST(n_shared AS DOUBLE) / n_eval_fps, 6) AS containment
+            FROM shared JOIN et USING (eval_id)
+            WHERE round(CAST(n_shared AS DOUBLE) / n_eval_fps, 6) >= {CONTAM_MIN_CONTAINMENT}
+        """,
         # DuckDB may scan per column; ONE-pass is the Spark-side claim
         "profile_lineitem": " UNION ALL ".join(
             f"""
@@ -325,6 +428,9 @@ QUERIES = {
     "text_tfidf_topterms": text_tfidf_topterms,
     "pack_sequences": pack_sequences,
     "text_scrub_pii": text_scrub_pii,
+    "sample_reservoir_per_lang": sample_reservoir_per_lang,
+    "docs_chunk_overlap": docs_chunk_overlap,
+    "contamination_winnow": contamination_winnow,
     # streaming execution, gated by the batch-DISTINCT oracle
     "dedup_exact_stream": dedup_exact_stream,
     "profile_lineitem": profile_lineitem,

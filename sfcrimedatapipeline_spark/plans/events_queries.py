@@ -116,6 +116,30 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-minute hopping window per event_type — every
+    event lands in exactly window/slide = 2 windows (batch twin of the
+    streaming transform; see streaming/events.py:sliding_event_counts)."""
+    from sfcrimedatapipeline_spark.streaming.events import sliding_event_counts
+
+    return sliding_event_counts(read_table(spark, sf_dir, "events"))
+
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap sessions via Spark's NATIVE session_window operator,
+    gated against a first-principles lag/running-sum oracle. Boundary
+    semantics verified empirically (tests/test_streaming.py): two
+    events EXACTLY ``gap`` apart merge — the window end is
+    ``last + gap`` and the merge test is inclusive — so the oracle
+    breaks on ``diff > gap``, the same convention as
+    events_sessionize."""
+    from sfcrimedatapipeline_spark.streaming.events import session_window_agg
+
+    return session_window_agg(
+        read_table(spark, sf_dir, "events"), gap=f"{GAP_MINUTES} minutes"
+    )
+
+
 def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 (extension): JSONL sink + source round trip under the hash
     gate — events written as JSON lines, read back with an explicit
@@ -351,6 +375,51 @@ def build_oracle_sql() -> dict[str, str]:
         """
     return {
         "events_hourly_agg": hourly,
+        # hopping window: with slide 30 min and length 1 h every event
+        # is in exactly the two windows starting at trunc30(ts) and
+        # trunc30(ts) - 30 min (epoch-aligned, same as Spark's window())
+        "events_sliding_agg": """
+            WITH e AS (
+                SELECT CAST(ts AS TIMESTAMP) AS cts, event_type, value
+                FROM events
+            )
+            SELECT make_timestamp(
+                       (epoch_us(cts) // 1800000000) * 1800000000 - off
+                   ) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM e, (SELECT unnest([0, 1800000000]) AS off) o
+            GROUP BY 1, 2
+        """,
+        # native session_window twin: inclusive merge boundary (an
+        # exact-gap successor still merges; pinned by test), so the
+        # break condition is diff > gap — same as events_sessionize
+        "events_session_window": f"""
+            WITH e AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+            ),
+            lagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            idx AS (
+                SELECT *, sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                ) AS session_idx
+                FROM lagged
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL {GAP_MINUTES} MINUTE AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM idx GROUP BY user_id, session_idx
+        """,
         # the streaming execution must converge to the identical result
         # (no late rows possible with time-range-partitioned files)
         "events_hourly_agg_stream": hourly,
@@ -453,6 +522,8 @@ QUERIES = {
     "events_hourly_agg": events_hourly_agg,
     # genuine streaming execution, gated by the same oracle (see docstring)
     "events_hourly_agg_stream": events_hourly_agg_stream,
+    "events_sliding_agg": events_sliding_agg,
+    "events_session_window": events_session_window,
     "events_json_extract": events_json_extract,
     "src_jsonl_roundtrip": src_jsonl_roundtrip,
     "src_orc_roundtrip": src_orc_roundtrip,

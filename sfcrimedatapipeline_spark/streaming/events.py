@@ -86,6 +86,80 @@ def hourly_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) window per event_type: count + value sum.
+
+    The overlapping-window generalization of ``hourly_event_counts`` —
+    each event lands in window/slide consecutive windows (2 here), the
+    standard smoothed-rate shape for monitoring dashboards. Same
+    batch/stream unification and the same decimal-sum discipline; on a
+    stream the state is (windows × types), bounded by the watermark.
+    Spark expands the window set with a Generate of precomputed window
+    structs per row — linear per row, no shuffle beyond the final agg.
+    """
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Per-user gap sessions via Spark's NATIVE ``session_window``.
+
+    The built-in counterpart of ``operators.sessionize.sessionize``
+    (lag + running sum) and ``sessionize_stream`` (explicit state):
+    the session is grown inside the aggregation operator itself, so on
+    a stream the state is one in-progress session per key (merged and
+    evicted by watermark) and on batch it is a single shuffle on the
+    user key — no window-function sort pass. The window END is
+    ``last event + gap`` by definition, which the first-principles
+    oracle reproduces arithmetically.
+    """
+    if watermark and events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("sw"), user_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def click_purchase_within(
     events: DataFrame, horizon_minutes: int = 60, watermark: str = "2 hours"
 ) -> DataFrame:

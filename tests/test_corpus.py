@@ -187,3 +187,67 @@ def test_ivf_matches_brute_force_on_clustered_data(spark):
     ).collect()
     key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine)
     assert sorted(map(key, ivf)) == sorted(map(key, brute))
+
+
+def test_reservoir_sample_per_key_deterministic(spark):
+    """Exactly k rows per key, and the selection is a pure function of
+    the ids — invariant under repartitioning."""
+    import hashlib
+
+    from sfcrimedatapipeline_spark.operators import corpus
+
+    rows = [(i, "ab"[i % 2]) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    out = corpus.reservoir_sample_per_key(df, ["key"], 5, "id")
+    got = {(r.key, r.id) for r in out.collect()}
+    assert len(got) == 10
+    # oracle: first 5 ids per key in md5-coin order
+    expect = set()
+    for key in "ab":
+        ids = [i for i, k2 in rows if k2 == key]
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expect |= {(key, i) for i in ids[:5]}
+    assert got == expect
+    repart = corpus.reservoir_sample_per_key(df.repartition(7), ["key"], 5, "id")
+    assert {(r.key, r.id) for r in repart.collect()} == expect
+
+
+def test_chunk_documents_covers_text_with_overlap(spark):
+    """Chunk grid: starts 1, 1+stride, ... ≤ len; each chunk is the
+    size-capped substring; md5 matches a local recomputation."""
+    import hashlib
+
+    from sfcrimedatapipeline_spark.operators import corpus
+
+    text = "".join(chr(ord("a") + (i % 26)) for i in range(520))
+    df = spark.createDataFrame([(1, text), (2, "short"), (3, "")],
+                               "doc_id long, text string")
+    out = corpus.chunk_documents(df, size=200, stride=150)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: starts 1,151,301,451 → 4 chunks; doc 2: 1 chunk; doc 3: none
+    assert sorted(k for k in rows) == [(1, 0), (1, 1), (1, 2), (1, 3), (2, 0)]
+    for (doc, idx), r in rows.items():
+        src = text if doc == 1 else "short"
+        piece = src[idx * 150: idx * 150 + 200]
+        assert r.chunk_start == idx * 150 + 1
+        assert r.chunk_len == len(piece)
+        assert r.chunk_md5 == hashlib.md5(piece.encode()).hexdigest()
+
+
+def test_contamination_flags_copied_doc_only(spark):
+    """A verbatim copy of an eval doc in the training set is flagged at
+    containment 1.0; unrelated training docs stay below threshold."""
+    from sfcrimedatapipeline_spark.operators import corpus
+
+    leaked = "the quick brown fox jumps over the lazy dog " * 4
+    other = "completely different material about spark clusters " * 4
+    train = spark.createDataFrame(
+        [(10, leaked), (11, other)], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [(90, leaked), (91, "unrelated benchmark prompt entirely " * 4)],
+        "doc_id long, text string",
+    )
+    out = corpus.cross_corpus_contamination(train, eval_df, min_containment=0.5)
+    rows = [(r.train_id, r.eval_id, r.containment) for r in out.collect()]
+    assert rows == [(10, 90, 1.0)]

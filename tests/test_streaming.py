@@ -155,3 +155,57 @@ def test_sessionize_stream_sum_exact_on_adversarial_values(spark, tmp_path):
     # shortest-repr HALF_UP cast)
     first = min(batch)
     assert batch[first] == pytest.approx(2.0 + 0.11 + 0.12 + 2.68 + 1.01, abs=0)
+
+
+def test_sliding_window_covers_each_event_twice(spark):
+    """1 h window / 30 min slide: every event is in exactly 2 windows,
+    so total n_events doubles the row count and each window matches the
+    30-min-truncated arithmetic."""
+    import datetime as dt
+
+    from sfcrimedatapipeline_spark.streaming.events import sliding_event_counts
+
+    base = dt.datetime(2024, 1, 1, 10, 17, 23)
+    rows = [
+        (i, base + dt.timedelta(minutes=13 * i), 1, "click", 1.0, None)
+        for i in range(20)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    out = sliding_event_counts(ev).collect()
+    assert sum(r.n_events for r in out) == 2 * len(rows)
+    for r in out:
+        epoch = r.window_start.replace(tzinfo=dt.timezone.utc).timestamp()
+        assert epoch % 1800 == 0
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Boundary semantics of the native operator, pinned empirically:
+    an event EXACTLY gap after the previous one still merges (inclusive
+    boundary — same convention as operators.sessionize), and gap + 1 us
+    splits. The oracle's diff > gap break encodes this."""
+    import datetime as dt
+
+    from sfcrimedatapipeline_spark.operators.sessionize import sessionize
+    from sfcrimedatapipeline_spark.streaming.events import session_window_agg
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    eps = dt.timedelta(microseconds=1)
+    rows = [
+        (1, t0, 7, "click", 1.0, None),
+        (2, t0 + gap, 7, "click", 1.0, None),              # exactly gap later
+        (3, t0 + gap + gap + eps, 7, "click", 1.0, None),  # gap + 1 µs
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    native = session_window_agg(ev, gap="30 minutes").collect()
+    assert sorted((r.n_events, r.session_end - r.session_start) for r in native) == [
+        (1, gap), (2, 2 * gap)
+    ]
+    legacy = sessionize(ev, gap_minutes=30).collect()
+    assert sorted(r.n_events for r in legacy) == [1, 2]
