@@ -184,3 +184,45 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     plan = _plan(back)
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "event_type" in pf
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """The 100 TB shape for a selective fact ⋈ filtered-dim SHUFFLE
+    join: the optimizer builds a bloom filter from the filtered
+    creation side and pushes a might_contain pre-filter into the fact
+    scan side, cutting shuffle volume by ~the dim selectivity. Local
+    demo needs two conf changes: broadcast disabled (the dim would
+    broadcast at this scale, which already avoids the fact shuffle) and
+    the application-side scan-size threshold lowered (its 10 GB default
+    means 'only bother for big scans' — correct on a cluster, never
+    true at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, SF_DIR, "lineitem")
+        orders = read_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized
+        assert "might_contain" in optimized
+        # and the filter sits on the fact (application) side scan key
+        assert "might_contain" in optimized.split("Join")[1]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
