@@ -131,6 +131,7 @@ CHUNK_SIZE, CHUNK_STRIDE = 200, 150
 #: the eval set, the rest are the training corpus
 EVAL_SOURCES = ("src0", "src1", "src2")
 CONTAM_MIN_CONTAINMENT = 0.5
+CONTAM_MAX_DF = 50
 
 
 def sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,7 +159,9 @@ def contamination_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(~F.col("source").isin(*EVAL_SOURCES))
     eval_df = docs.filter(F.col("source").isin(*EVAL_SOURCES))
     return corpus.cross_corpus_contamination(
-        train, eval_df, min_containment=CONTAM_MIN_CONTAINMENT
+        train, eval_df,
+        min_containment=CONTAM_MIN_CONTAINMENT,
+        max_df=CONTAM_MAX_DF,
     )
 
 
@@ -387,8 +390,12 @@ def build_oracle_sql() -> dict[str, str]:
                  LATERAL (SELECT unnest(generate_series(1, len(text), {CHUNK_STRIDE})) AS s) g
         """,
         "contamination_winnow": f"""
-            WITH tf AS ({_winnow_fps_sql("source NOT IN " + repr(EVAL_SOURCES))}),
-            ef AS ({_winnow_fps_sql("source IN " + repr(EVAL_SOURCES))}),
+            WITH tf0 AS ({_winnow_fps_sql("source NOT IN " + repr(EVAL_SOURCES))}),
+            ef0 AS ({_winnow_fps_sql("source IN " + repr(EVAL_SOURCES))}),
+            hot AS (SELECT fingerprint FROM tf0 GROUP BY 1
+                    HAVING count(*) > {CONTAM_MAX_DF}),
+            tf AS (SELECT * FROM tf0 WHERE fingerprint NOT IN (SELECT fingerprint FROM hot)),
+            ef AS (SELECT * FROM ef0 WHERE fingerprint NOT IN (SELECT fingerprint FROM hot)),
             et AS (SELECT doc_id AS eval_id, count(*) AS n_eval_fps
                    FROM ef GROUP BY 1),
             shared AS (
