@@ -68,3 +68,66 @@ def scd2_from_changelog(
         .withColumn("version", F.row_number().over(w).cast("int"))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def incremental_agg_merge(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: combine an
+    existing per-key aggregate STATE ``(keys, n_rows, sum_value
+    [decimal], min_value, max_value)`` with a raw DELTA batch, without
+    touching the raw history the state summarizes.
+
+    This is the streaming-materialized-view pattern: count/sum/min/max
+    are decomposable aggregates, so ``state ⊕ partial_agg(delta)``
+    equals a full recompute EXACTLY — the sum is kept in decimal, which
+    is associative-exact, so the merged state is bit-identical to
+    ``groupBy`` over the union (the oracle recomputes from scratch to
+    prove it).
+
+    Scale shape: the delta shuffles at DELTA size for its partial
+    aggregate; the combine is a full-outer join on the key between two
+    aggregate-cardinality frames (both far smaller than raw data). A
+    full recompute would re-shuffle the entire history instead.
+    ``build_agg_state`` produces the state shape from raw rows.
+    """
+    d = build_agg_state(delta, keys, value_col)
+    s, dd = state.alias("s"), d.alias("d")
+    cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
+    return s.join(dd, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k) for k in keys],
+        (
+            F.coalesce(F.col("s.n_rows"), F.lit(0))
+            + F.coalesce(F.col("d.n_rows"), F.lit(0))
+        ).alias("n_rows"),
+        (
+            F.coalesce(F.col("s.sum_value"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("d.sum_value"), F.lit(0).cast("decimal(18,2)"))
+        ).cast("decimal(18,2)").alias("sum_value"),
+        F.least(
+            F.coalesce(F.col("s.min_value"), F.col("d.min_value")),
+            F.coalesce(F.col("d.min_value"), F.col("s.min_value")),
+        ).alias("min_value"),
+        F.greatest(
+            F.coalesce(F.col("s.max_value"), F.col("d.max_value")),
+            F.coalesce(F.col("d.max_value"), F.col("s.max_value")),
+        ).alias("max_value"),
+    )
+
+
+def build_agg_state(
+    raw: DataFrame, keys: list[str], value_col: str = "value"
+) -> DataFrame:
+    """Per-key aggregate state from raw rows — the partial-agg shape
+    ``incremental_agg_merge`` combines (decimal sum for exactness)."""
+    return raw.groupBy(*keys).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_value"),
+        F.min(F.col(value_col).cast("double")).alias("min_value"),
+        F.max(F.col(value_col).cast("double")).alias("max_value"),
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -206,4 +207,62 @@ def resize_images(
         media.filter(F.col("media_type") == "image")
         .select("doc_id", "payload")
         .mapInPandas(resize, RESIZE_SCHEMA)
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip sample statistics via numpy over Arrow batches — the
+    audio leg of the multimodal trio (image_features / sample_frames).
+
+    STUB DECODE: ``np.frombuffer(payload, int8)`` plays the role of
+    ``librosa.load``/``soundfile.read`` PCM decoding — replace the one
+    marked line for real samples. Duration comes from the typed
+    metadata sample rate; peak and RMS are computed from an EXACT
+    integer square sum, so the only floating-point steps (one divide,
+    one sqrt, one round) are bit-reproducible against the SQL oracle.
+    """
+    import math
+
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, durs, peaks, rmss = [], [], [], [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                samples = np.frombuffer(payload, dtype=np.int8)  # STUB decode
+                n = int(samples.size)
+                rate = int(meta["sample_rate"])
+                sq_sum = int(np.sum(samples.astype(np.int64) ** 2))
+                ids.append(doc_id)
+                ns.append(n)
+                durs.append(n / rate)
+                peaks.append(int(np.abs(samples.astype(np.int32)).max()) if n else 0)
+                rmss.append(round(math.sqrt(sq_sum / n), 6) if n else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": ns,
+                    "duration_s": durs,
+                    "peak": peaks,
+                    "rms": rmss,
+                }
+            )
+
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .select("doc_id", "payload", "meta")
+        .mapInPandas(compute, AUDIO_FEATURES_SCHEMA)
     )

@@ -140,6 +140,32 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m3_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance proven against a full
+    recompute: 80% of events play the already-summarized base state,
+    the remaining 20% arrive as the delta batch, and the merged state
+    must hash-match a plain GROUP BY over ALL events (the oracle). The
+    decimal sum makes the combine exact, so this is equality, not
+    approximation (operators/merge.py:incremental_agg_merge)."""
+    from sfcrimedatapipeline_spark.operators.merge import (
+        build_agg_state,
+        incremental_agg_merge,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    state = build_agg_state(ev.filter(F.col("event_id") % 10 < 8), ["event_type"])
+    merged = incremental_agg_merge(
+        state, ev.filter(F.col("event_id") % 10 >= 8), ["event_type"]
+    )
+    return merged.select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 (extension): JSONL sink + source round trip under the hash
     gate — events written as JSON lines, read back with an explicit
@@ -450,6 +476,16 @@ def build_oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
+        # full recompute from scratch — the incremental merge must equal it
+        "m3_incremental_agg": """
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   min(CAST(value AS DOUBLE)) AS min_value,
+                   max(CAST(value AS DOUBLE)) AS max_value
+            FROM events
+            GROUP BY 1
+        """,
         "z1_zorder_values": _zorder_oracle_sql(),
         "events_click_purchase_join": _CLICK_PURCHASE_SQL,
         # the streaming execution must emit the identical pair set
@@ -524,6 +560,7 @@ QUERIES = {
     "events_hourly_agg_stream": events_hourly_agg_stream,
     "events_sliding_agg": events_sliding_agg,
     "events_session_window": events_session_window,
+    "m3_incremental_agg": m3_incremental_agg,
     "events_json_extract": events_json_extract,
     "src_jsonl_roundtrip": src_jsonl_roundtrip,
     "src_orc_roundtrip": src_orc_roundtrip,

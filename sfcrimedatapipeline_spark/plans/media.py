@@ -55,6 +55,13 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sample stats (duration/peak/RMS) through mapInPandas; the
+    oracle replays the signed-int8 sample interpretation in hex-pair
+    arithmetic and the identical divide→sqrt→round float tail."""
+    return mm.audio_features(_media(spark, sf_dir))
+
+
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing under the oracle: the deterministic byte path
     (``method="bytes"`` — truncate/zero-pad to width*height) through the
@@ -121,6 +128,36 @@ def build_oracle_sql() -> dict[str, str]:
                    substring(hx, CAST(i * {fs} * 2 + 1 AS INTEGER), {fs * 2}) AS frame_hex
             FROM idx
         """,
+        # signed int8 samples from hex pairs (v > 127 → v - 256); the
+        # square sum is exact integer, so rms is one divide + one sqrt
+        # + one round on both engines
+        "media_audio_features": """
+            WITH au AS (
+                SELECT doc_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS n
+                FROM documents WHERE doc_id % 3 = 1
+            ),
+            s AS (
+                SELECT doc_id, n,
+                       CASE WHEN n > 0
+                            THEN [CASE WHEN CAST(('0x' || substring(hx, i*2+1, 2)) AS INT) > 127
+                                       THEN CAST(('0x' || substring(hx, i*2+1, 2)) AS INT) - 256
+                                       ELSE CAST(('0x' || substring(hx, i*2+1, 2)) AS INT) END
+                                  for i in generate_series(0, n - 1)]
+                            ELSE [] END AS samples
+                FROM au
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(n AS DOUBLE) / 16000 AS duration_s,
+                   CAST(CASE WHEN n > 0
+                             THEN list_max(list_transform(samples, x -> abs(x)))
+                             ELSE 0 END AS INTEGER) AS peak,
+                   CASE WHEN n > 0
+                        THEN round(sqrt(CAST(list_sum(list_transform(samples, x -> x * x)) AS DOUBLE) / n), 6)
+                        ELSE 0.0 END AS rms
+            FROM s
+        """,
         "media_resize": """
             SELECT doc_id,
                    CAST(16 AS INTEGER) AS width,
@@ -135,6 +172,7 @@ QUERIES = {
     "media_inventory": media_inventory,
     "media_image_features": media_image_features,
     "media_frame_sample": media_frame_sample,
+    "media_audio_features": media_audio_features,
     "media_resize": media_resize,
 }
 

@@ -64,3 +64,24 @@ def test_scd2_versions_chain_and_tiebreak(spark):
     # zero-duration version from the simultaneous change, deterministic order
     assert rows[(2, 1)]["status"] == "first" and rows[(2, 1)]["valid_to"] == d(2021, 1, 1)
     assert rows[(2, 2)]["status"] == "second" and rows[(2, 2)]["is_current"]
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    """state ⊕ delta == groupBy over the union, including keys present
+    on only one side and a NULL key."""
+    from sfcrimedatapipeline_spark.operators.merge import (
+        build_agg_state,
+        incremental_agg_merge,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.25), ("a", 2.50), ("b", -3.75), (None, 10.0)],
+        "k string, value double",
+    )
+    delta = spark.createDataFrame(
+        [("a", 0.25), ("c", 7.00), (None, -1.0)], "k string, value double"
+    )
+    merged = incremental_agg_merge(build_agg_state(base, ["k"]), delta, ["k"])
+    full = build_agg_state(base.union(delta), ["k"])
+    key = lambda r: (r.k or "", r.n_rows, str(r.sum_value), r.min_value, r.max_value)
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))

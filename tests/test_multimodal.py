@@ -94,3 +94,32 @@ def test_resize_pil_branch(monkeypatch):
     out = mm._resize_payload(bytes(range(100)), 4, 4)
     assert isinstance(out, bytes) and len(out) == 16
     assert mm._resize_payload(b"", 4, 4) == b"\x00" * 16
+
+
+def test_audio_features_matches_local_recompute(spark):
+    """Signed-int8 sample interpretation + exact square-sum RMS,
+    recomputed locally with hashlib-free arithmetic."""
+    import math
+
+    from sfcrimedatapipeline_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "abcé"), (4, ""), (7, "zz")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in mm.audio_features(mm.synthesize_media(docs)).collect()
+    }
+    assert set(out) == {1, 4, 7}  # doc_id % 3 == 1 → all three
+    for doc_id, text in [(1, "abcé"), (4, ""), (7, "zz")]:
+        raw = text.encode()
+        samples = [b - 256 if b > 127 else b for b in raw]
+        r = out[doc_id]
+        assert r.n_samples == len(samples)
+        assert r.duration_s == len(samples) / 16000
+        assert r.peak == (max(abs(s) for s in samples) if samples else 0)
+        want_rms = (
+            round(math.sqrt(sum(s * s for s in samples) / len(samples)), 6)
+            if samples else 0.0
+        )
+        assert r.rms == want_rms
