@@ -50,7 +50,12 @@ def connected_components(
     fwd = pairs.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
-    both = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # persist the MIRRORED list: everything upstream (often a whole
+    # minhash dedup pipeline) must run exactly once — nodes and the
+    # self-looped edge list both derive from this cache
+    both = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
     nodes = both.select(F.col("src").alias("id")).distinct().persist()
     edges = (
         both.union(nodes.select(F.col("id").alias("src"), F.col("id").alias("dst")))
@@ -72,6 +77,7 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    both.unpersist()
     edges.unpersist()
     nodes.unpersist()
     return labels.select(

@@ -23,10 +23,19 @@ from sfcrimedatapipeline_spark.functions.text import (
     SQL_TOKENS,
     sql_stopword_hits,
 )
+from sfcrimedatapipeline_spark.functions.partitioning import ensure_min_partitions
 from sfcrimedatapipeline_spark.operators import corpus, textstats
 from sfcrimedatapipeline_spark.operators import dedup as dd
 from sfcrimedatapipeline_spark.plans.llmops import _minhash_sql
 from sfcrimedatapipeline_spark.sources.tables import read_table
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with local fan-out: the table is one parquet split at
+    bench scale, and a bare read pins every downstream shingle/hash
+    pipeline to a single core (measured 12.6 s vs ~2 s for the minhash
+    pair derivation at sf0.1). No-op on multi-split cluster inputs."""
+    return ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+
 
 #: stratified-sample rates: downsample the dominant language, keep the
 #: rest at a higher rate (the usual rebalancing shape)
@@ -39,7 +48,7 @@ TFIDF_K = 3
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair graph (MinHash+LSH, the gated dedup default) →
     connected components → (doc_id, canonical_id)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = dd.minhash_near_duplicates(docs)
     return corpus.connected_components(pairs).orderBy("doc_id")
 
@@ -55,7 +64,7 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     power iteration to 1e-12."""
     from sfcrimedatapipeline_spark.operators.graph import pagerank
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = dd.minhash_near_duplicates(docs)
     # 5 iterations: the dup clusters are tiny-diameter, ranks settle
     # fast; the numeric contract at 10 iters lives in the tests
@@ -63,7 +72,7 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return corpus.stratified_sample(
         docs, "lang", SAMPLE_RATES, SAMPLE_DEFAULT_RATE, "doc_id"
     ).select("doc_id", "lang", "source")
@@ -72,7 +81,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-documents-per-language: the quality score (textstats) ranked
     within the table's own lang column, top 5 per stratum."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     scored = textstats.with_quality(docs)
     return corpus.top_k_per_group(
         scored,
@@ -83,7 +92,7 @@ def quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return corpus.tfidf_top_terms(docs, k=TFIDF_K)
 
 
@@ -114,12 +123,12 @@ def quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return corpus.pack_sequences(docs, cap=PACK_CAP, n_shards=PACK_SHARDS)
 
 
 def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return textstats.with_pii_scrubbed(docs).select(
         "doc_id", "n_urls", "n_emails", "n_phones", "scrubbed"
     )
@@ -138,7 +147,7 @@ def sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size deterministic per-language sample (k rows per lang,
     md5-coin order) — the fixed-budget companion to the rate-based
     stratified sample."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return corpus.reservoir_sample_per_key(
         docs, ["lang"], RESERVOIR_K, "doc_id"
     ).select("doc_id", "lang")
@@ -146,7 +155,7 @@ def sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping character-window chunking of every document."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return corpus.chunk_documents(
         docs, size=CHUNK_SIZE, stride=CHUNK_STRIDE
     )
@@ -155,7 +164,7 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contamination_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination over the winnowing fingerprints:
     (train doc, eval doc, shared-fingerprint count) pairs."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     train = docs.filter(~F.col("source").isin(*EVAL_SOURCES))
     eval_df = docs.filter(F.col("source").isin(*EVAL_SOURCES))
     return corpus.cross_corpus_contamination(
@@ -185,7 +194,7 @@ def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_time_sliced_stream_dir,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     stream_dir = write_time_sliced_stream_dir(
         docs,
         tempfile.mkdtemp(prefix="sfcdp_dedup_stream_"),
