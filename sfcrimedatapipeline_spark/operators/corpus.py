@@ -361,3 +361,48 @@ def cross_corpus_contamination(
         )
         .filter(F.col("containment") >= min_containment)
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.90),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5-uniform of the
+    row key lands in cumulative fraction buckets. Hash-keyed so the
+    assignment is stable across runs, engines, repartitions, and
+    incremental data growth (a new row never flips an old row's split —
+    the property random shuffles lack). Pure per-row projection: no
+    shuffle, no state.
+
+    Cumulative boundaries are computed ONCE in Python and embedded as
+    literals (callers' oracle twins embed the identical reprs), so both
+    engines compare against bit-identical doubles.
+    """
+    u = deterministic_uniform(F.col(key_col))
+    bounds = []
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        bounds.append((name, acc))
+    col = F.lit(splits[-1][0])
+    for name, b in reversed(bounds):
+        col = F.when(u < F.lit(b), F.lit(name)).otherwise(col)
+    return df.withColumn("split", col)
+
+
+def split_boundaries(
+    splits: tuple[tuple[str, float], ...]
+) -> list[tuple[str, float]]:
+    """The cumulative boundaries ``assign_splits`` uses — exposed so SQL
+    twins embed the same float literals."""
+    out = []
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        out.append((name, acc))
+    return out

@@ -76,3 +76,29 @@ class SplitSentences:
             return
         for i, s in enumerate(text.split(". ")):
             yield i, s
+
+
+def md5_prefix_udf():
+    """Vectorized (Arrow-batched) SCALAR pandas UDF: first 8 hex digits
+    of md5 as a BIGINT — the same portable-hash formula as
+    ``corpus.deterministic_uniform``, here exercised through the third
+    Python execution surface (scalar pandas UDF, next to the grouped
+    UDAF and the UDTF). Integer-exact, so the whole Arrow round trip is
+    oracle-checkable with no tolerance.
+
+    The per-batch work is a Python map over ~10k-row Arrow batches —
+    deliberately: this surface exists for logic the JVM cannot express;
+    for md5 itself the JVM ``F.md5`` is the production path
+    (dedup_exact uses it) and this UDF is the parity-checked harness.
+    """
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def md5_prefix(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: int(hashlib.md5(str(t).encode()).hexdigest()[:8], 16)
+        )
+
+    return md5_prefix

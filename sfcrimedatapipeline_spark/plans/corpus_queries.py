@@ -72,7 +72,10 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    # bare read, NOT _docs: the sample is a pure per-row filter and its
+    # plan-quality contract is "zero Exchange anywhere" — a fan-out
+    # repartition would be the only shuffle in the plan
+    docs = read_table(spark, sf_dir, "documents")
     return corpus.stratified_sample(
         docs, "lang", SAMPLE_RATES, SAMPLE_DEFAULT_RATE, "doc_id"
     ).select("doc_id", "lang", "source")
@@ -171,6 +174,20 @@ def contamination_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         train, eval_df,
         min_containment=CONTAM_MIN_CONTAINMENT,
         max_df=CONTAM_MAX_DF,
+    )
+
+
+SPLITS = (("train", 0.90), ("val", 0.05), ("test", 0.05))
+
+
+def docs_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment per document
+    (operators/corpus.py:assign_splits). Bare read: pure per-row
+    projection, same zero-shuffle contract as sample_stratified."""
+    return corpus.assign_splits(
+        read_table(spark, sf_dir, "documents"), "doc_id", SPLITS
+    ).select(
+        "doc_id", "split"
     )
 
 
@@ -377,6 +394,19 @@ def build_oracle_sql() -> dict[str, str]:
             JOIN ranked lo ON lo.r = CAST(floor(p * (cnt - 1)) AS BIGINT)
             JOIN ranked hi ON hi.r = least(CAST(floor(p * (cnt - 1)) AS BIGINT) + 1, cnt - 1)
         """,
+        # boundary literals are the exact Python-accumulated floats
+        # assign_splits compares against (note the 0.9500000000000001)
+        "docs_assign_splits": """
+            SELECT doc_id,
+                   CASE WHEN {u} < {b1!r} THEN 'train'
+                        WHEN {u} < {b2!r} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """.format(
+            u=uniform,
+            b1=corpus.split_boundaries(SPLITS)[0][1],
+            b2=corpus.split_boundaries(SPLITS)[1][1],
+        ),
         "sample_reservoir_per_lang": f"""
             SELECT doc_id, lang FROM (
                 SELECT doc_id, lang,
@@ -445,6 +475,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "text_scrub_pii": text_scrub_pii,
     "sample_reservoir_per_lang": sample_reservoir_per_lang,
+    "docs_assign_splits": docs_assign_splits,
     "docs_chunk_overlap": docs_chunk_overlap,
     "contamination_winnow": contamination_winnow,
     # streaming execution, gated by the batch-DISTINCT oracle

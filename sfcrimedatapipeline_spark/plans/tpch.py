@@ -1475,7 +1475,40 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
+#: the flagship in Spark SQL dialect — run verbatim through spark.sql
+#: over registered temp views; only the month-format function differs
+#: from the DuckDB oracle text (date_format vs strftime)
+_SQL_FLAGSHIP = """
+    SELECT n.n_name AS nation,
+           date_format(o.o_orderdate, 'yyyy-MM') AS year_month,
+           count(*) AS n_items,
+           CAST(sum(CAST(li.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(li.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem li
+    JOIN orders o ON li.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH') AND r.r_name = 'ASIA'
+    GROUP BY 1, 2
+"""
+
+
+def s13_sql_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: the flagship star join through the ``spark.sql`` SURFACE
+    over registered temp views — the engine's second query API
+    (SURVEY §1.4: "SQL string per stage" maps to both). Catalyst
+    compiles this text to the same optimized plan as the DataFrame form
+    (j8_star_join_monthly), which sharing j8's oracle hash proves."""
+    from sfcrimedatapipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_FLAGSHIP)
+
+
 QUERIES: dict[str, QueryFn] = {
+    "s13_sql_flagship": s13_sql_flagship,
     "p1_project_alias": p1_project_alias,
     "p2_null_default": p2_null_default,
     "p3_cast_date": p3_cast_date,
@@ -1520,3 +1553,7 @@ QUERIES: dict[str, QueryFn] = {
     "j11_semi_anti_join": j11_semi_anti_join,
     "w3_window_suite": w3_window_suite,
 }
+
+# the SQL-surface flagship must hash-match the same oracle as the
+# DataFrame form — one semantic, two APIs
+ORACLE_SQL["s13_sql_flagship"] = ORACLE_SQL["j8_star_join_monthly"]

@@ -41,8 +41,21 @@ def u2_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u3_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: vectorized SCALAR pandas UDF (Arrow-batched) — the md5-prefix
+    hash per document, integer-exact so the Arrow round trip itself is
+    under the value hash (operators/udx.py:md5_prefix_udf)."""
+    from sfcrimedatapipeline_spark.operators.udx import md5_prefix_udf
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", md5_prefix_udf()(F.col("text")).alias("text_hash_prefix")
+    )
+
+
 QUERIES = {
     "u1_udaf_weighted_mean": u1_udaf_weighted_mean,
+    "u3_scalar_pandas_udf": u3_scalar_pandas_udf,
     "u2_udtf_sentences": u2_udtf_sentences,
 }
 
@@ -66,6 +79,12 @@ ORACLE_SQL = {
                CAST(generate_subscripts(string_split(text, '. '), 1) - 1 AS INTEGER)
                    AS sent_idx,
                unnest(string_split(text, '. ')) AS sentence
+        FROM documents
+    """,
+    "u3_scalar_pandas_udf": """
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+                   AS text_hash_prefix
         FROM documents
     """,
 }

@@ -251,3 +251,20 @@ def test_contamination_flags_copied_doc_only(spark):
     out = corpus.cross_corpus_contamination(train, eval_df, min_containment=0.5)
     rows = [(r.train_id, r.eval_id, r.containment) for r in out.collect()]
     assert rows == [(10, 90, 1.0)]
+
+
+def test_assign_splits_stable_and_complete(spark):
+    """Every row gets exactly one split; assignment is a pure function
+    of the key (stable under repartition AND under corpus growth)."""
+    from sfcrimedatapipeline_spark.operators import corpus
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    out = {r.id: r.split for r in corpus.assign_splits(df, "id").collect()}
+    assert len(out) == 1000
+    frac = sum(1 for s in out.values() if s == "train") / 1000
+    assert 0.85 < frac < 0.95  # hash-uniform ≈ the 0.90 target
+    # growth invariance: the first 1000 keys keep their split in a
+    # larger corpus — the property rand()-based splits lack
+    bigger = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    out2 = {r.id: r.split for r in corpus.assign_splits(bigger, "id").collect()}
+    assert all(out2[i] == out[i] for i in range(1000))
