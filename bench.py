@@ -45,6 +45,8 @@ BENCH_SKIP = {
     "events_sessionize_stream",
     "events_hourly_agg_stream",
     "events_stream_stream_join",
+    "events_sliding_agg_stream",
+    "events_stream_static_join",
     "dedup_exact_stream",
 }
 

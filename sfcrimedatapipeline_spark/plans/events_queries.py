@@ -140,6 +140,83 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window aggregation executed as a GENUINE Structured
+    Streaming query (time-sliced files → watermark → hopping window →
+    memory sink, complete mode), hash-gated by the same oracle as the
+    batch twin — sound for the same reason as events_hourly_agg_stream:
+    event-time-ordered files mean no late rows, and complete mode must
+    converge to the batch aggregation exactly."""
+    import tempfile
+
+    from sfcrimedatapipeline_spark.streaming.events import (
+        run_stream_to_memory,
+        sliding_event_counts,
+        write_time_sliced_stream_dir,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    stream_dir = write_time_sliced_stream_dir(
+        events, tempfile.mkdtemp(prefix="sfcdp_sliding_stream_")
+    )
+    return run_stream_to_memory(
+        spark,
+        stream_dir,
+        sliding_event_counts,
+        query_name="events_sliding_agg_stream",
+        output_mode="complete",
+    )
+
+
+#: static enrichment dim for the stream-static join — derived
+#: deterministically so the oracle can rebuild it
+EVENT_TYPE_WEIGHTS = {
+    "click": 1, "view": 2, "purchase": 5, "signup": 7, "logout": 3,
+}
+
+
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join, executed as a real streaming
+    query: the event stream joins a static in-memory dimension (event
+    type → weight) and aggregates weighted counts. Spark broadcasts the
+    static side into every micro-batch — no stream state at all (unlike
+    stream-stream joins), which is why this join class is the default
+    for dimension enrichment at any scale. Emitted aggregate ≡ batch
+    (complete mode, no late rows), so the batch oracle gates it."""
+    import tempfile
+
+    from sfcrimedatapipeline_spark.streaming.events import (
+        run_stream_to_memory,
+        write_time_sliced_stream_dir,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    stream_dir = write_time_sliced_stream_dir(
+        events, tempfile.mkdtemp(prefix="sfcdp_static_join_")
+    )
+    dim = spark.createDataFrame(
+        sorted(EVENT_TYPE_WEIGHTS.items()), "event_type string, weight int"
+    )
+
+    def enrich(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(F.broadcast(dim), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("weight").cast("long")).cast("bigint").alias("sum_weight"),
+            )
+        )
+
+    return run_stream_to_memory(
+        spark,
+        stream_dir,
+        enrich,
+        query_name="events_stream_static_join",
+        output_mode="complete",
+    )
+
+
 def m3_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance proven against a full
     recompute: 80% of events play the already-summarized base state,
@@ -476,6 +553,30 @@ def build_oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
+        # streaming execution of the hopping window — same oracle text
+        "events_sliding_agg_stream": """
+            WITH e AS (
+                SELECT CAST(ts AS TIMESTAMP) AS cts, event_type, value
+                FROM events
+            )
+            SELECT make_timestamp(
+                       (epoch_us(cts) // 1800000000) * 1800000000 - off
+                   ) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM e, (SELECT unnest([0, 1800000000]) AS off) o
+            GROUP BY 1, 2
+        """,
+        # static-dim weights rebuilt inline from the shared constants
+        "events_stream_static_join": "SELECT event_type, count(*) AS n_events, "
+        "CAST(count(*) * CASE " + " ".join(
+            f"WHEN event_type = '{k}' THEN {v}"
+            for k, v in sorted(EVENT_TYPE_WEIGHTS.items())
+        ) + " END AS BIGINT) AS sum_weight FROM events "
+        "WHERE event_type IN (" + ", ".join(
+            f"'{k}'" for k in sorted(EVENT_TYPE_WEIGHTS)
+        ) + ") GROUP BY 1",
         # full recompute from scratch — the incremental merge must equal it
         "m3_incremental_agg": """
             SELECT event_type,
@@ -561,6 +662,9 @@ QUERIES = {
     "events_sliding_agg": events_sliding_agg,
     "events_session_window": events_session_window,
     "m3_incremental_agg": m3_incremental_agg,
+    # genuine streaming executions, gated by batch-equivalent oracles
+    "events_sliding_agg_stream": events_sliding_agg_stream,
+    "events_stream_static_join": events_stream_static_join,
     "events_json_extract": events_json_extract,
     "src_jsonl_roundtrip": src_jsonl_roundtrip,
     "src_orc_roundtrip": src_orc_roundtrip,
