@@ -97,3 +97,124 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     )
     return row.select(F.explode(entries).alias("e")).select("e.*")
+
+
+def frequent_items(
+    df: DataFrame, cols: list[str], k: int = 5
+) -> DataFrame:
+    """EXACT top-k heavy hitters per column (value, count, rank) —
+    the categorical companion to the numeric profile. Deterministic
+    ranking: (count DESC, value ASC). One groupBy per column unioned
+    into a single job; each is map-side combined, so the shuffle
+    carries one row per distinct value, never per input row. Values
+    travel as strings (the profile's tall-frame type discipline);
+    NULLs are profiled too, rendered as the literal 'NULL'.
+
+    Exact-over-sketch is deliberate: a Misra-Gries/CMS sketch saves
+    memory only when the distinct count per column is huge, and its
+    counts are engine-specific — the exact form is oracle-checkable
+    and its shuffle is already distinct-bounded.
+    """
+    from pyspark.sql import Window
+
+    parts = []
+    for c in cols:
+        counted = (
+            df.select(F.coalesce(F.col(c).cast("string"), F.lit("NULL")).alias("value"))
+            .groupBy("value")
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(c).alias("col_name"), "value", "n")
+        )
+        parts.append(counted)
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    w = Window.partitionBy("col_name").orderBy(F.desc("n"), F.asc("value"))
+    return (
+        allc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("col_name", "value", F.col("n").cast("long").alias("n"), "rank")
+    )
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 10
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column over [lo, hi): bin
+    index, inclusive-exclusive bounds, and count. Out-of-range rows
+    clamp into the edge bins (standard monitoring semantics — no row
+    is silently dropped); empty bins are emitted with count 0 so the
+    shape is fixed regardless of data.
+
+    One map-side-combined groupBy on the bin index (≤ n_bins rows
+    shuffle), then a broadcast right-join against a generated bin
+    spine. The bin formula is pure double arithmetic written
+    identically in the oracle.
+    """
+    width = (hi - lo) / n_bins
+    v = F.col(col).cast("double")
+    idx = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    counts = (
+        df.select(idx.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    spine = df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+def table_diff(
+    left: DataFrame, right: DataFrame, key_cols: list[str], hash_cols: list[str]
+) -> DataFrame:
+    """Row-level reconciliation between two tables (the migration /
+    anti-entropy check): per key, classify ``match`` / ``differs`` /
+    ``left_only`` / ``right_only`` from an md5 row checksum over
+    ``hash_cols`` (NULL-tagged, unit-separated concat so
+    ('a', NULL) ≠ ('aNULL',) ≠ (NULL, 'a')).
+
+    FULL OUTER join on the key, comparing 32-byte checksums — row
+    content never crosses the shuffle twice. The summary output is one
+    row per status, so the result is tiny at any scale; feed
+    ``detail=True`` pipelines from the same joined frame if keys are
+    needed.
+    """
+    SEP = "\x1f"  # unit separator; oracle twin uses chr(31)
+
+    def checksum(df: DataFrame) -> DataFrame:
+        parts = []
+        for c in hash_cols:
+            parts.append(
+                F.coalesce(
+                    F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("NULL")
+                )
+            )
+        return df.select(
+            *[F.col(k) for k in key_cols],
+            F.md5(F.concat_ws(SEP, *parts)).alias("__ck"),
+        )
+    l = checksum(left).alias("l")
+    r = checksum(right).alias("r")
+    cond = [F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}")) for k in key_cols]
+    joined = l.join(r, cond, "full_outer")
+    status = (
+        F.when(F.col("l.__ck").isNull(), F.lit("right_only"))
+        .when(F.col("r.__ck").isNull(), F.lit("left_only"))
+        .when(F.col("l.__ck") == F.col("r.__ck"), F.lit("match"))
+        .otherwise(F.lit("differs"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )

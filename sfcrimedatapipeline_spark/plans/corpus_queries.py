@@ -112,6 +112,13 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUANTILE_PROBS = [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]
+FREQ_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+FREQ_K = 5
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 110000.0, 10
+#: table_diff fixture: drop every 97th key, mutate every 31st row's
+#: status, add negated every-211th keys — safe string/int hash columns
+#: only (double→string formatting differs across engines)
+DIFF_HASH_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority"]
 
 
 def quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,6 +130,48 @@ def quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(
         read_table(spark, sf_dir, "lineitem"), "l_extendedprice", QUANTILE_PROBS
     )
+
+
+def freq_items_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column heavy hitters over the categorical lineitem
+    columns (operators/profile.py:frequent_items)."""
+    from sfcrimedatapipeline_spark.operators.profile import frequent_items
+
+    return frequent_items(
+        read_table(spark, sf_dir, "lineitem"), FREQ_COLS, FREQ_K
+    )
+
+
+def hist_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice with clamped edge bins
+    (operators/profile.py:histogram)."""
+    from sfcrimedatapipeline_spark.operators.profile import histogram
+
+    return histogram(
+        read_table(spark, sf_dir, "lineitem"), "l_extendedprice",
+        HIST_LO, HIST_HI, HIST_BINS,
+    )
+
+
+def diff_orders_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-checksum reconciliation between orders and a deterministically
+    mutated twin — match/differs/left_only/right_only counts
+    (operators/profile.py:table_diff)."""
+    from sfcrimedatapipeline_spark.operators.profile import table_diff
+
+    orders = read_table(spark, sf_dir, "orders")
+    kept = orders.filter(F.col("o_orderkey") % 97 != 0)
+    mutated = kept.withColumn(
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 31 == 0, F.concat(F.col("o_orderstatus"), F.lit("X"))
+        ).otherwise(F.col("o_orderstatus")),
+    )
+    extra = orders.filter(F.col("o_orderkey") % 211 == 0).withColumn(
+        "o_orderkey", -F.col("o_orderkey")
+    )
+    right = mutated.unionByName(extra)
+    return table_diff(orders, right, ["o_orderkey"], DIFF_HASH_COLS)
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,6 +498,70 @@ def build_oracle_sql() -> dict[str, str]:
             FROM shared JOIN et USING (eval_id)
             WHERE round(CAST(n_shared AS DOUBLE) / n_eval_fps, 6) >= {CONTAM_MIN_CONTAINMENT}
         """,
+        "freq_items_lineitem": " UNION ALL ".join(
+            f"""
+            SELECT col_name, value, n, rank FROM (
+                SELECT '{col}' AS col_name,
+                       coalesce(CAST({col} AS VARCHAR), 'NULL') AS value,
+                       count(*) AS n,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY count(*) DESC,
+                                    coalesce(CAST({col} AS VARCHAR), 'NULL') ASC
+                       ) AS INTEGER) AS rank
+                FROM lineitem GROUP BY 2
+            ) t WHERE rank <= {FREQ_K}
+            """
+            for col in FREQ_COLS
+        ),
+        "hist_extendedprice": f"""
+            WITH b AS (
+                SELECT least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - {HIST_LO!r})
+                                      / {(HIST_HI - HIST_LO) / HIST_BINS!r}) AS BIGINT), 0),
+                             {HIST_BINS - 1}) AS bin
+                FROM lineitem
+            ),
+            spine AS (SELECT unnest(generate_series(0, {HIST_BINS - 1})) AS bin)
+            SELECT CAST(spine.bin AS INTEGER) AS bin,
+                   {HIST_LO!r} + spine.bin * {(HIST_HI - HIST_LO) / HIST_BINS!r} AS bin_lo,
+                   {HIST_LO!r} + (spine.bin + 1) * {(HIST_HI - HIST_LO) / HIST_BINS!r} AS bin_hi,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n
+            FROM spine LEFT JOIN (SELECT bin, count(*) AS n FROM b GROUP BY 1) c
+              ON spine.bin = c.bin
+        """,
+        "diff_orders_tables": f"""
+            WITH ck AS (
+                SELECT o_orderkey AS k,
+                       md5(concat_ws(chr(31),
+                           coalesce('v' || CAST(o_custkey AS VARCHAR), 'NULL'),
+                           coalesce('v' || CAST(o_orderstatus AS VARCHAR), 'NULL'),
+                           coalesce('v' || CAST(o_orderpriority AS VARCHAR), 'NULL'))) AS ck
+                FROM orders
+            ),
+            rck AS (
+                SELECT o_orderkey AS k,
+                       md5(concat_ws(chr(31),
+                           coalesce('v' || CAST(o_custkey AS VARCHAR), 'NULL'),
+                           coalesce('v' || CAST(CASE WHEN o_orderkey % 31 = 0
+                                        THEN o_orderstatus || 'X'
+                                        ELSE o_orderstatus END AS VARCHAR), 'NULL'),
+                           coalesce('v' || CAST(o_orderpriority AS VARCHAR), 'NULL'))) AS ck
+                FROM orders WHERE o_orderkey % 97 != 0
+                UNION ALL
+                SELECT -o_orderkey AS k,
+                       md5(concat_ws(chr(31),
+                           coalesce('v' || CAST(o_custkey AS VARCHAR), 'NULL'),
+                           coalesce('v' || CAST(o_orderstatus AS VARCHAR), 'NULL'),
+                           coalesce('v' || CAST(o_orderpriority AS VARCHAR), 'NULL'))) AS ck
+                FROM orders WHERE o_orderkey % 211 = 0
+            )
+            SELECT status, count(*) AS n_rows FROM (
+                SELECT CASE WHEN ck.ck IS NULL THEN 'right_only'
+                            WHEN rck.ck IS NULL THEN 'left_only'
+                            WHEN ck.ck = rck.ck THEN 'match'
+                            ELSE 'differs' END AS status
+                FROM ck FULL OUTER JOIN rck ON ck.k = rck.k
+            ) s GROUP BY 1
+        """,
         # DuckDB may scan per column; ONE-pass is the Spark-side claim
         "profile_lineitem": " UNION ALL ".join(
             f"""
@@ -476,6 +589,9 @@ QUERIES = {
     "text_scrub_pii": text_scrub_pii,
     "sample_reservoir_per_lang": sample_reservoir_per_lang,
     "docs_assign_splits": docs_assign_splits,
+    "freq_items_lineitem": freq_items_lineitem,
+    "hist_extendedprice": hist_extendedprice,
+    "diff_orders_tables": diff_orders_tables,
     "docs_chunk_overlap": docs_chunk_overlap,
     "contamination_winnow": contamination_winnow,
     # streaming execution, gated by the batch-DISTINCT oracle

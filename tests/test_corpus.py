@@ -268,3 +268,20 @@ def test_assign_splits_stable_and_complete(spark):
     bigger = spark.createDataFrame([(i,) for i in range(2000)], "id long")
     out2 = {r.id: r.split for r in corpus.assign_splits(bigger, "id").collect()}
     assert all(out2[i] == out[i] for i in range(1000))
+
+
+def test_table_diff_classifies_all_statuses(spark):
+    """match / differs / left_only / right_only, including NULL-valued
+    hash columns ((a,NULL) vs (aNULL,) must differ)."""
+    from sfcrimedatapipeline_spark.operators.profile import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z"), (4, "bNULL", None)],
+        "k long, c1 string, c2 string",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "CHANGED"), (5, "e", "w"), (4, "b", "NULL")],
+        "k long, c1 string, c2 string",
+    )
+    out = {r.status: r.n_rows for r in table_diff(left, right, ["k"], ["c1", "c2"]).collect()}
+    assert out == {"match": 1, "differs": 2, "left_only": 1, "right_only": 1}
