@@ -118,3 +118,37 @@ def pagerank(
     edges_deg.unpersist()
     nodes.unpersist()
     return ranks.select(F.col("id").alias("doc_id"), "rank")
+
+
+def triangle_count(
+    pairs: DataFrame, src_col: str = "doc_a", dst_col: str = "doc_b"
+) -> DataFrame:
+    """Global triangle count over an undirected pair graph — the
+    standard clustering-density diagnostic for a near-dup graph (how
+    transitive are the dup relations?). Returns one row: n_triangles.
+
+    Canonicalize every edge to (lo, hi), then count ordered chains
+    a<b<c where (a,b),(b,c),(a,c) are all edges — each triangle counted
+    exactly once, via two equi-joins on node keys (the standard
+    relational formulation; at scale the joins hash-partition on the
+    shared node and AQE handles hub skew).
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+        .persist()
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.hi") == F.col("bc.lo"))
+        .join(
+            ac,
+            (F.col("ac.lo") == F.col("ab.lo")) & (F.col("ac.hi") == F.col("bc.hi")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return tri

@@ -71,6 +71,16 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(pairs, iters=5).orderBy("doc_id")
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the near-dup pair graph — the transitivity
+    diagnostic for dedup clustering (operators/graph.py:triangle_count).
+    """
+    from sfcrimedatapipeline_spark.operators.graph import triangle_count
+
+    pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir))
+    return triangle_count(pairs)
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bare read, NOT _docs: the sample is a pure per-row filter and its
     # plan-quality contract is "zero Exchange anywhere" — a fan-out
@@ -342,6 +352,17 @@ def build_oracle_sql() -> dict[str, str]:
                    CAST(min(r) AS BIGINT) AS canonical_id
             FROM reach GROUP BY id
         """,
+        "graph_triangle_count": f"""
+            WITH p AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh),
+            e AS (
+                SELECT DISTINCT least(doc_a, doc_b) AS lo,
+                                greatest(doc_a, doc_b) AS hi
+                FROM p WHERE doc_a <> doc_b
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e ab JOIN e bc ON ab.hi = bc.lo
+                      JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+        """,
         "sample_stratified": f"""
             SELECT doc_id, lang, source
             FROM documents
@@ -590,6 +611,7 @@ QUERIES = {
     "sample_reservoir_per_lang": sample_reservoir_per_lang,
     "docs_assign_splits": docs_assign_splits,
     "freq_items_lineitem": freq_items_lineitem,
+    "graph_triangle_count": graph_triangle_count,
     "hist_extendedprice": hist_extendedprice,
     "diff_orders_tables": diff_orders_tables,
     "docs_chunk_overlap": docs_chunk_overlap,

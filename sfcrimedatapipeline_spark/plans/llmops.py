@@ -103,6 +103,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+FUZZY_MAX_DIST, FUZZY_BAND, FUZZY_PREFIX = 8, 16, 64
+
+
+def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy-dup pairs, blocked by (lang, length band),
+    verified by prefix levenshtein (operators/dedup.py:fuzzy_dup_pairs).
+    """
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return dedup.fuzzy_dup_pairs(
+        docs,
+        block_cols=("lang",),
+        max_dist=FUZZY_MAX_DIST,
+        band_width=FUZZY_BAND,
+        prefix_len=FUZZY_PREFIX,
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenless docs are dropped by the operator's explode, matching the
     # oracle's unnest semantics
@@ -438,6 +455,31 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE CAST(ni AS DOUBLE) / (sa.n_sh + sb.n_sh - ni) >= {JACCARD_THRESHOLD}
         """,
         "dedup_simhash": _simhash_sql(),
+        # parity requires the ASCII projection: DuckDB levenshtein
+        # counts BYTE edits, Spark counts CHARACTER edits
+        "dedup_fuzzy_editdist": f"""
+            WITH base AS (
+                SELECT doc_id, lang,
+                       substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, {FUZZY_PREFIX}) AS prefix,
+                       len(regexp_replace(text, '[^ -~]', '', 'g')) AS l
+                FROM documents
+            ),
+            banded AS (
+                SELECT *, unnest([l // {FUZZY_BAND}, l // {FUZZY_BAND} + 1]) AS band
+                FROM base
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                a.prefix AS pa, b.prefix AS pb
+                FROM banded a JOIN banded b
+                  ON a.lang = b.lang AND a.band = b.band
+                 AND a.doc_id < b.doc_id
+                 AND abs(a.l - b.l) <= {FUZZY_MAX_DIST}
+            )
+            SELECT doc_a, doc_b,
+                   CAST(levenshtein(pa, pb) AS INTEGER) AS prefix_dist
+            FROM pairs WHERE levenshtein(pa, pb) <= {FUZZY_MAX_DIST}
+        """,
         "ann_cosine_topk": _ann_sql(lsh=False),
         "ann_cosine_topk_lsh": _ann_sql(lsh=True),
         # IVF: assignment/probe use the RAW cosine (both engines produce
@@ -493,6 +535,7 @@ def build_oracle_sql() -> dict[str, str]:
 
 
 QUERIES = {
+    "dedup_fuzzy_editdist": dedup_fuzzy_editdist,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
