@@ -126,3 +126,80 @@ def binned_range_join(
         .filter((F.col(ts) >= F.col(lo)) & (F.col(ts) < F.col(hi)))
         .drop("_bin")
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: one output row with, per step k, the
+    number of users whose events contain the step sequence IN ORDER
+    (step k strictly after the user's earliest completion of step k-1 —
+    the standard min-time-chain semantics, immune to repeated events).
+
+    Per step: filter to the step type, join the previous frontier on
+    the user key, keep events strictly later, take the per-user min.
+    Each stage is one filtered scan + one join + one map-side-combined
+    min — the frontier frames are user-cardinality, so at scale each
+    join broadcasts or hash-joins a shrinking user set against a
+    filtered event slice, never event×event.
+    """
+    frontier = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    counts = [frontier.agg(F.count("*").alias("n")).select("n")]
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(frontier.withColumnRenamed("__t", "__prev"), user_col)
+            .filter(F.col(ts_col) > F.col("__prev"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        frontier = nxt
+        counts.append(frontier.agg(F.count("*").alias("n")).select("n"))
+    out = counts[0].select(F.col("n").cast("long").alias("n_step1"))
+    for i, c in enumerate(counts[1:], start=2):
+        out = out.crossJoin(
+            c.select(F.col("n").cast("long").alias(f"n_step{i}"))
+        )
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int | None = None,
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    FIRST event; one row per (cohort_week, week_offset) counting the
+    cohort's users active in that later week. The standard growth
+    triangle.
+
+    Two aggregations and one join, all user/week-cardinality after the
+    first map-side-combined pass over events; distinct activity weeks
+    per user bound the join input to (users × active weeks)."""
+    weeks = events.select(
+        F.col(user_col),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+    ).distinct()
+    first = weeks.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    joined = weeks.join(first, user_col).select(
+        user_col,
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+    )
+    if max_weeks is not None:
+        joined = joined.filter(F.col("week_offset") <= max_weeks)
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

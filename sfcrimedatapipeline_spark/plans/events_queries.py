@@ -217,6 +217,25 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase conversion funnel
+    (operators/temporal.py:funnel_counts)."""
+    from sfcrimedatapipeline_spark.operators.temporal import funnel_counts
+
+    return funnel_counts(read_table(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle
+    (operators/temporal.py:cohort_retention)."""
+    from sfcrimedatapipeline_spark.operators.temporal import cohort_retention
+
+    return cohort_retention(read_table(spark, sf_dir, "events"))
+
+
 def m3_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance proven against a full
     recompute: 80% of events play the already-summarized base state,
@@ -577,6 +596,42 @@ def build_oracle_sql() -> dict[str, str]:
         "WHERE event_type IN (" + ", ".join(
             f"'{k}'" for k in sorted(EVENT_TYPE_WEIGHTS)
         ) + ") GROUP BY 1",
+        "events_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t
+                FROM events WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t
+                GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t
+                GROUP BY 1
+            )
+            SELECT (SELECT count(*) FROM s1) AS n_step1,
+                   (SELECT count(*) FROM s2) AS n_step2,
+                   (SELECT count(*) FROM s3) AS n_step3
+        """,
+        # ISO-Monday week truncation on both engines
+        "events_cohort_retention": """
+            WITH w AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+                FROM events
+            ),
+            f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, w.week) // 7 AS INTEGER)
+                       AS week_offset,
+                   count(*) AS n_users
+            FROM w JOIN f ON w.user_id = f.user_id
+            GROUP BY 1, 2
+        """,
         # full recompute from scratch — the incremental merge must equal it
         "m3_incremental_agg": """
             SELECT event_type,
@@ -662,6 +717,8 @@ QUERIES = {
     "events_sliding_agg": events_sliding_agg,
     "events_session_window": events_session_window,
     "m3_incremental_agg": m3_incremental_agg,
+    "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
     # genuine streaming executions, gated by batch-equivalent oracles
     "events_sliding_agg_stream": events_sliding_agg_stream,
     "events_stream_static_join": events_stream_static_join,
