@@ -218,3 +218,62 @@ def table_diff(
         .groupBy("status")
         .agg(F.count("*").cast("long").alias("n_rows"))
     )
+
+
+def exact_quantiles_by(
+    df: DataFrame, group_col: str, col: str, probs: list[float]
+) -> DataFrame:
+    """Per-GROUP exact quantiles — the grouped companion to
+    :func:`exact_quantiles`, fully relational (no driver scalar: group
+    sizes live in a window count). Same explicit interpolation formula,
+    identical in the oracle: h = p·(n−1), value = v[⌊h⌋] +
+    (v[⌈h⌉] − v[⌊h⌋])·(h − ⌊h⌋).
+
+    One shuffle on the group key sorts each group once; the probs spine
+    is a literal cross join (|groups|×|probs| rows), and the two
+    position lookups are joins against the ranked frame at
+    group-cardinality × |probs| — never a second full sort.
+    """
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        F.col(group_col).alias("g"),
+        F.col(col).cast("double").alias("v"),
+    ).select(
+        "g", "v",
+        (F.row_number().over(
+            Window.partitionBy("g").orderBy("v")
+        ) - 1).alias("r"),
+        F.count("*").over(Window.partitionBy("g")).alias("n"),
+    ).persist()
+    spine = (
+        ranked.select("g", "n").distinct()
+        .select(
+            "g", "n",
+            F.explode(F.array(*[F.lit(p) for p in probs])).alias("prob"),
+        )
+        .select(
+            "g", "prob",
+            (F.col("prob") * (F.col("n") - 1)).alias("h"),
+            F.col("n"),
+        )
+        .select(
+            "g", "prob", "h",
+            F.floor("h").cast("long").alias("lo"),
+            F.least(F.floor("h").cast("long") + 1, F.col("n") - 1).alias("hi"),
+        )
+    )
+    vlo = ranked.select(F.col("g"), F.col("r").alias("lo"), F.col("v").alias("vlo"))
+    vhi = ranked.select(F.col("g"), F.col("r").alias("hi"), F.col("v").alias("vhi"))
+    return (
+        spine.join(vlo, ["g", "lo"])
+        .join(vhi, ["g", "hi"])
+        .select(
+            F.col("g").alias(group_col),
+            "prob",
+            (
+                F.col("vlo")
+                + (F.col("vhi") - F.col("vlo")) * (F.col("h") - F.floor("h"))
+            ).alias("value"),
+        )
+    )

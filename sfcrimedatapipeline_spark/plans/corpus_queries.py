@@ -184,6 +184,20 @@ def diff_orders_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(orders, right, ["o_orderkey"], DIFF_HASH_COLS)
 
 
+GROUP_QUANTILE_PROBS = [0.25, 0.5, 0.75]
+
+
+def quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles of l_extendedprice by return flag
+    (operators/profile.py:exact_quantiles_by)."""
+    from sfcrimedatapipeline_spark.operators.profile import exact_quantiles_by
+
+    return exact_quantiles_by(
+        read_table(spark, sf_dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", GROUP_QUANTILE_PROBS,
+    )
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return corpus.pack_sequences(docs, cap=PACK_CAP, n_shards=PACK_SHARDS)
@@ -583,6 +597,31 @@ def build_oracle_sql() -> dict[str, str]:
                 FROM ck FULL OUTER JOIN rck ON ck.k = rck.k
             ) s GROUP BY 1
         """,
+        "quantiles_by_returnflag": f"""
+            WITH ranked AS (
+                SELECT l_returnflag AS g,
+                       CAST(l_extendedprice AS DOUBLE) AS v,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                          ORDER BY CAST(l_extendedprice AS DOUBLE)) - 1 AS r,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem
+            ),
+            spine AS (
+                SELECT g, n, unnest([{", ".join(repr(p) for p in GROUP_QUANTILE_PROBS)}]) AS prob
+                FROM (SELECT DISTINCT g, n FROM ranked) t
+            ),
+            pos AS (
+                SELECT g, prob, prob * (n - 1) AS h,
+                       CAST(floor(prob * (n - 1)) AS BIGINT) AS lo,
+                       least(CAST(floor(prob * (n - 1)) AS BIGINT) + 1, n - 1) AS hi
+                FROM spine
+            )
+            SELECT pos.g AS l_returnflag, pos.prob,
+                   vlo.v + (vhi.v - vlo.v) * (pos.h - floor(pos.h)) AS value
+            FROM pos
+            JOIN ranked vlo ON vlo.g = pos.g AND vlo.r = pos.lo
+            JOIN ranked vhi ON vhi.g = pos.g AND vhi.r = pos.hi
+        """,
         # DuckDB may scan per column; ONE-pass is the Spark-side claim
         "profile_lineitem": " UNION ALL ".join(
             f"""
@@ -612,6 +651,7 @@ QUERIES = {
     "docs_assign_splits": docs_assign_splits,
     "freq_items_lineitem": freq_items_lineitem,
     "graph_triangle_count": graph_triangle_count,
+    "quantiles_by_returnflag": quantiles_by_returnflag,
     "hist_extendedprice": hist_extendedprice,
     "diff_orders_tables": diff_orders_tables,
     "docs_chunk_overlap": docs_chunk_overlap,

@@ -188,3 +188,36 @@ def test_approx_distinct_within_tolerance(spark):
     }
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(2, 0.05 * n), (et, approx[et], n)
+
+
+def test_read_table_normalizes_tz_naive_timestamps(spark, tmp_path):
+    """The driver regenerates testdata between rounds and has shipped
+    both TIMESTAMP(NANOS) and tz-naive TIMESTAMP(MICROS) (Spark 4 reads
+    the latter as TIMESTAMP_NTZ, which broke every unix_micros
+    consumer at round-4 start). read_table must hand every consumer a
+    plain TIMESTAMP column for any physical flavor."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    d = tmp_path / "sfdir"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    for name, unit in (("ev_us", "us"), ("ev_ns", "ns")):
+        table = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([t0, t0 + dt.timedelta(seconds=1)],
+                               pa.timestamp(unit)),
+            }
+        )
+        pq.write_table(table, str(d / f"{name}.parquet"))
+    for name in ("ev_us", "ev_ns"):
+        df = read_table(spark, str(d), name)
+        assert df.schema["ts"].dataType.typeName() == "timestamp", name
+        got = df.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()
+        assert got[0].us == int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
