@@ -222,3 +222,72 @@ def winnow_fingerprints(
         )
         .filter(F.col("fingerprint").isNotNull())
     )
+
+
+def build_vocabulary(
+    df: DataFrame, vocab_size: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Frequency-ranked vocabulary: the top ``vocab_size`` tokens with
+    dense ids (0 = most frequent; ties broken by token text) plus
+    corpus frequency — the tokenizer-training primitive.
+
+    explode → map-side-combined groupBy (shuffle bounded by distinct
+    token count) → one top-k window at vocabulary cardinality.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode_outer(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        counts.withColumn("token_id", (F.row_number().over(w) - 1).cast("int"))
+        .filter(F.col("token_id") < vocab_size)
+        .select("token_id", "token", F.col("freq").cast("long").alias("freq"))
+    )
+
+
+def with_oov_rate(
+    df: DataFrame, vocab: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary frame:
+    (doc, n_tokens, n_oov, oov_rate) — the coverage check run before
+    committing to a tokenizer. Token occurrences (not distinct types)
+    are counted, matching how a tokenizer meets text.
+
+    explode → broadcast LEFT join against the vocabulary (vocab is
+    top-k-bounded, always broadcastable) → per-doc counts. Docs with
+    zero tokens report rate 0.0.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("token")
+    )
+    joined = toks.join(
+        F.broadcast(vocab.select("token", F.lit(1).alias("__in_v"))),
+        "token",
+        "left",
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("token").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("token").isNotNull() & F.col("__in_v").isNull(), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("oov_rate"),
+        )
+    )

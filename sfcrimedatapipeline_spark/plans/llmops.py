@@ -127,6 +127,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(docs)
 
 
+VOCAB_SIZE = 200
+
+
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked top-200 vocabulary with dense token ids
+    (operators/textstats.py:build_vocabulary)."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return textstats.build_vocabulary(docs, VOCAB_SIZE)
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the top-200
+    vocabulary (operators/textstats.py:with_oov_rate)."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    vocab = textstats.build_vocabulary(docs, VOCAB_SIZE)
+    return textstats.with_oov_rate(docs, vocab)
+
+
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality harness for the dedup tiers: how much of the exact
+    (df-capped) n-gram Jaccard pair set does the MinHash+LSH path
+    recover? One row: n_exact, n_lsh, n_common — the recall/precision
+    numerators a corpus team watches when tuning bands and thresholds.
+    """
+    docs = _read_parallel(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
+    ).select("doc_a", "doc_b")
+    lsh = dedup.minhash_near_duplicates(
+        docs, threshold=JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    common = exact.join(lsh, ["doc_a", "doc_b"])
+    return (
+        exact.agg(F.count("*").cast("long").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count("*").cast("long").alias("n_lsh")))
+        .crossJoin(common.agg(F.count("*").cast("long").alias("n_common")))
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read_parallel(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
@@ -455,6 +494,39 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE CAST(ni AS DOUBLE) / (sa.n_sh + sb.n_sh - ni) >= {JACCARD_THRESHOLD}
         """,
         "dedup_simhash": _simhash_sql(),
+        "text_vocabulary": f"""
+            WITH tok AS (SELECT unnest({SQL_TOKENS}) AS token FROM documents),
+            c AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+            r AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) - 1 AS INTEGER) AS token_id,
+                       token, CAST(freq AS BIGINT) AS freq
+                FROM c
+            )
+            SELECT token_id, token, freq FROM r WHERE token_id < {VOCAB_SIZE}
+        """,
+        "text_oov_rate": f"""
+            WITH tok AS (SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents),
+            c AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+            vocab AS (
+                SELECT token FROM (
+                    SELECT token, ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) - 1 AS tid
+                    FROM c
+                ) v WHERE tid < {VOCAB_SIZE}
+            ),
+            agg AS (
+                SELECT t.doc_id, count(*) AS n_tokens,
+                       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+                FROM tok t LEFT JOIN vocab v ON t.token = v.token
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN coalesce(n_tokens, 0) > 0
+                        THEN round(CAST(n_oov AS DOUBLE) / n_tokens, 6)
+                        ELSE 0.0 END AS oov_rate
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
         # parity requires the ASCII projection: DuckDB levenshtein
         # counts BYTE edits, Spark counts CHARACTER edits
         "dedup_fuzzy_editdist": f"""
@@ -544,6 +616,9 @@ QUERIES = {
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "text_vocabulary": text_vocabulary,
+    "text_oov_rate": text_oov_rate,
+    "dedup_lsh_recall": dedup_lsh_recall,
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
@@ -553,3 +628,13 @@ QUERIES = {
 }
 
 ORACLE_SQL = build_oracle_sql()
+
+# recall harness: the two pair-set oracles composed as nested CTEs
+ORACLE_SQL["dedup_lsh_recall"] = f"""
+    WITH ex AS ({ORACLE_SQL["dedup_ngram_jaccard"]}),
+    mh AS ({_minhash_sql()})
+    SELECT (SELECT count(*) FROM ex) AS n_exact,
+           (SELECT count(*) FROM mh) AS n_lsh,
+           (SELECT count(*) FROM ex JOIN mh
+             ON ex.doc_a = mh.doc_a AND ex.doc_b = mh.doc_b) AS n_common
+"""

@@ -15,6 +15,15 @@ hash (VERDICT.md round 2, "What's wrong" #2). Dtypes and cell reprs are
 hashed RAW — any normalization here is a way to green-light a query the
 driver will fail.
 
+(ADVICE r3 suggested the inverse: keep DECIMAL outputs on both engine
+sides and coerce dtypes only in this checker, preserving its power to
+catch decimal precision/scale regressions. That works for THIS script
+but not for the driver, whose gate hashes the raw pandas dtypes and
+can never match Spark's object-dtype Decimal column against DuckDB's
+float64 — so the engine emits final aggregates as double and keeps the
+decimal discipline internal, where tests/test_decimal_discipline.py
+guards precision/scale instead.)
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
