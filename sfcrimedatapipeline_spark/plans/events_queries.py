@@ -262,6 +262,37 @@ def m3_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_incremental_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance end-to-end: the events
+    stream foreachBatch-merged into a persistent per-type aggregate
+    state, final state gated against the oracle's full recompute
+    (streaming/events.py:run_incremental_agg_stream)."""
+    import tempfile
+
+    from sfcrimedatapipeline_spark.streaming.events import (
+        run_incremental_agg_stream,
+        write_time_sliced_stream_dir,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    stream_dir = write_time_sliced_stream_dir(
+        events, tempfile.mkdtemp(prefix="sfcdp_incr_agg_stream_")
+    )
+    state = run_incremental_agg_stream(
+        spark,
+        stream_dir,
+        tempfile.mkdtemp(prefix="sfcdp_incr_agg_state_"),
+        keys=["event_type"],
+    )
+    return state.select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 (extension): JSONL sink + source round trip under the hash
     gate — events written as JSON lines, read back with an explicit
@@ -632,6 +663,17 @@ def build_oracle_sql() -> dict[str, str]:
             FROM w JOIN f ON w.user_id = f.user_id
             GROUP BY 1, 2
         """,
+        # full recompute from scratch — the streaming foreachBatch
+        # maintenance must converge to it exactly
+        "events_incremental_agg_stream": """
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   min(CAST(value AS DOUBLE)) AS min_value,
+                   max(CAST(value AS DOUBLE)) AS max_value
+            FROM events
+            GROUP BY 1
+        """,
         # full recompute from scratch — the incremental merge must equal it
         "m3_incremental_agg": """
             SELECT event_type,
@@ -718,6 +760,7 @@ QUERIES = {
     "events_session_window": events_session_window,
     "m3_incremental_agg": m3_incremental_agg,
     "events_funnel": events_funnel,
+    "events_incremental_agg_stream": events_incremental_agg_stream,
     "events_cohort_retention": events_cohort_retention,
     # genuine streaming executions, gated by batch-equivalent oracles
     "events_sliding_agg_stream": events_sliding_agg_stream,

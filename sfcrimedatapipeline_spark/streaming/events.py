@@ -291,3 +291,62 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_incremental_agg_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    keys: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming MATERIALIZED VIEW maintenance via ``foreachBatch``:
+    every micro-batch is partial-aggregated and merged into a persistent
+    parquet aggregate state with ``operators.merge.incremental_agg_merge``
+    — the standard incremental-refresh sink when the target store is a
+    plain table rather than Spark's own state store.
+
+    Each batch costs one delta-sized partial agg + one combine join at
+    aggregate cardinality; the raw history is never re-read. Because
+    count/sum(decimal)/min/max are decomposable and the merge is exact,
+    the final state equals a full batch recompute BIT FOR BIT, no
+    matter how the stream was micro-batched — which is what lets a
+    DuckDB full-recompute oracle gate this whole streaming execution.
+
+    foreachBatch semantics note: the sink overwrite is idempotent per
+    state version; a production deployment would write state versions
+    atomically (e.g. table format with snapshot isolation) — here the
+    single-driver test harness serializes batches, which is the same
+    guarantee.
+    """
+    import os
+
+    from sfcrimedatapipeline_spark.operators.merge import (
+        build_agg_state,
+        incremental_agg_merge,
+    )
+
+    state_path = os.path.join(state_dir, "agg_state")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.isdir(state_path):
+            state = spark.read.parquet(state_path)
+            merged = incremental_agg_merge(state, batch_df, keys, value_col)
+        else:
+            merged = build_agg_state(batch_df, keys, value_col)
+        # materialize BEFORE overwriting the directory being read
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    source = read_events_stream(spark, source_dir)
+    q = (
+        source.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(state_path)
