@@ -226,3 +226,36 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_oov_rate_broadcasts_vocabulary(spark):
+    # The vocabulary is top-k-bounded → must broadcast into the token
+    # join; no Python in the plan anywhere.
+    from sfcrimedatapipeline_spark.operators import textstats
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    vocab = textstats.build_vocabulary(docs, 100)
+    plan = _plan(textstats.with_oov_rate(docs, vocab))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    # Chunking is pure per-row array expressions: posexplode over a
+    # computed start grid, zero Exchange in the whole plan.
+    from sfcrimedatapipeline_spark.operators import corpus
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    plan = _plan(corpus.chunk_documents(read_table(spark, SF_DIR, "documents")))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_contamination_hot_set_joins_broadcast(spark):
+    # The df-capped hot-fingerprint set is small by construction and
+    # must reach both anti-joins as a broadcast.
+    from sfcrimedatapipeline_spark.plans import corpus_queries
+
+    plan = _plan(corpus_queries.QUERIES["contamination_winnow"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
