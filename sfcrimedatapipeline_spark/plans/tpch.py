@@ -1507,8 +1507,49 @@ def s13_sql_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_FLAGSHIP)
 
 
+def s14_catalog_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: the catalog DDL/DML surface — a PARTITIONED managed table
+    created and populated entirely through SQL statements (CREATE TABLE
+    ... PARTITIONED BY, INSERT OVERWRITE with dynamic partitions), then
+    read back through the catalog. This is the warehouse-table
+    counterpart of the reference's CREATE/TRUNCATE/insert DDL cycle
+    (dags/ELT.py:82,147,...); partition columns become directories, so
+    downstream event-type predicates prune at the catalog level. The
+    read-back is gated against an oracle that aggregates the source
+    directly — any DDL/DML/partition-discovery defect breaks the hash."""
+    import tempfile
+
+    from sfcrimedatapipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    loc = tempfile.mkdtemp(prefix="sfcdp_catalog_")
+    spark.sql("DROP TABLE IF EXISTS ev_type_stats")
+    spark.sql(
+        f"""
+        CREATE TABLE ev_type_stats (
+            n_events BIGINT, sum_value DOUBLE, event_type STRING
+        ) USING parquet PARTITIONED BY (event_type)
+        LOCATION '{loc}/ev_type_stats'
+        """
+    )
+    spark.sql(
+        """
+        INSERT OVERWRITE ev_type_stats
+        SELECT count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               event_type
+        FROM events
+        GROUP BY event_type
+        """
+    )
+    return spark.sql(
+        "SELECT event_type, n_events, sum_value FROM ev_type_stats"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "s13_sql_flagship": s13_sql_flagship,
+    "s14_catalog_dml": s14_catalog_dml,
     "p1_project_alias": p1_project_alias,
     "p2_null_default": p2_null_default,
     "p3_cast_date": p3_cast_date,
@@ -1557,3 +1598,11 @@ QUERIES: dict[str, QueryFn] = {
 # the SQL-surface flagship must hash-match the same oracle as the
 # DataFrame form — one semantic, two APIs
 ORACLE_SQL["s13_sql_flagship"] = ORACLE_SQL["j8_star_join_monthly"]
+
+ORACLE_SQL["s14_catalog_dml"] = """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+"""
