@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from sfcrimedatapipeline_spark.operators.keys import load_order_id
 from sfcrimedatapipeline_spark.plans.dims import (
@@ -75,6 +76,7 @@ def run_pipeline(
     serve: bool = True,
     source_url: str | None = None,
     serve_export_dir: str | None = None,
+    observation: Observation | None = None,
 ) -> dict[str, DataFrame]:
     """Full refresh: extract (optional) → load → transform → (optional)
     serve + export — the reference DAG end-to-end (dags/ELT.py:361-378).
@@ -92,6 +94,18 @@ def run_pipeline(
         fetch(source_url, staging)
     if isinstance(staging, str):
         staging = read_staging_csv(spark, staging)
+    # pipeline observability: with an Observation passed in, data-quality
+    # counters ride whatever action the caller already runs (write,
+    # count) — no extra pass over the data, unlike a separate
+    # .count()/.agg() preflight. observation.get blocks until the first
+    # action computes the observed node.
+    if observation is not None:
+        staging = staging.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("Incident Date").alias("n_with_incident_date"),
+            F.sum(F.col("Latitude").isNull().cast("long")).alias("n_null_latitude"),
+        )
     staging_with_id = load_order_id(staging, "id")
 
     tables = transform(

@@ -24,3 +24,37 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> Data
     corrupt lines as errors instead of silent nulls (matching the CSV
     loader's contract, sources/csv.py)."""
     return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def read_jsonl_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """PERMISSIVE JSONL read that QUARANTINES bad lines instead of
+    failing the job — the ingest mode for web-scale corpora where some
+    malformed fraction is a certainty and one bad shard must not kill a
+    100 TB load. Valid rows parse into the declared schema; corrupt
+    lines land whole in ``corrupt_col`` with every data column NULL, so
+    the caller can split the frame into clean/quarantine sinks with one
+    ``isNull`` filter and account for every input line.
+
+    The corrupt column must be part of the declared schema (Spark drops
+    it otherwise); this helper appends it. Spark requires caching or
+    persistence of the parsed frame before filtering on the corrupt
+    column alone — callers filtering should select data columns too
+    (both helpers in tests do).
+    """
+    from pyspark.sql.types import StringType
+
+    if isinstance(schema, str):
+        full = f"{schema}, {corrupt_col} string"
+    else:
+        full = StructType(schema.fields[:]).add(corrupt_col, StringType())
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

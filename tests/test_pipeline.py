@@ -123,3 +123,19 @@ def test_incident_date_fk_resolves(tables):
     # every staging date is inside the generated calendar range → FK non-NULL
     assert tables["FactCrime"].filter(F.col("IncidentDateID").isNull()).count() == 0
     assert tables["FactCrime"].filter(F.col("IncidentTimeID").isNull()).count() == 0
+
+
+def test_run_pipeline_observation_metrics(spark, staging):
+    """Quality counters ride the pipeline's own actions via the
+    Observation API — no separate pass over staging."""
+    from pyspark.sql import Observation
+
+    from sfcrimedatapipeline_spark.plans.pipeline import run_pipeline
+
+    obs = Observation("staging_load")
+    tables = run_pipeline(spark, staging, serve=False, observation=obs)
+    n_fact = tables["FactCrime"].count()  # the action that fills obs
+    m = obs.get
+    assert m["n_rows"] == n_fact == staging.count()
+    assert 0 <= m["n_with_incident_date"] <= m["n_rows"]
+    assert 0 <= m["n_null_latitude"] <= m["n_rows"]

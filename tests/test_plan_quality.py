@@ -259,3 +259,29 @@ def test_contamination_hot_set_joins_broadcast(spark):
 
     plan = _plan(corpus_queries.QUERIES["contamination_winnow"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP: joining a partitioned fact to a FILTERED dim on the
+    partition column must inject a dynamicpruning subquery into the
+    fact scan — only matching partition directories are read. The
+    runtime sibling of static partition pruning, and the reason the
+    100 TB fact table is partitioned by its hottest join column."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.sources.tables import read_table, write_table
+
+    out = str(tmp_path / "ev_part")
+    write_table(read_table(spark, SF_DIR, "events"), out, partition_by=["event_type"])
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3)], "event_type string, w int"
+    ).filter(F.col("w") == 1)
+    saved = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        j = fact.join(dim, "event_type").groupBy("event_type").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", saved)

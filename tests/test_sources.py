@@ -221,3 +221,28 @@ def test_read_table_normalizes_tz_naive_timestamps(spark, tmp_path):
         assert df.schema["ts"].dataType.typeName() == "timestamp", name
         got = df.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()
         assert got[0].us == int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+
+
+def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE ingest: valid lines parse, malformed lines land whole
+    in _corrupt_record with data columns NULL — every input line is
+    accounted for (clean + quarantined == total)."""
+    from sfcrimedatapipeline_spark.sources.jsonl import read_jsonl_permissive
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "text": "ok"}\n'
+        'this is not json\n'
+        '{"id": 2, "text": "also ok"}\n'
+        '{"id": "NOT_A_NUMBER", "text": "type error"}\n'
+    )
+    df = read_jsonl_permissive(spark, str(p), "id long, text string").cache()
+    rows = df.collect()
+    assert len(rows) == 4
+    clean = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.id for r in clean} == {1, 2}
+    assert len(bad) == 2
+    assert any("not json" in r._corrupt_record for r in bad)
+    df.unpersist()
