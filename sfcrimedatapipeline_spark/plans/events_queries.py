@@ -293,6 +293,50 @@ def events_incremental_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def events_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    ``parse_json`` once into a binary variant, ``variant_get`` typed
+    paths out, aggregate. VARIANT keeps the parsed tree in a binary
+    encoding, so repeated path access costs no re-parse — the modern
+    engine answer to schema-on-read JSON columns (the get_json_object
+    form in events_json_extract re-parses the string per extraction).
+    The oracle extracts the same paths with DuckDB's JSON functions."""
+    events = read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 (extension): a registered custom PYTHON DATA SOURCE read end
+    to end — partition-planned, per-partition generated — and
+    aggregated; the oracle replays the same pure-function rows from a
+    generate_series (sources/jsonl.py:register_sequence_source)."""
+    from sfcrimedatapipeline_spark.sources.jsonl import register_sequence_source
+
+    register_sequence_source(spark)
+    df = (
+        spark.read.format("seqgen")
+        .option("n", "5000")
+        .option("parts", "8")
+        .load()
+    )
+    return df.groupBy("tag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("id").cast("bigint").alias("sum_id"),
+        F.sum(F.col("sq_mod").cast("long")).cast("bigint").alias("sum_sq_mod"),
+    )
+
+
 def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 (extension): JSONL sink + source round trip under the hash
     gate — events written as JSON lines, read back with an explicit
@@ -684,6 +728,25 @@ def build_oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
+        "events_variant_json": """
+            SELECT event_type,
+                   count(*) AS n_with_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1
+        """,
+        "src_python_datasource": """
+            WITH g AS (
+                SELECT unnest(generate_series(0, 4999)) AS id
+            )
+            SELECT 'row-' || CAST(id % 7 AS VARCHAR) AS tag,
+                   count(*) AS n_rows,
+                   CAST(sum(id) AS BIGINT) AS sum_id,
+                   CAST(sum((id * id) % 997) AS BIGINT) AS sum_sq_mod
+            FROM g GROUP BY 1
+        """,
         "z1_zorder_values": _zorder_oracle_sql(),
         "events_click_purchase_join": _CLICK_PURCHASE_SQL,
         # the streaming execution must emit the identical pair set
@@ -762,6 +825,8 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_incremental_agg_stream": events_incremental_agg_stream,
     "events_cohort_retention": events_cohort_retention,
+    "events_variant_json": events_variant_json,
+    "src_python_datasource": src_python_datasource,
     # genuine streaming executions, gated by batch-equivalent oracles
     "events_sliding_agg_stream": events_sliding_agg_stream,
     "events_stream_static_join": events_stream_static_join,

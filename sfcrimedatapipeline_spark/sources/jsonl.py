@@ -58,3 +58,52 @@ def read_jsonl_permissive(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def register_sequence_source(spark: SparkSession) -> None:
+    """Register ``seqgen`` — a CUSTOM PYTHON DATA SOURCE (the Spark 4
+    DataSource API): a partitioned deterministic integer-sequence
+    generator, the minimal end-to-end exercise of the batch-reader
+    contract (schema declaration, partition planning, per-partition
+    iteration). Each partition yields its own id range, so the source
+    scales out like any file source; values are a pure function of the
+    id, which is what lets a SQL oracle replay the output exactly.
+
+    Options: ``n`` (total rows), ``parts`` (input partitions).
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _SeqReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.parts = int(options.get("parts", 4))
+
+        def partitions(self):
+            step = max(1, self.n // self.parts)
+            bounds = list(range(0, self.n, step)) + [self.n]
+            return [
+                _RangePartition(bounds[i], bounds[i + 1])
+                for i in range(len(bounds) - 1)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                # value = pure function of id → oracle-replayable
+                yield (i, (i * i) % 997, f"row-{i % 7}")
+
+    class SeqSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "seqgen"
+
+        def schema(self):
+            return "id BIGINT, sq_mod INT, tag STRING"
+
+        def reader(self, schema):
+            return _SeqReader(self.options)
+
+    spark.dataSource.register(SeqSource)
