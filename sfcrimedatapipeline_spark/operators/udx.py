@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 #: output schema of weighted_mean_by
@@ -102,3 +103,46 @@ def md5_prefix_udf():
         )
 
     return md5_prefix
+
+
+_COGROUP_SCHEMA = (
+    "user_id long, n_clicks long, n_purchases long, n_purchases_after_first_click long"
+)
+
+
+def cogroup_click_purchase(events: DataFrame) -> DataFrame:
+    """Two-sided pandas CO-GROUP (``groupBy().cogroup().applyInPandas``)
+    — the last of the Arrow execution surfaces (scalar UDF, grouped-agg
+    UDAF, grouped map, mapInPandas, stateful map, and this): clicks and
+    purchases are co-partitioned per user and handed to Python as a
+    pair of aligned frames, the shape custom cross-stream reconciliation
+    logic needs when it can't be expressed as a join.
+
+    Counts are exact integers (timestamp comparisons, no float), so the
+    whole surface sits under the value-hash gate; either side may be
+    empty for a user — both appear in the output.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+
+    def align(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        user = left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
+        after = 0
+        if len(left) and len(right):
+            after = int((right["ts"] > left["ts"].min()).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [user],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "n_purchases_after_first_click": [after],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(align, _COGROUP_SCHEMA)
+    )

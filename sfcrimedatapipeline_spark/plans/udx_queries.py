@@ -53,8 +53,17 @@ def u3_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u4_cogroup_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: two-sided pandas cogroup — per-user click/purchase
+    alignment (operators/udx.py:cogroup_click_purchase)."""
+    from sfcrimedatapipeline_spark.operators.udx import cogroup_click_purchase
+
+    return cogroup_click_purchase(read_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "u1_udaf_weighted_mean": u1_udaf_weighted_mean,
+    "u4_cogroup_alignment": u4_cogroup_alignment,
     "u3_scalar_pandas_udf": u3_scalar_pandas_udf,
     "u2_udtf_sentences": u2_udtf_sentences,
 }
@@ -80,6 +89,31 @@ ORACLE_SQL = {
                    AS sent_idx,
                unnest(string_split(text, '. ')) AS sentence
         FROM documents
+    """,
+    "u4_cogroup_alignment": """
+        WITH c AS (
+            SELECT user_id, count(*) AS n_clicks,
+                   min(CAST(ts AS TIMESTAMP)) AS first_click
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        ),
+        p AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        pc AS (SELECT user_id, count(*) AS n_purchases FROM p GROUP BY 1),
+        pa AS (
+            SELECT p.user_id, count(*) AS n_after
+            FROM p JOIN c USING (user_id)
+            WHERE p.ts > c.first_click
+            GROUP BY 1
+        )
+        SELECT coalesce(c.user_id, pc.user_id) AS user_id,
+               CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+               CAST(coalesce(pc.n_purchases, 0) AS BIGINT) AS n_purchases,
+               CAST(coalesce(pa.n_after, 0) AS BIGINT)
+                   AS n_purchases_after_first_click
+        FROM c FULL OUTER JOIN pc ON c.user_id = pc.user_id
+        LEFT JOIN pa ON coalesce(c.user_id, pc.user_id) = pa.user_id
     """,
     "u3_scalar_pandas_udf": """
         SELECT doc_id,
