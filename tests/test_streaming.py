@@ -209,3 +209,75 @@ def test_session_window_exact_gap_merges(spark):
     ]
     legacy = sessionize(ev, gap_minutes=30).collect()
     assert sorted(r.n_events for r in legacy) == [1, 2]
+
+
+def test_stream_restart_resumes_exactly_once(spark, tmp_path):
+    """Checkpoint recovery: a file-source stream processed halfway,
+    STOPPED, given more files, and restarted against the SAME
+    checkpoint must resume where it left off — the final sink holds
+    every input row exactly once (no loss, no reprocessing)."""
+    import shutil
+
+    from sfcrimedatapipeline_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        write_time_sliced_stream_dir,
+    )
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    staged = write_time_sliced_stream_dir(
+        events, str(tmp_path / "staged"), n_slices=6
+    )
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    files = sorted(p for p in (tmp_path / "staged").iterdir()
+                   if p.suffix == ".parquet")
+    assert len(files) == 6
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(watch))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    for f in files[:3]:
+        shutil.copy(f, watch / f.name)
+    run_once()
+    mid = spark.read.parquet(sink).count()
+    assert 0 < mid < events.count()
+    for f in files[3:]:
+        shutil.copy(f, watch / f.name)
+    run_once()  # NEW query object, SAME checkpoint
+    out = spark.read.parquet(sink)
+    assert out.count() == events.count()  # nothing lost, nothing doubled
+    assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet generations: a later writer adds
+    a column; mergeSchema reads the union with NULL backfill for old
+    files — the additive-evolution contract a long-lived 100 TB table
+    relies on."""
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        p + "/gen=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(p + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "name", "score", "gen"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
