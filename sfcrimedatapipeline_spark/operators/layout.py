@@ -99,3 +99,22 @@ def compact_parquet_dir(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n
+
+
+def range_layout_write(
+    df: DataFrame, path: str, order_cols: list[str], n_files: int
+) -> None:
+    """Write ``df`` range-partitioned AND sorted by ``order_cols`` —
+    the time-series layout: each file covers one disjoint key range, so
+    footer min/max stats make any range predicate on the leading column
+    skip all but the overlapping files. The 1-D companion to
+    ``zorder_write`` (z-order trades a little per-column selectivity to
+    cover MULTIPLE columns; for a single dominant scan axis — almost
+    always event time — plain range layout is strictly better).
+    """
+    (
+        df.repartitionByRange(n_files, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+        # chunks carry NO min/max statistics, which silently disables
+        # row-group/file skipping on event-time predicates — the single
+        # most important pruning axis for a time-series fact table
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local mode runs every executor thread inside the driver JVM, so
         # this IS the executor memory. 8g is the validated setting for the

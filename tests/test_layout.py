@@ -77,3 +77,49 @@ def test_compact_parquet_dir_reduces_files_preserves_rows(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == before
     assert after.agg(F.sum("event_id")).first()[0] == ev.agg(F.sum("event_id")).first()[0]
+
+
+def test_range_layout_prunes_time_predicates(spark, tmp_path):
+    """Range layout: a time-range predicate must touch only the files
+    whose footer [min,max] overlaps it — verified from the parquet
+    footers themselves, the same stats the scan's row-group skipping
+    reads."""
+    import pyarrow.parquet as pq
+
+    from sfcrimedatapipeline_spark.operators.layout import range_layout_write
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    # session pins TIMESTAMP_MICROS output (INT96 carries no stats);
+    # assert that engine-wide choice is in force, then exercise it
+    assert (
+        spark.conf.get("spark.sql.parquet.outputTimestampType")
+        == "TIMESTAMP_MICROS"
+    )
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "ev_range")
+    range_layout_write(ev, out, ["ts"], n_files=8)
+
+    import glob
+
+    spans = []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            idx = [c for c in range(row_group.num_columns)
+                   if row_group.column(c).path_in_schema == "ts"][0]
+            st = row_group.column(idx).statistics
+            if st is not None and st.has_min_max:
+                mins.append(st.min); maxs.append(st.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    assert len(spans) >= 4  # stats present on the populated files
+    spans.sort()
+    # files cover DISJOINT ranges (allowing boundary ties)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+    # a one-span predicate overlaps few files
+    lo, hi = spans[3]
+    overlapping = sum(1 for s_lo, s_hi in spans if s_lo <= hi and s_hi >= lo)
+    assert overlapping <= 3
