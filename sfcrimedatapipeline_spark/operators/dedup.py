@@ -656,3 +656,34 @@ def fuzzy_dup_pairs(
         )
         .filter(F.col("prefix_dist") <= max_dist)
     )
+
+
+def dedup_against_corpus(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-RUN dedup: keep only delta documents whose normalized-text
+    fingerprint appears in NEITHER the existing corpus NOR earlier in
+    the delta itself (min-id per delta group survives). This is the
+    incremental-ingest companion to :func:`dedup_exact` — a daily crawl
+    batch checked against the accumulated corpus without ever rereading
+    corpus text.
+
+    Scale shape: both sides reduce to 32-byte fingerprints before any
+    join; the corpus side would be a pre-materialized fingerprint table
+    in production (one column, so the scan prunes to it), and the
+    anti-join hash-partitions on the fingerprint. Output:
+    ``(doc_id, fingerprint)`` of the surviving delta docs.
+    """
+    d = delta.select(
+        F.col(id_col), F.md5(normalized(F.col(text_col))).alias("fingerprint")
+    )
+    c = corpus.select(F.md5(normalized(F.col(text_col))).alias("fingerprint"))
+    survivors = (
+        d.join(c, "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return survivors.select(id_col, "fingerprint")

@@ -172,6 +172,15 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run dedup: the last fifth of documents (by id) plays the
+    incoming crawl batch, the first four fifths the accumulated corpus
+    (operators/dedup.py:dedup_against_corpus)."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    cut = F.col("doc_id") % 5 == 4
+    return dedup.dedup_against_corpus(docs.filter(cut), docs.filter(~cut))
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read_parallel(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
@@ -500,6 +509,20 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE CAST(ni AS DOUBLE) / (sa.n_sh + sb.n_sh - ni) >= {JACCARD_THRESHOLD}
         """,
         "dedup_simhash": _simhash_sql(),
+        "dedup_delta_vs_corpus": f"""
+            WITH d AS (
+                SELECT doc_id, md5({SQL_NORMALIZED}) AS fingerprint
+                FROM documents WHERE doc_id % 5 = 4
+            ),
+            c AS (
+                SELECT md5({SQL_NORMALIZED}) AS fingerprint
+                FROM documents WHERE doc_id % 5 != 4
+            )
+            SELECT min(doc_id) AS doc_id, fingerprint
+            FROM d
+            WHERE fingerprint NOT IN (SELECT fingerprint FROM c)
+            GROUP BY fingerprint
+        """,
         "text_vocabulary": f"""
             WITH tok AS (SELECT unnest({SQL_TOKENS}) AS token FROM documents),
             c AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
@@ -614,6 +637,7 @@ def build_oracle_sql() -> dict[str, str]:
 
 QUERIES = {
     "dedup_fuzzy_editdist": dedup_fuzzy_editdist,
+    "dedup_delta_vs_corpus": dedup_delta_vs_corpus,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
