@@ -1547,8 +1547,23 @@ def s14_catalog_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a10_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (extension): the conditional/boolean aggregate family —
+    count_if, bool_and, bool_or — per return flag. All-deterministic
+    outputs (unlike any_value/mode, which are tie-arbitrary and
+    deliberately excluded from the gate)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count_if(F.col("l_discount") > 0.05).cast("long").alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.count_if(F.col("l_linestatus") == "F").cast("long").alias("n_finished"),
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "s13_sql_flagship": s13_sql_flagship,
+    "a10_bool_aggregates": a10_bool_aggregates,
     "s14_catalog_dml": s14_catalog_dml,
     "p1_project_alias": p1_project_alias,
     "p2_null_default": p2_null_default,
@@ -1604,5 +1619,15 @@ ORACLE_SQL["s14_catalog_dml"] = """
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
+    GROUP BY 1
+"""
+
+ORACLE_SQL["a10_bool_aggregates"] = """
+    SELECT l_returnflag AS flag,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_finished
+    FROM lineitem
     GROUP BY 1
 """
