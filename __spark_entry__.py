@@ -26,8 +26,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return j8_star_join_monthly(spark, SMOKE_SF_DIR)
 
 
+#: Run these LAST: pipeline rebuilds, iterative ops, and genuine
+#: streaming executions (micro-batched, fixture-backed). The round-4
+#: driver artifact truncated at 50/118 queries on a time budget
+#: (VERDICT r4 #1); cheap oracle-gated batch queries go first so the
+#: record maximizes coverage under any budget. The streaming entries
+#: share one session-cached fixture (streaming/events.py:
+#: cached_stream_fixture), so grouping them also amortizes its build.
+_DEFERRED = [
+    "fact_crime_build",
+    "serve_initial_reports",
+    "dedup_clusters",
+    "pagerank_dup_graph",
+    "graph_triangle_count",
+    "u4_cogroup_alignment",
+    "events_hourly_agg_stream",
+    "events_sliding_agg_stream",
+    "events_stream_static_join",
+    "events_incremental_agg_stream",
+    "events_stream_stream_join",
+    "dedup_exact_stream",
+    "events_sessionize_stream",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions),
+    ordered cheap-first (see _DEFERRED)."""
     from sfcrimedatapipeline_spark.plans import (
         corpus_queries,
         events_queries,
@@ -38,7 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         udx_queries,
     )
 
-    return {
+    merged = {
         **tpch.QUERIES,
         **llmops.QUERIES,
         **events_queries.QUERIES,
@@ -47,6 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **corpus_queries.QUERIES,
         **udx_queries.QUERIES,
     }
+    deferred = set(_DEFERRED)
+    ordered = {k: v for k, v in merged.items() if k not in deferred}
+    ordered.update({k: merged[k] for k in _DEFERRED if k in merged})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -270,8 +270,6 @@ def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates. Sound for the full hash gate because the output is
     the SET of distinct fingerprints — order- and batching-independent
     — so it must equal the batch DISTINCT the oracle computes."""
-    import tempfile
-
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -280,16 +278,11 @@ def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from sfcrimedatapipeline_spark.streaming.events import (
+        cached_stream_fixture,
         run_stream_to_memory,
-        write_time_sliced_stream_dir,
     )
 
-    docs = _docs(spark, sf_dir)
-    stream_dir = write_time_sliced_stream_dir(
-        docs,
-        tempfile.mkdtemp(prefix="sfcdp_dedup_stream_"),
-        order_by=F.col("doc_id"),
-    )
+    stream_dir = cached_stream_fixture(spark, sf_dir, table="documents")
     schema = StructType(
         [
             StructField("doc_id", LongType()),

@@ -67,17 +67,12 @@ def events_hourly_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever late against the 2-hour watermark and complete-mode output
     must equal the batch aggregation bit for bit (Spark's unified
     engine runs the same logical plan incrementally)."""
-    import tempfile
-
     from sfcrimedatapipeline_spark.streaming.events import (
+        cached_stream_fixture,
         run_stream_to_memory,
-        write_time_sliced_stream_dir,
     )
 
-    events = read_table(spark, sf_dir, "events")
-    stream_dir = write_time_sliced_stream_dir(
-        events, tempfile.mkdtemp(prefix="sfcdp_hourly_stream_")
-    )
+    stream_dir = cached_stream_fixture(spark, sf_dir)
     return run_stream_to_memory(
         spark,
         stream_dir,
@@ -96,17 +91,12 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions only; late rows dropped), which SQL cannot express; the
     rows-only driver check gates schema + execution, and
     tests/test_streaming.py pins the batch-parity semantics."""
-    import tempfile
-
     from sfcrimedatapipeline_spark.streaming.events import (
+        cached_stream_fixture,
         run_stream_to_memory,
-        write_time_sliced_stream_dir,
     )
 
-    events = read_table(spark, sf_dir, "events")
-    stream_dir = write_time_sliced_stream_dir(
-        events, tempfile.mkdtemp(prefix="sfcdp_sessionize_stream_")
-    )
+    stream_dir = cached_stream_fixture(spark, sf_dir)
     return run_stream_to_memory(
         spark,
         stream_dir,
@@ -147,18 +137,13 @@ def events_sliding_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin — sound for the same reason as events_hourly_agg_stream:
     event-time-ordered files mean no late rows, and complete mode must
     converge to the batch aggregation exactly."""
-    import tempfile
-
     from sfcrimedatapipeline_spark.streaming.events import (
+        cached_stream_fixture,
         run_stream_to_memory,
         sliding_event_counts,
-        write_time_sliced_stream_dir,
     )
 
-    events = read_table(spark, sf_dir, "events")
-    stream_dir = write_time_sliced_stream_dir(
-        events, tempfile.mkdtemp(prefix="sfcdp_sliding_stream_")
-    )
+    stream_dir = cached_stream_fixture(spark, sf_dir)
     return run_stream_to_memory(
         spark,
         stream_dir,
@@ -183,17 +168,12 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream joins), which is why this join class is the default
     for dimension enrichment at any scale. Emitted aggregate ≡ batch
     (complete mode, no late rows), so the batch oracle gates it."""
-    import tempfile
-
     from sfcrimedatapipeline_spark.streaming.events import (
+        cached_stream_fixture,
         run_stream_to_memory,
-        write_time_sliced_stream_dir,
     )
 
-    events = read_table(spark, sf_dir, "events")
-    stream_dir = write_time_sliced_stream_dir(
-        events, tempfile.mkdtemp(prefix="sfcdp_static_join_")
-    )
+    stream_dir = cached_stream_fixture(spark, sf_dir)
     dim = spark.createDataFrame(
         sorted(EVENT_TYPE_WEIGHTS.items()), "event_type string, weight int"
     )
@@ -270,14 +250,11 @@ def events_incremental_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile
 
     from sfcrimedatapipeline_spark.streaming.events import (
+        cached_stream_fixture,
         run_incremental_agg_stream,
-        write_time_sliced_stream_dir,
     )
 
-    events = read_table(spark, sf_dir, "events")
-    stream_dir = write_time_sliced_stream_dir(
-        events, tempfile.mkdtemp(prefix="sfcdp_incr_agg_stream_")
-    )
+    stream_dir = cached_stream_fixture(spark, sf_dir)
     state = run_incremental_agg_stream(
         spark,
         stream_dir,
@@ -438,18 +415,13 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     files are event-time ordered, so no row is late, and an inner join
     with watermarks drops no on-time match — the emitted pair set must
     equal the batch join exactly."""
-    import tempfile
-
     from sfcrimedatapipeline_spark.streaming.events import (
+        cached_stream_fixture,
         click_purchase_within,
         run_stream_to_memory,
-        write_time_sliced_stream_dir,
     )
 
-    events = read_table(spark, sf_dir, "events")
-    stream_dir = write_time_sliced_stream_dir(
-        events, tempfile.mkdtemp(prefix="sfcdp_ss_join_")
-    )
+    stream_dir = cached_stream_fixture(spark, sf_dir)
     return run_stream_to_memory(
         spark,
         stream_dir,
