@@ -1,0 +1,45 @@
+"""Cache-lifetime helpers.
+
+Lazy operators persist scan-shared intermediates (an edge list consumed
+by three self-joins, a ranked frame consumed by three lookups). The
+cache must survive until the CALLER materializes the returned plan, so
+the operator cannot unpersist before returning — but the caller holds
+no handle on the intermediates, so without help the cached frames
+outlive the query and accumulate executor storage for the life of the
+session (ADVICE r4: cross_corpus_contamination leaked its tf/ef caches,
+triangle_count its edge list, exact_quantiles_by its ranked frame).
+
+``unpersist_when_released`` ties the intermediates' cache lifetime to
+the result object itself: when the caller drops its last reference to
+the returned frame — which in CPython happens deterministically, right
+after ``collect()``/``toPandas()``/write in every normal call shape —
+the intermediates are unpersisted (non-blocking). Iterative operators
+(connected_components, pagerank) that materialize eagerly in-loop keep
+their explicit in-loop unpersists; this helper is for one-shot lazy
+plans only.
+"""
+
+from __future__ import annotations
+
+import weakref
+
+
+def unpersist_when_released(result, *cached):
+    """Unpersist every frame in ``cached`` once ``result`` is released.
+
+    Returns ``result`` (a ``DataFrame`` — or any object, e.g. the dict
+    of tables a pipeline returns). The finalizer swallows errors: at
+    interpreter shutdown the JVM gateway may already be gone, and a
+    double-unpersist (e.g. after a session-wide ``clearCache()``) is a
+    no-op.
+    """
+
+    def _release(frames=list(cached)):
+        for f in frames:
+            try:
+                f.unpersist(blocking=False)
+            except Exception:
+                pass
+
+    weakref.finalize(result, _release)
+    return result

@@ -322,33 +322,41 @@ def cross_corpus_contamination(
     """
     from sfcrimedatapipeline_spark.operators.textstats import winnow_fingerprints
 
-    tf = winnow_fingerprints(train, id_col=id_col, text_col=text_col).select(
-        F.col(id_col).alias("train_id"), "fingerprint"
+    from sfcrimedatapipeline_spark.functions.caching import (
+        unpersist_when_released,
     )
-    ef = winnow_fingerprints(eval_df, id_col=id_col, text_col=text_col).select(
-        F.col(id_col).alias("eval_id"), "fingerprint"
-    )
-    tf = tf.persist()  # feeds both the df-cap aggregate and the join
+
+    # persisted handles keep their own names (never rebound) so the
+    # result finalizer can release them (ADVICE r4)
+    tf_cached = winnow_fingerprints(
+        train, id_col=id_col, text_col=text_col
+    ).select(F.col(id_col).alias("train_id"), "fingerprint").persist()
     # hot = boilerplate fingerprints (train df > cap): a small set,
     # broadcast into anti-joins on both sides
     hot = F.broadcast(
-        tf.groupBy("fingerprint")
+        tf_cached.groupBy("fingerprint")
         .agg(F.count("*").alias("__df"))
         .filter(F.col("__df") > max_df)
         .select("fingerprint")
     )
-    tf = tf.join(hot, "fingerprint", "left_anti")
-    ef = ef.join(hot, "fingerprint", "left_anti")
-    ef = ef.persist()  # scanned for both the join and the per-doc totals
+    tf = tf_cached.join(hot, "fingerprint", "left_anti")
+    ef_cached = (
+        winnow_fingerprints(eval_df, id_col=id_col, text_col=text_col)
+        .select(F.col(id_col).alias("eval_id"), "fingerprint")
+        .join(hot, "fingerprint", "left_anti")
+        .persist()  # scanned for both the join and the per-doc totals
+    )
     # fingerprints are distinct within a doc, so count(*) counts distinct
     # shared fingerprints without a dedup pass
-    ef_totals = ef.groupBy("eval_id").agg(F.count("*").alias("n_eval_fps"))
+    ef_totals = ef_cached.groupBy("eval_id").agg(
+        F.count("*").alias("n_eval_fps")
+    )
     shared = (
-        tf.join(ef, "fingerprint")
+        tf.join(ef_cached, "fingerprint")
         .groupBy("train_id", "eval_id")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
-    return (
+    result = (
         shared.join(F.broadcast(ef_totals), "eval_id")
         .select(
             "train_id",
@@ -361,6 +369,7 @@ def cross_corpus_contamination(
         )
         .filter(F.col("containment") >= min_containment)
     )
+    return unpersist_when_released(result, tf_cached, ef_cached)
 
 
 def assign_splits(

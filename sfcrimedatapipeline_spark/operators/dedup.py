@@ -676,10 +676,16 @@ def dedup_against_corpus(
     in production (one column, so the scan prunes to it), and the
     anti-join hash-partitions on the fingerprint. Output:
     ``(doc_id, fingerprint)`` of the surviving delta docs.
+
+    NULL-text delta rows are dropped explicitly: a NULL fingerprint
+    never matches in the anti-join (Spark would keep it) but a SQL
+    ``NOT IN`` oracle drops it — the contract is pinned to "no
+    fingerprint → not a document", identical on both engines
+    (ADVICE r4).
     """
     d = delta.select(
         F.col(id_col), F.md5(normalized(F.col(text_col))).alias("fingerprint")
-    )
+    ).filter(F.col("fingerprint").isNotNull())
     c = corpus.select(F.md5(normalized(F.col(text_col))).alias("fingerprint"))
     survivors = (
         d.join(c, "fingerprint", "left_anti")

@@ -133,6 +133,10 @@ def triangle_count(
     relational formulation; at scale the joins hash-partition on the
     shared node and AQE handles hub skew).
     """
+    from sfcrimedatapipeline_spark.functions.caching import (
+        unpersist_when_released,
+    )
+
     e = (
         pairs.select(
             F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("lo"),
@@ -140,7 +144,7 @@ def triangle_count(
         )
         .filter(F.col("lo") < F.col("hi"))
         .distinct()
-        .persist()
+        .persist()  # released when the result frame is (ADVICE r4)
     )
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (
@@ -151,4 +155,4 @@ def triangle_count(
         )
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
-    return tri
+    return unpersist_when_released(tri, e)

@@ -138,37 +138,64 @@ def frequent_items(
 
 
 def histogram(
-    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 10
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    null_bin: bool = False,
 ) -> DataFrame:
     """Fixed-width histogram of a numeric column over [lo, hi): bin
-    index, inclusive-exclusive bounds, and count. Out-of-range rows
-    clamp into the edge bins (standard monitoring semantics — no row
-    is silently dropped); empty bins are emitted with count 0 so the
-    shape is fixed regardless of data.
+    index, inclusive-exclusive bounds, and count. Out-of-range NON-NULL
+    rows clamp into the edge bins; empty bins are emitted with count 0
+    so the shape is fixed regardless of data. NULL values fall outside
+    every bin — by default they are excluded (the oracle twin does the
+    same); with ``null_bin=True`` they are counted in a dedicated
+    ``bin = -1`` row (NULL bounds), so no row of any kind goes
+    unreported (ADVICE r4: the old docstring claimed that of the
+    default path, which was wrong).
 
-    One map-side-combined groupBy on the bin index (≤ n_bins rows
+    One map-side-combined groupBy on the bin index (≤ n_bins+1 rows
     shuffle), then a broadcast right-join against a generated bin
     spine. The bin formula is pure double arithmetic written
     identically in the oracle.
     """
     width = (hi - lo) / n_bins
     v = F.col(col).cast("double")
-    idx = F.least(
-        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
-        F.lit(n_bins - 1),
+    # NULL must stay NULL through the clamp: Spark's greatest() SKIPS
+    # nulls (greatest(NULL, 0) = 0), so without the isNotNull guard a
+    # NULL row would silently clamp into bin 0
+    idx = F.when(
+        v.isNotNull(),
+        F.least(
+            F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(n_bins - 1),
+        ),
     ).cast("int")
+    if null_bin:
+        idx = F.coalesce(idx, F.lit(-1).cast("int"))
     counts = (
         df.select(idx.alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").alias("n"))
     )
-    spine = df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    spark = df.sparkSession
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    if null_bin:
+        spine = spine.unionByName(
+            spark.range(1).select(F.lit(-1).cast("int").alias("bin"))
+        )
+    in_range = F.col("bin") >= 0
     return (
         spine.join(counts, "bin", "left")
         .select(
             "bin",
-            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
-            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            F.when(in_range, F.lit(lo) + F.col("bin") * F.lit(width)).alias(
+                "bin_lo"
+            ),
+            F.when(
+                in_range, F.lit(lo) + (F.col("bin") + 1) * F.lit(width)
+            ).alias("bin_hi"),
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         )
     )
@@ -265,7 +292,11 @@ def exact_quantiles_by(
     )
     vlo = ranked.select(F.col("g"), F.col("r").alias("lo"), F.col("v").alias("vlo"))
     vhi = ranked.select(F.col("g"), F.col("r").alias("hi"), F.col("v").alias("vhi"))
-    return (
+    from sfcrimedatapipeline_spark.functions.caching import (
+        unpersist_when_released,
+    )
+
+    result = (
         spine.join(vlo, ["g", "lo"])
         .join(vhi, ["g", "hi"])
         .select(
@@ -277,3 +308,4 @@ def exact_quantiles_by(
             ).alias("value"),
         )
     )
+    return unpersist_when_released(result, ranked)

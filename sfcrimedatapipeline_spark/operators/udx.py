@@ -98,8 +98,12 @@ def md5_prefix_udf():
 
     @pandas_udf("long")
     def md5_prefix(s: pd.Series) -> pd.Series:
+        # NULL in → NULL out, matching JVM F.md5 and the SQL oracle
+        # (str(None) would silently hash the literal 'None' — ADVICE r4);
+        # na_action skips every pandas missing flavor (None/NaN/NA)
         return s.map(
-            lambda t: int(hashlib.md5(str(t).encode()).hexdigest()[:8], 16)
+            lambda t: int(hashlib.md5(str(t).encode()).hexdigest()[:8], 16),
+            na_action="ignore",
         )
 
     return md5_prefix

@@ -520,7 +520,8 @@ def build_oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, fingerprint
             FROM d
-            WHERE fingerprint NOT IN (SELECT fingerprint FROM c)
+            WHERE fingerprint IS NOT NULL
+              AND fingerprint NOT IN (SELECT fingerprint FROM c)
             GROUP BY fingerprint
         """,
         "text_vocabulary": f"""

@@ -45,6 +45,10 @@ def transform(
     the in-memory equivalent and CacheManager transparently reuses the
     entries across the downstream serve query too.
     """
+    from sfcrimedatapipeline_spark.functions.caching import (
+        unpersist_when_released,
+    )
+
     staging_with_id = staging_with_id.persist()
     dim_date = dim_date.persist()
     dim_time = dim_time.persist()
@@ -64,6 +68,11 @@ def transform(
         dims["DimReportType"],
         fix_report_time_id=fix_report_time_id,
     )
+    # Release the per-run caches when the caller drops the fact frame
+    # (dicts are not weakref-able; every caller keeps the fact at least
+    # as long as the dims) — a long-lived app running many pipelines
+    # must not accumulate per-run cached staging/dim frames (ADVICE r4).
+    fact = unpersist_when_released(fact, staging_with_id, dim_date, dim_time)
     return {**dims, "FactCrime": fact}
 
 

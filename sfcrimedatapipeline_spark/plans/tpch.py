@@ -1516,35 +1516,45 @@ def s14_catalog_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dags/ELT.py:82,147,...); partition columns become directories, so
     downstream event-type predicates prune at the catalog level. The
     read-back is gated against an oracle that aggregates the source
-    directly — any DDL/DML/partition-discovery defect breaks the hash."""
+    directly — any DDL/DML/partition-discovery defect breaks the hash.
+
+    The table name is per-run unique and the table is dropped after the
+    read-back (result localCheckpointed first, so the returned frame no
+    longer depends on it): a fixed name raced concurrent sessions
+    sharing a metastore, and each re-run's DROP of the external table
+    orphaned the previous run's parquet directory (ADVICE r4)."""
     import tempfile
+    import uuid
 
     from sfcrimedatapipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
     loc = tempfile.mkdtemp(prefix="sfcdp_catalog_")
-    spark.sql("DROP TABLE IF EXISTS ev_type_stats")
+    tbl = f"ev_type_stats_{uuid.uuid4().hex[:12]}"
     spark.sql(
         f"""
-        CREATE TABLE ev_type_stats (
+        CREATE TABLE {tbl} (
             n_events BIGINT, sum_value DOUBLE, event_type STRING
         ) USING parquet PARTITIONED BY (event_type)
-        LOCATION '{loc}/ev_type_stats'
+        LOCATION '{loc}/{tbl}'
         """
     )
-    spark.sql(
-        """
-        INSERT OVERWRITE ev_type_stats
-        SELECT count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-               event_type
-        FROM events
-        GROUP BY event_type
-        """
-    )
-    return spark.sql(
-        "SELECT event_type, n_events, sum_value FROM ev_type_stats"
-    )
+    try:
+        spark.sql(
+            f"""
+            INSERT OVERWRITE {tbl}
+            SELECT count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   event_type
+            FROM events
+            GROUP BY event_type
+            """
+        )
+        return spark.sql(
+            f"SELECT event_type, n_events, sum_value FROM {tbl}"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
 def a10_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,3 +92,18 @@ def test_emb_lsh_mega_bucket_is_split_and_bounded(spark):
     sizes = np.bincount(g)
     worst_group = 2 * sizes.max()
     assert worst_group <= 2 * cap + s, worst_group
+
+
+def test_dedup_against_corpus_drops_null_text(spark):
+    """NULL-text delta rows produce no fingerprint and must be dropped,
+    not kept by null-key anti-join semantics — the contract the SQL
+    NOT IN oracle enforces (ADVICE r4)."""
+    delta = spark.createDataFrame(
+        [(10, "fresh doc"), (11, None), (12, "seen doc")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame([(1, "seen doc")], "doc_id long, text string")
+    got = sorted(
+        r.doc_id for r in dedup.dedup_against_corpus(delta, corpus).collect()
+    )
+    assert got == [10]

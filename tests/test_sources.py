@@ -246,3 +246,22 @@ def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
     assert len(bad) == 2
     assert any("not json" in r._corrupt_record for r in bad)
     df.unpersist()
+
+
+def test_histogram_null_bin(spark):
+    """Default path excludes NULLs (matching the oracle); null_bin=True
+    reports them in a dedicated bin -1 row with NULL bounds, so no row
+    of any kind goes uncounted (ADVICE r4)."""
+    from sfcrimedatapipeline_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(0.5,), (1.5,), (None,), (None,), (9.9,)], "v double"
+    )
+    default = {r.bin: r.n for r in histogram(df, "v", 0.0, 10.0, 5).collect()}
+    assert -1 not in default and sum(default.values()) == 3
+
+    rows = {r.bin: r for r in histogram(df, "v", 0.0, 10.0, 5, null_bin=True).collect()}
+    assert rows[-1].n == 2
+    assert rows[-1].bin_lo is None and rows[-1].bin_hi is None
+    assert sum(r.n for r in rows.values()) == 5
+    assert rows[0].n == 2 and rows[4].n == 1

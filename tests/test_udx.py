@@ -35,3 +35,25 @@ def test_udtf_null_and_empty_text(spark):
     got = sorted((r["doc_id"], r["sent_idx"], r["sentence"]) for r in out)
     # empty text -> one empty sentence (str.split contract); NULL -> no rows
     assert got == [(1, 0, "one"), (1, 1, "two"), (2, 0, "")]
+
+
+def test_md5_prefix_udf_null_contract(spark):
+    """NULL text -> NULL hash, matching JVM F.md5 and the SQL oracle
+    (ADVICE r4: str(None) used to hash the literal 'None')."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.udx import md5_prefix_udf
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None)], "id long, text string"
+    )
+    rows = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", md5_prefix_udf()(F.col("text")).alias("h")
+        ).collect()
+    }
+    assert rows[1] == int(hashlib.md5(b"abc").hexdigest()[:8], 16)
+    assert rows[2] is None
