@@ -46,6 +46,7 @@ _DEFERRED = [
     "events_incremental_agg_stream",
     "events_stream_stream_join",
     "dedup_exact_stream",
+    "dedup_exact_stream_wm",
     "events_sessionize_stream",
 ]
 

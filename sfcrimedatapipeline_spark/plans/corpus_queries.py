@@ -302,6 +302,55 @@ def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_exact_stream_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED streaming dedup (dropDuplicatesWithinWatermark)
+    driven end-to-end and hash-gated: documents get a synthetic event
+    time (epoch + doc_id seconds, deterministic), stream through the
+    watermarked dedup with a delay that covers the whole corpus span —
+    under which no duplicate can outlive its state entry, so the
+    emitted fingerprint SET must equal the batch DISTINCT exactly (the
+    same soundness argument as dedup_exact_stream). The small-delay
+    EVICTION semantics — duplicate beyond the horizon re-emits — are
+    pinned by tests/test_streaming.py, which SQL cannot express."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sfcrimedatapipeline_spark.streaming.events import (
+        cached_stream_fixture,
+        run_stream_to_memory,
+    )
+
+    stream_dir = cached_stream_fixture(spark, sf_dir, table="documents")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        with_ts = stream.withColumn(
+            "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+        )
+        return dd.dedup_exact_stream_watermarked(with_ts, delay="30 days")
+
+    return run_stream_to_memory(
+        spark,
+        stream_dir,
+        transform,
+        query_name="dedup_exact_stream_wm",
+        output_mode="append",
+        schema=schema,
+    )
+
+
 def _winnow_fps_sql(pred: str) -> str:
     """(doc_id, fingerprint) winnow subquery over ``documents WHERE
     pred`` — the same formula as llmops._winnow_sql, parameterized by a
@@ -452,6 +501,11 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         # the streaming dedup's emitted set must equal the batch DISTINCT
         "dedup_exact_stream": f"""
+            SELECT DISTINCT md5({SQL_NORMALIZED}) AS fingerprint FROM documents
+        """,
+        # watermarked variant: delay covers the corpus span, so no state
+        # entry evicts before its last duplicate → same batch DISTINCT
+        "dedup_exact_stream_wm": f"""
             SELECT DISTINCT md5({SQL_NORMALIZED}) AS fingerprint FROM documents
         """,
         # identical explicit interpolation formula on both sides —
@@ -649,8 +703,9 @@ QUERIES = {
     "diff_orders_tables": diff_orders_tables,
     "docs_chunk_overlap": docs_chunk_overlap,
     "contamination_winnow": contamination_winnow,
-    # streaming execution, gated by the batch-DISTINCT oracle
+    # streaming executions, gated by the batch-DISTINCT oracle
     "dedup_exact_stream": dedup_exact_stream,
+    "dedup_exact_stream_wm": dedup_exact_stream_wm,
     "profile_lineitem": profile_lineitem,
     "quantiles_extendedprice": quantiles_extendedprice,
 }

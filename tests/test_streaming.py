@@ -281,3 +281,58 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score", "gen"}
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_watermarked_dedup_drops_within_horizon_and_reemits_after(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract (operators/dedup.py:
+    dedup_exact_stream_watermarked): a duplicate arriving within the
+    delay of the kept occurrence is dropped; once the watermark passes
+    the state's expiration the key re-emits — time-bounded state trades
+    exactly-once-per-corpus for bounded memory."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from sfcrimedatapipeline_spark.operators.dedup import (
+        dedup_exact_stream_watermarked,
+    )
+    from sfcrimedatapipeline_spark.streaming.events import run_stream_to_memory
+
+    t0 = dt.datetime(2024, 1, 1)
+    # the watermark lags one batch (batch N runs under the watermark
+    # computed at the end of batch N-1), so the advancing row needs a
+    # follow-up batch before eviction is visible
+    batches = [
+        [(1, "dup doc", t0)],                                  # emit
+        [(2, "dup doc", t0 + dt.timedelta(minutes=10))],       # in horizon: drop
+        [(3, "other doc", t0 + dt.timedelta(hours=5))],        # advances watermark
+        [(4, "third doc", t0 + dt.timedelta(hours=5, minutes=30))],  # wm now 4h: evicts dup
+        [(5, "dup doc", t0 + dt.timedelta(hours=6))],          # state evicted: re-emit
+    ]
+    ddl = "doc_id long, text string, ts timestamp"
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    base_t = 1_700_000_000
+    for i, rows in enumerate(batches):  # one file per batch, mtime-ordered
+        part = tmp_path / f"part{i}"
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part))
+        [src] = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        dest = watch / f"part-{i}.parquet"
+        shutil.copy(part / src, dest)
+        os.utime(dest, (base_t + i * 10, base_t + i * 10))
+
+    out = run_stream_to_memory(
+        spark,
+        str(watch),
+        lambda s: dedup_exact_stream_watermarked(s, delay="1 hour"),
+        query_name="wm_dedup_eviction",
+        output_mode="append",
+        schema=ddl,
+    )
+    fps = [r.fingerprint for r in out.collect()]
+    assert len(fps) == 4  # dup, other, third, dup-again
+    assert len(set(fps)) == 3
+    dup_fp = max(set(fps), key=fps.count)
+    assert fps.count(dup_fp) == 2
