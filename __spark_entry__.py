@@ -37,6 +37,7 @@ _DEFERRED = [
     "fact_crime_build",
     "serve_initial_reports",
     "dedup_clusters",
+    "dedup_clusters_2phase",
     "pagerank_dup_graph",
     "graph_triangle_count",
     "u4_cogroup_alignment",

@@ -24,6 +24,24 @@ from __future__ import annotations
 import weakref
 
 
+def truncate_lineage(df, checkpoint_dir: str | None = None, eager: bool = False):
+    """Lineage truncation for iterative loops: a RELIABLE checkpoint
+    when a directory is given (written to that path — survives executor
+    loss, the cluster setting; VERDICT r4 #6), else ``localCheckpoint``
+    (blocks live only in executor storage — fine for local mode, lost
+    on executor death). Lazy either way; the caller's next action
+    materializes it."""
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        current = sc.getCheckpointDir()
+        # getCheckpointDir returns a scheme-prefixed UUID subdir of the
+        # configured path; only (re)configure when it points elsewhere
+        if current is None or checkpoint_dir.strip("/") not in str(current):
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def unpersist_when_released(result, *cached):
     """Unpersist every frame in ``cached`` once ``result`` is released.
 

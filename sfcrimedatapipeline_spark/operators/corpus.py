@@ -12,11 +12,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+from sfcrimedatapipeline_spark.functions.caching import truncate_lineage
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iters: int = 50,
+    checkpoint_dir: str | None = None,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Connected components over an undirected pair graph → one
     ``(doc_id, canonical_id)`` row per node, canonical = min id in the
@@ -24,29 +29,37 @@ def connected_components(
     (MinHash/SimHash pair output) to one representative document each —
     pairwise dedup alone keeps B and C when A~B and A~C but B≁C.
 
-    Min-label propagation: each round, every node takes the min of its
-    own label and its neighbors' labels; converges in O(graph diameter)
-    rounds. Near-dup clusters are dense and tiny in diameter, so this
-    terminates in a handful of rounds at any corpus size; a long-chain
-    adversarial graph would want the large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce", SoCC'14) —
-    same per-round dataflow, fewer rounds.
+    Two algorithms, same output contract (parity-tested):
 
-    Scale shape: the mirrored edge list gets a SELF-LOOP per node, so
-    each round is a single ``edges ⋈ labels`` (labels keyed by dst) +
-    ``groupBy(src).min`` — the self-loop carries the node's own label
-    through the min, removing the old second "merge with own label"
-    join entirely. Convergence is decided by the label SUM (an
-    aggregate scalar, never a row collect): labels only ever decrease,
-    so an unchanged sum ⟺ a fixed point; that one agg action also
-    materializes the round's eager ``localCheckpoint``, so each round
-    costs exactly one shuffle round-trip + one scalar. The sum is
-    accumulated in DECIMAL(38) — a long sum would overflow once
-    node-count × id-magnitude passes 2^63 at corpus scale.
-    ``localCheckpoint`` truncates the lineage each round so the plan
-    does not grow with iterations (a production cluster job would use a
-    reliable checkpoint dir instead).
+    - ``label_prop`` (default): each round every node takes the min of
+      its own label and its neighbors'; converges in O(graph diameter)
+      rounds. Near-dup clusters are dense and tiny in diameter, so this
+      terminates in a handful of rounds at any corpus size, and each
+      round is ONE join + ONE map-side-combined min.
+    - ``two_phase``: alternating large-star/small-star contractions
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14), converging in O(log²) rounds INDEPENDENT of diameter —
+      the adversarial-long-chain answer (a 10k-node path costs ~10k
+      label-prop rounds but ~a dozen star rounds; test pins this).
+
+    Scale shape (label_prop): the mirrored edge list gets a SELF-LOOP
+    per node, so each round is a single ``edges ⋈ labels`` (labels
+    keyed by dst) + ``groupBy(src).min`` — the self-loop carries the
+    node's own label through the min, removing the old second "merge
+    with own label" join entirely. Convergence is decided by the label
+    SUM (an aggregate scalar, never a row collect): labels only ever
+    decrease, so an unchanged sum ⟺ a fixed point; that one agg action
+    also materializes the round's lazy checkpoint, so each round costs
+    exactly one shuffle round-trip + one scalar. The sum is accumulated
+    in DECIMAL(38) — a long sum would overflow once node-count ×
+    id-magnitude passes 2^63 at corpus scale. ``checkpoint_dir``
+    selects a RELIABLE checkpoint for lineage truncation (cluster
+    setting); default is executor-local (see ``_truncate_lineage``).
     """
+    if algorithm == "two_phase":
+        return _cc_two_phase(pairs, src_col, dst_col, max_iters, checkpoint_dir)
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     fwd = pairs.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
@@ -64,12 +77,12 @@ def connected_components(
     labels = nodes.withColumn("label", F.col("id"))
     prev_sum = None
     for _ in range(max_iters):
-        labels = (
+        labels = truncate_lineage(
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("label"))
-            .withColumnRenamed("src", "id")
-            .localCheckpoint(eager=False)
+            .withColumnRenamed("src", "id"),
+            checkpoint_dir,
         )
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
@@ -83,6 +96,120 @@ def connected_components(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
     )
+
+
+def _cc_two_phase(
+    pairs: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_iters: int,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., SoCC'14 §3): edges are repeatedly rewired toward each
+    neighborhood's minimum until the graph is a union of stars rooted
+    at component minima. Per round both operations are one
+    ``groupBy(u).min`` + re-emit — the same shuffle cost as a
+    label-prop round — but the round COUNT is O(log²) in component
+    size, independent of diameter.
+
+    large-star(u): every neighbor w > u rewires to m = min(N(u) ∪ {u})
+    (each undirected edge is processed exactly once, from its smaller
+    endpoint's group); small-star(u, edges held as hi→lo): every
+    smaller neighbor, and u itself, rewires to m = min of the smaller
+    neighborhood. Both preserve connectivity (paper, Lemmas 1-2) and
+    both keep the hi>lo orientation invariant. Fixed point ⟺ the graph
+    is a union of stars rooted at component minima.
+
+    Convergence probe: a cheap (n_edges, Σ hi, Σ lo) signature per
+    round (one 3-scalar aggregate, never a row collect); on a signature
+    match the fixed point is CONFIRMED with an exact anti-join count —
+    signature collision alone can never terminate the loop early.
+    """
+    fwd = (
+        pairs.select(
+            F.col(src_col).cast("long").alias("a"),
+            F.col(dst_col).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .persist()
+    )
+    all_nodes = (
+        fwd.select(F.col("a").alias("id"))
+        .union(fwd.select(F.col("b").alias("id")))
+        .distinct()
+        .persist()
+    )
+    # canonical undirected representation: (hi, lo) with hi > lo
+    edges = fwd.select(
+        F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+    ).distinct()
+
+    def _round_sig(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("hi").cast("decimal(38,0)")).alias("sh"),
+            F.sum(F.col("lo").cast("decimal(38,0)")).alias("sl"),
+        ).first()
+        return (row["n"], row["sh"], row["sl"])
+
+    prev_sig, prev_edges = None, None
+    for _ in range(max_iters):
+        # large-star: group the MIRRORED neighborhood of u (u on the
+        # "hi" slot, each neighbor w on "lo"); every strictly-larger
+        # neighbor points at the neighborhood min. Each undirected edge
+        # enters exactly one group with lo > hi, so the union over
+        # groups IS the full rewired edge set.
+        nbrs = edges.select("hi", "lo").union(
+            edges.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+        )
+        m = nbrs.groupBy("hi").agg(
+            F.least(F.min("lo"), F.col("hi")).alias("m")
+        )
+        edges = (
+            nbrs.join(m, "hi")
+            .filter(F.col("lo") > F.col("hi"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+
+        # small-star: edges already point hi→lo; every smaller neighbor
+        # (and u itself) points at the min smaller neighbor
+        m2 = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+        rewired = (
+            edges.join(m2, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        self_edge = m2.select(F.col("hi"), F.col("m").alias("lo"))
+        edges = truncate_lineage(
+            rewired.union(self_edge)
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct(),
+            checkpoint_dir,
+        )
+        sig = _round_sig(edges)  # also materializes the checkpoint
+        if sig == prev_sig and prev_edges is not None:
+            # exact confirmation: same count (in sig) + empty anti-join
+            # ⟺ identical sets; a signature collision cannot early-stop
+            if (
+                edges.join(prev_edges, ["hi", "lo"], "left_anti").count()
+                == 0
+            ):
+                break
+        prev_sig, prev_edges = sig, edges
+
+    # converged: stars rooted at component minima; isolated-from-pairs
+    # nodes cannot occur (every input row is an edge), but nodes whose
+    # component collapsed entirely onto the root need a self row
+    parents = edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("canonical_id"))
+    roots = all_nodes.join(
+        parents, all_nodes.id == parents.doc_id, "left_anti"
+    ).select(F.col("id").alias("doc_id"), F.col("id").alias("canonical_id"))
+    out = parents.union(roots)
+    fwd.unpersist(blocking=False)
+    all_nodes.unpersist(blocking=False)
+    return out
 
 
 def deterministic_uniform(key: Column) -> Column:

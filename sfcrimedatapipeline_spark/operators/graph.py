@@ -16,10 +16,11 @@ skipped — two joins per round become one. The edge partition count
 tracks edge volume (bounded by the session parallelism) instead of
 inheriting the static shuffle setting, so a tiny graph schedules a
 handful of tasks per round while a cluster-scale graph still fans
-out. ``localCheckpoint`` truncates lineage every second round exactly
-as in connected_components (a cluster job would use a reliable
-checkpoint dir). Dangling-node mass is redistributed uniformly via a
-1-row aggregate, never a collect of rows.
+out. Lineage is truncated every second round exactly as in
+connected_components — executor-local by default, or a RELIABLE
+checkpoint dir via ``checkpoint_dir=`` for cluster jobs. Dangling-node
+mass is redistributed uniformly via a 1-row aggregate, never a collect
+of rows.
 
 Rank values are IEEE double sums whose low bits depend on aggregation
 order, so the driver query is rows-only by design; the numeric
@@ -40,10 +41,14 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     undirected: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over the pair graph → ``(doc_id, rank)``; ranks sum to
     ~1. ``undirected=True`` mirrors every edge first (the near-dup
-    graph is symmetric)."""
+    graph is symmetric). ``checkpoint_dir`` switches lineage truncation
+    from executor-local blocks to a RELIABLE checkpoint under that path
+    — the cluster setting, where losing an executor must not lose the
+    iteration state (functions/caching.py:truncate_lineage)."""
     fwd = pairs.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
@@ -113,7 +118,11 @@ def pagerank(
         # checkpoint actions halves the wall time on small graphs,
         # where per-action scheduling dominates
         if it % 2 == 1 or it == iters - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            from sfcrimedatapipeline_spark.functions.caching import (
+                truncate_lineage,
+            )
+
+            ranks = truncate_lineage(ranks, checkpoint_dir, eager=True)
     edges.unpersist()
     edges_deg.unpersist()
     nodes.unpersist()

@@ -53,6 +53,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.connected_components(pairs).orderBy("doc_id")
 
 
+def dedup_clusters_2phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME clustering through the alternating large-star/
+    small-star algorithm (Kiveris et al., SoCC'14 — O(log²) rounds
+    independent of graph diameter, the adversarial-long-chain answer)
+    and gated by the SAME recursive-CTE oracle as dedup_clusters: both
+    algorithms must produce the identical (doc_id, canonical_id) map."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_duplicates(docs)
+    return corpus.connected_components(pairs, algorithm="two_phase").orderBy(
+        "doc_id"
+    )
+
+
 def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the near-dup pair graph
     (operators/graph.py) — rank-ordered cluster representatives.
@@ -378,18 +391,13 @@ def _winnow_fps_sql(pred: str) -> str:
     """
 
 
-def build_oracle_sql() -> dict[str, str]:
-    rate_case = "CASE " + " ".join(
-        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
-    ) + f" ELSE {SAMPLE_DEFAULT_RATE} END"
-    uniform = (
-        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
-        " / 4294967296.0"
-    )
-    return {
-        # transitive closure by recursive CTE over the same MinHash pair
-        # SQL as the dedup_minhash_lsh oracle; canonical = min reachable
-        "dedup_clusters": f"""
+def _cc_oracle_sql() -> str:
+    """Transitive closure by recursive CTE over the same MinHash pair
+    SQL as the dedup_minhash_lsh oracle; canonical = min reachable.
+    Shared verbatim by dedup_clusters (label propagation) and
+    dedup_clusters_2phase (large-star/small-star) — both algorithms
+    must produce the identical map."""
+    return f"""
             WITH RECURSIVE pairs AS (
                 SELECT doc_a, doc_b FROM ({_minhash_sql()}) p
             ),
@@ -407,7 +415,20 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS doc_id,
                    CAST(min(r) AS BIGINT) AS canonical_id
             FROM reach GROUP BY id
-        """,
+        """
+
+
+def build_oracle_sql() -> dict[str, str]:
+    rate_case = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    ) + f" ELSE {SAMPLE_DEFAULT_RATE} END"
+    uniform = (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296.0"
+    )
+    return {
+        "dedup_clusters": _cc_oracle_sql(),
+        "dedup_clusters_2phase": _cc_oracle_sql(),
         "graph_triangle_count": f"""
             WITH p AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh),
             e AS (
@@ -687,6 +708,8 @@ def build_oracle_sql() -> dict[str, str]:
 
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    # same oracle, diameter-independent star algorithm
+    "dedup_clusters_2phase": dedup_clusters_2phase,
     # rows-only: rank low bits are aggregation-order-dependent (see docstring)
     "pagerank_dup_graph": pagerank_dup_graph,
     "sample_stratified": sample_stratified,

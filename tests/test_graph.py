@@ -45,3 +45,94 @@ def test_pagerank_directed_with_dangling_node(spark):
         assert abs(got[i] - want[i]) < 1e-12
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[2] > got[1] > got[0]  # rank flows down the chain
+
+
+def test_cc_two_phase_matches_label_prop(spark):
+    """Alternating large-star/small-star CC must produce the identical
+    (doc_id, canonical_id) mapping as min-label propagation on a graph
+    with several multi-node components plus tie shapes."""
+    from sfcrimedatapipeline_spark.operators.corpus import connected_components
+
+    pairs = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (11, 12), (10, 12),    # triangle
+        (20, 21),                        # pair
+        (30, 31), (31, 32), (30, 33), (33, 34),  # tree
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    lp = {
+        (r.doc_id, r.canonical_id)
+        for r in connected_components(df, algorithm="label_prop").collect()
+    }
+    tp = {
+        (r.doc_id, r.canonical_id)
+        for r in connected_components(df, algorithm="two_phase").collect()
+    }
+    assert tp == lp
+    assert {c for _, c in tp} == {1, 10, 20, 30}
+
+
+def test_cc_two_phase_long_chain_beats_diameter(spark):
+    """The adversarial long chain (VERDICT r4 #8): a 256-node path has
+    diameter 255 — label-prop needs ~255 rounds (here capped far below
+    and returns a WRONG, unconverged labeling), while the star
+    algorithm converges in O(log^2) rounds and must be exact."""
+    from sfcrimedatapipeline_spark.operators.corpus import connected_components
+
+    n = 256
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = connected_components(df, algorithm="two_phase", max_iters=12).collect()
+    assert len(out) == n
+    assert all(r.canonical_id == 0 for r in out)
+
+    capped = connected_components(df, algorithm="label_prop", max_iters=12).collect()
+    assert any(r.canonical_id != 0 for r in capped)  # diameter-bound, by design
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to a reliable
+    checkpoint: files appear under the directory and results are
+    unchanged (both algorithms)."""
+    import os
+
+    from sfcrimedatapipeline_spark.operators.corpus import connected_components
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    for algo in ("label_prop", "two_phase"):
+        ckpt = str(tmp_path / f"ckpt_{algo}")
+        out = {
+            (r.doc_id, r.canonical_id)
+            for r in connected_components(
+                df, algorithm=algo, checkpoint_dir=ckpt
+            ).collect()
+        }
+        assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+        found = [
+            f for root, _, fs in os.walk(ckpt) for f in fs
+        ]
+        assert found, f"no reliable checkpoint files written for {algo}"
+
+
+def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
+    """pagerank(checkpoint_dir=...) writes reliable checkpoints and
+    preserves the rank values bit-for-bit vs the local default (same
+    dataflow, same arithmetic — only the truncation medium changes)."""
+    import os
+
+    from sfcrimedatapipeline_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    local = {r.doc_id: r.rank for r in pagerank(df, iters=4).collect()}
+    ckpt = str(tmp_path / "pr_ckpt")
+    reliable = {
+        r.doc_id: r.rank
+        for r in pagerank(df, iters=4, checkpoint_dir=ckpt).collect()
+    }
+    assert reliable == local
+    assert [f for _, _, fs in os.walk(ckpt) for f in fs]
