@@ -1,12 +1,19 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so DECODING IS STUBBED: the
-"decoder" treats payload bytes as the decoded sample/pixel stream
-(deterministic fake — clearly marked below). Everything around the stub
-is real and load-bearing at scale: explicit schemas, Arrow batch
-transfer, per-partition numpy vectorization, and binary slicing — swap
-``_decode_*`` for PIL/librosa calls and the plumbing is unchanged.
+Decoding is container-gated per payload (``method="auto"``): PNG/JPEG
+decode through PIL where it is importable, binary PGM (netpbm ``P5``)
+through a pure-numpy parser that works everywhere, WAV/RIFF audio
+through the stdlib ``wave`` module — and any payload without a known
+container magic falls back to the DETERMINISTIC raw-byte interpretation
+(payload bytes ARE the sample/pixel stream). ``method="bytes"`` pins
+that raw path unconditionally, which is what the DuckDB-oracle-gated
+driver queries use so the value check is pure byte arithmetic on both
+engines; the real-container branches are gated by value-exact pytest
+cases (PGM/WAV, stdlib-only) plus the ``media_pgm_decode`` driver query
+whose oracle replays the header arithmetic. Everything around the
+decode kernel is identical in every branch: explicit schemas, Arrow
+batch transfer, per-partition numpy vectorization, binary slicing.
 
 Scale notes: mapInPandas streams Arrow record batches through one
 Python worker per core — no shuffle, linear in bytes scanned; payloads
@@ -63,6 +70,105 @@ def synthesize_media(
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _parse_pgm(buf: bytes):
+    """Parse a binary PGM (netpbm ``P5``) payload → flat uint8 pixel
+    array, or None if the header is malformed. Pure stdlib+numpy — a
+    REAL container decode that runs in codec-less environments. Handles
+    ``#`` comments and arbitrary whitespace per the netpbm spec; only
+    maxval ≤ 255 (1 byte/pixel) is supported."""
+    import numpy as np
+
+    pos, fields = 2, []
+    try:
+        while len(fields) < 3:
+            while buf[pos : pos + 1].isspace():
+                pos += 1
+            if buf[pos : pos + 1] == b"#":
+                pos = buf.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while not buf[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(buf[start:pos]))
+        pos += 1  # single whitespace byte after maxval, then the raster
+    except (ValueError, IndexError):
+        return None
+    width, height, maxval = fields
+    if not (0 < maxval <= 255) or width < 0 or height < 0:
+        return None
+    raster = buf[pos : pos + width * height]
+    if len(raster) != width * height:
+        return None
+    return np.frombuffer(raster, dtype=np.uint8)
+
+
+def _decode_image(buf: bytes, method: str = "auto"):
+    """Decode one image payload to a flat uint8 array.
+
+    ``auto``: PNG/JPEG via PIL when importable (grayscale-converted, the
+    canonical single-channel feature input), binary PGM via
+    :func:`_parse_pgm`, anything else (or a failed decode) the raw byte
+    stream. ``bytes``: raw stream unconditionally — deterministic and
+    oracle-checkable, the driver-query default."""
+    import numpy as np
+
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if method == "bytes":
+        return raw
+    if buf.startswith(_PNG_MAGIC) or buf.startswith(_JPEG_MAGIC):
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            return raw
+        try:
+            img = Image.open(io.BytesIO(buf)).convert("L")
+        except Exception:
+            return raw
+        return np.asarray(img, dtype=np.uint8).ravel()
+    if buf.startswith(b"P5"):
+        pixels = _parse_pgm(buf)
+        if pixels is not None:
+            return pixels
+    return raw
+
+
+def _decode_audio(buf: bytes, fallback_rate: int, method: str = "auto"):
+    """Decode one audio payload → (flat int sample array, rate).
+
+    ``auto``: RIFF/WAVE containers through the stdlib ``wave`` module —
+    8-bit PCM recentred to signed (x−128 per the WAV spec), 16/32-bit
+    little-endian signed; anything else (or an unsupported sample
+    width) falls back to the raw signed-int8 interpretation at the
+    metadata sample rate. ``bytes``: raw int8 unconditionally."""
+    import numpy as np
+
+    if (
+        method != "bytes"
+        and buf[:4] == b"RIFF"
+        and buf[8:12] == b"WAVE"
+    ):
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(buf)) as wf:
+                width, rate = wf.getsampwidth(), wf.getframerate()
+                frames = wf.readframes(wf.getnframes())
+            if width == 1:
+                return np.frombuffer(frames, np.uint8).astype(np.int16) - 128, rate
+            if width in (2, 4):
+                return np.frombuffer(frames, f"<i{width}"), rate
+        except (wave.Error, EOFError):
+            pass
+    return np.frombuffer(buf, dtype=np.int8), fallback_rate
+
+
 IMAGE_FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -74,19 +180,18 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
-def image_features(media: DataFrame) -> DataFrame:
-    """Per-image byte statistics via numpy over Arrow batches.
+def image_features(media: DataFrame, method: str = "auto") -> DataFrame:
+    """Per-image pixel statistics via numpy over Arrow batches.
 
-    STUB DECODE: ``np.frombuffer(payload, uint8)`` plays the role of
-    ``PIL.Image.open(...)`` — replace the one marked line for real
-    pixels. Outputs are exact integers, so the whole Pandas-UDF path is
-    value-checkable against a SQL oracle.
+    Decode is :func:`_decode_image`: real PNG/JPEG (PIL-gated) and PGM
+    (stdlib) container branches, raw-byte fallback; ``method="bytes"``
+    pins the fallback so outputs are exact integers value-checkable
+    against a SQL oracle (``n_bytes`` then means decoded-stream length).
     """
-    import numpy as np
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pixels = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]  # STUB decode
+            pixels = [_decode_image(bytes(p), method) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
@@ -221,16 +326,17 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
-def audio_features(media: DataFrame) -> DataFrame:
+def audio_features(media: DataFrame, method: str = "auto") -> DataFrame:
     """Per-clip sample statistics via numpy over Arrow batches — the
     audio leg of the multimodal trio (image_features / sample_frames).
 
-    STUB DECODE: ``np.frombuffer(payload, int8)`` plays the role of
-    ``librosa.load``/``soundfile.read`` PCM decoding — replace the one
-    marked line for real samples. Duration comes from the typed
-    metadata sample rate; peak and RMS are computed from an EXACT
-    integer square sum, so the only floating-point steps (one divide,
-    one sqrt, one round) are bit-reproducible against the SQL oracle.
+    Decode is :func:`_decode_audio`: a REAL stdlib-``wave`` branch for
+    RIFF/WAVE containers (the header's sample rate then overrides the
+    metadata rate), raw signed-int8 fallback for opaque payloads;
+    ``method="bytes"`` pins the fallback. Peak and RMS come from an
+    EXACT integer square sum, so the only floating-point steps (one
+    divide, one sqrt, one round) are bit-reproducible against the SQL
+    oracle.
     """
     import math
 
@@ -242,14 +348,15 @@ def audio_features(media: DataFrame) -> DataFrame:
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
-                samples = np.frombuffer(payload, dtype=np.int8)  # STUB decode
+                samples, rate = _decode_audio(
+                    bytes(payload), int(meta["sample_rate"]), method
+                )
                 n = int(samples.size)
-                rate = int(meta["sample_rate"])
                 sq_sum = int(np.sum(samples.astype(np.int64) ** 2))
                 ids.append(doc_id)
                 ns.append(n)
                 durs.append(n / rate)
-                peaks.append(int(np.abs(samples.astype(np.int32)).max()) if n else 0)
+                peaks.append(int(np.abs(samples.astype(np.int64)).max()) if n else 0)
                 rmss.append(round(math.sqrt(sq_sum / n), 6) if n else 0.0)
             yield pd.DataFrame(
                 {

@@ -44,8 +44,12 @@ def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow/mapInPandas numpy byte stats, value-checked exactly."""
-    return mm.image_features(_media(spark, sf_dir))
+    """Arrow/mapInPandas numpy byte stats, value-checked exactly.
+    ``method="bytes"`` pins the raw-stream decode so a synthesized text
+    payload that happens to start with a container magic (e.g. "P5 ")
+    cannot flip a row onto the container branch mid-gate; the real
+    container decode is gated by ``media_pgm_decode`` + pytest."""
+    return mm.image_features(_media(spark, sf_dir), method="bytes")
 
 
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,8 +62,45 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio sample stats (duration/peak/RMS) through mapInPandas; the
     oracle replays the signed-int8 sample interpretation in hex-pair
-    arithmetic and the identical divide→sqrt→round float tail."""
-    return mm.audio_features(_media(spark, sf_dir))
+    arithmetic and the identical divide→sqrt→round float tail.
+    ``method="bytes"`` pins the raw decode (a text payload starting
+    with "RIFF" must not flip onto the stdlib-wave branch mid-gate);
+    the WAV container branch is value-gated by pytest."""
+    return mm.audio_features(_media(spark, sf_dir), method="bytes")
+
+
+def media_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL container-decode branch under the oracle: each document's
+    UTF-8 bytes are wrapped into a valid binary PGM (``P5``) payload —
+    header built with JVM string expressions, raster truncated to a
+    whole 8-wide pixel grid — and ``image_features(method="auto")``
+    must *parse the header* and compute stats over the raster only.
+    The oracle replays the construction arithmetically (it knows the
+    raster is bytes 1..8*h of the text), so a parser that misreads the
+    header or leaks header bytes into the stats hash-mismatches."""
+    docs = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    tmp = docs.select(
+        F.col("doc_id"),
+        F.encode(F.col("text"), "utf-8").alias("raw"),
+    ).select(
+        "doc_id",
+        "raw",
+        F.floor(F.octet_length("raw") / 8).cast("int").alias("h"),
+    )
+    media = tmp.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.concat(
+            F.encode(
+                F.concat(
+                    F.lit("P5\n8 "), F.col("h").cast("string"), F.lit("\n255\n")
+                ),
+                "utf-8",
+            ),
+            F.expr("substring(raw, 1, h * 8)"),
+        ).alias("payload"),
+    )
+    return mm.image_features(media, method="auto")
 
 
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,6 +199,30 @@ def build_oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS rms
             FROM s
         """,
+        # the parser must recover exactly bytes 1..8*h of the text as
+        # the raster (h = floor(len/8)); h = 0 is a legal empty-raster
+        # PGM and must yield zeroed stats
+        "media_pgm_decode": """
+            WITH img AS (
+                SELECT doc_id, hex(encode(text)) AS hx,
+                       (octet_length(encode(text)) // 8) * 8 AS n
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, n,
+                       CASE WHEN n > 0
+                            THEN [CAST(('0x' || substring(hx, i*2+1, 2)) AS INT)
+                                  for i in generate_series(0, n - 1)]
+                            ELSE [] END AS bytes
+                FROM img
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN n > 0 THEN list_min(bytes) ELSE 0 END AS INTEGER) AS byte_min,
+                   CAST(CASE WHEN n > 0 THEN list_max(bytes) ELSE 0 END AS INTEGER) AS byte_max,
+                   CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS byte_sum
+            FROM b
+        """,
         "media_resize": """
             SELECT doc_id,
                    CAST(16 AS INTEGER) AS width,
@@ -173,6 +238,7 @@ QUERIES = {
     "media_image_features": media_image_features,
     "media_frame_sample": media_frame_sample,
     "media_audio_features": media_audio_features,
+    "media_pgm_decode": media_pgm_decode,
     "media_resize": media_resize,
 }
 

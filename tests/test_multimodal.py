@@ -96,6 +96,140 @@ def test_resize_pil_branch(monkeypatch):
     assert mm._resize_payload(b"", 4, 4) == b"\x00" * 16
 
 
+def _pgm(width, height, pixels, header=None):
+    return (header or f"P5\n{width} {height}\n255\n").encode() + bytes(pixels)
+
+
+def test_pgm_parser_kernel():
+    import numpy as np
+
+    px = list(range(12))
+    assert mm._parse_pgm(_pgm(4, 3, px)).tolist() == px
+    # comments + arbitrary whitespace per the netpbm spec
+    got = mm._parse_pgm(_pgm(4, 3, px, header="P5 # c\n# line\n 4\t3  255\n"))
+    assert got.tolist() == px
+    assert mm._parse_pgm(_pgm(8, 0, [])).size == 0  # legal empty raster
+    # malformed: truncated raster / non-numeric header / maxval > 255
+    assert mm._parse_pgm(_pgm(4, 3, px[:-1])) is None
+    assert mm._parse_pgm(b"P5\nxx 3\n255\n" + bytes(12)) is None
+    assert mm._parse_pgm(_pgm(4, 3, px, header="P5\n4 3\n65535\n")) is None
+    assert isinstance(mm._decode_image(_pgm(4, 3, px)), np.ndarray)
+    # bytes method pins the raw stream even for a valid container
+    assert mm._decode_image(_pgm(4, 3, px), "bytes").size == len(_pgm(4, 3, px))
+
+
+def test_image_features_decodes_pgm_container(spark):
+    """auto must parse the PGM header and stat the raster ONLY."""
+    px = [7, 200, 0, 255, 3, 9, 11, 13]
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_pgm(4, 2, px)))],
+        "doc_id long, media_type string, payload binary",
+    )
+    row = mm.image_features(media, method="auto").collect()[0]
+    assert row["n_bytes"] == 8
+    assert row["byte_min"] == 0 and row["byte_max"] == 255
+    assert row["byte_sum"] == sum(px)
+    # the deterministic fallback stats the whole payload, header included
+    raw = mm.image_features(media, method="bytes").collect()[0]
+    assert raw["n_bytes"] == len(_pgm(4, 2, px))
+
+
+def test_decode_image_pil_branch(monkeypatch):
+    """PNG/JPEG magic routes through PIL where importable (stand-in
+    module when absent, same pattern as test_resize_pil_branch)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    pixels = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    try:
+        import PIL  # noqa: F401
+
+        # real PIL: encode an actual PNG and decode it back
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(pixels, "L").save(buf, format="PNG")
+        payload = buf.getvalue()
+    except ImportError:
+        class _Img:
+            def convert(self, mode):
+                return self
+
+            def __array__(self, dtype=None, copy=None):
+                return pixels
+
+        def _open(fh):
+            if fh.read(3) == b"\xff\xd8\xff":  # the corrupt-JPEG case below
+                raise OSError("cannot identify image file")
+            return _Img()
+
+        image_mod = types.SimpleNamespace(open=_open)
+        pil_mod = types.ModuleType("PIL")
+        pil_mod.Image = image_mod
+        monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+        payload = b"\x89PNG\r\n\x1a\n" + bytes(8)
+
+    assert mm._decode_image(payload).tolist() == list(range(16))
+    # corrupt container body → raw fallback, never an exception
+    bad = b"\xff\xd8\xff" + b"notajpeg"
+    assert mm._decode_image(bad).size == len(bad)
+
+
+def _wav(samples, rate=8000, sampwidth=2, channels=1):
+    import io
+    import struct
+    import wave
+
+    fmt = {1: "B", 2: "<h", 4: "<i"}[sampwidth]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(rate)
+        wf.writeframes(b"".join(struct.pack(fmt, s) for s in samples))
+    return buf.getvalue()
+
+
+def test_audio_features_decodes_wav_container(spark):
+    """RIFF/WAVE payloads decode through stdlib wave: header rate
+    overrides the metadata rate, samples are real int16 PCM."""
+    import math
+
+    samples = [0, 1000, -1000, 32767, -32768]
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(_wav(samples)), {"sample_rate": 16000})],
+        "doc_id long, media_type string, payload binary, "
+        "meta map<string,int>",
+    )
+    row = mm.audio_features(media, method="auto").collect()[0]
+    assert row["n_samples"] == 5
+    assert row["duration_s"] == 5 / 8000  # header rate, not meta's 16000
+    assert row["peak"] == 32768
+    assert row["rms"] == round(
+        math.sqrt(sum(s * s for s in samples) / 5), 6
+    )
+    # bytes method pins the raw int8 view of the whole container
+    raw = mm.audio_features(media, method="bytes").collect()[0]
+    assert raw["n_samples"] == len(_wav(samples))
+    assert raw["duration_s"] == len(_wav(samples)) / 16000
+
+
+def test_decode_audio_kernel_widths():
+    # 8-bit unsigned PCM recentres to signed (x - 128 per the WAV spec)
+    got, rate = mm._decode_audio(_wav([0, 128, 255], sampwidth=1), 16000)
+    assert got.tolist() == [-128, 0, 127] and rate == 8000
+    # 32-bit little-endian signed
+    got, _ = mm._decode_audio(_wav([2**31 - 1, -(2**31)], sampwidth=4), 16000)
+    assert got.tolist() == [2**31 - 1, -(2**31)]
+    # truncated RIFF header → raw fallback, never an exception
+    got, rate = mm._decode_audio(b"RIFFxxxxWAVEgarbage", 16000)
+    assert got.size == len(b"RIFFxxxxWAVEgarbage") and rate == 16000
+
+
 def test_audio_features_matches_local_recompute(spark):
     """Signed-int8 sample interpretation + exact square-sum RMS,
     recomputed locally with hashlib-free arithmetic."""
