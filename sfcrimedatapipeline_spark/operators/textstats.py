@@ -291,3 +291,149 @@ def with_oov_rate(
             .alias("oov_rate"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals — the Gopher-rules quality
+    filter family (Rae et al. 2021 §A1.1: duplicate-n-gram and
+    top-n-gram fractions flag boilerplate/spam before training).
+
+    Per document: token/type counts, duplicate-token fraction
+    (1 − types/tokens), top-unigram token fraction, bigram counts and
+    the analogous duplicate/top fractions. Every fraction is ONE
+    division of exact integers, so doubles are bit-identical across
+    engines; documents with no tokens keep a row with zeroed stats (a
+    filter must see empty docs, not silently drop them).
+
+    Scale shape: two explode → groupBy(id, gram) aggregations (map-side
+    combined partials) re-aggregated per id, then co-keyed LEFT joins
+    back to the doc spine — never a per-doc O(n²) array scan, so cost
+    per token is flat no matter how long the document. The bigram array
+    is built row-side (linear Catalyst transform), not via a windowed
+    self-join.
+    """
+    from sfcrimedatapipeline_spark.functions.text import ngrams
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+
+    def _gram_agg(grams: DataFrame, prefix: str) -> DataFrame:
+        return (
+            grams.groupBy(id_col, "__g")
+            .agg(F.count("*").alias("__c"))
+            .groupBy(id_col)
+            .agg(
+                F.sum("__c").cast("long").alias(f"{prefix}_total"),
+                F.count("*").cast("long").alias(f"{prefix}_types"),
+                F.max("__c").cast("long").alias(f"{prefix}_top"),
+            )
+        )
+
+    uni = _gram_agg(base.select(id_col, F.explode("__toks").alias("__g")), "uni")
+    bi = _gram_agg(
+        base.select(
+            id_col, F.explode(ngrams(F.col("__toks"), 2)).alias("__g")
+        ),
+        "bi",
+    )
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    n_tok = F.coalesce(F.col("uni_total"), F.lit(0)).alias("n_tokens")
+    n_bi = F.coalesce(F.col("bi_total"), F.lit(0)).alias("n_bigrams")
+    return (
+        df.select(id_col)
+        .join(uni, id_col, "left")
+        .join(bi, id_col, "left")
+        .select(
+            id_col,
+            n_tok,
+            F.coalesce(F.col("uni_types"), F.lit(0)).alias("n_types"),
+            _frac(
+                F.col("uni_total") - F.col("uni_types"), F.col("uni_total")
+            ).alias("dup_token_frac"),
+            _frac(F.col("uni_top"), F.col("uni_total")).alias("top_unigram_frac"),
+            n_bi,
+            _frac(F.col("bi_total") - F.col("bi_types"), F.col("bi_total")).alias(
+                "dup_bigram_frac"
+            ),
+            _frac(F.col("bi_top"), F.col("bi_total")).alias("top_bigram_frac"),
+        )
+    )
+
+
+#: inverse-probability quantization scale for unigram_lm_score: one
+#: part per 10^12 keeps q_t exact in a BIGINT for any corpus term count
+#: while bounding Σ count·q_t below 2^63 for documents up to ~9M tokens
+LM_SCALE = 10**12
+
+
+def unigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained unigram-LM rarity score per document — the
+    model-free stand-in for perplexity filtering in training-data
+    curation (CCNet-style: score each document against a reference LM,
+    drop the tails).
+
+    The LM is the corpus itself: p(t) = c_t/N over whitespace tokens.
+    The score is the arithmetic-mean inverse token probability,
+    mean_t N/c_t, with 1/c_t quantized to exact integers BEFORE any
+    summation: q_t = LM_SCALE div c_t, score = N · Σ count_doc(t)·q_t
+    / (LM_SCALE · n_doc_tokens). A true ln-perplexity has the same
+    dataflow (doc term counts → corpus-LM join → weighted sum) but sums
+    doubles whose order — and libm's last ulp — differs across engines;
+    here every intermediate is an exact BIGINT and the final
+    multiply/divides are a fixed sequence of correctly-rounded IEEE
+    ops, so the gate hash is stable. High = rare vocabulary, low =
+    boilerplate-common.
+
+    Scale shape: explode → groupBy(id, token) with map-side combine;
+    the LM frame is a groupBy(token) whose size is the vocabulary, not
+    the corpus; N is a 1-row broadcast; the tf↔LM join shuffles on
+    token (both sides pre-aggregated); final groupBy(id).
+    """
+    toks = tokens(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count("*").alias("__c"))
+    )
+    lm = tf.groupBy("__t").agg(F.sum("__c").alias("__ct"))
+    n_total = lm.agg(F.sum("__ct").cast("long").alias("__N"))
+    scored = (
+        tf.join(lm, "__t")
+        .select(
+            id_col,
+            F.col("__c"),
+            F.expr(f"{LM_SCALE}L div __ct").alias("__q"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.sum(F.col("__c") * F.col("__q")).cast("long").alias("__sq"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.col("__N").cast("double")
+                * F.col("__sq").cast("double")
+                / F.lit(float(LM_SCALE))
+                / F.col("n_tokens")
+            ).alias("rarity"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce(F.col("rarity"), F.lit(0.0)).alias("rarity"),
+        )
+    )

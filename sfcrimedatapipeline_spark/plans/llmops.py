@@ -77,6 +77,16 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs)
+
+
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return textstats.unigram_lm_score(docs)
+
+
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_parallel(spark, sf_dir, "documents")
     return textstats.winnow_fingerprints(docs)
@@ -474,6 +484,75 @@ def build_oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS non_alnum_ratio
             FROM tok
         """,
+        # every fraction is one division of exact integer counts; the
+        # bigram list is built 1-indexed to mirror ngrams(toks, 2)
+        "text_repetition": f"""
+            WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+            uw AS (SELECT doc_id, unnest(t) AS g FROM tok),
+            bw AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(t) >= 2
+                         THEN [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]
+                         ELSE [] END) AS g
+                FROM tok
+            ),
+            uni AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS types,
+                       CAST(max(c) AS BIGINT) AS top
+                FROM (SELECT doc_id, g, count(*) AS c FROM uw GROUP BY doc_id, g)
+                GROUP BY doc_id
+            ),
+            bi AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS types,
+                       CAST(max(c) AS BIGINT) AS top
+                FROM (SELECT doc_id, g, count(*) AS c FROM bw GROUP BY doc_id, g)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(uni.total, 0) AS n_tokens,
+                   coalesce(uni.types, 0) AS n_types,
+                   CASE WHEN uni.total > 0
+                        THEN CAST(uni.total - uni.types AS DOUBLE) / uni.total
+                        ELSE 0.0 END AS dup_token_frac,
+                   CASE WHEN uni.total > 0
+                        THEN CAST(uni.top AS DOUBLE) / uni.total
+                        ELSE 0.0 END AS top_unigram_frac,
+                   coalesce(bi.total, 0) AS n_bigrams,
+                   CASE WHEN bi.total > 0
+                        THEN CAST(bi.total - bi.types AS DOUBLE) / bi.total
+                        ELSE 0.0 END AS dup_bigram_frac,
+                   CASE WHEN bi.total > 0
+                        THEN CAST(bi.top AS DOUBLE) / bi.total
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN uni ON d.doc_id = uni.doc_id
+            LEFT JOIN bi ON d.doc_id = bi.doc_id
+        """,
+        # q_t = LM_SCALE div c_t keeps every intermediate an exact
+        # BIGINT; the final multiply/divide sequence is identical on
+        # both engines (see textstats.unigram_lm_score)
+        "text_unigram_lm": f"""
+            WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+            w AS (SELECT doc_id, unnest(t) AS tk FROM tok),
+            tf AS (SELECT doc_id, tk, count(*) AS c FROM w GROUP BY doc_id, tk),
+            lm AS (SELECT tk, CAST(sum(c) AS BIGINT) AS ct FROM tf GROUP BY tk),
+            n AS (SELECT CAST(sum(ct) AS BIGINT) AS N FROM lm),
+            sc AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(sum(c * ({q.LM_SCALE} // ct)) AS BIGINT) AS sq
+                FROM tf JOIN lm USING (tk) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(sc.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+                   coalesce(CAST(n.N AS DOUBLE) * CAST(sc.sq AS DOUBLE)
+                            / {float(q.LM_SCALE)} / sc.n_tokens,
+                            0.0) AS rarity
+            FROM documents d
+            LEFT JOIN sc ON d.doc_id = sc.doc_id
+            CROSS JOIN n
+        """,
         "text_quality": f"""
             WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
             m AS (
@@ -669,6 +748,8 @@ QUERIES = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_count_bpe": text_token_count_bpe,
+    "text_repetition": text_repetition,
+    "text_unigram_lm": text_unigram_lm,
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,

@@ -285,3 +285,58 @@ def test_table_diff_classifies_all_statuses(spark):
     )
     out = {r.status: r.n_rows for r in table_diff(left, right, ["k"], ["c1", "c2"]).collect()}
     assert out == {"match": 1, "differs": 2, "left_only": 1, "right_only": 1}
+
+
+def test_repetition_stats_adversarial_docs(spark):
+    from sfcrimedatapipeline_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one type repeated: max repetition
+            (2, "a b c d"),          # all distinct: zero repetition
+            (3, "a b a b a"),        # bigram "a b" dominates
+            (4, ""),                 # empty doc must keep a zeroed row
+            (5, "solo"),             # 1 token → no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.repetition_stats(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    r1 = out[1]
+    assert (r1.n_tokens, r1.n_types) == (4, 1)
+    assert r1.dup_token_frac == 0.75 and r1.top_unigram_frac == 1.0
+    assert r1.n_bigrams == 3 and r1.dup_bigram_frac == 2 / 3
+    r2 = out[2]
+    assert r2.dup_token_frac == 0.0 and r2.top_unigram_frac == 0.25
+    assert r2.dup_bigram_frac == 0.0 and r2.top_bigram_frac == 1 / 3
+    r3 = out[3]
+    # bigrams: "a b" x2, "b a" x2 → top 2/4, dup (4-2)/4
+    assert r3.n_bigrams == 4
+    assert r3.top_bigram_frac == 0.5 and r3.dup_bigram_frac == 0.5
+    r4 = out[4]
+    assert (r4.n_tokens, r4.n_bigrams) == (0, 0)
+    assert r4.dup_token_frac == 0.0 and r4.top_bigram_frac == 0.0
+    assert out[5].n_bigrams == 0
+
+
+def test_unigram_lm_score_rarity_ordering(spark):
+    from sfcrimedatapipeline_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),  # common tokens → low rarity
+            (2, "zyzzyva"),          # hapax → rarity = N (mean N/1)
+            (3, "the zyzzyva2"),     # mixed
+            (4, ""),                 # empty → zeroed row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.unigram_lm_score(docs).collect()}
+    # corpus: the x5, zyzzyva x1, zyzzyva2 x1 → N = 7
+    n = 7
+    scale = textstats.LM_SCALE
+    assert out[1].n_tokens == 4
+    assert out[1].rarity == n * (4 * (scale // 5)) / scale / 4
+    assert out[2].rarity == n * (scale // 1) / scale / 1  # == N exactly
+    assert out[2].rarity > out[3].rarity > out[1].rarity
+    assert out[4].n_tokens == 0 and out[4].rarity == 0.0
