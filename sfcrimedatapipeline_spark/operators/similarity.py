@@ -405,3 +405,158 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine")
     )
+
+
+# --- Product quantization (PQ) ----------------------------------------------
+
+PQ_SUBSPACES = 8
+PQ_CODEBOOK_SIZE = 16
+
+
+def default_pq_codebooks(
+    corpus: DataFrame,
+    n_codes: int = PQ_CODEBOOK_SIZE,
+    m: int = PQ_SUBSPACES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace codebooks: the ``n_codes`` lowest-id
+    corpus vectors, split into ``m`` contiguous subvectors —
+    ``codebooks[s][c]`` is centroid ``c`` of subspace ``s``. The same
+    fixed-index-input discipline as :func:`cosine_topk_ivf`: training
+    real codebooks (per-subspace k-means) is :func:`train_ivf_centroids`
+    applied per slice and is NOT bit-reproducible across partitionings;
+    encoding/search against FIXED codebooks is exact, which is what the
+    oracle gates. Driver-held index metadata (≤ n_codes rows)."""
+    sub = dim // m
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+    )
+    return [
+        [[float(x) for x in r[1][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_subspace_dists(vec: str, codebooks: list[list[list[float]]], s: int):
+    """(squared-L2 distance, centroid_id) structs of subspace ``s`` —
+    one shared ``transform`` lambda over an array-literal codebook (the
+    IVF lesson: per-centroid expression copies melt driver-side
+    analysis). The fold is sequential in element order, matching the
+    oracle's unrolled left-associative sum."""
+    sub = len(codebooks[s][0])
+    cent_arr = F.array(*[F.lit(c) for c in codebooks[s]])
+    subv = F.slice(F.col(vec), s * sub + 1, sub)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(codebooks[s]))),
+        lambda j: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    subv,
+                    F.element_at(cent_arr, j),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            (j - 1).cast("int").alias("cid"),
+        ),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``m`` uint8-sized centroid ids — the
+    compressed representation PQ search scans instead of raw floats
+    (Jégou et al. 2011). m bytes/vector vs dim·4: at 100 TB of
+    embeddings the code table is ~32× smaller than the corpus and is
+    the ONLY thing the search joins against.
+
+    Pure per-row Catalyst expressions over broadcast-literal codebooks:
+    one corpus scan, no shuffle, no Python. Ties in the per-subspace
+    argmin break to the lowest centroid id (struct min over (d, cid))
+    — bit-identical to the oracle's lexicographic list-min."""
+    m = len(codebooks)
+    staged = corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    code = F.array(
+        *[
+            F.array_min(_pq_subspace_dists("__v", codebooks, s))["cid"]
+            for s in range(m)
+        ]
+    )
+    return staged.select(F.col(id_col), code.alias("code"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Approximate top-k nearest neighbors by PQ asymmetric distance
+    (ADC): the corpus is scanned as m-byte codes; each query carries a
+    broadcast m×k lookup table of exact query↔centroid subdistances,
+    and a candidate's distance is the m-term table sum — m lookups +
+    adds per pair instead of ``dim`` multiplies, the classic
+    memory-bound ANN shape. Ranking is (distance ASC, neighbor ASC) on
+    the 6-dp-rounded distance, so ties cannot reorder across engines.
+
+    Scale shape: encode is one shuffle-free corpus scan; the query
+    table is a tiny broadcast; only code lookups happen per pair. The
+    final top-k window shuffles (query_id, code)-sized rows — never
+    raw vectors."""
+    if codebooks is None:
+        codebooks = default_pq_codebooks(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+    m = len(codebooks)
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "code"
+    )
+    # per-query ADC table: tbl[s][c] = ||q_sub_s - cent[s][c]||², exact
+    tbl = F.array(
+        *[
+            F.transform(
+                _pq_subspace_dists("__qv", codebooks, s), lambda st: st["d"]
+            )
+            for s in range(m)
+        ]
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        ).select("query_id", tbl.alias("__tbl"))
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("__tbl", s), F.element_at("code", s) + F.lit(1)
+        ),
+    )
+    scored = (
+        codes.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(dist, 6).alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "approx_dist",
+        )
+    )

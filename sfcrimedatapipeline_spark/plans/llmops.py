@@ -244,6 +244,18 @@ def ann_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance ANN (operators/similarity.py:pq_topk):
+    corpus compressed to 8 one-byte codes per vector against fixed
+    16-entry per-subspace codebooks, queries scored via broadcast m×k
+    lookup tables. Fully hash-gated — assignment and the ADC sum are
+    exact arithmetic against FIXED codebooks (the lowest-16 corpus
+    vectors), the same determinism discipline as ann_cosine_topk_ivf."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return similarity.pq_topk(emb, queries, k=ANN_K)
+
+
 def emb_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs near-dup via the grid-blocked BLAS tiles
     (operators/dedup.py:embedding_near_duplicates_blas) — no driver
@@ -469,6 +481,66 @@ def _winnow_sql() -> str:
     """
 
 
+def _pq_sql(m: int = 8, sub: int = 8, n_codes: int = 16) -> str:
+    """PQ twin: per-subspace squared-L2 terms unrolled left-associative
+    (the Spark fold order); encoding argmin via lexicographic list-min
+    over (d, cid) — the struct-min twin; ADC as an 8-way self-join on
+    the query table so the + chain fixes the summation order."""
+
+    def dist(av: str, bv: str, s: int) -> str:
+        return " + ".join(
+            f"(CAST({av}[{s * sub + i}] AS DOUBLE) - CAST({bv}[{s * sub + i}] AS DOUBLE))"
+            f" * (CAST({av}[{s * sub + i}] AS DOUBLE) - CAST({bv}[{s * sub + i}] AS DOUBLE))"
+            for i in range(1, sub + 1)
+        )
+
+    enc_cols = ", ".join(
+        f"CAST(min([d{s}, CAST(cid AS DOUBLE)])[2] AS INT) AS c{s}"
+        for s in range(m)
+    )
+    pair_d = ", ".join(f"{dist('e.embedding', 'cb.cv', s)} AS d{s}" for s in range(m))
+    qt_d = ", ".join(f"{dist('q.embedding', 'cb.cv', s)} AS t{s}" for s in range(m))
+    joins = "\n            ".join(
+        f"JOIN qtab qt{s} ON qt{s}.cid = en.c{s}"
+        + ("" if s == 0 else f" AND qt{s}.query_id = qt0.query_id")
+        for s in range(m)
+    )
+    adc = " + ".join(f"qt{s}.t{s}" for s in range(m))
+    return f"""
+        WITH cb AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_codes})
+        ),
+        pairs AS (
+            SELECT e.vec_id, cb.cid, {pair_d}
+            FROM embeddings e CROSS JOIN cb
+        ),
+        enc AS (
+            SELECT vec_id, {enc_cols} FROM pairs GROUP BY vec_id
+        ),
+        qtab AS (
+            SELECT q.vec_id AS query_id, cb.cid, {qt_d}
+            FROM embeddings q CROSS JOIN cb
+            WHERE q.vec_id < {ANN_N_QUERIES}
+        ),
+        scored AS (
+            SELECT qt0.query_id, en.vec_id AS neighbor_id,
+                   round({adc}, 6) AS approx_dist
+            FROM enc en
+            {joins}
+            WHERE en.vec_id <> qt0.query_id
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, approx_dist
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= {ANN_K}
+    """
+
+
 def build_oracle_sql() -> dict[str, str]:
     q = textstats
     return {
@@ -689,6 +761,7 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "ann_cosine_topk": _ann_sql(lsh=False),
         "ann_cosine_topk_lsh": _ann_sql(lsh=True),
+        "ann_pq_topk": _pq_sql(),
         # IVF: assignment/probe use the RAW cosine (both engines produce
         # identical doubles — rounding first could merge near-ties the
         # Spark side distinguishes); only the output cosine is rounded
@@ -761,6 +834,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
+    "ann_pq_topk": ann_pq_topk,
     # rows-only: trained float centroids are not engine-reproducible by
     # design (see docstring); trainer numerics pinned by numpy parity test
     "ann_cosine_topk_ivf_trained": ann_cosine_topk_ivf_trained,

@@ -340,3 +340,57 @@ def test_unigram_lm_score_rarity_ordering(spark):
     assert out[2].rarity == n * (scale // 1) / scale / 1  # == N exactly
     assert out[2].rarity > out[3].rarity > out[1].rarity
     assert out[4].n_tokens == 0 and out[4].rarity == 0.0
+
+
+def test_pq_adc_matches_numpy_exact(spark):
+    """PQ encode + ADC distances recomputed with numpy against the
+    same fixed codebooks: codes and rounded distances must be equal,
+    and on codebook-coincident vectors the ADC distance to the exact
+    vector is the true squared L2 of the query to it."""
+    import numpy as np
+
+    from sfcrimedatapipeline_spark.operators import similarity
+
+    rng_rows = []
+    for i in range(40):
+        # deterministic, non-degenerate vectors
+        vec = [((i * 37 + j * 13) % 97) / 97.0 for j in range(64)]
+        rng_rows.append((i, vec))
+    emb = spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>")
+    cb = similarity.default_pq_codebooks(emb)  # 16 lowest ids, 8x8
+
+    codes = {r.vec_id: list(r.code) for r in similarity.pq_encode(emb, cb).collect()}
+    V = np.array([v for _, v in rng_rows], dtype=np.float32).astype(np.float64)
+    CB = np.array(cb, dtype=np.float64)  # (m, k, sub)
+    for i in range(40):
+        for s in range(8):
+            d = ((V[i, s * 8 : (s + 1) * 8] - CB[s]) ** 2).sum(axis=1)
+            assert codes[i][s] == int(np.argmin(d))  # ties → lowest id
+
+    out = similarity.pq_topk(emb, emb.filter("vec_id < 2"), k=3)
+    for r in out.collect():
+        q = V[r.query_id]
+        adc = sum(
+            ((q[s * 8 : (s + 1) * 8] - CB[s][codes[r.neighbor_id][s]]) ** 2).sum()
+            for s in range(8)
+        )
+        assert abs(r.approx_dist - adc) < 1e-6
+
+
+def test_pq_recall_on_clustered_data(spark):
+    """On well-separated clusters whose prototypes are in the codebook,
+    PQ top-1 must land in the query's own cluster."""
+    from sfcrimedatapipeline_spark.operators import similarity
+
+    rows = []
+    for i in range(60):
+        c = i % 3
+        vec = [0.0] * 64
+        vec[c] = 1.0
+        vec[10 + (i % 7)] = 0.02 + 0.001 * (i % 11)
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top1 = similarity.pq_topk(emb, emb.filter("vec_id < 3"), k=1).collect()
+    assert len(top1) == 3
+    for r in top1:
+        assert r.neighbor_id % 3 == r.query_id % 3  # same cluster
