@@ -560,3 +560,222 @@ def pq_topk(
             "approx_dist",
         )
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    n_codes: int = PQ_CODEBOOK_SIZE,
+    m: int = PQ_SUBSPACES,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means trainer for PQ codebooks — the trained
+    counterpart of :func:`default_pq_codebooks`, same contract as
+    :func:`train_ivf_centroids` is to ``cosine_topk_ivf``.
+
+    Lloyd iterations with squared-L2 assignment per subspace, all ``m``
+    subspaces trained in the SAME scan: each iteration is one
+    shuffle-free Arrow ``mapInPandas`` pass emitting m×k×(dim/m)
+    partial sums + counts per input partition (a few KiB), reduced on
+    the driver in sorted order. Seeds are the lowest-``n_codes``
+    vectors' subvectors — the default codebooks — so iteration 0 of the
+    trained path IS the gated fixed path. Ties in assignment break to
+    the lowest centroid id (numpy argmin first-min). Empty clusters
+    keep their previous centroid.
+
+    NOT oracle-gated (float partial sums accumulate in partition order;
+    see train_ivf_centroids) — numerics pinned by the numpy parity
+    test; the fixed-codebook path stays hash-gated.
+    """
+    import numpy as np
+
+    sub = dim // m
+    cb = np.array(
+        default_pq_codebooks(corpus, n_codes, m, id_col, vec_col, dim),
+        dtype=np.float64,
+    )  # (m, k, sub)
+    k = cb.shape[1]
+    vecs = corpus.select(F.col(vec_col).alias("v"))
+
+    for _ in range(n_iters):
+        def partials(batches, cb=cb.copy()):
+            import numpy as np
+            import pandas as pd
+
+            sums = np.zeros((m, k, sub), dtype=np.float64)
+            cnts = np.zeros((m, k), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                for s in range(m):
+                    Vs = V[:, s * sub : (s + 1) * sub]
+                    # (n, k) squared distances; argmin ties → lowest id
+                    d = ((Vs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                    assign = np.argmin(d, axis=1)
+                    for j in range(k):
+                        msk = assign == j
+                        if msk.any():
+                            sums[s, j] += Vs[msk].sum(axis=0)
+                            cnts[s, j] += int(msk.sum())
+            yield pd.DataFrame(
+                {
+                    "s": np.repeat(np.arange(m, dtype=np.int64), k),
+                    "cid": np.tile(np.arange(k, dtype=np.int64), m),
+                    "cnt": cnts.reshape(-1),
+                    "vsum": [
+                        sums[s_, j_].tolist()
+                        for s_ in range(m)
+                        for j_ in range(k)
+                    ],
+                }
+            )
+
+        rows = vecs.mapInPandas(
+            partials, schema="s long, cid long, cnt long, vsum array<double>"
+        ).collect()
+        sums = np.zeros((m, k, sub), dtype=np.float64)
+        cnts = np.zeros((m, k), dtype=np.int64)
+        for r in sorted(rows, key=lambda r: (r.s, r.cid, r.cnt, tuple(r.vsum))):
+            sums[r.s, r.cid] += np.array(r.vsum, dtype=np.float64)
+            cnts[r.s, r.cid] += r.cnt
+        nz = cnts > 0
+        cb[nz] = sums[nz] / cnts[nz][:, None]
+
+    return [[cb[s, j].tolist() for j in range(k)] for s in range(m)]
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """IVF+PQ — the composed billion-scale ANN shape (Jégou et al.
+    2011; FAISS ``IVFx,PQy``): a coarse L2 quantizer partitions the
+    corpus into inverted lists, each vector is stored only as its
+    ``m``-byte PQ code, and a query ADC-scores codes in its ``n_probe``
+    nearest lists. At 100 TB the scan per query is
+    (n_probe/n_centroids) of the corpus, read as codes (~32× smaller
+    than floats) — the product of both reductions.
+
+    Determinism discipline: coarse centroids default to the
+    ``n_centroids`` lowest-id corpus vectors (full-dim) and codebooks
+    to :func:`default_pq_codebooks`; assignment/probe ties break to the
+    lowest centroid id via struct-min; the ADC sum is a fixed-order
+    fold — fully hash-gated against the SQL twin. Swap in
+    :func:`train_ivf_centroids` / :func:`train_pq_codebooks` outputs
+    for the trained (rows-only) variant.
+
+    Scale shape: corpus assignment + encoding is ONE shuffle-free scan
+    (pure Catalyst expressions over broadcast-literal centroids +
+    codebooks); queries broadcast (probe list, ADC table) pairs; the
+    equi-join on list id replaces pq_topk's all-pairs nested loop, so
+    only probed candidates are ever scored.
+    """
+    if centroids is None:
+        centroids = [
+            [float(x) for x in r[1]]
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
+        ]
+    if codebooks is None:
+        codebooks = default_pq_codebooks(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+    m = len(codebooks)
+
+    cent_arr = F.array(*[F.lit(c) for c in centroids])
+
+    def _coarse_dists():
+        """(full-dim squared L2, centroid id) structs — same shared-
+        lambda shape as the PQ subspace dists."""
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(len(centroids))),
+            lambda j: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__v"),
+                        F.element_at(cent_arr, j),
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                (j - 1).cast("int").alias("cid"),
+            ),
+        )
+
+    code = F.array(
+        *[
+            F.array_min(_pq_subspace_dists("__v", codebooks, s))["cid"]
+            for s in range(m)
+        ]
+    )
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    ).select(
+        "neighbor_id",
+        F.array_min(_coarse_dists())["cid"].alias("list_id"),
+        code.alias("code"),
+    )
+
+    tbl = F.array(
+        *[
+            F.transform(
+                _pq_subspace_dists("__v", codebooks, s), lambda st: st["d"]
+            )
+            for s in range(m)
+        ]
+    )
+    probes = F.slice(F.array_sort(_coarse_dists()), 1, n_probe)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v")
+        )
+        .select(
+            "query_id",
+            tbl.alias("__tbl"),
+            F.explode(probes).alias("__p"),
+        )
+        .select("query_id", "__tbl", F.col("__p")["cid"].alias("list_id"))
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("__tbl", s), F.element_at("code", s) + F.lit(1)
+        ),
+    )
+    scored = (
+        codes.join(q, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", F.round(dist, 6).alias("approx_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "approx_dist",
+        )
+    )

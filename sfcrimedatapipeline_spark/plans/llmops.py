@@ -256,6 +256,33 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, queries, k=ANN_K)
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed (operators/similarity.py:ivfpq_topk): coarse
+    inverted lists probed per query, PQ codes ADC-scored within them —
+    the billion-scale ANN shape, fully hash-gated against fixed coarse
+    centroids + codebooks."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return similarity.ivfpq_topk(
+        emb, queries, k=ANN_K, n_centroids=8, n_probe=2
+    )
+
+
+def ann_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE PQ story: per-subspace k-means codebook training
+    (one shuffle-free Arrow scan per iteration, driver reduce —
+    operators/similarity.py:train_pq_codebooks) followed by the
+    fixed-codebook encode/ADC path. No oracle_sql entry — trained
+    codebooks are float means accumulated in partition order (see
+    ann_cosine_topk_ivf_trained); the trainer's numerics are pinned by
+    a numpy parity test and the fixed-codebook ann_pq_topk stays fully
+    hash-gated."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    cb = similarity.train_pq_codebooks(emb, n_iters=3)
+    return similarity.pq_topk(emb, queries, k=ANN_K, codebooks=cb)
+
+
 def emb_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs near-dup via the grid-blocked BLAS tiles
     (operators/dedup.py:embedding_near_duplicates_blas) — no driver
@@ -481,6 +508,16 @@ def _winnow_sql() -> str:
     """
 
 
+def _sqd_sql(av: str, bv: str, lo: int, n: int) -> str:
+    """Unrolled squared-L2 distance over ``av[lo+1..lo+n]`` — left-
+    associative + chain == the Spark zip_with/aggregate fold order."""
+    return " + ".join(
+        f"(CAST({av}[{lo + i}] AS DOUBLE) - CAST({bv}[{lo + i}] AS DOUBLE))"
+        f" * (CAST({av}[{lo + i}] AS DOUBLE) - CAST({bv}[{lo + i}] AS DOUBLE))"
+        for i in range(1, n + 1)
+    )
+
+
 def _pq_sql(m: int = 8, sub: int = 8, n_codes: int = 16) -> str:
     """PQ twin: per-subspace squared-L2 terms unrolled left-associative
     (the Spark fold order); encoding argmin via lexicographic list-min
@@ -488,11 +525,7 @@ def _pq_sql(m: int = 8, sub: int = 8, n_codes: int = 16) -> str:
     the query table so the + chain fixes the summation order."""
 
     def dist(av: str, bv: str, s: int) -> str:
-        return " + ".join(
-            f"(CAST({av}[{s * sub + i}] AS DOUBLE) - CAST({bv}[{s * sub + i}] AS DOUBLE))"
-            f" * (CAST({av}[{s * sub + i}] AS DOUBLE) - CAST({bv}[{s * sub + i}] AS DOUBLE))"
-            for i in range(1, sub + 1)
-        )
+        return _sqd_sql(av, bv, s * sub, sub)
 
     enc_cols = ", ".join(
         f"CAST(min([d{s}, CAST(cid AS DOUBLE)])[2] AS INT) AS c{s}"
@@ -529,6 +562,96 @@ def _pq_sql(m: int = 8, sub: int = 8, n_codes: int = 16) -> str:
             FROM enc en
             {joins}
             WHERE en.vec_id <> qt0.query_id
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, approx_dist
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= {ANN_K}
+    """
+
+
+def _ivfpq_sql(
+    m: int = 8,
+    sub: int = 8,
+    n_codes: int = 16,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+) -> str:
+    """IVF+PQ twin: the _pq_sql machinery plus a coarse full-dim L2
+    quantizer — corpus rows carry a list id (lexicographic list-min,
+    the struct-min twin), queries probe their n_probe nearest lists
+    (row_number ORDER BY d, cid — the array_sort twin), and only
+    list-matched candidates are ADC-scored."""
+    enc_cols = ", ".join(
+        f"CAST(min([d{s}, CAST(cid AS DOUBLE)])[2] AS INT) AS c{s}"
+        for s in range(m)
+    )
+    pair_d = ", ".join(
+        f"{_sqd_sql('e.embedding', 'cb.cv', s * sub, sub)} AS d{s}"
+        for s in range(m)
+    )
+    qt_d = ", ".join(
+        f"{_sqd_sql('q.embedding', 'cb.cv', s * sub, sub)} AS t{s}"
+        for s in range(m)
+    )
+    joins = "\n            ".join(
+        f"JOIN qtab qt{s} ON qt{s}.cid = en.c{s} AND qt{s}.query_id = qp.query_id"
+        for s in range(m)
+    )
+    adc = " + ".join(f"qt{s}.t{s}" for s in range(m))
+    coarse_e = _sqd_sql("e.embedding", "cc.cv", 0, dim)
+    return f"""
+        WITH cb AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_codes})
+        ),
+        cc AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+        ),
+        assign AS (
+            SELECT vec_id, CAST(min([df, CAST(cid AS DOUBLE)])[2] AS INT) AS list_id
+            FROM (
+                SELECT e.vec_id, cc.cid, {coarse_e} AS df
+                FROM embeddings e CROSS JOIN cc
+            ) GROUP BY vec_id
+        ),
+        pairs AS (
+            SELECT e.vec_id, cb.cid, {pair_d}
+            FROM embeddings e CROSS JOIN cb
+        ),
+        enc AS (
+            SELECT p.vec_id, a.list_id, {enc_cols}
+            FROM pairs p JOIN assign a ON p.vec_id = a.vec_id
+            GROUP BY p.vec_id, a.list_id
+        ),
+        qprobe AS (
+            SELECT vec_id AS query_id, cid AS list_id FROM (
+                SELECT e.vec_id, cc.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {coarse_e} ASC, cc.cid ASC) AS pr
+                FROM embeddings e CROSS JOIN cc
+                WHERE e.vec_id < {ANN_N_QUERIES}
+            ) WHERE pr <= {n_probe}
+        ),
+        qtab AS (
+            SELECT q.vec_id AS query_id, cb.cid, {qt_d}
+            FROM embeddings q CROSS JOIN cb
+            WHERE q.vec_id < {ANN_N_QUERIES}
+        ),
+        scored AS (
+            SELECT qp.query_id, en.vec_id AS neighbor_id,
+                   round({adc}, 6) AS approx_dist
+            FROM enc en
+            JOIN qprobe qp ON qp.list_id = en.list_id
+            {joins}
+            WHERE en.vec_id <> qp.query_id
         )
         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, approx_dist
         FROM (
@@ -762,6 +885,7 @@ def build_oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ann_sql(lsh=False),
         "ann_cosine_topk_lsh": _ann_sql(lsh=True),
         "ann_pq_topk": _pq_sql(),
+        "ann_ivfpq_topk": _ivfpq_sql(),
         # IVF: assignment/probe use the RAW cosine (both engines produce
         # identical doubles — rounding first could merge near-ties the
         # Spark side distinguishes); only the output cosine is rounded
@@ -835,6 +959,9 @@ QUERIES = {
     "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
+    # rows-only: trained codebooks are not engine-reproducible by design
+    "ann_pq_topk_trained": ann_pq_topk_trained,
     # rows-only: trained float centroids are not engine-reproducible by
     # design (see docstring); trainer numerics pinned by numpy parity test
     "ann_cosine_topk_ivf_trained": ann_cosine_topk_ivf_trained,

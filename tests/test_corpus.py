@@ -394,3 +394,25 @@ def test_pq_recall_on_clustered_data(spark):
     assert len(top1) == 3
     for r in top1:
         assert r.neighbor_id % 3 == r.query_id % 3  # same cluster
+
+
+def test_ivfpq_probes_own_cluster(spark):
+    """With cluster prototypes in both the coarse centroids and the
+    codebooks, IVF+PQ top-1 must land in the query's own cluster, and
+    every returned candidate must come from a probed list."""
+    from sfcrimedatapipeline_spark.operators import similarity
+
+    rows = []
+    for i in range(60):
+        c = i % 3
+        vec = [0.0] * 64
+        vec[c] = 1.0
+        vec[10 + (i % 7)] = 0.02 + 0.001 * (i % 11)
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ivfpq_topk(
+        emb, emb.filter("vec_id < 3"), k=1, n_centroids=8, n_probe=3
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.neighbor_id % 3 == r.query_id % 3

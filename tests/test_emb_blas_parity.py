@@ -101,3 +101,40 @@ def test_ivf_trainer_numpy_parity(spark):
     np.testing.assert_allclose(got, cent, rtol=1e-9, atol=1e-12)
     # seed ids preserved for the downstream fixed-centroid path
     assert [cid for cid, _ in trained] == [vid for vid, _ in rows[:k]]
+
+
+def test_pq_trainer_numpy_parity(spark):
+    """train_pq_codebooks (distributed partial sums, driver reduce)
+    must match a single-pass numpy reference of the same per-subspace
+    Lloyd algorithm to float tolerance."""
+    import numpy as np
+
+    from sfcrimedatapipeline_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+    from sfcrimedatapipeline_spark.plans.llmops import _read_parallel
+
+    emb = _read_parallel(spark, SF_DIR, "embeddings")
+    k, m, iters, sub = 4, 8, 3, 8
+    trained = np.array(train_pq_codebooks(emb, n_codes=k, m=m, n_iters=iters))
+
+    rows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    V = np.array([v for _, v in rows], dtype=np.float64)
+    cb = np.stack(
+        [V[:k, s * sub : (s + 1) * sub].copy() for s in range(m)]
+    )  # same lowest-id subvector seeding
+    for _ in range(iters):
+        for s in range(m):
+            Vs = V[:, s * sub : (s + 1) * sub]
+            d = ((Vs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for j in range(k):
+                msk = assign == j
+                if msk.any():
+                    cb[s, j] = Vs[msk].mean(axis=0)
+
+    assert trained.shape == (m, k, sub)
+    np.testing.assert_allclose(trained, cb, rtol=1e-9, atol=1e-12)
