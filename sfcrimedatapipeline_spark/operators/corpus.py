@@ -542,3 +542,86 @@ def split_boundaries(
         acc += frac
         out.append((name, acc))
     return out
+
+
+#: curation thresholds (shared with the SQL oracle in plans/llmops.py)
+CURATE_MIN_QUALITY = 2
+CURATE_MAX_DUP_TOKEN_FRAC = 0.5
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_quality: int = CURATE_MIN_QUALITY,
+    max_dup_token_frac: float = CURATE_MAX_DUP_TOKEN_FRAC,
+) -> DataFrame:
+    """End-to-end curation composition: quality gate → repetition gate
+    → exact dedup among survivors → per-source retention report. The
+    single-operator pieces (with_quality, repetition_stats,
+    dedup_exact) composed the way a training-data pipeline actually
+    runs them, proving they agree on one dataflow.
+
+    Each document receives exactly ONE disposition, in priority order
+    ``low_quality`` → ``repetitive`` → ``duplicate`` → ``kept``, so the
+    report partitions the corpus: per source, sum(n_*) == n_docs, and
+    ``kept_tokens`` is the training-token yield.
+
+    Scale shape: the quality/repetition frames co-shuffle on the doc
+    id; dedup groups eligible docs by 32-byte fingerprint (the text
+    never shuffles); the final report is a map-side-combined groupBy
+    over one row per document.
+    """
+    from sfcrimedatapipeline_spark.functions.text import normalized
+    from sfcrimedatapipeline_spark.operators.textstats import (
+        repetition_stats,
+        with_quality,
+    )
+
+    q = with_quality(docs, text_col).select(
+        id_col,
+        source_col,
+        "quality_score",
+        F.md5(normalized(F.col(text_col))).alias("fingerprint"),
+    )
+    rep = repetition_stats(docs, text_col, id_col).select(
+        id_col, "n_tokens", "dup_token_frac"
+    )
+    base = q.join(rep, id_col)
+    eligible = base.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("dup_token_frac") <= max_dup_token_frac)
+    )
+    keepers = eligible.groupBy("fingerprint").agg(
+        F.min(id_col).alias("__keep_id")
+    )
+    disposition = (
+        F.when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+        .when(F.col("dup_token_frac") > max_dup_token_frac, F.lit("repetitive"))
+        .when(F.col(id_col) == F.col("__keep_id"), F.lit("kept"))
+        .otherwise(F.lit("duplicate"))
+    )
+    flagged = base.join(keepers, "fingerprint", "left").withColumn(
+        "__disp", disposition
+    )
+
+    def _n(disp: str) -> Column:
+        return (
+            F.sum((F.col("__disp") == disp).cast("long"))
+            .cast("long")
+            .alias(f"n_{disp}")
+        )
+
+    return flagged.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        _n("kept"),
+        _n("low_quality"),
+        _n("repetitive"),
+        _n("duplicate"),
+        F.sum(
+            F.when(F.col("__disp") == "kept", F.col("n_tokens")).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_tokens"),
+    )

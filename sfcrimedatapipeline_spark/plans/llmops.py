@@ -27,6 +27,7 @@ from sfcrimedatapipeline_spark.functions.text import (
 )
 from sfcrimedatapipeline_spark.functions.partitioning import ensure_min_partitions
 from sfcrimedatapipeline_spark.operators import dedup, similarity, textstats
+from sfcrimedatapipeline_spark.operators import corpus as corpus_ops
 from sfcrimedatapipeline_spark.sources.tables import read_table
 
 
@@ -189,6 +190,17 @@ def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_parallel(spark, sf_dir, "documents")
     cut = F.col("doc_id") % 5 == 4
     return dedup.dedup_against_corpus(docs.filter(cut), docs.filter(~cut))
+
+
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation operators composed end-to-end (quality gate →
+    repetition gate → exact dedup → per-source retention report,
+    operators/corpus.py:curate_corpus) under one hash gate — the
+    dataflow a training-data pipeline actually runs."""
+    from sfcrimedatapipeline_spark.operators.corpus import curate_corpus
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return curate_corpus(docs)
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,6 +793,60 @@ def build_oracle_sql() -> dict[str, str]:
             FROM tok
         """,
         "text_winnow_fingerprints": _winnow_sql(),
+        # curate_corpus composed: quality + repetition CTEs feed one
+        # disposition CASE in the operator's priority order; dedup is
+        # min(doc_id) per fingerprint among eligible docs only
+        "corpus_curation_report": f"""
+            WITH tok AS (SELECT doc_id, source, text, {SQL_TOKENS} AS t FROM documents),
+            uw AS (SELECT doc_id, unnest(t) AS g FROM tok),
+            uni AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS types
+                FROM (SELECT doc_id, g, count(*) AS c FROM uw GROUP BY doc_id, g)
+                GROUP BY doc_id
+            ),
+            m AS (
+                SELECT tok.doc_id, tok.source,
+                       coalesce(uni.total, 0) AS n_tokens,
+                       CASE WHEN uni.total > 0
+                            THEN CAST(uni.total - uni.types AS DOUBLE) / uni.total
+                            ELSE 0.0 END AS dupf,
+                       CAST((len(t) BETWEEN {q.QUALITY_MIN_TOKENS} AND {q.QUALITY_MAX_TOKENS}) AS INTEGER)
+                       + CAST(((CASE WHEN len(t) > 0
+                                     THEN CAST(CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS DOUBLE) / len(t)
+                                     ELSE 0.0 END)
+                               BETWEEN {q.QUALITY_MIN_MEAN_LEN} AND {q.QUALITY_MAX_MEAN_LEN}) AS INTEGER)
+                       + CAST((CASE WHEN len(t) > 0
+                                    THEN CAST({sql_stopword_hits('t', 'en')} AS DOUBLE) / len(t)
+                                    ELSE 0.0 END)
+                              >= {q.QUALITY_MIN_STOPWORD_RATIO} AS INTEGER) AS quality_score,
+                       md5({SQL_NORMALIZED}) AS fingerprint
+                FROM tok LEFT JOIN uni ON tok.doc_id = uni.doc_id
+            ),
+            keep AS (
+                SELECT fingerprint, min(doc_id) AS keep_id
+                FROM m
+                WHERE quality_score >= {corpus_ops.CURATE_MIN_QUALITY}
+                  AND dupf <= {corpus_ops.CURATE_MAX_DUP_TOKEN_FRAC}
+                GROUP BY fingerprint
+            ),
+            d AS (
+                SELECT m.source, m.n_tokens,
+                       CASE WHEN m.quality_score < {corpus_ops.CURATE_MIN_QUALITY} THEN 'low_quality'
+                            WHEN m.dupf > {corpus_ops.CURATE_MAX_DUP_TOKEN_FRAC} THEN 'repetitive'
+                            WHEN m.doc_id = keep.keep_id THEN 'kept'
+                            ELSE 'duplicate' END AS disp
+                FROM m LEFT JOIN keep ON m.fingerprint = keep.fingerprint
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN disp = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN disp = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+                   CAST(sum(CASE WHEN disp = 'repetitive' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+                   CAST(sum(CASE WHEN disp = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate,
+                   CAST(sum(CASE WHEN disp = 'kept' THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+            FROM d GROUP BY source
+        """,
         "dedup_exact_fingerprint": f"""
             SELECT md5({SQL_NORMALIZED}) AS fingerprint,
                    min(doc_id) AS kept_doc_id,
@@ -948,6 +1014,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "text_unigram_lm": text_unigram_lm,
     "text_winnow_fingerprints": text_winnow_fingerprints,
+    "corpus_curation_report": corpus_curation_report,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -416,3 +416,35 @@ def test_ivfpq_probes_own_cluster(spark):
     assert len(out) == 3
     for r in out:
         assert r.neighbor_id % 3 == r.query_id % 3
+
+
+def test_curate_corpus_partitions_and_prioritizes(spark):
+    """Dispositions must partition the corpus per source, respect the
+    priority order (quality beats repetition beats dedup), and keep
+    exactly one copy per duplicated fingerprint."""
+    good = (
+        "the and of to in is it that for on the and of to in is it that "
+        "for on alpha beta gamma delta epsilon zeta eta theta"
+    )  # >=10 tokens, sane mean length, stopword-rich, low repetition
+    docs = spark.createDataFrame(
+        [
+            (1, good, "s1"),
+            (2, good, "s1"),           # exact duplicate: one kept
+            (3, "tiny", "s1"),         # low quality (too few tokens)
+            (4, ("spam " * 40).strip(), "s1"),  # repetitive AND short...
+            (5, good + " unique tail", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in corpus.curate_corpus(docs).collect()}
+    s1 = out["s1"]
+    assert s1.n_docs == 4
+    assert s1.n_docs == s1.n_kept + s1.n_low_quality + s1.n_repetitive + s1.n_duplicate
+    assert s1.n_kept == 1 and s1.n_duplicate == 1
+    # doc 3 fails the token-count quality gate outright; doc 4 passes
+    # quality with 2/3 signals (length + mean token length) and is then
+    # caught by the repetition gate (dup_token_frac = 39/40)
+    assert s1.n_low_quality == 1 and s1.n_repetitive == 1
+    s2 = out["s2"]
+    assert s2.n_kept == 1 and s2.n_docs == 1
+    assert s2.kept_tokens > 0
