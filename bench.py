@@ -49,6 +49,7 @@ BENCH_SKIP = {
     "events_stream_static_join",
     "events_incremental_agg_stream",
     "dedup_exact_stream",
+    "dedup_exact_stream_wm",
 }
 
 

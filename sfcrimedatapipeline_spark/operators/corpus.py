@@ -625,3 +625,80 @@ def curate_corpus(
         .cast("long")
         .alias("kept_tokens"),
     )
+
+
+def mix_to_token_budget(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mixture sampling: downsample each source toward its
+    share of a total token budget — the data-mixing step every LLM
+    pretraining pipeline runs (per-domain mixture weights à la
+    Pile/DoReMi, applied as sampling rates).
+
+    Per source s: ``target_s = total_budget · weight_s`` and the
+    sampling rate is ``min(1, target_s / tokens_s)`` (a source below
+    its target is kept whole, never upsampled); a document survives iff
+    its deterministic md5-coin < rate — stable across runs, engines,
+    and repartitionings, unlike ``df.sample``. Sources absent from
+    ``weights`` get rate 0 (excluded). Returns the per-source mixing
+    report: n_docs, source_tokens, target_tokens, rate, n_sampled,
+    sampled_tokens (expected ≈ target where rate < 1).
+
+    Scale shape: one map-side-combined groupBy(source) for the totals
+    (rows = #sources), a broadcast join of the tiny rate table back to
+    the corpus, a pure per-row coin filter, and one final
+    groupBy(source). The corpus never shuffles.
+    """
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    tok = docs.select(
+        F.col(source_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__n"),
+        deterministic_uniform(F.col(id_col)).alias("__coin"),
+    )
+    totals = tok.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__n").cast("long").alias("source_tokens"),
+    )
+    target: Column = F.lit(0.0)
+    for k, w in sorted(weights.items()):
+        target = F.when(
+            F.col(source_col) == k, F.lit(float(total_budget * w))
+        ).otherwise(target)
+    rates = totals.select(
+        source_col,
+        "n_docs",
+        "source_tokens",
+        target.alias("target_tokens"),
+        F.when(
+            F.col("source_tokens") > 0,
+            F.least(F.lit(1.0), target / F.col("source_tokens")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rate"),
+    )
+    sampled = (
+        tok.join(F.broadcast(rates.select(source_col, "rate")), source_col)
+        .filter(F.col("__coin") < F.col("rate"))
+        .groupBy(source_col)
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum("__n").cast("long").alias("sampled_tokens"),
+        )
+    )
+    return rates.join(sampled, source_col, "left").select(
+        source_col,
+        "n_docs",
+        "source_tokens",
+        "target_tokens",
+        "rate",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias("n_sampled"),
+        F.coalesce(F.col("sampled_tokens"), F.lit(0).cast("long")).alias(
+            "sampled_tokens"
+        ),
+    )

@@ -40,6 +40,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: stratified-sample rates: downsample the dominant language, keep the
 #: rest at a higher rate (the usual rebalancing shape)
 SAMPLE_RATES = {"en": 0.3, "zh": 0.8}
+
+#: mixture weights for the data-mixing query: every test source gets a
+#: distinct share (k+1)/210 so rates span the clamped (=1) and
+#: fractional (<1) branches at any scale factor
+MIX_WEIGHTS = {f"src{k}": (k + 1) / 210 for k in range(20)}
+MIX_BUDGET = 100_000
 SAMPLE_DEFAULT_RATE = 0.6
 TOPK_PER_LANG = 5
 TFIDF_K = 3
@@ -102,6 +108,14 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.stratified_sample(
         docs, "lang", SAMPLE_RATES, SAMPLE_DEFAULT_RATE, "doc_id"
     ).select("doc_id", "lang", "source")
+
+
+def mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-mixture sampling to a weighted token budget
+    (operators/corpus.py:mix_to_token_budget) — rates, clamping, the
+    deterministic coin filter, and the yield report under one hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus.mix_to_token_budget(docs, MIX_WEIGHTS, MIX_BUDGET)
 
 
 def quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,6 +454,49 @@ def build_oracle_sql() -> dict[str, str]:
             FROM e ab JOIN e bc ON ab.hi = bc.lo
                       JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
         """,
+        # target literals are the SAME python floats the Spark side
+        # lits, written in E-notation: DuckDB types a bare decimal
+        # literal as DECIMAL and its CASE-unified decimal→double
+        # conversion landed 1 ulp off repr round-tripping; `…e0` forces
+        # a DOUBLE literal parsed correctly-rounded from the string.
+        # rate division and least() are single correctly-rounded ops
+        "mix_report": f"""
+            WITH tok AS (
+                SELECT doc_id, source, CAST(len({SQL_TOKENS}) AS BIGINT) AS n
+                FROM documents
+            ),
+            tot AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n) AS BIGINT) AS source_tokens
+                FROM tok GROUP BY source
+            ),
+            r AS (
+                SELECT source, n_docs, source_tokens,
+                       {{target_case}} AS target_tokens,
+                       CASE WHEN source_tokens > 0
+                            THEN least(1.0, {{target_case}} / source_tokens)
+                            ELSE 0.0 END AS rate
+                FROM tot
+            ),
+            s AS (
+                SELECT t.source, CAST(count(*) AS BIGINT) AS n_sampled,
+                       CAST(sum(t.n) AS BIGINT) AS sampled_tokens
+                FROM tok t JOIN r ON t.source = r.source
+                WHERE {uniform} < r.rate
+                GROUP BY t.source
+            )
+            SELECT r.source, r.n_docs, r.source_tokens, r.target_tokens, r.rate,
+                   coalesce(s.n_sampled, CAST(0 AS BIGINT)) AS n_sampled,
+                   coalesce(s.sampled_tokens, CAST(0 AS BIGINT)) AS sampled_tokens
+            FROM r LEFT JOIN s ON r.source = s.source
+        """.format(
+            target_case="CASE "
+            + " ".join(
+                f"WHEN source = '{k}' THEN {float(MIX_BUDGET * w)!r}e0"
+                for k, w in sorted(MIX_WEIGHTS.items())
+            )
+            + " ELSE 0.0 END"
+        ),
         "sample_stratified": f"""
             SELECT doc_id, lang, source
             FROM documents
@@ -713,6 +770,7 @@ QUERIES = {
     # rows-only: rank low bits are aggregation-order-dependent (see docstring)
     "pagerank_dup_graph": pagerank_dup_graph,
     "sample_stratified": sample_stratified,
+    "mix_report": mix_report,
     "quality_topk_per_lang": quality_topk_per_lang,
     "text_tfidf_topterms": text_tfidf_topterms,
     "pack_sequences": pack_sequences,

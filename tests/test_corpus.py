@@ -448,3 +448,27 @@ def test_curate_corpus_partitions_and_prioritizes(spark):
     s2 = out["s2"]
     assert s2.n_kept == 1 and s2.n_docs == 1
     assert s2.kept_tokens > 0
+
+
+def test_mix_to_token_budget_clamps_and_excludes(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * 20, ["big", "small", "absent"][i % 3]) for i in range(90)],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.source: r
+        for r in corpus.mix_to_token_budget(
+            docs, {"big": 0.9, "small": 0.1}, total_budget=700
+        ).collect()
+    }
+    # every source appears in the report, sampled or not
+    assert set(out) == {"big", "small", "absent"}
+    big = out["big"]  # target 630 > 600 available → rate clamps to 1
+    assert big.rate == 1.0
+    assert big.n_sampled == big.n_docs and big.sampled_tokens == big.source_tokens
+    small = out["small"]  # target 70 of 600 → fractional rate
+    assert 0.0 < small.rate < 1.0 and small.rate == 70 / 600
+    assert small.n_sampled < small.n_docs
+    absent = out["absent"]  # no weight → excluded entirely
+    assert absent.rate == 0.0 and absent.n_sampled == 0 and absent.sampled_tokens == 0
+    assert absent.n_docs == 30  # still reported
