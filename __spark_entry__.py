@@ -34,6 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: share one session-cached fixture (streaming/events.py:
 #: cached_stream_fixture), so grouping them also amortizes its build.
 _DEFERRED = [
+    "text_bpe_merges",
+    "ann_pq_topk_trained",
+    "ann_cosine_topk_ivf_trained",
     "fact_crime_build",
     "serve_initial_reports",
     "dedup_clusters",

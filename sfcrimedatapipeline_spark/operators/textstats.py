@@ -437,3 +437,139 @@ def unigram_lm_score(
             F.coalesce(F.col("rarity"), F.lit(0.0)).alias("rarity"),
         )
     )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+) -> list[tuple[int, str, str, str, int]]:
+    """Distributed byte-pair-encoding merge training (Sennrich et al.
+    2016) — tokenizer-vocabulary induction, the step upstream of every
+    token-counting/packing operator here.
+
+    Trains on the WORD-FREQUENCY table, not raw documents: one corpus
+    scan builds (word, freq) — after that every round's cost is bounded
+    by vocabulary size, not corpus size (the standard trick that makes
+    BPE training feasible at 100 TB). Each round: (a) one map-side-
+    combined shuffle summing adjacent-symbol-pair frequencies, (b) a
+    1-row argmax fetch — highest count, lexicographic (left, right)
+    tie-break; index metadata, never data, (c) one Arrow ``mapInPandas``
+    pass rewriting the vocab's symbol sequences (left-to-right,
+    non-overlapping — the reference semantics), with lineage truncated
+    per round (reliable checkpoint when ``checkpoint_dir`` is given).
+
+    Fully deterministic — exact integer counts and a total-order
+    tie-break — so the parity test pins the merge table EXACTLY against
+    a pure-Python reference; the driver gate is rows-only because ~10
+    iterative argmaxes are not one-SQL-expressible. Stops early when no
+    pair repeats (max count < 2).
+
+    Returns ``[(rank, left, right, merged, pair_count), ...]``.
+    """
+    from sfcrimedatapipeline_spark.functions.caching import truncate_lineage
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    syms = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select("freq", F.split(F.col("w"), "").alias("syms"))
+    )
+    syms = truncate_lineage(syms, checkpoint_dir)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pair_structs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("a"),
+                    F.element_at("syms", (i + 1).cast("int")).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            syms.select("freq", F.explode(pair_structs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < 2:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((rank, a, b, a + b, cnt))
+
+        def apply_merge(batches: Iterator[pd.DataFrame], a=a, b=b):
+            import pandas as pd
+
+            for pdf in batches:
+                rewritten = []
+                for s in pdf["syms"]:
+                    s = list(s)
+                    out, i = [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(s[i])
+                            i += 1
+                    rewritten.append(out)
+                yield pd.DataFrame({"freq": pdf["freq"], "syms": rewritten})
+
+        syms = syms.mapInPandas(apply_merge, "freq long, syms array<string>")
+        # lazy: the next round's argmax action materializes the
+        # checkpoint — one Spark action per merge round, not two
+        syms = truncate_lineage(syms, checkpoint_dir)
+
+    return merges
+
+
+def bpe_segment_counts(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table: segment each document's words by
+    replaying the merges in rank order (the training semantics, so
+    training-set words reproduce their trained segmentation exactly)
+    and count the resulting subword tokens. One Arrow pass, no shuffle;
+    the merge list is a broadcast-closure constant, exactly like a
+    production tokenizer's vocab file."""
+    ordered = [(left, right) for _, left, right, _, _ in sorted(merges)]
+
+    def segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        def encode_word(word: str) -> int:
+            s = list(word)
+            for a, b in ordered:
+                i, out = 0, []
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return len(s)
+
+        for pdf in batches:
+            counts = [
+                sum(encode_word(w) for w in str(t).lower().split())
+                if t is not None
+                else 0
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "n_bpe_subwords": counts})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        segment, f"{id_col} long, n_bpe_subwords long"
+    )

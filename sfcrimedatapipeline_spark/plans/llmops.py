@@ -88,6 +88,20 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_lm_score(docs)
 
 
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training over the corpus word-frequency
+    table (operators/textstats.py:train_bpe). Rows-only by design: the
+    ~10 iterative argmax rounds are not one-SQL-expressible — the merge
+    table is exactly deterministic (integer counts, lexicographic
+    tie-break) and pinned value-for-value by the pure-Python parity
+    test in tests/test_corpus.py."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    m = textstats.train_bpe(docs, n_merges=10)
+    return spark.createDataFrame(
+        m, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_parallel(spark, sf_dir, "documents")
     return textstats.winnow_fingerprints(docs)
@@ -1013,6 +1027,9 @@ QUERIES = {
     "text_token_count_bpe": text_token_count_bpe,
     "text_repetition": text_repetition,
     "text_unigram_lm": text_unigram_lm,
+    # rows-only: iterative argmax rounds, exactly-deterministic output
+    # pinned by the pure-Python parity test
+    "text_bpe_merges": text_bpe_merges,
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "corpus_curation_report": corpus_curation_report,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,

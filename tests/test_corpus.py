@@ -472,3 +472,79 @@ def test_mix_to_token_budget_clamps_and_excludes(spark):
     absent = out["absent"]  # no weight → excluded entirely
     assert absent.rate == 0.0 and absent.n_sampled == 0 and absent.sampled_tokens == 0
     assert absent.n_docs == 30  # still reported
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python BPE reference: same tokenization, same left-to-right
+    non-overlapping apply, same (count desc, pair asc) tie-break."""
+    import re
+    from collections import Counter
+
+    freq = Counter()
+    for t in texts:
+        for w in [x for x in re.split(r"\s+", t.lower()) if x]:
+            freq[w] += 1
+    syms = {w: list(w) for w in freq}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += freq[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((rank, a, b, a + b, cnt))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_trainer_matches_pure_python_reference(spark):
+    from sfcrimedatapipeline_spark.operators import textstats
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    texts = [r.text for r in docs.select("text").collect()]
+    want, ref_syms = _bpe_reference(texts, 8)
+    got = textstats.train_bpe(docs, n_merges=8)
+    assert got == want  # exact: ranks, pairs, merged symbols, counts
+
+    # the segmenter replays merges: training words reproduce their
+    # trained segmentation lengths exactly
+    seg = {
+        r.doc_id: r.n_bpe_subwords
+        for r in textstats.bpe_segment_counts(docs, got).collect()
+    }
+    import re
+
+    for r in docs.select("doc_id", "text").limit(20).collect():
+        words = [x for x in re.split(r"\s+", r.text.lower()) if x]
+        expect = sum(len(ref_syms[w]) for w in words)
+        assert seg[r.doc_id] == expect
+
+
+def test_bpe_merges_reduce_token_count(spark):
+    from sfcrimedatapipeline_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower lowest"), (2, "low slow slower glow")],
+        "doc_id long, text string",
+    )
+    merges = textstats.train_bpe(docs, n_merges=3)
+    assert merges and merges[0][1:3] == ("l", "o")  # 'lo' dominates
+    n0 = {r.doc_id: r.n_bpe_subwords
+          for r in textstats.bpe_segment_counts(docs, []).collect()}
+    n3 = {r.doc_id: r.n_bpe_subwords
+          for r in textstats.bpe_segment_counts(docs, merges).collect()}
+    assert all(n3[d] < n0[d] for d in n0)  # merges compress every doc
