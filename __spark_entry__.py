@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: cached_stream_fixture), so grouping them also amortizes its build.
 _DEFERRED = [
     "text_bpe_merges",
+    "emb_semantic_dedup",
     "ann_pq_topk_trained",
     "ann_cosine_topk_ivf_trained",
     "fact_crime_build",

@@ -743,3 +743,137 @@ def dedup_against_corpus(
         .agg(F.min(id_col).alias(id_col))
     )
     return survivors.select(id_col, "fingerprint")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space, search near-duplicates ONLY within
+    clusters, and keep the lowest id per connected near-dup group —
+    the paper's observation is that semantic duplicates co-locate in
+    embedding clusters, so the quadratic verify is bounded per cluster
+    instead of corpus-wide.
+
+    Determinism discipline: coarse centroids default to the
+    ``n_clusters`` lowest-id vectors and assignment is squared-L2
+    struct-min (ties → lowest centroid id) — the same fixed-index
+    contract as :func:`similarity.ivfpq_topk`, so the whole composition
+    is hash-gated; swap in :func:`similarity.train_ivf_centroids` for
+    trained clusters (rows-only). Pair verification is the exact
+    6-dp-rounded cosine; groups close transitively via
+    :func:`corpus.connected_components` over the tiny pair set.
+
+    Scale shape: assignment is one shuffle-free scan over broadcast-
+    literal centroids; the self-join shuffles vectors once on the
+    cluster key; CC and the keep decision touch only (id, id) pairs.
+    Returns ``(id, cluster_id, canonical_id, kept)`` for every vector.
+    """
+    from sfcrimedatapipeline_spark.operators.corpus import connected_components
+
+    if centroids is None:
+        centroids = [
+            [float(x) for x in r[1]]
+            for r in emb.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_clusters)
+            .collect()
+        ]
+    cent_arr = F.array(*[F.lit(c) for c in centroids])
+    dists = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda j: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__v"),
+                    F.element_at(cent_arr, j),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            (j - 1).cast("int").alias("cid"),
+        ),
+    )
+    assigned = emb.select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    ).select(
+        id_col,
+        F.array_min(dists)["cid"].alias("cluster_id"),
+        "__v",
+    ).persist()
+
+    # within-cluster verify through the same grid-split BLAS tiles as
+    # embedding_near_duplicates_lsh (cluster = bucket): the JVM
+    # expression form was measured ~4x slower here (12.7 s → see
+    # docstring), and an un-split mega-cluster would otherwise
+    # materialize its whole n×n tile in one task
+    import pandas as pd
+
+    max_cluster_rows = 4096
+    counts = assigned.groupBy("cluster_id").agg(
+        F.ceil(F.count("*") / max_cluster_rows).cast("int").alias("__s")
+    )
+    blocked = (
+        assigned.select(
+            F.col(id_col).cast("long").alias("__id"), "__v", "cluster_id"
+        )
+        .join(F.broadcast(counts), "cluster_id")
+        .withColumn("__g", (F.col("__id") % F.col("__s")).cast("int"))
+        .withColumn("__j", F.explode(F.sequence(F.lit(0), F.col("__s") - 1)))
+        .select(
+            "__id",
+            "__v",
+            "cluster_id",
+            F.least("__g", "__j").alias("gi"),
+            F.greatest("__g", "__j").alias("gj"),
+            (F.col("__g") > F.col("__j")).cast("int").alias("side"),
+        )
+    )
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _cluster, gi, gj = key
+        if gi == gj:
+            ids, mat = _ids_mat(pdf, "__id", "__v")
+            if len(ids) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            norms = _seq_sq_norm(mat)
+            cos = _tile_cosine(mat, mat, norms, norms, dim)
+            cand = (cos >= threshold - 1e-6) & (ids[:, None] < ids[None, :])
+            return _round6_filter(ids, ids, cos, cand, threshold)
+        pa, pb = pdf[pdf["side"] == 0], pdf[pdf["side"] == 1]
+        if not len(pa) or not len(pb):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids_a, mat_a = _ids_mat(pa, "__id", "__v")
+        ids_b, mat_b = _ids_mat(pb, "__id", "__v")
+        cos = _tile_cosine(mat_a, mat_b, _seq_sq_norm(mat_a), _seq_sq_norm(mat_b), dim)
+        return _round6_filter(ids_a, ids_b, cos, cos >= threshold - 1e-6, threshold)
+
+    pairs = (
+        blocked.groupBy("cluster_id", "gi", "gj")
+        .applyInPandas(score, _PAIR_SCHEMA)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    cc = connected_components(pairs)
+    out = (
+        assigned.select(id_col, "cluster_id")
+        .join(cc, F.col(id_col) == F.col("doc_id"), "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(F.col("canonical_id"), F.col(id_col)).alias("canonical_id"),
+            (
+                F.col(id_col)
+                == F.coalesce(F.col("canonical_id"), F.col(id_col))
+            ).alias("kept"),
+        )
+    )
+    from sfcrimedatapipeline_spark.functions.caching import unpersist_when_released
+
+    return unpersist_when_released(out, assigned)

@@ -309,6 +309,16 @@ def ann_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, queries, k=ANN_K, codebooks=cb)
 
 
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition (operators/dedup.py:semantic_dedup): fixed
+    coarse clusters bound the near-dup search, exact cosine verify
+    within clusters, connected-components keep-one — per-vector
+    disposition fully hash-gated (assignment, verify, and transitive
+    closure all exact)."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, threshold=EMB_NEAR_DUP_THRESHOLD)
+
+
 def emb_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs near-dup via the grid-blocked BLAS tiles
     (operators/dedup.py:embedding_near_duplicates_blas) — no driver
@@ -966,6 +976,50 @@ def build_oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_lsh": _ann_sql(lsh=True),
         "ann_pq_topk": _pq_sql(),
         "ann_ivfpq_topk": _ivfpq_sql(),
+        # SemDeDup twin: the _ivfpq_sql coarse-assignment fragment, the
+        # exact rounded-cosine pair verify, and the dedup_clusters
+        # recursive-CTE closure composed; threshold in E-notation (see
+        # corpus_queries mix_report note on DuckDB decimal literals)
+        "emb_semantic_dedup": f"""
+            WITH RECURSIVE cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+                FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            assign AS (
+                SELECT vec_id, CAST(min([df, CAST(cid AS DOUBLE)])[2] AS INT) AS cluster_id
+                FROM (
+                    SELECT e.vec_id, cents.cid,
+                           {_sqd_sql("e.embedding", "cents.cv", 0, 64)} AS df
+                    FROM embeddings e CROSS JOIN cents
+                ) GROUP BY vec_id
+            ),
+            v AS (
+                SELECT a.vec_id, a.cluster_id, e.embedding
+                FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+            ),
+            p AS (
+                SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+                FROM v x JOIN v y
+                  ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+                WHERE {_sql_cosine("x.embedding", "y.embedding")} >= {EMB_NEAR_DUP_THRESHOLD!r}e0
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM p
+                UNION ALL
+                SELECT doc_b, doc_a FROM p
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+            ),
+            mp AS (SELECT id, min(r) AS canon FROM reach GROUP BY id)
+            SELECT a.vec_id, a.cluster_id,
+                   CAST(coalesce(m.canon, a.vec_id) AS BIGINT) AS canonical_id,
+                   a.vec_id = coalesce(m.canon, a.vec_id) AS kept
+            FROM assign a LEFT JOIN mp m ON a.vec_id = m.id
+        """,
         # IVF: assignment/probe use the RAW cosine (both engines produce
         # identical doubles — rounding first could merge near-ties the
         # Spark side distinguishes); only the output cosine is rounded
@@ -1049,6 +1103,7 @@ QUERIES = {
     # rows-only: trained float centroids are not engine-reproducible by
     # design (see docstring); trainer numerics pinned by numpy parity test
     "ann_cosine_topk_ivf_trained": ann_cosine_topk_ivf_trained,
+    "emb_semantic_dedup": emb_semantic_dedup,
     "emb_near_duplicates": emb_near_duplicates,
     "emb_near_duplicates_lsh": emb_near_duplicates_lsh,
 }

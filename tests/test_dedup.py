@@ -142,3 +142,39 @@ def test_fuzzy_dup_pairs_unicode_mode(spark):
     }
     assert asc[(1, 2)] == 2
     assert asc[(3, 4)] == 0
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    """Two well-separated semantic clusters, each containing one group
+    of near-identical vectors plus singletons: exactly one survivor per
+    near-dup group, everything else kept, transitivity via CC."""
+    from sfcrimedatapipeline_spark.operators.dedup import semantic_dedup
+
+    rows = []
+    for i in range(24):
+        c = i % 2  # two clusters along axes 0/1
+        vec = [0.0] * 64
+        vec[c] = 1.0
+        if i < 8:  # near-dup group members: tiny distinct perturbation
+            vec[10] = 1e-4 * (i + 1)
+        else:      # singletons: strong distinct direction
+            vec[10 + i] = 0.9
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = []
+    for c in range(2):  # explicit axis centroids — one per semantic cluster
+        v = [0.0] * 64
+        v[c] = 1.0
+        cents.append(v)
+    out = {r.vec_id: r for r in semantic_dedup(
+        emb, threshold=0.99, centroids=cents).collect()}
+    assert len(out) == 24
+    # ids 0..7 split by cluster parity into two near-dup groups,
+    # canonical = min id of each (0 for evens, 1 for odds)
+    for i in range(8):
+        assert out[i].canonical_id == i % 2
+        assert out[i].kept == (i < 2)
+    for i in range(8, 24):
+        assert out[i].kept and out[i].canonical_id == i
+    # disposition respects cluster boundaries
+    assert out[0].cluster_id != out[1].cluster_id
