@@ -285,3 +285,46 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         assert "dynamicpruning" in plan.lower()
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", saved)
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """PQ encoding must be one corpus scan: pure per-row expressions
+    over broadcast-literal codebooks, no Exchange anywhere."""
+    from sfcrimedatapipeline_spark.operators import similarity
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cb = similarity.default_pq_codebooks(emb)
+    plan = _plan(similarity.pq_encode(emb, cb))
+    assert "Exchange" not in plan
+
+
+def test_pq_topk_broadcasts_query_tables(spark):
+    """The ADC query tables ride a broadcast; the corpus side must not
+    shuffle before scoring (the only Exchange is the final top-k
+    window's hash partitioning on query_id)."""
+    from sfcrimedatapipeline_spark.operators import similarity
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = _plan(similarity.pq_topk(emb, emb.filter("vec_id < 3")))
+    assert "BroadcastExchange" in plan
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all("query_id" in s for s in shuffles), shuffles
+
+
+def test_mix_report_broadcasts_rates_and_never_shuffles_corpus(spark):
+    """The rate table joins back by broadcast; the only hash exchanges
+    carry the per-source aggregates (source key), never full rows."""
+    from sfcrimedatapipeline_spark.operators.corpus import mix_to_token_budget
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(mix_to_token_budget(docs, {"src0": 0.5, "src1": 0.5}, 1000))
+    assert "BroadcastExchange" in plan
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all("source" in s for s in shuffles), shuffles
