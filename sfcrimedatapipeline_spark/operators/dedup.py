@@ -753,6 +753,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     dim: int = 64,
     centroids: list[list[float]] | None = None,
+    max_cluster_rows: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the embedding space, search near-duplicates ONLY within
@@ -816,7 +817,6 @@ def semantic_dedup(
     # materialize its whole n×n tile in one task
     import pandas as pd
 
-    max_cluster_rows = 4096
     counts = assigned.groupBy("cluster_id").agg(
         F.ceil(F.count("*") / max_cluster_rows).cast("int").alias("__s")
     )

@@ -178,3 +178,29 @@ def test_semantic_dedup_keeps_one_per_group(spark):
         assert out[i].kept and out[i].canonical_id == i
     # disposition respects cluster boundaries
     assert out[0].cluster_id != out[1].cluster_id
+
+
+def test_semantic_dedup_subsplit_matches_unsplit(spark):
+    """A mega-cluster larger than max_cluster_rows sub-splits into
+    grid-block pairs; the pair set — hence every disposition — must be
+    identical to the single-tile plan."""
+    from sfcrimedatapipeline_spark.operators.dedup import semantic_dedup
+
+    rows = []
+    for i in range(40):  # ONE cluster; ids 0..9 a near-dup group
+        vec = [0.0] * 64
+        vec[0] = 1.0
+        if i < 10:
+            vec[5] = 1e-4 * (i + 1)
+        else:
+            vec[5 + i] = 0.8
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0] + [0.0] * 63]
+    kw = dict(threshold=0.99, centroids=cents)
+    whole = sorted(map(tuple, semantic_dedup(emb, **kw).collect()))
+    split = sorted(map(tuple, semantic_dedup(
+        emb, max_cluster_rows=7, **kw).collect()))
+    assert whole == split
+    kept = [r for r in whole if r[3]]
+    assert len(kept) == 31  # 40 - (10 dups - 1 survivor)
