@@ -309,3 +309,57 @@ def exact_quantiles_by(
         )
     )
     return unpersist_when_released(result, ranked)
+
+
+def drift_tvd(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution drift between two snapshots of a column: TOTAL
+    VARIATION DISTANCE over a shared fixed-width histogram —
+    0.5 · Σ_bins |n_a/N_a − n_b/N_b| ∈ [0, 1]. The monitoring primitive
+    for "did this feed change shape between runs" (0 = identical
+    histograms, 1 = disjoint support).
+
+    TVD, not KL/PSI, deliberately: per-bin shares are single divisions
+    of exact integer counts and the final sum folds in fixed bin order,
+    so the score is bit-identical across engines — KL's ln is not, and
+    PSI inherits it. ``tvd`` is NULL when either side has no in-range
+    rows (a share of nothing is undefined, never silently 0).
+
+    Scale shape: two :func:`histogram` passes (map-side-combined,
+    ≤ n_bins rows shuffle each), one spine-sized join, one fold over an
+    n_bins array in a 1-row aggregate.
+    """
+    ha = histogram(df_a, col, lo, hi, n_bins).select(
+        "bin", F.col("n").alias("__na")
+    )
+    hb = histogram(df_b, col, lo, hi, n_bins).select(
+        "bin", F.col("n").alias("__nb")
+    )
+    agg = (
+        ha.join(hb, "bin")
+        .agg(
+            F.count("*").cast("int").alias("n_bins"),
+            F.sum("__na").cast("long").alias("n_a"),
+            F.sum("__nb").cast("long").alias("n_b"),
+            F.sort_array(
+                F.collect_list(F.struct("bin", "__na", "__nb"))
+            ).alias("__bins"),
+        )
+    )
+    tvd = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.lit(0.5)
+        * F.aggregate(
+            F.col("__bins"),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.abs(s["__na"] / F.col("n_a") - s["__nb"] / F.col("n_b")),
+        ),
+    )
+    return agg.select("n_bins", "n_a", "n_b", tvd.alias("tvd"))

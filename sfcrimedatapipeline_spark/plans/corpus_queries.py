@@ -190,6 +190,26 @@ def hist_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_LO, DRIFT_HI, DRIFT_BINS = 0.0, 500.0, 20
+
+
+def events_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two event populations (click vs
+    purchase values): total variation distance over a shared
+    fixed-width histogram (operators/profile.py:drift_tvd)."""
+    from sfcrimedatapipeline_spark.operators.profile import drift_tvd
+
+    ev = read_table(spark, sf_dir, "events")
+    return drift_tvd(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        DRIFT_LO,
+        DRIFT_HI,
+        DRIFT_BINS,
+    )
+
+
 def diff_orders_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-checksum reconciliation between orders and a deterministically
     mutated twin — match/differs/left_only/right_only counts
@@ -673,6 +693,37 @@ def build_oracle_sql() -> dict[str, str]:
             """
             for col in FREQ_COLS
         ),
+        # per-bin terms unrolled in bin order so the + chain matches the
+        # Spark fold over the sorted bin array; every share is one
+        # BIGINT/BIGINT division
+        "events_drift_tvd": (
+            lambda w=(DRIFT_HI - DRIFT_LO) / DRIFT_BINS: f"""
+            WITH a AS (
+                SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE) - {DRIFT_LO!r})
+                                      / {w!r}) AS BIGINT), 0), {DRIFT_BINS - 1}) AS bin
+                FROM events WHERE event_type = 'click' AND value IS NOT NULL
+            ),
+            b AS (
+                SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE) - {DRIFT_LO!r})
+                                      / {w!r}) AS BIGINT), 0), {DRIFT_BINS - 1}) AS bin
+                FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+            ),
+            ga AS (SELECT bin, count(*) AS n FROM a GROUP BY bin),
+            gb AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)
+            SELECT CAST({DRIFT_BINS} AS INTEGER) AS n_bins,
+                   (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+                   (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+                   CASE WHEN (SELECT count(*) FROM a) > 0 AND (SELECT count(*) FROM b) > 0
+                        THEN 0.5e0 * ({" + ".join(
+                            f"abs(coalesce((SELECT n FROM ga WHERE bin = {k}), 0)"
+                            f" / (SELECT count(*) FROM a)"
+                            f" - coalesce((SELECT n FROM gb WHERE bin = {k}), 0)"
+                            f" / (SELECT count(*) FROM b))"
+                            for k in range(DRIFT_BINS)
+                        )})
+                        ELSE NULL END AS tvd
+        """
+        )(),
         "hist_extendedprice": f"""
             WITH b AS (
                 SELECT least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - {HIST_LO!r})
@@ -781,6 +832,7 @@ QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "quantiles_by_returnflag": quantiles_by_returnflag,
     "hist_extendedprice": hist_extendedprice,
+    "events_drift_tvd": events_drift_tvd,
     "diff_orders_tables": diff_orders_tables,
     "docs_chunk_overlap": docs_chunk_overlap,
     "contamination_winnow": contamination_winnow,

@@ -548,3 +548,27 @@ def test_bpe_merges_reduce_token_count(spark):
     n3 = {r.doc_id: r.n_bpe_subwords
           for r in textstats.bpe_segment_counts(docs, merges).collect()}
     assert all(n3[d] < n0[d] for d in n0)  # merges compress every doc
+
+
+def test_drift_tvd_bounds_and_nulls(spark):
+    from sfcrimedatapipeline_spark.operators.profile import drift_tvd
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+    # identical distributions → tvd 0.0 exactly
+    r = drift_tvd(a, a, "v", 0.0, 10.0, 10).collect()[0]
+    assert (r.n_bins, r.n_a, r.n_b, r.tvd) == (10, 100, 100, 0.0)
+    # disjoint support → tvd 1.0 exactly
+    b = spark.createDataFrame([(float(50 + i % 10),) for i in range(40)], "v double")
+    r = drift_tvd(a, b, "v", 0.0, 100.0, 10).collect()[0]
+    assert r.tvd == 1.0 and (r.n_a, r.n_b) == (100, 40)
+    # half the mass moved → tvd 0.5
+    c = spark.createDataFrame(
+        [(1.0,)] * 50 + [(2.0,)] * 50, "v double"
+    )
+    d = spark.createDataFrame([(1.0,)] * 50 + [(90.0,)] * 50, "v double")
+    r = drift_tvd(c, d, "v", 0.0, 100.0, 10).collect()[0]
+    assert r.tvd == 0.5
+    # an empty side → NULL, never a silent 0
+    empty = spark.createDataFrame([], "v double")
+    r = drift_tvd(a, empty, "v", 0.0, 10.0, 10).collect()[0]
+    assert r.tvd is None and r.n_b == 0
