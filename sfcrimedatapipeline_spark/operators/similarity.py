@@ -647,6 +647,29 @@ def train_pq_codebooks(
     return [[cb[s, j].tolist() for j in range(k)] for s in range(m)]
 
 
+def _coarse_dist_structs(vec: str, centroids: list[list[float]]):
+    """(full-dim squared L2, centroid id) structs over a broadcast-
+    literal centroid table — same shared-lambda shape as the PQ
+    subspace dists; struct-min over it is the deterministic coarse
+    quantizer every IVF-family operator here shares."""
+    cent_arr = F.array(*[F.lit(c) for c in centroids])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda j: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec),
+                    F.element_at(cent_arr, j),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            (j - 1).cast("int").alias("cid"),
+        ),
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -695,27 +718,8 @@ def ivfpq_topk(
         )
     m = len(codebooks)
 
-    cent_arr = F.array(*[F.lit(c) for c in centroids])
-
     def _coarse_dists():
-        """(full-dim squared L2, centroid id) structs — same shared-
-        lambda shape as the PQ subspace dists."""
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(len(centroids))),
-            lambda j: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__v"),
-                        F.element_at(cent_arr, j),
-                        lambda x, y: (x.cast("double") - y)
-                        * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                (j - 1).cast("int").alias("cid"),
-            ),
-        )
+        return _coarse_dist_structs("__v", centroids)
 
     code = F.array(
         *[
@@ -761,6 +765,151 @@ def ivfpq_topk(
     )
     scored = (
         codes.join(q, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", F.round(dist, 6).alias("approx_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "approx_dist",
+        )
+    )
+
+
+def ivfpq_index_write(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    dim: int = DEFAULT_DIM,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> dict:
+    """Materialize an IVF+PQ index on storage: PQ codes written as
+    parquet PARTITIONED BY INVERTED LIST (``partitionBy("list_id")``)
+    plus a JSON sidecar holding centroids + codebooks (index metadata,
+    a few KiB). Build-once/search-many — and because each inverted
+    list is a partition directory, probing at search time is PARTITION
+    PRUNING: a query that probes ``n_probe`` lists physically reads
+    ~n_probe/n_centroids of the code files. The I/O reduction is
+    enforced by the storage layout, not just the plan.
+
+    Build cost: one shuffle-free corpus scan (assignment + encoding are
+    the same broadcast-literal expressions as :func:`ivfpq_topk`) and
+    one partitioned write. Codes are m bytes/vector — the index is
+    ~32× smaller than the float corpus.
+    """
+    import json
+    import os
+
+    if centroids is None:
+        centroids = [
+            [float(x) for x in r[1]]
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
+        ]
+    if codebooks is None:
+        codebooks = default_pq_codebooks(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+    m = len(codebooks)
+    code = F.array(
+        *[
+            F.array_min(_pq_subspace_dists("__v", codebooks, s))["cid"]
+            for s in range(m)
+        ]
+    )
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    ).select(
+        "neighbor_id",
+        F.array_min(_coarse_dist_structs("__v", centroids))["cid"].alias(
+            "list_id"
+        ),
+        code.alias("code"),
+    )
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    meta = {"dim": dim, "centroids": centroids, "codebooks": codebooks}
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def ivfpq_index_search(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF+PQ index (:func:`ivfpq_index_write`).
+
+    The union of all probed list ids (≤ |queries|·n_probe ints — index
+    metadata, same class as the centroid fetch) becomes a LITERAL
+    ``isin`` filter on the partition column, so the parquet scan shows
+    ``PartitionFilters`` and un-probed list directories are never
+    opened (plan-tested). Scoring is the same broadcast-ADC-table
+    equi-join as :func:`ivfpq_topk` — results are identical to the
+    inline path by the parity test.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    centroids, codebooks = meta["centroids"], meta["codebooks"]
+    m = len(codebooks)
+
+    probes = F.slice(
+        F.array_sort(_coarse_dist_structs("__v", centroids)), 1, n_probe
+    )
+    tbl = F.array(
+        *[
+            F.transform(
+                _pq_subspace_dists("__v", codebooks, s), lambda st: st["d"]
+            )
+            for s in range(m)
+        ]
+    )
+    q_frame = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v")
+        )
+        .select("query_id", tbl.alias("__tbl"), F.explode(probes).alias("__p"))
+        .select("query_id", "__tbl", F.col("__p")["cid"].alias("list_id"))
+    )
+    probe_ids = sorted(
+        {r["list_id"] for r in q_frame.select("list_id").distinct().collect()}
+    )
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+        F.col("list_id").isin(probe_ids)
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("__tbl", s), F.element_at("code", s) + F.lit(1)
+        ),
+    )
+    scored = (
+        codes.join(F.broadcast(q_frame), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id", F.round(dist, 6).alias("approx_dist")

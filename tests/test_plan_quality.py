@@ -328,3 +328,35 @@ def test_mix_report_broadcasts_rates_and_never_shuffles_corpus(spark):
 
     shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert all("source" in s for s in shuffles), shuffles
+
+
+def test_ivfpq_index_probe_is_partition_pruned(spark, tmp_path):
+    """The persisted IVF+PQ index stores one partition directory per
+    inverted list; a search must (a) return exactly the inline
+    ivfpq_topk results and (b) reach the code scan with a PartitionFilters
+    predicate on list_id, so un-probed lists are never opened."""
+    import os
+
+    from sfcrimedatapipeline_spark.operators import similarity
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    idx_dir = str(tmp_path / "ivfpq")
+    similarity.ivfpq_index_write(emb, idx_dir, n_centroids=8)
+    # one directory per inverted list on disk
+    dirs = [d for d in os.listdir(os.path.join(idx_dir, "codes")) if d.startswith("list_id=")]
+    assert len(dirs) == 8
+
+    queries = emb.filter("vec_id < 3")
+    searched = similarity.ivfpq_index_search(spark, idx_dir, queries, k=5, n_probe=2)
+    inline = similarity.ivfpq_topk(emb, queries, k=5, n_centroids=8, n_probe=2)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.approx_dist)
+    assert sorted(map(key, searched.collect())) == sorted(map(key, inline.collect()))
+
+    plan = _plan(searched)
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # the literal isin covers at most |queries| * n_probe of the 8 lists
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan[:2000]
