@@ -52,6 +52,7 @@ _DEFERRED = [
     "events_stream_stream_join",
     "dedup_exact_stream",
     "dedup_exact_stream_wm",
+    "docs_accrete_stream",
     "events_sessionize_stream",
 ]
 

@@ -50,6 +50,7 @@ BENCH_SKIP = {
     "events_incremental_agg_stream",
     "dedup_exact_stream",
     "dedup_exact_stream_wm",
+    "docs_accrete_stream",
 }
 
 

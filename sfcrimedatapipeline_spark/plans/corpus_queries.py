@@ -118,6 +118,41 @@ def mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mix_to_token_budget(docs, MIX_WEIGHTS, MIX_BUDGET)
 
 
+def docs_accrete_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE streaming execution of the corpus-accretion dedup loop
+    (streaming/events.py:run_corpus_accretion_stream): documents arrive
+    in id-ordered micro-batches, each batch anti-joins the persistent
+    fingerprint state and appends only new fingerprints. The emitted
+    set equals batch dedup_exact's keepers, so the whole cross-batch
+    loop sits under the value-hash oracle."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sfcrimedatapipeline_spark.streaming.events import (
+        cached_stream_fixture,
+        run_corpus_accretion_stream,
+    )
+
+    stream_dir = cached_stream_fixture(spark, sf_dir, table="documents")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    state_dir = tempfile.mkdtemp(prefix="sfcdp_accrete_")
+    return run_corpus_accretion_stream(spark, stream_dir, state_dir, schema)
+
+
 def quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-documents-per-language: the quality score (textstats) ranked
     within the table's own lang column, top 5 per stratum."""
@@ -517,6 +552,15 @@ def build_oracle_sql() -> dict[str, str]:
             )
             + " ELSE 0.0 END"
         ),
+        # streaming accretion twin: the emitted set is batch dedup's
+        # keepers (min id per distinct non-null fingerprint)
+        "docs_accrete_stream": f"""
+            SELECT min(doc_id) AS doc_id,
+                   md5({SQL_NORMALIZED}) AS fingerprint
+            FROM documents
+            WHERE md5({SQL_NORMALIZED}) IS NOT NULL
+            GROUP BY 2
+        """,
         "sample_stratified": f"""
             SELECT doc_id, lang, source
             FROM documents
@@ -822,6 +866,8 @@ QUERIES = {
     "pagerank_dup_graph": pagerank_dup_graph,
     "sample_stratified": sample_stratified,
     "mix_report": mix_report,
+    # genuine streaming execution; ordered fixture ⇒ batch-equal keepers
+    "docs_accrete_stream": docs_accrete_stream,
     "quality_topk_per_lang": quality_topk_per_lang,
     "text_tfidf_topterms": text_tfidf_topterms,
     "pack_sequences": pack_sequences,

@@ -421,3 +421,68 @@ def run_incremental_agg_stream(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(state_path)
+
+
+def run_corpus_accretion_stream(
+    spark: SparkSession, source_dir: str, state_dir: str, schema
+) -> DataFrame:
+    """Streaming corpus ACCRETION with cross-batch exact dedup via
+    ``foreachBatch`` — the production daily-crawl loop of
+    :func:`operators.dedup.dedup_against_corpus`, run as a stream:
+    each micro-batch reduces to one (min doc_id, fingerprint) row per
+    within-batch-distinct document, anti-joins the PERSISTENT
+    fingerprint state (one 32-byte column — corpus text is never
+    reread), appends the survivors to the state (append-only parquet;
+    accumulated state is never rewritten), and emits the kept docs.
+
+    Batching invariance (what the oracle gates): the source fixture
+    streams id-ordered slices, so the first batch containing a
+    fingerprint also contains its global min id — the emitted SET is
+    exactly batch ``dedup_exact``'s keepers no matter how many slices
+    the stream arrives in. State and per-batch cost both scale with
+    NEW fingerprints only.
+    """
+    import os
+
+    from sfcrimedatapipeline_spark.functions.text import normalized
+
+    state_path = os.path.join(state_dir, "fingerprints")
+    out_path = os.path.join(state_dir, "kept")
+
+    def accrete(batch_df: DataFrame, batch_id: int) -> None:
+        d = (
+            batch_df.select(
+                F.col("doc_id"),
+                F.md5(normalized(F.col("text"))).alias("fingerprint"),
+            )
+            .filter(F.col("fingerprint").isNotNull())
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        if os.path.isdir(state_path):
+            d = d.join(spark.read.parquet(state_path), "fingerprint", "left_anti")
+        # materialize BEFORE touching the state directory the plan reads
+        kept = d.select("doc_id", "fingerprint").localCheckpoint(eager=True)
+        kept.select("fingerprint").write.mode("append").parquet(state_path)
+        kept.write.mode("append").parquet(out_path)
+
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            source.writeStream.foreachBatch(accrete)
+            .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out_path)

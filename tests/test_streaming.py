@@ -336,3 +336,47 @@ def test_watermarked_dedup_drops_within_horizon_and_reemits_after(spark, tmp_pat
     assert len(set(fps)) == 3
     dup_fp = max(set(fps), key=fps.count)
     assert fps.count(dup_fp) == 2
+
+
+def test_corpus_accretion_state_suppresses_rerun(spark, tmp_path):
+    """The accretion loop's whole point: a SECOND stream over the same
+    corpus against the accumulated state emits nothing, and a stream of
+    one-new-one-old docs emits exactly the new one."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sfcrimedatapipeline_spark.streaming.events import (
+        run_corpus_accretion_stream,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc"), (3, "alpha doc")], schema
+    ).coalesce(1).write.parquet(src1)
+    state = str(tmp_path / "state")
+
+    kept = run_corpus_accretion_stream(spark, src1, state, schema)
+    got = {(r.doc_id, r.fingerprint) for r in kept.collect()}
+    assert {d for d, _ in got} == {1, 2}  # min id per fingerprint
+
+    # second pass: same docs, fresh checkpoint, SAME fingerprint state
+    state2 = str(tmp_path / "state2")
+    os.makedirs(state2)
+    os.rename(
+        os.path.join(state, "fingerprints"),
+        os.path.join(state2, "fingerprints"),
+    )
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [(10, "alpha doc"), (11, "gamma doc")], schema
+    ).coalesce(1).write.parquet(src2)
+    kept2 = run_corpus_accretion_stream(spark, src2, state2, schema)
+    rows = kept2.collect()
+    assert {(r.doc_id,) for r in rows} == {(11,)}  # only the new doc
+    # state accreted: three distinct fingerprints now
+    n_state = spark.read.parquet(os.path.join(state2, "fingerprints")).count()
+    assert n_state == 3
