@@ -808,6 +808,11 @@ def ivfpq_index_write(
     the same broadcast-literal expressions as :func:`ivfpq_topk`) and
     one partitioned write. Codes are m bytes/vector — the index is
     ~32× smaller than the float corpus.
+
+    The sidecar is written with plain ``open()`` from the driver: on a
+    cluster, ``index_dir`` must be a shared/driver-visible mount for
+    the metadata (the parquet codes go through the Hadoop FS layer and
+    work on any scheme).
     """
     import json
     import os
@@ -926,5 +931,77 @@ def ivfpq_index_search(
             F.col("rank").cast("int").alias("rank"),
             "neighbor_id",
             "approx_dist",
+        )
+    )
+
+
+def rrf_fuse(
+    result_sets: list[DataFrame],
+    k: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of multiple
+    top-k result frames — the standard hybrid-search combiner (e.g.
+    exact + LSH + PQ tiers, or dense + lexical retrieval): per
+    (query, neighbor), score = Σ_sets 1/(rrf_k + rank), re-ranked.
+
+    Exactness discipline: each 1/(rrf_k + rank) is one IEEE division of
+    exact integers and the cross-set sum is folded in INPUT-SET ORDER
+    via an array literal (a groupBy SUM over doubles would be
+    aggregation-order-dependent) — so fused scores hash-compare. Ties
+    re-rank by neighbor id.
+
+    Scale shape: each input is already a per-query top-k (tiny);
+    fusion is one union + one groupBy at fused-candidate cardinality +
+    one per-query window. Inputs must share (query_id, rank,
+    neighbor_id) columns — exactly what every ANN tier here returns.
+    """
+    tagged = [
+        df.select(
+            "query_id",
+            "neighbor_id",
+            F.lit(i).alias("__set"),
+            F.col("rank").cast("long").alias("__rank"),
+        )
+        for i, df in enumerate(result_sets)
+    ]
+    allr = tagged[0]
+    for t in tagged[1:]:
+        allr = allr.unionByName(t)
+    n_sets = len(result_sets)
+    # per (query, neighbor): one slot per input set, folded in set order
+    slots = F.array(
+        *[
+            F.max(F.when(F.col("__set") == i, F.col("__rank"))).alias(f"r{i}")
+            for i in range(n_sets)
+        ]
+    )
+    fused = (
+        allr.groupBy("query_id", "neighbor_id")
+        .agg(slots.alias("__slots"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.col("__slots"),
+                F.lit(0.0),
+                lambda acc, r: acc
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + r), F.lit(0.0)
+                ),
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "rrf_score",
         )
     )

@@ -294,6 +294,24 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion of three ANN tiers (exact
+    brute force, LSH buckets, PQ codes) per query
+    (operators/similarity.py:rrf_fuse). Fused scores are sums of exact
+    divisions folded in input-set order, so the whole fusion is
+    hash-gated on top of the three already-gated tiers."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return similarity.rrf_fuse(
+        [
+            similarity.cosine_topk(emb, queries, k=ANN_K),
+            similarity.cosine_topk_lsh(emb, queries, k=ANN_K),
+            similarity.pq_topk(emb, queries, k=ANN_K),
+        ],
+        k=ANN_K,
+    )
+
+
 def ann_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE PQ story: per-subspace k-means codebook training
     (one shuffle-free Arrow scan per iteration, driver reduce —
@@ -976,6 +994,42 @@ def build_oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_lsh": _ann_sql(lsh=True),
         "ann_pq_topk": _pq_sql(),
         "ann_ivfpq_topk": _ivfpq_sql(),
+        # RRF twin: the three tier oracles as CTEs; per-slot reciprocal
+        # terms summed in input-set order (the Spark array fold)
+        "ann_hybrid_rrf": f"""
+            WITH s0 AS ({_ann_sql(lsh=False)}),
+            s1 AS ({_ann_sql(lsh=True)}),
+            s2 AS ({_pq_sql()}),
+            u AS (
+                SELECT query_id, neighbor_id, 0 AS st, rank FROM s0
+                UNION ALL
+                SELECT query_id, neighbor_id, 1 AS st, rank FROM s1
+                UNION ALL
+                SELECT query_id, neighbor_id, 2 AS st, rank FROM s2
+            ),
+            g AS (
+                SELECT query_id, neighbor_id,
+                       max(CASE WHEN st = 0 THEN rank END) AS r0,
+                       max(CASE WHEN st = 1 THEN rank END) AS r1,
+                       max(CASE WHEN st = 2 THEN rank END) AS r2
+                FROM u GROUP BY query_id, neighbor_id
+            ),
+            f AS (
+                SELECT query_id, neighbor_id,
+                       coalesce(1.0e0 / (60 + r0), 0.0e0)
+                       + coalesce(1.0e0 / (60 + r1), 0.0e0)
+                       + coalesce(1.0e0 / (60 + r2), 0.0e0) AS rrf_score
+                FROM g
+            )
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, rrf_score
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY rrf_score DESC, neighbor_id ASC) AS rank
+                FROM f
+            )
+            WHERE rank <= {ANN_K}
+        """,
         # SemDeDup twin: the _ivfpq_sql coarse-assignment fragment, the
         # exact rounded-cosine pair verify, and the dedup_clusters
         # recursive-CTE closure composed; threshold in E-notation (see
@@ -1098,6 +1152,7 @@ QUERIES = {
     "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_hybrid_rrf": ann_hybrid_rrf,
     # rows-only: trained codebooks are not engine-reproducible by design
     "ann_pq_topk_trained": ann_pq_topk_trained,
     # rows-only: trained float centroids are not engine-reproducible by

@@ -572,3 +572,23 @@ def test_drift_tvd_bounds_and_nulls(spark):
     empty = spark.createDataFrame([], "v double")
     r = drift_tvd(a, empty, "v", 0.0, 10.0, 10).collect()[0]
     assert r.tvd is None and r.n_b == 0
+
+
+def test_rrf_fuse_semantics(spark):
+    """A neighbor present in several sets outranks single-set neighbors;
+    missing slots contribute 0, not NULL; input-set order is irrelevant
+    to values (pure sum) but the fold order is fixed."""
+    from sfcrimedatapipeline_spark.operators.similarity import rrf_fuse
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "query_id long, rank int, neighbor_id long, score double"
+    )
+    s1 = mk([(1, 1, 100, 0.9), (1, 2, 101, 0.8)])
+    s2 = mk([(1, 1, 101, 0.7), (1, 2, 102, 0.6)])
+    out = rrf_fuse([s1, s2], k=3).collect()
+    got = {r.neighbor_id: (r.rank, r.rrf_score) for r in out}
+    # 101: in both sets (ranks 2 and 1) beats 100 (single rank 1)
+    assert got[101][0] == 1 and got[100][0] == 2 and got[102][0] == 3
+    assert got[101][1] == 1 / 62 + 1 / 61
+    assert got[100][1] == 1 / 61
+    assert got[102][1] == 1 / 62
