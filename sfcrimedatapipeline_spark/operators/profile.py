@@ -363,3 +363,40 @@ def drift_tvd(
         ),
     )
     return agg.select("n_bins", "n_a", "n_b", tvd.alias("tvd"))
+
+
+def validate_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Ingest-time embedding validation: per-vector diagnostics for the
+    failure modes that silently poison ANN/dedup math downstream —
+    NULL column, wrong dimensionality, NaN/Infinity components, exact
+    zero norm (cosine undefined). Pure per-row Catalyst expressions
+    (size / exists HOFs), no shuffle; ``valid`` is the conjunction, so
+    a pipeline gates with one filter and routes the rest to quarantine.
+    Checks are exact predicates (integer size, IEEE isnan/abs compare),
+    hash-identical across engines.
+    """
+    v = F.col(vec_col)
+    is_null = v.isNull()
+    n_dims = F.coalesce(F.size(v), F.lit(-1)).cast("int")
+    has_nan = F.coalesce(
+        F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == float("inf"))),
+        F.lit(False),
+    )
+    is_zero = F.coalesce(
+        F.forall(v, lambda x: x == 0.0), F.lit(False)
+    ) & ~is_null
+    return emb.select(
+        F.col(id_col),
+        is_null.alias("is_null"),
+        n_dims.alias("n_dims"),
+        has_nan.alias("has_nan"),
+        is_zero.alias("is_zero"),
+        (
+            ~is_null & (n_dims == dim) & ~has_nan & ~is_zero
+        ).alias("valid"),
+    )

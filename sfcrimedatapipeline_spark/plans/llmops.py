@@ -327,6 +327,16 @@ def ann_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, queries, k=ANN_K, codebooks=cb)
 
 
+def emb_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector ingest validation (operators/profile.py:
+    validate_embeddings): NULL / wrong-dim / NaN-Inf / zero-norm
+    diagnostics as exact predicates under the hash gate."""
+    from sfcrimedatapipeline_spark.operators.profile import validate_embeddings
+
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    return validate_embeddings(emb)
+
+
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup composition (operators/dedup.py:semantic_dedup): fixed
     coarse clusters bound the near-dup search, exact cosine verify
@@ -1030,6 +1040,24 @@ def build_oracle_sql() -> dict[str, str]:
             )
             WHERE rank <= {ANN_K}
         """,
+        "emb_validate": """
+            SELECT vec_id,
+                   embedding IS NULL AS is_null,
+                   CAST(coalesce(len(embedding), -1) AS INTEGER) AS n_dims,
+                   coalesce(len(list_filter(embedding,
+                                x -> isnan(x) OR isinf(x))) > 0,
+                            FALSE) AS has_nan,
+                   coalesce(len(list_filter(embedding, x -> x <> 0.0)) = 0
+                            AND embedding IS NOT NULL,
+                            FALSE) AS is_zero,
+                   embedding IS NOT NULL
+                   AND coalesce(len(embedding), -1) = 64
+                   AND NOT coalesce(len(list_filter(embedding,
+                                x -> isnan(x) OR isinf(x))) > 0, FALSE)
+                   AND NOT coalesce(len(list_filter(embedding, x -> x <> 0.0)) = 0
+                                    AND embedding IS NOT NULL, FALSE) AS valid
+            FROM embeddings
+        """,
         # SemDeDup twin: the _ivfpq_sql coarse-assignment fragment, the
         # exact rounded-cosine pair verify, and the dedup_clusters
         # recursive-CTE closure composed; threshold in E-notation (see
@@ -1158,6 +1186,7 @@ QUERIES = {
     # rows-only: trained float centroids are not engine-reproducible by
     # design (see docstring); trainer numerics pinned by numpy parity test
     "ann_cosine_topk_ivf_trained": ann_cosine_topk_ivf_trained,
+    "emb_validate": emb_validate,
     "emb_semantic_dedup": emb_semantic_dedup,
     "emb_near_duplicates": emb_near_duplicates,
     "emb_near_duplicates_lsh": emb_near_duplicates_lsh,

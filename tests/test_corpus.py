@@ -592,3 +592,30 @@ def test_rrf_fuse_semantics(spark):
     assert got[101][1] == 1 / 62 + 1 / 61
     assert got[100][1] == 1 / 61
     assert got[102][1] == 1 / 62
+
+
+def test_validate_embeddings_flags_each_failure_mode(spark):
+    import math
+
+    from sfcrimedatapipeline_spark.operators.profile import validate_embeddings
+
+    rows = [
+        (1, [0.1] * 64),                 # valid
+        (2, None),                       # null column
+        (3, [0.1] * 32),                 # wrong dim
+        (4, [float("nan")] + [0.1] * 63),  # NaN component
+        (5, [math.inf] + [0.1] * 63),    # Inf component
+        (6, [0.0] * 64),                 # zero norm
+        (7, []),                         # empty array
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in validate_embeddings(emb).collect()}
+    assert out[1].valid and not any(
+        (out[1].is_null, out[1].has_nan, out[1].is_zero)
+    )
+    assert out[2].is_null and not out[2].valid and out[2].n_dims == -1
+    assert out[3].n_dims == 32 and not out[3].valid
+    assert out[4].has_nan and not out[4].valid
+    assert out[5].has_nan and not out[5].valid
+    assert out[6].is_zero and not out[6].valid
+    assert out[7].n_dims == 0 and out[7].is_zero and not out[7].valid
