@@ -346,6 +346,18 @@ def docs_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_assign_splits_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-leakage-free split assignment: the same hash-bucket
+    discipline keyed on the SOURCE/domain instead of the document id,
+    so every document of a domain lands in the same split — near-dups
+    within a domain can never straddle train/test (the leakage the
+    per-doc split permits by construction). One extra contract, zero
+    extra machinery: assign_splits is key-generic."""
+    return corpus.assign_splits(
+        read_table(spark, sf_dir, "documents"), "source", SPLITS
+    ).select("doc_id", "source", "split")
+
+
 def dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup driven end-to-end and hash-gated: the
     documents table streamed in doc_id-sliced files through streaming
@@ -680,6 +692,17 @@ def build_oracle_sql() -> dict[str, str]:
             b1=corpus.split_boundaries(SPLITS)[0][1],
             b2=corpus.split_boundaries(SPLITS)[1][1],
         ),
+        "docs_assign_splits_grouped": """
+            SELECT doc_id, source,
+                   CASE WHEN {u} < {b1!r} THEN 'train'
+                        WHEN {u} < {b2!r} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """.format(
+            u=uniform.replace("doc_id", "source"),
+            b1=corpus.split_boundaries(SPLITS)[0][1],
+            b2=corpus.split_boundaries(SPLITS)[1][1],
+        ),
         "sample_reservoir_per_lang": f"""
             SELECT doc_id, lang FROM (
                 SELECT doc_id, lang,
@@ -874,6 +897,7 @@ QUERIES = {
     "text_scrub_pii": text_scrub_pii,
     "sample_reservoir_per_lang": sample_reservoir_per_lang,
     "docs_assign_splits": docs_assign_splits,
+    "docs_assign_splits_grouped": docs_assign_splits_grouped,
     "freq_items_lineitem": freq_items_lineitem,
     "graph_triangle_count": graph_triangle_count,
     "quantiles_by_returnflag": quantiles_by_returnflag,

@@ -619,3 +619,22 @@ def test_validate_embeddings_flags_each_failure_mode(spark):
     assert out[5].has_nan and not out[5].valid
     assert out[6].is_zero and not out[6].valid
     assert out[7].n_dims == 0 and out[7].is_zero and not out[7].valid
+
+
+def test_grouped_split_has_no_group_leakage(spark):
+    """Keyed on the group column, every member of a group lands in the
+    same split — the near-dup-leakage guarantee the per-doc key lacks."""
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 17}") for i in range(500)], "doc_id long, source string"
+    )
+    out = corpus.assign_splits(df, "source").collect()
+    by_group: dict[str, set] = {}
+    for r in out:
+        by_group.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())
+    # while the per-doc key DOES straddle (same data, different key)
+    per_doc = corpus.assign_splits(df, "doc_id").collect()
+    by_group2: dict[str, set] = {}
+    for r in per_doc:
+        by_group2.setdefault(r.source, set()).add(r.split)
+    assert any(len(s) > 1 for s in by_group2.values())
