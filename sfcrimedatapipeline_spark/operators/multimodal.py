@@ -373,3 +373,52 @@ def audio_features(media: DataFrame, method: str = "auto") -> DataFrame:
         .select("doc_id", "payload", "meta")
         .mapInPandas(compute, AUDIO_FEATURES_SCHEMA)
     )
+
+
+def detect_keyframes(
+    media: DataFrame,
+    frame_size: int = FRAME_SIZE,
+    stride: int = FRAME_STRIDE,
+    threshold: int = 256,
+) -> DataFrame:
+    """Keyframe detection over sampled video frames: a frame is a
+    keyframe if it is the first of its video or its summed absolute
+    byte difference from the PREVIOUS sampled frame exceeds
+    ``threshold`` — the shot-boundary primitive run before expensive
+    per-frame models (dedupe static scenes, keep transitions).
+
+    Pure relational dataflow: :func:`sample_frames` → one window
+    ``lag`` per video (ordered by frame index) → the byte-diff as an
+    exact integer fold over hex pairs. No UDF, no driver round trip;
+    the only shuffle partitions by ``doc_id`` for the lag window. The
+    diff is an exact BIGINT, so the whole operator hash-compares; the
+    first frame's diff is NULL by contract (nothing to diff against),
+    never 0.
+    """
+    from pyspark.sql import Window
+
+    frames = sample_frames(media, frame_size, stride).select(
+        "doc_id", "frame_idx", "frame_hex"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("frame_hex").over(w)
+    diff = F.when(
+        prev.isNotNull(),
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(frame_size)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.abs(
+                F.conv(F.substring("frame_hex", i * 2 - 1, 2), 16, 10).cast(
+                    "long"
+                )
+                - F.conv(F.substring(prev, i * 2 - 1, 2), 16, 10).cast("long")
+            ),
+        ),
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        diff.alias("byte_diff"),
+        (diff.isNull() | (diff > threshold)).alias("is_keyframe"),
+    )

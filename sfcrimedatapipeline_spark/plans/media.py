@@ -69,6 +69,13 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(_media(spark, sf_dir), method="bytes")
 
 
+def media_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe detection over sampled frames: lag window + exact
+    integer byte-diff fold (operators/multimodal.py:detect_keyframes),
+    fully hash-gated — diffs are BIGINTs, first frames NULL."""
+    return mm.detect_keyframes(_media(spark, sf_dir))
+
+
 def media_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL container-decode branch under the oracle: each document's
     UTF-8 bytes are wrapped into a valid binary PGM (``P5``) payload —
@@ -199,6 +206,47 @@ def build_oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS rms
             FROM s
         """,
+        # byte diffs are integer sums (order-free, list_sum safe);
+        # first frame of each video: NULL diff, keyframe by contract
+        "media_keyframes": f"""
+            WITH vid AS (
+                SELECT doc_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) // {mm.FRAME_SIZE} AS n_frames
+                FROM documents WHERE doc_id % 3 = 2
+            ),
+            idx AS (
+                SELECT doc_id, hx,
+                       unnest(CASE WHEN n_frames > 0
+                                   THEN [x for x in generate_series(0, n_frames - 1)
+                                         if x % {mm.FRAME_STRIDE} = 0]
+                                   ELSE [] END) AS i
+                FROM vid
+            ),
+            fr AS (
+                SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                       substring(hx, CAST(i * {mm.FRAME_SIZE} * 2 + 1 AS INTEGER),
+                                 {mm.FRAME_SIZE * 2}) AS h
+                FROM idx
+            ),
+            l AS (
+                SELECT doc_id, frame_idx, h,
+                       lag(h) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS ph
+                FROM fr
+            ),
+            d AS (
+                SELECT doc_id, frame_idx,
+                       CASE WHEN ph IS NULL THEN NULL
+                            ELSE CAST(list_sum(
+                                [abs(CAST(('0x' || substring(h, i*2-1, 2)) AS INT)
+                                     - CAST(('0x' || substring(ph, i*2-1, 2)) AS INT))
+                                 for i in generate_series(1, {mm.FRAME_SIZE})]) AS BIGINT)
+                            END AS byte_diff
+                FROM l
+            )
+            SELECT doc_id, frame_idx, byte_diff,
+                   coalesce(byte_diff > 256, TRUE) AS is_keyframe
+            FROM d
+        """,
         # the parser must recover exactly bytes 1..8*h of the text as
         # the raster (h = floor(len/8)); h = 0 is a legal empty-raster
         # PGM and must yield zeroed stats
@@ -238,6 +286,7 @@ QUERIES = {
     "media_image_features": media_image_features,
     "media_frame_sample": media_frame_sample,
     "media_audio_features": media_audio_features,
+    "media_keyframes": media_keyframes,
     "media_pgm_decode": media_pgm_decode,
     "media_resize": media_resize,
 }

@@ -257,3 +257,23 @@ def test_audio_features_matches_local_recompute(spark):
             if samples else 0.0
         )
         assert r.rms == want_rms
+
+
+def test_detect_keyframes_flags_transitions(spark):
+    """Three 8-byte frames, stride 1: constant → constant (diff 0) →
+    jump (diff 8*16). First frame is a keyframe by contract, the
+    static frame is not, the jump is."""
+    payload = bytes([5] * 8 + [5] * 8 + [21] * 8)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload))],
+        "doc_id long, media_type string, payload binary",
+    )
+    out = {
+        r.frame_idx: r
+        for r in mm.detect_keyframes(
+            media, frame_size=8, stride=1, threshold=100
+        ).collect()
+    }
+    assert out[0].byte_diff is None and out[0].is_keyframe
+    assert out[1].byte_diff == 0 and not out[1].is_keyframe
+    assert out[2].byte_diff == 8 * 16 and out[2].is_keyframe
