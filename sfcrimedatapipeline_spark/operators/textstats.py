@@ -573,3 +573,47 @@ def bpe_segment_counts(
     return docs.select(id_col, text_col).mapInPandas(
         segment, f"{id_col} long, n_bpe_subwords long"
     )
+
+
+#: script ranges as LITERAL char-class fragments shared by both engines
+#: (Java regex and RE2 disagree on \u vs \x{} escape syntax, but both
+#: accept literal codepoint ranges inside a class)
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "a-zA-Z",
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿぀-ヿ가-힯",
+    "digit": "0-9",
+}
+
+
+def with_script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Writing-system composition per document: character counts per
+    script family (Latin, Cyrillic, Arabic, CJK incl. kana/hangul,
+    digits) plus the dominant script — the companion signal to the
+    stopword lang-id for multilingual curation (a 'lang=en' doc that is
+    80% CJK chars is mislabeled; a mixed-script doc is often spam).
+
+    Counting by ``length(x) − length(regexp_replace(x, class, ''))``:
+    pure per-row JVM expressions, no UDF, no shuffle. Dominant script =
+    argmax count with alphabetical tie-break ('none' when every count
+    is zero) — the exact lang-id argmax discipline, so the whole column
+    set hash-compares.
+    """
+    text = F.col(text_col)
+    total = F.length(text)
+    counts = {
+        name: total
+        - F.length(F.regexp_replace(text, f"[{rng}]", ""))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    out = df.withColumns(
+        {f"n_{name}": c.cast("long") for name, c in counts.items()}
+    )
+    names = sorted(SCRIPT_RANGES)
+    best = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dominant: Column = F.lit("none")
+    for n in reversed(names):
+        dominant = F.when(F.col(f"n_{n}") == best, F.lit(n)).otherwise(dominant)
+    dominant = F.when(best == 0, F.lit("none")).otherwise(dominant)
+    return out.withColumn("dominant_script", dominant)

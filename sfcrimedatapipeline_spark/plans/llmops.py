@@ -88,6 +88,15 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_lm_score(docs)
 
 
+def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system composition per document (operators/textstats.py:
+    with_script_mix): per-script character counts + dominant script,
+    pure regexp arithmetic under the hash gate."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    cols = ["doc_id"] + [f"n_{n}" for n in sorted(textstats.SCRIPT_RANGES)]
+    return textstats.with_script_mix(docs).select(*cols, "dominant_script")
+
+
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training over the corpus word-frequency
     table (operators/textstats.py:train_bpe). Rows-only by design: the
@@ -789,6 +798,35 @@ def build_oracle_sql() -> dict[str, str]:
             LEFT JOIN uni ON d.doc_id = uni.doc_id
             LEFT JOIN bi ON d.doc_id = bi.doc_id
         """,
+        # literal char-class ranges shared with the Spark side (Java
+        # regex and RE2 disagree on escape syntax, not on literal
+        # ranges); dominant = argmax, alphabetical tie-break
+        "text_script_mix": (
+            lambda names=sorted(textstats.SCRIPT_RANGES): f"""
+            WITH c AS (
+                SELECT doc_id,
+                       {", ".join(
+                           "CAST(length(text) - length(regexp_replace(text, '["
+                           + textstats.SCRIPT_RANGES[n]
+                           + "]', '', 'g')) AS BIGINT) AS n_" + n
+                           for n in names
+                       )}
+                FROM documents
+            )
+            SELECT doc_id, {", ".join("n_" + n for n in names)},
+                   CASE WHEN {" + ".join("n_" + n for n in names)} = 0
+                             OR greatest({", ".join("n_" + n for n in names)}) = 0
+                        THEN 'none'
+                        {" ".join(
+                            "WHEN n_" + n + " = greatest("
+                            + ", ".join("n_" + m for m in names)
+                            + ") THEN '" + n + "'"
+                            for n in names
+                        )}
+                        ELSE 'none' END AS dominant_script
+            FROM c
+        """
+        )(),
         # q_t = LM_SCALE div c_t keeps every intermediate an exact
         # BIGINT; the final multiply/divide sequence is identical on
         # both engines (see textstats.unigram_lm_score)
@@ -1163,6 +1201,7 @@ QUERIES = {
     "text_token_count_bpe": text_token_count_bpe,
     "text_repetition": text_repetition,
     "text_unigram_lm": text_unigram_lm,
+    "text_script_mix": text_script_mix,
     # rows-only: iterative argmax rounds, exactly-deterministic output
     # pinned by the pure-Python parity test
     "text_bpe_merges": text_bpe_merges,

@@ -638,3 +638,28 @@ def test_grouped_split_has_no_group_leakage(spark):
     for r in per_doc:
         by_group2.setdefault(r.source, set()).add(r.split)
     assert any(len(s) > 1 for s in by_group2.values())
+
+
+def test_script_mix_on_multilingual_docs(spark):
+    from sfcrimedatapipeline_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "机器学习模型"),
+            (3, "Привет мир"),
+            (4, "مرحبا بالعالم"),
+            (5, "abc 123 一二三"),   # mixed: latin 3, digit 3, cjk 3 → tie
+            (6, "!!! ??? ..."),      # no scripted chars at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.with_script_mix(docs).collect()}
+    assert out[1].dominant_script == "latin" and out[1].n_latin == 10
+    assert out[2].dominant_script == "cjk" and out[2].n_cjk == 6
+    assert out[3].dominant_script == "cyrillic"
+    assert out[4].dominant_script == "arabic"
+    # three-way tie at 3 chars each → alphabetical: cjk
+    assert out[5].dominant_script == "cjk"
+    assert (out[5].n_latin, out[5].n_digit, out[5].n_cjk) == (3, 3, 3)
+    assert out[6].dominant_script == "none"
