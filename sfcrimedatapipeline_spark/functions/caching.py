@@ -35,8 +35,23 @@ def truncate_lineage(df, checkpoint_dir: str | None = None, eager: bool = False)
         sc = df.sparkSession.sparkContext
         current = sc.getCheckpointDir()
         # getCheckpointDir returns a scheme-prefixed UUID subdir of the
-        # configured path; only (re)configure when it points elsewhere
-        if current is None or checkpoint_dir.strip("/") not in str(current):
+        # configured path; only (re)configure when its PARENT differs.
+        # Compare the parent path exactly — a substring test
+        # false-positives on prefix-sharing dirs ('/data/ckpt' inside
+        # 'file:/data/ckpt2/<uuid>') and silently checkpoints to the
+        # wrong mount (round-5 review).
+        want = "/" + checkpoint_dir.strip("/")
+        parent = None
+        if current is not None:
+            import posixpath
+
+            parent = posixpath.dirname(str(current))
+            if "://" in parent:
+                parent = parent.split("://", 1)[1]
+            elif parent.startswith("file:"):
+                parent = parent[len("file:") :]
+            parent = "/" + parent.strip("/")
+        if parent != want:
             sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
@@ -50,6 +65,16 @@ def unpersist_when_released(result, *cached):
     interpreter shutdown the JVM gateway may already be gone, and a
     double-unpersist (e.g. after a session-wide ``clearCache()``) is a
     no-op.
+
+    CONTRACT: the caches live exactly as long as the returned OBJECT —
+    hold it until the query is materialized. A chained
+    ``op(...).filter(...).count()`` drops the returned frame
+    immediately (derived frames reference the plan, not the Python
+    object), fires the finalizer, and the intermediates recompute; the
+    result stays CORRECT but the persist saves nothing. Every driver
+    query/bench/gate call shape here collects the returned frame
+    directly; callers who transform first should keep a binding
+    (``r = op(...); r.filter(...).count()``).
     """
 
     def _release(frames=list(cached)):

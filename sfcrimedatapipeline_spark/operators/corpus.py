@@ -126,20 +126,21 @@ def _cc_two_phase(
     match the fixed point is CONFIRMED with an exact anti-join count —
     signature collision alone can never terminate the loop early.
     """
-    fwd = (
-        pairs.select(
-            F.col(src_col).cast("long").alias("a"),
-            F.col(dst_col).cast("long").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .persist()
+    raw = pairs.select(
+        F.col(src_col).cast("long").alias("a"),
+        F.col(dst_col).cast("long").alias("b"),
     )
+    # node universe from the UNFILTERED pairs: a node that appears only
+    # in self-loop rows is its own singleton component and must still
+    # get an output row — label_prop emits it, so the "same output
+    # contract" parity demands this side does too (round-5 review)
     all_nodes = (
-        fwd.select(F.col("a").alias("id"))
-        .union(fwd.select(F.col("b").alias("id")))
+        raw.select(F.col("a").alias("id"))
+        .union(raw.select(F.col("b").alias("id")))
         .distinct()
         .persist()
     )
+    fwd = raw.filter(F.col("a") != F.col("b")).persist()
     # canonical undirected representation: (hi, lo) with hi > lo
     edges = fwd.select(
         F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")

@@ -777,6 +777,9 @@ def semantic_dedup(
     Returns ``(id, cluster_id, canonical_id, kept)`` for every vector.
     """
     from sfcrimedatapipeline_spark.operators.corpus import connected_components
+    from sfcrimedatapipeline_spark.operators.similarity import (
+        _coarse_dist_structs,
+    )
 
     if centroids is None:
         centroids = [
@@ -786,22 +789,11 @@ def semantic_dedup(
             .limit(n_clusters)
             .collect()
         ]
-    cent_arr = F.array(*[F.lit(c) for c in centroids])
-    dists = F.transform(
-        F.sequence(F.lit(1), F.lit(len(centroids))),
-        lambda j: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("__v"),
-                    F.element_at(cent_arr, j),
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            (j - 1).cast("int").alias("cid"),
-        ),
-    )
+    # the SHARED coarse quantizer (similarity._coarse_dist_structs) —
+    # one definition of the determinism-critical fold/tie-break for
+    # every IVF-family operator (round-5 review: an inline twin here
+    # could silently drift)
+    dists = _coarse_dist_structs("__v", centroids)
     assigned = emb.select(
         F.col(id_col), F.col(vec_col).alias("__v")
     ).select(

@@ -82,17 +82,22 @@ def _parse_pgm(buf: bytes):
     maxval ≤ 255 (1 byte/pixel) is supported."""
     import numpy as np
 
-    pos, fields = 2, []
+    pos, fields, end = 2, [], len(buf)
     try:
         while len(fields) < 3:
-            while buf[pos : pos + 1].isspace():
+            while pos < end and buf[pos : pos + 1].isspace():
                 pos += 1
             if buf[pos : pos + 1] == b"#":
                 pos = buf.index(b"\n", pos) + 1
                 continue
             start = pos
-            while not buf[pos : pos + 1].isspace():
+            # bounded scan: a header truncated mid-field must fall out
+            # as malformed, not spin past the buffer end (an empty
+            # slice is not whitespace, so an unbounded loop never exits)
+            while pos < end and not buf[pos : pos + 1].isspace():
                 pos += 1
+            if pos == start or pos >= end:
+                return None
             fields.append(int(buf[start:pos]))
         pos += 1  # single whitespace byte after maxval, then the raster
     except (ValueError, IndexError):
@@ -139,13 +144,17 @@ def _decode_image(buf: bytes, method: str = "auto"):
 
 
 def _decode_audio(buf: bytes, fallback_rate: int, method: str = "auto"):
-    """Decode one audio payload → (flat int sample array, rate).
+    """Decode one audio payload → (flat int sample array, rate,
+    channels). The sample array is channel-INTERLEAVED as stored, so
+    duration is ``len(samples) / (rate * channels)`` — a stereo clip
+    must not report twice its length (round-5 review); peak/RMS over
+    the interleaved array are channel-mixed by definition.
 
     ``auto``: RIFF/WAVE containers through the stdlib ``wave`` module —
     8-bit PCM recentred to signed (x−128 per the WAV spec), 16/32-bit
     little-endian signed; anything else (or an unsupported sample
     width) falls back to the raw signed-int8 interpretation at the
-    metadata sample rate. ``bytes``: raw int8 unconditionally."""
+    metadata sample rate, mono. ``bytes``: raw int8 unconditionally."""
     import numpy as np
 
     if (
@@ -159,14 +168,19 @@ def _decode_audio(buf: bytes, fallback_rate: int, method: str = "auto"):
         try:
             with wave.open(io.BytesIO(buf)) as wf:
                 width, rate = wf.getsampwidth(), wf.getframerate()
+                channels = wf.getnchannels()
                 frames = wf.readframes(wf.getnframes())
             if width == 1:
-                return np.frombuffer(frames, np.uint8).astype(np.int16) - 128, rate
+                return (
+                    np.frombuffer(frames, np.uint8).astype(np.int16) - 128,
+                    rate,
+                    channels,
+                )
             if width in (2, 4):
-                return np.frombuffer(frames, f"<i{width}"), rate
+                return np.frombuffer(frames, f"<i{width}"), rate, channels
         except (wave.Error, EOFError):
             pass
-    return np.frombuffer(buf, dtype=np.int8), fallback_rate
+    return np.frombuffer(buf, dtype=np.int8), fallback_rate, 1
 
 
 IMAGE_FEATURES_SCHEMA = StructType(
@@ -348,14 +362,14 @@ def audio_features(media: DataFrame, method: str = "auto") -> DataFrame:
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
-                samples, rate = _decode_audio(
+                samples, rate, channels = _decode_audio(
                     bytes(payload), int(meta["sample_rate"]), method
                 )
                 n = int(samples.size)
                 sq_sum = int(np.sum(samples.astype(np.int64) ** 2))
                 ids.append(doc_id)
                 ns.append(n)
-                durs.append(n / rate)
+                durs.append(n / rate / channels)
                 peaks.append(int(np.abs(samples.astype(np.int64)).max()) if n else 0)
                 rmss.append(round(math.sqrt(sq_sum / n), 6) if n else 0.0)
             yield pd.DataFrame(

@@ -387,16 +387,30 @@ def validate_embeddings(
         F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == float("inf"))),
         F.lit(False),
     )
+    # a NULL ELEMENT is its own failure mode: exists(isnan) over it
+    # yields NULL→false, so without this check a [NULL, …] vector of
+    # the right length would pass as valid and poison every downstream
+    # dot product with NULL (round-5 review)
+    has_null_elem = F.coalesce(
+        F.exists(v, lambda x: x.isNull()), F.lit(False)
+    )
+    # element-null-safe: forall(notnull ∧ ==0) — mirrors the oracle's
+    # "no element is (NULL or ≠0)" filter exactly
     is_zero = F.coalesce(
-        F.forall(v, lambda x: x == 0.0), F.lit(False)
+        F.forall(v, lambda x: x.isNotNull() & (x == 0.0)), F.lit(False)
     ) & ~is_null
     return emb.select(
         F.col(id_col),
         is_null.alias("is_null"),
         n_dims.alias("n_dims"),
         has_nan.alias("has_nan"),
+        has_null_elem.alias("has_null_elem"),
         is_zero.alias("is_zero"),
         (
-            ~is_null & (n_dims == dim) & ~has_nan & ~is_zero
+            ~is_null
+            & (n_dims == dim)
+            & ~has_nan
+            & ~has_null_elem
+            & ~is_zero
         ).alias("valid"),
     )

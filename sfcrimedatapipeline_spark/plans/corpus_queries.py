@@ -428,12 +428,25 @@ def dedup_exact_stream_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n_chars", LongType()),
         ]
     )
+    # the event-time span is doc_id seconds, so "covers the whole
+    # corpus span" must be COMPUTED, not a fixed constant: a fixed 30
+    # days only holds below ~2.6M documents, beyond which early state
+    # evicts, duplicates re-emit, and the DISTINCT oracle hash breaks
+    # (round-5 review). One max() over the id column — index metadata.
+    span_s = (
+        read_table(spark, sf_dir, "documents")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+        or 0
+    )
 
     def transform(stream: DataFrame) -> DataFrame:
         with_ts = stream.withColumn(
             "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
         )
-        return dd.dedup_exact_stream_watermarked(with_ts, delay="30 days")
+        return dd.dedup_exact_stream_watermarked(
+            with_ts, delay=f"{int(span_s) + 60} seconds"
+        )
 
     return run_stream_to_memory(
         spark,

@@ -1079,22 +1079,25 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE rank <= {ANN_K}
         """,
         "emb_validate": """
-            SELECT vec_id,
-                   embedding IS NULL AS is_null,
-                   CAST(coalesce(len(embedding), -1) AS INTEGER) AS n_dims,
-                   coalesce(len(list_filter(embedding,
-                                x -> isnan(x) OR isinf(x))) > 0,
-                            FALSE) AS has_nan,
-                   coalesce(len(list_filter(embedding, x -> x <> 0.0)) = 0
-                            AND embedding IS NOT NULL,
-                            FALSE) AS is_zero,
-                   embedding IS NOT NULL
-                   AND coalesce(len(embedding), -1) = 64
-                   AND NOT coalesce(len(list_filter(embedding,
-                                x -> isnan(x) OR isinf(x))) > 0, FALSE)
-                   AND NOT coalesce(len(list_filter(embedding, x -> x <> 0.0)) = 0
-                                    AND embedding IS NOT NULL, FALSE) AS valid
-            FROM embeddings
+            WITH m AS (
+                SELECT vec_id,
+                       embedding IS NULL AS is_null,
+                       CAST(coalesce(len(embedding), -1) AS INTEGER) AS n_dims,
+                       coalesce(len(list_filter(embedding,
+                                    x -> isnan(x) OR isinf(x))) > 0,
+                                FALSE) AS has_nan,
+                       coalesce(len(list_filter(embedding, x -> x IS NULL)) > 0,
+                                FALSE) AS has_null_elem,
+                       coalesce(len(list_filter(embedding,
+                                    x -> x IS NULL OR x <> 0.0)) = 0
+                                AND embedding IS NOT NULL,
+                                FALSE) AS is_zero
+                FROM embeddings
+            )
+            SELECT vec_id, is_null, n_dims, has_nan, has_null_elem, is_zero,
+                   NOT is_null AND n_dims = 64 AND NOT has_nan
+                   AND NOT has_null_elem AND NOT is_zero AS valid
+            FROM m
         """,
         # SemDeDup twin: the _ivfpq_sql coarse-assignment fragment, the
         # exact rounded-cosine pair verify, and the dedup_clusters

@@ -441,15 +441,32 @@ def run_corpus_accretion_stream(
     exactly batch ``dedup_exact``'s keepers no matter how many slices
     the stream arrives in. State and per-batch cost both scale with
     NEW fingerprints only.
+
+    Retry idempotence: foreachBatch may REPLAY a batch after a failure,
+    so both writes are keyed by a (run-token, batch_id) partition value
+    — each batch OVERWRITES its own ``batch=<run>-<id>`` directory and
+    the anti-join excludes exactly that partition. A same-run replay
+    therefore rewrites the identical survivors instead of (a)
+    re-filtering against its own half-written state and dropping
+    documents forever, or (b) appending duplicates (round-5 review;
+    blind ``append`` did both). State from PRIOR runs — whatever its
+    batch ids — always participates in the anti-join, which is the
+    cross-run accretion contract. A batch replayed across a process
+    restart gets a fresh token and would see its own earlier partial
+    write as prior state; closing that last window needs a
+    transactional table format, same caveat as run_incremental_agg_stream.
     """
     import os
+    import uuid
 
     from sfcrimedatapipeline_spark.functions.text import normalized
 
     state_path = os.path.join(state_dir, "fingerprints")
     out_path = os.path.join(state_dir, "kept")
+    run_token = uuid.uuid4().hex[:12]
 
     def accrete(batch_df: DataFrame, batch_id: int) -> None:
+        batch_key = f"{run_token}-{batch_id}"
         d = (
             batch_df.select(
                 F.col("doc_id"),
@@ -460,11 +477,21 @@ def run_corpus_accretion_stream(
             .agg(F.min("doc_id").alias("doc_id"))
         )
         if os.path.isdir(state_path):
-            d = d.join(spark.read.parquet(state_path), "fingerprint", "left_anti")
+            prior = (
+                spark.read.option("basePath", state_path)
+                .parquet(state_path)
+                .filter(F.col("batch") != batch_key)
+                .select("fingerprint")
+            )
+            d = d.join(prior, "fingerprint", "left_anti")
         # materialize BEFORE touching the state directory the plan reads
         kept = d.select("doc_id", "fingerprint").localCheckpoint(eager=True)
-        kept.select("fingerprint").write.mode("append").parquet(state_path)
-        kept.write.mode("append").parquet(out_path)
+        kept.select("fingerprint").write.mode("overwrite").parquet(
+            os.path.join(state_path, f"batch={batch_key}")
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_key}")
+        )
 
     source = (
         spark.readStream.schema(schema)
@@ -485,4 +512,6 @@ def run_corpus_accretion_stream(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(out_path)
+    # project the discovered batch partition column away: the emitted
+    # contract is (doc_id, fingerprint), batch is a write-layout detail
+    return spark.read.parquet(out_path).select("doc_id", "fingerprint")

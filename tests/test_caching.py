@@ -13,6 +13,25 @@ from sfcrimedatapipeline_spark.operators.graph import triangle_count
 from sfcrimedatapipeline_spark.operators.profile import exact_quantiles_by
 
 
+def _settled_persistent_rdds(spark, at_most: int, tries: int = 20) -> int:
+    """Persistent-RDD count once async cleanup settles: the JVM
+    ContextCleaner releases blocks on a background thread after GC, so
+    a single instantaneous read races it — both for the operator's own
+    cache and for leftovers of EARLIER tests sharing the session (the
+    flake this replaces: == base failed only under full-suite ordering).
+    Polls until the count drops to ``at_most`` or tries run out."""
+    import time
+
+    n = _n_persistent_rdds(spark)
+    for _ in range(tries):
+        if n <= at_most:
+            return n
+        time.sleep(0.25)
+        gc.collect()
+        n = _n_persistent_rdds(spark)
+    return n
+
+
 def _n_persistent_rdds(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
@@ -29,7 +48,7 @@ def test_triangle_count_releases_edge_cache(spark):
     assert _n_persistent_rdds(spark) > base  # edge list cached during use
     del tri
     gc.collect()
-    assert _n_persistent_rdds(spark) == base  # released with the result
+    assert _settled_persistent_rdds(spark, base) <= base  # released with the result
 
 
 def test_exact_quantiles_by_releases_ranked_cache(spark):
@@ -43,7 +62,7 @@ def test_exact_quantiles_by_releases_ranked_cache(spark):
     assert q.count() == 4
     del q
     gc.collect()
-    assert _n_persistent_rdds(spark) == base
+    assert _settled_persistent_rdds(spark, base) <= base
 
 
 def test_contamination_releases_fingerprint_caches(spark):
@@ -62,7 +81,7 @@ def test_contamination_releases_fingerprint_caches(spark):
     out.count()
     del out
     gc.collect()
-    assert _n_persistent_rdds(spark) == base
+    assert _settled_persistent_rdds(spark, base) <= base
 
 
 def test_pipeline_transform_releases_caches(spark, staging):
@@ -89,4 +108,4 @@ def test_pipeline_transform_releases_caches(spark, staging):
     assert _n_persistent_rdds(spark) > base
     del tables
     gc.collect()
-    assert _n_persistent_rdds(spark) == base
+    assert _settled_persistent_rdds(spark, base) <= base

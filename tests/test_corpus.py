@@ -607,6 +607,8 @@ def test_validate_embeddings_flags_each_failure_mode(spark):
         (5, [math.inf] + [0.1] * 63),    # Inf component
         (6, [0.0] * 64),                 # zero norm
         (7, []),                         # empty array
+        (8, [None] + [0.1] * 63),        # NULL element
+        (9, [0.0, None] + [0.0] * 62),   # NULL element in a zeroish vec
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = {r.vec_id: r for r in validate_embeddings(emb).collect()}
@@ -619,6 +621,9 @@ def test_validate_embeddings_flags_each_failure_mode(spark):
     assert out[5].has_nan and not out[5].valid
     assert out[6].is_zero and not out[6].valid
     assert out[7].n_dims == 0 and out[7].is_zero and not out[7].valid
+    assert out[8].has_null_elem and not out[8].valid and not out[8].has_nan
+    # a NULL element blocks the zero-vector claim on BOTH engines
+    assert out[9].has_null_elem and not out[9].is_zero and not out[9].valid
 
 
 def test_grouped_split_has_no_group_leakage(spark):

@@ -31,9 +31,10 @@ def test_pgm_roundtrip_any_geometry(width, height, data):
 @settings(max_examples=200, deadline=None)
 @given(payload=st.binary(max_size=256))
 def test_decode_image_never_raises_and_bytes_is_total(payload):
-    """Arbitrary bytes — including truncated container magics — must
-    decode via SOME branch, never raise; the bytes method is always the
-    identity on length."""
+    """Arbitrary bytes — including truncated container magics (and
+    truncated P5 headers, which previously spun forever — round-5
+    review) — must decode via SOME branch, never raise; the bytes
+    method is always the identity on length."""
     auto = mm._decode_image(payload)
     raw = mm._decode_image(payload, "bytes")
     assert raw.size == len(payload)
@@ -56,13 +57,22 @@ def test_wav_roundtrip_int16(samples, rate):
         wf.setsampwidth(2)
         wf.setframerate(rate)
         wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
-    got, got_rate = mm._decode_audio(buf.getvalue(), fallback_rate=123)
-    assert got_rate == rate
+    got, got_rate, ch = mm._decode_audio(buf.getvalue(), fallback_rate=123)
+    assert got_rate == rate and ch == 1
     assert got.tolist() == samples
 
 
 @settings(max_examples=200, deadline=None)
 @given(payload=st.binary(max_size=128))
 def test_decode_audio_never_raises(payload):
-    got, rate = mm._decode_audio(payload, fallback_rate=16000)
-    assert rate > 0 and got.size <= max(len(payload), 1)
+    got, rate, ch = mm._decode_audio(payload, fallback_rate=16000)
+    assert rate > 0 and ch >= 1 and got.size <= max(len(payload), 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(suffix=st.binary(max_size=64))
+def test_pgm_truncated_headers_terminate(suffix):
+    """Every P5-prefixed byte string must PARSE OR REJECT in finite
+    time — the unbounded field scan hung on b'P5 3' (round-5 review)."""
+    out = mm._parse_pgm(b"P5" + suffix)
+    assert out is None or out.size >= 0

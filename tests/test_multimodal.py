@@ -220,14 +220,29 @@ def test_audio_features_decodes_wav_container(spark):
 
 def test_decode_audio_kernel_widths():
     # 8-bit unsigned PCM recentres to signed (x - 128 per the WAV spec)
-    got, rate = mm._decode_audio(_wav([0, 128, 255], sampwidth=1), 16000)
-    assert got.tolist() == [-128, 0, 127] and rate == 8000
+    got, rate, ch = mm._decode_audio(_wav([0, 128, 255], sampwidth=1), 16000)
+    assert got.tolist() == [-128, 0, 127] and rate == 8000 and ch == 1
     # 32-bit little-endian signed
-    got, _ = mm._decode_audio(_wav([2**31 - 1, -(2**31)], sampwidth=4), 16000)
+    got, _, _ = mm._decode_audio(_wav([2**31 - 1, -(2**31)], sampwidth=4), 16000)
     assert got.tolist() == [2**31 - 1, -(2**31)]
     # truncated RIFF header → raw fallback, never an exception
-    got, rate = mm._decode_audio(b"RIFFxxxxWAVEgarbage", 16000)
-    assert got.size == len(b"RIFFxxxxWAVEgarbage") and rate == 16000
+    got, rate, ch = mm._decode_audio(b"RIFFxxxxWAVEgarbage", 16000)
+    assert got.size == len(b"RIFFxxxxWAVEgarbage") and rate == 16000 and ch == 1
+
+
+def test_audio_features_stereo_duration(spark):
+    """A stereo clip's duration is frames/rate, not interleaved
+    samples/rate (round-5 review: duration was inflated 2x)."""
+    samples = [100, -100, 200, -200, 300, -300, 400, -400]  # 4 frames x 2ch
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(_wav(samples, rate=4000, channels=2)),
+          {"sample_rate": 16000})],
+        "doc_id long, media_type string, payload binary, meta map<string,int>",
+    )
+    row = mm.audio_features(media, method="auto").collect()[0]
+    assert row["n_samples"] == 8          # interleaved samples, as stored
+    assert row["duration_s"] == 4 / 4000  # frames / rate
+    assert row["peak"] == 400
 
 
 def test_audio_features_matches_local_recompute(spark):
