@@ -550,7 +550,7 @@ CURATE_MIN_QUALITY = 2
 CURATE_MAX_DUP_TOKEN_FRAC = 0.5
 
 
-def curate_corpus(
+def curate_dispositions(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -558,22 +558,12 @@ def curate_corpus(
     min_quality: int = CURATE_MIN_QUALITY,
     max_dup_token_frac: float = CURATE_MAX_DUP_TOKEN_FRAC,
 ) -> DataFrame:
-    """End-to-end curation composition: quality gate → repetition gate
-    → exact dedup among survivors → per-source retention report. The
-    single-operator pieces (with_quality, repetition_stats,
-    dedup_exact) composed the way a training-data pipeline actually
-    runs them, proving they agree on one dataflow.
-
-    Each document receives exactly ONE disposition, in priority order
-    ``low_quality`` → ``repetitive`` → ``duplicate`` → ``kept``, so the
-    report partitions the corpus: per source, sum(n_*) == n_docs, and
-    ``kept_tokens`` is the training-token yield.
-
-    Scale shape: the quality/repetition frames co-shuffle on the doc
-    id; dedup groups eligible docs by 32-byte fingerprint (the text
-    never shuffles); the final report is a map-side-combined groupBy
-    over one row per document.
-    """
+    """Per-document curation dispositions — the shared core of
+    :func:`curate_corpus` (which aggregates it into the retention
+    report) and :func:`llm_training_pipeline` (which feeds the kept
+    docs onward): one row per document with its quality score, token
+    count, fingerprint, and a single ``__disp`` in priority order
+    low_quality → repetitive → duplicate → kept."""
     from sfcrimedatapipeline_spark.functions.text import normalized
     from sfcrimedatapipeline_spark.operators.textstats import (
         repetition_stats,
@@ -603,8 +593,37 @@ def curate_corpus(
         .when(F.col(id_col) == F.col("__keep_id"), F.lit("kept"))
         .otherwise(F.lit("duplicate"))
     )
-    flagged = base.join(keepers, "fingerprint", "left").withColumn(
+    return base.join(keepers, "fingerprint", "left").withColumn(
         "__disp", disposition
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_quality: int = CURATE_MIN_QUALITY,
+    max_dup_token_frac: float = CURATE_MAX_DUP_TOKEN_FRAC,
+) -> DataFrame:
+    """End-to-end curation composition: quality gate → repetition gate
+    → exact dedup among survivors → per-source retention report. The
+    single-operator pieces (with_quality, repetition_stats,
+    dedup_exact) composed the way a training-data pipeline actually
+    runs them, proving they agree on one dataflow.
+
+    Each document receives exactly ONE disposition, in priority order
+    ``low_quality`` → ``repetitive`` → ``duplicate`` → ``kept``, so the
+    report partitions the corpus: per source, sum(n_*) == n_docs, and
+    ``kept_tokens`` is the training-token yield.
+
+    Scale shape: the quality/repetition frames co-shuffle on the doc
+    id; dedup groups eligible docs by 32-byte fingerprint (the text
+    never shuffles); the final report is a map-side-combined groupBy
+    over one row per document.
+    """
+    flagged = curate_dispositions(
+        docs, text_col, id_col, source_col, min_quality, max_dup_token_frac
     )
 
     def _n(disp: str) -> Column:
@@ -702,4 +721,108 @@ def mix_to_token_budget(
         F.coalesce(F.col("sampled_tokens"), F.lit(0).cast("long")).alias(
             "sampled_tokens"
         ),
+    )
+
+
+def llm_training_pipeline(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_budget: int,
+    cap: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The WHOLE training-data pipeline under one deterministic roof:
+    curate (quality → repetition → exact dedup) → mixture-sample the
+    KEPT docs to a weighted token budget → hash-split train/val/test →
+    pack the train split into ~``cap``-token context bins. Returns the
+    per-split yield report ``(split, n_docs, n_tokens, n_bins)`` —
+    n_bins counts packed training samples (0 for val/test, which are
+    not packed).
+
+    Every stage is the already-gated single operator
+    (:func:`curate_dispositions`, the :func:`mix_to_token_budget` rate
+    discipline, :func:`assign_splits`, :func:`pack_sequences`' window),
+    composed in the order a real pipeline runs them — and every stage
+    is deterministic, so the END-TO-END report hash-compares against a
+    DuckDB twin of the whole dataflow.
+
+    Scale shape: the per-doc disposition frame co-shuffles on doc id;
+    rates are a broadcast source-cardinality table; split and coin are
+    per-row projections; packing windows per shard. Corpus text is
+    read once, in the curation stage.
+    """
+    kept = (
+        curate_dispositions(docs, text_col, id_col, source_col)
+        .filter(F.col("__disp") == "kept")
+        .select(id_col, source_col, "n_tokens")
+    )
+    totals = kept.groupBy(source_col).agg(
+        F.sum("n_tokens").cast("long").alias("__src_tokens")
+    )
+    target: Column = F.lit(0.0)
+    for k, w in sorted(weights.items()):
+        target = F.when(
+            F.col(source_col) == k, F.lit(float(total_budget * w))
+        ).otherwise(target)
+    rates = totals.select(
+        source_col,
+        F.when(
+            F.col("__src_tokens") > 0,
+            F.least(F.lit(1.0), target / F.col("__src_tokens")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__rate"),
+    )
+    sampled = (
+        kept.join(F.broadcast(rates), source_col)
+        .filter(deterministic_uniform(F.col(id_col)) < F.col("__rate"))
+        .select(id_col, source_col, "n_tokens")
+    )
+    # split on a SALTED key: the mix filter just conditioned the raw
+    # md5(doc_id) coin to be < rate, so splitting on the same coin
+    # would put every surviving doc below the train boundary — the two
+    # decisions must draw independent hashes
+    sp = assign_splits(
+        sampled.withColumn(
+            "__sk", F.concat(F.lit("split:"), F.col(id_col).cast("string"))
+        ),
+        "__sk",
+    ).drop("__sk")
+    w_pack = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    train_bins = (
+        sp.filter(F.col("split") == "train")
+        .withColumn("__shard", (F.col(id_col) % n_shards).cast("int"))
+        .withColumn(
+            "__bin",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
+                / F.lit(cap)
+            ).cast("long"),
+        )
+        .select("__shard", "__bin")
+        .distinct()
+        .groupBy()
+        .agg(F.count("*").cast("long").alias("n_bins"))
+        .select(F.lit("train").alias("split"), "n_bins")
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .join(train_bins, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.coalesce(F.col("n_bins"), F.lit(0).cast("long")).alias("n_bins"),
+        )
     )

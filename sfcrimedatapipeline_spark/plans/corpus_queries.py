@@ -118,6 +118,22 @@ def mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mix_to_token_budget(docs, MIX_WEIGHTS, MIX_BUDGET)
 
 
+#: end-to-end pipeline packing knobs (small cap → multiple bins at sf0.01)
+PIPE_CAP, PIPE_SHARDS = 512, 8
+
+
+def corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline — curate → mixture-sample →
+    split → pack — composed end-to-end and hash-gated as one query
+    (operators/corpus.py:llm_training_pipeline). The oracle replays the
+    entire dataflow: curation CTEs, kept-token mixture rates, salted
+    split coins, and the per-shard packing window."""
+    docs = _docs(spark, sf_dir)
+    return corpus.llm_training_pipeline(
+        docs, MIX_WEIGHTS, MIX_BUDGET, cap=PIPE_CAP, n_shards=PIPE_SHARDS
+    )
+
+
 def docs_accrete_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENUINE streaming execution of the corpus-accretion dedup loop
     (streaming/events.py:run_corpus_accretion_stream): documents arrive
@@ -577,6 +593,105 @@ def build_oracle_sql() -> dict[str, str]:
             )
             + " ELSE 0.0 END"
         ),
+        # the whole pipeline replayed: curation CTEs → kept-token
+        # mixture rates (E-notation double targets) → salted split
+        # coin (independent of the mix coin by construction) → per-
+        # shard packing window; every stage exact, one hash
+        "corpus_e2e_pipeline": """
+            WITH tok AS (SELECT doc_id, source, text, {toks} AS t FROM documents),
+            uw AS (SELECT doc_id, unnest(t) AS g FROM tok),
+            uni AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS types
+                FROM (SELECT doc_id, g, count(*) AS c FROM uw GROUP BY doc_id, g)
+                GROUP BY doc_id
+            ),
+            m AS (
+                SELECT tok.doc_id, tok.source,
+                       coalesce(uni.total, 0) AS n_tokens,
+                       CASE WHEN uni.total > 0
+                            THEN CAST(uni.total - uni.types AS DOUBLE) / uni.total
+                            ELSE 0.0 END AS dupf,
+                       CAST((len(t) BETWEEN {minq_t} AND {maxq_t}) AS INTEGER)
+                       + CAST(((CASE WHEN len(t) > 0
+                                     THEN CAST(CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS DOUBLE) / len(t)
+                                     ELSE 0.0 END)
+                               BETWEEN {minml} AND {maxml}) AS INTEGER)
+                       + CAST((CASE WHEN len(t) > 0
+                                    THEN CAST({hits} AS DOUBLE) / len(t)
+                                    ELSE 0.0 END) >= {minsw} AS INTEGER) AS quality_score,
+                       md5({norm}) AS fingerprint
+                FROM tok LEFT JOIN uni ON tok.doc_id = uni.doc_id
+            ),
+            keep AS (
+                SELECT fingerprint, min(doc_id) AS keep_id
+                FROM m WHERE quality_score >= {cminq} AND dupf <= {cmaxd}
+                GROUP BY fingerprint
+            ),
+            kept AS (
+                SELECT m.doc_id, m.source, m.n_tokens
+                FROM m JOIN keep
+                  ON m.fingerprint = keep.fingerprint AND m.doc_id = keep.keep_id
+            ),
+            tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS st
+                    FROM kept GROUP BY source),
+            r AS (
+                SELECT source,
+                       CASE WHEN st > 0 THEN least(1.0, {target_case} / st)
+                            ELSE 0.0 END AS rate
+                FROM tot
+            ),
+            samp AS (
+                SELECT k.doc_id, k.n_tokens
+                FROM kept k JOIN r ON k.source = r.source
+                WHERE {coin} < r.rate
+            ),
+            sp AS (
+                SELECT doc_id, n_tokens,
+                       CASE WHEN {scoin} < {b1!r} THEN 'train'
+                            WHEN {scoin} < {b2!r} THEN 'val'
+                            ELSE 'test' END AS split
+                FROM samp
+            ),
+            packed AS (
+                SELECT CAST(doc_id % {shards} AS INTEGER) AS shard,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY doc_id % {shards} ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) // {cap} AS BIGINT) AS bin
+                FROM sp WHERE split = 'train'
+            ),
+            nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bins
+                   FROM (SELECT DISTINCT shard, bin FROM packed))
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CASE WHEN split = 'train' THEN (SELECT n_bins FROM nb)
+                        ELSE CAST(0 AS BIGINT) END AS n_bins
+            FROM sp GROUP BY split
+        """.format(
+            toks=SQL_TOKENS,
+            norm=SQL_NORMALIZED,
+            hits=sql_stopword_hits("t", "en"),
+            minq_t=textstats.QUALITY_MIN_TOKENS,
+            maxq_t=textstats.QUALITY_MAX_TOKENS,
+            minml=textstats.QUALITY_MIN_MEAN_LEN,
+            maxml=textstats.QUALITY_MAX_MEAN_LEN,
+            minsw=textstats.QUALITY_MIN_STOPWORD_RATIO,
+            cminq=corpus.CURATE_MIN_QUALITY,
+            cmaxd=corpus.CURATE_MAX_DUP_TOKEN_FRAC,
+            target_case="CASE "
+            + " ".join(
+                f"WHEN source = '{k}' THEN {float(MIX_BUDGET * w)!r}e0"
+                for k, w in sorted(MIX_WEIGHTS.items())
+            )
+            + " ELSE 0.0e0 END",
+            coin="CAST(('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0",
+            scoin="CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0",
+            b1=corpus.split_boundaries(SPLITS)[0][1],
+            b2=corpus.split_boundaries(SPLITS)[1][1],
+            shards=PIPE_SHARDS,
+            cap=PIPE_CAP,
+        ),
         # streaming accretion twin: the emitted set is batch dedup's
         # keepers (min id per distinct non-null fingerprint)
         "docs_accrete_stream": f"""
@@ -902,6 +1017,7 @@ QUERIES = {
     "pagerank_dup_graph": pagerank_dup_graph,
     "sample_stratified": sample_stratified,
     "mix_report": mix_report,
+    "corpus_e2e_pipeline": corpus_e2e_pipeline,
     # genuine streaming execution; ordered fixture ⇒ batch-equal keepers
     "docs_accrete_stream": docs_accrete_stream,
     "quality_topk_per_lang": quality_topk_per_lang,

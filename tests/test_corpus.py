@@ -668,3 +668,37 @@ def test_script_mix_on_multilingual_docs(spark):
     assert out[5].dominant_script == "cjk"
     assert (out[5].n_latin, out[5].n_digit, out[5].n_cjk) == (3, 3, 3)
     assert out[6].dominant_script == "none"
+
+
+def test_llm_training_pipeline_invariants(spark):
+    """End-to-end invariants: splits partition the sampled set, train
+    is the dominant split, bins only exist for train, and every
+    surviving token count came from a kept document."""
+    good = (
+        "the and of to in is it that for on the and of to in is it that "
+        "for on alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    )
+    docs = spark.createDataFrame(
+        [(i, good + f" unique{i} tail{i % 7}", f"s{i % 3}") for i in range(120)]
+        + [(500, "tiny", "s0"), (501, good, "s1"), (502, good, "s1")],
+        "doc_id long, text string, source string",
+    )
+    report = {
+        r.split: r
+        for r in corpus.llm_training_pipeline(
+            docs, {"s0": 0.5, "s1": 0.3, "s2": 0.2}, total_budget=3000,
+            cap=64, n_shards=2,
+        ).collect()
+    }
+    assert set(report) <= {"train", "val", "test"} and "train" in report
+    n_sampled = sum(r.n_docs for r in report.values())
+    assert 0 < n_sampled <= 122  # 123 docs minus the low-quality one, minus a dup
+    tr = report["train"]
+    assert tr.n_bins > 0 and tr.n_docs >= max(
+        (r.n_docs for k, r in report.items() if k != "train"), default=0
+    )
+    # bins hold roughly cap tokens: bins >= tokens/cap (overflow ≤1 doc/bin)
+    assert tr.n_bins >= tr.n_tokens // (64 * 4)
+    for k, r in report.items():
+        if k != "train":
+            assert r.n_bins == 0
