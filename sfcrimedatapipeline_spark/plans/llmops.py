@@ -5,10 +5,14 @@ functions/hashing.py) — stopword lists, hash formula, seeds, band
 layout and thresholds literally cannot drift between the two sides.
 
 Oracle-checkable here (full value-hash gate): token stats, quality,
-lang-id, fingerprint dedup, MinHash+LSH near-dup, n-gram Jaccard,
-SimHash fingerprints, exact ANN top-k, LSH ANN top-k, embedding
-near-dup. (The LSH ANN oracle replicates the same deterministic
-hyperplanes, so even the "approximate" path is exactly reproducible.)
+lang-id, script mix, repetition filters, unigram-LM rarity, fingerprint
+dedup, MinHash+LSH near-dup, n-gram Jaccard, SimHash fingerprints, the
+curation composition, embedding validation, exact/LSH/IVF/PQ/IVF+PQ
+ANN top-k and their RRF fusion, embedding near-dup and SemDeDup.
+(Every "approximate" oracle replicates the same deterministic planes /
+centroids / codebooks, so the approximation itself is exactly
+reproducible; only the float TRAINERS and iterative argmax rounds are
+rows-only, each pinned by a parity test.)
 """
 
 from __future__ import annotations
