@@ -66,12 +66,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fact_queries,
         llmops,
         media,
+        sql_surface,
         tpch,
         udx_queries,
     )
 
     merged = {
         **tpch.QUERIES,
+        **sql_surface.QUERIES,
         **llmops.QUERIES,
         **events_queries.QUERIES,
         **media.QUERIES,
@@ -93,12 +95,14 @@ def oracle_sql() -> dict[str, str]:
         fact_queries,
         llmops,
         media,
+        sql_surface,
         tpch,
         udx_queries,
     )
 
     return {
         **tpch.ORACLE_SQL,
+        **sql_surface.ORACLE_SQL,
         **llmops.ORACLE_SQL,
         **events_queries.ORACLE_SQL,
         **media.ORACLE_SQL,

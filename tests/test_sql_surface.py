@@ -90,3 +90,62 @@ def test_moment_stats_partitioning_invariant(spark):
         tables.read_table = orig
         li.unpersist()
     assert a == b  # exact dict equality: every double bit-identical
+
+
+def test_lateral_topk_is_per_customer_top2(spark):
+    # LATERAL per-customer top-k: no customer exceeds 2 rows, and the
+    # selected rows are exactly that customer's 2 priciest orders
+    from sfcrimedatapipeline_spark.plans.sql_surface import s16_lateral_topk
+
+    out = s16_lateral_topk(spark, "/root/testdata/sf0.001").collect()
+    by_cust: dict[int, list] = {}
+    for r in out:
+        by_cust.setdefault(r.customer_id, []).append(r)
+    assert max(len(v) for v in by_cust.values()) <= 2
+
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders").collect()
+    per_cust: dict[int, list] = {}
+    for o in orders:
+        cents = int(o.o_totalprice * 100 + 0.5)
+        per_cust.setdefault(o.o_custkey, []).append((-cents, o.o_orderkey))
+    for cust, rows in by_cust.items():
+        want = sorted(per_cust[cust])[:2]
+        got = sorted((-r.price_cents, r.order_key) for r in rows)
+        assert got == want, cust
+
+
+def test_locf_fills_forward_only(spark):
+    # IGNORE NULLS last(): NULL observations take the latest prior
+    # non-null per user; leading NULLs stay NULL (nothing to carry)
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.plans.sql_surface import w6_ignore_nulls_locf
+
+    out = w6_ignore_nulls_locf(spark, "/root/testdata/sf0.001")
+    # filled is never worse than obs: equal where obs non-null
+    bad = out.filter(
+        F.col("obs_cents").isNotNull() & (F.col("filled_cents") != F.col("obs_cents"))
+    ).count()
+    assert bad == 0
+    # masked rows exist, and every non-leading masked row got a fill
+    masked = out.filter(F.col("obs_cents").isNull())
+    assert masked.count() > 0
+    unfilled = masked.filter(F.col("filled_cents").isNull())
+    # an unfilled row must also have no first_seen (i.e. truly leading)
+    assert unfilled.filter(F.col("first_seen_cents").isNotNull()).count() == 0
+
+
+def test_percentile_disc_returns_real_elements(spark):
+    from sfcrimedatapipeline_spark.plans.sql_surface import a11_percentile_disc
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    vals = {
+        (r.o_orderpriority, r.o_totalprice)
+        for r in read_table(spark, sf, "orders").collect()
+    }
+    for r in a11_percentile_disc(spark, sf).collect():
+        for c in ("p25", "median", "p75"):
+            assert (r.priority, r[c]) in vals, (r.priority, c)
