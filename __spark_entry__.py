@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_queries,
         fact_queries,
         llmops,
+        llmops_ext,
         media,
         sql_surface,
         tpch,
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **tpch.QUERIES,
         **sql_surface.QUERIES,
         **llmops.QUERIES,
+        **llmops_ext.QUERIES,
         **events_queries.QUERIES,
         **media.QUERIES,
         **fact_queries.QUERIES,
@@ -94,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         events_queries,
         fact_queries,
         llmops,
+        llmops_ext,
         media,
         sql_surface,
         tpch,
@@ -104,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         **tpch.ORACLE_SQL,
         **sql_surface.ORACLE_SQL,
         **llmops.ORACLE_SQL,
+        **llmops_ext.ORACLE_SQL,
         **events_queries.ORACLE_SQL,
         **media.ORACLE_SQL,
         **fact_queries.ORACLE_SQL,

@@ -826,3 +826,54 @@ def llm_training_pipeline(
             F.coalesce(F.col("n_bins"), F.lit(0).cast("long")).alias("n_bins"),
         )
     )
+
+
+def decontaminate_exact_ngrams(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """EXACT n-gram decontamination — the GPT-3/PaLM-style benchmark
+    guard: a training document is contaminated if it shares ANY exact
+    word n-gram with an evaluation document. The winnowing variant
+    (:func:`cross_corpus_contamination`) measures fuzzy containment;
+    this is the strict published criterion (13-grams in GPT-3's case;
+    ``n`` is a parameter because the test corpus' documents are short).
+
+    Emits every train document: ``(id, n_hit_grams, contaminated)``
+    where ``n_hit_grams`` counts the DISTINCT eval-overlapping grams.
+
+    Scale shape: the eval side (benchmarks, ~10^5 docs) reduces to a
+    DISTINCT fingerprint set that is BROADCAST — the train corpus
+    never shuffles by gram; per-doc distinct gram fingerprints are
+    counted map-side after the broadcast semi-join. Train gram rows
+    are (id, 32-hex md5), never gram text.
+    """
+    from sfcrimedatapipeline_spark.functions.text import ngrams, tokens
+
+    eval_fps = (
+        eval_df.select(F.explode(ngrams(tokens(F.col(text_col)), n)).alias("g"))
+        .select(F.md5("g").alias("fp"))
+        .distinct()
+    )
+    train_fps = (
+        train.select(F.col(id_col), F.explode(ngrams(tokens(F.col(text_col)), n)).alias("g"))
+        .select(id_col, F.md5("g").alias("fp"))
+        .distinct()
+    )
+    hits = (
+        train_fps.join(F.broadcast(eval_fps), "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hit_grams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

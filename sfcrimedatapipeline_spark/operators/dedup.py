@@ -869,3 +869,81 @@ def semantic_dedup(
     from sfcrimedatapipeline_spark.functions.caching import unpersist_when_released
 
     return unpersist_when_released(out, assigned)
+
+
+def chunk_dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Corpus-wide CHUNK-level dedup: substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better")
+    approximated at fixed token-chunk granularity — the relational
+    stand-in for their suffix-array ExactSubstr, which has no bounded
+    distributed formulation.
+
+    Each document is split into consecutive ``chunk_tokens``-token
+    chunks; for every distinct chunk fingerprint the FIRST occurrence
+    corpus-wide (min ``(doc_id, chunk_idx)`` — a total order) is kept
+    and every later copy dropped; surviving chunks are reassembled in
+    order into ``clean_text``. Unlike document-level dedup this removes
+    boilerplate paragraphs repeated inside otherwise-unique documents.
+
+    Emits one row per input document: ``(id, clean_text, n_chunks,
+    n_dropped)`` — a fully-duplicated document survives with
+    ``clean_text=''`` (curation decides whether to drop empties).
+
+    Scale shape: chunking is per-row Catalyst array ops (no UDF, no
+    explode of tokens — one row per CHUNK, not per token). Two
+    shuffles: one hash-partition on the 32-hex fingerprint (carrying
+    chunk text ≈ one repartition of the corpus), one on doc id for
+    reassembly. The first-occurrence window partitions by fingerprint,
+    so partition sizes are bounded by duplicate multiplicity, never by
+    corpus size; a ubiquitous boilerplate chunk is the skew worst case
+    and still reduces to count + min.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    k = F.lit(chunk_tokens)
+    idx = F.when(n_tok >= 1, F.sequence(F.lit(0), ((n_tok - 1) / k).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunked = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i * k + 1, chunk_tokens), " "))
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk_text"))).orderBy(
+        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    )
+    ranked = chunked.withColumn("rn", F.row_number().over(w))
+    per_doc = ranked.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("int").alias("n_dropped"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk_text"))
+            )
+        ).alias("kept"),
+    )
+    per_doc = per_doc.select(
+        id_col,
+        F.array_join(F.transform("kept", lambda s: s["chunk_text"]), " ").alias("clean_text"),
+        "n_chunks",
+        "n_dropped",
+    )
+    # empty-text documents produce no chunks; keep them with 0 counts
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )

@@ -617,3 +617,66 @@ def with_script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
         dominant = F.when(F.col(f"n_{n}") == best, F.lit(n)).otherwise(dominant)
     dominant = F.when(best == 0, F.lit("none")).otherwise(dominant)
     return out.withColumn("dominant_script", dominant)
+
+
+#: hashed-feature classifier defaults (shared with the SQL oracle)
+CLASSIFIER_DIM = 256
+CLASSIFIER_WEIGHT_SEED = "w"
+CLASSIFIER_FEATURE_SEED = "feat"
+
+
+def with_classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = CLASSIFIER_DIM,
+) -> DataFrame:
+    """Linear quality-classifier scoring with HASHED token features —
+    the fasttext-style "model as a broadcast weight table" shape used
+    to score web corpora (e.g. the GPT-3 / CCNet quality filters),
+    with a deterministic hash-derived weight vector standing in for a
+    trained one (the container has no training data or model files;
+    swapping in real weights is replacing one small DataFrame).
+
+    Pipeline shape, which is the point: tokens → feature bucket
+    (portable 60-bit hash mod ``dim``) → per-(doc, bucket) counts →
+    BROADCAST join against the ``dim``-row weight table → one map-side
+    combined sum per doc. The corpus never shuffles by anything other
+    than doc id; the model rides to every executor as a broadcast.
+    Integer weights in [-8, 8] and integer counts keep the score an
+    exact BIGINT, so the oracle hash-matches bit-for-bit.
+
+    Emits ``(id, clf_score, clf_pass)``; empty-token documents score 0.
+    """
+    from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+
+    spark = df.sparkSession
+    weights = spark.range(dim).select(
+        F.col("id").alias("bucket"),
+        (
+            portable_hash64(F.col("id"), F.lit(CLASSIFIER_WEIGHT_SEED)) % 17 - 8
+        ).cast("long").alias("weight"),
+    )
+    bucketed = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .select(
+            id_col,
+            (portable_hash64(F.col("tok"), F.lit(CLASSIFIER_FEATURE_SEED)) % dim).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    scored = (
+        bucketed.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("n") * F.col("weight")).alias("clf_score"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clf_score", F.lit(0)).cast("long").alias("clf_score"),
+            (F.coalesce("clf_score", F.lit(0)) > 0).alias("clf_pass"),
+        )
+    )

@@ -702,3 +702,78 @@ def test_llm_training_pipeline_invariants(spark):
     for k, r in report.items():
         if k != "train":
             assert r.n_bins == 0
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    from sfcrimedatapipeline_spark.operators.dedup import chunk_dedup_corpus
+
+    # K=2 chunks; doc 2 repeats doc 1's first chunk, doc 3 is a full
+    # copy of doc 1 and must survive as an empty-text row
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # chunks: "a b", "c d"
+            (2, "a b x y"),      # "a b" duplicates doc 1's chunk
+            (3, "a b c d"),      # full duplicate
+            (4, ""),             # no chunks at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in chunk_dedup_corpus(docs, chunk_tokens=2).collect()}
+    assert out[1].clean_text == "a b c d" and out[1].n_dropped == 0
+    assert out[2].clean_text == "x y" and out[2].n_dropped == 1
+    assert out[3].clean_text == "" and out[3].n_dropped == 2
+    assert out[4].clean_text == "" and out[4].n_chunks == 0
+    # a ragged tail shorter than K is still a chunk
+    ragged = spark.createDataFrame([(9, "p q r")], "doc_id long, text string")
+    row = chunk_dedup_corpus(ragged, chunk_tokens=2).collect()[0]
+    assert row.clean_text == "p q r" and row.n_chunks == 2
+
+
+def test_classifier_score_matches_manual(spark):
+    from sfcrimedatapipeline_spark.operators.textstats import (
+        CLASSIFIER_DIM,
+        with_classifier_score,
+    )
+    import hashlib
+
+    def h64(seed: str, val: str) -> int:
+        return int(hashlib.md5(f"{seed}:{val}".encode()).hexdigest()[:15], 16)
+
+    def manual(text: str) -> int:
+        score = 0
+        for tok in text.lower().split():
+            b = h64("feat", tok) % CLASSIFIER_DIM
+            score += h64("w", str(b)) % 17 - 8
+        return score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in with_classifier_score(docs).collect()}
+    assert out[1].clf_score == manual("alpha beta alpha")
+    assert out[2].clf_score == 0 and out[2].clf_pass is False
+    assert out[3].clf_score == manual("gamma")
+    assert out[3].clf_pass is (out[3].clf_score > 0)
+
+
+def test_decontaminate_flags_exact_overlap_only(spark):
+    from sfcrimedatapipeline_spark.operators.corpus import decontaminate_exact_ngrams
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps suffix"),  # shares 5-grams
+            (2, "the quick brown cat jumps over a lazy dog"),  # no shared 5-gram
+            (3, "short text"),  # too short for any 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate_exact_ngrams(tr, ev, n=5).collect()}
+    # exactly one shared 5-gram: "the quick brown fox jumps"
+    assert out[1].contaminated and out[1].n_hit_grams == 1
+    assert not out[2].contaminated and out[2].n_hit_grams == 0
+    assert not out[3].contaminated
