@@ -148,3 +148,108 @@ def build_oracle_sql() -> dict[str, str]:
 
 
 ORACLE_SQL = build_oracle_sql()
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RECALL harness: per-query recall@k of each approximate tier
+    (LSH buckets, IVF probes, PQ codes) against the exact brute-force
+    top-k — the measurement that justifies shipping an approximate
+    index at all (same role dedup_lsh_recall plays for MinHash).
+
+    All four tiers are the already-gated deterministic paths, so the
+    harness itself is fully hash-gated: counts are exact integers and
+    each recall is one exact int/int division. One pass per tier plus
+    three broadcast-sized semi-joins on (query_id, neighbor_id).
+    """
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.plans.llmops import ANN_K, ANN_N_QUERIES
+    from sfcrimedatapipeline_spark.operators import similarity
+
+    emb = ensure_min_partitions(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    exact = similarity.cosine_topk(emb, queries, k=ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    tiers = {
+        "lsh": similarity.cosine_topk_lsh(emb, queries, k=ANN_K),
+        "ivf": similarity.cosine_topk_ivf(emb, queries, k=ANN_K, n_centroids=8, n_probe=2),
+        "pq": similarity.pq_topk(emb, queries, k=ANN_K),
+    }
+    out = exact.groupBy("query_id").agg(F.count("*").cast("int").alias("n_exact"))
+    for name, tier in tiers.items():
+        common = (
+            tier.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("int").alias(f"n_common_{name}"))
+        )
+        out = out.join(common, "query_id", "left").withColumn(
+            f"n_common_{name}", F.coalesce(f"n_common_{name}", F.lit(0))
+        )
+    for name in tiers:
+        out = out.withColumn(
+            f"recall_{name}",
+            F.col(f"n_common_{name}").cast("double") / F.col("n_exact").cast("double"),
+        )
+    return out.select(
+        "query_id",
+        "n_exact",
+        "n_common_lsh",
+        "recall_lsh",
+        "n_common_ivf",
+        "recall_ivf",
+        "n_common_pq",
+        "recall_pq",
+    )
+
+
+QUERIES["ann_recall_eval"] = ann_recall_eval
+
+
+def _recall_oracle() -> str:
+    from sfcrimedatapipeline_spark.plans import llmops
+
+    exact = llmops.ORACLE_SQL["ann_cosine_topk"]
+    lsh = llmops.ORACLE_SQL["ann_cosine_topk_lsh"]
+    # the gated IVF query uses the default centroid/probe constants in
+    # llmops; this harness pins its own (8, 2) on the Spark side, which
+    # must match llmops.ANN_IVF_CENTROIDS/ANN_IVF_PROBE for the reused
+    # oracle below to describe the same computation
+    ivf = llmops.ORACLE_SQL["ann_cosine_topk_ivf"]
+    pq = llmops.ORACLE_SQL["ann_pq_topk"]
+    tier_ctes = ",\n".join(
+        f"t_{n} AS ({sql})" for n, sql in (("lsh", lsh), ("ivf", ivf), ("pq", pq))
+    )
+    commons = ",\n".join(
+        f"""c_{n} AS (
+            SELECT query_id, CAST(count(*) AS INTEGER) AS n_common_{n}
+            FROM (SELECT query_id, neighbor_id FROM t_{n})
+            JOIN (SELECT query_id, neighbor_id FROM exact) USING (query_id, neighbor_id)
+            GROUP BY 1
+        )"""
+        for n in ("lsh", "ivf", "pq")
+    )
+    return f"""
+        WITH exact AS ({exact}),
+        {tier_ctes},
+        {commons},
+        base AS (
+            SELECT query_id, CAST(count(*) AS INTEGER) AS n_exact
+            FROM exact GROUP BY 1
+        )
+        SELECT b.query_id, b.n_exact,
+               coalesce(c_lsh.n_common_lsh, 0) AS n_common_lsh,
+               CAST(coalesce(c_lsh.n_common_lsh, 0) AS DOUBLE) / b.n_exact AS recall_lsh,
+               coalesce(c_ivf.n_common_ivf, 0) AS n_common_ivf,
+               CAST(coalesce(c_ivf.n_common_ivf, 0) AS DOUBLE) / b.n_exact AS recall_ivf,
+               coalesce(c_pq.n_common_pq, 0) AS n_common_pq,
+               CAST(coalesce(c_pq.n_common_pq, 0) AS DOUBLE) / b.n_exact AS recall_pq
+        FROM base b
+        LEFT JOIN c_lsh USING (query_id)
+        LEFT JOIN c_ivf USING (query_id)
+        LEFT JOIN c_pq USING (query_id)
+    """
+
+
+ORACLE_SQL["ann_recall_eval"] = _recall_oracle()
