@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         llmops_ext,
         media,
         sql_surface,
+        timeseries,
         tpch,
         udx_queries,
     )
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged = {
         **tpch.QUERIES,
         **sql_surface.QUERIES,
+        **timeseries.QUERIES,
         **llmops.QUERIES,
         **llmops_ext.QUERIES,
         **events_queries.QUERIES,
@@ -99,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         llmops_ext,
         media,
         sql_surface,
+        timeseries,
         tpch,
         udx_queries,
     )
@@ -106,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **tpch.ORACLE_SQL,
         **sql_surface.ORACLE_SQL,
+        **timeseries.ORACLE_SQL,
         **llmops.ORACLE_SQL,
         **llmops_ext.ORACLE_SQL,
         **events_queries.ORACLE_SQL,

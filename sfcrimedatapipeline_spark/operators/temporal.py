@@ -203,3 +203,110 @@ def cohort_retention(
         joined.groupBy("cohort_week", "week_offset")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Regularize an irregular event series onto a fixed time SPINE with
+    last-observation-carried-forward fill — the standard prep for
+    feeding event data to models that expect one row per (key, period)
+    (kdb's ``fills``, Pandas ``resample().ffill()``, TimescaleDB's
+    ``time_bucket_gapfill``).
+
+    Per key: a complete bucket spine spans that key's own [min, max]
+    event time; each bucket carries its LAST observation (total order:
+    exact epoch micros, tie-broken by value so the pick is
+    partitioning-independent), and empty buckets inherit the latest
+    earlier observation via last-IGNORE-NULLS. The first bucket always
+    has an observation by construction (the key's min event lands in
+    it), so ``filled_cents`` is never NULL.
+
+    All time arithmetic is EXACT INTEGER MICROSECONDS (unix_micros /
+    epoch_us in the oracle) — never double epoch, whose truncation
+    differs across engines.
+
+    Scale shape: one groupBy(key) for the span, one shuffle on
+    (key, bucket) for last-in-bucket, one window shuffle on key for
+    the fill. Spine rows per key = wall-clock span / bucket — bounded
+    by horizon, not event count, so a hot key with 10^9 events yields
+    the same spine as a cold one.
+    """
+    bucket_us = bucket_seconds * US
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    micros = F.unix_micros(F.col(ts_col))
+    bucket = F.floor(micros / bucket_us).cast("long")
+    obs = (
+        df.select(
+            F.col(key_col),
+            bucket.alias("__b"),
+            F.struct(micros.alias("o"), cents.alias("v")).alias("ob"),
+        )
+        .groupBy(key_col, "__b")
+        .agg(F.max("ob")["v"].alias("obs_cents"))
+    )
+    spine = (
+        df.groupBy(key_col)
+        .agg(
+            F.floor(F.min(micros) / bucket_us).cast("long").alias("b0"),
+            F.floor(F.max(micros) / bucket_us).cast("long").alias("b1"),
+        )
+        .select(key_col, F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("__b"))
+    )
+    joined = spine.join(obs, [key_col, "__b"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        F.timestamp_micros(F.col("__b") * bucket_us).alias("bucket_ts"),
+        "obs_cents",
+        F.last("obs_cents", ignorenulls=True).over(w).alias("filled_cents"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key TIME-WEIGHTED average: each observation holds until the
+    next one, so its weight is the time until the next event — the
+    correct average for sampled-on-change series (sensor readings,
+    account balances), where the plain mean over-weights chatty
+    periods.
+
+    Integer discipline: weights are exact epoch-MICROSECOND deltas,
+    values exact cents; the weighted sum accumulates in DECIMAL(38,0)
+    (cents × micros ≈ 4e15 per segment — a BIGINT sum would overflow
+    around 10^3 busy segments) and the total weight in BIGINT.
+    The final division is the only double op, so the result is
+    bit-stable under any partitioning. Keys with a single event (no
+    held segment) have no row.
+
+    One window shuffle on key; the groupBy(key) after it reuses the
+    same partitioning (no second exchange).
+    """
+    micros = F.unix_micros(F.col(ts_col))
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(key_col).orderBy(micros.asc(), cents.asc())
+    seg = df.select(
+        F.col(key_col),
+        cents.alias("cents"),
+        (F.lead(micros).over(w) - micros).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return seg.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("dt_us").cast("long").alias("total_us"),
+        (
+            F.sum((F.col("cents") * F.col("dt_us")).cast("decimal(38,0)")).cast("double")
+            / F.sum("dt_us").cast("double")
+        ).alias("twa_cents"),
+    )

@@ -92,3 +92,53 @@ def test_asof_join_single_exchange_plan(spark):
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
+
+
+def test_resample_locf_fills_gaps(spark):
+    import datetime as dt
+
+    from sfcrimedatapipeline_spark.operators.temporal import resample_locf
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        (1, t0, 10.00),                                  # hour 0
+        (1, t0 + dt.timedelta(minutes=5), 20.00),        # hour 0, later → wins
+        (1, t0 + dt.timedelta(hours=3), 30.00),          # hour 3
+        (2, t0, 99.00),                                  # single-event user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r.user_id, r.bucket_ts.hour): (r.obs_cents, r.filled_cents)
+        for r in resample_locf(df, bucket_seconds=3600).collect()
+    }
+    # user 1: 4 spine buckets (hours 0..3); gaps 1-2 carry hour 0's last obs
+    assert out[(1, 0)] == (2000, 2000)
+    assert out[(1, 1)] == (None, 2000)
+    assert out[(1, 2)] == (None, 2000)
+    assert out[(1, 3)] == (3000, 3000)
+    # user 2: exactly one bucket, no gaps
+    assert out[(2, 0)] == (9900, 9900)
+    assert len(out) == 5
+
+
+def test_time_weighted_avg_manual(spark):
+    import datetime as dt
+
+    from sfcrimedatapipeline_spark.operators.temporal import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # 10.00 held 10 s, then 30.00 held 30 s, last event open-ended
+        (1, t0, 10.00),
+        (1, t0 + dt.timedelta(seconds=10), 30.00),
+        (1, t0 + dt.timedelta(seconds=40), 50.00),
+        (2, t0, 77.00),  # single event → no segment → no row
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r.user_id: r for r in time_weighted_avg(df).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r.n_segments == 2
+    assert r.total_us == 40_000_000
+    # (1000*10 + 3000*30) / 40 = 2500 cents
+    assert r.twa_cents == 2500.0
