@@ -310,3 +310,161 @@ def time_weighted_avg(
             / F.sum("dt_us").cast("double")
         ).alias("twa_cents"),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Spine gap-fill with LINEAR INTERPOLATION between the surrounding
+    observations — :func:`resample_locf`'s companion for quantities
+    that drift rather than hold (temperatures, balances accruing
+    interest): a gap bucket gets
+    ``v_prev + (v_next - v_prev)·(b - b_prev)/(b_next - b_prev)``.
+
+    Exactness: bucket indices and cent values are exact integers, the
+    numerator product is exact, and the single division (then one add)
+    is correctly-rounded IEEE — the same every engine. Gaps after the
+    last observation fall back to LOCF (no right endpoint); the first
+    bucket always has an observation.
+
+    Scale shape: identical to resample_locf plus one extra pair of
+    forward-looking window columns — still one (key, bucket) shuffle
+    and one key-window shuffle, spine bounded by wall-clock horizon.
+    """
+    spine = resample_locf(df, key_col, ts_col, value_col, bucket_seconds)
+    bucket_us = bucket_seconds * US
+    b = (F.unix_micros(F.col("bucket_ts")) / bucket_us).cast("long")
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("obs_cents").isNotNull(), b)
+    staged = spine.select(
+        key_col,
+        "bucket_ts",
+        "obs_cents",
+        "filled_cents",
+        b.alias("__b"),
+        F.last(obs_b, ignorenulls=True).over(back).alias("__bp"),
+        F.last("obs_cents", ignorenulls=True).over(back).alias("__vp"),
+        F.first(obs_b, ignorenulls=True).over(fwd).alias("__bn"),
+        F.first("obs_cents", ignorenulls=True).over(fwd).alias("__vn"),
+    )
+    interp = F.col("__vp").cast("double") + (
+        ((F.col("__vn") - F.col("__vp")) * (F.col("__b") - F.col("__bp"))).cast("double")
+        / (F.col("__bn") - F.col("__bp")).cast("double")
+    )
+    return staged.select(
+        key_col,
+        "bucket_ts",
+        "obs_cents",
+        "filled_cents",
+        F.when(F.col("obs_cents").isNotNull(), F.col("obs_cents").cast("double"))
+        .when(F.col("__bn").isNotNull(), interp)
+        .otherwise(F.col("filled_cents").cast("double"))
+        .alias("interp_cents"),
+    )
+
+
+def collapse_bursts(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    within_seconds: int = 60,
+    match_value: bool = True,
+) -> DataFrame:
+    """Telemetry BURST dedup: drop an event that repeats the previous
+    identical observation (same key + value) within ``within_seconds``
+    — the at-least-once-delivery / double-click cleaner run before any
+    event analytics. ``match_value=False`` relaxes identity to the key
+    alone (a DEBOUNCE: keep at most one event per key per quiet
+    period).
+
+    Lag-based chain semantics, stated precisely: each event compares to
+    the PREVIOUS OCCURRENCE (kept or not), so a burst ticking every
+    30 s under a 60 s threshold collapses to its first event no matter
+    how long it lasts. ("Within 60 s of the last KEPT event" is
+    sequentially dependent — that variant is the stateful streaming
+    shape, :mod:`operators.sessionize`'s territory, not a window.)
+
+    One shuffle on (key, value); exact integer micros, total order
+    tie-broken by event id.
+    """
+    keys = key_cols or ["user_id", "event_type"]
+    micros = F.unix_micros(F.col(ts_col))
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    parts = [*keys, cents] if match_value else list(keys)
+    w = Window.partitionBy(*parts).orderBy(micros.asc(), F.col("event_id").asc())
+    gap = micros - F.lag(micros).over(w)
+    return (
+        df.withColumn("__gap_us", gap)
+        .filter(
+            F.col("__gap_us").isNull() | (F.col("__gap_us") > within_seconds * US)
+        )
+        .drop("__gap_us")
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 10,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Per-event anomaly score: z-score of each value against the
+    trailing ``window_rows`` observations of its key — the standard
+    streaming-telemetry outlier flag.
+
+    Moments are EXACT within each frame (integer cent sums and squared
+    sums — the s12_moment_stats discipline applied per window), so
+    mean/variance/z are fixed IEEE expressions over exact ints:
+    bit-stable under any partitioning. Frames shorter than 2 rows or
+    with zero variance yield NULL z (no anomaly call on a constant).
+
+    One shuffle on key; all three window aggregates share one frame
+    definition, so Spark computes them in a single Window operator.
+    """
+    micros = F.unix_micros(F.col(ts_col))
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(micros.asc(), F.col("event_id").asc())
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    n = F.count("*").over(w)
+    s = F.sum(cents).over(w)
+    ss = F.sum(cents * cents).over(w)
+    staged = df.select(
+        "event_id",
+        key_col,
+        cents.alias("cents"),
+        n.alias("__n"),
+        s.alias("__s"),
+        ss.alias("__ss"),
+    )
+    nd = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / nd
+    var = F.col("__ss").cast("double") / nd - mean * mean
+    z = (F.col("cents").cast("double") - mean) / F.sqrt(var)
+    z = F.when((F.col("__n") >= 2) & (var > 0), z)
+    return staged.select(
+        "event_id",
+        key_col,
+        "cents",
+        F.col("__n").cast("int").alias("n_window"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

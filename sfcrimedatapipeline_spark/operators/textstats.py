@@ -680,3 +680,76 @@ def with_classifier_score(
             (F.coalesce("clf_score", F.lit(0)) > 0).alias("clf_pass"),
         )
     )
+
+
+#: BM25 constants, exact rationals: k1 = 6/5, b = 3/4 (the standard
+#: 1.2 / 0.75 defaults), idf quantized at 1e9 (shared with the oracle)
+BM25_IDF_SCALE = 1_000_000_000
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-style lexical relevance of every document to a fixed query
+    term set — the keyword-search primitive (Robertson/Spärck Jones;
+    what Lucene/Elasticsearch score with) over a corpus table.
+
+    EXACT-RATIONAL variant: the idf is Robertson's
+    ``(N - df + 0.5)/(df + 0.5)`` quantized to an integer at 1e9
+    WITHOUT the logarithm — ln's last ulp is libm- and engine-specific,
+    and summing float term scores is partition-order-dependent, so the
+    standard log idf cannot be bit-gated across engines (the
+    unigram_lm_score precedent). With k1=6/5 and b=3/4 the tf
+    normalization is also rational:
+
+        tf·(k1+1)/(tf + k1(1-b+b·dl/avgdl))
+          = 22·tf·T / (10·tf·T + 3·T + 9·dl·N),   avgdl = T/N
+
+    so each per-term contribution is one integer division (DECIMAL
+    numerator — tf·T·idf_q overflows BIGINT past ~sf0.01) and the
+    per-doc score an exact BIGINT sum; the single final divide by the
+    scale is the only double op. Log-idf changes absolute scores, not
+    the per-term monotonicity in df/tf/dl.
+
+    Scale shape: terms are a BROADCAST in-list filter pushed to the
+    scan; df_t and the (N, T) corpus row are broadcast; the only
+    shuffle is groupBy(doc, term) on the matched subset. Docs matching
+    no term produce no row (search-result semantics).
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__tk")).select(
+        id_col, F.size("__tk").cast("long").alias("dl"), F.col("__tk")
+    )
+    corpus = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("__tk").alias("__t"))
+        .filter(F.col("__t").isin(terms))
+        .groupBy(id_col, "dl", "__t")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_t = tf.groupBy("__t").agg(F.count("*").cast("long").alias("df_t"))
+    scale = F.lit(BM25_IDF_SCALE).cast("long")
+    joined = tf.join(F.broadcast(df_t), "__t").crossJoin(F.broadcast(corpus))
+    idf_q = F.expr(
+        f"({BM25_IDF_SCALE}L * (2 * (n_docs - df_t) + 1)) div (2 * df_t + 1)"
+    )
+    contrib = F.expr(
+        "CAST(__idfq AS DECIMAL(38,0)) * 22 * tf * t_tokens"
+        " div CAST(10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs AS DECIMAL(38,0))"
+    )
+    return (
+        joined.withColumn("__idfq", idf_q)
+        .withColumn("__contrib", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_terms_matched"),
+            (F.sum("__contrib").cast("double") / scale.cast("double")).alias("bm25"),
+        )
+    )

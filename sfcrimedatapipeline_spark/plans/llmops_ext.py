@@ -253,3 +253,46 @@ def _recall_oracle() -> str:
 
 
 ORACLE_SQL["ann_recall_eval"] = _recall_oracle()
+
+
+BM25_TERMS = ["join", "dup", "stream"]
+
+
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style lexical search over the corpus for a fixed term set
+    (operators/textstats.py:bm25_scores; exact-rational idf — see the
+    operator docstring for why the logarithm is omitted)."""
+    return textstats.bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
+
+
+QUERIES["docs_bm25_search"] = docs_bm25_search
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+_S = 1_000_000_000  # textstats.BM25_IDF_SCALE
+ORACLE_SQL["docs_bm25_search"] = f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM tok),
+    corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS t_tokens
+        FROM base
+    ),
+    tf AS (
+        SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, dl, unnest(tk) AS t FROM base) u
+        WHERE t IN ({_BM25_IN})
+        GROUP BY 1, 2, 3
+    ),
+    dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+    contrib AS (
+        SELECT doc_id,
+               CAST(({_S} * (2 * (n_docs - df_t) + 1)) // (2 * df_t + 1)
+                    AS HUGEINT) * 22 * tf * t_tokens
+               // CAST(10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs
+                       AS HUGEINT) AS c
+        FROM tf JOIN dft USING (t) CROSS JOIN corpus
+    )
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms_matched,
+           CAST(sum(c) AS DOUBLE) / CAST({_S} AS DOUBLE) AS bm25
+    FROM contrib GROUP BY 1
+"""

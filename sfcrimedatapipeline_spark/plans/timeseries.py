@@ -90,3 +90,129 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1
     """,
 }
+
+
+BURST_SECONDS = 120
+ZSCORE_ROWS = 10
+ZSCORE_THRESHOLD = 2.5
+
+
+def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly spine with linear interpolation across gaps
+    (operators/temporal.py:resample_interpolate)."""
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    return temporal.resample_interpolate(ev, bucket_seconds=BUCKET_SECONDS)
+
+
+def events_collapse_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: at most one event per (user, type) per 120 s quiet
+    period (operators/temporal.py:collapse_bursts)."""
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    return temporal.collapse_bursts(
+        ev, within_seconds=BURST_SECONDS, match_value=False
+    ).select("event_id", "user_id", "event_type", "ts", "value")
+
+
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10-row z-score anomaly flags per user
+    (operators/temporal.py:rolling_zscore)."""
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    return temporal.rolling_zscore(
+        ev, window_rows=ZSCORE_ROWS, threshold=ZSCORE_THRESHOLD
+    )
+
+
+QUERIES["events_resample_interp"] = events_resample_interp
+QUERIES["events_collapse_bursts"] = events_collapse_bursts
+QUERIES["events_rolling_zscore"] = events_rolling_zscore
+
+_SPINE_CTES = f"""
+        ev AS (
+            SELECT user_id, epoch_us(ts) AS mu,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ),
+        obs AS (
+            SELECT user_id, b, cents AS obs_cents FROM (
+                SELECT user_id, mu // {_BUCKET_US} AS b, cents,
+                       row_number() OVER (PARTITION BY user_id, mu // {_BUCKET_US}
+                                          ORDER BY mu DESC, cents DESC) AS rn
+                FROM ev) t
+            WHERE rn = 1
+        ),
+        span AS (
+            SELECT user_id, min(mu) // {_BUCKET_US} AS b0,
+                   max(mu) // {_BUCKET_US} AS b1
+            FROM ev GROUP BY 1
+        ),
+        spine AS (
+            SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM span
+        )
+"""
+
+ORACLE_SQL["events_resample_interp"] = f"""
+    WITH {_SPINE_CTES},
+    base AS (
+        SELECT s.user_id, s.b, o.obs_cents,
+               last_value(o.obs_cents IGNORE NULLS) OVER wb AS filled_cents,
+               last_value(CASE WHEN o.obs_cents IS NOT NULL THEN s.b END
+                          IGNORE NULLS) OVER wb AS bp,
+               first_value(CASE WHEN o.obs_cents IS NOT NULL THEN s.b END
+                           IGNORE NULLS) OVER wf AS bn,
+               first_value(o.obs_cents IGNORE NULLS) OVER wf AS vn
+        FROM spine s
+        LEFT JOIN obs o ON s.user_id = o.user_id AND s.b = o.b
+        WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY s.user_id ORDER BY s.b
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, make_timestamp(b * {_BUCKET_US}) AS bucket_ts,
+           obs_cents, filled_cents,
+           CASE WHEN obs_cents IS NOT NULL THEN CAST(obs_cents AS DOUBLE)
+                WHEN bn IS NOT NULL
+                THEN CAST(filled_cents AS DOUBLE)
+                     + CAST((vn - filled_cents) * (b - bp) AS DOUBLE)
+                       / CAST(bn - bp AS DOUBLE)
+                ELSE CAST(filled_cents AS DOUBLE) END AS interp_cents
+    FROM base
+"""
+
+ORACLE_SQL["events_collapse_bursts"] = f"""
+    SELECT event_id, user_id, event_type, ts, value FROM (
+        SELECT event_id, user_id, event_type, ts, value,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts) ASC, event_id ASC) AS gap_us
+        FROM events) t
+    WHERE gap_us IS NULL OR gap_us > {BURST_SECONDS} * CAST(1000000 AS BIGINT)
+"""
+
+ORACLE_SQL["events_rolling_zscore"] = f"""
+    WITH staged AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               count(*) OVER w AS n,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS s,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                   * CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS ss
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) ASC, event_id ASC
+                     ROWS BETWEEN {ZSCORE_ROWS - 1} PRECEDING AND CURRENT ROW)
+    ),
+    z AS (
+        SELECT event_id, user_id, cents, CAST(n AS INTEGER) AS n_window,
+               CASE WHEN n >= 2
+                         AND CAST(ss AS DOUBLE) / n
+                             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+                    THEN (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                         / sqrt(CAST(ss AS DOUBLE) / n
+                                - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+               END AS zscore
+        FROM staged
+    )
+    SELECT event_id, user_id, cents, n_window, zscore,
+           coalesce(abs(zscore) > {ZSCORE_THRESHOLD}, false) AS is_anomaly
+    FROM z
+"""

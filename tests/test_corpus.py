@@ -777,3 +777,24 @@ def test_decontaminate_flags_exact_overlap_only(spark):
     assert out[1].contaminated and out[1].n_hit_grams == 1
     assert not out[2].contaminated and out[2].n_hit_grams == 0
     assert not out[3].contaminated
+
+
+def test_bm25_rarity_and_tf_monotonicity(spark):
+    from sfcrimedatapipeline_spark.operators.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common pad pad pad"),
+            (2, "common common common pad pad pad"),   # same dl, tf=3 common
+            (3, "common pad pad pad pad pad"),          # tf=1 common
+            (4, "pad pad pad pad pad pad"),             # matches nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bm25_scores(docs, ["rare", "common"]).collect()}
+    assert 4 not in out                      # search-result semantics
+    assert out[1].n_terms_matched == 2
+    # same doc length: tf=3 beats tf=1 on the same term
+    assert out[2].bm25 > out[3].bm25
+    # the rare term (df=1) outscores the common term (df=3) at equal tf/dl
+    assert out[1].bm25 > out[2].bm25
