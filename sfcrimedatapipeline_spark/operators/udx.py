@@ -159,3 +159,41 @@ def cogroup_click_purchase(events: DataFrame) -> DataFrame:
         .cogroup(purchases.groupBy("user_id"))
         .applyInPandas(align, _COGROUP_SCHEMA)
     )
+
+
+def nfc_normalize_udf():
+    """Arrow-batched scalar pandas UDF: Unicode NFC normalization —
+    composes decomposed sequences (e + U+0301 → é) so that visually
+    identical strings fingerprint identically. The canonical pre-pass
+    for every hash-based dedup path on multilingual corpora (the NFC
+    caveat documented in dedup.fuzzy_dup_pairs' unicode_mode).
+
+    Spark has no built-in Unicode normalizer, so this is a legitimate
+    Python-surface op, not a demo: ``unicodedata.normalize`` implements
+    the same Unicode spec as DuckDB's ``nfc_normalize``, so outputs are
+    bit-identical and the surface is fully hash-gateable. NULL in →
+    NULL out.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: unicodedata.normalize("NFC", t), na_action="ignore")
+
+    return nfc
+
+
+def with_nfc_normalized(df, text_col: str = "text"):
+    """``nfc_text`` + ``nfc_changed`` columns via :func:`nfc_normalize_udf`."""
+    from pyspark.sql import functions as F
+
+    nfc = nfc_normalize_udf()
+    out = df.withColumn("nfc_text", nfc(F.col(text_col)))
+    return out.withColumn(
+        "nfc_changed",
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.col("nfc_text") != F.col(text_col)
+        ),
+    )

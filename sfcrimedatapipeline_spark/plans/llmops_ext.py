@@ -296,3 +296,25 @@ ORACLE_SQL["docs_bm25_search"] = f"""
            CAST(sum(c) AS DOUBLE) / CAST({_S} AS DOUBLE) AS bm25
     FROM contrib GROUP BY 1
 """
+
+
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over the corpus (operators/udx.py:
+    nfc_normalize_udf — Arrow scalar pandas UDF; Spark has no built-in
+    normalizer). The sf testdata is ASCII, so the gate hashes the
+    identity path; real composition cases are pinned by
+    tests/test_udx.py's non-ASCII fixtures against DuckDB
+    nfc_normalize directly."""
+    from sfcrimedatapipeline_spark.operators.udx import with_nfc_normalized
+
+    return with_nfc_normalized(_docs(spark, sf_dir)).select(
+        "doc_id", "nfc_text", "nfc_changed"
+    )
+
+
+QUERIES["text_nfc_normalize"] = text_nfc_normalize
+ORACLE_SQL["text_nfc_normalize"] = """
+    SELECT doc_id, nfc_normalize(text) AS nfc_text,
+           nfc_normalize(text) <> text AS nfc_changed
+    FROM documents
+"""

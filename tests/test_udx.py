@@ -57,3 +57,35 @@ def test_md5_prefix_udf_null_contract(spark):
     }
     assert rows[1] == int(hashlib.md5(b"abc").hexdigest()[:8], 16)
     assert rows[2] is None
+
+
+def test_nfc_normalization_matches_duckdb_on_non_ascii(spark):
+    import duckdb
+
+    from sfcrimedatapipeline_spark.operators.udx import with_nfc_normalized
+
+    rows = [
+        (1, "café latte"),          # decomposed é → composed
+        (2, "café latte"),                 # already NFC: unchanged
+        (3, "Å Å"),            # Å (ring) and ANGSTROM SIGN
+        (4, "ascii only"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.nfc_text, r.nfc_changed)
+        for r in with_nfc_normalized(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            "SELECT doc_id, nfc_normalize(text), nfc_normalize(text) <> text FROM d"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[1][1] is True and got[2][1] is False and got[5][0] is None
+    # composing really happened: both doc 1 and 2 now share one form
+    assert got[1][0] == got[2][0]
