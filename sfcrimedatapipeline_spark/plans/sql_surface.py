@@ -271,3 +271,176 @@ ORACLE_SQL: dict[str, str] = {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 }
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) under the engine's exactness
+    discipline: the classic per-(returnflag, linestatus) rollup of
+    quantity, base price, discounted price, and charge.
+
+    Money discipline: each row's discounted/charged amount is an IEEE
+    double product of the SAME literal expression on both engines —
+    deterministic per row — then QUANTIZED to cents before the sum, so
+    the aggregate is an exact BIGINT under any partitioning (raw
+    double sums are partition-order-dependent and unportable).
+    Averages divide exact integer sums once. One map-side-combined
+    groupBy over six groups — the canonical whole-stage-codegen scan.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp")
+    )
+    disc_cents = F.floor(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    charge_cents = F.floor(
+        (
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            * (F.lit(1.0) + F.col("l_tax"))
+        )
+        * 100
+        + F.lit(0.5)
+    ).cast("long")
+    base_cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    disc_bp = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    agg = li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.sum(qty).alias("sum_qty"),
+        F.sum(base_cents).alias("__sb"),
+        F.sum(disc_cents).alias("__sd"),
+        F.sum(charge_cents).alias("__sc"),
+        F.sum(disc_bp).alias("__sbp"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+    n = F.col("count_order").cast("double")
+    return agg.select(
+        "returnflag",
+        "linestatus",
+        "sum_qty",
+        (F.col("__sb").cast("double") / 100).alias("sum_base_price"),
+        (F.col("__sd").cast("double") / 100).alias("sum_disc_price"),
+        (F.col("__sc").cast("double") / 100).alias("sum_charge"),
+        (F.col("sum_qty").cast("double") / n).alias("avg_qty"),
+        (F.col("__sb").cast("double") / 100 / n).alias("avg_price"),
+        (F.col("__sbp").cast("double") / 10000 / n).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) adapted to the testdata columns:
+    BUILDING-segment customers, orders placed before a date, line items
+    shipped after it; top 10 open orders by exact-cents revenue.
+
+    Plan shape: customer is the small side (broadcast), orders⋈lineitem
+    shuffles on orderkey, revenue quantized per row then summed exact;
+    the top-10 is a TakeOrderedAndProject on the total order
+    (revenue DESC, orderkey ASC) — no global sort shuffle.
+    """
+    cutoff = F.lit("1998-06-30").cast("timestamp")
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev_cents = F.floor(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg((F.sum(rev_cents).cast("double") / 100).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("order_key").asc())
+        .limit(10)
+    )
+
+
+def events_trending_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard: top-3 event types per hour by count (dense
+    total order: count DESC, type ASC). One groupBy shuffle + one
+    hour-partitioned window."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        F.col("event_type"),
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("hour_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+QUERIES["q1_pricing_summary"] = q1_pricing_summary
+QUERIES["q3_shipping_priority"] = q3_shipping_priority
+QUERIES["events_trending_hourly"] = events_trending_hourly
+
+ORACLE_SQL["q1_pricing_summary"] = """
+    WITH rows_q AS (
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS base_cents,
+               CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+                    AS BIGINT) AS disc_cents,
+               CAST(floor(((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax))
+                          * 100 + 0.5) AS BIGINT) AS charge_cents,
+               CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+    )
+    SELECT returnflag, linestatus,
+           CAST(sum(qty) AS BIGINT) AS sum_qty,
+           CAST(sum(base_cents) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum(disc_cents) AS DOUBLE) / 100 AS sum_disc_price,
+           CAST(sum(charge_cents) AS DOUBLE) / 100 AS sum_charge,
+           CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(base_cents) AS DOUBLE) / 100 / count(*) AS avg_price,
+           CAST(sum(disc_bp) AS DOUBLE) / 10000 / count(*) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM rows_q
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["q3_shipping_priority"] = """
+    SELECT o.o_orderkey AS order_key,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority AS priority,
+           CAST(sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-30'
+      AND l.l_shipdate > TIMESTAMP '1998-06-30'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, order_key ASC
+    LIMIT 10
+"""
+
+ORACLE_SQL["events_trending_hourly"] = """
+    WITH counts AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT hour_start, event_type, n_events, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY hour_start
+                                     ORDER BY n_events DESC, event_type ASC) AS rank
+        FROM counts) t
+    WHERE rank <= 3
+"""

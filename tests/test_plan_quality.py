@@ -360,3 +360,30 @@ def test_ivfpq_index_probe_is_partition_pruned(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "list_id" in m.group(1), plan[:2000]
+
+
+def test_q3_broadcasts_customer_and_takes_ordered(spark):
+    # the classic Q3 shape: small filtered dim broadcast, top-10 as
+    # TakeOrderedAndProject (never a global sort Exchange)
+    from sfcrimedatapipeline_spark.plans import sql_surface
+
+    plan = _plan(sql_surface.QUERIES["q3_shipping_priority"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_classifier_weights_join_is_broadcast(spark):
+    # the model-as-broadcast-table contract: the dim-row weight table
+    # must ride a BroadcastExchange, never shuffle the token stream
+    from sfcrimedatapipeline_spark.plans import llmops_ext
+
+    plan = _plan(llmops_ext.QUERIES["text_classifier_score"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_eval_set_is_broadcast(spark):
+    from sfcrimedatapipeline_spark.plans import llmops_ext
+
+    plan = _plan(llmops_ext.QUERIES["docs_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
