@@ -877,3 +877,77 @@ def decontaminate_exact_ngrams(
             (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def sample_negatives(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Deterministic NEGATIVE sampling for contrastive training: k
+    pseudo-random partners per anchor document, with same-group
+    (same-domain) partners filtered out so a "negative" is never a
+    near-positive from the anchor's own source — the pair-mining step
+    of embedding/contrastive objectives (SimCSE/CLIP-style), done
+    relationally.
+
+    Mechanism: documents get a dense index r ∈ [0, N) (one ordered
+    window over the id — dim-cardinality cost, the w1 surrogate-key
+    shape); anchor r's j-th candidate is index
+    ``(r + hash(id, seed=j) mod (N-1) + 1) mod N`` — offset never 0,
+    so never self — and candidates resolve by an equi-join on the
+    index. The md5-derived offset makes picks uniform yet replayable;
+    anchors may end with fewer than k negatives after the same-group
+    filter (count is reported, never silently resampled — resampling
+    would be sequentially dependent).
+
+    Scale: the dense index comes from keys.dense_ids — the two-phase
+    range-partitioned numbering, NOT a single-partition window (this
+    runs over the full corpus, where w1's dim-cardinality shortcut
+    would serialize). Then one shuffle of k·N join rows on the index —
+    never an all-pairs product. The N scalar rides a 1-row broadcast.
+    """
+    from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+    from sfcrimedatapipeline_spark.operators.keys import dense_ids
+
+    indexed = dense_ids(df.select(id_col, group_col), [id_col], "__r1").withColumn(
+        "__r", F.col("__r1") - 1
+    )
+    n_row = indexed.agg(F.count("*").cast("long").alias("__n"))
+    anchors = indexed.crossJoin(F.broadcast(n_row))
+    cand = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(group_col).alias("anchor_group"),
+        F.explode(
+            F.array(*[F.lit(j) for j in range(k)])
+        ).alias("__j"),
+        F.col("__r"),
+        F.col("__n"),
+    ).select(
+        "anchor_id",
+        "anchor_group",
+        "__j",
+        (
+            (
+                F.col("__r")
+                + portable_hash64(F.col("anchor_id"), F.col("__j")) % (F.col("__n") - 1)
+                + 1
+            )
+            % F.col("__n")
+        ).alias("__rn"),
+    )
+    paired = cand.join(
+        indexed.select(
+            F.col("__r").alias("__rn"),
+            F.col(id_col).alias("negative_id"),
+            F.col(group_col).alias("negative_group"),
+        ),
+        "__rn",
+    ).filter(F.col("anchor_group") != F.col("negative_group"))
+    return paired.select(
+        "anchor_id",
+        F.col("__j").cast("int").alias("slot"),
+        "negative_id",
+        "negative_group",
+    )

@@ -318,3 +318,38 @@ ORACLE_SQL["text_nfc_normalize"] = """
            nfc_normalize(text) <> text AS nfc_changed
     FROM documents
 """
+
+
+NEG_K = 3
+
+
+def docs_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling, k=3 per anchor,
+    same-source partners excluded (operators/corpus.py:
+    sample_negatives)."""
+    return corpus_ops.sample_negatives(_docs(spark, sf_dir), k=NEG_K)
+
+
+QUERIES["docs_sample_negatives"] = docs_sample_negatives
+
+_neg_hash = sql_hash64("i.doc_id", "j.j")
+ORACLE_SQL["docs_sample_negatives"] = f"""
+    WITH indexed AS (
+        SELECT doc_id, source,
+               row_number() OVER (ORDER BY doc_id ASC) - 1 AS r
+        FROM documents
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    cand AS (
+        SELECT i.doc_id AS anchor_id, i.source AS anchor_group,
+               j.j AS slot,
+               (i.r + {_neg_hash} % (nn.n - 1) + 1) % nn.n AS rn
+        FROM indexed i
+        CROSS JOIN nn
+        CROSS JOIN (SELECT unnest([{", ".join(str(j) for j in range(NEG_K))}]) AS j) j
+    )
+    SELECT c.anchor_id, CAST(c.slot AS INTEGER) AS slot,
+           i2.doc_id AS negative_id, i2.source AS negative_group
+    FROM cand c JOIN indexed i2 ON c.rn = i2.r
+    WHERE c.anchor_group <> i2.source
+"""

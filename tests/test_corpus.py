@@ -798,3 +798,26 @@ def test_bm25_rarity_and_tf_monotonicity(spark):
     assert out[2].bm25 > out[3].bm25
     # the rare term (df=1) outscores the common term (df=3) at equal tf/dl
     assert out[1].bm25 > out[2].bm25
+
+
+def test_sample_negatives_never_self_or_same_group(spark):
+    from sfcrimedatapipeline_spark.operators.corpus import sample_negatives
+
+    docs = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(40)], "doc_id long, source string"
+    )
+    out = sample_negatives(docs, k=3).collect()
+    assert out  # produces pairs
+    for r in out:
+        assert r.negative_id != r.anchor_id
+        assert r.negative_group != f"g{r.anchor_id % 4}"
+    # deterministic: a second run picks the identical pair set
+    again = sample_negatives(docs, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # at most k per anchor, and most anchors keep all 3 (filter only
+    # removes the ~1/4 same-group collisions)
+    per_anchor: dict[int, int] = {}
+    for r in out:
+        per_anchor[r.anchor_id] = per_anchor.get(r.anchor_id, 0) + 1
+    assert max(per_anchor.values()) <= 3
+    assert sum(per_anchor.values()) > 40 * 3 * 0.5
