@@ -34,6 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: share one session-cached fixture (streaming/events.py:
 #: cached_stream_fixture), so grouping them also amortizes its build.
 _DEFERRED = [
+    "ann_recall_eval",
     "text_bpe_merges",
     "emb_semantic_dedup",
     "ann_pq_topk_trained",

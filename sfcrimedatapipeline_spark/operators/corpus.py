@@ -951,3 +951,37 @@ def sample_negatives(
         "negative_id",
         "negative_group",
     )
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    frac: float,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep the TOP fraction of each group under a total order — the
+    percentile-cut curation gate ("best 50% per source by classifier
+    score"), the rate-based sibling of :func:`top_k_per_group` (which
+    keeps a fixed count regardless of group size).
+
+    The cut is decided in EXACT INTEGERS: row kept iff
+    ``(rank-1) * 10000 <= round(frac*10000) * (n_group - 1)`` — i.e.
+    percent_rank <= frac without ever materializing the float
+    percent_rank, so no boundary row can flip on a 1-ulp division
+    difference. Groups of one row always keep it (percent_rank 0).
+
+    One shuffle on the group key; rank and count share the window
+    partition.
+    """
+    frac_bp = int(round(frac * 10000))
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    wn = Window.partitionBy(group_col)
+    ranked = df.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(wn)
+    )
+    kept = ranked.filter(
+        (F.col("__rk") - 1) * 10000 <= F.lit(frac_bp) * (F.col("__n") - 1)
+    )
+    out_cols = keep_cols or df.columns
+    return kept.select(*out_cols, (F.col("__rk").cast("int")).alias("rank_in_group"))

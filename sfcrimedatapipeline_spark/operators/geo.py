@@ -1,0 +1,165 @@
+"""Geospatial operators over the incident coordinates the reference
+stores on its fact table (Latitude/Longitude, /root/reference/dags/
+ELT.py:71-72,259-260 — stored but never analyzed there): grid-cell
+hotspot counting and radius self-joins, the two primitives of
+crime-hotspot analysis.
+
+Exactness discipline: raw degrees are quantized ONCE to exact integer
+1e-5-degree units (``floor(x*1e5 + 0.5)`` — the cents formula), and
+everything downstream — grid cells, squared distances, radius
+comparisons — is integer arithmetic. Distances use a local planar
+(equirectangular) approximation with INTEGER LITERAL weights
+(1.11132 m and 0.87851 m per unit at SF's latitude, scaled ×100000)
+so no trigonometric function is ever evaluated at runtime: libm
+sin/cos last-ulp differences across engines would break the hash gate,
+and over a ~15 km city extent the planar error is <0.1%. The only
+float op is the final display division/sqrt of an exact integer.
+
+Scale shape: hotspot counting is one map-side-combined groupBy on the
+cell id. The radius join is GRID-BLOCKED — each point joins only its
+3x3 neighbor cells (cell edge >= radius, so no within-radius pair can
+escape the neighborhood) — never an all-pairs cross join; candidate
+volume is density x 9 cells per point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 1e-5-degree integer units; weights = metres per unit at 37.77N,
+#: scaled by 1e5 and rounded to integer literals (no runtime trig)
+UNIT_PER_DEG = 100_000
+LAT_W = 111_132   # 1.11132 m per 1e-5 deg latitude, x1e5
+LON_W = 87_851    # 1.11132*cos(37.77 deg) m per 1e-5 deg longitude, x1e5
+#: longitude units are negative around SF; shift them positive before
+#: integer div so Spark's truncating `div` and DuckDB's flooring `//`
+#: cannot disagree (they differ only on negative operands)
+LON_SHIFT = 20_000_000
+
+
+def with_grid_cell(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_units: int = 500,
+) -> DataFrame:
+    """Attach integer unit coordinates and a grid cell id
+    (``cell_units`` of 1e-5 deg per cell edge; 500 units = ~555 m
+    north-south). NULL coordinates yield NULL cells (excluded from any
+    downstream grouping/join by normal NULL semantics)."""
+    ilat = F.floor(F.col(lat_col) * UNIT_PER_DEG + F.lit(0.5)).cast("long")
+    ilon = F.floor(F.col(lon_col) * UNIT_PER_DEG + F.lit(0.5)).cast("long")
+    return df.withColumns(
+        {
+            "ilat": ilat,
+            "ilon": ilon,
+            "cell_x": F.expr(f"CAST(floor({lat_col} * {UNIT_PER_DEG} + 0.5) AS BIGINT) div {cell_units}"),
+            "cell_y": F.expr(
+                f"(CAST(floor({lon_col} * {UNIT_PER_DEG} + 0.5) AS BIGINT) + {LON_SHIFT}) div {cell_units}"
+            ),
+        }
+    )
+
+
+def grid_hotspots(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_units: int = 500,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k grid cells by incident count (total order: count DESC,
+    cell_x ASC, cell_y ASC) with each cell's centre coordinates in
+    degrees — the hotspot map behind the reference's Tableau dashboard
+    idea. One groupBy shuffle on the cell id + TakeOrderedAndProject."""
+    cells = (
+        with_grid_cell(df, lat_col, lon_col, cell_units)
+        .filter(F.col("cell_x").isNotNull())
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count("*").alias("n_incidents"))
+    )
+    centre_lat = (F.col("cell_x") * cell_units + F.lit(cell_units) / 2) / UNIT_PER_DEG
+    centre_lon = (
+        F.col("cell_y") * cell_units - F.lit(LON_SHIFT) + F.lit(cell_units) / 2
+    ) / UNIT_PER_DEG
+    return (
+        cells.select(
+            "cell_x",
+            "cell_y",
+            "n_incidents",
+            centre_lat.alias("centre_lat"),
+            centre_lon.alias("centre_lon"),
+        )
+        .orderBy(F.col("n_incidents").desc(), F.col("cell_x").asc(), F.col("cell_y").asc())
+        .limit(k)
+    )
+
+
+def radius_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    radius_m: int = 100,
+) -> DataFrame:
+    """All point pairs within ``radius_m`` metres (id_a < id_b) with
+    their planar distance — the spatial self-join behind "incidents
+    near each other" clustering.
+
+    Blocked on a grid whose cell edge is >= the radius in BOTH axes
+    (longitude units are shorter metres, so the lon edge uses the
+    smaller weight): the right side explodes to its 3x3 neighborhood,
+    the join is an equi-join on the cell id, and each qualifying pair
+    is produced exactly once (a pair's cells are adjacent, and the
+    exploded neighborhood holds each cell once; id_a < id_b keeps one
+    orientation). The distance predicate is exact:
+    ``(dlat*LAT_W)^2 + (dlon*LON_W)^2 <= (radius*1e5)^2`` in BIGINTs.
+    """
+    # cell edges: radius in integer units per axis, rounded UP so the
+    # 3x3 neighborhood is a superset of the radius disc
+    lat_units = -(-radius_m * UNIT_PER_DEG // LAT_W)
+    lon_units = -(-radius_m * UNIT_PER_DEG // LON_W)
+    pts = (
+        with_grid_cell(df, lat_col, lon_col, cell_units=1)  # ilat/ilon only
+        .filter(F.col("ilat").isNotNull() & F.col("ilon").isNotNull())
+        .select(
+            F.col(id_col).alias("pid"),
+            "ilat",
+            "ilon",
+            F.expr(f"ilat div {lat_units}").alias("cx"),
+            F.expr(f"(ilon + {LON_SHIFT}) div {lon_units}").alias("cy"),
+        )
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    right = pts.select(
+        F.col("pid").alias("pid_b"),
+        F.col("ilat").alias("ilat_b"),
+        F.col("ilon").alias("ilon_b"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy")
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("nc"),
+    ).select("pid_b", "ilat_b", "ilon_b", F.col("nc.cx").alias("cx"), F.col("nc.cy").alias("cy"))
+    r_scaled = radius_m * UNIT_PER_DEG
+    d2 = (
+        ((F.col("ilat") - F.col("ilat_b")) * LAT_W) * ((F.col("ilat") - F.col("ilat_b")) * LAT_W)
+        + ((F.col("ilon") - F.col("ilon_b")) * LON_W) * ((F.col("ilon") - F.col("ilon_b")) * LON_W)
+    )
+    return (
+        pts.join(right, ["cx", "cy"])
+        .filter(F.col("pid") < F.col("pid_b"))
+        .withColumn("__d2", d2)
+        .filter(F.col("__d2") <= F.lit(r_scaled) * F.lit(r_scaled))
+        .select(
+            F.col("pid").alias("id_a"),
+            F.col("pid_b").alias("id_b"),
+            (F.sqrt(F.col("__d2").cast("double")) / UNIT_PER_DEG).alias("dist_m"),
+        )
+    )

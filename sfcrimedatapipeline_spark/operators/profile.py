@@ -414,3 +414,27 @@ def validate_embeddings(
             & ~is_zero
         ).alias("valid"),
     )
+
+
+def partition_stats(df: DataFrame) -> DataFrame:
+    """Physical-layout diagnostic: per-partition row counts plus a
+    1-row skew summary (n_partitions, min/max/mean rows, max/mean skew
+    ratio) — the first thing to look at when a stage straggles.
+
+    Deliberately NOT an oracle-gated query: partition assignment is an
+    execution property, not a semantic one (any hash seed change
+    re-shapes it), so this ships as ops tooling with structural tests.
+    One pass: spark_partition_id + a two-level aggregate; never
+    collects rows to the driver.
+    """
+    per_part = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count("*").alias("n_rows")
+    )
+    return per_part.agg(
+        F.count("*").cast("int").alias("n_partitions"),
+        F.min("n_rows").alias("min_rows"),
+        F.max("n_rows").alias("max_rows"),
+        (F.sum("n_rows") / F.count("*")).alias("mean_rows"),
+        (F.max("n_rows") / (F.sum("n_rows") / F.count("*"))).alias("skew_ratio"),
+        F.sum("n_rows").alias("total_rows"),
+    )

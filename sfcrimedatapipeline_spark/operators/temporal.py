@@ -334,19 +334,25 @@ def resample_interpolate(
     Scale shape: identical to resample_locf plus one extra pair of
     forward-looking window columns — still one (key, bucket) shuffle
     and one key-window shuffle, spine bounded by wall-clock horizon.
+    The forward-looking pair is computed as ``last IGNORE NULLS`` over
+    a REVERSE-ordered running frame, NOT
+    ``first ... OVER (CURRENT ROW AND UNBOUNDED FOLLOWING)``: Spark
+    evaluates unbounded-FOLLOWING frames by re-aggregating from each
+    row to the partition end — O(n²) per key (measured 14 s of the
+    query's 21 s at sf0.1) — while both running frames stream in O(n).
     """
     spine = resample_locf(df, key_col, ts_col, value_col, bucket_seconds)
     bucket_us = bucket_seconds * US
     b = (F.unix_micros(F.col("bucket_ts")) / bucket_us).cast("long")
     back = (
         Window.partitionBy(key_col)
-        .orderBy("bucket_ts")
+        .orderBy(F.col("bucket_ts").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fwd = (
+    fwd_rev = (
         Window.partitionBy(key_col)
-        .orderBy("bucket_ts")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket_ts").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_b = F.when(F.col("obs_cents").isNotNull(), b)
     staged = spine.select(
@@ -357,8 +363,8 @@ def resample_interpolate(
         b.alias("__b"),
         F.last(obs_b, ignorenulls=True).over(back).alias("__bp"),
         F.last("obs_cents", ignorenulls=True).over(back).alias("__vp"),
-        F.first(obs_b, ignorenulls=True).over(fwd).alias("__bn"),
-        F.first("obs_cents", ignorenulls=True).over(fwd).alias("__vn"),
+        F.last(obs_b, ignorenulls=True).over(fwd_rev).alias("__bn"),
+        F.last("obs_cents", ignorenulls=True).over(fwd_rev).alias("__vn"),
     )
     interp = F.col("__vp").cast("double") + (
         ((F.col("__vn") - F.col("__vp")) * (F.col("__b") - F.col("__bp"))).cast("double")

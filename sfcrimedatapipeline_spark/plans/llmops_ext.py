@@ -353,3 +353,48 @@ ORACLE_SQL["docs_sample_negatives"] = f"""
     FROM cand c JOIN indexed i2 ON c.rn = i2.r
     WHERE c.anchor_group <> i2.source
 """
+
+
+TOP_FRAC = 0.5
+
+
+def docs_top_fraction_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-cut curation: keep the top 50% of each source by
+    classifier score (operators/corpus.py:top_fraction_per_group over
+    operators/textstats.py:with_classifier_score) — the rate-based
+    quality gate; the integer cut rule means no boundary row can flip
+    on float division."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "source").join(
+        textstats.with_classifier_score(docs).select("doc_id", "clf_score"), "doc_id"
+    )
+    return corpus_ops.top_fraction_per_group(
+        scored,
+        group_col="source",
+        order_cols=[F.col("clf_score").desc(), F.col("doc_id").asc()],
+        frac=TOP_FRAC,
+        keep_cols=["doc_id", "source", "clf_score"],
+    )
+
+
+QUERIES["docs_top_fraction_per_source"] = docs_top_fraction_per_source
+
+ORACLE_SQL["docs_top_fraction_per_source"] = f"""
+    WITH scored AS ({ORACLE_SQL["text_classifier_score"]}),
+    j AS (
+        SELECT d.doc_id, d.source, s.clf_score
+        FROM documents d JOIN scored s USING (doc_id)
+    ),
+    ranked AS (
+        SELECT doc_id, source, clf_score,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY clf_score DESC, doc_id ASC) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM j
+    )
+    SELECT doc_id, source, clf_score, CAST(rk AS INTEGER) AS rank_in_group
+    FROM ranked
+    WHERE (rk - 1) * 10000 <= {int(round(TOP_FRAC * 10000))} * (n - 1)
+"""

@@ -821,3 +821,45 @@ def test_sample_negatives_never_self_or_same_group(spark):
         per_anchor[r.anchor_id] = per_anchor.get(r.anchor_id, 0) + 1
     assert max(per_anchor.values()) <= 3
     assert sum(per_anchor.values()) > 40 * 3 * 0.5
+
+
+def test_top_fraction_integer_cut_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.corpus import top_fraction_per_group
+
+    # group of 5: frac 0.5 keeps percent_rank <= 0.5 → ranks 1,2,3
+    # group of 1: always kept; group of 2: frac 0.5 keeps rank 1 and 2
+    # (percent_rank of rank 2 in n=2 is exactly 1.0 > 0.5 → only rank 1)
+    rows = [("a", i, 100 - i) for i in range(5)] + [("b", 10, 1)] + [
+        ("c", 20, 5), ("c", 21, 4)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, score long")
+    out = top_fraction_per_group(
+        df, "g", [F.col("score").desc(), F.col("id").asc()], 0.5
+    ).collect()
+    kept = {(r.g, r.id) for r in out}
+    assert kept == {("a", 0), ("a", 1), ("a", 2), ("b", 10), ("c", 20)}
+    # frac=1.0 keeps everything, frac=0.0 keeps exactly one per group
+    assert len(top_fraction_per_group(df, "g", [F.col("id")], 1.0).collect()) == 8
+    only_first = top_fraction_per_group(df, "g", [F.col("id")], 0.0).collect()
+    assert sorted((r.g, r.id) for r in only_first) == [("a", 0), ("b", 10), ("c", 20)]
+
+
+def test_partition_stats_structure(spark):
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.profile import partition_stats
+
+    df = spark.range(10_000).repartition(8)
+    row = partition_stats(df).collect()[0]
+    assert row.total_rows == 10_000
+    assert row.n_partitions == 8
+    assert row.min_rows <= row.mean_rows <= row.max_rows
+    assert row.skew_ratio >= 1.0
+    # a deliberately skewed layout must show a higher ratio than round-robin
+    skewed = spark.range(10_000).withColumn(
+        "k", (F.col("id") < 9_000).cast("int")
+    ).repartition(8, "k")
+    srow = partition_stats(skewed).collect()[0]
+    assert srow.skew_ratio > row.skew_ratio
