@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus_queries,
         events_queries,
         fact_queries,
+        geo_queries,
         llmops,
         llmops_ext,
         media,
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **events_queries.QUERIES,
         **media.QUERIES,
         **fact_queries.QUERIES,
+        **geo_queries.QUERIES,
         **corpus_queries.QUERIES,
         **udx_queries.QUERIES,
     }
@@ -98,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_queries,
         events_queries,
         fact_queries,
+        geo_queries,
         llmops,
         llmops_ext,
         media,
@@ -116,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         **events_queries.ORACLE_SQL,
         **media.ORACLE_SQL,
         **fact_queries.ORACLE_SQL,
+        **geo_queries.ORACLE_SQL,
         **corpus_queries.ORACLE_SQL,
         **udx_queries.ORACLE_SQL,
     }

@@ -156,7 +156,7 @@ def radius_pairs(
         pts.join(right, ["cx", "cy"])
         .filter(F.col("pid") < F.col("pid_b"))
         .withColumn("__d2", d2)
-        .filter(F.col("__d2") <= F.lit(r_scaled) * F.lit(r_scaled))
+        .filter(F.col("__d2") <= F.lit(r_scaled).cast("long") * F.lit(r_scaled).cast("long"))
         .select(
             F.col("pid").alias("id_a"),
             F.col("pid_b").alias("id_b"),
