@@ -131,3 +131,38 @@ def build_agg_state(
         F.min(F.col(value_col).cast("double")).alias("min_value"),
         F.max(F.col(value_col).cast("double")).alias("max_value"),
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changelog: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Apply a CDC changelog (upserts AND deletes) to a snapshot — the
+    Debezium/"APPLY CHANGES INTO" shape :func:`merge_upsert` doesn't
+    cover: each change row carries ``op`` ('u' upsert / 'd' delete) and
+    a monotonic ``seq``; only each key's LATEST change (by seq, total
+    order) decides its fate.
+
+    Semantics: latest op 'd' → key dropped (even if it was also
+    upserted earlier in the batch); latest op 'u' → that row replaces
+    the base row or inserts; untouched base rows pass through.
+
+    Scale shape, same contract as merge_upsert: the changelog is the
+    small side (broadcast) — the base never shuffles; the base-side
+    work is ONE broadcast anti-join. The per-key latest-change window
+    runs on the changelog only (delta-sized).
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    maybe_b = F.broadcast if broadcast_changes else (lambda d: d)
+    survivors = base.join(maybe_b(latest.select(*keys)), keys, "left_anti")
+    upserts = latest.filter(F.col(op_col) == "u").drop(op_col, seq_col)
+    return survivors.unionByName(upserts)

@@ -444,3 +444,122 @@ ORACLE_SQL["events_trending_hourly"] = """
         FROM counts) t
     WHERE rank <= 3
 """
+
+
+def m4_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: CDC APPLY CHANGES — a changelog with upserts AND deletes,
+    each key decided by its LATEST sequence number
+    (operators/merge.py:apply_cdc). Derived changelog: every 7th key
+    is upserted then deleted (latest-wins → gone), keys ≡1 (mod 7) are
+    re-priced, and a batch of fresh keys arrives as inserts. The base
+    is scanned once and never shuffled (changelog broadcast)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("price_cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    k = F.col("order_key")
+    dead = o.filter(k % 7 == 0)
+    ghost_upserts = dead.select(
+        "order_key",
+        (F.col("price_cents") + 1).alias("price_cents"),
+        "status",
+        F.lit("u").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    deletes = dead.select(
+        "order_key",
+        "price_cents",
+        "status",
+        F.lit("d").alias("op"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    repriced = o.filter(k % 7 == 1).select(
+        "order_key",
+        (F.col("price_cents") + 50).alias("price_cents"),
+        "status",
+        F.lit("u").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    inserts = o.filter(k % 7 == 2).select(
+        (k + 10_000_000).alias("order_key"),
+        "price_cents",
+        F.lit("N").alias("status"),
+        F.lit("u").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    from sfcrimedatapipeline_spark.operators.merge import apply_cdc
+
+    changelog = ghost_upserts.unionByName(deletes).unionByName(repriced).unionByName(inserts)
+    return apply_cdc(o, changelog, keys=["order_key"])
+
+
+def m5_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: AS-OF snapshot from the M2 SCD2 history — each customer's
+    valid version at the cutoff date (half-open interval containment:
+    valid_from <= T < valid_to, NULL valid_to = current). Completes
+    the SCD2 story: M2 builds the history, this queries it temporally."""
+    from sfcrimedatapipeline_spark.plans.tpch import m2_scd2_history
+
+    hist = m2_scd2_history(spark, sf_dir)
+    t = F.lit("1998-01-01").cast("date")
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("customer_id", "status", "valid_from", "valid_to", "version")
+
+
+QUERIES["m4_apply_cdc"] = m4_apply_cdc
+QUERIES["m5_scd2_snapshot"] = m5_scd2_snapshot
+
+ORACLE_SQL["m4_apply_cdc"] = """
+    WITH o AS (
+        SELECT o_orderkey AS order_key,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    changelog AS (
+        SELECT order_key, price_cents + 1 AS price_cents, status,
+               'u' AS op, CAST(1 AS BIGINT) AS seq
+        FROM o WHERE order_key % 7 = 0
+        UNION ALL
+        SELECT order_key, price_cents, status, 'd', 2 FROM o WHERE order_key % 7 = 0
+        UNION ALL
+        SELECT order_key, price_cents + 50, status, 'u', 1 FROM o WHERE order_key % 7 = 1
+        UNION ALL
+        SELECT order_key + 10000000, price_cents, 'N', 'u', 1 FROM o WHERE order_key % 7 = 2
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY order_key ORDER BY seq DESC) AS rn
+            FROM changelog) t
+        WHERE rn = 1
+    )
+    SELECT o.order_key, o.price_cents, o.status
+    FROM o ANTI JOIN latest USING (order_key)
+    UNION ALL
+    SELECT order_key, price_cents, status FROM latest WHERE op = 'u'
+"""
+
+ORACLE_SQL["m5_scd2_snapshot"] = """
+    WITH log AS (
+        SELECT o_custkey AS customer_id,
+               CAST(o_orderdate AS DATE) AS change_date,
+               o_orderstatus AS status,
+               o_orderkey AS order_key
+        FROM orders
+    ),
+    hist AS (
+        SELECT customer_id, status,
+               change_date AS valid_from,
+               lead(change_date) OVER w AS valid_to,
+               CAST(row_number() OVER w AS INTEGER) AS version
+        FROM log
+        WINDOW w AS (PARTITION BY customer_id ORDER BY change_date ASC, order_key ASC)
+    )
+    SELECT customer_id, status, valid_from, valid_to, version
+    FROM hist
+    WHERE valid_from <= DATE '1998-01-01'
+      AND (valid_to IS NULL OR valid_to > DATE '1998-01-01')
+"""

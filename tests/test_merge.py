@@ -85,3 +85,24 @@ def test_incremental_agg_merge_equals_full_recompute(spark):
     full = build_agg_state(base.union(delta), ["k"])
     key = lambda r: (r.k or "", r.n_rows, str(r.sum_value), r.min_value, r.max_value)
     assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+
+
+def test_apply_cdc_latest_wins_and_deletes(spark):
+    from sfcrimedatapipeline_spark.operators.merge import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    log = spark.createDataFrame(
+        [
+            (1, "a2", "u", 1),   # upsert...
+            (1, None, "d", 2),   # ...then delete: latest wins → gone
+            (2, "b2", "u", 5),
+            (2, "b1", "u", 3),   # older upsert loses to seq 5
+            (9, "new", "u", 1),  # fresh key → insert
+            (7, None, "d", 1),   # delete of a key not in base → no-op
+        ],
+        "k long, v string, op string, seq long",
+    )
+    out = {r.k: r.v for r in apply_cdc(base, log, keys=["k"]).collect()}
+    assert out == {2: "b2", 3: "c", 9: "new"}
