@@ -53,3 +53,33 @@ def read_dim_csv(spark: SparkSession, path: str, schema: StructType) -> DataFram
         .option("nullValue", "")
         .csv(path)
     )
+
+
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """PERMISSIVE CSV read that QUARANTINES malformed lines instead of
+    failing the load — the CSV twin of
+    :func:`sources.jsonl.read_jsonl_permissive` (same contract: valid
+    rows parse into the declared schema, malformed lines land whole in
+    ``corrupt_col`` with data columns NULL, clean+quarantined == total).
+    Use for third-party CSV feeds where FAILFAST (the reference's COPY
+    fidelity mode, :func:`read_staging_csv`) would let one bad vendor
+    line kill a whole load.
+    """
+    from pyspark.sql.types import StringType
+
+    full = StructType(schema.fields[:]).add(corrupt_col, StringType())
+    reader = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", options.pop("header", "false"))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)

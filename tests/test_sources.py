@@ -265,3 +265,38 @@ def test_histogram_null_bin(spark):
     assert rows[-1].bin_lo is None and rows[-1].bin_hi is None
     assert sum(r.n for r in rows.values()) == 5
     assert rows[0].n == 2 and rows[4].n == 1
+
+
+def test_csv_permissive_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from sfcrimedatapipeline_spark.sources.csv import read_csv_permissive
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "1,alpha,10\n"
+        "2,beta,not_an_int\n"   # type error → quarantined
+        "3,gamma,30\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("n", IntegerType()),
+        ]
+    )
+    df = read_csv_permissive(spark, str(p), schema).cache()
+    try:
+        total = df.count()
+        clean = df.filter(F.col("_corrupt_record").isNull())
+        quarantined = df.filter(F.col("_corrupt_record").isNotNull())
+        assert total == 3
+        assert clean.count() == 2
+        assert quarantined.count() == 1
+        bad = quarantined.collect()[0]
+        assert bad._corrupt_record == "2,beta,not_an_int"
+        assert bad.n is None
+        assert {r.id for r in clean.collect()} == {1, 3}
+    finally:
+        df.unpersist()
