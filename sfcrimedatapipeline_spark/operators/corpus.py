@@ -928,13 +928,17 @@ def sample_negatives(
         "anchor_id",
         "anchor_group",
         "__j",
-        (
+        # N == 1 guard: no possible partner (and % (N-1) would divide
+        # by zero under ANSI mode) — NULL candidate index drops out of
+        # the equi-join below
+        F.when(
+            F.col("__n") > 1,
             (
                 F.col("__r")
                 + portable_hash64(F.col("anchor_id"), F.col("__j")) % (F.col("__n") - 1)
                 + 1
             )
-            % F.col("__n")
+            % F.col("__n"),
         ).alias("__rn"),
     )
     paired = cand.join(

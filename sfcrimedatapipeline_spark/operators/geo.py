@@ -75,7 +75,8 @@ def grid_hotspots(
     idea. One groupBy shuffle on the cell id + TakeOrderedAndProject."""
     cells = (
         with_grid_cell(df, lat_col, lon_col, cell_units)
-        .filter(F.col("cell_x").isNotNull())
+        # both: a row with one NULL coordinate has no cell either
+        .filter(F.col("cell_x").isNotNull() & F.col("cell_y").isNotNull())
         .groupBy("cell_x", "cell_y")
         .agg(F.count("*").alias("n_incidents"))
     )

@@ -149,7 +149,10 @@ def apply_cdc(
 
     Semantics: latest op 'd' → key dropped (even if it was also
     upserted earlier in the batch); latest op 'u' → that row replaces
-    the base row or inserts; untouched base rows pass through.
+    the base row or inserts; untouched base rows pass through. Any
+    op value other than 'u' behaves as a delete (the key leaves the
+    base and nothing is re-inserted) — validate the op domain upstream
+    if the changelog may carry other codes.
 
     Scale shape, same contract as merge_upsert: the changelog is the
     small side (broadcast) — the base never shuffles; the base-side

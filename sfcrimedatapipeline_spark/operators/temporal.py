@@ -289,7 +289,9 @@ def time_weighted_avg(
     around 10^3 busy segments) and the total weight in BIGINT.
     The final division is the only double op, so the result is
     bit-stable under any partitioning. Keys with a single event (no
-    held segment) have no row.
+    held segment) have no row. Zero-duration segments (equal
+    timestamps) count toward ``n_segments`` but carry zero weight in
+    both sums, so they cannot move the average.
 
     One window shuffle on key; the groupBy(key) after it reuses the
     same partitioning (no second exchange).
@@ -389,6 +391,7 @@ def collapse_bursts(
     value_col: str = "value",
     within_seconds: int = 60,
     match_value: bool = True,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Telemetry BURST dedup: drop an event that repeats the previous
     identical observation (same key + value) within ``within_seconds``
@@ -411,7 +414,7 @@ def collapse_bursts(
     micros = F.unix_micros(F.col(ts_col))
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
     parts = [*keys, cents] if match_value else list(keys)
-    w = Window.partitionBy(*parts).orderBy(micros.asc(), F.col("event_id").asc())
+    w = Window.partitionBy(*parts).orderBy(micros.asc(), F.col(id_col).asc())
     gap = micros - F.lag(micros).over(w)
     return (
         df.withColumn("__gap_us", gap)
@@ -429,6 +432,7 @@ def rolling_zscore(
     value_col: str = "value",
     window_rows: int = 10,
     threshold: float = 2.5,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Per-event anomaly score: z-score of each value against the
     trailing ``window_rows`` observations of its key — the standard
@@ -447,14 +451,14 @@ def rolling_zscore(
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
     w = (
         Window.partitionBy(key_col)
-        .orderBy(micros.asc(), F.col("event_id").asc())
+        .orderBy(micros.asc(), F.col(id_col).asc())
         .rowsBetween(-(window_rows - 1), Window.currentRow)
     )
     n = F.count("*").over(w)
     s = F.sum(cents).over(w)
     ss = F.sum(cents * cents).over(w)
     staged = df.select(
-        "event_id",
+        id_col,
         key_col,
         cents.alias("cents"),
         n.alias("__n"),
@@ -467,7 +471,7 @@ def rolling_zscore(
     z = (F.col("cents").cast("double") - mean) / F.sqrt(var)
     z = F.when((F.col("__n") >= 2) & (var > 0), z)
     return staged.select(
-        "event_id",
+        id_col,
         key_col,
         "cents",
         F.col("__n").cast("int").alias("n_window"),

@@ -863,3 +863,10 @@ def test_partition_stats_structure(spark):
     ).repartition(8, "k")
     srow = partition_stats(skewed).collect()[0]
     assert srow.skew_ratio > row.skew_ratio
+
+
+def test_sample_negatives_single_doc_corpus_is_empty(spark):
+    from sfcrimedatapipeline_spark.operators.corpus import sample_negatives
+
+    one = spark.createDataFrame([(1, "g0")], "doc_id long, source string")
+    assert sample_negatives(one, k=3).count() == 0

@@ -62,3 +62,16 @@ def test_grid_hotspots_counts_and_centres(spark):
     assert abs(out[0].centre_lat - 37.701) < 0.005
     assert abs(out[0].centre_lon + 122.510) < 0.005
     assert len(out) == 2
+
+
+def test_hotspots_drop_half_null_coordinates(spark):
+    from sfcrimedatapipeline_spark.operators.geo import grid_hotspots
+
+    rows = [
+        (1, 37.70, -122.51),
+        (2, 37.70, None),    # half-NULL: no cell
+        (3, None, -122.51),
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    out = grid_hotspots(df, cell_units=500, k=10).collect()
+    assert len(out) == 1 and out[0].n_incidents == 1
