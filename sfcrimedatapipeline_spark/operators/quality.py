@@ -1,0 +1,150 @@
+"""Declarative data-quality EXPECTATIONS — the dbt-test / Delta
+CONSTRAINT / Great Expectations shape: a constraint list evaluated
+into one violation-count row per rule, so a load can be gated
+("fail the publish if anything violates") or monitored (trend the
+counts) without hand-writing a query per rule.
+
+Evaluation cost, by constraint class:
+
+- row-level rules (``not_null``, ``range``, ``accepted_values``,
+  ``custom`` predicate) fold into ONE conditional-aggregate pass over
+  the table — adding a rule adds a counter, not a scan;
+- ``unique`` is one map-side-combined groupBy on the key (counts keys
+  seen more than once, and reports the EXCESS rows);
+- ``referential`` is one left-anti join against the parent key set
+  (broadcast when the parent is a dim).
+
+Every count is an exact integer, so the whole report is
+oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Expectation:
+    """One declarative rule. ``kind`` ∈ {not_null, unique, range,
+    accepted_values, referential, custom}."""
+
+    name: str
+    kind: str
+    column: str | None = None
+    lo: float | None = None
+    hi: float | None = None
+    values: list | None = None
+    parent: DataFrame | None = None
+    parent_key: str | None = None
+    predicate: Column | None = None
+    params: dict = field(default_factory=dict)
+
+
+def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Evaluate all expectations → one row per rule:
+    ``(rule, n_violations, passed)``. Row-level rules share a
+    single aggregation pass; set-level rules add one bounded job each.
+    """
+    row_aggs = []
+    set_frames = []
+    for e in expectations:
+        if e.kind == "not_null":
+            viol = F.col(e.column).isNull()
+        elif e.kind == "range":
+            c = F.col(e.column)
+            cond = F.lit(False)
+            if e.lo is not None:
+                cond = cond | (c < e.lo)
+            if e.hi is not None:
+                cond = cond | (c > e.hi)
+            # NULLs are not range violations (not_null is its own rule)
+            viol = F.coalesce(cond, F.lit(False))
+        elif e.kind == "accepted_values":
+            viol = F.coalesce(~F.col(e.column).isin(e.values), F.lit(True))
+        elif e.kind == "custom":
+            viol = F.coalesce(~e.predicate, F.lit(True))
+        elif e.kind == "unique":
+            dup = (
+                df.groupBy(e.column)
+                .agg(F.count("*").alias("__n"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("__n") > 1, F.col("__n") - 1)), F.lit(0)
+                    )
+                    .cast("long")
+                    .alias("n_violations")
+                )
+                .select(F.lit(e.name).alias("rule"), "n_violations")
+            )
+            set_frames.append(dup)
+            continue
+        elif e.kind == "referential":
+            orphans = (
+                df.select(F.col(e.column).alias("__k"))
+                .filter(F.col("__k").isNotNull())
+                .join(
+                    F.broadcast(
+                        e.parent.select(F.col(e.parent_key).alias("__k")).distinct()
+                    ),
+                    "__k",
+                    "left_anti",
+                )
+                .agg(F.count("*").cast("long").alias("n_violations"))
+                .select(F.lit(e.name).alias("rule"), "n_violations")
+            )
+            set_frames.append(orphans)
+            continue
+        else:
+            raise ValueError(f"unknown expectation kind: {e.kind!r}")
+        row_aggs.append(
+            F.sum(viol.cast("long")).cast("long").alias(e.name)
+        )
+
+    frames = []
+    if row_aggs:
+        wide = df.agg(*row_aggs)
+        stack_args = ", ".join(f"'{a}', `{a}`" for a in [c for c in wide.columns])
+        frames.append(
+            wide.selectExpr(
+                f"stack({len(wide.columns)}, {stack_args}) AS (rule, n_violations)"
+            )
+        )
+    frames.extend(set_frames)
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out.select(
+        "rule",
+        F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
+        (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
+    )
+
+
+def missing_buckets(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """COMPLETENESS monitor: calendar buckets between the table's first
+    and last event that contain ZERO rows — the "did yesterday's load
+    skip an hour?" check. One aggregate for the span, a generated spine
+    (horizon-bounded, like resample_locf's), and one left-anti join
+    against the observed bucket set. Exact integer-microsecond epochs.
+    """
+    us = bucket_seconds * 1_000_000
+    micros = F.unix_micros(F.col(ts_col))
+    observed = df.select(F.floor(micros / us).cast("long").alias("__b")).distinct()
+    spine = (
+        df.agg(
+            F.floor(F.min(micros) / us).cast("long").alias("b0"),
+            F.floor(F.max(micros) / us).cast("long").alias("b1"),
+        )
+        .select(F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("__b"))
+    )
+    return (
+        spine.join(observed, "__b", "left_anti")
+        .select(F.timestamp_micros(F.col("__b") * us).alias("missing_bucket_ts"))
+    )

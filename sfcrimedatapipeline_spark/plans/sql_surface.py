@@ -563,3 +563,84 @@ ORACLE_SQL["m5_scd2_snapshot"] = """
     WHERE valid_from <= DATE '1998-01-01'
       AND (valid_to IS NULL OR valid_to > DATE '1998-01-01')
 """
+
+
+def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ: declarative expectations over orders — all six rule kinds in
+    one report (operators/quality.py:check_expectations). Mixes rules
+    the data passes with rules it genuinely violates, so both branches
+    of the gate are exercised."""
+    from sfcrimedatapipeline_spark.operators.quality import Expectation, check_expectations
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    rules = [
+        Expectation("custkey_not_null", "not_null", column="o_custkey"),
+        Expectation("orderkey_unique", "unique", column="o_orderkey"),
+        Expectation("price_positive", "range", column="o_totalprice", lo=0.01),
+        Expectation("price_under_100k", "range", column="o_totalprice", hi=100000.0),
+        Expectation(
+            "status_known", "accepted_values", column="o_orderstatus", values=["F", "O", "P"]
+        ),
+        Expectation(
+            "priority_is_urgent", "accepted_values", column="o_orderpriority",
+            values=["1-URGENT"],
+        ),
+        Expectation(
+            "custkey_in_customer", "referential", column="o_custkey",
+            parent=customer, parent_key="c_custkey",
+        ),
+        Expectation(
+            "ordered_before_shipped_era", "custom",
+            predicate=F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"),
+        ),
+    ]
+    return check_expectations(orders, rules)
+
+
+def events_missing_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ: completeness — calendar MINUTES inside the events table's
+    span with zero rows (operators/quality.py:missing_buckets)."""
+    from sfcrimedatapipeline_spark.operators.quality import missing_buckets
+
+    return missing_buckets(read_table(spark, sf_dir, "events"), bucket_seconds=60)
+
+
+QUERIES["dq_orders_expectations"] = dq_orders_expectations
+QUERIES["events_missing_minutes"] = events_missing_minutes
+
+ORACLE_SQL["dq_orders_expectations"] = """
+    WITH rowlevel AS (
+        SELECT * FROM (VALUES
+            ('custkey_not_null',
+             (SELECT CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)),
+            ('price_positive',
+             (SELECT CAST(coalesce(sum(CASE WHEN coalesce(o_totalprice < 0.01, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)),
+            ('price_under_100k',
+             (SELECT CAST(coalesce(sum(CASE WHEN coalesce(o_totalprice > 100000.0, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)),
+            ('status_known',
+             (SELECT CAST(coalesce(sum(CASE WHEN coalesce(NOT o_orderstatus IN ('F','O','P'), TRUE) THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)),
+            ('priority_is_urgent',
+             (SELECT CAST(coalesce(sum(CASE WHEN coalesce(NOT o_orderpriority IN ('1-URGENT'), TRUE) THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)),
+            ('ordered_before_shipped_era',
+             (SELECT CAST(coalesce(sum(CASE WHEN coalesce(NOT (o_orderdate >= TIMESTAMP '1990-01-01'), TRUE) THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)),
+            ('orderkey_unique',
+             (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+              FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) t WHERE n > 1)),
+            ('custkey_in_customer',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)))
+        ) v(rule, n_violations)
+    )
+    SELECT rule, n_violations, n_violations = 0 AS passed FROM rowlevel
+"""
+
+ORACLE_SQL["events_missing_minutes"] = """
+    WITH mu AS (SELECT epoch_us(ts) AS m FROM events),
+    observed AS (SELECT DISTINCT m // 60000000 AS b FROM mu),
+    span AS (SELECT min(m) // 60000000 AS b0, max(m) // 60000000 AS b1 FROM mu),
+    spine AS (SELECT unnest(generate_series(b0, b1)) AS b FROM span)
+    SELECT make_timestamp(s.b * 60000000) AS missing_bucket_ts
+    FROM spine s ANTI JOIN observed o USING (b)
+"""

@@ -149,3 +149,60 @@ def test_percentile_disc_returns_real_elements(spark):
     for r in a11_percentile_disc(spark, sf).collect():
         for c in ("p25", "median", "p75"):
             assert (r.priority, r[c]) in vals, (r.priority, c)
+
+
+def test_expectations_each_kind_counts_violations(spark):
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", 100),
+            (1, -5.0, "B", 200),     # dup key 1; negative value
+            (2, None, "A", 999),     # NULL value; fk 999 missing
+            (3, 5.0, "X", 100),      # bad status
+        ],
+        "k long, v double, s string, fk long",
+    )
+    parent = spark.createDataFrame([(100,), (200,)], "pk long")
+    out = {
+        r.rule: (r.n_violations, r.passed)
+        for r in check_expectations(
+            df,
+            [
+                Expectation("v_not_null", "not_null", column="v"),
+                Expectation("k_unique", "unique", column="k"),
+                Expectation("v_nonneg", "range", column="v", lo=0.0),
+                Expectation("s_known", "accepted_values", column="s", values=["A", "B"]),
+                Expectation("fk_ok", "referential", column="fk", parent=parent, parent_key="pk"),
+                Expectation("k_lt_10", "custom", predicate=F.col("k") < 10),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "v_not_null": (1, False),
+        "k_unique": (1, False),       # 2 rows of key 1 → 1 excess
+        "v_nonneg": (1, False),       # NULL v is NOT a range violation
+        "s_known": (1, False),
+        "fk_ok": (1, False),
+        "k_lt_10": (0, True),
+    }
+
+
+def test_missing_buckets_finds_exact_gap(spark):
+    import datetime as dt
+
+    from sfcrimedatapipeline_spark.operators.quality import missing_buckets
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0), (2, t0 + dt.timedelta(hours=1)), (3, t0 + dt.timedelta(hours=4))]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    missing = sorted(
+        r.missing_bucket_ts.hour
+        for r in missing_buckets(df, bucket_seconds=3600).collect()
+    )
+    assert missing == [2, 3]
