@@ -148,3 +148,40 @@ def missing_buckets(
         spine.join(observed, "__b", "left_anti")
         .select(F.timestamp_micros(F.col("__b") * us).alias("missing_bucket_ts"))
     )
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    expectations: list[Expectation],
+) -> tuple[bool, DataFrame]:
+    """WRITE-AUDIT-PUBLISH: stage the write to a sibling directory,
+    audit the STAGED FILES (not the input plan — what's audited is
+    byte-for-byte what readers will see), and only then atomically
+    swap it into place; on violation the staging dir is removed and
+    the previous published data stays untouched. The pattern behind
+    Iceberg's WAP / Delta's constraint-gated commits, expressed on
+    plain parquet directories (same swap discipline as
+    layout.compact_parquet_dir).
+
+    Returns ``(published, report)`` — the report is the materialized
+    per-rule violation table either way, so failed audits are
+    diagnosable. Audit cost: one scan of the staged data.
+    """
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    tmp = path.rstrip("/") + "__staging"
+    df.write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    report = check_expectations(staged, expectations)
+    rows = report.collect()
+    ok = all(r.passed for r in rows)
+    if ok:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    else:
+        shutil.rmtree(tmp)
+    return ok, spark.createDataFrame(rows, report.schema)

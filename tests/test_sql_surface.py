@@ -206,3 +206,27 @@ def test_missing_buckets_finds_exact_gap(spark):
         for r in missing_buckets(df, bucket_seconds=3600).collect()
     )
     assert missing == [2, 3]
+
+
+def test_write_audit_publish_gates_on_violations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.quality import (
+        Expectation,
+        write_audit_publish,
+    )
+
+    target = str(tmp_path / "published")
+    good = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    rules = [Expectation("v_nonneg", "range", column="v", lo=0.0)]
+    ok, report = write_audit_publish(good, target, rules)
+    assert ok and {r.k for r in spark.read.parquet(target).collect()} == {1, 2}
+
+    # a bad batch must NOT clobber the published data
+    bad = spark.createDataFrame([(3, -1.0)], "k long, v double")
+    ok2, report2 = write_audit_publish(bad, target, rules)
+    assert not ok2
+    assert report2.collect()[0].n_violations == 1
+    assert {r.k for r in spark.read.parquet(target).collect()} == {1, 2}
+    import os
+    assert not os.path.exists(target + "__staging")
