@@ -644,3 +644,48 @@ ORACLE_SQL["events_missing_minutes"] = """
     SELECT make_timestamp(s.b * 60000000) AS missing_bucket_ts
     FROM spine s ANTI JOIN observed o USING (b)
 """
+
+
+STREAM_SRC_N = 2000
+STREAM_SRC_BATCH = 256
+
+
+def src_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the Spark 4 Python DataSource API
+    (sources/jsonl.py:register_sequence_stream_source): a custom
+    SimpleDataSourceStreamReader driven to completion through a real
+    MicroBatchExecution (offset management, prefetch cache, commit
+    path), emitting ids [0, n) exactly once across micro-batches. Rows
+    are a pure function of the id, so the same SQL oracle that gates
+    the batch ``seqgen`` source replays this one — batching cannot
+    change the emitted set."""
+    from sfcrimedatapipeline_spark.sources.jsonl import register_sequence_stream_source
+
+    register_sequence_stream_source(spark)
+    stream = (
+        spark.readStream.format("seqstream")
+        .option("n", STREAM_SRC_N)
+        .option("batch", STREAM_SRC_BATCH)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("src_python_stream_source")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("src_python_stream_source")
+
+
+QUERIES["src_python_stream_source"] = src_python_stream_source
+
+ORACLE_SQL["src_python_stream_source"] = f"""
+    SELECT CAST(i AS BIGINT) AS id,
+           CAST((i * i) % 997 AS INTEGER) AS sq_mod,
+           'row-' || CAST(i % 7 AS VARCHAR) AS tag
+    FROM range(0, {STREAM_SRC_N}) t(i)
+"""

@@ -107,3 +107,56 @@ def register_sequence_source(spark: SparkSession) -> None:
             return _SeqReader(self.options)
 
     spark.dataSource.register(SeqSource)
+
+
+def register_sequence_stream_source(spark: SparkSession) -> None:
+    """Register ``seqstream`` — the STREAMING half of the Spark 4
+    Python DataSource API (SimpleDataSourceStreamReader): a
+    deterministic micro-batched integer sequence with explicit offset
+    management. Offsets advance ``batch`` ids per trigger up to ``n``,
+    then stop — so ``processAllAvailable()`` terminates and the emitted
+    set is exactly the ids [0, n), REGARDLESS of how the engine chops
+    the offset range into batches (readBetweenOffsets replays any
+    offset interval deterministically, which is also what makes the
+    source exactly-once under checkpoint recovery).
+
+    Rows are the same pure function of the id as the batch ``seqgen``
+    source (:func:`register_sequence_source`), so one SQL oracle gates
+    both halves of the API.
+    """
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    def _rows(start: int, end: int):
+        # a LIST-backED ITERATOR, precisely: the runner calls next() on
+        # it (so a bare list fails) AND pickles it into the prefetch
+        # cache (so a generator fails) — list iterators satisfy both
+        return iter([(i, (i * i) % 997, f"row-{i % 7}") for i in range(start, end)])
+
+    class _SeqStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.batch = int(options.get("batch", 100))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = int(start["pos"])
+            end = min(pos + self.batch, self.n)
+            return _rows(pos, end), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return _rows(int(start["pos"]), int(end["pos"]))
+
+    class SeqStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "seqstream"
+
+        def schema(self):
+            return "id BIGINT, sq_mod INT, tag STRING"
+
+        def simpleStreamReader(self, schema):
+            return _SeqStreamReader(self.options)
+
+    spark.dataSource.register(SeqStreamSource)

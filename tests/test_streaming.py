@@ -380,3 +380,29 @@ def test_corpus_accretion_state_suppresses_rerun(spark, tmp_path):
     # state accreted: three distinct fingerprints now
     n_state = spark.read.parquet(os.path.join(state2, "fingerprints")).count()
     assert n_state == 3
+
+
+def test_python_stream_source_exactly_once_across_batch_sizes(spark):
+    # the emitted id set must be exactly [0, n) regardless of how the
+    # offset range is chopped into micro-batches
+    from sfcrimedatapipeline_spark.sources.jsonl import register_sequence_stream_source
+
+    register_sequence_stream_source(spark)
+    for batch in (7, 100, 5000):
+        name = f"seqs_b{batch}"
+        q = (
+            spark.readStream.format("seqstream")
+            .option("n", 300)
+            .option("batch", batch)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        ids = sorted(r.id for r in spark.table(name).collect())
+        assert ids == list(range(300)), batch
