@@ -165,3 +165,69 @@ def triangle_count(
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
     return unpersist_when_released(tri, e)
+
+
+def bfs_distances(
+    pairs: DataFrame,
+    seed_pred,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_hops: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS over the undirected pair graph: hop distance
+    from the nearest seed (``seed_pred``: a Column predicate over
+    ``id``) for every REACHED node — "how many near-dup hops from a
+    known-bad document", the contamination-spread query over a dup
+    graph.
+
+    Per round: one equi-join of the (non-self-loop) edge list against
+    the current frontier labels, a +1 neighbor min, a union with the
+    standing labels, and one map-side-combined min — the same
+    one-shuffle-per-round dataflow as connected_components. Distances
+    are INTEGERS, monotonically non-increasing per node, so
+    convergence is an exact scalar probe (reached-count + distance
+    sum), and the whole output is oracle-checkable bit-for-bit
+    (unlike PageRank's float ranks). ``max_hops`` bounds the rounds;
+    unreached nodes emit no row (mirroring the recursive-CTE oracle).
+    """
+    fwd = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.filter(seed_pred(F.col("id"))).withColumn(
+        "distance", F.lit(0).cast("int")
+    )
+    from sfcrimedatapipeline_spark.functions.caching import truncate_lineage
+
+    prev_probe = None
+    for _ in range(max_hops):
+        via_nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg((F.min("distance") + 1).cast("int").alias("distance"))
+            .withColumnRenamed("src", "id")
+        )
+        labels = truncate_lineage(
+            labels.unionByName(via_nbr).groupBy("id").agg(
+                F.min("distance").alias("distance")
+            ),
+            checkpoint_dir,
+        )
+        row = labels.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("distance").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        probe = (row["n"], row["s"])
+        if probe == prev_probe:
+            break
+        prev_probe = probe
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), "distance")

@@ -90,6 +90,25 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(pairs, iters=5).orderBy("doc_id")
 
 
+BFS_SEED_MOD = 10
+BFS_MAX_HOPS = 10
+
+
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup pair graph: hop distance from
+    the nearest seed document (every 10th doc id) for each reached
+    node (operators/graph.py:bfs_distances) — the contamination-spread
+    query. Integer distances, so unlike PageRank this iterative op is
+    FULLY hash-gated against a recursive-CTE oracle."""
+    from sfcrimedatapipeline_spark.operators.graph import bfs_distances
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_duplicates(docs)
+    return bfs_distances(
+        pairs, lambda c: c % BFS_SEED_MOD == 0, max_hops=BFS_MAX_HOPS
+    ).orderBy("doc_id")
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the near-dup pair graph — the transitivity
     diagnostic for dedup clustering (operators/graph.py:triangle_count).
@@ -539,6 +558,28 @@ def build_oracle_sql() -> dict[str, str]:
     return {
         "dedup_clusters": _cc_oracle_sql(),
         "dedup_clusters_2phase": _cc_oracle_sql(),
+        "graph_bfs_distances": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT doc_a, doc_b FROM ({_minhash_sql()}) p
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                WHERE doc_a <> doc_b
+                UNION
+                SELECT doc_b, doc_a FROM pairs WHERE doc_a <> doc_b
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            walk(id, d) AS (
+                SELECT id, 0 FROM nodes WHERE id % {BFS_SEED_MOD} = 0
+                UNION ALL
+                SELECT e.dst, walk.d + 1
+                FROM walk JOIN edges e ON walk.id = e.src
+                WHERE walk.d < {BFS_MAX_HOPS}
+            )
+            SELECT CAST(id AS BIGINT) AS doc_id,
+                   CAST(min(d) AS INTEGER) AS distance
+            FROM walk GROUP BY id
+        """,
         "graph_triangle_count": f"""
             WITH p AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh),
             e AS (
@@ -1029,6 +1070,7 @@ QUERIES = {
     "docs_assign_splits_grouped": docs_assign_splits_grouped,
     "freq_items_lineitem": freq_items_lineitem,
     "graph_triangle_count": graph_triangle_count,
+    "graph_bfs_distances": graph_bfs_distances,
     "quantiles_by_returnflag": quantiles_by_returnflag,
     "hist_extendedprice": hist_extendedprice,
     "events_drift_tvd": events_drift_tvd,

@@ -136,3 +136,25 @@ def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
     }
     assert reliable == local
     assert [f for _, _, fs in os.walk(ckpt) for f in fs]
+
+
+def test_bfs_multi_source_and_unreachable(spark):
+    from sfcrimedatapipeline_spark.operators.graph import bfs_distances
+
+    # two components: a path seeded at 0, and a pair seeded at 10;
+    # component {20,21} has no seed → no output rows
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: r.distance
+        for r in bfs_distances(pairs, lambda c: (c == 0) | (c == 10)).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 10: 0, 11: 1}
+    # a node adjacent to TWO seeds takes the minimum (still 1)
+    tri = spark.createDataFrame([(0, 5), (10, 5)], "doc_a long, doc_b long")
+    out2 = {
+        r.doc_id: r.distance
+        for r in bfs_distances(tri, lambda c: (c == 0) | (c == 10)).collect()
+    }
+    assert out2 == {0: 0, 10: 0, 5: 1}
