@@ -753,3 +753,131 @@ def bm25_scores(
             (F.sum("__contrib").cast("double") / scale.cast("double")).alias("bm25"),
         )
     )
+
+
+#: inverted-index layout: term-hash bucket count (one partition dir
+#: per bucket; real corpora hold millions of terms — bucketing keeps
+#: directory fan-out fixed while still pruning ~(probed/total) buckets)
+INDEX_TERM_BUCKETS = 16
+
+
+def inverted_index_write(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = INDEX_TERM_BUCKETS,
+) -> dict:
+    """Materialize an INVERTED TEXT INDEX on storage — the lexical
+    sibling of similarity.ivfpq_index_write: postings (term, doc, tf,
+    dl) written as parquet PARTITIONED BY TERM-HASH BUCKET, term df in
+    a bucketed side table, and the 2-number corpus stats (N docs, T
+    tokens) in a JSON sidecar. Search then reads ONLY the buckets its
+    query terms hash to — partition pruning enforced by layout, the
+    same I/O contract as the ANN index.
+
+    Build: one explode + one groupBy(doc, term) with map-side combine
+    (tf), one groupBy(term) (df) — the same passes BM25 scoring runs,
+    paid once instead of per query.
+    """
+    import json
+    import os
+
+    from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__tk")).select(
+        id_col, F.size("__tk").cast("long").alias("dl"), F.col("__tk")
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    ).first()
+    postings = (
+        base.select(id_col, "dl", F.explode("__tk").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn(
+            "term_bucket",
+            (portable_hash64(F.col("term"), F.lit("idx")) % n_buckets).cast("int"),
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    df_t = (
+        postings.groupBy("term", "term_bucket")
+        .agg(F.count("*").cast("long").alias("df_t"))
+    )
+    df_t.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        os.path.join(index_dir, "term_stats")
+    )
+    meta = {
+        "n_docs": stats["n_docs"],
+        "t_tokens": stats["t_tokens"],
+        "n_buckets": n_buckets,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def inverted_index_search(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 search OVER THE MATERIALIZED INDEX — bit-identical scores
+    to :func:`bm25_scores` on the raw corpus (same exact-rational
+    contributions), but reading only the postings buckets the query
+    terms hash to (PartitionFilters on ``term_bucket`` — plan-tested),
+    with tf/df/dl all precomputed. The per-query cost is a pruned read
+    + one groupBy(doc) over the matched postings, independent of
+    corpus text size.
+    """
+    import hashlib
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    terms = sorted({t.lower() for t in query_terms})
+
+    def _bucket(term: str) -> int:
+        h = int(hashlib.md5(f"idx:{term}".encode()).hexdigest()[:15], 16)
+        return h % meta["n_buckets"]
+
+    buckets = sorted({_bucket(t) for t in terms})
+    postings = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    df_t = (
+        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df_t")
+    )
+    n_docs, t_tokens = meta["n_docs"], meta["t_tokens"]
+    joined = postings.join(F.broadcast(df_t), "term")
+    idf_q = F.expr(
+        f"({BM25_IDF_SCALE}L * (2 * ({n_docs}L - df_t) + 1)) div (2 * df_t + 1)"
+    )
+    contrib = F.expr(
+        f"CAST(__idfq AS DECIMAL(38,0)) * 22 * tf * {t_tokens}L"
+        f" div CAST(10 * tf * {t_tokens}L + 3 * {t_tokens}L + 9 * dl * {n_docs}L"
+        " AS DECIMAL(38,0))"
+    )
+    return (
+        joined.withColumn("__idfq", idf_q)
+        .withColumn("__contrib", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_terms_matched"),
+            (
+                F.sum("__contrib").cast("double") / F.lit(BM25_IDF_SCALE).cast("double")
+            ).alias("bm25"),
+        )
+    )

@@ -398,3 +398,27 @@ ORACLE_SQL["docs_top_fraction_per_source"] = f"""
     FROM ranked
     WHERE (rk - 1) * 10000 <= {int(round(TOP_FRAC * 10000))} * (n - 1)
 """
+
+
+#: sf_dir → built index dir for the session (build once, search many —
+#: the same memoization discipline as fact_queries._tables)
+_INDEX_CACHE: dict[tuple[int, str], str] = {}
+
+
+def docs_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 search over the MATERIALIZED inverted index
+    (operators/textstats.py:inverted_index_write/search): same exact
+    scores as docs_bm25_search — shares its oracle verbatim — but the
+    read is partition-pruned to the query terms' hash buckets."""
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="bm25idx_")
+        textstats.inverted_index_write(_docs(spark, sf_dir), d)
+        _INDEX_CACHE[key] = d
+    return textstats.inverted_index_search(spark, _INDEX_CACHE[key], BM25_TERMS)
+
+
+QUERIES["docs_bm25_index_search"] = docs_bm25_index_search
+ORACLE_SQL["docs_bm25_index_search"] = ORACLE_SQL["docs_bm25_search"]

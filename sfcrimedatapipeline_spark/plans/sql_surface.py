@@ -689,3 +689,102 @@ ORACLE_SQL["src_python_stream_source"] = f"""
            'row-' || CAST(i % 7 AS VARCHAR) AS tag
     FROM range(0, {STREAM_SRC_N}) t(i)
 """
+
+
+def m6_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: duration analytics over the M2 SCD2 history — total days and
+    period count each status held, per status. Open periods (NULL
+    valid_to) are capped at a fixed horizon so durations stay defined;
+    exact integer day arithmetic."""
+    from sfcrimedatapipeline_spark.plans.tpch import m2_scd2_history
+
+    hist = m2_scd2_history(spark, sf_dir)
+    horizon = F.lit("2002-01-01").cast("date")
+    days = F.datediff(F.coalesce(F.col("valid_to"), horizon), F.col("valid_from"))
+    return (
+        hist.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_periods"),
+            F.sum(days).cast("long").alias("total_days"),
+            F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_open"),
+        )
+    )
+
+
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-navigator cascade: hourly partials → daily from the
+    HOURLY frame → monthly from the DAILY frame — never re-reading the
+    raw events after the first pass. The pre-aggregation pattern every
+    serving layer runs; with decomposable exact aggregates
+    (count/cents-sum/min/max) the cascade is bit-identical to a direct
+    monthly aggregate, which is exactly what the oracle computes (the
+    gate therefore proves re-aggregation correctness, not just
+    arithmetic)."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s"),
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("h")).alias("d"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    return daily.groupBy(
+        F.date_trunc("month", F.col("d")).cast("date").alias("month"),
+        "event_type",
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("s").cast("long").alias("sum_cents"),
+        F.min("mn").cast("long").alias("min_cents"),
+        F.max("mx").cast("long").alias("max_cents"),
+    )
+
+
+QUERIES["m6_time_in_state"] = m6_time_in_state
+QUERIES["events_rollup_cascade"] = events_rollup_cascade
+
+ORACLE_SQL["m6_time_in_state"] = """
+    WITH log AS (
+        SELECT o_custkey AS customer_id,
+               CAST(o_orderdate AS DATE) AS change_date,
+               o_orderstatus AS status,
+               o_orderkey AS order_key
+        FROM orders
+    ),
+    hist AS (
+        SELECT customer_id, status,
+               change_date AS valid_from,
+               lead(change_date) OVER (PARTITION BY customer_id
+                                       ORDER BY change_date ASC, order_key ASC) AS valid_to
+        FROM log
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_periods,
+           CAST(sum(date_diff('day', valid_from,
+                              coalesce(valid_to, DATE '2002-01-01'))) AS BIGINT) AS total_days,
+           CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open
+    FROM hist GROUP BY 1
+"""
+
+ORACLE_SQL["events_rollup_cascade"] = """
+    SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events
+    GROUP BY 1, 2
+"""

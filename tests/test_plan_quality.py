@@ -387,3 +387,32 @@ def test_decontaminate_eval_set_is_broadcast(spark):
 
     plan = _plan(llmops_ext.QUERIES["docs_decontaminate"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_index_read_prunes_term_buckets(spark, tmp_path):
+    # the materialized inverted index must answer a search by reading
+    # ONLY the buckets the query terms hash to: PartitionFilters on
+    # term_bucket in the postings scan
+    from sfcrimedatapipeline_spark.operators.textstats import (
+        bm25_scores,
+        inverted_index_search,
+        inverted_index_write,
+    )
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "idx")
+    inverted_index_write(docs, idx)
+    out = inverted_index_search(spark, idx, ["join", "dup"])
+    plan = _plan(out)
+    assert "PartitionFilters: [" in plan
+    assert "term_bucket" in plan.split("PartitionFilters")[1][:200]
+    # and the scores equal the corpus-scan path bit for bit
+    direct = {
+        r.doc_id: (r.n_terms_matched, r.bm25)
+        for r in bm25_scores(docs, ["join", "dup"]).collect()
+    }
+    via_index = {
+        r.doc_id: (r.n_terms_matched, r.bm25) for r in out.collect()
+    }
+    assert via_index == direct
