@@ -788,3 +788,45 @@ ORACLE_SQL["events_rollup_cascade"] = """
     FROM events
     GROUP BY 1, 2
 """
+
+
+K_ANON = 5
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy: K-ANONYMITY audit — how many quasi-identifier groups
+    (order date × priority) contain fewer than k=5 rows, i.e. rows a
+    release at this granularity would re-identify. Reports, per
+    priority: group counts, violating groups, and the rows needing
+    suppression/coarsening. One groupBy on the QI + one rollup —
+    exact integers; the generalization decision ("coarsen date to
+    month?") is exactly the rollup-cascade trade this report feeds."""
+    o = read_table(spark, sf_dir, "orders")
+    qi = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("qi_date"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").alias("n"))
+    return qi.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n") < K_ANON, 1).otherwise(0)).cast("long").alias("n_violating_groups"),
+        F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0)).cast("long").alias("n_rows_suppressed"),
+        F.sum("n").cast("long").alias("n_rows_total"),
+    )
+
+
+QUERIES["privacy_k_anonymity"] = privacy_k_anonymity
+
+ORACLE_SQL["privacy_k_anonymity"] = """
+    WITH qi AS (
+        SELECT CAST(o_orderdate AS DATE) AS qi_date,
+               o_orderpriority AS priority,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_suppressed,
+           CAST(sum(n) AS BIGINT) AS n_rows_total
+    FROM qi GROUP BY 1
+"""

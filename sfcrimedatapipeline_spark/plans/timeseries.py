@@ -8,6 +8,7 @@ banned here.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sfcrimedatapipeline_spark.functions.partitioning import ensure_min_partitions
 from sfcrimedatapipeline_spark.operators import temporal
@@ -215,4 +216,61 @@ ORACLE_SQL["events_rolling_zscore"] = f"""
     SELECT event_id, user_id, cents, n_window, zscore,
            coalesce(abs(zscore) > {ZSCORE_THRESHOLD}, false) AS is_anomaly
     FROM z
+"""
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type TRANSITION MATRIX: per (from_type, to_type), the
+    count of consecutive same-user transitions and the row-normalized
+    probability — the Markov-chain summary behind next-event-prediction
+    and journey analysis. One lag window per user (total order: ts,
+    event_id) + one groupBy; probability = exact count/count division.
+    """
+    from pyspark.sql import Window
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from).cast("double")
+        ).alias("probability"),
+    )
+
+
+QUERIES["events_markov_transitions"] = events_markov_transitions
+
+ORACLE_SQL["events_markov_transitions"] = """
+    WITH trans AS (
+        SELECT from_type, event_type AS to_type, count(*) AS n_transitions
+        FROM (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC) AS from_type
+            FROM events) t
+        WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+               AS probability
+    FROM trans
 """
