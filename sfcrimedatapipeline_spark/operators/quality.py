@@ -185,3 +185,35 @@ def write_audit_publish(
     else:
         shutil.rmtree(tmp)
     return ok, spark.createDataFrame(rows, report.schema)
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str = "pseud",
+    prefix_len: int = 12,
+) -> DataFrame:
+    """Deterministic PSEUDONYMIZATION: replace identifying columns with
+    salted-hash tokens that are stable across tables and runs — the
+    referential-consistency property that lets pseudonymized tables
+    still JOIN on the tokenized key (plain redaction destroys
+    joinability; random tokens destroy reproducibility). NULLs stay
+    NULL. The salt is the re-identification secret: publish the data,
+    keep the salt.
+
+    Pure per-row md5 expressions (the portable-hash discipline), no
+    UDF, no shuffle. Not format-preserving and not reversible — this
+    is the analytics-release shape, not tokenization-vault encryption.
+    """
+    out = df
+    for c in cols:
+        token = F.concat(
+            F.lit("p_"),
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(c).cast("string"))),
+                1,
+                prefix_len,
+            ),
+        )
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), token))
+    return out

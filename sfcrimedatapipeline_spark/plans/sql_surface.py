@@ -830,3 +830,95 @@ ORACLE_SQL["privacy_k_anonymity"] = """
            CAST(sum(n) AS BIGINT) AS n_rows_total
     FROM qi GROUP BY 1
 """
+
+
+def privacy_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy: pseudonymize the customer key in BOTH orders and
+    customer with the same salt, then prove joinability survives —
+    per-segment order counts computed ENTIRELY on tokenized keys
+    (operators/quality.py:pseudonymize). Exact md5 tokens, so the
+    whole release pipeline is hash-gated."""
+    from sfcrimedatapipeline_spark.operators.quality import pseudonymize
+
+    orders = pseudonymize(
+        read_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").cast("string").alias("cust_token"),
+            "o_orderkey",
+        ),
+        ["cust_token"],
+    )
+    cust = pseudonymize(
+        read_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").cast("string").alias("cust_token"),
+            "c_mktsegment",
+        ),
+        ["cust_token"],
+    )
+    return (
+        orders.join(cust, "cust_token")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("cust_token").cast("long").alias("n_customers"),
+        )
+        .select("c_mktsegment", "n_orders", "n_customers")
+    )
+
+
+def export_nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-assembly EXPORT: one row per customer with their orders
+    as a SORTED nested JSON array — the denormalized serving/feature
+    payload shape. The nested array is emitted through to_json so the
+    gate compares canonical strings (Spark's to_json and DuckDB's
+    json_group_array produce the identical compact encoding for
+    int/string fields — verified; timestamps would diverge and are
+    excluded by design)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    return (
+        o.groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.count("*").cast("int").alias("n_orders"),
+            F.to_json(F.array_sort(F.collect_list(F.struct("k", "c")))).alias("orders_json"),
+        )
+    )
+
+
+QUERIES["privacy_pseudonymize_join"] = privacy_pseudonymize_join
+QUERIES["export_nested_orders"] = export_nested_orders
+
+ORACLE_SQL["privacy_pseudonymize_join"] = """
+    WITH o AS (
+        SELECT 'p_' || substr(md5('pseud:' || CAST(o_custkey AS VARCHAR)), 1, 12)
+                   AS cust_token
+        FROM orders
+    ),
+    c AS (
+        SELECT 'p_' || substr(md5('pseud:' || CAST(c_custkey AS VARCHAR)), 1, 12)
+                   AS cust_token,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o.cust_token) AS BIGINT) AS n_customers
+    FROM o JOIN c USING (cust_token)
+    GROUP BY 1
+"""
+
+ORACLE_SQL["export_nested_orders"] = """
+    SELECT o_custkey AS customer_id,
+           CAST(count(*) AS INTEGER) AS n_orders,
+           '[' || string_agg(
+                      CAST(json_object(
+                               'k', o_orderkey,
+                               'c', CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS VARCHAR),
+                      ',' ORDER BY o_orderkey) || ']' AS orders_json
+    FROM orders
+    GROUP BY 1
+"""

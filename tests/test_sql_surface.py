@@ -230,3 +230,21 @@ def test_write_audit_publish_gates_on_violations(spark, tmp_path):
     assert {r.k for r in spark.read.parquet(target).collect()} == {1, 2}
     import os
     assert not os.path.exists(target + "__staging")
+
+
+def test_pseudonymize_is_stable_joinable_and_null_safe(spark):
+    from sfcrimedatapipeline_spark.operators.quality import pseudonymize
+
+    a = spark.createDataFrame([("alice", 1), (None, 2)], "name string, v long")
+    b = spark.createDataFrame([("alice", "x"), ("bob", "y")], "name string, tag string")
+    pa = pseudonymize(a, ["name"])
+    pb = pseudonymize(b, ["name"])
+    ra = {r.v: r.name for r in pa.collect()}
+    assert ra[2] is None
+    assert ra[1].startswith("p_") and "alice" not in ra[1]
+    # referential consistency: the token joins across tables
+    joined = pa.join(pb, "name").collect()
+    assert len(joined) == 1 and joined[0].tag == "x"
+    # different salt → different token universe
+    other = pseudonymize(a, ["name"], salt="other")
+    assert {r.name for r in other.collect()} != {r.name for r in pa.collect()}
