@@ -922,3 +922,82 @@ ORACLE_SQL["export_nested_orders"] = """
     FROM orders
     GROUP BY 1
 """
+
+
+def p10_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: native XML parsing (Spark 4 from_xml) — each event rendered
+    as an XML fragment, then parsed back through the declared schema.
+    DuckDB has no XML type, so the oracle replays the pure
+    construct-parse round trip relationally (the parsed values are by
+    construction the source columns); the Spark side genuinely
+    exercises the XML parser on every row."""
+    ev = read_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<ev><id>"),
+        F.col("event_id"),
+        F.lit("</id><ty>"),
+        F.col("event_type"),
+        F.lit("</ty><c>"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        F.lit("</c></ev>"),
+    )
+    parsed = ev.select(
+        F.col("event_id"),
+        F.from_xml(xml, "id BIGINT, ty STRING, c BIGINT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.id").alias("parsed_id"),
+        F.col("p.ty").alias("parsed_type"),
+        F.col("p.c").alias("parsed_cents"),
+        (F.col("p.id") == F.col("event_id")).alias("roundtrip_ok"),
+    )
+
+
+def p11_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: error-safe TRY family — try_cast of a sometimes-non-numeric
+    string, try_divide by a sometimes-zero denominator, try_add at the
+    BIGINT ceiling: each yields NULL where the strict ANSI form (the
+    session default) would kill the job. The defensive-ingest idiom
+    for third-party data."""
+    ev = read_table(spark, sf_dir, "events")
+    numish = F.when(
+        F.col("event_id") % 3 == 0, F.concat(F.lit("n"), F.col("event_id"))
+    ).otherwise(F.col("event_id").cast("string"))
+    denom = F.col("event_id") % 5
+    big = F.lit(9_223_372_036_854_775_807).cast("long")
+    return ev.select(
+        "event_id",
+        F.try_to_number(numish, F.lit("999999999")).cast("long").alias("maybe_number"),
+        F.try_divide(F.col("event_id").cast("double"), denom.cast("double")).alias(
+            "maybe_ratio"
+        ),
+        F.try_add(
+            big, F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ).alias("maybe_sum"),
+    )
+
+
+QUERIES["p10_from_xml"] = p10_from_xml
+QUERIES["p11_try_functions"] = p11_try_functions
+
+ORACLE_SQL["p10_from_xml"] = """
+    SELECT event_id,
+           event_id AS parsed_id,
+           event_type AS parsed_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS parsed_cents,
+           TRUE AS roundtrip_ok
+    FROM events
+"""
+
+ORACLE_SQL["p11_try_functions"] = """
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_id END AS maybe_number,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                ELSE CAST(event_id AS DOUBLE) / CAST(event_id % 5 AS DOUBLE)
+           END AS maybe_ratio,
+           CASE WHEN event_id % 2 = 0 THEN NULL
+                ELSE CAST(9223372036854775807 AS BIGINT)
+           END AS maybe_sum
+    FROM events
+"""
