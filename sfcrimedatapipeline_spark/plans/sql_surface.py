@@ -1001,3 +1001,80 @@ ORACLE_SQL["p11_try_functions"] = """
            END AS maybe_sum
     FROM events
 """
+
+
+def s17_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: duplicate-PRESERVING set operators (INTERSECT ALL / EXCEPT
+    ALL) — bag semantics s8's distinct variants cannot express: a
+    customer with 3 urgent orders and 1 building membership intersects
+    once, excepts twice. Multiplicities matter for reconciliation
+    (how many rows differ), not just membership."""
+    building = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("customer_id"))
+    )
+    urgent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("customer_id"))
+    )
+    inter = urgent.intersectAll(building).select(
+        "*", F.lit("urgent_and_building").alias("src")
+    )
+    exc = urgent.exceptAll(building).select(
+        "*", F.lit("urgent_minus_building").alias("src")
+    )
+    return inter.unionAll(exc)
+
+
+def a12_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: the SQL FILTER clause — one scan computing differently-
+    filtered aggregates side by side (the idiomatic replacement for N
+    self-joins or CASE pyramids). Exact integer cents."""
+    _register(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_total,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1999-01-01') AS n_recent,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   FILTER (WHERE o_orderstatus = 'O') AS open_cents,
+               CAST(count(DISTINCT o_custkey)
+                   FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished_customers
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+QUERIES["s17_set_ops_all"] = s17_set_ops_all
+QUERIES["a12_filtered_aggregates"] = a12_filtered_aggregates
+
+ORACLE_SQL["s17_set_ops_all"] = """
+    WITH building AS (
+        SELECT c_custkey AS customer_id FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    urgent AS (
+        SELECT o_custkey AS customer_id FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT customer_id, 'urgent_and_building' AS src
+    FROM (SELECT customer_id FROM urgent INTERSECT ALL SELECT customer_id FROM building)
+    UNION ALL
+    SELECT customer_id, 'urgent_minus_building' AS src
+    FROM (SELECT customer_id FROM urgent EXCEPT ALL SELECT customer_id FROM building)
+"""
+
+ORACLE_SQL["a12_filtered_aggregates"] = """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1999-01-01') AS BIGINT) AS n_recent,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents,
+           CAST(count(DISTINCT o_custkey)
+               FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished_customers
+    FROM orders
+    GROUP BY 1
+"""
