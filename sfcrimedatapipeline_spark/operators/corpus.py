@@ -989,3 +989,72 @@ def top_fraction_per_group(
     )
     out_cols = keep_cols or df.columns
     return kept.select(*out_cols, (F.col("__rk").cast("int")).alias("rank_in_group"))
+
+
+def shard_manifest(
+    packed: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data HANDOFF manifest: per shard — samples (packed
+    bins), documents, exact token count, and an order-insensitive
+    content checksum (sum of per-doc 60-bit text hashes, DECIMAL-safe)
+    — what the training job validates before touching a byte, and what
+    makes a re-export diffable shard-by-shard. One join + one
+    map-side-combined aggregate at shard cardinality.
+    """
+    from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+    from sfcrimedatapipeline_spark.functions.text import tokens as toks_fn
+
+    with_text = packed.join(
+        docs.select(
+            F.col(id_col),
+            F.size(toks_fn(F.col(text_col))).cast("long").alias("__ntok"),
+            portable_hash64(F.col(text_col), F.lit("manifest")).alias("__h"),
+        ),
+        id_col,
+    )
+    return with_text.groupBy("shard").agg(
+        F.countDistinct("bin_id").cast("long").alias("n_samples"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__ntok").cast("long").alias("n_tokens"),
+        F.sum(F.col("__h").cast("decimal(38,0)")).cast("decimal(38,0)").cast("string").alias("content_checksum"),
+    )
+
+
+def epoch_order(
+    df: DataFrame,
+    n_epochs: int = 2,
+    seed: str = "epoch",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DETERMINISTIC per-epoch global shuffle: for each epoch, every
+    document gets a reproducible position — rank of the md5-derived
+    order key ``hash(seed:epoch, id)`` — so a training run's data
+    order is replayable bit-for-bit (restart mid-epoch, audit exactly
+    which examples a checkpoint saw) while successive epochs still see
+    independent permutations. The standard fix for "shuffle() made the
+    run unreproducible".
+
+    One window per epoch over the order key — at scale, swap the rank
+    window for keys.dense_ids (range-partitioned two-phase numbering);
+    positions are 1-based and dense.
+    """
+    from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+
+    epochs = df.select(F.col(id_col)).crossJoin(
+        df.sparkSession.range(n_epochs).select(F.col("id").cast("int").alias("epoch"))
+    )
+    keyed = epochs.withColumn(
+        "__k",
+        portable_hash64(
+            F.col(id_col), F.concat(F.lit(seed + ":"), F.col("epoch").cast("string"))
+        ),
+    )
+    w = Window.partitionBy("epoch").orderBy(F.col("__k").asc(), F.col(id_col).asc())
+    return keyed.select(
+        "epoch",
+        id_col,
+        F.row_number().over(w).cast("long").alias("position"),
+    )

@@ -422,3 +422,74 @@ def docs_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["docs_bm25_index_search"] = docs_bm25_index_search
 ORACLE_SQL["docs_bm25_index_search"] = ORACLE_SQL["docs_bm25_search"]
+
+
+N_EPOCHS = 2
+
+
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data handoff manifest per shard over the gated packing
+    (operators/corpus.py:shard_manifest ∘ pack_sequences): samples,
+    docs, exact token counts, order-insensitive content checksum."""
+    from sfcrimedatapipeline_spark.plans.corpus_queries import PACK_CAP, PACK_SHARDS
+
+    docs = _docs(spark, sf_dir)
+    packed = corpus_ops.pack_sequences(docs, cap=PACK_CAP, n_shards=PACK_SHARDS)
+    return corpus_ops.shard_manifest(packed, docs)
+
+
+def corpus_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle
+    (operators/corpus.py:epoch_order): replayable training-data order,
+    independent permutation per epoch."""
+    return corpus_ops.epoch_order(_docs(spark, sf_dir), n_epochs=N_EPOCHS)
+
+
+QUERIES["corpus_shard_manifest"] = corpus_shard_manifest
+QUERIES["corpus_epoch_order"] = corpus_epoch_order
+
+
+def _manifest_oracle() -> str:
+    from sfcrimedatapipeline_spark.plans.corpus_queries import PACK_CAP, PACK_SHARDS
+
+    h = sql_hash64("text", "'manifest'")
+    return f"""
+        WITH sized AS (
+            SELECT doc_id,
+                   CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+                   CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+                   {h} AS h
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, shard, n_tokens, h,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {PACK_CAP} AS BIGINT) AS bin_id
+            FROM sized
+        )
+        SELECT shard,
+               CAST(count(DISTINCT bin_id) AS BIGINT) AS n_samples,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+                   AS content_checksum
+        FROM packed GROUP BY 1
+    """
+
+
+ORACLE_SQL["corpus_shard_manifest"] = _manifest_oracle()
+
+_epoch_hash = sql_hash64("d.doc_id", "'epoch:' || CAST(e.epoch AS VARCHAR)")
+ORACLE_SQL["corpus_epoch_order"] = f"""
+    WITH e AS (SELECT CAST(i AS INTEGER) AS epoch FROM range(0, {N_EPOCHS}) t(i)),
+    keyed AS (
+        SELECT e.epoch, d.doc_id, {_epoch_hash} AS k
+        FROM documents d CROSS JOIN e
+    )
+    SELECT epoch, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch
+                                   ORDER BY k ASC, doc_id ASC) AS BIGINT) AS position
+    FROM keyed
+"""

@@ -870,3 +870,43 @@ def test_sample_negatives_single_doc_corpus_is_empty(spark):
 
     one = spark.createDataFrame([(1, "g0")], "doc_id long, source string")
     assert sample_negatives(one, k=3).count() == 0
+
+
+def test_epoch_order_reproducible_dense_and_distinct(spark):
+    from sfcrimedatapipeline_spark.operators.corpus import epoch_order
+
+    docs = spark.createDataFrame([(i, "t") for i in range(50)], "doc_id long, text string")
+    a = epoch_order(docs, n_epochs=2).collect()
+    b = epoch_order(docs, n_epochs=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # replayable
+    by_epoch: dict[int, dict[int, int]] = {}
+    for r in a:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.position
+    # dense 1..N positions per epoch
+    for order in by_epoch.values():
+        assert sorted(order.values()) == list(range(1, 51))
+    # different epochs see different permutations
+    assert by_epoch[0] != by_epoch[1]
+
+
+def test_shard_manifest_checksum_detects_content_change(spark):
+    from sfcrimedatapipeline_spark.operators.corpus import (
+        pack_sequences,
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok tok") for i in range(12)], "doc_id long, text string"
+    )
+    packed = pack_sequences(docs, cap=5, n_shards=2)
+    m1 = {r.shard: r for r in shard_manifest(packed, docs).collect()}
+    # flip ONE document's text: same token count, different content
+    docs2 = spark.createDataFrame(
+        [(i, f"tok{i} tok tok" if i != 7 else "tokX tok tok") for i in range(12)],
+        "doc_id long, text string",
+    )
+    m2 = {r.shard: r for r in shard_manifest(packed, docs2).collect()}
+    changed_shard = 7 % 2
+    assert m1[changed_shard].content_checksum != m2[changed_shard].content_checksum
+    assert m1[1 - changed_shard].content_checksum == m2[1 - changed_shard].content_checksum
+    assert m1[changed_shard].n_tokens == m2[changed_shard].n_tokens
