@@ -274,3 +274,117 @@ ORACLE_SQL["events_markov_transitions"] = """
                AS probability
     FROM trans
 """
+
+
+ATTR_WINDOW_S = 3600 * 24  # attribution lookback: 24 h
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue ATTRIBUTION: each purchase's cents credited to the
+    user's LAST preceding view (last-touch, the as-of shape) and FIRST
+    view inside the 24 h lookback (first-touch), plus the touch count
+    in-window — the marketing-analytics join pair. One user_id window
+    pass over the tagged union (purchases ∪ views), no inequality
+    join; exact integer micros/cents.
+
+    Emitted per purchase: the two attributed view ids (NULL when no
+    view precedes in-window) and n_touches. First-touch honors the
+    LOOKBACK bound: a view older than 24 h cannot take credit.
+    """
+    from pyspark.sql import Window
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    mu = F.unix_micros(F.col("ts"))
+    tagged = ev.filter(F.col("event_type").isin(["view", "purchase"])).select(
+        "user_id",
+        "event_id",
+        mu.alias("mu"),
+        (F.col("event_type") == "view").alias("is_view"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("mu").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_mu = F.when(F.col("is_view"), F.col("mu"))
+    view_id = F.when(F.col("is_view"), F.col("event_id"))
+    horizon = F.lit(ATTR_WINDOW_S).cast("long") * 1_000_000
+    staged = tagged.select(
+        "user_id",
+        "event_id",
+        "mu",
+        "is_view",
+        "cents",
+        F.last(view_id, ignorenulls=True).over(w).alias("last_view_id"),
+        F.last(view_mu, ignorenulls=True).over(w).alias("last_view_mu"),
+        # the RANGE frame bounds first-touch to the lookback window
+        F.min(view_mu).over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("mu").asc())
+            .rangeBetween(-(ATTR_WINDOW_S * 1_000_000), 0)
+        ).alias("first_view_mu_inwin"),
+        F.count(view_mu).over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("mu").asc())
+            .rangeBetween(-(ATTR_WINDOW_S * 1_000_000), 0)
+        ).alias("n_touches"),
+    )
+    purchases = staged.filter(~F.col("is_view"))
+    # resolve the first-in-window view id by joining back on (user, mu)
+    # dedupe micro-timestamp ties deterministically (min event id) so
+    # the resolve join can never fan a purchase out
+    views = (
+        tagged.filter(F.col("is_view"))
+        .groupBy("user_id", F.col("mu").alias("first_view_mu_inwin"))
+        .agg(F.min("event_id").alias("first_view_id"))
+    )
+    resolved = purchases.join(views, ["user_id", "first_view_mu_inwin"], "left")
+    return resolved.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "cents",
+        F.when(
+            F.col("last_view_mu") >= F.col("mu") - horizon, F.col("last_view_id")
+        ).alias("last_touch_view_id"),
+        "first_view_id",
+        F.col("n_touches").cast("long").alias("n_touches"),
+    )
+
+
+QUERIES["events_attribution"] = events_attribution
+
+ORACLE_SQL["events_attribution"] = f"""
+    WITH tagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS mu,
+               event_type = 'view' AS is_view,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    staged AS (
+        SELECT user_id, event_id, mu, is_view, cents,
+               last_value(CASE WHEN is_view THEN event_id END IGNORE NULLS)
+                   OVER wrows AS last_view_id,
+               last_value(CASE WHEN is_view THEN mu END IGNORE NULLS)
+                   OVER wrows AS last_view_mu,
+               min(CASE WHEN is_view THEN mu END) OVER wrange AS first_view_mu_inwin,
+               count(CASE WHEN is_view THEN mu END) OVER wrange AS n_touches
+        FROM tagged
+        WINDOW wrows AS (PARTITION BY user_id ORDER BY mu ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wrange AS (PARTITION BY user_id ORDER BY mu ASC
+                          RANGE BETWEEN {ATTR_WINDOW_S * 1_000_000} PRECEDING
+                                    AND CURRENT ROW)
+    )
+    SELECT s.event_id AS purchase_id, s.user_id, s.cents,
+           CASE WHEN s.last_view_mu >= s.mu - {ATTR_WINDOW_S * 1_000_000}::BIGINT
+                THEN s.last_view_id END AS last_touch_view_id,
+           v.first_view_id,
+           CAST(s.n_touches AS BIGINT) AS n_touches
+    FROM staged s
+    LEFT JOIN (SELECT user_id, mu AS first_view_mu_inwin,
+                      min(event_id) AS first_view_id
+               FROM tagged WHERE is_view GROUP BY 1, 2) v
+        USING (user_id, first_view_mu_inwin)
+    WHERE NOT s.is_view
+"""

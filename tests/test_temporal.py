@@ -237,3 +237,40 @@ def test_rolling_zscore_flags_spike_not_constant(spark):
         assert out[i].zscore is None and not out[i].is_anomaly
     for i in range(5):
         assert out[100 + i].zscore is None and not out[100 + i].is_anomaly
+
+
+def test_attribution_first_last_touch_and_lookback(spark):
+    import datetime as dt
+
+    from sfcrimedatapipeline_spark.plans.timeseries import ATTR_WINDOW_S
+    import sfcrimedatapipeline_spark.plans.timeseries as ts_mod
+
+    t0 = dt.datetime(2024, 1, 2, 12, 0, 0)
+    rows = [
+        # user 1: stale view (25h before) then two fresh views, purchase
+        (1, 1, t0 - dt.timedelta(hours=25), "view", 0.0),
+        (2, 1, t0 - dt.timedelta(hours=2), "view", 0.0),
+        (3, 1, t0 - dt.timedelta(hours=1), "view", 0.0),
+        (4, 1, t0, "purchase", 50.00),
+        # user 2: ONLY a stale view → no attribution at all
+        (5, 2, t0 - dt.timedelta(hours=30), "view", 0.0),
+        (6, 2, t0, "purchase", 10.00),
+        # user 3: no views
+        (7, 3, t0, "purchase", 7.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    import sfcrimedatapipeline_spark.plans.timeseries as m
+    orig = m.read_table
+    try:
+        m.read_table = lambda s, d, t, **kw: df
+        out = {r.purchase_id: r for r in m.events_attribution(spark, "ignored").collect()}
+    finally:
+        m.read_table = orig
+    assert out[4].last_touch_view_id == 3      # latest in-window view
+    assert out[4].first_view_id == 2           # earliest WITHIN the 24h window
+    assert out[4].n_touches == 2               # stale view excluded
+    assert out[6].last_touch_view_id is None and out[6].first_view_id is None
+    assert out[6].n_touches == 0
+    assert out[7].last_touch_view_id is None and out[7].n_touches == 0
