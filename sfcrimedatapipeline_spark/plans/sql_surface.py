@@ -1,6 +1,13 @@
-"""Round-5 SQL-surface extensions: correlated subqueries, LATERAL
-joins, discrete percentiles, map-typed analytics, regexp_extract_all,
-and IGNORE NULLS windows (last-observation-carried-forward).
+"""Round-5 SQL-surface extensions: correlated/EXISTS subqueries,
+LATERAL top-k, discrete percentiles, MAP analytics,
+regexp_extract_all, IGNORE NULLS windows, TPC-H Q1/Q3/Q9
+compositions, hourly trending, CDC apply-changes + SCD2
+snapshot/durations, the declarative data-quality suite
+(expectations, completeness, header/line reconciliation,
+k-anonymity, pseudonymization), the rollup cascade, nested-JSON
+export, native XML parse, the try_* family, bag-semantics set ops,
+FILTER-clause aggregates, and the streaming Python DataSource
+harness.
 
 Like plans/tpch.py these widen the engine's declared SQL surface
 beyond the reference's own Postgres usage (reference ELT at
@@ -1076,5 +1083,124 @@ ORACLE_SQL["a12_filtered_aggregates"] = """
            CAST(count(DISTINCT o_custkey)
                FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished_customers
     FROM orders
+    GROUP BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-flavored product profit: discounted line revenue rolled up by
+    supplier nation × order year × part type — the 4-way
+    part ⋈ supplier ⋈ nation ⋈ lineitem star (the previously-unused
+    ``part`` table's debut). All three dims broadcast; the fact scans
+    once and shuffles only for the final rollup; exact cents."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(read_table(spark, sf_dir, "part"))
+    supplier = F.broadcast(read_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    rev_cents = F.floor(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("l_shipdate")).cast("int").alias("ship_year"),
+            F.col("p_type").alias("part_type"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            (F.sum(rev_cents).cast("double") / 100).alias("revenue"),
+        )
+    )
+
+
+def dq_orders_lineitem_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table AGGREGATE reconciliation: orders.o_totalprice vs the
+    sum of the order's line revenues — the invariant a billing pipeline
+    asserts nightly (table_diff is row-level identity; this is the
+    derived-aggregate consistency check). Reports, per order status:
+    orders with lines, exact-cents matches, mismatches, orders with no
+    lines at all. Synthetic data is NOT expected to reconcile — the
+    report shape and exact counts are the operator; the oracle proves
+    them."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("header_cents"),
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("lines_cents")
+        )
+    )
+    joined = o.join(li, "o_orderkey", "left")
+    return joined.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("lines_cents").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_lines"),
+        F.sum(
+            F.when(F.col("lines_cents") == F.col("header_cents"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_exact_match"),
+        F.sum(
+            F.when(
+                F.col("lines_cents").isNotNull()
+                & (F.col("lines_cents") != F.col("header_cents")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )
+
+
+QUERIES["q9_product_profit"] = q9_product_profit
+QUERIES["dq_orders_lineitem_reconcile"] = dq_orders_lineitem_reconcile
+
+ORACLE_SQL["q9_product_profit"] = """
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           p.p_type AS part_type,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100 AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["dq_orders_lineitem_reconcile"] = """
+    WITH o AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS header_cents
+        FROM orders
+    ),
+    li AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS lines_cents
+        FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN li.lines_cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_lines,
+           CAST(sum(CASE WHEN li.lines_cents = o.header_cents THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_match,
+           CAST(sum(CASE WHEN li.lines_cents IS NOT NULL
+                              AND li.lines_cents <> o.header_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM o LEFT JOIN li USING (o_orderkey)
     GROUP BY 1
 """
