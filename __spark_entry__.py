@@ -35,6 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: cached_stream_fixture), so grouping them also amortizes its build.
 _DEFERRED = [
     "ann_recall_eval",
+    "docs_bm25_index_search",
+    "corpus_shard_manifest",
     "graph_bfs_distances",
     "src_python_stream_source",
     "text_bpe_merges",

@@ -9,6 +9,12 @@ Evaluation cost, by constraint class:
 - row-level rules (``not_null``, ``range``, ``accepted_values``,
   ``custom`` predicate) fold into ONE conditional-aggregate pass over
   the table — adding a rule adds a counter, not a scan;
+- NULL semantics, stated explicitly: a NULL value VIOLATES
+  ``accepted_values`` and ``custom`` (unlike SQL CHECK, where NULL
+  passes — a data-quality gate that lets NULL through by default
+  hides exactly the rows it exists to catch) but does NOT violate
+  ``range`` (``not_null`` is its own rule; double-counting NULLs as
+  range violations would misattribute the defect);
 - ``unique`` is one map-side-combined groupBy on the key (counts keys
   seen more than once, and reports the EXCESS rows);
 - ``referential`` is one left-anti join against the parent key set
@@ -170,9 +176,14 @@ def write_audit_publish(
     """
     import os
     import shutil
+    import uuid
 
     spark = df.sparkSession
-    tmp = path.rstrip("/") + "__staging"
+    # per-run unique staging dir: two concurrent publishers to the same
+    # target must never write into each other's staging (the s14
+    # catalog-name lesson); the loser of the final rename still simply
+    # replaces the winner's directory atomically
+    tmp = path.rstrip("/") + f"__staging_{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").parquet(tmp)
     staged = spark.read.parquet(tmp)
     report = check_expectations(staged, expectations)

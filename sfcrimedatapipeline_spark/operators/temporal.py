@@ -43,19 +43,28 @@ def asof_join(
     ts: str,
     value_cols: list[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach ``value_cols``
-    from the latest right row with ``right.ts <= left.ts`` and the same
-    ``on`` key (DuckDB ``ASOF LEFT JOIN`` / pandas ``merge_asof``
-    semantics — a ts-equal right row DOES match). Unmatched left rows
-    keep NULL value columns, like a LEFT join.
+    """As-of join: for every left row, attach ``value_cols`` from the
+    LATEST right row with ``right.ts <= left.ts`` (``direction=
+    "backward"``, the DuckDB ``ASOF LEFT JOIN`` / pandas ``merge_asof``
+    default — a ts-equal right row DOES match) or the EARLIEST right
+    row with ``right.ts >= left.ts`` (``direction="forward"`` — the
+    "next scheduled event" lookup). Unmatched left rows keep NULL
+    value columns, like a LEFT join.
+
+    Forward is the same union-merge dataflow with the time order
+    REVERSED (descending running frame) — still ONE shuffle on the
+    key, never an inequality join.
 
     Both inputs must share the ``on`` and ``ts`` column names;
     ``value_cols`` exist only on the right. ``tiebreak`` (a right
     column) makes the winner deterministic when several right rows
-    carry the same (key, ts) — the LARGEST tiebreak wins ("last write
-    wins").
+    carry the same (key, ts) — the LARGEST tiebreak wins in either
+    direction ("last write wins").
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
     null = F.lit(None)
     l_tagged = left.withColumn("_side", F.lit(1))
     for c in value_cols:
@@ -73,10 +82,12 @@ def asof_join(
             r_tagged = r_tagged.withColumn(c, null.cast(l_tagged.schema[c].dataType))
     r_tagged = r_tagged.select(*l_tagged.columns)
 
-    # Sort: time, then right-before-left at equal ts (so ts-equal right
-    # rows ARE visible to the left row — the >= contract), then the
-    # tiebreak so duplicate (key, ts) right rows resolve greatest-last.
-    order = [F.col(ts).asc(), F.col("_side").asc()]
+    # Sort: time (reversed for forward), then right-before-left at
+    # equal ts (so ts-equal right rows ARE visible to the left row —
+    # the inclusive contract), then the tiebreak so duplicate (key, ts)
+    # right rows resolve greatest-last in traversal order.
+    time_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
+    order = [time_order, F.col("_side").asc()]
     if tiebreak is not None:
         order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
     w = (

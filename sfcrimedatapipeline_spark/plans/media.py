@@ -292,3 +292,64 @@ QUERIES = {
 }
 
 ORACLE_SQL = build_oracle_sql()
+
+
+def media_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL training-sample manifest: each media item joined to
+    its caption document (the media table derives from documents, so
+    doc_id is the real pairing key), with payload bytes, declared
+    dimensions, caption token count, and the deterministic hash split
+    — the image-text-pair assembly every multimodal trainer consumes.
+    Composes three gated operators (synthesize_media, tokenization,
+    assign_splits) under one hash.
+    """
+    from sfcrimedatapipeline_spark.functions.text import tokens
+    from sfcrimedatapipeline_spark.operators.corpus import assign_splits
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = mm.synthesize_media(docs)
+    caps = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("caption_tokens")
+    )
+    joined = media.join(caps, "doc_id").select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "caption_tokens",
+    )
+    return assign_splits(joined, key_col="doc_id")
+
+
+QUERIES["media_training_manifest"] = media_training_manifest
+
+
+def _manifest_oracle() -> str:
+    from sfcrimedatapipeline_spark.operators.corpus import split_boundaries
+    from sfcrimedatapipeline_spark.plans.corpus_queries import SPLITS
+
+    b = split_boundaries(SPLITS)
+    uniform = (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296.0"
+    )
+    types = ", ".join(f"'{t}'" for t in mm.MEDIA_TYPES)
+    from sfcrimedatapipeline_spark.functions.text import SQL_TOKENS
+
+    return f"""
+        SELECT doc_id,
+               [{types}][CAST(doc_id % {len(mm.MEDIA_TYPES)} AS INT) + 1] AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+               CAST((doc_id % 64) * 16 + 16 AS INTEGER) AS width,
+               CAST((doc_id % 48) * 16 + 16 AS INTEGER) AS height,
+               CAST(len({SQL_TOKENS}) AS BIGINT) AS caption_tokens,
+               CASE WHEN {uniform} < {b[0][1]!r} THEN 'train'
+                    WHEN {uniform} < {b[1][1]!r} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+
+ORACLE_SQL["media_training_manifest"] = _manifest_oracle()

@@ -388,3 +388,111 @@ ORACLE_SQL["events_attribution"] = f"""
         USING (user_id, first_view_mu_inwin)
     WHERE NOT s.is_view
 """
+
+
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY profile: mean value by (day-of-week, hour-of-day)
+    with a deviation index against the global mean — the load-shape
+    fingerprint behind capacity planning and anomaly baselines. Exact
+    integer cent sums; each mean and the index are single divisions of
+    exact integers (the global pair rides a 1-row broadcast)."""
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cells = ev.groupBy(
+        F.dayofweek(F.col("ts")).cast("int").alias("dow"),
+        F.hour(F.col("ts")).cast("int").alias("hour_of_day"),
+    ).agg(F.count("*").cast("long").alias("n_events"), F.sum(cents).alias("__s"))
+    total = cells.agg(
+        F.sum("n_events").cast("long").alias("__tn"),
+        F.sum("__s").cast("long").alias("__ts"),
+    )
+    joined = cells.crossJoin(F.broadcast(total))
+    mean_cell = F.col("__s").cast("double") / F.col("n_events").cast("double")
+    mean_all = F.col("__ts").cast("double") / F.col("__tn").cast("double")
+    return joined.select(
+        "dow",
+        "hour_of_day",
+        "n_events",
+        mean_cell.alias("mean_cents"),
+        (mean_cell / mean_all).alias("seasonal_index"),
+    )
+
+
+QUERIES["events_seasonality_profile"] = events_seasonality_profile
+
+ORACLE_SQL["events_seasonality_profile"] = """
+    WITH cells AS (
+        SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS dow,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour_of_day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    total AS (
+        SELECT CAST(sum(n_events) AS BIGINT) AS tn,
+               CAST(sum(s) AS BIGINT) AS tsum
+        FROM cells
+    )
+    SELECT dow, hour_of_day, n_events,
+           CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE) AS mean_cents,
+           (CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE))
+               / (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS seasonal_index
+    FROM cells CROSS JOIN total
+"""
+
+
+def j15_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15: FORWARD as-of join — every click gets the EARLIEST
+    subsequent-or-simultaneous purchase by the same user
+    (operators/temporal.py:asof_join(direction="forward"); the "next
+    scheduled event" lookup that completes j13's backward contract).
+    Oracle: DuckDB native ASOF with the inequality reversed — an
+    independent implementation of the forward contract."""
+    from sfcrimedatapipeline_spark.operators.temporal import asof_join
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts="ts",
+        value_cols=["purchase_id", "purchase_ts_us"],
+        tiebreak="purchase_id",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_id",
+        (F.col("purchase_ts_us") - F.unix_micros("ts")).alias("micros_until"),
+    )
+
+
+QUERIES["j15_asof_forward"] = j15_asof_forward
+
+ORACLE_SQL["j15_asof_forward"] = """
+    WITH c AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.purchase_id,
+           date_diff('microsecond', c.ts, p.ts) AS micros_until
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+"""

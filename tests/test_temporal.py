@@ -274,3 +274,41 @@ def test_attribution_first_last_touch_and_lookback(spark):
     assert out[6].last_touch_view_id is None and out[6].first_view_id is None
     assert out[6].n_touches == 0
     assert out[7].last_touch_view_id is None and out[7].n_touches == 0
+
+
+def test_asof_forward_direction(spark):
+    import datetime as dt
+
+    from sfcrimedatapipeline_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 7, t0 + dt.timedelta(seconds=10))], "lid long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (7, t0 + dt.timedelta(seconds=5), 100),   # before → backward only
+            (7, t0 + dt.timedelta(seconds=10), 200),  # simultaneous → both (inclusive)
+            (7, t0 + dt.timedelta(seconds=30), 300),  # after → forward only
+        ],
+        "user_id long, ts timestamp, v long",
+    )
+    back = asof_join(left, right, on="user_id", ts="ts", value_cols=["v"]).collect()
+    fwd = asof_join(
+        left, right, on="user_id", ts="ts", value_cols=["v"], direction="forward"
+    ).collect()
+    assert back[0].v == 200   # latest <= : the simultaneous row
+    assert fwd[0].v == 200    # earliest >= : also the simultaneous row
+    # remove the simultaneous row: directions diverge
+    right2 = right.filter(right.v != 200)
+    back2 = asof_join(left, right2, on="user_id", ts="ts", value_cols=["v"]).collect()
+    fwd2 = asof_join(
+        left, right2, on="user_id", ts="ts", value_cols=["v"], direction="forward"
+    ).collect()
+    assert back2[0].v == 100 and fwd2[0].v == 300
+    # no future row at all → forward yields NULL
+    right3 = right.filter(right.v == 100)
+    fwd3 = asof_join(
+        left, right3, on="user_id", ts="ts", value_cols=["v"], direction="forward"
+    ).collect()
+    assert fwd3[0].v is None
