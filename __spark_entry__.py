@@ -45,6 +45,7 @@ _DEFERRED = [
     "ann_cosine_topk_ivf_trained",
     "fact_crime_build",
     "serve_initial_reports",
+    "fact_cube_districts",
     "dedup_clusters",
     "dedup_clusters_2phase",
     "pagerank_dup_graph",

@@ -318,6 +318,28 @@ def build_oracle_sql() -> dict[str, str]:
                    strftime(idate, '%Y-%m') AS yearMonth
             FROM x
         """,
+        # fact → DimLocation back-join (NULL LocationID rows keep NULL
+        # district — the NULL-key join contract), then CUBE; Spark's
+        # grouping_id bit order reproduced as grouping(a)*2+grouping(b)
+        "fact_cube_districts": f"""
+            WITH {staging},
+            fact AS (
+                SELECT s.id, dl.location_id, s.descr
+                FROM s
+                LEFT JOIN dl ON s.district = dl.district
+                            AND s.neighborhood = dl.neighborhood
+            ),
+            j AS (
+                SELECT d2.district AS district,
+                       f.descr IS NOT NULL AS has_description
+                FROM fact f LEFT JOIN dl d2 ON f.location_id = d2.location_id
+            )
+            SELECT district, has_description,
+                   CAST(count(*) AS BIGINT) AS n_incidents,
+                   CAST(grouping(district) * 2 + grouping(has_description)
+                        AS INTEGER) AS gid
+            FROM j GROUP BY CUBE(district, has_description)
+        """,
     }
 
 
@@ -327,3 +349,35 @@ QUERIES = {
 }
 
 ORACLE_SQL = build_oracle_sql()
+
+
+def fact_cube_districts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over the freshly built star: incident counts across
+    all four (district, resolution) grouping combinations with
+    grouping_id — the dashboard rollup the reference's Tableau sheet
+    implies but never materializes. Reuses the session-memoized
+    transform graph (_tables), so the marginal cost over
+    fact_crime_build is one broadcast join + the cube aggregate."""
+    from pyspark.sql import functions as F
+
+    t = _tables(spark, sf_dir)
+    fact = t["FactCrime"]
+    dim_loc = t["DimLocation"]
+    joined = fact.join(
+        F.broadcast(dim_loc),
+        fact["LocationID"] == dim_loc["LocationID"],
+        "left",
+    )
+    return (
+        joined.cube(
+            F.col("PoliceDistrict").alias("district"),
+            F.col("IncidentDescription").isNotNull().alias("has_description"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_incidents"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+QUERIES["fact_cube_districts"] = fact_cube_districts
