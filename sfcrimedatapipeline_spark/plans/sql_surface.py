@@ -1204,3 +1204,39 @@ ORACLE_SQL["dq_orders_lineitem_reconcile"] = """
     FROM o LEFT JOIN li USING (o_orderkey)
     GROUP BY 1
 """
+
+
+def p12_nested_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: deeply nested JSON ingestion — each event rendered as a
+    two-level document with an ARRAY of line structs, parsed back
+    through a nested schema (struct-in-struct + array<struct>), then
+    flattened with dotted paths + inline_outer. The lakehouse
+    ingest-then-flatten shape for API payloads; the oracle replays the
+    pure construct-parse identity (same discipline as p10's XML)."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    doc = F.to_json(
+        F.struct(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("ty")).alias("head"),
+            F.array(
+                F.struct(F.lit(0).alias("ln"), cents.alias("amt")),
+                F.struct(F.lit(1).alias("ln"), (cents * 2).alias("amt")),
+            ).alias("lines"),
+        )
+    )
+    schema = "head STRUCT<id: BIGINT, ty: STRING>, lines ARRAY<STRUCT<ln: INT, amt: BIGINT>>"
+    parsed = ev.select(F.from_json(doc, schema).alias("d"))
+    return parsed.select(
+        F.col("d.head.id").alias("event_id"),
+        F.col("d.head.ty").alias("event_type"),
+        F.inline_outer("d.lines"),
+    ).select("event_id", "event_type", F.col("ln").cast("int").alias("ln"), "amt")
+
+
+QUERIES["p12_nested_json_flatten"] = p12_nested_json_flatten
+
+ORACLE_SQL["p12_nested_json_flatten"] = """
+    SELECT event_id, event_type, CAST(ln AS INTEGER) AS ln,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) * (ln + 1) AS amt
+    FROM events, (SELECT unnest([0, 1]) AS ln) l
+"""
