@@ -1240,3 +1240,54 @@ ORACLE_SQL["p12_nested_json_flatten"] = """
            CAST(floor(value * 100 + 0.5) AS BIGINT) * (ln + 1) AS amt
     FROM events, (SELECT unnest([0, 1]) AS ln) l
 """
+
+
+def s18_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18: SQL-DEFINED FUNCTIONS (Spark 3.4+ CREATE TEMPORARY
+    FUNCTION ... RETURN <expr>) — the catalog-managed scalar-logic
+    surface: the cents quantization and a tier CASE defined ONCE as
+    SQL functions, reused across expressions in the query. DuckDB's
+    CREATE MACRO is the oracle's identical construct, so the shared
+    logic really is defined once per engine."""
+    import uuid
+
+    _register(spark, sf_dir, "orders")
+    # per-run unique names: temp functions live in the session catalog
+    # (the s14 naming lesson applies even to temp objects)
+    fx = f"cents_{uuid.uuid4().hex[:8]}"
+    tier = f"tier_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TEMPORARY FUNCTION {fx}(x DOUBLE) RETURNS BIGINT"
+        " RETURN CAST(floor(x * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        f"CREATE TEMPORARY FUNCTION {tier}(c BIGINT) RETURNS STRING RETURN"
+        " CASE WHEN c >= 20000000 THEN 'high' WHEN c >= 10000000 THEN 'mid'"
+        " ELSE 'low' END"
+    )
+    return spark.sql(
+        f"""
+        SELECT {tier}({fx}(o_totalprice)) AS price_tier,
+               count(*) AS n_orders,
+               sum({fx}(o_totalprice)) AS total_cents
+        FROM orders
+        GROUP BY 1
+        """
+    )
+
+
+QUERIES["s18_sql_udf"] = s18_sql_udf
+
+# the oracle is one SELECT (the gate runs a single statement), so the
+# function bodies are inlined — the semantics, not the catalog API,
+# are what the hash proves (same stance as the MAP-API note above)
+ORACLE_SQL["s18_sql_udf"] = """
+    SELECT CASE WHEN c >= 20000000 THEN 'high'
+                WHEN c >= 10000000 THEN 'mid'
+                ELSE 'low' END AS price_tier,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(c) AS BIGINT) AS total_cents
+    FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+          FROM orders)
+    GROUP BY 1
+"""

@@ -132,3 +132,38 @@ ORACLE_SQL = {
         FROM documents
     """,
 }
+
+
+def u5_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: ARROW-OPTIMIZED scalar Python UDF (``@udf(useArrow=True)``)
+    — the Spark 3.5+ fourth Python execution surface, distinct from
+    the pandas UDF (different serialization contract: per-row Python
+    values over Arrow batches, no pandas dependency in the function).
+    Integer-exact digit-sum, so the Arrow round trip is fully
+    hash-gated. For JVM-expressible logic the built-in functions
+    remain the production path — this is the surface-completeness
+    harness (same role as u3)."""
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def digit_sum(n: int) -> int:
+        if n is None:
+            return None
+        return sum(int(c) for c in str(abs(n)))
+
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        digit_sum(F.col("event_id")).alias("id_digit_sum"),
+    )
+
+
+QUERIES["u5_arrow_python_udf"] = u5_arrow_python_udf
+
+ORACLE_SQL["u5_arrow_python_udf"] = """
+    SELECT event_id,
+           CAST(list_sum(list_transform(
+                    string_split_regex(CAST(event_id AS VARCHAR), ''),
+                    c -> CAST(c AS INTEGER))) AS INTEGER) AS id_digit_sum
+    FROM events
+"""
