@@ -1,9 +1,15 @@
 """Corpus-curation operators for the training-data pipeline surface:
-dup-graph connected components, deterministic stratified sampling,
-per-group top-k selection, and tf-idf keyword extraction.
+dup-graph connected components (label propagation + large-star/
+small-star), deterministic sampling (stratified, reservoir-per-key,
+hash splits, mixture-to-token-budget, contrastive negatives),
+selection (top-k and top-fraction per group), tf-idf keywords,
+sequence packing + shard manifests, chunking, contamination checks
+(winnow containment + exact n-grams), epoch ordering, and the
+composed curation/end-to-end pipelines.
 
-All four are relational compositions (joins/windows/aggregations) —
-no UDFs anywhere, so every hot path stays JVM-side.
+All relational compositions (joins/windows/aggregations) — no UDFs
+anywhere, so every hot path stays JVM-side; every sampling decision
+is an md5-coin, so results are replayable under any partitioning.
 """
 
 from __future__ import annotations

@@ -1,9 +1,12 @@
 """Round-5 continuation LLM-pipeline queries: chunk-level corpus
-dedup, hashed-feature classifier scoring, exact n-gram
-decontamination — each with a DuckDB oracle generated from the same
-shared constants (functions/text.py tokenizer, functions/hashing.py
-portable 60-bit hash) as the Spark side, so the two engines cannot
-drift.
+dedup, hashed-feature classifier scoring (+ the top-fraction
+percentile cut over it), exact n-gram decontamination, BM25 search
+(corpus-scan and persisted-inverted-index paths sharing one oracle),
+the ANN recall harness, contrastive negative sampling, NFC
+normalization, training shard manifests, and per-epoch ordering —
+each with a DuckDB oracle generated from the same shared constants
+(functions/text.py tokenizer, functions/hashing.py portable 60-bit
+hash) as the Spark side, so the two engines cannot drift.
 """
 
 from __future__ import annotations
