@@ -1291,3 +1291,83 @@ ORACLE_SQL["s18_sql_udf"] = """
           FROM orders)
     GROUP BY 1
 """
+
+
+def j16_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16: the Kimball TYPE-2 TEMPORAL DIMENSION JOIN — each fact row
+    picks the dimension version valid AS OF its own event time. Here:
+    every order joined to the customer's PREVIOUS status version (the
+    SCD2 history row whose validity covers the day before the order),
+    via the backward as-of operator — one shuffle on the customer key,
+    never an interval nested-loop. Orders with no earlier version
+    (each customer's first) keep NULLs, the honest LEFT contract.
+
+    Composes m2's history build with operators/temporal.py:asof_join;
+    the oracle is DuckDB's native ASOF against the same history CTE —
+    an independent implementation of the temporal-join contract."""
+    from sfcrimedatapipeline_spark.operators.temporal import asof_join
+
+    o = read_table(spark, sf_dir, "orders")
+    # one version per (customer, day): same-day orders collapse to the
+    # max key BEFORE the as-of, so neither engine ever has to break an
+    # equal-time tie inside its ASOF machinery (DuckDB's pick among
+    # duplicate right timestamps is unspecified)
+    hist = (
+        o.select(
+            F.col("o_custkey").alias("customer_id"),
+            F.to_date("o_orderdate").alias("vdate"),
+            F.struct(
+                F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+            ).alias("__v"),
+        )
+        .groupBy("customer_id", "vdate")
+        .agg(F.max("__v").alias("__v"))
+        .select(
+            "customer_id",
+            "vdate",
+            F.col("__v.s").alias("prev_status"),
+            F.col("__v.k").alias("prev_order_key"),
+        )
+    )
+    facts = o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("customer_id"),
+        # as-of the DAY BEFORE: the version in force when ordering
+        F.date_sub(F.to_date("o_orderdate"), 1).alias("vdate"),
+    )
+    joined = asof_join(
+        facts,
+        hist,
+        on="customer_id",
+        ts="vdate",
+        value_cols=["prev_status", "prev_order_key"],
+        tiebreak="prev_order_key",
+    )
+    return joined.select("order_key", "customer_id", "prev_status", "prev_order_key")
+
+
+QUERIES["j16_scd2_temporal_join"] = j16_scd2_temporal_join
+
+ORACLE_SQL["j16_scd2_temporal_join"] = """
+    WITH hist AS (
+        SELECT customer_id, vdate, prev_status, prev_order_key FROM (
+            SELECT o_custkey AS customer_id,
+                   CAST(o_orderdate AS DATE) AS vdate,
+                   o_orderstatus AS prev_status,
+                   o_orderkey AS prev_order_key,
+                   row_number() OVER (PARTITION BY o_custkey,
+                                      CAST(o_orderdate AS DATE)
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders) t
+        WHERE rn = 1
+    ),
+    facts AS (
+        SELECT o_orderkey AS order_key,
+               o_custkey AS customer_id,
+               CAST(o_orderdate AS DATE) - INTERVAL 1 DAY AS vdate
+        FROM orders
+    )
+    SELECT f.order_key, f.customer_id, h.prev_status, h.prev_order_key
+    FROM facts f ASOF LEFT JOIN hist h
+      ON f.customer_id = h.customer_id AND f.vdate >= h.vdate
+"""
