@@ -416,3 +416,35 @@ def test_bm25_index_read_prunes_term_buckets(spark, tmp_path):
         r.doc_id: (r.n_terms_matched, r.bm25) for r in out.collect()
     }
     assert via_index == direct
+
+
+def test_q9_all_dims_broadcast_no_sortmerge(spark):
+    from sfcrimedatapipeline_spark.plans import sql_surface
+
+    plan = _plan(sql_surface.QUERIES["q9_product_profit"](spark, SF_DIR))
+    # formatted explain lists each node in the tree AND the detail
+    # section — count the tree section only
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_temporal_join_is_single_key_shuffle(spark):
+    # the as-of composition must plan as ONE hash partitioning on the
+    # customer key (union-merge window), never a nested-loop join
+    from sfcrimedatapipeline_spark.plans import sql_surface
+
+    plan = _plan(sql_surface.QUERIES["j16_scd2_temporal_join"](spark, SF_DIR))
+    assert "NestedLoop" not in plan
+    assert "Window" in plan
+    assert plan.count("hashpartitioning(customer_id") >= 1
+
+
+def test_rollup_cascade_never_rereads_events(spark):
+    # three aggregation levels, ONE parquet scan: the cascade derives
+    # coarse grains from fine grains instead of re-scanning raw data
+    from sfcrimedatapipeline_spark.plans import sql_surface
+
+    plan = _plan(sql_surface.QUERIES["events_rollup_cascade"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
