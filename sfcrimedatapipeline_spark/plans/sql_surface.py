@@ -1371,3 +1371,49 @@ ORACLE_SQL["j16_scd2_temporal_join"] = """
     FROM facts f ASOF LEFT JOIN hist h
       ON f.customer_id = h.customer_id AND f.vdate >= h.vdate
 """
+
+
+def s19_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: three modern SQL-API surfaces in one query —
+    PARAMETERIZED spark.sql (named bind parameters instead of string
+    interpolation: the injection-safe programmatic API), LATERAL
+    COLUMN ALIASES (an alias referenced by the very next select item —
+    no subquery nesting), and ``str_to_map`` parsing of a k:v option
+    string, exploded to typed rows."""
+    _register(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               cents * 2 AS double_cents,       -- lateral column alias
+               opt_key,
+               CAST(opt_val AS BIGINT) AS opt_val
+        FROM (
+            SELECT event_id, value,
+                   explode(str_to_map(concat('k:', CAST(event_id % :mod AS STRING),
+                                             ',bucket:', CAST(event_id % :buckets AS STRING)),
+                           ',', ':')) AS (opt_key, opt_val)
+            FROM events
+            WHERE event_id % :keep = 0
+        )
+        """,
+        args={"mod": 7, "buckets": 3, "keep": 2},
+    )
+
+
+QUERIES["s19_parameterized_sql"] = s19_parameterized_sql
+
+ORACLE_SQL["s19_parameterized_sql"] = """
+    SELECT event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) * 2 AS double_cents,
+           opt_key,
+           CAST(opt_val AS BIGINT) AS opt_val
+    FROM (
+        SELECT event_id, value, 'k' AS opt_key, event_id % 7 AS opt_val
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, value, 'bucket', event_id % 3
+        FROM events WHERE event_id % 2 = 0
+    )
+"""
