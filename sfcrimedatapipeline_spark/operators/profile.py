@@ -438,3 +438,75 @@ def partition_stats(df: DataFrame) -> DataFrame:
         (F.max("n_rows") / (F.sum("n_rows") / F.count("*"))).alias("skew_ratio"),
         F.sum("n_rows").alias("total_rows"),
     )
+
+
+#: quantization scale for embedding moments (float32 payloads carry
+#: ~7 significant digits; 1e6 preserves them exactly in an int64)
+EMB_MOMENT_SCALE = 1_000_000
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-DIMENSION standardization (z-scoring) of an embedding
+    column — the feature-scaling pass before distance-based anything
+    (k-means, cosine thresholds tuned on one corpus and applied to
+    another). Each dimension's mean/std come from EXACT integer
+    moments: values quantize once to 1e-6 units (s12 discipline — a
+    raw float sum is partition-order-dependent and unportable), sums
+    accumulate in DECIMAL(38,0), and the final standardized floats are
+    a fixed IEEE sequence — bit-stable under any partitioning.
+
+    Scale shape: one posexplode (dim rows per vector) → one
+    map-side-combined groupBy(dim) at DIMENSION cardinality (64 rows
+    out, whatever the corpus size) → broadcast join back → per-row
+    array rebuild. Zero-variance dimensions standardize to 0.0 (not
+    NULL/NaN — downstream BLAS must never see NaN).
+    """
+    q = F.floor(F.col("__x") * EMB_MOMENT_SCALE + F.lit(0.5)).cast("long")
+    per_dim = (
+        df.select(F.posexplode(F.col(vec_col)).alias("__d", "__x"))
+        .select("__d", q.alias("__q"))
+        .groupBy("__d")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("__q").cast("decimal(38,0)")).alias("__s"),
+            F.sum((F.col("__q") * F.col("__q")).cast("decimal(38,0)")).alias("__ss"),
+        )
+    )
+    nd = F.col("__n").cast("double")
+    mean_q = F.col("__s").cast("double") / nd
+    var_q = F.col("__ss").cast("double") / nd - mean_q * mean_q
+    stats = per_dim.select(
+        "__d",
+        (mean_q / EMB_MOMENT_SCALE).alias("__mean"),
+        (F.sqrt(var_q) / EMB_MOMENT_SCALE).alias("__std"),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("__d", "__x")
+    )
+    standardized = exploded.join(F.broadcast(stats), "__d").select(
+        id_col,
+        "__d",
+        F.when(
+            F.col("__std") > 0.0,
+            (F.col("__x").cast("double") - F.col("__mean")) / F.col("__std"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__z"),
+    )
+    return (
+        standardized.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__d"), F.col("__z")))
+            ).alias("__pairs")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("__pairs"), lambda s: s["__z"]).alias("z_embedding"),
+        )
+    )

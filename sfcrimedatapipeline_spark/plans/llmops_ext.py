@@ -496,3 +496,55 @@ ORACLE_SQL["corpus_epoch_order"] = f"""
                                    ORDER BY k ASC, doc_id ASC) AS BIGINT) AS position
     FROM keyed
 """
+
+
+def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-scoring of the embedding corpus
+    (operators/profile.py:standardize_embeddings), emitted as flat
+    (vec_id, d, z) rows — arrays hash through container-type-sensitive
+    pandas reprs, flat rows through plain doubles (the MAP-explosion
+    stance)."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.profile import standardize_embeddings
+
+    emb = ensure_min_partitions(read_table(spark, sf_dir, "embeddings"))
+    out = standardize_embeddings(emb)
+    return out.select(
+        "vec_id", F.posexplode("z_embedding").alias("d", "z")
+    ).select("vec_id", F.col("d").cast("int").alias("d"), "z")
+
+
+QUERIES["emb_standardize"] = emb_standardize
+
+ORACLE_SQL["emb_standardize"] = """
+    WITH ex AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+               unnest(embedding) AS x
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, d, x,
+               CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+        FROM ex
+    ),
+    stats AS (
+        SELECT d, count(*) AS n,
+               sum(CAST(qv AS DECIMAL(38,0))) AS s,
+               sum(CAST(qv * qv AS DECIMAL(38,0))) AS ss
+        FROM q GROUP BY 1
+    ),
+    st AS (
+        SELECT d,
+               (CAST(s AS DOUBLE) / n) / 1000000 AS m,
+               sqrt(CAST(ss AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / 1000000 AS sd
+        FROM stats
+    )
+    SELECT q.vec_id, q.d,
+           CASE WHEN st.sd > 0.0
+                THEN (CAST(q.x AS DOUBLE) - st.m) / st.sd
+                ELSE 0.0 END AS z
+    FROM q JOIN st USING (d)
+"""

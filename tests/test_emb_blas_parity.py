@@ -138,3 +138,24 @@ def test_pq_trainer_numpy_parity(spark):
 
     assert trained.shape == (m, k, sub)
     np.testing.assert_allclose(trained, cb, rtol=1e-9, atol=1e-12)
+
+
+def test_standardize_embeddings_unit_stats_and_constant_dim(spark):
+    import numpy as np
+
+    from sfcrimedatapipeline_spark.operators.profile import standardize_embeddings
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    vecs[:, 3] = 2.5  # constant dimension → z must be exactly 0.0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.z_embedding for r in standardize_embeddings(df, dim=8).collect()}
+    z = np.array([out[i] for i in range(40)])
+    assert z.shape == (40, 8)
+    # standardized columns: mean ~0, std ~1 (quantization-tight)
+    live = [d for d in range(8) if d != 3]
+    assert np.abs(z[:, live].mean(axis=0)).max() < 1e-6
+    assert np.abs(z[:, live].std(axis=0) - 1.0).max() < 1e-3
+    # the constant dimension is exactly zero, never NaN
+    assert (z[:, 3] == 0.0).all()
