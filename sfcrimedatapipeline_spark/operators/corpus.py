@@ -1064,3 +1064,61 @@ def epoch_order(
         id_col,
         F.row_number().over(w).cast("long").alias("position"),
     )
+
+
+def shard_rebalance_report(
+    df: DataFrame,
+    n_before: int,
+    n_after: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shard-assignment REBALANCING comparison: how much data moves
+    when the shard count changes under (a) modulo hashing and (b)
+    rendezvous/highest-random-weight hashing — the infra decision
+    behind stable corpus sharding (mod moves ~n/(n+1) of everything;
+    rendezvous moves only ~1/(n+1), the consistent-hashing property,
+    here MEASURED instead of asserted).
+
+    Rendezvous assignment = argmax over shards of the portable hash of
+    (doc, shard): each side is one explode over the shard list (shard-
+    count rows per doc, never doc×doc) + one max_by-style struct max.
+    Exact integer counts; one final division each.
+    """
+    from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+
+    ids = df.select(F.col(id_col).alias("__id"))
+
+    def hrw(n: int, out: str) -> DataFrame:
+        shards = F.array(*[F.lit(s) for s in range(n)])
+        return ids.select(
+            "__id",
+            F.explode(shards).alias("__s"),
+        ).select(
+            "__id",
+            F.struct(
+                portable_hash64(F.col("__id"), F.col("__s").cast("string")).alias("w"),
+                F.col("__s").alias("s"),
+            ).alias("__ws"),
+        ).groupBy("__id").agg(F.max("__ws")["s"].alias(out))
+
+    mod_moved = ids.select(
+        ((F.col("__id") % n_before) != (F.col("__id") % n_after)).alias("m")
+    )
+    hrw_moved = (
+        hrw(n_before, "a")
+        .join(hrw(n_after, "b"), "__id")
+        .select((F.col("a") != F.col("b")).alias("m"))
+    )
+
+    def summarize(moved: DataFrame, method: str) -> DataFrame:
+        return moved.agg(
+            F.lit(method).alias("method"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("m").cast("long")).cast("long").alias("n_moved"),
+            (
+                F.sum(F.col("m").cast("long")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("moved_frac"),
+        )
+
+    return summarize(mod_moved, "mod").unionByName(summarize(hrw_moved, "rendezvous"))

@@ -548,3 +548,55 @@ ORACLE_SQL["emb_standardize"] = """
                 ELSE 0.0 END AS z
     FROM q JOIN st USING (d)
 """
+
+
+SHARDS_BEFORE, SHARDS_AFTER = 8, 9
+
+
+def docs_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured mod-vs-rendezvous rebalancing cost for an 8→9 shard
+    change (operators/corpus.py:shard_rebalance_report)."""
+    return corpus_ops.shard_rebalance_report(
+        _docs(spark, sf_dir), SHARDS_BEFORE, SHARDS_AFTER
+    )
+
+
+QUERIES["docs_shard_rebalance"] = docs_shard_rebalance
+
+
+def _rebalance_oracle() -> str:
+    h = sql_hash64("d.doc_id", "CAST(s.s AS VARCHAR)")
+    def hrw(n: int, alias: str) -> str:
+        return f"""
+        {alias} AS (
+            SELECT d.doc_id, arg_max(s.s, {h}) AS shard
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, {n})) AS s) s
+            GROUP BY 1
+        )"""
+    return f"""
+        WITH {hrw(SHARDS_BEFORE, "a")},
+        {hrw(SHARDS_AFTER, "b")},
+        modm AS (
+            SELECT (doc_id % {SHARDS_BEFORE}) <> (doc_id % {SHARDS_AFTER}) AS m
+            FROM documents
+        ),
+        hrwm AS (
+            SELECT a.shard <> b.shard AS m FROM a JOIN b USING (doc_id)
+        )
+        SELECT 'mod' AS method,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+               CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS moved_frac
+        FROM modm
+        UNION ALL
+        SELECT 'rendezvous', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE)
+        FROM hrwm
+    """
+
+
+ORACLE_SQL["docs_shard_rebalance"] = _rebalance_oracle()
