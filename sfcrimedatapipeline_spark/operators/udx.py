@@ -197,3 +197,34 @@ def with_nfc_normalized(df, text_col: str = "text"):
             F.col("nfc_text") != F.col(text_col)
         ),
     )
+
+
+def arrow_batch_cents(df, value_col: str = "value", id_col: str = "event_id"):
+    """``mapInArrow`` — the FIFTH Python execution surface: the
+    transform receives raw ``pyarrow.RecordBatch`` objects (no pandas
+    materialization at all — cheaper than mapInPandas when the logic
+    is already columnar). Computes exact integer cents per row with
+    pyarrow compute kernels; NULL-safe by Arrow semantics.
+
+    Production guidance unchanged: floor(x*100+0.5) is one Catalyst
+    expression — this surface exists for columnar logic the JVM lacks
+    (custom Arrow kernels, zero-copy interop), and the harness proves
+    the round trip is bit-exact.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(0)
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(pc.cast(batch.column(1), pa.float64()),
+                                            pa.scalar(100.0)),
+                                pa.scalar(0.5))),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays([ids, cents], ["event_id", "cents"])
+
+    return df.select(id_col, value_col).mapInArrow(
+        batches, "event_id long, cents long"
+    )

@@ -167,3 +167,21 @@ ORACLE_SQL["u5_arrow_python_udf"] = """
                     c -> CAST(c AS INTEGER))) AS INTEGER) AS id_digit_sum
     FROM events
 """
+
+
+def u6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: raw-Arrow batch transform (mapInArrow — no pandas
+    materialization; operators/udx.py:arrow_batch_cents), completing
+    the five-surface Python taxonomy: scalar pandas UDF, grouped UDAF,
+    UDTF, cogroup, arrow-optimized @udf, and mapInArrow."""
+    from sfcrimedatapipeline_spark.operators.udx import arrow_batch_cents
+
+    return arrow_batch_cents(read_table(spark, sf_dir, "events"))
+
+
+QUERIES["u6_map_in_arrow"] = u6_map_in_arrow
+
+ORACLE_SQL["u6_map_in_arrow"] = """
+    SELECT event_id, CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+"""
