@@ -1043,12 +1043,16 @@ def epoch_order(
     independent permutations. The standard fix for "shuffle() made the
     run unreproducible".
 
-    One window per epoch over the order key — at scale, swap the rank
-    window for keys.dense_ids (range-partitioned two-phase numbering);
-    positions are 1-based and dense.
+    Positions are 1-based and dense. SCALE-SAFE BY CONSTRUCTION: the
+    numbering is keys.dense_ids over (epoch, key) — the two-phase
+    range-partitioned scheme, no single-partition-per-epoch window —
+    and each epoch holds exactly N documents, so the per-epoch
+    position is the global dense id minus ``epoch × N``.
     """
     from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+    from sfcrimedatapipeline_spark.operators.keys import dense_ids
 
+    n_row = df.agg(F.count("*").cast("long").alias("__N"))
     epochs = df.select(F.col(id_col)).crossJoin(
         df.sparkSession.range(n_epochs).select(F.col("id").cast("int").alias("epoch"))
     )
@@ -1058,11 +1062,11 @@ def epoch_order(
             F.col(id_col), F.concat(F.lit(seed + ":"), F.col("epoch").cast("string"))
         ),
     )
-    w = Window.partitionBy("epoch").orderBy(F.col("__k").asc(), F.col(id_col).asc())
-    return keyed.select(
+    numbered = dense_ids(keyed, ["epoch", "__k", id_col], "__g")
+    return numbered.crossJoin(F.broadcast(n_row)).select(
         "epoch",
         id_col,
-        F.row_number().over(w).cast("long").alias("position"),
+        (F.col("__g") - F.col("epoch").cast("long") * F.col("__N")).alias("position"),
     )
 
 
