@@ -1,0 +1,71 @@
+"""Compare two bench.py JSON outputs and report per-query regressions.
+
+Usage: python tools/bench_diff.py OLD.json NEW.json [threshold_ratio]
+
+Prints queries slower than threshold_ratio (default 1.5×) with ≥0.3 s
+absolute growth — the same discipline BASELINE.md records manually:
+totals on this host carry ±25% same-code noise, so only per-query
+ratios with real absolute deltas are regression signals. Exits 1 if
+any regression crosses the bar (CI-friendly).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict[str, float]:
+    """Accept a raw bench.py line, a driver BENCH_r{N}.json wrapper
+    (whose per-query map may live in a TRUNCATED "tail" string), or
+    any JSON with a "queries" key."""
+    import re
+
+    txt = open(path).read()
+    i = txt.find('{"metric"')
+    if i != -1:
+        end = txt.find("\n", i)
+        return json.loads(txt[i : end if end != -1 else len(txt)])["queries"]
+    try:
+        doc = json.loads(txt)
+        if isinstance(doc, dict) and isinstance(doc.get("queries"), dict):
+            return doc["queries"]
+        txt = doc.get("tail", "") if isinstance(doc, dict) else ""
+    except json.JSONDecodeError:
+        pass
+    # last resort: scrape "name": 1.23 pairs out of whatever text remains
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"([A-Za-z0-9_]+)":\s*([0-9]+\.[0-9]+)', txt)
+    }
+
+
+def main() -> int:
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    ratio_bar = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    abs_bar = 0.3
+    shared = sorted(set(old) & set(new))
+    print(f"shared queries: {len(shared)}  (old-only {len(set(old)-set(new))}, "
+          f"new-only {len(set(new)-set(old))})")
+    print(f"overlap totals: {sum(old[q] for q in shared):.1f}s -> "
+          f"{sum(new[q] for q in shared):.1f}s")
+    regressions = []
+    for q in shared:
+        o, n = old[q], new[q]
+        if n > o * ratio_bar and n - o >= abs_bar:
+            regressions.append((n / max(o, 1e-9), q, o, n))
+    for r, q, o, n in sorted(regressions, reverse=True):
+        print(f"  REGRESSION {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x)")
+    improvements = [
+        (o / max(n, 1e-9), q, o, n)
+        for q in shared
+        for o, n in [(old[q], new[q])]
+        if o > n * ratio_bar and o - n >= abs_bar
+    ]
+    for r, q, o, n in sorted(improvements, reverse=True)[:10]:
+        print(f"  improved {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x)")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
