@@ -1417,3 +1417,101 @@ ORACLE_SQL["s19_parameterized_sql"] = """
         FROM events WHERE event_id % 2 = 0
     )
 """
+
+
+def m7_stale_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: SMART BACKFILL — which date partitions changed between a
+    manifest snapshot and today's input
+    (operators/merge.py:partition_fingerprints + stale_partitions).
+    The current side deterministically differs from the manifest:
+    every 997th event is dropped (its days → changed), the last day
+    vanishes, and the first day re-appears shifted +100 days (new).
+    Unchanged days emit nothing — the output IS the recompute set.
+
+    Fingerprint inputs are projected to string-stable columns
+    (ints/strings; cents not raw doubles) so the row repr is
+    engine-portable — the caller owns that projection by contract."""
+    from sfcrimedatapipeline_spark.operators.merge import (
+        partition_fingerprints,
+        stale_partitions,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    stable = ev.select(
+        F.to_date("ts").alias("day"),
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    manifest = partition_fingerprints(stable, F.col("day"), "day")
+    last_day = F.lit("2024-01-30").cast("date")
+    first_day = F.lit("2024-01-01").cast("date")
+    cur_base = stable.filter(
+        (F.col("event_id") % 997 != 0) & (F.col("day") < last_day)
+    )
+    shifted = stable.filter(F.col("day") == first_day).select(
+        F.date_add(F.col("day"), 100).alias("day"),
+        "event_id",
+        "event_type",
+        "cents",
+    )
+    current = partition_fingerprints(cur_base.unionByName(shifted), F.col("day"), "day")
+    return stale_partitions(manifest, current, "day")
+
+
+QUERIES["m7_stale_partitions"] = m7_stale_partitions
+
+ORACLE_SQL["m7_stale_partitions"] = """
+    WITH stable AS (
+        SELECT CAST(ts AS DATE) AS day, event_id, event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    rowh AS (
+        SELECT day,
+               CAST('0x' || substr(md5('0:' ||
+                    concat_ws(chr(31),
+                              coalesce(CAST(day AS VARCHAR), chr(0)),
+                              coalesce(CAST(event_id AS VARCHAR), chr(0)),
+                              coalesce(event_type, chr(0)),
+                              coalesce(CAST(cents AS VARCHAR), chr(0)))),
+                    1, 15) AS BIGINT) AS h,
+               event_id
+        FROM stable
+    ),
+    manifest AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        FROM rowh GROUP BY 1
+    ),
+    cur_rows AS (
+        SELECT * FROM rowh
+        WHERE event_id % 997 <> 0 AND day < DATE '2024-01-30'
+        UNION ALL
+        SELECT day + INTERVAL 100 DAY AS day,
+               CAST('0x' || substr(md5('0:' ||
+                    concat_ws(chr(31),
+                              coalesce(CAST(day + INTERVAL 100 DAY AS VARCHAR), chr(0)),
+                              coalesce(CAST(s.event_id AS VARCHAR), chr(0)),
+                              coalesce(s.event_type, chr(0)),
+                              coalesce(CAST(s.cents AS VARCHAR), chr(0)))),
+                    1, 15) AS BIGINT) AS h,
+               s.event_id
+        FROM stable s WHERE s.day = DATE '2024-01-01'
+    ),
+    current AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        FROM cur_rows GROUP BY 1
+    )
+    SELECT coalesce(m.day, c.day) AS day,
+           CASE WHEN m.day IS NULL THEN 'new'
+                WHEN c.day IS NULL THEN 'vanished'
+                WHEN m.n_rows <> c.n_rows OR m.checksum <> c.checksum THEN 'changed'
+           END AS status,
+           m.n_rows AS manifest_rows,
+           c.n_rows AS current_rows
+    FROM manifest m FULL OUTER JOIN current c ON m.day = c.day
+    WHERE (m.day IS NULL OR c.day IS NULL
+           OR m.n_rows <> c.n_rows OR m.checksum <> c.checksum)
+"""

@@ -106,3 +106,32 @@ def test_apply_cdc_latest_wins_and_deletes(spark):
     )
     out = {r.k: r.v for r in apply_cdc(base, log, keys=["k"]).collect()}
     assert out == {2: "b2", 3: "c", 9: "new"}
+
+
+def test_stale_partitions_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.merge import (
+        partition_fingerprints,
+        stale_partitions,
+    )
+
+    old = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z"), ("c", 4, "w")],
+        "p string, id long, v string",
+    )
+    # a: one value flipped (same row count); b: vanished; d: new
+    new = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "Y"), ("c", 4, "w"), ("d", 5, "q")],
+        "p string, id long, v string",
+    )
+    m = partition_fingerprints(old, F.col("p"), "p")
+    c = partition_fingerprints(new, F.col("p"), "p")
+    out = {r.p: r.status for r in stale_partitions(m, c, "p").collect()}
+    assert out == {"a": "changed", "b": "vanished", "d": "new"}  # c unchanged → absent
+    # order-insensitivity: permuted rows fingerprint identically
+    perm = spark.createDataFrame(
+        [("a", 2, "y"), ("a", 1, "x"), ("c", 4, "w"), ("b", 3, "z")],
+        "p string, id long, v string",
+    )
+    assert stale_partitions(m, partition_fingerprints(perm, F.col("p"), "p"), "p").count() == 0
