@@ -496,3 +496,69 @@ ORACLE_SQL["j15_asof_forward"] = """
     FROM c ASOF LEFT JOIN p
       ON c.user_id = p.user_id AND c.ts <= p.ts
 """
+
+
+RFM_ASOF = "2024-02-01"
+
+
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic customer-value model: per user,
+    Recency (days since last purchase, as of a fixed date), Frequency
+    (purchase count), Monetary (exact cents); each scored 1-4 by
+    ntile over a TOTAL order (metric, then user id — ties cannot
+    reorder across engines), concatenated into the RFM cell. One
+    groupBy + three ntile windows over the user-cardinality frame."""
+    from pyspark.sql import Window
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit(RFM_ASOF).cast("date"), F.max(F.to_date("ts"))
+            ).cast("int").alias("recency_days"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(cents).alias("monetary_cents"),
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(r_w).cast("int").alias("r_score"),
+        F.ntile(4).over(f_w).cast("int").alias("f_score"),
+        F.ntile(4).over(m_w).cast("int").alias("m_score"),
+    ).withColumn(
+        "rfm",
+        F.concat(F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
+QUERIES["events_rfm_segmentation"] = events_rfm_segmentation
+
+ORACLE_SQL["events_rfm_segmentation"] = f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(date_diff('day', max(CAST(ts AS DATE)),
+                              DATE '{RFM_ASOF}') AS INTEGER) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS INTEGER) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS INTEGER) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS INTEGER) AS m_score,
+           CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS VARCHAR)
+             || CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS VARCHAR)
+             || CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS VARCHAR) AS rfm
+    FROM base
+"""
