@@ -353,3 +353,37 @@ def _manifest_oracle() -> str:
 
 
 ORACLE_SQL["media_training_manifest"] = _manifest_oracle()
+
+
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup of BINARY payloads — the multimodal twin of
+    text fingerprint dedup: md5 over the raw bytes (not a decode),
+    keeper = min id per digest, duplicate bytes never shuffle (32-hex
+    digests do). Emits every digest with its copy count (n_copies > 1
+    is the dedup worklist; the sf testdata's raw payloads are all
+    distinct, so emitting all keeps the binary-md5 parity under a
+    500-row gate instead of an empty one).
+
+    Oracle note: DuckDB has no md5(BLOB); since the payload is
+    encode(text) by construction, md5(text) hashes the identical
+    UTF-8 byte sequence."""
+    m = _media(spark, sf_dir)
+    return (
+        m.select("doc_id", F.md5(F.col("payload")).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+QUERIES["media_dedup_exact"] = media_dedup_exact
+
+ORACLE_SQL["media_dedup_exact"] = """
+    SELECT md5(text) AS digest,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id
+    FROM documents
+    GROUP BY 1
+"""
