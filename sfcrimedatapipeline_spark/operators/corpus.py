@@ -1054,7 +1054,9 @@ def epoch_order(
 
     n_row = df.agg(F.count("*").cast("long").alias("__N"))
     epochs = df.select(F.col(id_col)).crossJoin(
-        df.sparkSession.range(n_epochs).select(F.col("id").cast("int").alias("epoch"))
+        F.broadcast(
+            df.sparkSession.range(n_epochs).select(F.col("id").cast("int").alias("epoch"))
+        )
     )
     keyed = epochs.withColumn(
         "__k",
