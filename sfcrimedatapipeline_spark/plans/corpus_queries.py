@@ -90,13 +90,13 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(pairs, iters=5).orderBy("doc_id")
 
 
-BFS_SEED_MOD = 10
+BFS_SEED_MOD = 3
 BFS_MAX_HOPS = 10
 
 
 def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS over the near-dup pair graph: hop distance from
-    the nearest seed document (every 10th doc id) for each reached
+    the nearest seed document (every 3rd doc id) for each reached
     node (operators/graph.py:bfs_distances) — the contamination-spread
     query. Integer distances, so unlike PageRank this iterative op is
     FULLY hash-gated against a recursive-CTE oracle."""
