@@ -88,3 +88,56 @@ def sql_stopword_hits(toks_expr: str, lang: str) -> str:
 
 
 SQL_BPE_TOKENS = f"regexp_extract_all(text, '{BPE_PATTERN}')"
+
+
+#: CJK character class (unified ideographs + kana + hangul) — the same
+#: literal ranges as textstats.SCRIPT_RANGES["cjk"], shared across the
+#: Java-regex and RE2 engines
+CJK_CLASS = "一-鿿぀-ヿ가-힯"
+
+
+def tokens_multilingual(text: Column) -> Column:
+    """Script-aware tokens: whitespace words for space-delimited
+    scripts PLUS character BIGRAMS inside CJK runs (CJK text carries no
+    spaces, so whitespace tokenization would yield one giant token per
+    sentence — bigrams are the standard lexical unit for CJK search
+    and dedup). A lone CJK character between boundaries still emits
+    itself as a unigram so no content silently vanishes.
+
+    Mechanism, pure Catalyst: pad every CJK codepoint with spaces
+    (isolating each run), whitespace-split, then per token either keep
+    it (non-CJK) or... — padding isolates every CJK char as ITS OWN
+    token, so bigrams are rebuilt by pairing consecutive CJK tokens via
+    a sequence transform over the token array. Deterministic, shared
+    verbatim with the SQL twin.
+    """
+    # isolate each CJK codepoint, then split on whitespace
+    padded = F.regexp_replace(text, f"([{CJK_CLASS}])", " $1 ")
+    toks = F.filter(F.split(F.lower(padded), _WS), lambda t: t != "")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+    is_cjk = lambda t: t.rlike(f"^[{CJK_CLASS}]$")  # noqa: E731
+    nxt = lambda i: F.element_at(toks, (i + 1).cast("int"))  # noqa: E731
+    cur = lambda i: F.element_at(toks, i.cast("int"))  # noqa: E731
+    per_pos = F.transform(
+        idx,
+        lambda i: F.when(n == 0, F.array().cast("array<string>"))
+        .when(
+            # CJK char followed by a CJK char → bigram
+            is_cjk(cur(i)) & (i < n) & F.coalesce(is_cjk(nxt(i)), F.lit(False)),
+            F.array(F.concat(cur(i), nxt(i))),
+        )
+        .when(
+            # CJK char NOT followed by CJK: emit as unigram ONLY if it
+            # also has no CJK predecessor (else the bigram covered it)
+            is_cjk(cur(i))
+            & ~F.coalesce(
+                F.when(i > 1, is_cjk(F.element_at(toks, (i - 1).cast("int")))),
+                F.lit(False),
+            ),
+            F.array(cur(i)),
+        )
+        .when(~is_cjk(cur(i)), F.array(cur(i)))
+        .otherwise(F.array().cast("array<string>")),
+    )
+    return F.flatten(per_pos)

@@ -600,3 +600,60 @@ def _rebalance_oracle() -> str:
 
 
 ORACLE_SQL["docs_shard_rebalance"] = _rebalance_oracle()
+
+
+def text_tokens_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware tokenization (functions/text.py:tokens_multilingual
+    — whitespace words + CJK character bigrams). The sf corpus is
+    ASCII, so the gate hashes the Latin path; CJK bigram behavior is
+    pinned by tests/test_udx.py's DuckDB-parity fixtures (the NFC
+    pattern)."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.functions.text import tokens_multilingual
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(tokens_multilingual(F.col("text"))).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+    )
+
+
+QUERIES["text_tokens_multilingual"] = text_tokens_multilingual
+
+from sfcrimedatapipeline_spark.functions.text import CJK_CLASS as _CJK  # noqa: E402
+
+ORACLE_SQL["text_tokens_multilingual"] = f"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(
+                   lower(regexp_replace(text, '([{_CJK}])', ' \\1 ', 'g')),
+                   '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ),
+    built AS (
+        SELECT doc_id,
+               flatten([
+                   CASE
+                       WHEN regexp_matches(tk[i], '^[{_CJK}]$')
+                            AND coalesce(regexp_matches(tk[i+1], '^[{_CJK}]$'), FALSE)
+                       THEN [tk[i] || tk[i+1]]
+                       WHEN regexp_matches(tk[i], '^[{_CJK}]$')
+                            AND NOT coalesce(
+                                CASE WHEN i > 1
+                                     THEN regexp_matches(tk[i-1], '^[{_CJK}]$')
+                                END, FALSE)
+                       THEN [tk[i]]
+                       WHEN NOT regexp_matches(tk[i], '^[{_CJK}]$')
+                       THEN [tk[i]]
+                       ELSE []
+                   END
+                   for i in generate_series(1, len(tk))
+               ]) AS toks
+        FROM toked
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+           unnest(toks) AS token
+    FROM built
+"""

@@ -89,3 +89,57 @@ def test_nfc_normalization_matches_duckdb_on_non_ascii(spark):
     assert got[1][1] is True and got[2][1] is False and got[5][0] is None
     # composing really happened: both doc 1 and 2 now share one form
     assert got[1][0] == got[2][0]
+
+
+def test_multilingual_tokens_match_duckdb_on_cjk(spark):
+    import duckdb
+
+    from sfcrimedatapipeline_spark.functions.text import CJK_CLASS, tokens_multilingual
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "hello 世界和平 world"),
+        (2, "中"),                       # lone CJK char → unigram
+        (3, "日本 and 한국어"),          # two runs, mixed scripts
+        (4, "ascii only text"),
+        (5, "ひらがな"),                 # kana run → 3 bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.t
+        for r in docs.select(
+            "doc_id", tokens_multilingual(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert got[1] == ["hello", "世界", "界和", "和平", "world"]
+    assert got[2] == ["中"]
+    assert got[3] == ["日本", "and", "한국", "국어"]
+    assert got[5] == ["ひら", "らが", "がな"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    sql = f"""
+        WITH toked AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                       lower(regexp_replace(text, '([{CJK_CLASS}])', ' \\1 ', 'g')),
+                       '\\s+'), t -> t <> '') AS tk
+            FROM d
+        )
+        SELECT doc_id, flatten([
+            CASE
+                WHEN regexp_matches(tk[i], '^[{CJK_CLASS}]$')
+                     AND coalesce(regexp_matches(tk[i+1], '^[{CJK_CLASS}]$'), FALSE)
+                THEN [tk[i] || tk[i+1]]
+                WHEN regexp_matches(tk[i], '^[{CJK_CLASS}]$')
+                     AND NOT coalesce(CASE WHEN i > 1
+                          THEN regexp_matches(tk[i-1], '^[{CJK_CLASS}]$') END, FALSE)
+                THEN [tk[i]]
+                WHEN NOT regexp_matches(tk[i], '^[{CJK_CLASS}]$')
+                THEN [tk[i]]
+                ELSE []
+            END for i in generate_series(1, len(tk))]) AS toks
+        FROM toked
+    """
+    want = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+    assert got == want
