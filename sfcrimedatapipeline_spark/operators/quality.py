@@ -39,7 +39,7 @@ class Expectation:
 
     name: str
     kind: str
-    column: str | None = None
+    column: str | list[str] | None = None
     lo: float | None = None
     hi: float | None = None
     values: list | None = None
@@ -73,8 +73,11 @@ def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFr
         elif e.kind == "custom":
             viol = F.coalesce(~e.predicate, F.lit(True))
         elif e.kind == "unique":
+            # e.column may be one name or a LIST (composite-key
+            # uniqueness — dbt's unique_combination_of_columns)
+            ucols = e.column if isinstance(e.column, list) else [e.column]
             dup = (
-                df.groupBy(e.column)
+                df.groupBy(*ucols)
                 .agg(F.count("*").alias("__n"))
                 .agg(
                     F.coalesce(

@@ -562,3 +562,84 @@ ORACLE_SQL["events_rfm_segmentation"] = f"""
              || CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS VARCHAR) AS rfm
     FROM base
 """
+
+
+def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE independence statistic for event_type × day-of-week —
+    the A/B-test / independence screen, emitted as the raw statistic
+    plus degrees of freedom (p-values need incomplete-gamma functions,
+    whose last ulp is libm-specific — compare the statistic against
+    critical values offline). Every term is (obs·N − row·col)² /
+    (row·col·N) with obs/row/col/N exact integers; per-cell terms are
+    each one fixed IEEE sequence, and the statistic quantizes each
+    term to 1e-9 before the exact integer sum, so the result is
+    bit-stable under any partitioning AND engine (the unigram-LM
+    discipline applied to a statistic).
+
+    Range bound, stated: the exact numerator squares (o·N − r·c), so
+    DECIMAL(38) holds while that difference stays under ~10^19 —
+    i.e. contingency tables up to N ≈ 3·10^9 observations. Beyond
+    that, compute the statistic per stratum and sum (chi-square is
+    additive over disjoint partitions of the table).
+    """
+    from pyspark.sql import functions as F
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    cells = ev.groupBy(
+        F.col("event_type"),
+        F.dayofweek(F.col("ts")).cast("int").alias("dow"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    n_row = cells.agg(F.sum("o").alias("n"))
+    j = (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "dow")
+        .crossJoin(F.broadcast(n_row))
+    )
+    # term = (o*n - r*c)^2 / (r*c*n); numerator exact in decimal
+    num = (
+        (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+        .cast("decimal(38,0)")
+    )
+    term = (num * num).cast("double") / (
+        (F.col("r") * F.col("c")).cast("decimal(38,0)") * F.col("n")
+    ).cast("double")
+    quant = F.floor(term * 1_000_000_000 + F.lit(0.5)).cast("long")
+    agg = j.agg(
+        F.sum(quant).cast("long").alias("__q"),
+        F.countDistinct("event_type").cast("long").alias("__nr"),
+        F.countDistinct("dow").cast("long").alias("__nc"),
+    )
+    return agg.select(
+        (F.col("__q").cast("double") / 1_000_000_000).alias("chi_square"),
+        ((F.col("__nr") - 1) * (F.col("__nc") - 1)).cast("long").alias("dof"),
+    )
+
+
+QUERIES["events_chisq_independence"] = events_chisq_independence
+
+ORACLE_SQL["events_chisq_independence"] = """
+    WITH cells AS (
+        SELECT event_type,
+               CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT CAST(floor(
+                   (CAST(CAST(o * n - r * c AS DECIMAL(38,0))
+                         * CAST(o * n - r * c AS DECIMAL(38,0)) AS DOUBLE)
+                    / CAST(CAST(r * c AS DECIMAL(38,0)) * n AS DOUBLE))
+                   * 1000000000 + 0.5) AS BIGINT) AS q,
+               cells.event_type, cells.dow
+        FROM cells JOIN rm USING (event_type) JOIN cm USING (dow) CROSS JOIN nn
+    )
+    SELECT CAST(sum(q) AS DOUBLE) / 1000000000 AS chi_square,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS BIGINT) AS dof
+    FROM terms
+"""

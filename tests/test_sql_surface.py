@@ -248,3 +248,26 @@ def test_pseudonymize_is_stable_joinable_and_null_safe(spark):
     # different salt → different token universe
     other = pseudonymize(a, ["name"], salt="other")
     assert {r.name for r in other.collect()} != {r.name for r in pa.collect()}
+
+
+def test_expectations_composite_unique(spark):
+    from sfcrimedatapipeline_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 2), (2, 1)], "a long, b long"
+    )
+    out = {
+        r.rule: r.n_violations
+        for r in check_expectations(
+            df,
+            [
+                Expectation("a_unique", "unique", column="a"),
+                Expectation("ab_unique", "unique", column=["a", "b"]),
+            ],
+        ).collect()
+    }
+    assert out["a_unique"] == 2   # key 1 has 3 rows → 2 excess
+    assert out["ab_unique"] == 1  # (1,2) duplicated once
