@@ -643,3 +643,145 @@ ORACLE_SQL["events_chisq_independence"] = """
                 * (count(DISTINCT dow) - 1) AS BIGINT) AS dof
     FROM terms
 """
+
+
+def events_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVAL life table (the Kaplan-Meier INPUT): per calendar day,
+    users at risk (first activity ≤ day ≤ last activity) and deaths
+    (users whose last activity is that day). The KM curve itself is a
+    sequential product — one cheap driver-side fold over this
+    day-cardinality table; the distributed work is all here. Exact
+    integers: at-risk = cum(first_day ≤ d) − cum(last_day < d), two
+    running sums over the day spine."""
+    from pyspark.sql import Window
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    births = spans.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("n_born")
+    )
+    deaths = spans.groupBy(F.col("last_day").alias("day")).agg(
+        F.count("*").cast("long").alias("n_deaths")
+    )
+    bounds = spans.agg(
+        F.min("first_day").alias("d0"), F.max("last_day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    t = (
+        spine.join(births, "day", "left")
+        .join(deaths, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_born", F.lit(0)).alias("n_born"),
+            F.coalesce("n_deaths", F.lit(0)).alias("n_deaths"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return t.select(
+        "day",
+        F.col("n_deaths"),
+        (
+            F.sum("n_born").over(w)
+            - F.coalesce(F.sum("n_deaths").over(wprev), F.lit(0))
+        ).cast("long").alias("n_at_risk"),
+    )
+
+
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY by sweep line: each event opens a 5-minute
+    activity interval; +1 at each start, −1 at each end, running sum
+    over the merged boundary stream, report the peak and when it first
+    occurs. Boundary order is total — (time, starts before ends,
+    event id) — so simultaneous open/close resolves deterministically
+    (an interval ending exactly when another starts still overlaps:
+    starts sort first). The interval-stacking primitive behind
+    concurrent-sessions / license-peak questions; one shuffle.
+
+    Single-partition window by design: the SWEEP itself is over
+    boundary events, and a production deployment sweeps per tenant/
+    shard key (partitionBy there) — the global unpartitioned demo is
+    the honest small case, same stance as w3."""
+    from pyspark.sql import Window
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    mu = F.unix_micros(F.col("ts"))
+    span_us = 5 * 60 * 1_000_000
+    starts = ev.select(
+        mu.alias("t"), F.lit(1).alias("delta"), F.lit(0).alias("is_end"), "event_id"
+    )
+    ends = ev.select(
+        (mu + span_us).alias("t"),
+        F.lit(-1).alias("delta"),
+        F.lit(1).alias("is_end"),
+        "event_id",
+    )
+    stream = starts.unionByName(ends)
+    w = Window.orderBy(
+        F.col("t").asc(), F.col("is_end").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = stream.select(
+        "t", F.sum("delta").over(w).cast("long").alias("concurrency")
+    )
+    peak = swept.agg(F.max("concurrency").alias("peak"))
+    first_at = (
+        swept.join(F.broadcast(peak), swept.concurrency == peak.peak)
+        .agg(F.min("t").alias("first_peak_us"))
+    )
+    return peak.crossJoin(F.broadcast(first_at)).select(
+        "peak", F.timestamp_micros(F.col("first_peak_us")).alias("first_peak_ts")
+    )
+
+
+QUERIES["events_life_table"] = events_life_table
+QUERIES["events_max_concurrency"] = events_max_concurrency
+
+ORACLE_SQL["events_life_table"] = """
+    WITH spans AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+               max(CAST(ts AS DATE)) AS last_day
+        FROM events GROUP BY 1
+    ),
+    births AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_born
+               FROM spans GROUP BY 1),
+    deaths AS (SELECT last_day AS day, CAST(count(*) AS BIGINT) AS n_deaths
+               FROM spans GROUP BY 1),
+    bounds AS (SELECT min(first_day) AS d0, max(last_day) AS d1 FROM spans),
+    spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+              FROM bounds),
+    t AS (
+        SELECT s.day, coalesce(b.n_born, 0) AS n_born,
+               coalesce(d.n_deaths, 0) AS n_deaths
+        FROM spine s LEFT JOIN births b USING (day) LEFT JOIN deaths d USING (day)
+    )
+    SELECT day, n_deaths,
+           CAST(sum(n_born) OVER w
+                - coalesce(sum(n_deaths) OVER wprev, 0) AS BIGINT) AS n_at_risk
+    FROM t
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wprev AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+ORACLE_SQL["events_max_concurrency"] = """
+    WITH stream AS (
+        SELECT epoch_us(ts) AS t, 1 AS delta, 0 AS is_end, event_id FROM events
+        UNION ALL
+        SELECT epoch_us(ts) + 300000000, -1, 1, event_id FROM events
+    ),
+    swept AS (
+        SELECT t, CAST(sum(delta) OVER (ORDER BY t ASC, is_end ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS concurrency
+        FROM stream
+    ),
+    p AS (SELECT max(concurrency) AS peak FROM swept)
+    SELECT p.peak,
+           make_timestamp((SELECT min(t) FROM swept, p WHERE concurrency = p.peak))
+               AS first_peak_ts
+    FROM p
+"""
