@@ -657,3 +657,50 @@ ORACLE_SQL["text_tokens_multilingual"] = f"""
            unnest(toks) AS token
     FROM built
 """
+
+
+KWIC_TERM = "dup"
+KWIC_CTX = 3
+
+
+def docs_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYWORD-IN-CONTEXT snippets — the search-result UX layer over
+    BM25: every occurrence of the query term with ±3 tokens of
+    context, reassembled per hit. Pure array expressions: tokenize
+    once, posexplode only MATCHING positions, slice the token array
+    around each hit — context extraction never re-scans text."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    hits = toked.select(
+        "doc_id", "tk", F.posexplode("tk").alias("pos", "tok")
+    ).filter(F.col("tok") == KWIC_TERM)
+    lo = F.greatest(F.col("pos") + 1 - KWIC_CTX, F.lit(1))
+    length = F.least(F.col("pos") + 1 + KWIC_CTX, F.size("tk")) - lo + 1
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(F.slice(F.col("tk"), lo, length), " ").alias("snippet"),
+    )
+
+
+QUERIES["docs_search_snippets"] = docs_search_snippets
+
+ORACLE_SQL["docs_search_snippets"] = f"""
+    WITH toked AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    hits AS (
+        SELECT doc_id, tk,
+               CAST(generate_subscripts(tk, 1) - 1 AS INTEGER) AS pos,
+               unnest(tk) AS tok
+        FROM toked
+    )
+    SELECT doc_id, pos,
+           array_to_string(
+               tk[greatest(pos + 1 - {KWIC_CTX}, 1) :
+                  least(pos + 1 + {KWIC_CTX}, len(tk))], ' ') AS snippet
+    FROM hits
+    WHERE tok = '{KWIC_TERM}'
+"""

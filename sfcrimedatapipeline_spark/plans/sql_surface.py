@@ -1515,3 +1515,63 @@ ORACLE_SQL["m7_stale_partitions"] = """
     WHERE (m.day IS NULL OR c.day IS NULL
            OR m.n_rows <> c.n_rows OR m.checksum <> c.checksum)
 """
+
+
+def a13_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: Pareto / ABC analysis — parts classified by cumulative
+    revenue share (A = first 80% of revenue, B = next 15%, C = tail),
+    the inventory-prioritization classic. The running share is decided
+    in EXACT INTEGERS: class boundaries compare cum_cents·100 against
+    threshold·total_cents, so no boundary part can flip on a float
+    division; total order (revenue DESC, part key ASC)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.floor(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.sum(rev).alias("rev_cents")
+    )
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("part_key").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_part.agg(F.sum("rev_cents").alias("total_cents"))
+    ranked = per_part.withColumn("cum_cents", F.sum("rev_cents").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    cls = (
+        F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+    )
+    return ranked.select(
+        "part_key",
+        "rev_cents",
+        "cum_cents",
+        cls.alias("abc_class"),
+    )
+
+
+QUERIES["a13_pareto_abc"] = a13_pareto_abc
+
+ORACLE_SQL["a13_pareto_abc"] = """
+    WITH per_part AS (
+        SELECT l_partkey AS part_key,
+               CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM per_part),
+    ranked AS (
+        SELECT part_key, rev_cents,
+               CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, part_key ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_cents
+        FROM per_part
+    )
+    SELECT part_key, rev_cents, cum_cents,
+           CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked CROSS JOIN t
+"""
