@@ -841,7 +841,10 @@ def build_oracle_sql() -> dict[str, str]:
                 FROM lineitem
             ),
             n AS (SELECT count(*) AS cnt FROM lineitem),
-            probs AS (SELECT unnest([{", ".join(repr(p) for p in QUANTILE_PROBS)}]) AS p)
+            -- CAST: DuckDB types 0.9 as DECIMAL, whose exact arithmetic
+            -- diverges from Spark's binary double at near-integer h
+            -- (caught live by events_time_to_convert at p=0.9)
+            probs AS (SELECT CAST(unnest([{", ".join(repr(p) for p in QUANTILE_PROBS)}]) AS DOUBLE) AS p)
             SELECT p AS prob,
                    lo.v + (hi.v - lo.v) * (p * (cnt - 1) - floor(p * (cnt - 1))) AS value
             FROM probs, n
@@ -1019,7 +1022,7 @@ def build_oracle_sql() -> dict[str, str]:
                 FROM lineitem
             ),
             spine AS (
-                SELECT g, n, unnest([{", ".join(repr(p) for p in GROUP_QUANTILE_PROBS)}]) AS prob
+                SELECT g, n, CAST(unnest([{", ".join(repr(p) for p in GROUP_QUANTILE_PROBS)}]) AS DOUBLE) AS prob
                 FROM (SELECT DISTINCT g, n FROM ranked) t
             ),
             pos AS (

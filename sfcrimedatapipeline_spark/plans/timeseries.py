@@ -785,3 +785,63 @@ ORACLE_SQL["events_max_concurrency"] = """
                AS first_peak_ts
     FROM p
 """
+
+
+CONVERT_PROBS = [0.25, 0.5, 0.75, 0.9]
+
+
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT distribution: exact quantiles of (first purchase
+    − first view) latency across converting users — funnel timing
+    composed with the exact-quantile operator (shared interpolation
+    formula; operators/profile.py:exact_quantiles). Latencies are
+    exact integer seconds cast to double for interpolation; users who
+    never view or never purchase (or purchase first) drop out by the
+    funnel contract."""
+    from sfcrimedatapipeline_spark.operators.profile import exact_quantiles
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    mu = F.unix_micros(F.col("ts"))
+    firsts = (
+        ev.filter(F.col("event_type").isin(["view", "purchase"]))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", mu)).alias("v"),
+            F.min(F.when(F.col("event_type") == "purchase", mu)).alias("p"),
+        )
+        .filter(F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") > F.col("v")))
+    )
+    lat = firsts.select(
+        (F.floor((F.col("p") - F.col("v")) / 1_000_000).cast("long").cast("double")).alias(
+            "latency_s"
+        )
+    )
+    return exact_quantiles(lat, "latency_s", CONVERT_PROBS)
+
+
+QUERIES["events_time_to_convert"] = events_time_to_convert
+
+ORACLE_SQL["events_time_to_convert"] = f"""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1
+    ),
+    lat AS (
+        SELECT CAST(CAST((p - v) // 1000000 AS BIGINT) AS DOUBLE) AS v
+        FROM firsts WHERE v IS NOT NULL AND p IS NOT NULL AND p > v
+    ),
+    ranked AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS r FROM lat
+    ),
+    n AS (SELECT count(*) AS cnt FROM lat),
+    probs AS (SELECT CAST(unnest([{", ".join(repr(p) for p in CONVERT_PROBS)}])
+                      AS DOUBLE) AS p)
+    SELECT p AS prob,
+           lo.v + (hi.v - lo.v) * (p * (cnt - 1) - floor(p * (cnt - 1))) AS value
+    FROM probs, n
+    JOIN ranked lo ON lo.r = CAST(floor(p * (cnt - 1)) AS BIGINT)
+    JOIN ranked hi ON hi.r = least(CAST(floor(p * (cnt - 1)) AS BIGINT) + 1, cnt - 1)
+"""
