@@ -1575,3 +1575,75 @@ ORACLE_SQL["a13_pareto_abc"] = """
                 ELSE 'C' END AS abc_class
     FROM ranked CROSS JOIN t
 """
+
+
+def events_payload_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured SHAPE-DRIFT monitor: the distinct JSON key sets
+    appearing in the props payload per day, with counts — how a
+    pipeline notices a producer added/renamed a field before a parse
+    breaks. Keys are extracted (json_object_keys), sorted, and joined
+    into a canonical shape string; one groupBy at (day × shape)
+    cardinality."""
+    ev = read_table(spark, sf_dir, "events")
+    shape = F.array_join(F.array_sort(F.json_object_keys(F.col("props"))), ",")
+    return (
+        ev.groupBy(
+            F.to_date("ts").alias("day"),
+            shape.alias("key_shape"),
+        )
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+
+
+K_SUPPRESS = 5
+
+
+def privacy_safe_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy: K-SUPPRESSED aggregate publication — the release step
+    after the k-anonymity audit: cells under k=5 keep their dimensions
+    but NULL their measures (suppressed=true), so small groups cannot
+    be re-identified yet the released table's shape stays complete.
+    Exact cents; one aggregate pass."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    agg = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.col("event_type"),
+        (F.col("user_id") % 10).alias("user_cohort"),
+    ).agg(F.count("*").cast("long").alias("__n"), F.sum(cents).alias("__s"))
+    small = F.col("__n") < K_SUPPRESS
+    return agg.select(
+        "day",
+        "event_type",
+        "user_cohort",
+        F.when(~small, F.col("__n")).alias("n_events"),
+        F.when(~small, F.col("__s")).alias("sum_cents"),
+        small.alias("suppressed"),
+    )
+
+
+QUERIES["events_payload_shapes"] = events_payload_shapes
+QUERIES["privacy_safe_export"] = privacy_safe_export
+
+ORACLE_SQL["events_payload_shapes"] = """
+    SELECT CAST(ts AS DATE) AS day,
+           array_to_string(list_sort(json_keys(props)), ',') AS key_shape,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["privacy_safe_export"] = """
+    WITH agg AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               user_id % 10 AS user_cohort,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT day, event_type, user_cohort,
+           CASE WHEN n >= 5 THEN n END AS n_events,
+           CASE WHEN n >= 5 THEN s END AS sum_cents,
+           n < 5 AS suppressed
+    FROM agg
+"""
