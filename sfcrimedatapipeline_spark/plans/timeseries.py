@@ -845,3 +845,105 @@ ORACLE_SQL["events_time_to_convert"] = f"""
     JOIN ranked lo ON lo.r = CAST(floor(p * (cnt - 1)) AS BIGINT)
     JOIN ranked hi ON hi.r = least(CAST(floor(p * (cnt - 1)) AS BIGINT) + 1, cnt - 1)
 """
+
+
+H2D_VALUE_BINS = 10
+H2D_VMAX = 50000  # cents; clamp above
+
+
+def events_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D HISTOGRAM (hour-of-day × value decile bin) with clamped edge
+    bins — the dashboard heat-map feed; 1-D histogram's clamped-bin
+    discipline extended to two axes, zero-filled over the full bin
+    spine so the grid is always complete. Exact integer bin indices."""
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    vbin = F.least(
+        (cents * H2D_VALUE_BINS / F.lit(H2D_VMAX)).cast("long"),
+        F.lit(H2D_VALUE_BINS - 1),
+    ).cast("int")
+    counts = ev.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        vbin.alias("value_bin"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hour_of_day"))
+    vbins = spark.range(H2D_VALUE_BINS).select(F.col("id").cast("int").alias("value_bin"))
+    spine = hours.crossJoin(vbins)
+    return spine.join(counts, ["hour_of_day", "value_bin"], "left").select(
+        "hour_of_day",
+        "value_bin",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+
+
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED statistics: means before and after clamping values to
+    the [p05, p95] DISCRETE percentiles — outlier-robust reporting with
+    the a11 discipline (percentile_disc returns real elements, so the
+    clamp bounds are exact cents and every sum stays an exact BIGINT).
+    One percentile pass + one conditional-aggregate pass."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH cents_t AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+        ),
+        bounds AS (
+            -- percentile_disc picks a real element but TYPES it DOUBLE;
+            -- cast back so the clamp and its sum stay exact BIGINTs
+            SELECT CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY c) AS BIGINT) AS lo,
+                   CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY c) AS BIGINT) AS hi
+            FROM cents_t
+        )
+        SELECT count(*) AS n,
+               lo AS p05_cents, hi AS p95_cents,
+               CAST(sum(c) AS DOUBLE) / count(*) AS mean_cents,
+               CAST(sum(greatest(least(c, hi), lo)) AS DOUBLE) / count(*)
+                   AS winsorized_mean_cents,
+               sum(CASE WHEN c < lo OR c > hi THEN 1 ELSE 0 END) AS n_clamped
+        FROM cents_t CROSS JOIN bounds
+        GROUP BY lo, hi
+        """
+    )
+
+
+QUERIES["events_histogram2d"] = events_histogram2d
+QUERIES["events_winsorized_stats"] = events_winsorized_stats
+
+ORACLE_SQL["events_histogram2d"] = f"""
+    WITH counts AS (
+        SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour_of_day,
+               CAST(least(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          * {H2D_VALUE_BINS} // {H2D_VMAX},
+                          {H2D_VALUE_BINS - 1}) AS INTEGER) AS value_bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT h.h AS hour_of_day, v.v AS value_bin
+        FROM (SELECT CAST(unnest(range(0, 24)) AS INTEGER) AS h) h
+        CROSS JOIN (SELECT CAST(unnest(range(0, {H2D_VALUE_BINS})) AS INTEGER) AS v) v
+    )
+    SELECT s.hour_of_day, s.value_bin,
+           coalesce(c.n, 0) AS n
+    FROM spine s LEFT JOIN counts c USING (hour_of_day, value_bin)
+"""
+
+ORACLE_SQL["events_winsorized_stats"] = """
+    WITH cents_t AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+    ),
+    bounds AS (
+        SELECT quantile_disc(c, 0.05) AS lo, quantile_disc(c, 0.95) AS hi
+        FROM cents_t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           lo AS p05_cents, hi AS p95_cents,
+           CAST(sum(c) AS DOUBLE) / count(*) AS mean_cents,
+           CAST(sum(greatest(least(c, hi), lo)) AS DOUBLE) / count(*)
+               AS winsorized_mean_cents,
+           CAST(sum(CASE WHEN c < lo OR c > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped
+    FROM cents_t CROSS JOIN bounds
+    GROUP BY lo, hi
+"""
