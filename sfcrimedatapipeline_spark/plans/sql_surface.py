@@ -1647,3 +1647,113 @@ ORACLE_SQL["privacy_safe_export"] = """
            n < 5 AS suppressed
     FROM agg
 """
+
+
+FD_PAIRS = [
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderkey", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+]
+
+
+def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY discovery over candidate column pairs:
+    A → B holds iff |distinct(A)| = |distinct(A, B)| — the
+    metadata-profiling step behind normalization and dim-extraction
+    decisions (the reference's DimReportType exists precisely because
+    ReportTypeCode → ReportType holds). One distinct-count pass per
+    pair over the candidate list; exact integers."""
+    o = read_table(spark, sf_dir, "orders")
+    frames = []
+    for a, b in FD_PAIRS:
+        frames.append(
+            o.agg(
+                F.lit(a).alias("determinant"),
+                F.lit(b).alias("dependent"),
+                F.countDistinct(F.col(a)).cast("long").alias("n_distinct_a"),
+                F.countDistinct(F.col(a), F.col(b)).cast("long").alias("n_distinct_ab"),
+            ).select(
+                "determinant",
+                "dependent",
+                "n_distinct_a",
+                "n_distinct_ab",
+                (F.col("n_distinct_a") == F.col("n_distinct_ab")).alias("is_fd"),
+            )
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out
+
+
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP matrix: for every event-type pair, the shared
+    user count and Jaccard similarity between the two types' audiences
+    — the segment-overlap question behind campaign planning. One
+    distinct (type, user) frame self-joined on the user key; overlap
+    counts are exact integers, Jaccard one exact division. Never a
+    users × users product — the join key is the user, the output is
+    type-pair cardinality."""
+    ev = read_table(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a, b = aud.alias("a"), aud.alias("b")
+    inter = (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+QUERIES["profile_functional_deps"] = profile_functional_deps
+QUERIES["events_audience_overlap"] = events_audience_overlap
+
+_FD_SELECTS = "\n    UNION ALL\n".join(
+    f"""    SELECT '{a}' AS determinant, '{b}' AS dependent,
+           CAST(count(DISTINCT {a}) AS BIGINT) AS n_distinct_a,
+           CAST(count(DISTINCT ({a}, {b})) AS BIGINT) AS n_distinct_ab,
+           count(DISTINCT {a}) = count(DISTINCT ({a}, {b})) AS is_fd
+    FROM orders"""
+    for a, b in FD_PAIRS
+)
+ORACLE_SQL["profile_functional_deps"] = _FD_SELECTS
+
+ORACLE_SQL["events_audience_overlap"] = """
+    WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM aud GROUP BY 1),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM aud a JOIN aud b ON a.user_id = b.user_id
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_shared,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_shared AS DOUBLE)
+               / CAST(sa.n + sb.n - i.n_shared AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+"""
