@@ -145,6 +145,7 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_step_gap_s: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: one output row with, per step k, the
     number of users whose events contain the step sequence IN ORDER
@@ -165,13 +166,19 @@ def funnel_counts(
     )
     counts = [frontier.agg(F.count("*").alias("n")).select("n")]
     for step in steps[1:]:
-        nxt = (
+        candidates = (
             events.filter(F.col(type_col) == step)
             .join(frontier.withColumnRenamed("__t", "__prev"), user_col)
             .filter(F.col(ts_col) > F.col("__prev"))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias("__t"))
         )
+        if max_step_gap_s is not None:
+            # TIME-BOUNDED funnel: the step must land within the gap of
+            # the previous step's completion (exact micros)
+            candidates = candidates.filter(
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__prev"))
+                <= max_step_gap_s * US
+            )
+        nxt = candidates.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
         frontier = nxt
         counts.append(frontier.agg(F.count("*").alias("n")).select("n"))
     out = counts[0].select(F.col("n").cast("long").alias("n_step1"))

@@ -947,3 +947,115 @@ ORACLE_SQL["events_winsorized_stats"] = """
     FROM cents_t CROSS JOIN bounds
     GROUP BY lo, hi
 """
+
+
+FUNNEL_GAP_S = 3600
+
+
+def events_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED conversion funnel: each step must occur within 1 h
+    of the previous step's completion
+    (operators/temporal.py:funnel_counts(max_step_gap_s=3600)) — the
+    intent-window variant of the unbounded funnel."""
+    from sfcrimedatapipeline_spark.operators.temporal import funnel_counts
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], max_step_gap_s=FUNNEL_GAP_S
+    )
+
+
+RETENTION_DAYS = [1, 7]
+
+
+def events_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-N RETENTION: of each day's new users, the fraction active
+    again exactly N days later (D1/D7) — the growth KPI next to the
+    weekly cohort triangle. Exact integer counts, one distinct
+    activity frame + one self-join per N."""
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("d0"))
+    cohorts = first.groupBy(F.col("d0").alias("cohort_day")).agg(
+        F.count("*").cast("long").alias("n_new_users")
+    )
+    out = cohorts
+    for n in RETENTION_DAYS:
+        ret = (
+            first.join(
+                days,
+                (days.user_id == first.user_id)
+                & (days.day == F.date_add(first.d0, n)),
+            )
+            .groupBy(F.col("d0").alias("cohort_day"))
+            .agg(F.count("*").cast("long").alias(f"n_d{n}"))
+        )
+        out = out.join(ret, "cohort_day", "left").withColumn(
+            f"n_d{n}", F.coalesce(f"n_d{n}", F.lit(0))
+        )
+    for n in RETENTION_DAYS:
+        out = out.withColumn(
+            f"d{n}_rate",
+            F.col(f"n_d{n}").cast("double") / F.col("n_new_users").cast("double"),
+        )
+    return out.select(
+        "cohort_day", "n_new_users",
+        *[c for n in RETENTION_DAYS for c in (f"n_d{n}", f"d{n}_rate")],
+    )
+
+
+QUERIES["events_funnel_bounded"] = events_funnel_bounded
+QUERIES["events_dn_retention"] = events_dn_retention
+
+ORACLE_SQL["events_funnel_bounded"] = f"""
+    WITH s1 AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(s1.t)
+              <= {FUNNEL_GAP_S} * CAST(1000000 AS BIGINT)
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(s2.t)
+              <= {FUNNEL_GAP_S} * CAST(1000000 AS BIGINT)
+        GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_step1,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_step2,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3
+"""
+
+ORACLE_SQL["events_dn_retention"] = """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    first AS (SELECT user_id, min(day) AS d0 FROM days GROUP BY 1),
+    cohorts AS (SELECT d0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_new_users
+                FROM first GROUP BY 1),
+    r1 AS (
+        SELECT f.d0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_d1
+        FROM first f JOIN days d
+          ON d.user_id = f.user_id AND d.day = f.d0 + INTERVAL 1 DAY
+        GROUP BY 1
+    ),
+    r7 AS (
+        SELECT f.d0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_d7
+        FROM first f JOIN days d
+          ON d.user_id = f.user_id AND d.day = f.d0 + INTERVAL 7 DAY
+        GROUP BY 1
+    )
+    SELECT c.cohort_day, c.n_new_users,
+           coalesce(r1.n_d1, 0) AS n_d1,
+           CAST(coalesce(r1.n_d1, 0) AS DOUBLE) / c.n_new_users AS d1_rate,
+           coalesce(r7.n_d7, 0) AS n_d7,
+           CAST(coalesce(r7.n_d7, 0) AS DOUBLE) / c.n_new_users AS d7_rate
+    FROM cohorts c
+    LEFT JOIN r1 USING (cohort_day)
+    LEFT JOIN r7 USING (cohort_day)
+"""
