@@ -1757,3 +1757,133 @@ ORACLE_SQL["events_audience_overlap"] = """
     JOIN sizes sa ON sa.event_type = i.type_a
     JOIN sizes sb ON sb.event_type = i.type_b
 """
+
+
+BASKET_MIN_SUPPORT = 3
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association pairs: parts co-purchased in the same
+    order, with support / confidence / lift derived from exact integer
+    counts (one double division each). The self-join is keyed on the
+    ORDER (baskets are small — lines-per-order², never parts²);
+    min-support pruning keeps the output to signal."""
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    part_n = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    na = part_n.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    nb = part_n.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (F.col("n_both").cast("double") / F.lit(n_orders).cast("double")).alias("support"),
+            (F.col("n_both").cast("double") / F.col("n_a").cast("double")).alias("confidence_a_to_b"),
+            (
+                (F.col("n_both").cast("double") * F.lit(n_orders).cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+def events_trend_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR TREND per event type: the least-squares slope and
+    intercept of value (cents) against day index, from EXACT integer
+    moments (s12's discipline extended to regression — built-in
+    regr_slope merges float partials in partition order and cannot
+    promise stable bits). slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    with every Σ an exact BIGINT/DECIMAL; two divisions at the end."""
+    ev = read_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long")
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = F.col("sxy").cast("double") * nd - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = F.col("sxx").cast("double") * nd - F.col("sx").cast("double") * F.col("sx").cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nd
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+    )
+
+
+QUERIES["basket_part_pairs"] = basket_part_pairs
+QUERIES["events_trend_line"] = events_trend_line
+
+ORACLE_SQL["basket_part_pairs"] = f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS total FROM items),
+    part_n AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT p.part_a, p.part_b, p.n_both, na.n AS n_a, nb.n AS n_b,
+           CAST(p.n_both AS DOUBLE) / CAST(t.total AS DOUBLE) AS support,
+           CAST(p.n_both AS DOUBLE) / CAST(na.n AS DOUBLE) AS confidence_a_to_b,
+           (CAST(p.n_both AS DOUBLE) * CAST(t.total AS DOUBLE))
+               / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN part_n na ON na.l_partkey = p.part_a
+    JOIN part_n nb ON nb.l_partkey = p.part_b
+    CROSS JOIN n_orders t
+"""
+
+ORACLE_SQL["events_trend_line"] = """
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS BIGINT) AS sx,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+               sum(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        * date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        * CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        AS DECIMAL(38,0))) AS sxy
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, n,
+           (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE)
+            - ((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents
+    FROM m
+"""
