@@ -1887,3 +1887,101 @@ ORACLE_SQL["events_trend_line"] = """
               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents
     FROM m
 """
+
+
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of revenue concentration across customers —
+    the inequality summary behind "whales" analysis (pairs with the
+    Pareto/ABC view). Computed from the sorted-rank identity
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with exact integer rank-weighted
+    sums (rank·cents in DECIMAL) and a total order (cents ASC,
+    customer ASC); the two divisions at the end are the only float
+    ops."""
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("customer_id").asc())
+    ranked = per_cust.withColumn("i", F.row_number().over(w).cast("long"))
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).alias("ws"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("ws").cast("double") / (nd * F.col("s").cast("double"))
+        - (nd + 1.0) / nd
+    )
+    return agg.select(
+        "n",
+        F.col("s").cast("double").alias("total_cents"),
+        gini.alias("gini"),
+    )
+
+
+def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type DIVERSITY as Gini impurity 1 − Σpᵢ² — the
+    rational diversity index (Shannon entropy needs ln, whose last ulp
+    is libm-specific — same stance as the chi-square query). Exact:
+    Σnᵢ² and n² are integers; one division."""
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    agg = per.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("ss"),
+    )
+    impurity = F.lit(1.0) - F.col("ss").cast("double") / (
+        F.col("n_events").cast("double") * F.col("n_events").cast("double")
+    )
+    return agg.select("user_id", "n_events", "n_types", impurity.alias("gini_impurity"))
+
+
+QUERIES["customer_revenue_gini"] = customer_revenue_gini
+QUERIES["events_type_diversity"] = events_type_diversity
+
+ORACLE_SQL["customer_revenue_gini"] = """
+    WITH per_cust AS (
+        SELECT o_custkey AS customer_id,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents ASC, customer_id ASC)
+                    AS BIGINT) AS i
+        FROM per_cust
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(cents AS DECIMAL(38,0))) AS s,
+               sum(CAST(i * cents AS DECIMAL(38,0))) AS ws
+        FROM ranked
+    )
+    SELECT n, CAST(s AS DOUBLE) AS total_cents,
+           2.0 * CAST(ws AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM agg
+"""
+
+ORACLE_SQL["events_type_diversity"] = """
+    WITH per AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               sum(CAST(c * c AS DECIMAL(38,0))) AS ss
+        FROM per GROUP BY 1
+    )
+    SELECT user_id, n_events, n_types,
+           1.0 - CAST(ss AS DOUBLE)
+               / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) AS gini_impurity
+    FROM agg
+"""
