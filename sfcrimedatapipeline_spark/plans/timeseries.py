@@ -1059,3 +1059,81 @@ ORACLE_SQL["events_dn_retention"] = """
     LEFT JOIN r1 USING (cohort_day)
     LEFT JOIN r7 USING (cohort_day)
 """
+
+
+def events_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONTH-OVER-MONTH growth per event type — the period-comparison
+    BI staple: monthly exact-cent revenue, the previous month via lag
+    over a total order, and the growth rate as one division of exact
+    integers (NULL on the first month, the honest no-baseline
+    answer)."""
+    from pyspark.sql import Window
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    monthly = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+    ).agg(F.sum(cents).alias("rev_cents"), F.count("*").cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "event_type",
+        "month",
+        "n_events",
+        "rev_cents",
+        prev.alias("prev_rev_cents"),
+        (
+            (F.col("rev_cents") - prev).cast("double") / prev.cast("double")
+        ).alias("mom_growth"),
+    )
+
+
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW vs RETURNING decomposition of daily active users — the
+    growth-accounting split behind every DAU chart: per day, actives
+    whose FIRST-ever activity is that day vs the rest. One distinct
+    (user, day) frame, one first-day aggregate, one join; exact
+    counts."""
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("d0"))
+    tagged = days.join(first, "user_id").select(
+        "day", (F.col("day") == F.col("d0")).alias("is_new")
+    )
+    return tagged.groupBy("day").agg(
+        F.count("*").cast("long").alias("dau"),
+        F.sum(F.col("is_new").cast("long")).cast("long").alias("n_new"),
+        F.sum((~F.col("is_new")).cast("long")).cast("long").alias("n_returning"),
+    )
+
+
+QUERIES["events_mom_growth"] = events_mom_growth
+QUERIES["events_new_vs_returning"] = events_new_vs_returning
+
+ORACLE_SQL["events_mom_growth"] = """
+    WITH monthly AS (
+        SELECT event_type,
+               CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, month, n_events, rev_cents,
+           lag(rev_cents) OVER w AS prev_rev_cents,
+           CAST(rev_cents - lag(rev_cents) OVER w AS DOUBLE)
+               / CAST(lag(rev_cents) OVER w AS DOUBLE) AS mom_growth
+    FROM monthly
+    WINDOW w AS (PARTITION BY event_type ORDER BY month)
+"""
+
+ORACLE_SQL["events_new_vs_returning"] = """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    first AS (SELECT user_id, min(day) AS d0 FROM days GROUP BY 1)
+    SELECT d.day,
+           CAST(count(*) AS BIGINT) AS dau,
+           CAST(sum(CASE WHEN d.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN d.day <> f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+    FROM days d JOIN first f USING (user_id)
+    GROUP BY 1
+"""
