@@ -1137,3 +1137,106 @@ ORACLE_SQL["events_new_vs_returning"] = """
     FROM days d JOIN first f USING (user_id)
     GROUP BY 1
 """
+
+
+BAND_PROBS = [0.1, 0.5, 0.9]
+
+
+def events_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY PERCENTILE BANDS: exact p10/p50/p90 of event value per day
+    (operators/profile.py:exact_quantiles_by keyed on the calendar day)
+    — the envelope-chart feed around the daily median."""
+    from sfcrimedatapipeline_spark.operators.profile import exact_quantiles_by
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    daily = ev.select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("double").alias("cents"),
+    )
+    return exact_quantiles_by(daily, "day", "cents", BAND_PROBS)
+
+
+def dq_event_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS integrity check: missing event_id RANGES via
+    the classic ``id − row_number`` grouping trick — consecutive
+    present ids share one island key, and each gap is the space
+    between adjacent islands. The sequence-completeness audit for
+    any monotonically keyed feed; one ordered window + one aggregate.
+    Emits (gap_start, gap_end, n_missing) — empty when the sequence
+    is complete, so the output IS the repair worklist. The testdata's
+    ids are dense, so the gated scenario drops every 97th id first —
+    the audit then has real holes to find (same stance as
+    m7_stale_partitions' deterministic drift)."""
+    from pyspark.sql import Window
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id")
+        .filter(F.pmod(F.col("event_id"), F.lit(97)) != 0)
+        .distinct()
+    )
+    w = Window.orderBy("event_id")
+    islands = ev.withColumn(
+        "__isl", F.col("event_id") - F.row_number().over(w)
+    )
+    bounds = islands.groupBy("__isl").agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    )
+    w2 = Window.orderBy("lo")
+    return (
+        bounds.withColumn("__next_lo", F.lead("lo").over(w2))
+        .filter(F.col("__next_lo").isNotNull())
+        .select(
+            (F.col("hi") + 1).alias("gap_start"),
+            (F.col("__next_lo") - 1).alias("gap_end"),
+            (F.col("__next_lo") - F.col("hi") - 1).alias("n_missing"),
+        )
+    )
+
+
+QUERIES["events_daily_value_bands"] = events_daily_value_bands
+QUERIES["dq_event_id_gaps"] = dq_event_id_gaps
+
+ORACLE_SQL["events_daily_value_bands"] = f"""
+    WITH ranked AS (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS g,
+               CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (PARTITION BY CAST(CAST(ts AS DATE) AS VARCHAR)
+                                  ORDER BY CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE)) - 1 AS r,
+               count(*) OVER (PARTITION BY CAST(CAST(ts AS DATE) AS VARCHAR)) AS n
+        FROM events
+    ),
+    spine AS (
+        SELECT g, n, CAST(unnest([{", ".join(repr(p) for p in BAND_PROBS)}]) AS DOUBLE) AS prob
+        FROM (SELECT DISTINCT g, n FROM ranked) t
+    ),
+    pos AS (
+        SELECT g, prob, prob * (n - 1) AS h,
+               CAST(floor(prob * (n - 1)) AS BIGINT) AS lo,
+               least(CAST(floor(prob * (n - 1)) AS BIGINT) + 1, n - 1) AS hi
+        FROM spine
+    )
+    SELECT pos.g AS day, pos.prob,
+           vlo.v + (vhi.v - vlo.v) * (pos.h - floor(pos.h)) AS value
+    FROM pos
+    JOIN ranked vlo ON vlo.g = pos.g AND vlo.r = pos.lo
+    JOIN ranked vhi ON vhi.g = pos.g AND vhi.r = pos.hi
+"""
+
+ORACLE_SQL["dq_event_id_gaps"] = """
+    WITH ids AS (SELECT DISTINCT event_id FROM events WHERE event_id % 97 <> 0),
+    islands AS (
+        SELECT event_id,
+               event_id - row_number() OVER (ORDER BY event_id) AS isl
+        FROM ids
+    ),
+    bounds AS (
+        SELECT isl, min(event_id) AS lo, max(event_id) AS hi
+        FROM islands GROUP BY 1
+    )
+    SELECT hi + 1 AS gap_start,
+           lead(lo) OVER (ORDER BY lo) - 1 AS gap_end,
+           lead(lo) OVER (ORDER BY lo) - hi - 1 AS n_missing
+    FROM bounds
+    QUALIFY lead(lo) OVER (ORDER BY lo) IS NOT NULL
+"""
