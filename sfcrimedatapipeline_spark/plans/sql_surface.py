@@ -1985,3 +1985,84 @@ ORACLE_SQL["events_type_diversity"] = """
                / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) AS gini_impurity
     FROM agg
 """
+
+
+LEAD_TIME_PROBS = [0.5, 0.9, 0.99]
+
+
+def orders_lead_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER LEAD TIME distribution: exact p50/p90/p99 of days between
+    order placement and the FIRST line shipment — the fulfillment SLA
+    KPI. Exact integer day deltas through the shared-interpolation
+    quantile operator; orders with no lines drop (no shipment, no
+    lead time)."""
+    from sfcrimedatapipeline_spark.operators.profile import exact_quantiles
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.to_date("l_shipdate")).alias("first_ship"))
+    )
+    lead = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.datediff(F.col("first_ship"), F.to_date("o_orderdate"))
+        .cast("long")
+        .cast("double")
+        .alias("lead_days")
+    )
+    return exact_quantiles(lead, "lead_days", LEAD_TIME_PROBS)
+
+
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily BOUNCE RATE: the fraction of that day's active users with
+    exactly one event — the engagement-quality KPI beside DAU. Exact
+    counts, one division."""
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy(F.to_date("ts").alias("day"), F.col("user_id")).agg(
+        F.count("*").alias("n")
+    )
+    return per.groupBy("day").agg(
+        F.count("*").cast("long").alias("dau"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("n_bounced"),
+        (
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("bounce_rate"),
+    )
+
+
+QUERIES["orders_lead_time_quantiles"] = orders_lead_time_quantiles
+QUERIES["events_bounce_rate"] = events_bounce_rate
+
+ORACLE_SQL["orders_lead_time_quantiles"] = f"""
+    WITH li AS (
+        SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+        FROM lineitem GROUP BY 1
+    ),
+    lead_t AS (
+        SELECT CAST(CAST(date_diff('day', CAST(o.o_orderdate AS DATE), li.first_ship)
+                    AS BIGINT) AS DOUBLE) AS v
+        FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    ),
+    ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS r FROM lead_t),
+    n AS (SELECT count(*) AS cnt FROM lead_t),
+    probs AS (SELECT CAST(unnest([{", ".join(repr(p) for p in LEAD_TIME_PROBS)}]) AS DOUBLE) AS p)
+    SELECT p AS prob,
+           lo.v + (hi.v - lo.v) * (p * (cnt - 1) - floor(p * (cnt - 1))) AS value
+    FROM probs, n
+    JOIN ranked lo ON lo.r = CAST(floor(p * (cnt - 1)) AS BIGINT)
+    JOIN ranked hi ON hi.r = least(CAST(floor(p * (cnt - 1)) AS BIGINT) + 1, cnt - 1)
+"""
+
+ORACLE_SQL["events_bounce_rate"] = """
+    WITH per AS (
+        SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS dau,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounced,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS bounce_rate
+    FROM per GROUP BY 1
+"""
