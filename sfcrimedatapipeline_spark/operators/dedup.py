@@ -896,15 +896,16 @@ def chunk_dedup_corpus(
 
     Scale shape: chunking is per-row Catalyst array ops (no UDF, no
     explode of tokens — one row per CHUNK, not per token). Two
-    shuffles: one hash-partition on the 32-hex fingerprint (carrying
-    chunk text ≈ one repartition of the corpus), one on doc id for
-    reassembly. The first-occurrence window partitions by fingerprint,
-    so partition sizes are bounded by duplicate multiplicity, never by
-    corpus size; a ubiquitous boilerplate chunk is the skew worst case
-    and still reduces to count + min.
+    shuffles: one hash-partition on the 32-hex fingerprint, one on doc
+    id for reassembly. First-occurrence is ``groupBy(fingerprint).agg(
+    min(struct(doc_id, chunk_idx, chunk_text)))`` — MAP-SIDE
+    COMBINABLE, so the skew worst case (one boilerplate chunk repeated
+    10^8 times) collapses to one partial-min row per input partition
+    before the shuffle; no window, no join keyed on the fingerprint,
+    no partition whose size tracks duplicate multiplicity. Dropped
+    counts are derived arithmetically (``n_chunks − n_kept`` per doc)
+    instead of marking each duplicate row.
     """
-    from pyspark.sql import Window
-
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
     k = F.lit(chunk_tokens)
@@ -917,24 +918,40 @@ def chunk_dedup_corpus(
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i * k + 1, chunk_tokens), " "))
         ).alias("chunk_idx", "chunk_text"),
     )
-    w = Window.partitionBy(F.md5(F.col("chunk_text"))).orderBy(
-        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    # first occurrence per fingerprint: min over (doc_id, chunk_idx,
+    # chunk_text) — struct comparison is lexicographic and (doc_id,
+    # chunk_idx) is a total order, so chunk_text rides along without
+    # influencing the winner. Partial aggregation collapses duplicate
+    # copies map-side; the shuffle carries one candidate per (input
+    # partition, distinct fingerprint).
+    firsts = (
+        chunked.groupBy(F.md5(F.col("chunk_text")).alias("__fp"))
+        .agg(
+            F.min(
+                F.struct(F.col(id_col), F.col("chunk_idx"), F.col("chunk_text"))
+            ).alias("__first")
+        )
+        .select("__first.*")
     )
-    ranked = chunked.withColumn("rn", F.row_number().over(w))
-    per_doc = ranked.groupBy(id_col).agg(
-        F.count("*").cast("int").alias("n_chunks"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("int").alias("n_dropped"),
+    kept_per_doc = firsts.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_kept"),
         F.array_sort(
-            F.collect_list(
-                F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk_text"))
-            )
+            F.collect_list(F.struct("chunk_idx", "chunk_text"))
         ).alias("kept"),
     )
-    per_doc = per_doc.select(
+    totals = chunked.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_chunks")
+    )
+    per_doc = totals.join(kept_per_doc, id_col, "left").select(
         id_col,
-        F.array_join(F.transform("kept", lambda s: s["chunk_text"]), " ").alias("clean_text"),
+        F.coalesce(
+            F.array_join(F.transform("kept", lambda s: s["chunk_text"]), " "),
+            F.lit(""),
+        ).alias("clean_text"),
         "n_chunks",
-        "n_dropped",
+        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_dropped"
+        ),
     )
     # empty-text documents produce no chunks; keep them with 0 counts
     return (

@@ -42,6 +42,28 @@ def surrogate_key(
     )
 
 
+def partition_offsets(counts: DataFrame) -> DataFrame:
+    """Exclusive running sum over a ``(__pid, __n)`` frame → ``(__pid,
+    __offset)``.
+
+    The frame is one row per shuffle PARTITION (bounded by cluster
+    size, never by data), but a partition-less window here would still
+    trip Spark's WindowExec single-partition warning and muddy every
+    gate log — so the cumsum is a triangular self-join instead:
+    O(P²) ≈ 10^6 comparisons at 1000 partitions, zero windows, fully
+    parallel. Shared by every two-phase ranking operator (dense_ids,
+    load_order_id, exact_quantiles).
+    """
+    lower = counts.select(
+        F.col("__pid").alias("__pid2"), F.col("__n").alias("__n2")
+    )
+    return (
+        counts.join(lower, F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__n2"), F.lit(0)).cast("long").alias("__offset"))
+    )
+
+
 def dense_ids(df: DataFrame, order_cols: list[str], key_name: str) -> DataFrame:
     """Scale-safe dense 1..N ids ordered by ``order_cols`` (NULLS LAST).
 
@@ -62,12 +84,7 @@ def dense_ids(df: DataFrame, order_cols: list[str], key_name: str) -> DataFrame:
         *df.columns,
     )
     counts = with_local.groupBy("__pid").agg(F.max("__local").alias("__n"))
-    offsets = counts.select(
-        "__pid",
-        (
-            F.sum("__n").over(Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1))
-        ).alias("__offset"),
-    ).fillna({"__offset": 0})
+    offsets = partition_offsets(counts)
     return (
         with_local.join(F.broadcast(offsets), "__pid")
         .select((F.col("__local") + F.col("__offset")).alias(key_name), *df.columns)
@@ -102,12 +119,7 @@ def load_order_id(df: DataFrame, key_name: str = "id") -> DataFrame:
         *df.columns,
     )
     counts = with_local.groupBy("__pid").agg((F.max("__local") + 1).alias("__n"))
-    offsets = counts.select(
-        "__pid",
-        F.sum("__n")
-        .over(Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1))
-        .alias("__offset"),
-    ).fillna({"__offset": 0})
+    offsets = partition_offsets(counts)
     return with_local.join(F.broadcast(offsets), "__pid").select(
         (F.col("__local") + F.col("__offset") + 1).cast("long").alias(key_name),
         *df.columns,

@@ -23,10 +23,16 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
     """Exact linear-interpolation quantiles of a numeric column,
     computed distributed (no driver collect, no approximation).
 
-    Spark's global ``orderBy`` range-partitions then sorts per
-    partition — the standard distributed sort; ``row_number`` over it
-    is the only single-lineage step and carries just (rank, value)
-    pairs. For each prob p: position h = p·(n-1) (0-based), value =
+    Ranking is TWO-PHASE (the ``dense_ids`` recipe from
+    ``operators/keys.py``): range-repartition on the value so
+    partitions are globally ordered, ``row_number`` WITHIN each
+    partition, then add exact per-partition offsets from a one-row-
+    per-partition count aggregate broadcast back. No partition-less
+    window — the column is never funneled through one task, so the
+    operator survives a 100 TB column where the old global
+    ``row_number().over(Window.orderBy(...))`` form would not.
+
+    For each prob p: position h = p·(n-1) (0-based), value =
     v[floor(h)] + (v[ceil(h)] - v[floor(h)])·(h - floor(h)) — the
     EXPLICIT formula, written identically in the DuckDB oracle, because
     the built-ins (`percentile` vs `quantile_cont`) use algebraically
@@ -36,8 +42,28 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ranked = df.select(F.col(col).cast("double").alias("__v")).select(
-        "__v", (F.row_number().over(Window.orderBy("__v")) - 1).alias("__r")
+    vals = df.select(F.col(col).cast("double").alias("__v"))
+    # phase 1: globally-ordered partitions + local 1-based rank.
+    # F.asc = NULLS FIRST, matching the old global window's default.
+    sorted_df = vals.repartitionByRange(F.asc("__v")).sortWithinPartitions(
+        F.asc("__v")
+    )
+    pid = F.spark_partition_id()
+    local_w = Window.partitionBy(pid).orderBy(F.asc("__v"))
+    with_local = sorted_df.select(
+        pid.alias("__pid"),
+        F.row_number().over(local_w).cast("long").alias("__local"),
+        "__v",
+    )
+    # phase 2: exact offsets — one row per partition, cumulated with a
+    # window-free triangular join (operators/keys.py:partition_offsets)
+    # and broadcast back.
+    from sfcrimedatapipeline_spark.operators.keys import partition_offsets
+
+    counts = with_local.groupBy("__pid").agg(F.max("__local").alias("__n"))
+    offsets = partition_offsets(counts)
+    ranked = with_local.join(F.broadcast(offsets), "__pid").select(
+        "__v", (F.col("__local") + F.col("__offset") - 1).alias("__r")
     )
     n = df.count()  # driver scalar (an aggregate, not a row collect)
 

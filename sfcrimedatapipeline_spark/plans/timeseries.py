@@ -504,11 +504,20 @@ RFM_ASOF = "2024-02-01"
 def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM SEGMENTATION — the classic customer-value model: per user,
     Recency (days since last purchase, as of a fixed date), Frequency
-    (purchase count), Monetary (exact cents); each scored 1-4 by
-    ntile over a TOTAL order (metric, then user id — ties cannot
-    reorder across engines), concatenated into the RFM cell. One
-    groupBy + three ntile windows over the user-cardinality frame."""
-    from pyspark.sql import Window
+    (purchase count), Monetary (exact cents); each scored 1-4 into
+    ntile(4) buckets over a TOTAL order (metric, then user id — ties
+    cannot reorder across engines), concatenated into the RFM cell.
+
+    Scale shape: NO partition-less ntile windows. Each score is a
+    two-phase global rank (``operators/keys.py:dense_ids`` — range
+    repartition + per-partition offsets) followed by the explicit
+    ntile bucket formula (first ``n mod k`` buckets get ``⌈n/k⌉``
+    rows), which reproduces ``ntile(4)`` EXACTLY — the oracle keeps
+    the literal ``ntile`` and the hash is unchanged. Three ranks =
+    three range shuffles over the user-cardinality aggregate; the
+    scores rejoin on user_id (hash-partitioned, no skew — user_id is
+    unique after the groupBy)."""
+    from sfcrimedatapipeline_spark.operators.keys import dense_ids
 
     ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
@@ -523,21 +532,51 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("monetary_cents"),
         )
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
-    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
-    return base.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        F.ntile(4).over(r_w).cast("int").alias("r_score"),
-        F.ntile(4).over(f_w).cast("int").alias("f_score"),
-        F.ntile(4).over(m_w).cast("int").alias("m_score"),
-    ).withColumn(
-        "rfm",
-        F.concat(F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    from sfcrimedatapipeline_spark.functions.caching import unpersist_when_released
+
+    base = base.persist()
+    n = base.count()  # driver scalar (aggregate, not a row collect)
+    q, rem = divmod(n, 4)
+
+    def tile(rk: str) -> F.Column:
+        # explicit ntile(4) bucket formula: first (n mod 4) buckets get
+        # ⌈n/4⌉ rows, the rest ⌊n/4⌋ — integer ceil via floor((x+m-1)/m)
+        if q == 0:  # n < 4: every bucket has one row, tile = rank
+            return F.col(rk).cast("int")
+        cut = rem * (q + 1)
+        first = F.floor((F.col(rk) + q) / F.lit(q + 1))
+        rest = F.lit(rem) + F.floor((F.col(rk) - cut + q - 1) / F.lit(q))
+        return F.when(F.col(rk) <= cut, first).otherwise(rest).cast("int")
+
+    def score(order_cols: list, name: str) -> DataFrame:
+        ranked = dense_ids(
+            base.select("user_id", "recency_days", "frequency", "monetary_cents"),
+            order_cols,
+            "__rk",
+        )
+        return ranked.select("user_id", tile("__rk").alias(name))
+
+    r_s = score([F.col("recency_days").asc(), F.col("user_id").asc()], "r_score")
+    f_s = score([F.col("frequency").desc(), F.col("user_id").asc()], "f_score")
+    m_s = score([F.col("monetary_cents").desc(), F.col("user_id").asc()], "m_score")
+    out = (
+        base.join(r_s, "user_id")
+        .join(f_s, "user_id")
+        .join(m_s, "user_id")
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat(
+                F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("rfm"),
+        )
     )
+    return unpersist_when_released(out, base)
 
 
 QUERIES["events_rfm_segmentation"] = events_rfm_segmentation

@@ -448,3 +448,89 @@ def test_rollup_cascade_never_rereads_events(spark):
     plan = _plan(sql_surface.QUERIES["events_rollup_cascade"](spark, SF_DIR))
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1
+
+
+def _window_nodes(df) -> list[str]:
+    """Every Window node line in the EXECUTED plan tree."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [
+        ln.strip() for ln in plan.splitlines() if "Window [" in ln
+    ]
+
+
+def _is_partitioned(window_line: str) -> bool:
+    # `Window [funcs], [partSpec], [orderSpec]` — a partition-less
+    # window prints only two bracket groups (funcs, orderSpec)
+    return window_line.count("], [") >= 2
+
+
+def test_exact_quantiles_has_no_global_window(spark):
+    # the r5 verdict's #1: the old form funneled the whole column
+    # through ONE task via row_number().over(Window.orderBy(...)).
+    # The two-phase rank's only windows partition by spark_partition_id.
+    from sfcrimedatapipeline_spark.operators.profile import exact_quantiles
+
+    df = spark.range(1000).selectExpr("cast(id as double) as v")
+    for ln in _window_nodes(exact_quantiles(df, "v", [0.25, 0.5, 0.99])):
+        assert _is_partitioned(ln), f"partition-less window: {ln}"
+
+
+def test_rfm_has_no_global_ntile_window(spark):
+    from sfcrimedatapipeline_spark.plans import timeseries
+
+    q = timeseries.QUERIES["events_rfm_segmentation"](spark, SF_DIR)
+    for ln in _window_nodes(q):
+        assert _is_partitioned(ln), f"partition-less window: {ln}"
+        assert "ntile" not in ln
+
+
+def test_dense_ids_and_load_order_have_no_global_window(spark):
+    from sfcrimedatapipeline_spark.operators.keys import dense_ids, load_order_id
+
+    df = spark.range(500).selectExpr("id", "cast(id % 7 as int) as k")
+    for op in (dense_ids(df, ["k", "id"], "rk"), load_order_id(df)):
+        for ln in _window_nodes(op):
+            assert _is_partitioned(ln), f"partition-less window: {ln}"
+
+
+def test_chunk_dedup_has_no_window_and_partial_aggregates(spark):
+    # skew-safety (r5 verdict #3): first-occurrence must be a map-side
+    # combinable min-struct aggregate, never a fingerprint-partitioned
+    # window whose partition size tracks duplicate multiplicity
+    from sfcrimedatapipeline_spark.operators.dedup import chunk_dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y")], "doc_id long, text string"
+    )
+    out = chunk_dedup_corpus(docs, chunk_tokens=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # both groupBys plan as partial+final HashAggregate pairs
+    assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_chunk_dedup_survives_hot_chunk_skew(spark):
+    # one boilerplate chunk duplicated 100k x: the old window put all
+    # 100k rows in ONE sorted partition; the min-struct aggregate
+    # collapses them map-side. Assert correctness at volume (the plan
+    # shape is pinned above).
+    from pyspark.sql import functions as F
+    from sfcrimedatapipeline_spark.operators.dedup import chunk_dedup_corpus
+
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the same boiler plate "), F.lit("uniq"), F.col("id")).alias(
+            "text"
+        ),
+    )
+    out = chunk_dedup_corpus(docs, chunk_tokens=4)
+    agg = out.agg(
+        F.sum("n_dropped").alias("dropped"), F.sum("n_chunks").alias("chunks")
+    ).collect()[0]
+    # every doc has 2 chunks ("the same boiler plate", "uniqN");
+    # the boilerplate chunk survives exactly once
+    assert agg.chunks == 2 * n
+    assert agg.dropped == n - 1
+    keeper = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert keeper.clean_text == "the same boiler plate uniq0"
