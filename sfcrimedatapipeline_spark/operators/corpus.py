@@ -904,9 +904,10 @@ def sample_negatives(
     ``(r + hash(id, seed=j) mod (N-1) + 1) mod N`` — offset never 0,
     so never self — and candidates resolve by an equi-join on the
     index. The md5-derived offset makes picks uniform yet replayable;
-    anchors may end with fewer than k negatives after the same-group
-    filter (count is reported, never silently resampled — resampling
-    would be sequentially dependent).
+    anchors may end with FEWER THAN k rows after the same-group filter
+    (the surviving ``slot`` values show which draws were lost — count
+    rows per ``anchor_id`` to detect shortfalls; picks are never
+    resampled, which would be sequentially dependent).
 
     Scale: the dense index comes from keys.dense_ids — the two-phase
     range-partitioned numbering, NOT a single-partition window (this

@@ -159,7 +159,22 @@ def apply_cdc(
     work is ONE broadcast anti-join. The per-key latest-change window
     runs on the changelog only (delta-sized).
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    # seq DESC decides; op then a full-row fingerprint break ties so a
+    # changelog carrying two rows with equal (keys, seq) still resolves
+    # deterministically instead of by partition order
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        F.col(op_col).asc(),
+        F.md5(
+            F.concat_ws(
+                "\u0001",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\u0000"))
+                    for c in changelog.columns
+                ],
+            )
+        ).asc(),
+    )
     latest = (
         changelog.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

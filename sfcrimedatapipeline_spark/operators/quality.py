@@ -53,7 +53,13 @@ def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFr
     """Evaluate all expectations → one row per rule:
     ``(rule, n_violations, passed)``. Row-level rules share a
     single aggregation pass; set-level rules add one bounded job each.
+
+    Raises ``ValueError`` on an empty rule list — an accidental
+    no-rules audit reading as "all checks passed" is the dangerous
+    outcome; callers wanting a no-op should not call the auditor.
     """
+    if not expectations:
+        raise ValueError("no expectations given")
     row_aggs = []
     set_frames = []
     for e in expectations:
@@ -166,12 +172,20 @@ def write_audit_publish(
 ) -> tuple[bool, DataFrame]:
     """WRITE-AUDIT-PUBLISH: stage the write to a sibling directory,
     audit the STAGED FILES (not the input plan — what's audited is
-    byte-for-byte what readers will see), and only then atomically
-    swap it into place; on violation the staging dir is removed and
-    the previous published data stays untouched. The pattern behind
-    Iceberg's WAP / Delta's constraint-gated commits, expressed on
-    plain parquet directories (same swap discipline as
-    layout.compact_parquet_dir).
+    byte-for-byte what readers will see), and only then swap it into
+    place; on violation the staging dir is removed and the previous
+    published data stays untouched. The pattern behind Iceberg's WAP /
+    Delta's constraint-gated commits, expressed on plain parquet
+    directories (same swap discipline as layout.compact_parquet_dir).
+
+    Swap discipline: the OLD published dir is renamed aside FIRST,
+    then staging renamed in, then the old dir deleted — a crash
+    between steps leaves the previous data recoverable under
+    ``<path>__old_*`` instead of lost (the naive rmtree-then-rename
+    has a window where neither version exists). Each step is a
+    single-directory ``os.rename``, atomic on POSIX within one
+    filesystem; staging lives as a sibling of the target, so the
+    same-filesystem requirement holds by construction.
 
     Returns ``(published, report)`` — the report is the materialized
     per-rule violation table either way, so failed audits are
@@ -193,9 +207,13 @@ def write_audit_publish(
     rows = report.collect()
     ok = all(r.passed for r in rows)
     if ok:
+        old = None
         if os.path.exists(path):
-            shutil.rmtree(path)
+            old = path.rstrip("/") + f"__old_{uuid.uuid4().hex[:12]}"
+            os.rename(path, old)
         os.rename(tmp, path)
+        if old is not None:
+            shutil.rmtree(old)
     else:
         shutil.rmtree(tmp)
     return ok, spark.createDataFrame(rows, report.schema)

@@ -326,7 +326,13 @@ def time_weighted_avg(
         F.count("*").cast("long").alias("n_segments"),
         F.sum("dt_us").cast("long").alias("total_us"),
         (
-            F.sum((F.col("cents") * F.col("dt_us")).cast("decimal(38,0)")).cast("double")
+            # cents is widened to DECIMAL(38,0) BEFORE the multiply —
+            # a BIGINT cents·dt_us product overflows int64 (and raises
+            # under ANSI) once value·gap exceeds ~2^63 µs-cents; the
+            # DuckDB oracle multiplies in DECIMAL already
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("dt_us")
+            ).cast("double")
             / F.sum("dt_us").cast("double")
         ).alias("twa_cents"),
     )

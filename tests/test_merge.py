@@ -135,3 +135,18 @@ def test_stale_partitions_statuses(spark):
         "p string, id long, v string",
     )
     assert stale_partitions(m, partition_fingerprints(perm, F.col("p"), "p"), "p").count() == 0
+
+
+def test_apply_cdc_equal_seq_ties_resolve_deterministically(spark):
+    # two changes share (key, seq): winner must be stable across runs
+    # and partitionings — op 'd' sorts before 'u', so delete wins here
+    from sfcrimedatapipeline_spark.operators.merge import apply_cdc
+
+    base = spark.createDataFrame([(1, "old")], "k int, v string")
+    chg = spark.createDataFrame(
+        [(1, "new", "u", 5), (1, None, "d", 5)],
+        "k int, v string, op string, seq int",
+    )
+    for n in (1, 7):
+        out = apply_cdc(base, chg.repartition(n), ["k"]).collect()
+        assert out == []

@@ -271,3 +271,12 @@ def test_expectations_composite_unique(spark):
     }
     assert out["a_unique"] == 2   # key 1 has 3 rows → 2 excess
     assert out["ab_unique"] == 1  # (1,2) duplicated once
+
+
+def test_expectations_empty_list_raises(spark):
+    import pytest
+    from sfcrimedatapipeline_spark.operators.quality import check_expectations
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="no expectations"):
+        check_expectations(df, [])

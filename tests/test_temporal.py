@@ -312,3 +312,21 @@ def test_asof_forward_direction(spark):
         left, right3, on="user_id", ts="ts", value_cols=["v"], direction="forward"
     ).collect()
     assert fwd3[0].v is None
+
+
+def test_twa_survives_int64_overflowing_product(spark):
+    # value*100 (cents) x gap in µs > 2^63: the BIGINT product would
+    # raise ARITHMETIC_OVERFLOW under ANSI; the decimal-first multiply
+    # must not. 10^12 cents x ~3.15*10^13 µs (a year) ≈ 3*10^25.
+    from pyspark.sql import functions as F
+    from sfcrimedatapipeline_spark.operators.temporal import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [
+            (1, "2023-01-01 00:00:00", 1e10),
+            (1, "2024-01-01 00:00:00", 1e10),
+        ],
+        "user_id int, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = time_weighted_avg(df).collect()[0]
+    assert abs(row.twa_cents - 1e12) < 1.0
