@@ -530,6 +530,116 @@ def train_bpe(
     return merges
 
 
+def train_bpe_local(
+    docs: DataFrame,
+    n_merges: int = 1000,
+    text_col: str = "text",
+    max_words: int | None = None,
+) -> list[tuple[int, str, str, str, int]]:
+    """Production-vocab BPE trainer: ONE distributed scan builds the
+    (word, freq) table, the merge loop runs DRIVER-LOCALLY over it.
+
+    :func:`train_bpe` is exact but pays one shuffle + one driver argmax
+    PER MERGE — fine for a demo vocab, hopeless for the 32k-merge
+    production case (32k sequential Spark rounds). The observation that
+    fixes it: after the first aggregation every round only re-derives
+    pair counts from the WORD-FREQUENCY table, whose size is the
+    distinct vocabulary — millions of rows at 100 TB, not billions —
+    and that table fits the driver. So: aggregate distributed once
+    (``max_words`` caps the collect at the top-frequency vocabulary,
+    tie-broken ``(freq DESC, word ASC)`` for determinism), then train
+    with the classic incremental algorithm — per-pair inverted index,
+    contributions subtracted/re-added only for words containing the
+    merged pair, lazy max-heap keyed ``(-count, left, right)`` so the
+    argmax matches :func:`train_bpe`'s exact
+    ``(count DESC, left ASC, right ASC)`` tie-break (UTF-8 byte order
+    == code-point order, so Python and Spark string comparison agree).
+
+    Identical output contract to :func:`train_bpe` (same merge table,
+    same early stop when no pair repeats); pytest pins equality against
+    both the distributed trainer and the pure-Python reference, and
+    runs 1000 merges in seconds. Feed the result to
+    :func:`bpe_segment_counts` unchanged.
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    wf = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    if max_words is not None:
+        wf = wf.orderBy(F.desc("freq"), F.asc("w")).limit(max_words)
+    rows = wf.collect()  # vocabulary-bounded by construction
+    words = [list(r.w) for r in rows]
+    freqs = [int(r.freq) for r in rows]
+
+    counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    for wi, s in enumerate(words):
+        f = freqs[wi]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            counts[p] += f
+            where[p].add(wi)
+    heap = [(-c, a, b) for (a, b), c in counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, a, b = heap[0]
+            cur = counts.get((a, b), 0)
+            if -negc != cur or cur <= 0:
+                heapq.heappop(heap)  # stale entry
+                continue
+            best = (a, b, cur)
+            break
+        if best is None or best[2] < 2:
+            break
+        a, b, cnt = best
+        merges.append((rank, a, b, a + b, cnt))
+        changed: set = set()
+        for wi in list(where[(a, b)]):
+            s = words[wi]
+            f = freqs[wi]
+            if not any(
+                s[i] == a and s[i + 1] == b for i in range(len(s) - 1)
+            ):
+                where[(a, b)].discard(wi)  # stale index entry
+                continue
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] -= f
+                changed.add(p)
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            words[wi] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                counts[p] += f
+                changed.add(p)
+                where[p].add(wi)
+        for p in changed:
+            if counts.get(p, 0) <= 0:
+                counts.pop(p, None)
+                where.pop(p, None)
+            else:
+                heapq.heappush(heap, (-counts[p], p[0], p[1]))
+
+    return merges
+
+
 def bpe_segment_counts(
     docs: DataFrame,
     merges: list[tuple[int, str, str, str, int]],

@@ -115,6 +115,21 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bpe_merges_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-cadence BPE training (operators/textstats.py:
+    train_bpe_local): ONE distributed word-frequency aggregation, then
+    the merge loop driver-local over the vocabulary-bounded table —
+    no per-merge shuffle, so 30 merges here cost the same Spark work
+    as 10,000 would. Rows-only for the same reason as text_bpe_merges;
+    output equality with the distributed trainer and the pure-Python
+    reference is pinned in tests/test_corpus.py."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    m = textstats.train_bpe_local(docs, n_merges=30)
+    return spark.createDataFrame(
+        m, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_parallel(spark, sf_dir, "documents")
     return textstats.winnow_fingerprints(docs)
@@ -1212,6 +1227,9 @@ QUERIES = {
     # rows-only: iterative argmax rounds, exactly-deterministic output
     # pinned by the pure-Python parity test
     "text_bpe_merges": text_bpe_merges,
+    # rows-only: same iterative-training rationale; parity-pinned vs
+    # the distributed trainer and the pure-Python reference
+    "text_bpe_merges_local": text_bpe_merges_local,
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "corpus_curation_report": corpus_curation_report,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,

@@ -910,3 +910,61 @@ def test_shard_manifest_checksum_detects_content_change(spark):
     assert m1[changed_shard].content_checksum != m2[changed_shard].content_checksum
     assert m1[1 - changed_shard].content_checksum == m2[1 - changed_shard].content_checksum
     assert m1[changed_shard].n_tokens == m2[changed_shard].n_tokens
+
+
+def test_bpe_local_trainer_matches_distributed_and_reference(spark):
+    from sfcrimedatapipeline_spark.operators import textstats
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    texts = [r.text for r in docs.select("text").collect()]
+    want, _ = _bpe_reference(texts, 8)
+    assert textstats.train_bpe_local(docs, n_merges=8) == want
+    assert textstats.train_bpe(docs, n_merges=8) == want
+
+
+def test_bpe_local_trainer_runs_1000_merges(spark):
+    # production-vocab cadence: 1000 merges must complete in seconds
+    # driver-side, and match the pure-Python reference exactly
+    import time
+
+    from sfcrimedatapipeline_spark.operators import textstats
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    # deterministic synthetic corpus deep enough for 1000 real merges
+    # (the sf0.01 documents table exhausts at ~90): 4000 distinct
+    # base-7 "words", each repeated twice
+    def word(i: int) -> str:
+        digits = "abcdefg"
+        s = ""
+        for _ in range(8):
+            s += digits[i % 7]
+            i //= 7
+        return s
+
+    texts = [
+        " ".join(word(i) for i in range(k, 4000, 40)) * 2
+        for k in range(40)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    t0 = time.perf_counter()
+    got = textstats.train_bpe_local(docs, n_merges=1000)
+    train_secs = time.perf_counter() - t0
+    want, _ = _bpe_reference(texts, 1000)
+    assert got == want
+    assert len(got) == 1000  # the corpus genuinely supports deep vocab
+    assert train_secs < 60
+
+
+def test_bpe_local_max_words_cap_is_deterministic(spark):
+    from sfcrimedatapipeline_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower lowest newest newest widest")],
+        "doc_id long, text string",
+    )
+    a = textstats.train_bpe_local(docs, n_merges=5, max_words=3)
+    b = textstats.train_bpe_local(docs, n_merges=5, max_words=3)
+    assert a == b and a
