@@ -97,6 +97,51 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
     return row.select(F.explode(entries).alias("e")).select("e.*")
 
 
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """MERGEABLE approximate quantiles — the tier a 100 TB profile
+    actually runs, wrapping Spark's ``percentile_approx`` (the
+    Greenwald-Khanna-style quantile summary behind
+    ``approxQuantile``): per-partition summaries of bounded size merge
+    associatively, so the whole column is ONE map-side-combined
+    aggregation — no sort, no range shuffle, no rank join.
+
+    ε-contract: with ``accuracy = ⌈1/relative_error⌉``, the returned
+    value for prob p has true rank within ``±relative_error·n`` of
+    ``p·n`` (rank error, not value error — the guarantee quantile
+    sketches actually give). tests pin |rank(approx) − p·n| ≤ ε·n
+    against :func:`exact_quantiles` on a known distribution.
+
+    Gated rows-only (like a7_approx_distinct): Spark's GK summary and
+    any oracle engine's sketch legitimately return different values
+    inside the ε band, so a cross-engine value hash is the wrong
+    check. Same output schema as :func:`exact_quantiles` —
+    ``(prob double, value double)`` — so callers can swap tiers.
+    """
+    acc = max(1, int(round(1.0 / relative_error)))
+    row = df.agg(
+        F.percentile_approx(
+            F.col(col).cast("double"),
+            F.array(*[F.lit(float(p)) for p in probs]),
+            F.lit(acc),
+        ).alias("__qs")
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("prob"),
+                F.element_at("__qs", i + 1).cast("double").alias("value"),
+            )
+            for i, p in enumerate(probs)
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select("e.*")
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """One row per profiled column: n_rows, n_nulls, n_distinct,
     min/max as double."""

@@ -239,6 +239,23 @@ def quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE quantile tier (operators/profile.py:approx_quantiles)
+    — one mergeable-sketch aggregation, no sort. Rows-only by design:
+    any two engines' quantile sketches return different values inside
+    the shared ±ε rank band, so a cross-engine value hash is the wrong
+    check; the ε-contract against the exact tier is pinned in
+    tests/test_sql_surface.py."""
+    from sfcrimedatapipeline_spark.operators.profile import approx_quantiles
+
+    return approx_quantiles(
+        read_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        QUANTILE_PROBS,
+        relative_error=0.001,
+    )
+
+
 def freq_items_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-column heavy hitters over the categorical lineitem
     columns (operators/profile.py:frequent_items)."""
@@ -1085,6 +1102,8 @@ QUERIES = {
     "dedup_exact_stream_wm": dedup_exact_stream_wm,
     "profile_lineitem": profile_lineitem,
     "quantiles_extendedprice": quantiles_extendedprice,
+    # rows-only: sketch values differ across engines inside the ε band
+    "quantiles_approx": quantiles_approx,
 }
 
 ORACLE_SQL = build_oracle_sql()

@@ -280,3 +280,30 @@ def test_expectations_empty_list_raises(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="no expectations"):
         check_expectations(df, [])
+
+
+def test_approx_quantiles_epsilon_contract(spark):
+    # rank-error contract: on values 0..n-1 the rank of a value IS the
+    # value, so |approx - p*(n-1)| <= eps*n checks the GK guarantee
+    from sfcrimedatapipeline_spark.operators.profile import approx_quantiles
+
+    n, eps = 50_000, 0.001
+    df = spark.range(n).selectExpr("cast(id as double) as v")
+    probs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = {r.prob: r.value for r in approx_quantiles(df, "v", probs, eps).collect()}
+    for p in probs:
+        assert abs(got[p] - p * (n - 1)) <= eps * n + 1, (p, got[p])
+
+
+def test_approx_quantiles_plan_has_no_sort_or_shuffle_join(spark):
+    from sfcrimedatapipeline_spark.operators.profile import approx_quantiles
+
+    df = spark.range(1000).selectExpr("cast(id as double) as v")
+    plan = (
+        approx_quantiles(df, "v", [0.5])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Sort" not in plan
+    assert "partial_percentile_approx" in plan  # map-side combine
