@@ -75,11 +75,18 @@ _JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def _parse_pgm(buf: bytes):
-    """Parse a binary PGM (netpbm ``P5``) payload → flat uint8 pixel
-    array, or None if the header is malformed. Pure stdlib+numpy — a
-    REAL container decode that runs in codec-less environments. Handles
-    ``#`` comments and arbitrary whitespace per the netpbm spec; only
-    maxval ≤ 255 (1 byte/pixel) is supported."""
+    """Flat-pixel view of :func:`_parse_pgm_full` (back-compat shape
+    for the feature kernels, which don't need dimensions)."""
+    full = _parse_pgm_full(buf)
+    return None if full is None else full[0]
+
+
+def _parse_pgm_full(buf: bytes):
+    """Parse a binary PGM (netpbm ``P5``) payload → ``(flat uint8
+    pixel array, width, height)``, or None if the header is malformed.
+    Pure stdlib+numpy — a REAL container decode that runs in codec-less
+    environments. Handles ``#`` comments and arbitrary whitespace per
+    the netpbm spec; only maxval ≤ 255 (1 byte/pixel) is supported."""
     import numpy as np
 
     pos, fields, end = 2, [], len(buf)
@@ -108,7 +115,7 @@ def _parse_pgm(buf: bytes):
     raster = buf[pos : pos + width * height]
     if len(raster) != width * height:
         return None
-    return np.frombuffer(raster, dtype=np.uint8)
+    return np.frombuffer(raster, dtype=np.uint8), width, height
 
 
 def _decode_image(buf: bytes, method: str = "auto"):
@@ -436,3 +443,189 @@ def detect_keyframes(
         diff.alias("byte_diff"),
         (diff.isNull() | (diff > threshold)).alias("is_keyframe"),
     )
+
+
+# --- perceptual near-duplicate hashing -------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", StringType())]
+)
+
+_GRID = 8  # 64-bit hashes: 8x8 DCT block (pHash) / 8x9 gradient (dHash)
+
+
+def _image_2d(buf: bytes, meta_w: int, meta_h: int, method: str = "auto"):
+    """Decode one payload to a 2-D uint8 image with a KNOWN shape —
+    the perceptual-hash input (1-D feature kernels use
+    :func:`_decode_image`). Container branches carry their own
+    dimensions (PIL size, PGM header); the deterministic byte path
+    folds the payload onto the metadata ``(height, width)`` plane by
+    nearest-neighbor index mapping — pure integer arithmetic an SQL
+    oracle can replay."""
+    import numpy as np
+
+    if method != "bytes":
+        if buf.startswith(_PNG_MAGIC) or buf.startswith(_JPEG_MAGIC):
+            try:
+                import io
+
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(buf)).convert("L")
+                return np.asarray(img, dtype=np.uint8)
+            except Exception:
+                pass
+        if buf.startswith(b"P5"):
+            full = _parse_pgm_full(buf)
+            if full is not None and full[1] > 0 and full[2] > 0:
+                px, w, h = full
+                return px.reshape(h, w)
+    w, h = max(1, int(meta_w)), max(1, int(meta_h))
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros((h, w), dtype=np.uint8)
+    idx = (np.arange(h * w, dtype=np.int64) * raw.size) // (h * w)
+    return raw[idx].reshape(h, w)
+
+
+def _pack_bits_hex(bits) -> str:
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return format(val, "016x")
+
+
+def _dhash64(img2d) -> str:
+    """64-bit difference hash: nearest-neighbor sample to an 8x9 grid,
+    bit = left pixel > right neighbor. ALL-INTEGER — byte-exact across
+    engines, so the driver query hash-gates it against a DuckDB oracle
+    replaying the same index arithmetic."""
+    import numpy as np
+
+    h, w = img2d.shape
+    ri = (np.arange(_GRID) * h) // _GRID
+    ci = (np.arange(_GRID + 1) * w) // (_GRID + 1)
+    g = img2d[np.ix_(ri, ci)].astype(np.int32)
+    return _pack_bits_hex((g[:, :_GRID] > g[:, 1:]).ravel())
+
+
+_DCT_CACHE: dict = {}
+
+
+def _dct_mat(n: int):
+    """Orthonormal DCT-II basis matrix (the numpy-only stand-in for
+    scipy.fft.dct, which this container lacks)."""
+    import numpy as np
+
+    if n not in _DCT_CACHE:
+        k = np.arange(n, dtype=np.float64)[:, None]
+        i = np.arange(n, dtype=np.float64)[None, :]
+        m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        m[0] /= np.sqrt(2.0)
+        _DCT_CACHE[n] = m
+    return _DCT_CACHE[n]
+
+
+def _phash64(img2d, dct_size: int = 32) -> str:
+    """64-bit pHash (the imagehash recipe): nearest-neighbor sample to
+    32x32, 2-D DCT-II, keep the top-left 8x8 low-frequency block, bit =
+    coefficient > block median. Robust to re-encoding, scaling and
+    small noise; float DCT makes it pytest-gated (bit decisions at the
+    median are not cross-engine reproducible), while :func:`_dhash64`
+    is the oracle-gated integer twin."""
+    import numpy as np
+
+    h, w = img2d.shape
+    ri = (np.arange(dct_size) * h) // dct_size
+    ci = (np.arange(dct_size) * w) // dct_size
+    small = img2d[np.ix_(ri, ci)].astype(np.float64)
+    c = _dct_mat(dct_size)
+    d = c @ small @ c.T
+    block = d[:_GRID, :_GRID].ravel()
+    return _pack_bits_hex(block > np.median(block))
+
+
+def perceptual_hashes(
+    media: DataFrame, method: str = "auto", algorithm: str = "dhash"
+) -> DataFrame:
+    """One 64-bit perceptual hash (hex) per image row, via Arrow
+    ``mapInPandas`` — no shuffle, payloads never leave the workers.
+    Expects the canonical media shape (``media_type``, ``payload``,
+    ``meta.width/height``)."""
+    kern = {"dhash": _dhash64, "phash": _phash64}[algorithm]
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                kern(_image_2d(bytes(p), w, h, method))
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "phash": hashes})
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select(
+            "doc_id",
+            "payload",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+        )
+        .mapInPandas(compute, PHASH_SCHEMA)
+    )
+
+
+def perceptual_near_duplicates(
+    media: DataFrame,
+    method: str = "auto",
+    algorithm: str = "dhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual near-dup candidate pairs — the multimodal MinHash:
+    one re-encoded/resized/slightly-noised copy escapes raw-byte md5
+    (media_dedup_exact) but lands within a few hash bits of its
+    original.
+
+    Banding (the SimHash trick, operators/dedup.py:simhash): each
+    64-bit hash splits into 4 x 16-bit bands; candidate pairs share at
+    least one band, so by pigeonhole recall is EXACT for hamming ≤ 3
+    (4 differing bits can at worst dirty all 4 bands). Every candidate
+    is emitted with its exact hamming distance and an
+    ``is_near_dup`` (≤ max_hamming) flag — the join is on (band_idx,
+    band_val), bounded by hash-table cardinality, never all-pairs.
+    """
+    ph = perceptual_hashes(media, method, algorithm)
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(*[F.substring("phash", 1 + 4 * i, 4) for i in range(4)])
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("phash").alias("hash_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("phash").alias("hash_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hash_a", "hash_b")
+        .distinct()
+    )
+    ham = " + ".join(
+        f"bit_count(cast(conv(substring(hash_a, {i}, 1), 16, 10) as int)"
+        f" ^ cast(conv(substring(hash_b, {i}, 1), 16, 10) as int))"
+        for i in range(1, 17)
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.expr(ham).cast("int").alias("hamming"),
+    ).withColumn("is_near_dup", F.col("hamming") <= max_hamming)

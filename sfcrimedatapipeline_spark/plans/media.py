@@ -387,3 +387,74 @@ ORACLE_SQL["media_dedup_exact"] = """
     FROM documents
     GROUP BY 1
 """
+
+
+def media_dedup_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over image payloads
+    (operators/multimodal.py:perceptual_near_duplicates): 64-bit
+    dHash per image, 4 x 16-bit band candidate join, exact hamming per
+    candidate. ``algorithm="dhash"`` + ``method="bytes"`` pin the
+    all-integer pipeline (nearest-neighbor fold onto the metadata
+    plane, 8x9 gradient grid), so the DuckDB oracle replays every
+    index comparison exactly and the pair list hash-gates; the float
+    DCT pHash and the real container decodes are pytest-gated
+    (tests/test_multimodal.py)."""
+    return mm.perceptual_near_duplicates(
+        _media(spark, sf_dir), method="bytes", algorithm="dhash", max_hamming=3
+    )
+
+
+QUERIES["media_dedup_perceptual"] = media_dedup_perceptual
+
+# byte_idx(r, c) = (((r*h//8)*w + (c*w//9)) * n) // (w*h) — the same
+# nearest-neighbor fold the Python kernel uses; DuckDB lists are
+# 1-indexed, bits pack MSB-first per 16-bit band, hamming = popcount of
+# band xors.
+ORACLE_SQL["media_dedup_perceptual"] = """
+    WITH img AS (
+        SELECT doc_id,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n,
+               (doc_id % 64) * 16 + 16 AS w,
+               (doc_id % 48) * 16 + 16 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    grid AS (
+        SELECT doc_id,
+               [CASE WHEN n > 0
+                     THEN CAST(('0x' || substring(hx,
+                          ((((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * n // (w * h)) * 2 + 1,
+                          2)) AS INT)
+                     ELSE 0 END
+                for i in generate_series(0, 71)] AS g
+        FROM img
+    ),
+    bands AS (
+        SELECT doc_id,
+               [list_sum([CASE WHEN g[(k // 8) * 9 + (k % 8) + 1]
+                                    > g[(k // 8) * 9 + (k % 8) + 2]
+                               THEN CAST(power(2, 15 - (k - 16 * j)) AS BIGINT)
+                               ELSE 0 END
+                          for k in generate_series(16 * j, 16 * j + 15)])
+                for j in generate_series(0, 3)] AS b
+        FROM grid
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(c.doc_id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(coalesce(a.b[1], 0), coalesce(c.b[1], 0)))
+              + bit_count(xor(coalesce(a.b[2], 0), coalesce(c.b[2], 0)))
+              + bit_count(xor(coalesce(a.b[3], 0), coalesce(c.b[3], 0)))
+              + bit_count(xor(coalesce(a.b[4], 0), coalesce(c.b[4], 0))) AS INTEGER)
+               AS hamming,
+           (bit_count(xor(coalesce(a.b[1], 0), coalesce(c.b[1], 0)))
+              + bit_count(xor(coalesce(a.b[2], 0), coalesce(c.b[2], 0)))
+              + bit_count(xor(coalesce(a.b[3], 0), coalesce(c.b[3], 0)))
+              + bit_count(xor(coalesce(a.b[4], 0), coalesce(c.b[4], 0)))) <= 3
+               AS is_near_dup
+    FROM bands a JOIN bands c
+      ON a.doc_id < c.doc_id
+     AND (coalesce(a.b[1], 0) = coalesce(c.b[1], 0)
+       OR coalesce(a.b[2], 0) = coalesce(c.b[2], 0)
+       OR coalesce(a.b[3], 0) = coalesce(c.b[3], 0)
+       OR coalesce(a.b[4], 0) = coalesce(c.b[4], 0))
+"""

@@ -292,3 +292,106 @@ def test_detect_keyframes_flags_transitions(spark):
     assert out[0].byte_diff is None and out[0].is_keyframe
     assert out[1].byte_diff == 0 and not out[1].is_keyframe
     assert out[2].byte_diff == 8 * 16 and out[2].is_keyframe
+
+
+def _media_rows(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, "image", bytearray(buf), (w, h, 16000))
+            for i, (buf, w, h) in enumerate(rows)
+        ],
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int>",
+    )
+
+
+def test_dhash_kernel_manual():
+    import numpy as np
+
+    # 8x9 image sampled 1:1 — bit = left > right on each row
+    img = np.tile(np.array([5, 4, 6, 6, 1, 9, 2, 2, 0], dtype=np.uint8), (8, 1))
+    got = mm._dhash64(img)
+    row_bits = "10010101"  # 5>4,4>6,6>6,6>1,1>9,9>2,2>2,2>0
+    want = format(int(row_bits * 8, 2), "016x")
+    assert got == want
+
+
+def test_perceptual_pairs_reencoded_pgm(spark):
+    """A re-encoded image (same pixels, different container bytes —
+    comments/whitespace in the PGM header) escapes raw-byte md5 dedup
+    but lands at hamming 0 perceptually, for BOTH hash algorithms."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=32 * 24, dtype=np.uint8)
+    orig = _pgm(32, 24, px.tolist())
+    reenc = _pgm(32, 24, px.tolist(), header="P5 # re-encode\n 32\t24  255\n")
+    assert orig != reenc  # md5/dedup_exact would treat these as distinct
+    media = _media_rows(spark, [(orig, 32, 24), (reenc, 32, 24)])
+    for algo in ("dhash", "phash"):
+        pairs = mm.perceptual_near_duplicates(media, algorithm=algo).collect()
+        assert len(pairs) == 1
+        assert pairs[0].hamming == 0 and pairs[0].is_near_dup
+
+
+def test_perceptual_pairs_noised_image_within_band(spark):
+    """Small pixel noise stays within the banded recall guarantee
+    (hamming <= 3 always shares a band); heavy noise must not flag."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=64 * 48, dtype=np.uint8)
+    noised = px.copy()
+    noised[:5] = (noised[:5].astype(int) + 3).clip(0, 255).astype(np.uint8)
+    shuffled = rng.permutation(px)
+    media = _media_rows(
+        spark,
+        [
+            (_pgm(64, 48, px.tolist()), 64, 48),
+            (_pgm(64, 48, noised.tolist()), 64, 48),
+            (_pgm(64, 48, shuffled.tolist()), 64, 48),
+        ],
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in mm.perceptual_near_duplicates(media, algorithm="dhash").collect()
+    }
+    assert (0, 1) in out and out[(0, 1)].is_near_dup
+    assert (0, 2) not in out or not out[(0, 2)].is_near_dup
+
+
+def test_perceptual_pil_branch_reencode(spark):
+    """Where PIL exists: a JPEG re-encode of a PNG pairs with the
+    original within the near-dup threshold (lossy compression moves a
+    few DCT bits, never the band guarantee for mild quality)."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(48, 64), dtype=np.uint8)
+    png_buf, jpg_buf = io.BytesIO(), io.BytesIO()
+    Image.fromarray(arr, "L").save(png_buf, format="PNG")
+    Image.fromarray(arr, "L").save(jpg_buf, format="JPEG", quality=95)
+    media = _media_rows(
+        spark, [(png_buf.getvalue(), 64, 48), (jpg_buf.getvalue(), 64, 48)]
+    )
+    pairs = mm.perceptual_near_duplicates(
+        media, algorithm="phash", max_hamming=6
+    ).collect()
+    assert len(pairs) == 1 and pairs[0].is_near_dup
+
+
+def test_image_2d_bytes_fold_matches_oracle_arithmetic():
+    import numpy as np
+
+    buf = bytes(range(100))
+    img = mm._image_2d(buf, 16, 8, method="bytes")
+    assert img.shape == (8, 16)
+    i = np.arange(128)
+    assert (img.ravel() == np.frombuffer(buf, np.uint8)[(i * 100) // 128]).all()
+    assert mm._image_2d(b"", 4, 4, method="bytes").tolist() == [[0] * 4] * 4
