@@ -104,18 +104,21 @@ def main() -> None:
         timings[name] = round(statistics.median(reps), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "reps": REPS,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "reps": REPS,
+    }
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        # self-published complete artifact: the driver's BENCH_r{N} tail
+        # truncates (VERDICT r5 #5) — keep the full per-query map in-repo
+        with open(out_path, "w") as fh:
+            json.dump({**payload, "n_queries": len(timings)}, fh, indent=1, sort_keys=True)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -30,6 +30,8 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 import time
 
@@ -105,21 +107,34 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
         t0 = time.time()
-        sdf = fn(spark, SF_DIR)
-        spark_pdf = sdf.toPandas()
+        try:
+            sdf = fn(spark, SF_DIR)
+            spark_pdf = sdf.toPandas()
+        except Exception as ex:
+            failures.append(name)
+            records[name] = {"mode": "error", "err": str(ex)[:300]}
+            print(f"✗ {name:28s} SPARK ERROR: {ex}")
+            continue
         dt = time.time() - t0
         spark.catalog.clearCache()  # drop operator-persisted frames between queries
         if name not in oracles:
+            records[name] = {
+                "mode": "rows_only",
+                "spark_rows": len(spark_pdf),
+                "secs": round(dt, 2),
+            }
             print(f"  {name:28s} rows-only: {len(spark_pdf):7d} rows  ({dt:.1f}s)")
             continue
         try:
             duck_pdf = con.sql(oracles[name]).df()
         except Exception as ex:
             failures.append(name)
+            records[name] = {"mode": "hash", "err": f"oracle: {str(ex)[:300]}"}
             print(f"✗ {name:28s} ORACLE ERROR: {ex}")
             continue
         sh, scols, sn = frame_sig(spark_pdf)
@@ -128,6 +143,16 @@ def main() -> int:
         mark = "✓" if ok else "✗"
         if not ok:
             failures.append(name)
+        records[name] = {
+            "mode": "hash",
+            "rows_match": sn == dn,
+            "schema_match": scols == dcols,
+            "hash_match": sh == dh,
+            "spark_rows": sn,
+            "oracle_rows": dn,
+            "secs": round(dt, 2),
+            "err": None,
+        }
         print(
             f"{mark} {name:28s} spark={sn:7d} duck={dn:7d} "
             f"cols={'=' if scols == dcols else f'{scols} vs {dcols}'} "
@@ -149,6 +174,26 @@ def main() -> int:
                 if a != b:
                     print(f"    spark: {a}\n    duck : {b}")
                     break
+    out_path = os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT")
+    if out_path:
+        # self-published complete artifact (VERDICT r5 #5: the driver's
+        # own record caps at 50 queries) — full per-query map + totals
+        n_hash = sum(1 for r in records.values() if r.get("mode") == "hash")
+        payload = {
+            "sf_dir": SF_DIR,
+            "n_queries": len(records),
+            "n_hash_gated": n_hash,
+            "n_rows_only": sum(
+                1 for r in records.values() if r.get("mode") == "rows_only"
+            ),
+            "n_failures": len(failures),
+            "failures": failures,
+            "all_match": not failures,
+            "queries": records,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {out_path}")
     print(("FAIL: " + ", ".join(failures)) if failures else "ALL MATCH")
     return 1 if failures else 0
 

@@ -1,0 +1,127 @@
+"""sf1 scale probe (VERDICT r5, next-round #8).
+
+The per-round bench runs at sf0.1, where iterative/banded operators are
+dominated by per-round scheduling overhead; the claim "this shrinks
+relative to data at scale" needs a MEASUREMENT. This probe materializes
+a 10x replication of sf0.1 (~sf1: ids remapped to stay unique, all
+other values byte-identical — exact-duplicate text/vector copies are a
+deliberate stress for the dedup families) under .scale_probe/sf1/, runs
+the heaviest query families once warm at both scales, and prints a
+JSON map {query: {"sf0.1": s, "sf1": s, "ratio": x}}. A dataflow whose
+cost is data-proportional shows ratio ≈ 10 (or the family's documented
+complexity); per-round overhead shows ratio « 10.
+
+Usage: python tools/scale_probe.py [out.json]
+The scaled data (~170 MB parquet) is deleted afterwards.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/.scale_probe/sf1"
+COPIES = 10
+
+#: (table, id columns to offset per copy)
+TABLES = {
+    "region": [],
+    "nation": [],
+    "customer": [],
+    "supplier": [],
+    "part": [],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+#: the heavy families called out by the r5 verdict: dedup, ANN,
+#: iterative graph, quantiles — plus the windows/streaming-batch twins
+#: whose skew behavior matters at scale
+PROBE_QUERIES = [
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "docs_chunk_dedup",
+    "emb_near_duplicates_lsh",
+    "ann_cosine_topk_ivf",
+    "ann_pq_topk",
+    "dedup_clusters_2phase",
+    "pagerank_dup_graph",
+    "graph_triangle_count",
+    "quantiles_extendedprice",
+    "quantiles_approx",
+    "events_rfm_segmentation",
+    "events_sessionize",
+    "media_dedup_perceptual",
+    "corpus_e2e_pipeline",
+]
+
+
+def build_scaled(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    os.makedirs(DST, exist_ok=True)
+    for table, id_cols in TABLES.items():
+        src = read_table(spark, SRC, table)
+        if not id_cols:
+            # dims: same content (the scale axis is fact/corpus data)
+            src.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
+            continue
+        offsets = {c: src.agg(F.max(c)).collect()[0][0] + 1 for c in id_cols}
+        copies = None
+        for i in range(COPIES):
+            c = src
+            for col, off in offsets.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * off))
+            copies = c if copies is None else copies.unionByName(c)
+        copies.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
+
+
+def main() -> None:
+    import __spark_entry__ as e
+    from sfcrimedatapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    build_scaled(spark)
+    print(f"built {DST} in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    qs = e.queries()
+    results: dict[str, dict] = {}
+    for name in PROBE_QUERIES:
+        fn = qs[name]
+        fn(spark, "/root/testdata/sf0.001").collect()  # compile warm-up
+        spark.catalog.clearCache()
+        row = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+            t = time.time()
+            fn(spark, sf_dir).collect()
+            row[label] = round(time.time() - t, 2)
+            spark.catalog.clearCache()
+        row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 1)
+        results[name] = row
+        print(f"{name:28s} sf0.1={row['sf0.1']:7.2f}s sf1={row['sf1']:7.2f}s "
+              f"ratio={row['ratio']:5.1f}", file=sys.stderr)
+
+    payload = {"copies": COPIES, "queries": results}
+    print(json.dumps(payload, indent=1, sort_keys=True))
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    shutil.rmtree("/root/repo/.scale_probe", ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
