@@ -458,3 +458,69 @@ ORACLE_SQL["media_dedup_perceptual"] = """
        OR coalesce(a.b[3], 0) = coalesce(c.b[3], 0)
        OR coalesce(a.b[4], 0) = coalesce(c.b[4], 0))
 """
+
+
+def media_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (operators/multimodal.py:
+    audio_near_duplicates): 64-bit energy-delta fingerprint per clip —
+    64 equal sample blocks, block energy = Σ|sample| in exact
+    integers, bit = energy rises to the next block (wraparound) —
+    through the shared 4 x 16-bit banding. ``method="bytes"`` pins the
+    signed-int8 sample interpretation so the DuckDB oracle replays the
+    block arithmetic exactly; the WAV container branch and the
+    amplitude-invariance property are pytest-gated."""
+    return mm.audio_near_duplicates(
+        _media(spark, sf_dir), method="bytes", max_hamming=3
+    )
+
+
+QUERIES["media_dedup_audio"] = media_dedup_audio
+
+# sample i = signed int8 from hex pair i; block k = samples
+# [k*n//64, (k+1)*n//64); bit k = e[k] > e[(k+1) % 64]; bands/hamming
+# identical to media_dedup_perceptual.
+ORACLE_SQL["media_dedup_audio"] = """
+    WITH au AS (
+        SELECT doc_id,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    en AS (
+        SELECT doc_id,
+               [coalesce(list_sum(
+                    [abs(CASE WHEN CAST(('0x' || substring(hx, i * 2 + 1, 2)) AS INT) > 127
+                              THEN CAST(('0x' || substring(hx, i * 2 + 1, 2)) AS INT) - 256
+                              ELSE CAST(('0x' || substring(hx, i * 2 + 1, 2)) AS INT) END)
+                     for i in generate_series(k * n // 64, (k + 1) * n // 64 - 1)]
+               ), 0) for k in generate_series(0, 63)] AS e
+        FROM au
+    ),
+    bands AS (
+        SELECT doc_id,
+               [list_sum([CASE WHEN e[k + 1] > e[(k + 1) % 64 + 1]
+                               THEN CAST(power(2, 15 - (k - 16 * j)) AS BIGINT)
+                               ELSE 0 END
+                          for k in generate_series(16 * j, 16 * j + 15)])
+                for j in generate_series(0, 3)] AS b
+        FROM en
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(c.doc_id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(coalesce(a.b[1], 0), coalesce(c.b[1], 0)))
+              + bit_count(xor(coalesce(a.b[2], 0), coalesce(c.b[2], 0)))
+              + bit_count(xor(coalesce(a.b[3], 0), coalesce(c.b[3], 0)))
+              + bit_count(xor(coalesce(a.b[4], 0), coalesce(c.b[4], 0))) AS INTEGER)
+               AS hamming,
+           (bit_count(xor(coalesce(a.b[1], 0), coalesce(c.b[1], 0)))
+              + bit_count(xor(coalesce(a.b[2], 0), coalesce(c.b[2], 0)))
+              + bit_count(xor(coalesce(a.b[3], 0), coalesce(c.b[3], 0)))
+              + bit_count(xor(coalesce(a.b[4], 0), coalesce(c.b[4], 0)))) <= 3
+               AS is_near_dup
+    FROM bands a JOIN bands c
+      ON a.doc_id < c.doc_id
+     AND (coalesce(a.b[1], 0) = coalesce(c.b[1], 0)
+       OR coalesce(a.b[2], 0) = coalesce(c.b[2], 0)
+       OR coalesce(a.b[3], 0) = coalesce(c.b[3], 0)
+       OR coalesce(a.b[4], 0) = coalesce(c.b[4], 0))
+"""

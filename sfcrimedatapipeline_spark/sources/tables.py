@@ -69,12 +69,24 @@ _NANOS_CACHE: dict[str, tuple[str, ...]] = {}
 
 
 def _nanos_columns(path: str) -> tuple[str, ...]:
-    """Columns stored as TIMESTAMP(NANOS) (one cheap footer read, memoized)."""
+    """Columns stored as TIMESTAMP(NANOS) (one cheap footer read,
+    memoized). ``path`` may be a single parquet file or a Spark-written
+    DIRECTORY of part files (one footer is representative — Spark
+    writes a uniform schema)."""
     if path not in _NANOS_CACHE:
+        import glob
+
         import pyarrow.parquet as pq
 
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                _NANOS_CACHE[path] = ()
+                return _NANOS_CACHE[path]
+            probe = parts[0]
         _NANOS_CACHE[path] = tuple(
-            f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
+            f.name for f in pq.read_schema(probe) if str(f.type) == "timestamp[ns]"
         )
     return _NANOS_CACHE[path]
 

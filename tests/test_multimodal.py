@@ -395,3 +395,59 @@ def test_image_2d_bytes_fold_matches_oracle_arithmetic():
     i = np.arange(128)
     assert (img.ravel() == np.frombuffer(buf, np.uint8)[(i * 100) // 128]).all()
     assert mm._image_2d(b"", 4, 4, method="bytes").tolist() == [[0] * 4] * 4
+
+
+def _wav(samples, rate=16000, width=2):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype=f"<i{width}").tobytes())
+    return buf.getvalue()
+
+
+def test_afp_kernel_amplitude_invariant():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    loud = rng.integers(-30000, 30000, size=6400, dtype=np.int16)
+    quiet = loud // 4  # exact positive gain change
+    assert mm._afp64(loud) == mm._afp64(quiet)
+    assert mm._afp64(np.array([], dtype=np.int16)) == "0" * 16
+    # short stream: < 64 samples still yields a defined 64-bit hash
+    assert len(mm._afp64(np.array([3, -9, 2], dtype=np.int16))) == 16
+
+
+def test_audio_near_duplicates_wav_renormalized(spark):
+    """A volume-renormalized WAV re-encode pairs with its original at
+    hamming 0 (energy-delta signs survive positive gain); an unrelated
+    clip must not flag."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    sig = rng.integers(-20000, 20000, size=8000, dtype=np.int16)
+    rows = [
+        (_wav(sig), 0, 0),
+        (_wav(sig // 2), 0, 0),       # re-encoded at half volume
+        (_wav(rng.permutation(sig)), 0, 0),  # unrelated content
+    ]
+    media = spark.createDataFrame(
+        [
+            (i, "audio", bytearray(buf), (0, 0, 16000))
+            for i, (buf, _, _) in enumerate(rows)
+        ],
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int>",
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in mm.audio_near_duplicates(media, method="auto").collect()
+    }
+    assert (0, 1) in out and out[(0, 1)].hamming == 0 and out[(0, 1)].is_near_dup
+    assert (0, 2) not in out or not out[(0, 2)].is_near_dup
