@@ -692,3 +692,34 @@ def audio_near_duplicates(
     hamming ≤ 3). Catches volume-renormalized and container-re-encoded
     copies that raw-byte md5 (media_dedup_exact) misses."""
     return _banded_hash_pairs(audio_fingerprints(media, method), max_hamming)
+
+
+def video_fingerprints(media: DataFrame) -> DataFrame:
+    """One 64-bit fingerprint per video: the energy-delta hash over 64
+    equal chunks of the frame byte stream (unsigned bytes — ``abs`` in
+    :func:`_afp64` is the identity). Block boundaries are RELATIVE
+    positions, so a uniformly re-timed copy (every frame doubled — 2x
+    slow motion) scales every block sum by the same factor and hashes
+    IDENTICALLY, the video analogue of audio's gain invariance."""
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = [
+                _afp64(np.frombuffer(bytes(p), dtype=np.uint8))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "phash": fps})
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("doc_id", "payload")
+        .mapInPandas(compute, PHASH_SCHEMA)
+    )
+
+
+def video_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Video near-dup candidate pairs: frame-stream energy-delta
+    fingerprints through the shared banding — completes the
+    image/audio/video perceptual-dedup triad."""
+    return _banded_hash_pairs(video_fingerprints(media), max_hamming)

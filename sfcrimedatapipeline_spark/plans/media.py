@@ -524,3 +524,62 @@ ORACLE_SQL["media_dedup_audio"] = """
        OR coalesce(a.b[3], 0) = coalesce(c.b[3], 0)
        OR coalesce(a.b[4], 0) = coalesce(c.b[4], 0))
 """
+
+
+def media_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (operators/multimodal.py:
+    video_near_duplicates): energy-delta fingerprint over 64 equal
+    chunks of the frame byte stream (unsigned), shared banding.
+    Relative block boundaries make uniformly re-timed copies hash
+    identically (pytest-gated); the all-integer arithmetic hash-gates
+    against the DuckDB oracle below."""
+    return mm.video_near_duplicates(_media(spark, sf_dir), max_hamming=3)
+
+
+QUERIES["media_dedup_video"] = media_dedup_video
+
+# byte i is UNSIGNED (no sign fold-down); otherwise identical block /
+# band / hamming arithmetic to media_dedup_audio.
+ORACLE_SQL["media_dedup_video"] = """
+    WITH vid AS (
+        SELECT doc_id,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    en AS (
+        SELECT doc_id,
+               [coalesce(list_sum(
+                    [CAST(('0x' || substring(hx, i * 2 + 1, 2)) AS INT)
+                     for i in generate_series(k * n // 64, (k + 1) * n // 64 - 1)]
+               ), 0) for k in generate_series(0, 63)] AS e
+        FROM vid
+    ),
+    bands AS (
+        SELECT doc_id,
+               [list_sum([CASE WHEN e[k + 1] > e[(k + 1) % 64 + 1]
+                               THEN CAST(power(2, 15 - (k - 16 * j)) AS BIGINT)
+                               ELSE 0 END
+                          for k in generate_series(16 * j, 16 * j + 15)])
+                for j in generate_series(0, 3)] AS b
+        FROM en
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(c.doc_id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(coalesce(a.b[1], 0), coalesce(c.b[1], 0)))
+              + bit_count(xor(coalesce(a.b[2], 0), coalesce(c.b[2], 0)))
+              + bit_count(xor(coalesce(a.b[3], 0), coalesce(c.b[3], 0)))
+              + bit_count(xor(coalesce(a.b[4], 0), coalesce(c.b[4], 0))) AS INTEGER)
+               AS hamming,
+           (bit_count(xor(coalesce(a.b[1], 0), coalesce(c.b[1], 0)))
+              + bit_count(xor(coalesce(a.b[2], 0), coalesce(c.b[2], 0)))
+              + bit_count(xor(coalesce(a.b[3], 0), coalesce(c.b[3], 0)))
+              + bit_count(xor(coalesce(a.b[4], 0), coalesce(c.b[4], 0)))) <= 3
+               AS is_near_dup
+    FROM bands a JOIN bands c
+      ON a.doc_id < c.doc_id
+     AND (coalesce(a.b[1], 0) = coalesce(c.b[1], 0)
+       OR coalesce(a.b[2], 0) = coalesce(c.b[2], 0)
+       OR coalesce(a.b[3], 0) = coalesce(c.b[3], 0)
+       OR coalesce(a.b[4], 0) = coalesce(c.b[4], 0))
+"""

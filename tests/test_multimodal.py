@@ -451,3 +451,28 @@ def test_audio_near_duplicates_wav_renormalized(spark):
     }
     assert (0, 1) in out and out[(0, 1)].hamming == 0 and out[(0, 1)].is_near_dup
     assert (0, 2) not in out or not out[(0, 2)].is_near_dup
+
+
+def test_video_near_duplicates_retimed_copy(spark):
+    """A uniformly re-timed copy (every byte doubled — 2x slow motion)
+    hashes identically: relative block boundaries scale together."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    stream = rng.integers(0, 256, size=6400, dtype=np.uint8)
+    slowmo = np.repeat(stream, 2)
+    rows = [stream.tobytes(), slowmo.tobytes(), rng.permutation(stream).tobytes()]
+    media = spark.createDataFrame(
+        [
+            (i, "video", bytearray(buf), (0, 0, 16000))
+            for i, buf in enumerate(rows)
+        ],
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int>",
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in mm.video_near_duplicates(media).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)].hamming == 0 and out[(0, 1)].is_near_dup
+    assert (0, 2) not in out or not out[(0, 2)].is_near_dup
