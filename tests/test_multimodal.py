@@ -397,7 +397,7 @@ def test_image_2d_bytes_fold_matches_oracle_arithmetic():
     assert mm._image_2d(b"", 4, 4, method="bytes").tolist() == [[0] * 4] * 4
 
 
-def _wav(samples, rate=16000, width=2):
+def _wav16(samples, rate=16000, width=2):
     import io
     import wave
 
@@ -433,9 +433,9 @@ def test_audio_near_duplicates_wav_renormalized(spark):
     rng = np.random.default_rng(9)
     sig = rng.integers(-20000, 20000, size=8000, dtype=np.int16)
     rows = [
-        (_wav(sig), 0, 0),
-        (_wav(sig // 2), 0, 0),       # re-encoded at half volume
-        (_wav(rng.permutation(sig)), 0, 0),  # unrelated content
+        (_wav16(sig), 0, 0),
+        (_wav16(sig // 2), 0, 0),       # re-encoded at half volume
+        (_wav16(rng.permutation(sig)), 0, 0),  # unrelated content
     ]
     media = spark.createDataFrame(
         [
