@@ -853,9 +853,13 @@ def decontaminate_exact_ngrams(
 
     Scale shape: the eval side (benchmarks, ~10^5 docs) reduces to a
     DISTINCT fingerprint set that is BROADCAST — the train corpus
-    never shuffles by gram; per-doc distinct gram fingerprints are
-    counted map-side after the broadcast semi-join. Train gram rows
-    are (id, 32-hex md5), never gram text.
+    never shuffles by gram. Order matters at 100 TB: the broadcast
+    semi-join runs FIRST (a map-side filter over the raw train gram
+    stream — no shuffle), and only the surviving hit rows — bounded by
+    |eval grams| × multiplicity, not by corpus size — are deduplicated
+    per doc. Distinct-before-join would shuffle every train gram
+    fingerprint in the corpus; distinct-after-join shuffles only hits.
+    Train gram rows are (id, 32-hex md5), never gram text.
     """
     from sfcrimedatapipeline_spark.functions.text import ngrams, tokens
 
@@ -864,13 +868,104 @@ def decontaminate_exact_ngrams(
         .select(F.md5("g").alias("fp"))
         .distinct()
     )
-    train_fps = (
-        train.select(F.col(id_col), F.explode(ngrams(tokens(F.col(text_col)), n)).alias("g"))
-        .select(id_col, F.md5("g").alias("fp"))
-        .distinct()
-    )
+    train_fps = train.select(
+        F.col(id_col), F.explode(ngrams(tokens(F.col(text_col)), n)).alias("g")
+    ).select(id_col, F.md5("g").alias("fp"))
     hits = (
         train_fps.join(F.broadcast(eval_fps), "fp", "left_semi")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hit_grams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_bloom_ngrams(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bits_per_key: int = 10,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Bloom-PREFILTERED exact n-gram decontamination — same contract
+    and byte-identical output as :func:`decontaminate_exact_ngrams`;
+    the difference is WHERE the eval set lives on the probe side.
+
+    The exact variant broadcasts the eval fingerprints as a hash
+    table: at ~10 bytes/bit-of-information that caps out when the
+    benchmark union grows to 10^8+ grams. This tier compresses the
+    eval set into a Bloom bitset (``bits_per_key`` bits per distinct
+    eval gram, ``n_hashes`` probes — ~1% false-positive rate at
+    10 bits / 7 hashes) shipped as ONE array<bigint> plan literal, and
+    probes it with pure Catalyst expressions (xxhash64 + pmod + shift)
+    — whole-stage-codegen'd, zero Python, zero shuffle. Survivors
+    (true hits + ~1% FPs) then pass the ordinary exact broadcast
+    semi-join, which removes every false positive — so the output is
+    EXACT and the same SQL oracle gates both tiers.
+
+    Hash parity is a non-issue by construction: the bitset's set-bit
+    positions are computed BY SPARK on the eval side with the same
+    ``xxhash64(concat(fp, seed_i))`` expressions the train side
+    probes with, then collected (bounded: ≤ m bit positions, m =
+    ``bits_per_key``·|eval grams|). At 10^8 eval grams the bitset is
+    ~125 MB — past plan-literal comfort; shard the eval set and union,
+    or fall back to the exact tier's broadcast table.
+    """
+    from sfcrimedatapipeline_spark.functions.text import ngrams, tokens
+
+    eval_fps = (
+        eval_df.select(F.explode(ngrams(tokens(F.col(text_col)), n)).alias("g"))
+        .select(F.md5("g").alias("fp"))
+        .distinct()
+    )
+    n_keys = eval_fps.count()
+    m_bits = max(64, ((bits_per_key * n_keys + 63) // 64) * 64)
+
+    def probe(col: str, i: int):
+        return F.pmod(
+            F.xxhash64(F.concat(F.col(col), F.lit(f"|bloom{i}"))), F.lit(m_bits)
+        )
+
+    positions = (
+        eval_fps.select(
+            F.explode(F.array(*[probe("fp", i) for i in range(n_hashes)])).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in positions:
+        words[r.pos // 64] |= 1 << (r.pos % 64)
+    # array<bigint> literal: wrap unsigned bit patterns back to signed
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    train_fps = train.select(
+        F.col(id_col), F.explode(ngrams(tokens(F.col(text_col)), n)).alias("g")
+    ).select(id_col, F.md5("g").alias("fp"))
+    probed = train_fps.withColumn("__w", F.lit(words))
+    for i in range(n_hashes):
+        probed = probed.withColumn(f"__p{i}", probe("fp", i))
+    # bit test in SQL form: the SQL shiftright accepts a column shift
+    # amount (the PySpark wrapper's int-only signature is Python-side)
+    bloom_pass = " AND ".join(
+        f"(shiftright(element_at(__w, CAST(__p{i} DIV 64 AS INT) + 1), "
+        f"CAST(__p{i} % 64 AS INT)) & 1) = 1"
+        for i in range(n_hashes)
+    )
+    survivors = probed.filter(F.expr(bloom_pass)).select(id_col, "fp")
+    hits = (
+        survivors.join(F.broadcast(eval_fps), "fp", "left_semi")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_hit_grams"))
     )

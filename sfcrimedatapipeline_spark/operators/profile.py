@@ -15,6 +15,9 @@ casting values to STRING is not — float formatting differs).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -192,6 +195,73 @@ def frequent_items(
     for c in cols:
         counted = (
             df.select(F.coalesce(F.col(c).cast("string"), F.lit("NULL")).alias("value"))
+            .groupBy("value")
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(c).alias("col_name"), "value", "n")
+        )
+        parts.append(counted)
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    w = Window.partitionBy("col_name").orderBy(F.desc("n"), F.asc("value"))
+    return (
+        allc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("col_name", "value", F.col("n").cast("long").alias("n"), "rank")
+    )
+
+
+def frequent_items_mg(
+    df: DataFrame, cols: list[str], k: int = 5, capacity: int | None = None
+) -> DataFrame:
+    """Heavy hitters via Misra-Gries CANDIDATES + exact reCOUNT — the
+    scale tier of :func:`frequent_items` for columns whose distinct
+    count is itself too large to shuffle (URLs, user ids, n-grams).
+
+    :func:`frequent_items`'s groupBy shuffles one row per DISTINCT
+    value; at 10^9+ distincts that shuffle is the job. This tier
+    bounds it: each partition folds its rows through a Misra-Gries
+    summary of ``capacity`` counters (an Arrow-batched generator —
+    each pandas batch's exact value_counts is MG-merged into the
+    running summary, the mergeable-summaries formulation: combine,
+    then subtract the (capacity+1)-th largest count and drop
+    non-positives), and emits only its ≤ capacity candidate VALUES.
+    Candidates are exact-recounted with a broadcast semi-join +
+    map-side-combined groupBy, so every reported count is EXACT and
+    the shuffle carries ≤ capacity·n_partitions candidate rows +
+    ≤ |candidates| count rows — independent of the distinct count.
+
+    Guarantee (MG mergeability): any value with global frequency
+    > n/(capacity+1) survives as a candidate, so the output equals
+    the exact top-k whenever the k-th frequency clears that bound;
+    below it, rare tail values may be missing but nothing reported is
+    ever wrong (counts are recounted, ranking is deterministic
+    (count DESC, value ASC)). Same output schema as
+    :func:`frequent_items` — the gated query reuses its oracle on
+    small-domain columns where the bound holds trivially.
+    """
+    from pyspark.sql import Window
+
+    cap = capacity if capacity is not None else max(64, 8 * k)
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v, cnt in pdf["value"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(cnt)
+            if len(counters) > cap:
+                cut = sorted(counters.values(), reverse=True)[cap]
+                counters = {v: c - cut for v, c in counters.items() if c > cut}
+        yield pd.DataFrame({"value": pd.Series(list(counters), dtype="object")})
+
+    parts = []
+    for c in cols:
+        vals = df.select(
+            F.coalesce(F.col(c).cast("string"), F.lit("NULL")).alias("value")
+        )
+        cands = vals.mapInPandas(mg_partition, "value string").distinct()
+        counted = (
+            vals.join(F.broadcast(cands), "value", "left_semi")
             .groupBy("value")
             .agg(F.count("*").alias("n"))
             .select(F.lit(c).alias("col_name"), "value", "n")

@@ -854,6 +854,60 @@ def ivfpq_index_write(
     return meta
 
 
+def ivfpq_index_append(
+    index_dir: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """INCREMENTAL maintenance of a persisted IVF+PQ index
+    (:func:`ivfpq_index_write`): encode NEW vectors with the index's
+    OWN frozen centroids + codebooks (from ``meta.json``) and append
+    their code rows into the existing ``partitionBy("list_id")``
+    layout — no rebuild, no touch of existing files (parquet append
+    adds files inside each list directory).
+
+    This is how a 100 TB corpus actually grows: daily increments are
+    a shuffle-free scan + append of m bytes/vector, while the
+    quantizers stay frozen so old and new codes share one ADC table.
+    Search (:func:`ivfpq_index_search`) is oblivious to the split —
+    the parity test builds an index from half the corpus, appends the
+    other half, and gets byte-identical results to a full build.
+    Re-train (a fresh :func:`ivfpq_index_write`) only when drift
+    accumulates — the recall harness is the trigger, not the calendar.
+
+    Caller contract: ids in ``new_corpus`` must be new (the index has
+    no uniqueness check — appending an existing id yields duplicate
+    rows, exactly like appending to any parquet table).
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    centroids, codebooks = meta["centroids"], meta["codebooks"]
+    m = len(codebooks)
+    code = F.array(
+        *[
+            F.array_min(_pq_subspace_dists("__v", codebooks, s))["cid"]
+            for s in range(m)
+        ]
+    )
+    codes = new_corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    ).select(
+        "neighbor_id",
+        F.array_min(_coarse_dist_structs("__v", centroids))["cid"].alias(
+            "list_id"
+        ),
+        code.alias("code"),
+    )
+    codes.write.mode("append").partitionBy("list_id").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    return meta
+
+
 def ivfpq_index_search(
     spark,
     index_dir: str,

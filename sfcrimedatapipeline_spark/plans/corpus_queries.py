@@ -266,6 +266,20 @@ def freq_items_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def freq_items_lineitem_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier heavy hitters (operators/profile.py:
+    frequent_items_mg): per-partition Misra-Gries candidates + exact
+    broadcast-confirmed recount. On these small-domain columns the MG
+    bound holds trivially, so the output — and the oracle — are
+    IDENTICAL to ``freq_items_lineitem``; what differs is the plan:
+    the shuffle is capacity-bounded, not distinct-bounded."""
+    from sfcrimedatapipeline_spark.operators.profile import frequent_items_mg
+
+    return frequent_items_mg(
+        read_table(spark, sf_dir, "lineitem"), FREQ_COLS, FREQ_K
+    )
+
+
 def hist_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of l_extendedprice with clamped edge bins
     (operators/profile.py:histogram)."""
@@ -1089,6 +1103,7 @@ QUERIES = {
     "docs_assign_splits": docs_assign_splits,
     "docs_assign_splits_grouped": docs_assign_splits_grouped,
     "freq_items_lineitem": freq_items_lineitem,
+    "freq_items_lineitem_mg": freq_items_lineitem_mg,
     "graph_triangle_count": graph_triangle_count,
     "graph_bfs_distances": graph_bfs_distances,
     "quantiles_by_returnflag": quantiles_by_returnflag,
@@ -1107,3 +1122,6 @@ QUERIES = {
 }
 
 ORACLE_SQL = build_oracle_sql()
+# the MG sketch tier exact-recounts its candidates, and on these
+# small-domain columns candidates = all values — one oracle gates both
+ORACLE_SQL["freq_items_lineitem_mg"] = ORACLE_SQL["freq_items_lineitem"]

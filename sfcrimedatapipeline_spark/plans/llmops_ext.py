@@ -57,10 +57,26 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/corpus.py:
+    decontaminate_bloom_ngrams) — same exact output as
+    ``docs_decontaminate`` (false positives removed by the confirm
+    join), probed through a plan-literal bitset instead of a
+    broadcast hash table; gated by the SAME oracle SQL."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    is_eval = F.pmod(F.col("doc_id"), F.lit(DECON_EVAL_MOD)) == 0
+    return corpus_ops.decontaminate_bloom_ngrams(
+        docs.filter(~is_eval), docs.filter(is_eval), n=DECON_NGRAM
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "docs_chunk_dedup": docs_chunk_dedup,
     "text_classifier_score": text_classifier_score,
     "docs_decontaminate": docs_decontaminate,
+    "docs_decontaminate_bloom": docs_decontaminate_bloom,
 }
 
 
@@ -151,6 +167,9 @@ def build_oracle_sql() -> dict[str, str]:
 
 
 ORACLE_SQL = build_oracle_sql()
+# the bloom tier is output-identical to the exact tier by design
+# (false positives die in the confirm join) — one oracle gates both
+ORACLE_SQL["docs_decontaminate_bloom"] = ORACLE_SQL["docs_decontaminate"]
 
 
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -779,6 +779,54 @@ def test_decontaminate_flags_exact_overlap_only(spark):
     assert not out[3].contaminated
 
 
+def test_decontaminate_bloom_matches_exact_tier(spark):
+    """The bloom tier must be byte-identical to the exact tier on the
+    same inputs (FPs die in the confirm join) — including duplicated
+    grams counted once and an aggressive 2-hash/2-bit config where
+    bloom false positives are all but guaranteed."""
+    from sfcrimedatapipeline_spark.operators.corpus import (
+        decontaminate_bloom_ngrams,
+        decontaminate_exact_ngrams,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps suffix"),
+            (2, "the quick brown cat jumps over a lazy dog"),
+            (3, "short text"),
+            # the shared 5-gram appears twice → still n_hit_grams == 1
+            (4, "the quick brown fox jumps x the quick brown fox jumps"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {r.doc_id: r for r in decontaminate_exact_ngrams(tr, ev, n=5).collect()}
+    for bpk, nh in ((10, 7), (2, 2)):  # default + FP-heavy stress config
+        bloom = {
+            r.doc_id: r
+            for r in decontaminate_bloom_ngrams(
+                tr, ev, n=5, bits_per_key=bpk, n_hashes=nh
+            ).collect()
+        }
+        assert set(bloom) == set(exact)
+        for d in exact:
+            assert bloom[d].n_hit_grams == exact[d].n_hit_grams
+            assert bloom[d].contaminated == exact[d].contaminated
+    assert exact[4].n_hit_grams == 1 and exact[4].contaminated
+
+
+def test_decontaminate_bloom_empty_eval(spark):
+    from sfcrimedatapipeline_spark.operators.corpus import decontaminate_bloom_ngrams
+
+    ev = spark.createDataFrame([], "doc_id long, text string")
+    tr = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    out = decontaminate_bloom_ngrams(tr, ev, n=5).collect()
+    assert len(out) == 1 and out[0].n_hit_grams == 0 and not out[0].contaminated
+
+
 def test_bm25_rarity_and_tf_monotonicity(spark):
     from sfcrimedatapipeline_spark.operators.textstats import bm25_scores
 

@@ -362,6 +362,44 @@ def test_ivfpq_index_probe_is_partition_pruned(spark, tmp_path):
     assert m and "list_id" in m.group(1), plan[:2000]
 
 
+def test_ivfpq_index_append_matches_full_build(spark, tmp_path):
+    """Incremental index growth: build from half the corpus, append the
+    other half with the FROZEN quantizers — search results must be
+    byte-identical to a single full build (same centroids/codebooks
+    pinned at write time), and the appended files must land inside the
+    existing list_id partition directories."""
+    import os
+
+    from sfcrimedatapipeline_spark.operators import similarity
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+
+    full_dir, incr_dir = str(tmp_path / "full"), str(tmp_path / "incr")
+    meta_full = similarity.ivfpq_index_write(emb, full_dir, n_centroids=8)
+    # pin the full build's quantizers so the half build doesn't derive
+    # different seed centroids from its own first rows
+    similarity.ivfpq_index_write(
+        half_a, incr_dir, n_centroids=8,
+        centroids=meta_full["centroids"], codebooks=meta_full["codebooks"],
+    )
+    meta_after = similarity.ivfpq_index_append(incr_dir, half_b)
+    assert meta_after["centroids"] == meta_full["centroids"]
+
+    queries = emb.filter("vec_id < 3")
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.approx_dist)
+    got = similarity.ivfpq_index_search(spark, incr_dir, queries, k=5, n_probe=2)
+    want = similarity.ivfpq_index_search(spark, full_dir, queries, k=5, n_probe=2)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    # append added files, not directories: same list_id partitions
+    dirs = lambda d: sorted(
+        p for p in os.listdir(os.path.join(d, "codes")) if p.startswith("list_id=")
+    )
+    assert dirs(incr_dir) == dirs(full_dir)
+
+
 def test_q3_broadcasts_customer_and_takes_ordered(spark):
     # the classic Q3 shape: small filtered dim broadcast, top-10 as
     # TakeOrderedAndProject (never a global sort Exchange)
