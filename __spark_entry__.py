@@ -77,11 +77,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sql_surface,
         timeseries,
         tpch,
+        tpch_suite,
         udx_queries,
     )
 
     merged = {
         **tpch.QUERIES,
+        **tpch_suite.QUERIES,
         **sql_surface.QUERIES,
         **timeseries.QUERIES,
         **llmops.QUERIES,
@@ -112,11 +114,13 @@ def oracle_sql() -> dict[str, str]:
         sql_surface,
         timeseries,
         tpch,
+        tpch_suite,
         udx_queries,
     )
 
     return {
         **tpch.ORACLE_SQL,
+        **tpch_suite.ORACLE_SQL,
         **sql_surface.ORACLE_SQL,
         **timeseries.ORACLE_SQL,
         **llmops.ORACLE_SQL,

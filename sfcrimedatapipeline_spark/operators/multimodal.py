@@ -600,36 +600,76 @@ def perceptual_near_duplicates(
 
 def _banded_hash_pairs(ph: DataFrame, max_hamming: int) -> DataFrame:
     """4 x 16-bit band candidate join + exact hamming over a
-    ``(doc_id, phash)`` frame — shared by image and audio near-dup."""
+    ``(doc_id, phash)`` frame — shared by image and audio near-dup.
+
+    Cross-band dedup is the FIRST-MATCHING-BAND rule, not a distinct:
+    a pair colliding in several bands is kept only in its lowest
+    matching band — decidable per join row from the two hashes already
+    riding it (unlike MinHash, where testing earlier bands would mean
+    carrying full signatures). Each pair therefore survives exactly
+    once and the only shuffle in the operator is the band join itself;
+    the previous ``.distinct()`` re-shuffled the whole candidate-pair
+    set, whose size is QUADRATIC in duplicate-group multiplicity —
+    exactly what blows up on a duplicate-heavy corpus (the sf1 probe's
+    10x exact-copy stress: ~100x pairs).
+
+    Per-PAIR work is the scale axis (pairs ≫ docs on a duplicate-heavy
+    corpus), so the hex→int conversion happens once per DOCUMENT — the
+    4 band ints ride the join rows — and each pair costs 4 xor +
+    bit_count + 4 int equality tests. The first cut of this operator
+    re-parsed the hex per pair (32 conv(substring) calls); the sf1
+    probe measured that version 2.3x slower at sf0.1 and worse at
+    scale."""
+    band_ints = F.array(
+        *[
+            F.expr(
+                f"cast(conv(substring(phash, {1 + 4 * i}, 4), 16, 10) as int)"
+            )
+            for i in range(4)
+        ]
+    )
     bands = ph.select(
         "doc_id",
-        "phash",
-        F.posexplode(
-            F.array(*[F.substring("phash", 1 + 4 * i, 4) for i in range(4)])
-        ).alias("band_idx", "band_val"),
+        band_ints.alias("bints"),
+        F.posexplode(band_ints).alias("band_idx", "band_val"),
     )
     a = bands.select(
         F.col("doc_id").alias("id_a"),
-        F.col("phash").alias("hash_a"),
+        F.col("bints").alias("bints_a"),
         "band_idx",
         "band_val",
     )
     b = bands.select(
         F.col("doc_id").alias("id_b"),
-        F.col("phash").alias("hash_b"),
+        F.col("bints").alias("bints_b"),
         "band_idx",
         "band_val",
     )
+    no_earlier_band = F.coalesce(
+        *[
+            F.when(
+                F.col("band_idx") == i,
+                F.lit(True)
+                if i == 0
+                else F.expr(
+                    " AND ".join(
+                        f"element_at(bints_a, {j + 1}) <> "
+                        f"element_at(bints_b, {j + 1})"
+                        for j in range(i)
+                    )
+                ),
+            )
+            for i in range(4)
+        ]
+    )
     cand = (
         a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "hash_a", "hash_b")
-        .distinct()
+        .filter((F.col("id_a") < F.col("id_b")) & no_earlier_band)
+        .select("id_a", "id_b", "bints_a", "bints_b")
     )
-    ham = " + ".join(
-        f"bit_count(cast(conv(substring(hash_a, {i}, 1), 16, 10) as int)"
-        f" ^ cast(conv(substring(hash_b, {i}, 1), 16, 10) as int))"
-        for i in range(1, 17)
+    ham = (
+        "aggregate(zip_with(bints_a, bints_b, (x, y) -> bit_count(x ^ y)), "
+        "0, (acc, h) -> acc + h)"
     )
     return cand.select(
         "id_a",

@@ -400,6 +400,33 @@ def test_ivfpq_index_append_matches_full_build(spark, tmp_path):
     assert dirs(incr_dir) == dirs(full_dir)
 
 
+def test_tpch_suite_plan_shapes(spark):
+    """The decorrelation suite compiles to the joins its docstrings
+    promise: q4's EXISTS is a semi join (no count inflation), q5's
+    region→nation→supplier chain broadcasts, q17's scalar-avg
+    comparison is a broadcast join back (lineitem shuffles at most
+    once), q22's NOT EXISTS is an anti join."""
+    from sfcrimedatapipeline_spark.plans import tpch_suite
+
+    q4 = _plan(tpch_suite.QUERIES["q4_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in q4 or "SemiJoin" in q4
+
+    q5 = _plan(tpch_suite.QUERIES["q5_local_supplier_volume"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in q5
+
+    q17 = _plan(tpch_suite.QUERIES["q17_small_quantity_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in q17 and "SortMergeJoin" not in q17
+    import re
+
+    # 4 scan nodes total: lineitem + part on the filter side, and the
+    # same two again under the per-part aggregate — never a fifth
+    scans = len(re.findall(r"\(\d+\) Scan parquet", q17))
+    assert scans == 4, q17[:1500]
+
+    q22 = _plan(tpch_suite.QUERIES["q22_dormant_rich_customers"](spark, SF_DIR))
+    assert "LeftAnti" in q22 or "AntiJoin" in q22
+
+
 def test_q3_broadcasts_customer_and_takes_ordered(spark):
     # the classic Q3 shape: small filtered dim broadcast, top-10 as
     # TakeOrderedAndProject (never a global sort Exchange)

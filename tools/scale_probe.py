@@ -11,8 +11,10 @@ JSON map {query: {"sf0.1": s, "sf1": s, "ratio": x}}. A dataflow whose
 cost is data-proportional shows ratio ≈ 10 (or the family's documented
 complexity); per-round overhead shows ratio « 10.
 
-Usage: python tools/scale_probe.py [out.json]
-The scaled data (~170 MB parquet) is deleted afterwards.
+Usage: python tools/scale_probe.py [out.json] [query ...]
+(query names after out.json restrict the probe to that subset — the
+re-measure path after a scale fix). The scaled data (~170 MB parquet)
+is deleted afterwards.
 """
 
 from __future__ import annotations
@@ -99,8 +101,9 @@ def main() -> None:
     print(f"built {DST} in {time.time() - t0:.0f}s", file=sys.stderr)
 
     qs = e.queries()
+    probe_list = sys.argv[2:] if len(sys.argv) > 2 else PROBE_QUERIES
     results: dict[str, dict] = {}
-    for name in PROBE_QUERIES:
+    for name in probe_list:
         fn = qs[name]
         fn(spark, "/root/testdata/sf0.001").collect()  # compile warm-up
         spark.catalog.clearCache()
