@@ -427,6 +427,42 @@ def test_tpch_suite_plan_shapes(spark):
     assert "LeftAnti" in q22 or "AntiJoin" in q22
 
 
+def test_tpch_suite_completion_plan_shapes(spark):
+    """The 14 completion shapes keep their promised physical plans:
+    q6's predicates reach the parquet scan, q16's flagged-supplier
+    exclusion is a broadcast anti join, q19's disjunction stays on a
+    single broadcast join, q21's double correlation is one semi + one
+    anti (never a window or fan-out join), and q15/q11's scalar
+    thresholds ride broadcast nested-loop one-row sides rather than
+    shuffling the aggregate."""
+    import re
+
+    from sfcrimedatapipeline_spark.plans import tpch_suite
+
+    q6 = _plan(tpch_suite.QUERIES["q6_forecast_revenue"](spark, SF_DIR))
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", q6), q6[:1500]
+    assert "Join" not in q6  # pure scan-filter-aggregate
+
+    q16 = _plan(tpch_suite.QUERIES["q16_supplier_part_counts"](spark, SF_DIR))
+    assert "LeftAnti" in q16 and "BroadcastHashJoin" in q16
+    assert "SortMergeJoin" not in q16
+
+    q19 = _plan(tpch_suite.QUERIES["q19_discounted_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in q19 and "SortMergeJoin" not in q19
+    assert len(re.findall(r"\(\d+\) Scan parquet", q19)) == 2  # li + part once
+
+    q21 = _plan(tpch_suite.QUERIES["q21_waiting_suppliers"](spark, SF_DIR))
+    assert ("LeftSemi" in q21 or "SemiJoin" in q21)
+    assert ("LeftAnti" in q21 or "AntiJoin" in q21)
+    assert "Window" not in q21
+
+    q15 = _plan(tpch_suite.QUERIES["q15_top_supplier"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in q15 or "BroadcastHashJoin" in q15
+
+    q11 = _plan(tpch_suite.QUERIES["q11_important_stock"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in q11
+
+
 def test_q3_broadcasts_customer_and_takes_ordered(spark):
     # the classic Q3 shape: small filtered dim broadcast, top-10 as
     # TakeOrderedAndProject (never a global sort Exchange)
