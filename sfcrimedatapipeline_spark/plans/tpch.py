@@ -594,6 +594,51 @@ def s12_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s15_shape_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 (extension): distribution-shape statistics — population
+    skewness and excess kurtosis per return flag — via EXACT raw
+    moments (s12's discipline extended to 3rd/4th powers). Spark's
+    built-in skewness/kurtosis merge partial double states in
+    partition order, so their low bits are nondeterministic on a
+    cluster; here each power sum is exact (cents³ ≤ 1.2e21 and
+    cents⁴ ≤ 1.2e28 ride DECIMAL(38,0), headroom to ~sf1000) and the
+    central-moment formulas run in IEEE double written identically in
+    both engines, so the result is bit-stable under any partitioning.
+    One map-side-combined pass; excess kurtosis (normal = 0)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    cd = c.cast("decimal(20,0)")
+    c2 = cd * cd          # decimal(38,0), ≤ 1.1e14
+    c3 = c2 * cd          # decimal(38,0), ≤ 1.2e21
+    c4 = c2 * c2          # decimal(38,0), ≤ 1.2e28
+    base = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c2).alias("s2"),
+        F.sum(c3).alias("s3"),
+        F.sum(c4).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / n
+    ms2 = F.col("s2").cast("double") / n
+    ms3 = F.col("s3").cast("double") / n
+    ms4 = F.col("s4").cast("double") / n
+    var = ms2 - m * m
+    m3c = ms3 - F.lit(3.0) * m * ms2 + F.lit(2.0) * m * m * m
+    m4c = (
+        ms4
+        - F.lit(4.0) * m * ms3
+        + F.lit(6.0) * m * m * ms2
+        - F.lit(3.0) * m * m * m * m
+    )
+    return base.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("n"),
+        (m3c / (var * F.sqrt(var))).alias("skewness"),
+        (m4c / (var * var) - F.lit(3.0)).alias("excess_kurtosis"),
+    )
+
+
 def s9_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 (extension): global ORDER BY + LIMIT top-N.
 
@@ -1053,6 +1098,42 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT c.customer_id, p.priorities, c.n_orders
         FROM counts c JOIN prios p USING (customer_id)
+    """,
+    "s15_shape_stats": """
+        WITH base AS (
+            SELECT l_returnflag AS flag,
+                   count(*) AS n,
+                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS HUGEINT)) AS s1,
+                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS HUGEINT)
+                       * CAST(floor(l_extendedprice*100 + 0.5) AS HUGEINT)) AS s2,
+                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS HUGEINT)
+                       * CAST(floor(l_extendedprice*100 + 0.5) AS HUGEINT)
+                       * CAST(floor(l_extendedprice*100 + 0.5) AS HUGEINT)) AS s3,
+                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS HUGEINT)
+                       * CAST(floor(l_extendedprice*100 + 0.5) AS HUGEINT)
+                       * CAST(floor(l_extendedprice*100 + 0.5) AS HUGEINT)
+                       * CAST(floor(l_extendedprice*100 + 0.5) AS HUGEINT)) AS s4
+            FROM lineitem GROUP BY 1
+        ),
+        m AS (
+            SELECT flag, n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS ms2,
+                   CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS ms3,
+                   CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS ms4
+            FROM base
+        ),
+        c AS (
+            SELECT flag, n,
+                   ms2 - m1*m1 AS var,
+                   ms3 - 3.0*m1*ms2 + 2.0*m1*m1*m1 AS m3c,
+                   ms4 - 4.0*m1*ms3 + 6.0*m1*m1*ms2 - 3.0*m1*m1*m1*m1 AS m4c
+            FROM m
+        )
+        SELECT flag, n,
+               m3c / (var * sqrt(var)) AS skewness,
+               m4c / (var * var) - 3.0 AS excess_kurtosis
+        FROM c
     """,
     "s12_moment_stats": """
         WITH base AS (
@@ -1603,6 +1684,7 @@ QUERIES: dict[str, QueryFn] = {
     "a9_grouping_sets": a9_grouping_sets,
     "a8_array_agg": a8_array_agg,
     "s12_moment_stats": s12_moment_stats,
+    "s15_shape_stats": s15_shape_stats,
     "m1_merge_upsert": m1_merge_upsert,
     "m2_scd2_history": m2_scd2_history,
     "s9_topn": s9_topn,
