@@ -598,28 +598,27 @@ def perceptual_near_duplicates(
     )
 
 
-def _banded_hash_pairs(ph: DataFrame, max_hamming: int) -> DataFrame:
-    """4 x 16-bit band candidate join + exact hamming over a
-    ``(doc_id, phash)`` frame — shared by image and audio near-dup.
+def _distinct_hash_pairs(ph: DataFrame) -> DataFrame:
+    """Band-join candidate pairs over DISTINCT hash values →
+    ``(phash_a, phash_b, hamming)`` with ``phash_a < phash_b`` — the
+    per-pair compute core of the perceptual family, run once per
+    distinct-hash pair no matter how many documents share each hash.
+
+    Banding (the SimHash trick, operators/dedup.py:simhash): each
+    64-bit hash splits into 4 x 16-bit bands; candidate pairs share at
+    least one band, so by pigeonhole recall is EXACT for hamming ≤ 3
+    (4 differing bits can at worst dirty all 4 bands).
 
     Cross-band dedup is the FIRST-MATCHING-BAND rule, not a distinct:
     a pair colliding in several bands is kept only in its lowest
     matching band — decidable per join row from the two hashes already
     riding it (unlike MinHash, where testing earlier bands would mean
-    carrying full signatures). Each pair therefore survives exactly
-    once and the only shuffle in the operator is the band join itself;
-    the previous ``.distinct()`` re-shuffled the whole candidate-pair
-    set, whose size is QUADRATIC in duplicate-group multiplicity —
-    exactly what blows up on a duplicate-heavy corpus (the sf1 probe's
-    10x exact-copy stress: ~100x pairs).
-
-    Per-PAIR work is the scale axis (pairs ≫ docs on a duplicate-heavy
-    corpus), so the hex→int conversion happens once per DOCUMENT — the
-    4 band ints ride the join rows — and each pair costs 4 xor +
-    bit_count + 4 int equality tests. The first cut of this operator
-    re-parsed the hex per pair (32 conv(substring) calls); the sf1
-    probe measured that version 2.3x slower at sf0.1 and worse at
-    scale."""
+    carrying full signatures). Each hash pair therefore survives
+    exactly once and the only shuffle here is the band join itself.
+    The hex→int conversion happens once per distinct hash — the 4 band
+    ints ride the join rows — and each pair costs 4 xor + bit_count +
+    4 int equality tests (a prior cut re-parsed the hex per pair: 32
+    conv(substring) calls, 2.3x slower at sf0.1 and worse at scale)."""
     band_ints = F.array(
         *[
             F.expr(
@@ -628,19 +627,19 @@ def _banded_hash_pairs(ph: DataFrame, max_hamming: int) -> DataFrame:
             for i in range(4)
         ]
     )
-    bands = ph.select(
-        "doc_id",
+    bands = ph.select("phash").distinct().select(
+        "phash",
         band_ints.alias("bints"),
         F.posexplode(band_ints).alias("band_idx", "band_val"),
     )
     a = bands.select(
-        F.col("doc_id").alias("id_a"),
+        F.col("phash").alias("phash_a"),
         F.col("bints").alias("bints_a"),
         "band_idx",
         "band_val",
     )
     b = bands.select(
-        F.col("doc_id").alias("id_b"),
+        F.col("phash").alias("phash_b"),
         F.col("bints").alias("bints_b"),
         "band_idx",
         "band_val",
@@ -664,18 +663,125 @@ def _banded_hash_pairs(ph: DataFrame, max_hamming: int) -> DataFrame:
     )
     cand = (
         a.join(b, ["band_idx", "band_val"])
-        .filter((F.col("id_a") < F.col("id_b")) & no_earlier_band)
-        .select("id_a", "id_b", "bints_a", "bints_b")
+        .filter((F.col("phash_a") < F.col("phash_b")) & no_earlier_band)
+        .select("phash_a", "phash_b", "bints_a", "bints_b")
     )
     ham = (
         "aggregate(zip_with(bints_a, bints_b, (x, y) -> bit_count(x ^ y)), "
         "0, (acc, h) -> acc + h)"
     )
     return cand.select(
-        "id_a",
-        "id_b",
-        F.expr(ham).cast("int").alias("hamming"),
-    ).withColumn("is_near_dup", F.col("hamming") <= max_hamming)
+        "phash_a", "phash_b", F.expr(ham).cast("int").alias("hamming")
+    )
+
+
+def _banded_hash_pairs(ph: DataFrame, max_hamming: int) -> DataFrame:
+    """Document-level near-dup candidate pairs over a
+    ``(doc_id, phash)`` frame — shared by image, audio, and video
+    near-dup.
+
+    The pair list is QUADRATIC in duplicate-group multiplicity by
+    definition (n identical images owe n·(n-1)/2 pairs), so the
+    expensive work must not be: pairing runs at the DISTINCT-HASH
+    level (:func:`_distinct_hash_pairs` — band join, first-band rule,
+    exact hamming, each computed once per hash pair), then expands to
+    document pairs through two hash-keyed member joins, and same-hash
+    documents pair through a per-hash member self-join with hamming
+    pinned to 0 — zero arithmetic on any expanded row. The sf1 probe's
+    10x exact-copy stress measured the per-doc-pair version of this
+    operator at 115x (quadratic candidate set re-entering the band
+    join and hamming evaluator); with hash-level pairing the band join
+    is invariant to multiplicity and only the (unavoidable) output
+    expansion scales with it."""
+    members = ph.select("phash", "doc_id")
+    cross = (
+        _distinct_hash_pairs(ph)
+        .join(
+            members.select(
+                F.col("phash").alias("phash_a"), F.col("doc_id").alias("__da")
+            ),
+            "phash_a",
+        )
+        .join(
+            members.select(
+                F.col("phash").alias("phash_b"), F.col("doc_id").alias("__db")
+            ),
+            "phash_b",
+        )
+        .select(
+            F.least("__da", "__db").alias("id_a"),
+            F.greatest("__da", "__db").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        members.select("phash", F.col("doc_id").alias("__da"))
+        .join(members.select("phash", F.col("doc_id").alias("__db")), "phash")
+        .filter(F.col("__da") < F.col("__db"))
+        .select(
+            F.col("__da").alias("id_a"),
+            F.col("__db").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same).withColumn(
+        "is_near_dup", F.col("hamming") <= max_hamming
+    )
+
+
+def perceptual_dedup_groups(
+    media: DataFrame,
+    method: str = "auto",
+    algorithm: str = "dhash",
+    max_hamming: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Keep-one perceptual dedup — the LINEAR scale path the pair list
+    can't be: one ``(doc_id, keeper_id)`` row per image, keeper = the
+    min doc_id of the document's perceptual connected component
+    (hamming ≤ ``max_hamming`` edges, same-hash docs always merge).
+
+    Everything heavy is bounded by DISTINCT-hash cardinality, not by
+    document count or duplicate multiplicity: hash-level near-dup
+    edges (:func:`_distinct_hash_pairs`), contracted to one
+    representative node per hash (the group's min doc_id — unique, and
+    the component-min over group-mins IS the overall min doc), then
+    connected components (operators/corpus.py — label_prop,
+    O(diameter) rounds of one join + one map-side min). Documents map
+    through their hash to the component canonical with two broadcast-
+    friendly joins; no quadratic pair set is ever materialized."""
+    from sfcrimedatapipeline_spark.operators.corpus import connected_components
+
+    ph = perceptual_hashes(media, method, algorithm)
+    reps = ph.groupBy("phash").agg(F.min("doc_id").alias("__rep"))
+    edges = (
+        _distinct_hash_pairs(ph)
+        .filter(F.col("hamming") <= max_hamming)
+        .join(
+            reps.select(
+                F.col("phash").alias("phash_a"), F.col("__rep").alias("doc_a")
+            ),
+            "phash_a",
+        )
+        .join(
+            reps.select(
+                F.col("phash").alias("phash_b"), F.col("__rep").alias("doc_b")
+            ),
+            "phash_b",
+        )
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(edges, checkpoint_dir=checkpoint_dir).select(
+        F.col("doc_id").alias("__cc_rep"), "canonical_id"
+    )
+    return (
+        ph.join(reps, "phash")
+        .join(cc, F.col("__rep") == F.col("__cc_rep"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", "__rep").alias("keeper_id"),
+        )
+    )
 
 
 def _afp64(samples) -> str:

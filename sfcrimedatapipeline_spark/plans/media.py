@@ -409,9 +409,9 @@ QUERIES["media_dedup_perceptual"] = media_dedup_perceptual
 # byte_idx(r, c) = (((r*h//8)*w + (c*w//9)) * n) // (w*h) — the same
 # nearest-neighbor fold the Python kernel uses; DuckDB lists are
 # 1-indexed, bits pack MSB-first per 16-bit band, hamming = popcount of
-# band xors.
-ORACLE_SQL["media_dedup_perceptual"] = """
-    WITH img AS (
+# band xors. The img/grid/bands CTE chain is shared with the
+# keep-one-groups oracle below.
+_IMG_BANDS_CTE = """img AS (
         SELECT doc_id,
                hex(encode(text)) AS hx,
                octet_length(encode(text)) AS n,
@@ -438,7 +438,10 @@ ORACLE_SQL["media_dedup_perceptual"] = """
                           for k in generate_series(16 * j, 16 * j + 15)])
                 for j in generate_series(0, 3)] AS b
         FROM grid
-    )
+    )"""
+
+ORACLE_SQL["media_dedup_perceptual"] = f"""
+    WITH {_IMG_BANDS_CTE}
     SELECT CAST(a.doc_id AS BIGINT) AS id_a,
            CAST(c.doc_id AS BIGINT) AS id_b,
            CAST(bit_count(xor(coalesce(a.b[1], 0), coalesce(c.b[1], 0)))
@@ -457,6 +460,56 @@ ORACLE_SQL["media_dedup_perceptual"] = """
        OR coalesce(a.b[2], 0) = coalesce(c.b[2], 0)
        OR coalesce(a.b[3], 0) = coalesce(c.b[3], 0)
        OR coalesce(a.b[4], 0) = coalesce(c.b[4], 0))
+"""
+
+
+def media_dedup_perceptual_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one perceptual dedup (operators/multimodal.py:
+    perceptual_dedup_groups): one (doc_id, keeper_id) row per image,
+    keeper = min doc_id of the hamming ≤ 3 connected component. The
+    LINEAR scale path next to media_dedup_perceptual's inherently
+    quadratic pair list — pairing, edges, and connected components all
+    run at distinct-hash cardinality (sf1 probe: the pair query's 10x
+    exact-copy stress multiplies output ~100x; this one's output stays
+    one row per image). Oracle: same bands CTE + doc-level transitive
+    closure by recursive CTE (same-hash docs connect through their
+    hamming-0 pair, so doc-level closure ≡ the operator's hash-level
+    CC expanded through members)."""
+    return mm.perceptual_dedup_groups(
+        _media(spark, sf_dir), method="bytes", algorithm="dhash", max_hamming=3
+    )
+
+
+QUERIES["media_dedup_perceptual_groups"] = media_dedup_perceptual_groups
+
+ORACLE_SQL["media_dedup_perceptual_groups"] = f"""
+    WITH RECURSIVE {_IMG_BANDS_CTE},
+    prs AS (
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM bands a JOIN bands c
+          ON a.doc_id < c.doc_id
+         AND (coalesce(a.b[1], 0) = coalesce(c.b[1], 0)
+           OR coalesce(a.b[2], 0) = coalesce(c.b[2], 0)
+           OR coalesce(a.b[3], 0) = coalesce(c.b[3], 0)
+           OR coalesce(a.b[4], 0) = coalesce(c.b[4], 0))
+        WHERE (bit_count(xor(coalesce(a.b[1], 0), coalesce(c.b[1], 0)))
+             + bit_count(xor(coalesce(a.b[2], 0), coalesce(c.b[2], 0)))
+             + bit_count(xor(coalesce(a.b[3], 0), coalesce(c.b[3], 0)))
+             + bit_count(xor(coalesce(a.b[4], 0), coalesce(c.b[4], 0)))) <= 3
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION ALL
+        SELECT doc_b, doc_a FROM prs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM bands
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(min(r) AS BIGINT) AS keeper_id
+    FROM reach GROUP BY id
 """
 
 

@@ -476,3 +476,53 @@ def test_video_near_duplicates_retimed_copy(spark):
     }
     assert (0, 1) in out and out[(0, 1)].hamming == 0 and out[(0, 1)].is_near_dup
     assert (0, 2) not in out or not out[(0, 2)].is_near_dup
+
+
+def test_perceptual_dedup_groups_keep_one(spark):
+    """Keep-one groups on a duplicate-heavy corpus: 4 exact copies of
+    image A, one noised near-dup A', and 2 copies of unrelated B must
+    collapse to exactly two keepers (min doc_id each) with one row per
+    image — and agree with the transitive closure of the pair
+    operator's is_near_dup edges."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, size=64 * 48, dtype=np.uint8)
+    noised = px.copy()
+    noised[:5] = (noised[:5].astype(int) + 3).clip(0, 255).astype(np.uint8)
+    other = rng.permutation(px)
+    a = _pgm(64, 48, px.tolist())
+    ap = _pgm(64, 48, noised.tolist())
+    b = _pgm(64, 48, other.tolist())
+    media = _media_rows(
+        spark, [(buf, 64, 48) for buf in (a, a, a, a, ap, b, b)]
+    )
+    got = {
+        r.doc_id: r.keeper_id
+        for r in mm.perceptual_dedup_groups(media, algorithm="dhash").collect()
+    }
+    assert len(got) == 7  # one row per image, singletons included
+    assert {got[i] for i in (0, 1, 2, 3, 4)} == {0}
+    assert got[5] == got[6] == 5
+
+    # parity: keepers = transitive closure over the pair operator
+    edges = [
+        (r.id_a, r.id_b)
+        for r in mm.perceptual_near_duplicates(media, algorithm="dhash").collect()
+        if r.is_near_dup
+    ]
+    parent = {i: i for i in range(7)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    want = {}
+    for i in range(7):
+        root = find(i)
+        want[i] = min(j for j in range(7) if find(j) == root)
+    assert got == want

@@ -64,6 +64,7 @@ PROBE_QUERIES = [
     "events_rfm_segmentation",
     "events_sessionize",
     "media_dedup_perceptual",
+    "media_dedup_perceptual_groups",
     "corpus_e2e_pipeline",
 ]
 
@@ -103,14 +104,23 @@ def main() -> None:
     qs = e.queries()
     probe_list = sys.argv[2:] if len(sys.argv) > 2 else PROBE_QUERIES
     results: dict[str, dict] = {}
+    def run(df):
+        # noop sink: materializes every output column executor-side with
+        # no driver transfer. collect() was the first cut and it skewed
+        # the quadratic-output queries: media_dedup_perceptual's sf1
+        # pair list (~100x rows under the 10x exact-copy stress) spent
+        # ~7 min in driver Row serialization — measuring the sink, not
+        # the operator dataflow under test.
+        df.write.mode("overwrite").format("noop").save()
+
     for name in probe_list:
         fn = qs[name]
-        fn(spark, "/root/testdata/sf0.001").collect()  # compile warm-up
+        run(fn(spark, "/root/testdata/sf0.001"))  # compile warm-up
         spark.catalog.clearCache()
         row = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
             t = time.time()
-            fn(spark, sf_dir).collect()
+            run(fn(spark, sf_dir))
             row[label] = round(time.time() - t, 2)
             spark.catalog.clearCache()
         row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 1)
