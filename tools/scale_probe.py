@@ -131,6 +131,13 @@ def main() -> None:
     payload = {"copies": COPIES, "queries": results}
     print(json.dumps(payload, indent=1, sort_keys=True))
     if len(sys.argv) > 1:
+        # subset re-measures merge into an existing artifact instead of
+        # clobbering the queries they didn't run
+        if os.path.exists(sys.argv[1]):
+            with open(sys.argv[1]) as fh:
+                prior = json.load(fh)
+            if prior.get("copies") == COPIES:
+                payload["queries"] = {**prior.get("queries", {}), **results}
         with open(sys.argv[1], "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
     shutil.rmtree("/root/repo/.scale_probe", ignore_errors=True)
