@@ -250,6 +250,83 @@ def stratified_sample(
     return df.filter(deterministic_uniform(F.col(key_col)) < rate)
 
 
+def sample_pps_systematic(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling, probability proportional to size, SYSTEMATIC
+    — exactly ``k`` picks (Σ n_copies = k), every row's expected pick
+    count = k·w/W, fully deterministic, one pass, ALL-INTEGER.
+
+    The float classics (Efraimidis–Spirakis exponential keys) hinge on
+    ``ln``/``pow`` whose low bits differ across libm implementations —
+    useless for a cross-engine gate and irreproducible across
+    clusters. Systematic PPS instead lays k midpoint grid points
+    (2i+1)·W/(2k) over the weight line, orders rows by a hash
+    permutation (md5 of the key — deterministic shuffle, kills
+    periodicity), and picks every row whose cumulative-weight interval
+    [b, b+w) contains a grid point; the count of contained points is
+    odd_count(2k·(b+w)) − odd_count(2k·b) with
+    odd_count(y) = ((y−1) div W + 1) div 2 — exact BIGINT arithmetic,
+    identical in any engine.
+
+    Scale shape: the exclusive prefix sum b is TWO-PHASE (the
+    dense_ids recipe — repartitionByRange on the hash order, running
+    sum within partitions, exact per-partition offsets via the
+    triangular partition_offsets join) — no single-partition window.
+    Contract: weights must be positive integers (zero-weight rows are
+    never picked and are dropped) and 2·k·W must fit in BIGINT
+    (k·W < 4.6e18 — at a 10^14-token corpus that is k ≤ ~46,000;
+    sample per stratum for more, which is what a mixture pipeline does
+    anyway).
+    """
+    from sfcrimedatapipeline_spark.operators.keys import partition_offsets
+
+    w_int = F.col(weight_col).cast("long")
+    base = (
+        df.filter(w_int > 0)
+        .withColumn("__ord", F.md5(F.col(key_col).cast("string")))
+    )
+    cols = [c for c in df.columns]
+    part = base.repartitionByRange("__ord", key_col).sortWithinPartitions(
+        "__ord", key_col
+    )
+    pid = F.spark_partition_id()
+    lw = (
+        Window.partitionBy(pid)
+        .orderBy("__ord", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_run = part.select(
+        pid.alias("__pid"), F.sum(w_int).over(lw).alias("__run"), *cols
+    )
+    counts = with_run.groupBy("__pid").agg(F.max("__run").alias("__n"))
+    offsets = partition_offsets(counts)
+    total = counts.agg(F.sum("__n").cast("long").alias("__W"))
+    g = with_run.join(F.broadcast(offsets), "__pid").crossJoin(F.broadcast(total))
+    run = F.col("__run") + F.col("__offset")  # inclusive global prefix sum
+    two_k = F.lit(2 * k).cast("long")
+    # odd_count(y) via SQL DIV — exact integral division (a float
+    # division here can land a hair under the integer and truncate one
+    # low at 2^50+ magnitudes); operands are positive by construction
+    oc = (
+        "CASE WHEN {y} <= 0 THEN CAST(0 AS BIGINT) "
+        "ELSE (({y} - 1) DIV __W + 1) DIV 2 END"
+    )
+    n_copies = F.expr(
+        f"CAST({oc.format(y='__y2')} - {oc.format(y='__y1')} AS INT)"
+    )
+    return (
+        g.withColumn("__y1", two_k * (run - w_int))
+        .withColumn("__y2", two_k * run)
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(*cols, "n_copies")
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -129,6 +129,20 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS weighted sample (operators/corpus.py:
+    sample_pps_systematic): exactly 500 picks over documents weighted
+    by n_chars — all-integer midpoint-grid selection over a two-phase
+    hash-ordered prefix sum, so the picked set is identical in any
+    engine and under any partitioning (the float weighted-sampling
+    classics are neither). Oracle replays the same BIGINT arithmetic
+    over a window prefix sum."""
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus.sample_pps_systematic(docs, "n_chars", k=500).select(
+        "doc_id", "lang", F.col("n_chars").alias("weight"), "n_copies"
+    )
+
+
 def mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source training-mixture sampling to a weighted token budget
     (operators/corpus.py:mix_to_token_budget) — rates, clamping, the
@@ -1091,6 +1105,7 @@ QUERIES = {
     # rows-only: rank low bits are aggregation-order-dependent (see docstring)
     "pagerank_dup_graph": pagerank_dup_graph,
     "sample_stratified": sample_stratified,
+    "sample_pps": sample_pps,
     "mix_report": mix_report,
     "corpus_e2e_pipeline": corpus_e2e_pipeline,
     # genuine streaming execution; ordered fixture ⇒ batch-equal keepers
@@ -1122,6 +1137,36 @@ QUERIES = {
 }
 
 ORACLE_SQL = build_oracle_sql()
+
+# systematic PPS: same BIGINT midpoint-grid arithmetic over a window
+# prefix sum; DuckDB's // is floor division (operands positive, so it
+# matches Spark's DIV truncation)
+ORACLE_SQL["sample_pps"] = """
+    WITH s AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+               md5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents WHERE n_chars > 0
+    ),
+    c AS (
+        SELECT *,
+               sum(w) OVER (ORDER BY ord, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS run,
+               (SELECT sum(w) FROM s) AS tot
+        FROM s
+    ),
+    x AS (
+        SELECT doc_id, lang, w,
+               CASE WHEN 1000 * run <= 0 THEN 0
+                    ELSE ((1000 * run - 1) // tot + 1) // 2 END
+             - CASE WHEN 1000 * (run - w) <= 0 THEN 0
+                    ELSE ((1000 * (run - w) - 1) // tot + 1) // 2 END
+                   AS n_copies
+        FROM c
+    )
+    SELECT doc_id, lang, w AS weight, CAST(n_copies AS INT) AS n_copies
+    FROM x WHERE n_copies > 0
+"""
 # the MG sketch tier exact-recounts its candidates, and on these
 # small-domain columns candidates = all values — one oracle gates both
 ORACLE_SQL["freq_items_lineitem_mg"] = ORACLE_SQL["freq_items_lineitem"]

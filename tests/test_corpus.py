@@ -1016,3 +1016,33 @@ def test_bpe_local_max_words_cap_is_deterministic(spark):
     a = textstats.train_bpe_local(docs, n_merges=5, max_words=3)
     b = textstats.train_bpe_local(docs, n_merges=5, max_words=3)
     assert a == b and a
+
+
+def test_sample_pps_systematic_exact_k_and_partition_invariance(spark):
+    """Systematic PPS: exactly k picks counting multiplicity, a
+    heavier-than-grid-interval row picked with multiplicity, zero-
+    weight rows never picked, and the picked set identical under a
+    different input partitioning (the determinism float samplers
+    can't give)."""
+    from sfcrimedatapipeline_spark.operators.corpus import sample_pps_systematic
+
+    rows = [(i, (i * 37) % 19 + 1) for i in range(200)] + [
+        (200, 5000),  # dominates the total -> must be picked many times
+        (201, 0),  # zero weight -> never picked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    k = 16
+    got = sample_pps_systematic(df, "w", k=k).collect()
+    assert sum(r.n_copies for r in got) == k
+    by_id = {r.doc_id: r.n_copies for r in got}
+    assert 201 not in by_id
+    total = sum(w for _, w in rows)
+    # doc 200 holds 5000/total of the line; expected k*w/W picks, and
+    # systematic sampling pins the count to floor/ceil of that
+    exp = k * 5000 / total
+    assert by_id[200] in (int(exp), int(exp) + 1)
+
+    got2 = sample_pps_systematic(df.repartition(7), "w", k=k).collect()
+    assert sorted((r.doc_id, r.n_copies) for r in got2) == sorted(
+        (r.doc_id, r.n_copies) for r in got
+    )
