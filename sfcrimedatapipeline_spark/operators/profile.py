@@ -651,3 +651,64 @@ def standardize_embeddings(
             F.transform(F.col("__pairs"), lambda s: s["__z"]).alias("z_embedding"),
         )
     )
+
+
+def robust_outliers_mad(
+    df: DataFrame,
+    group_col: str,
+    value_cents: "F.Column",
+    id_cols: list[str],
+    c: int = 5,
+) -> DataFrame:
+    """Per-group robust outliers by median absolute deviation — the
+    mean/stddev z-score breaks exactly when you need it (one huge
+    outlier inflates the stddev that is supposed to expose it; 50%
+    breakdown point for the median vs 0% for the mean).
+
+    ALL-INTEGER: callers pass the value pre-quantized to cents
+    (``value_cents``), medians are the LOWER median (the element at
+    1-based rank (n+1) div 2 — no interpolation, no floats), MAD is
+    the lower median of |v − med|, and the flag is the integer
+    cross-multiplication ``|v − med| > c·mad``. Every comparison is
+    exact in any engine, so the flagged set hash-gates.
+
+    Scale shape: two rank windows, both PARTITIONED BY the group (no
+    global window), one group-cardinality aggregate + join each.
+    Groups with mad = 0 (a majority of identical values) flag every
+    deviating row — intended: deviation from a constant IS the
+    anomaly.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("g"), value_cents.alias("v"), *id_cols
+    )
+    w1 = Window.partitionBy("g").orderBy("v", *id_cols)
+    r1 = base.select(
+        "g", "v", *id_cols,
+        F.row_number().over(w1).alias("__r"),
+        F.count("*").over(Window.partitionBy("g")).alias("__n"),
+    )
+    med = r1.filter(
+        F.col("__r") == F.expr("(__n + 1) DIV 2")
+    ).select(F.col("g"), F.col("v").alias("med"))
+    dev = r1.join(med, "g").withColumn("dev", F.abs(F.col("v") - F.col("med")))
+    w2 = Window.partitionBy("g").orderBy("dev", *id_cols)
+    r2 = dev.select(
+        "g", "v", "med", "dev", "__n", *id_cols,
+        F.row_number().over(w2).alias("__r2"),
+    )
+    mad = r2.filter(
+        F.col("__r2") == F.expr("(__n + 1) DIV 2")
+    ).select(F.col("g"), F.col("dev").alias("mad"))
+    flagged = (
+        dev.join(mad, "g")
+        .filter(F.col("dev") > F.lit(c) * F.col("mad"))
+    )
+    return flagged.select(
+        F.col("g").alias(group_col),
+        *id_cols,
+        F.col("v").alias("value_cents"),
+        F.col("med").alias("median_cents"),
+        F.col("mad").alias("mad_cents"),
+    )

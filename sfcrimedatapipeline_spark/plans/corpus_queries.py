@@ -129,6 +129,21 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outliers by median absolute deviation
+    (operators/profile.py:robust_outliers_mad): lower medians at
+    integer rank (n+1) div 2 over cents, MAD the same over |v − med|,
+    flag = dev > 5·mad — all BIGINT comparisons, so the flagged set
+    hash-gates exactly (a mean/stddev z-score would be IEEE-order
+    noise at the boundary AND statistically wrong: the outlier
+    inflates the stddev meant to expose it)."""
+    from sfcrimedatapipeline_spark.operators.profile import robust_outliers_mad
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return robust_outliers_mad(ev, "event_type", cents, ["event_id"], c=5)
+
+
 def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Systematic PPS weighted sample (operators/corpus.py:
     sample_pps_systematic): exactly 500 picks over documents weighted
@@ -1106,6 +1121,7 @@ QUERIES = {
     "pagerank_dup_graph": pagerank_dup_graph,
     "sample_stratified": sample_stratified,
     "sample_pps": sample_pps,
+    "events_mad_outliers": events_mad_outliers,
     "mix_report": mix_report,
     "corpus_e2e_pipeline": corpus_e2e_pipeline,
     # genuine streaming execution; ordered fixture ⇒ batch-equal keepers
@@ -1137,6 +1153,40 @@ QUERIES = {
 }
 
 ORACLE_SQL = build_oracle_sql()
+
+# MAD outliers: same lower-median rank arithmetic, windows partitioned
+# by the group in both engines; NULL values filtered before ranking so
+# the NULLS FIRST/LAST default divergence never matters
+ORACLE_SQL["events_mad_outliers"] = """
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               event_id
+        FROM events WHERE value IS NOT NULL
+    ),
+    r1 AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY g ORDER BY v, event_id) AS rk,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM base
+    ),
+    med AS (SELECT g, v AS med FROM r1 WHERE rk = (n + 1) // 2),
+    dev AS (
+        SELECT r1.g, r1.v, r1.event_id, r1.n, med.med,
+               abs(r1.v - med.med) AS dv
+        FROM r1 JOIN med ON r1.g = med.g
+    ),
+    rnk2 AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY g ORDER BY dv, event_id) AS rk2
+        FROM dev
+    ),
+    mad AS (SELECT g, dv AS mad FROM rnk2 WHERE rk2 = (n + 1) // 2)
+    SELECT d.g AS event_type, d.event_id, d.v AS value_cents,
+           d.med AS median_cents, m.mad AS mad_cents
+    FROM dev d JOIN mad m ON d.g = m.g
+    WHERE d.dv > 5 * m.mad
+"""
 
 # systematic PPS: same BIGINT midpoint-grid arithmetic over a window
 # prefix sum; DuckDB's // is floor division (operands positive, so it
