@@ -144,18 +144,12 @@ def minhash_signatures(
     return shingled.withColumn("signature", sig)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    num_bands: int = DEFAULT_BANDS,
+def _band_buckets(
+    signatures: DataFrame, id_col: str, num_bands: int = DEFAULT_BANDS
 ) -> DataFrame:
-    """LSH banding: split each signature into bands, bucket by band
-    hash, emit distinct candidate pairs (a < b) sharing ≥1 bucket.
-
-    The self-join is on (band_idx, band_key) — co-partitioned on both
-    sides, bucket sizes are small by construction, and the distinct
-    collapses multi-band matches.
-    """
+    """(id, band_idx, band_key) bucket rows — one per signature band.
+    Shared by the self-join (lsh_candidate_pairs) and the delta×corpus
+    join (minhash_cross_corpus)."""
     num_hashes = DEFAULT_NUM_HASHES
     rows = num_hashes // num_bands
     bands = F.array(
@@ -169,9 +163,24 @@ def lsh_candidate_pairs(
             for b in range(num_bands)
         ]
     )
-    buckets = signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
+    return signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
         id_col, "band.band_idx", "band.band_key"
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """LSH banding: split each signature into bands, bucket by band
+    hash, emit distinct candidate pairs (a < b) sharing ≥1 bucket.
+
+    The self-join is on (band_idx, band_key) — co-partitioned on both
+    sides, bucket sizes are small by construction, and the distinct
+    collapses multi-band matches.
+    """
+    buckets = _band_buckets(signatures, id_col, num_bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -238,6 +247,59 @@ def minhash_near_duplicates(
     cands = lsh_candidate_pairs(sigs, id_col)
     return jaccard_pairs(cands, shingled, id_col).filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def minhash_cross_corpus(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dups of an incoming DELTA batch against the standing
+    corpus — the incremental-ingest twin of minhash_near_duplicates.
+    Emits ``(delta_id, corpus_id, jaccard ≥ threshold)``.
+
+    The band join runs delta-buckets × corpus-buckets ONLY: no
+    delta-delta or corpus-corpus pair is ever a candidate, so per
+    ingest the work is |delta|·bands probe rows against the corpus
+    bucket table instead of re-pairing the whole corpus (the self-join
+    re-run would be quadratic in corpus growth across ingests). Same
+    shingle→signature→band→verify machinery and constants as the
+    self-join path, so a pair flags here iff it would flag there."""
+    sh_d = shingle_sets(delta, id_col, text_col, drop_empty=True).persist()
+    sh_c = shingle_sets(corpus, id_col, text_col, drop_empty=True).persist()
+    bd = _band_buckets(minhash_signatures(sh_d).select(id_col, "signature"), id_col)
+    bc = _band_buckets(minhash_signatures(sh_c).select(id_col, "signature"), id_col)
+    cand = (
+        bd.alias("a")
+        .join(
+            bc.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("delta_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    sa = sh_d.select(F.col(id_col).alias("delta_id"), F.col("shingles").alias("sh_a"))
+    sb = sh_c.select(
+        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "delta_id")
+        .join(sb, "corpus_id")
+        .select(
+            "delta_id",
+            "corpus_id",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -148,6 +148,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_delta_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup (operators/dedup.py:
+    minhash_cross_corpus): docs with doc_id % 10 = 7 play the incoming
+    delta batch, the rest the standing corpus; only delta×corpus band
+    buckets ever join. Oracle: the full self-join pair SQL filtered to
+    pairs with exactly one endpoint in the delta — the band-collision
+    property is pairwise, so per-side banding finds exactly the cross
+    subset of the self-join's candidates."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    pairs = dedup.minhash_cross_corpus(
+        delta, corpus, threshold=JACCARD_THRESHOLD
+    )
+    return pairs.select(
+        "delta_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_parallel(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(
@@ -964,6 +983,15 @@ def build_oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "dedup_minhash_lsh": _minhash_sql(),
+        # cross subset of the self-join pairs: exactly one endpoint in
+        # the delta (doc_id % 10 = 7), oriented delta -> corpus
+        "dedup_delta_minhash": f"""
+            SELECT CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END AS delta_id,
+                   CASE WHEN doc_a % 10 = 7 THEN doc_b ELSE doc_a END AS corpus_id,
+                   jaccard
+            FROM ({_minhash_sql()}) p
+            WHERE (doc_a % 10 = 7) <> (doc_b % 10 = 7)
+        """,
         "dedup_ngram_jaccard": f"""
             WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
             sh AS (SELECT doc_id, list_distinct({sql_ngrams('t')}) AS shingles FROM tok),
@@ -1234,6 +1262,7 @@ QUERIES = {
     "corpus_curation_report": corpus_curation_report,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_delta_minhash": dedup_delta_minhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "text_vocabulary": text_vocabulary,
     "text_oov_rate": text_oov_rate,

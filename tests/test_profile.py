@@ -38,3 +38,34 @@ def test_mg_heavy_hitter_survives_high_cardinality_tail(spark):
     assert out[0].value == "HOT"
     assert out[0].n == n_heavy  # recount is exact, not the MG estimate
     assert out[0].rank == 1
+
+
+def test_robust_outliers_mad(spark):
+    """MAD flags the spike a z-score would hide: one 10^6 outlier in a
+    tight group inflates stddev past the 3-sigma bar (z ≈ sqrt(n) at
+    best) but leaves the median/MAD untouched. Lower-median rank
+    semantics and the exact flag boundary are pinned."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.profile import robust_outliers_mad
+
+    rows = (
+        [("a", i, 100 + (i % 5)) for i in range(20)]  # tight: med=102, mad<=2
+        + [("a", 99, 1_000_000)]  # the spike
+        + [("b", 0, 10), ("b", 1, 20), ("b", 2, 30)]  # mad=10, no outlier at c=5
+    )
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = robust_outliers_mad(df, "g", F.col("v"), ["id"], c=5).collect()
+    assert [(r.g, r.id, r.value_cents) for r in got] == [("a", 99, 1_000_000)]
+    r = got[0]
+    # lower median of a's 21 values (102 at rank 11), mad from |v-102|
+    assert r.median_cents == 102
+    assert r.mad_cents == 1
+
+    # z-score contrast: the spike's z is under 4.6 (sqrt(21)) — a
+    # 5-sigma rule would MISS it, while every inlier's MAD dev is <= 2
+    import statistics
+
+    vals = [v for g, _, v in rows if g == "a"]
+    z = (1_000_000 - statistics.mean(vals)) / statistics.pstdev(vals)
+    assert z < 5
