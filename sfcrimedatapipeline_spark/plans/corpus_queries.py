@@ -59,6 +59,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.connected_components(pairs).orderBy("doc_id")
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper per near-dup cluster: min-id canonicals
+    pick an ARBITRARY representative; a curation pipeline wants the
+    BEST one. Same MinHash pair graph and connected components as
+    dedup_clusters, then keeper = the cluster member with the highest
+    integer quality score (textstats.with_quality, 0-3; doc_id breaks
+    ties) via one top-1-per-group window over the cluster-cardinality
+    frame. Output (doc_id, cluster_id, keeper_id, keeper_quality) —
+    keeper selection is exact-integer, so the map hash-gates."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_duplicates(docs)
+    cc = corpus.connected_components(pairs)
+    scored = textstats.with_quality(docs).select("doc_id", "quality_score")
+    member = cc.join(scored, "doc_id")
+    best = corpus.top_k_per_group(
+        member,
+        ["canonical_id"],
+        [F.desc("quality_score"), F.asc("doc_id")],
+        1,
+    ).select(
+        F.col("canonical_id").alias("__cid"),
+        F.col("doc_id").alias("keeper_id"),
+        F.col("quality_score").alias("keeper_quality"),
+    )
+    return member.join(best, F.col("canonical_id") == F.col("__cid")).select(
+        "doc_id",
+        F.col("canonical_id").alias("cluster_id"),
+        "keeper_id",
+        "keeper_quality",
+    )
+
+
 def dedup_clusters_2phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME clustering through the alternating large-star/
     small-star algorithm (Kiveris et al., SoCC'14 — O(log²) rounds
@@ -807,6 +839,62 @@ def build_oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE {uniform} < {rate_case}
         """,
+        # CC closure (same pair SQL as dedup_clusters) + the
+        # quality_topk quality CTE + top-1-per-cluster keeper
+        "dedup_keep_best": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT doc_a, doc_b FROM ({_minhash_sql()}) p
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+            ),
+            cc AS (
+                SELECT CAST(id AS BIGINT) AS doc_id,
+                       CAST(min(r) AS BIGINT) AS canonical_id
+                FROM reach GROUP BY id
+            ),
+            tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+            m AS (
+                SELECT doc_id, len(t) AS n,
+                       {sql_stopword_hits('t', 'en')} AS hits,
+                       CASE WHEN len(t) > 0
+                            THEN CAST(CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS DOUBLE) / len(t)
+                            ELSE 0.0 END AS mean_len
+                FROM tok
+            ),
+            q AS (
+                SELECT doc_id,
+                       CAST((n BETWEEN {textstats.QUALITY_MIN_TOKENS} AND {textstats.QUALITY_MAX_TOKENS}) AS INTEGER)
+                       + CAST((mean_len BETWEEN {textstats.QUALITY_MIN_MEAN_LEN} AND {textstats.QUALITY_MAX_MEAN_LEN}) AS INTEGER)
+                       + CAST((CASE WHEN n > 0 THEN CAST(hits AS DOUBLE) / n ELSE 0.0 END)
+                              >= {textstats.QUALITY_MIN_STOPWORD_RATIO} AS INTEGER) AS quality_score
+                FROM m
+            ),
+            ranked AS (
+                SELECT cc.doc_id, cc.canonical_id, q.quality_score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY cc.canonical_id
+                           ORDER BY q.quality_score DESC, cc.doc_id ASC
+                       ) AS rk
+                FROM cc JOIN q ON cc.doc_id = q.doc_id
+            ),
+            best AS (
+                SELECT canonical_id AS cid, doc_id AS keeper_id,
+                       quality_score AS keeper_quality
+                FROM ranked WHERE rk = 1
+            )
+            SELECT cc.doc_id, cc.canonical_id AS cluster_id,
+                   b.keeper_id, b.keeper_quality
+            FROM cc JOIN best b ON cc.canonical_id = b.cid
+        """,
         "quality_topk_per_lang": f"""
             WITH tok AS (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM documents),
             m AS (
@@ -1117,6 +1205,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     # same oracle, diameter-independent star algorithm
     "dedup_clusters_2phase": dedup_clusters_2phase,
+    "dedup_keep_best": dedup_keep_best,
     # rows-only: rank low bits are aggregation-order-dependent (see docstring)
     "pagerank_dup_graph": pagerank_dup_graph,
     "sample_stratified": sample_stratified,
