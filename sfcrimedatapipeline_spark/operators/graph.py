@@ -231,3 +231,64 @@ def bfs_distances(
         prev_probe = probe
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), "distance")
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int = 2,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iters: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition at fixed ``k``: the maximal subgraph in
+    which every node keeps degree ≥ k — the web-graph screen that
+    separates densely-corroborated documents from stragglers a
+    near-dup pair list alone can't rank (a node can have high degree
+    purely from spam satellites that the peel removes from under it).
+
+    Peeling, relationally: each round recomputes degrees with ONE
+    map-side-combined count over the mirrored alive-edge list, drops
+    the sub-k nodes, and keeps edges whose BOTH endpoints survive via
+    two left-semi joins against the node-cardinality survivor frame.
+    The survivor set shrinks monotonically, so an unchanged COUNT (an
+    aggregate scalar probe, never a row collect) proves an unchanged
+    SET and the fixed point. Lineage is truncated per round
+    (functions/caching.py — executor-local, or reliable via
+    ``checkpoint_dir=``). Rounds are bounded by the peel depth, not
+    |V|: each round removes every currently sub-k node at once.
+
+    The output (doc_id, degree within the k-core) is exact integers,
+    but the peel is a non-monotone fixed point — not expressible as a
+    single recursive-CTE oracle — so the driver query is rows-only
+    with a pure-Python peeling parity test (tests/test_graph.py), the
+    pagerank precedent.
+    """
+    from sfcrimedatapipeline_spark.functions.caching import truncate_lineage
+
+    fwd = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    alive = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    prev = -1
+    core = None
+    for _ in range(max_iters):
+        deg = alive.groupBy("src").agg(F.count("*").cast("long").alias("degree"))
+        core = deg.filter(F.col("degree") >= k)
+        n = core.count()
+        if n == prev:
+            break
+        prev = n
+        keep = core.select("src")
+        alive = truncate_lineage(
+            alive.join(keep, "src", "left_semi").join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            ),
+            checkpoint_dir,
+        )
+    return core.select(F.col("src").alias("doc_id"), "degree")

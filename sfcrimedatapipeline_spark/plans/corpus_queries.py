@@ -59,6 +59,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.connected_components(pairs).orderBy("doc_id")
 
 
+def graph_kcore_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the MinHash dup graph (operators/graph.py:k_core):
+    documents that stay mutually corroborated after every
+    degree-<2 straggler is peeled away, with their in-core degree.
+    Rows-only by documented necessity: the peel is a non-monotone
+    fixed point no single recursive-CTE oracle can express — exact
+    integer parity with a pure-Python peeling reference is pinned in
+    tests/test_graph.py (the pagerank precedent)."""
+    from sfcrimedatapipeline_spark.operators.graph import k_core
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_duplicates(docs)
+    return k_core(pairs, k=2)
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware keeper per near-dup cluster: min-id canonicals
     pick an ARBITRARY representative; a curation pipeline wants the
@@ -1206,6 +1221,8 @@ QUERIES = {
     # same oracle, diameter-independent star algorithm
     "dedup_clusters_2phase": dedup_clusters_2phase,
     "dedup_keep_best": dedup_keep_best,
+    # rows-only: non-monotone peel fixed point (see docstring)
+    "graph_kcore_dup": graph_kcore_dup,
     # rows-only: rank low bits are aggregation-order-dependent (see docstring)
     "pagerank_dup_graph": pagerank_dup_graph,
     "sample_stratified": sample_stratified,

@@ -2066,3 +2066,153 @@ ORACLE_SQL["events_bounce_rate"] = """
                / CAST(count(*) AS DOUBLE) AS bounce_rate
     FROM per GROUP BY 1
 """
+
+
+#: Benford expected first-digit shares log10(1 + 1/d) — computed once
+#: in Python and embedded as IDENTICAL double literals in both engines
+#: (a log10() call at query time would expose libm low-bit divergence)
+BENFORD_SHARES = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def dq_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fabricated-data screen (organic multiplicative amounts follow
+    log10(1+1/d); keyed/synthetic ones don't). The first significant
+    digit is extracted by STRING head over integer cents — exact in
+    any engine, where floor(x/10^floor(log10 x)) would ride libm —
+    and the per-digit chi-square contribution (obs−exp)²/exp uses the
+    shared literal share table. One map-side-combined 9-group
+    aggregate joined to a broadcast digit spine (zero-count digits
+    still report)."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        o.filter(cents > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("__tot"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    share = F.coalesce(
+        *[
+            F.when(F.col("digit") == d, F.lit(s))
+            for d, s in sorted(BENFORD_SHARES.items())
+        ]
+    )
+    nn = F.coalesce(F.col("n"), F.lit(0)).cast("long")
+    exp = share * F.col("__tot").cast("double")
+    return (
+        spine.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            nn.alias("n"),
+            share.alias("expected_share"),
+            (nn.cast("double") / F.col("__tot").cast("double")).alias(
+                "observed_share"
+            ),
+            (
+                (nn.cast("double") - exp) * (nn.cast("double") - exp) / exp
+            ).alias("chisq_term"),
+        )
+    )
+
+
+QUERIES["dq_benford_prices"] = dq_benford_prices
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {s!r}" for d, s in sorted(BENFORD_SHARES.items())
+)
+ORACLE_SQL["dq_benford_prices"] = f"""
+    WITH c AS (
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit
+        FROM orders
+        WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0
+    ),
+    counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+    spine AS (SELECT unnest(generate_series(1, 9)) AS digit)
+    SELECT CAST(s.digit AS INTEGER) AS digit,
+           coalesce(counts.n, 0) AS n,
+           CASE s.digit {_BENFORD_CASE} END AS expected_share,
+           CAST(coalesce(counts.n, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE)
+               AS observed_share,
+           (CAST(coalesce(counts.n, 0) AS DOUBLE)
+              - (CASE s.digit {_BENFORD_CASE} END) * CAST(tot.t AS DOUBLE))
+           * (CAST(coalesce(counts.n, 0) AS DOUBLE)
+              - (CASE s.digit {_BENFORD_CASE} END) * CAST(tot.t AS DOUBLE))
+           / ((CASE s.digit {_BENFORD_CASE} END) * CAST(tot.t AS DOUBLE))
+               AS chisq_term
+    FROM spine s
+    LEFT JOIN counts ON s.digit = counts.digit, tot
+"""
+
+
+def hist_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (the optimizer-statistics classic: equal
+    ROW share per bucket, boundaries wherever the data puts them —
+    where the fixed-width histogram starves on skew). Bucket of a row
+    = (rank·k) DIV n over the (cents, orderkey)-total-ordered frame —
+    pure integers, so bucket membership is identical in any engine
+    even at tied values. The rank is the two-phase dense_ids recipe
+    (range repartition + per-partition offsets), never a
+    single-partition window; the bucket aggregate is one map-side
+    combine."""
+    from sfcrimedatapipeline_spark.operators.keys import dense_ids
+
+    k = 16
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("__v"),
+        F.col("l_orderkey").alias("__k"),
+        F.col("l_linenumber").alias("__l"),
+    )
+    ranked = dense_ids(base, ["__v", "__k", "__l"], "__r")  # 1-based
+    total = ranked.agg(F.count("*").cast("long").alias("__n"))
+    bucket = F.expr(f"CAST((__r - 1) * {k} DIV __n AS INT)")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.min("__v").cast("double") / 100).alias("lo"),
+            (F.max("__v").cast("double") / 100).alias("hi"),
+        )
+    )
+
+
+QUERIES["hist_equidepth_prices"] = hist_equidepth_prices
+
+ORACLE_SQL["hist_equidepth_prices"] = """
+    WITH base AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+               l_orderkey AS k, l_linenumber AS l
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v, k, l) - 1 AS r FROM base
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM base)
+    SELECT CAST(r * 16 // cnt AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(v) AS DOUBLE) / 100 AS lo,
+           CAST(max(v) AS DOUBLE) / 100 AS hi
+    FROM ranked, n
+    GROUP BY 1
+"""

@@ -158,3 +158,43 @@ def test_bfs_multi_source_and_unreachable(spark):
         for r in bfs_distances(tri, lambda c: (c == 0) | (c == 10)).collect()
     }
     assert out2 == {0: 0, 10: 0, 5: 1}
+
+
+def test_k_core_parity_with_python_peel(spark):
+    """k_core vs a pure-Python peeling reference on a graph with a
+    layered structure: a 4-clique (3-core), a triangle hanging off it
+    (2-core), and chains/satellites that peel away entirely."""
+    from sfcrimedatapipeline_spark.operators.graph import k_core
+
+    edges = [
+        # 4-clique: 1,2,3,4
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # triangle 5,6,7 attached to the clique via 4-5
+        (4, 5), (5, 6), (5, 7), (6, 7),
+        # chain 8-9-10 and satellite 11 off node 1
+        (8, 9), (9, 10), (1, 11),
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    def py_kcore(es, k):
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in adj.items() if len(nb) < k]:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+        return {n: len(nb) for n, nb in adj.items()}
+
+    for k in (2, 3):
+        got = {r.doc_id: r.degree for r in k_core(df, k=k).collect()}
+        assert got == py_kcore(edges, k), f"k={k}"
+    # shape sanity: the chain and satellite never make the 2-core;
+    # only the clique survives at k=3
+    assert set(py_kcore(edges, 3)) == {1, 2, 3, 4}
+    two = py_kcore(edges, 2)
+    assert 8 not in two and 11 not in two and 5 in two
