@@ -2216,3 +2216,114 @@ ORACLE_SQL["hist_equidepth_prices"] = """
     FROM ranked, n
     GROUP BY 1
 """
+
+
+def orders_business_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment lead time in BUSINESS days — calendar
+    arithmetic done the warehouse way, through the reference's own
+    generated date dimension (plans/dims.py:generate_dim_date: weekend
+    + fixed/floating holiday rules) instead of a naive datediff. Each
+    date maps to its cumulative business-day index (one window over
+    the dim-CARDINALITY spine, the surrogate_key precedent — ~2.9k
+    rows, never data), so per-order lead = bidx(ship) − bidx(order):
+    two broadcast equi-joins, no range join against the calendar.
+    Integer day counts give an exact per-priority aggregate."""
+    from sfcrimedatapipeline_spark.plans.dims import generate_dim_date
+    from pyspark.sql import Window
+
+    biz = (
+        (~F.col("isWeekend")) & (~F.col("isHoliday"))
+    ).cast("long")
+    dim = (
+        generate_dim_date(spark, "1995-01-01", "2002-12-31")
+        .select(F.col("FullDate").alias("d"), biz.alias("b"))
+        .select("d", F.sum("b").over(Window.orderBy("d")).alias("bidx"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("ship_d")
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("order_d"),
+    )
+    joined = (
+        o.join(first_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(dim.select(F.col("d"), F.col("bidx").alias("b_ord"))),
+            F.col("order_d") == F.col("d"),
+        )
+        .drop("d")
+        .join(
+            F.broadcast(dim.select(F.col("d"), F.col("bidx").alias("b_shp"))),
+            F.col("ship_d") == F.col("d"),
+        )
+    )
+    lead = F.col("b_shp") - F.col("b_ord")
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(lead).cast("long").alias("sum_bdays"),
+        (F.sum(lead).cast("double") / F.count("*").cast("double")).alias(
+            "avg_business_days"
+        ),
+        F.max(lead).cast("long").alias("max_bdays"),
+    )
+
+
+QUERIES["orders_business_lead_time"] = orders_business_lead_time
+
+# same holiday CTE as the dim_date_yearly oracle, extended with the
+# cumulative business-day index
+ORACLE_SQL["orders_business_lead_time"] = """
+    WITH d AS (
+        SELECT unnest(generate_series(DATE '1995-01-01', DATE '2002-12-31',
+                                      INTERVAL 1 DAY))::DATE AS fd
+    ),
+    x AS (
+        SELECT fd, month(fd) AS mo, dayofmonth(fd) AS dom,
+               dayofweek(fd) AS dow
+        FROM d
+    ),
+    h AS (
+        SELECT fd,
+               CASE WHEN dow IN (0, 6) THEN 0
+                    WHEN (mo=1 AND dom=1)
+                      OR (mo=1 AND dow=1 AND dom BETWEEN 15 AND 21)
+                      OR (mo=2 AND dow=1 AND dom BETWEEN 15 AND 21)
+                      OR (mo=5 AND dow=1 AND dom >= 25)
+                      OR (mo=6 AND dom=19) OR (mo=7 AND dom=4)
+                      OR (mo=9 AND dow=1 AND dom <= 7)
+                      OR (mo=10 AND dow=1 AND dom BETWEEN 8 AND 14)
+                      OR (mo=11 AND dom=11)
+                      OR (mo=11 AND dow=4 AND dom BETWEEN 22 AND 28)
+                      OR (mo=12 AND dom=25)
+                    THEN 0 ELSE 1 END AS b
+        FROM x
+    ),
+    dim AS (
+        SELECT fd, CAST(sum(b) OVER (ORDER BY fd
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS bidx
+        FROM h
+    ),
+    fs AS (
+        SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS ship_d
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT o.o_orderpriority,
+               ds.bidx - do_.bidx AS lead
+        FROM orders o
+        JOIN fs ON o.o_orderkey = fs.l_orderkey
+        JOIN dim do_ ON CAST(o.o_orderdate AS DATE) = do_.fd
+        JOIN dim ds ON fs.ship_d = ds.fd
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(lead) AS BIGINT) AS sum_bdays,
+           CAST(sum(lead) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avg_business_days,
+           CAST(max(lead) AS BIGINT) AS max_bdays
+    FROM j GROUP BY 1
+"""
