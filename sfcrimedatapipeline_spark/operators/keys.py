@@ -124,3 +124,38 @@ def load_order_id(df: DataFrame, key_name: str = "id") -> DataFrame:
         (F.col("__local") + F.col("__offset") + 1).cast("long").alias(key_name),
         *df.columns,
     )
+
+
+def running_total(
+    df: DataFrame, order_exprs: list, value_col: str, out_col: str
+) -> DataFrame:
+    """Scale-safe GLOBAL running sum of ``value_col`` over a total
+    order — the cumulative-share companion to :func:`dense_ids`
+    (same two-phase shape: range-repartition on the sort expressions
+    so partitions are globally ordered, running sum within each
+    partition, add exact per-partition offsets from the window-free
+    triangular cumsum). ``order_exprs`` are Column sort expressions
+    (desc/asc), so Pareto-style "largest first" orders work directly.
+    The caller must pass a TOTAL order — ties across a partition
+    boundary would otherwise make the running sum partition-dependent.
+    """
+    sorted_df = df.repartitionByRange(*order_exprs).sortWithinPartitions(
+        *order_exprs
+    )
+    part = F.spark_partition_id()
+    lw = (
+        Window.partitionBy(part)
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_local = sorted_df.select(
+        part.alias("__pid"),
+        F.sum(value_col).over(lw).alias("__run"),
+        *df.columns,
+    )
+    counts = with_local.groupBy("__pid").agg(F.max("__run").alias("__n"))
+    offsets = partition_offsets(counts)
+    return (
+        with_local.join(F.broadcast(offsets), "__pid")
+        .select((F.col("__run") + F.col("__offset")).alias(out_col), *df.columns)
+    )

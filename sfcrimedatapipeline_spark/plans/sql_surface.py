@@ -1532,13 +1532,18 @@ def a13_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
         F.sum(rev).alias("rev_cents")
     )
-    w = Window.orderBy(F.col("rev_cents").desc(), F.col("part_key").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # part cardinality SCALES with SF, so the running share is the
+    # two-phase global running sum (operators/keys.py:running_total),
+    # not a partition-less window
+    from sfcrimedatapipeline_spark.operators.keys import running_total
+
     total = per_part.agg(F.sum("rev_cents").alias("total_cents"))
-    ranked = per_part.withColumn("cum_cents", F.sum("rev_cents").over(w)).crossJoin(
-        F.broadcast(total)
-    )
+    ranked = running_total(
+        per_part,
+        [F.col("rev_cents").desc(), F.col("part_key").asc()],
+        "rev_cents",
+        "cum_cents",
+    ).crossJoin(F.broadcast(total))
     cls = (
         F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
         .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
@@ -1903,8 +1908,11 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("cents")
     )
-    w = Window.orderBy(F.col("cents").asc(), F.col("customer_id").asc())
-    ranked = per_cust.withColumn("i", F.row_number().over(w).cast("long"))
+    # customer cardinality scales with SF: two-phase rank, not a
+    # partition-less row_number window
+    from sfcrimedatapipeline_spark.operators.keys import dense_ids
+
+    ranked = dense_ids(per_cust, ["cents", "customer_id"], "i")
     agg = ranked.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("decimal(38,0)").alias("s"),

@@ -594,6 +594,23 @@ def test_dense_ids_and_load_order_have_no_global_window(spark):
             assert _is_partitioned(ln), f"partition-less window: {ln}"
 
 
+def test_pareto_gini_pps_equidepth_have_no_global_window(spark):
+    # every remaining global ranking/cumulation over a frame whose
+    # cardinality SCALES with SF rides the two-phase recipe — the only
+    # windows left partition by spark_partition_id (or the group key)
+    from sfcrimedatapipeline_spark.plans import corpus_queries, sql_surface
+
+    for name, mod in (
+        ("a13_pareto_abc", sql_surface),
+        ("customer_revenue_gini", sql_surface),
+        ("hist_equidepth_prices", sql_surface),
+        ("sample_pps", corpus_queries),
+    ):
+        q = mod.QUERIES[name](spark, SF_DIR)
+        for ln in _window_nodes(q):
+            assert _is_partitioned(ln), f"{name}: partition-less window: {ln}"
+
+
 def test_chunk_dedup_has_no_window_and_partial_aggregates(spark):
     # skew-safety (r5 verdict #3): first-occurrence must be a map-side
     # combinable min-struct aggregate, never a fingerprint-partitioned
