@@ -153,7 +153,11 @@ def running_total(
         F.sum(value_col).over(lw).alias("__run"),
         *df.columns,
     )
-    counts = with_local.groupBy("__pid").agg(F.max("__run").alias("__n"))
+    # the offset is each partition's TOTAL — sum the raw value, never
+    # max(__run): for signed values (e.g. a sweep-line's ±1 deltas)
+    # the running max exceeds the final value and corrupts every
+    # later partition's offset
+    counts = with_local.groupBy("__pid").agg(F.sum(value_col).alias("__n"))
     offsets = partition_offsets(counts)
     return (
         with_local.join(F.broadcast(offsets), "__pid")

@@ -232,7 +232,13 @@ def build_vocabulary(
     corpus frequency — the tokenizer-training primitive.
 
     explode → map-side-combined groupBy (shuffle bounded by distinct
-    token count) → one top-k window at vocabulary cardinality.
+    token count) → orderBy(...).limit(vocab_size), which Spark plans
+    as TakeOrderedAndProject (per-partition top-k + a driver merge of
+    vocab_size·partitions rows — never a global sort, never a
+    partition-less window over the distinct-token frame, whose
+    cardinality at web scale is billions) → the id-assigning
+    row_number runs on the LIMITED frame, bounded by the constant
+    vocab_size.
     """
     from pyspark.sql import Window
 
@@ -242,11 +248,12 @@ def build_vocabulary(
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(vocab_size)
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    return (
-        counts.withColumn("token_id", (F.row_number().over(w) - 1).cast("int"))
-        .filter(F.col("token_id") < vocab_size)
-        .select("token_id", "token", F.col("freq").cast("long").alias("freq"))
+    return top.select(
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+        "token",
+        F.col("freq").cast("long").alias("freq"),
     )
 
 

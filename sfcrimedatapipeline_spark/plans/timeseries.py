@@ -742,12 +742,11 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts sort first). The interval-stacking primitive behind
     concurrent-sessions / license-peak questions; one shuffle.
 
-    Single-partition window by design: the SWEEP itself is over
-    boundary events, and a production deployment sweeps per tenant/
-    shard key (partitionBy there) — the global unpartitioned demo is
-    the honest small case, same stance as w3."""
-    from pyspark.sql import Window
-
+    The GLOBAL sweep is two-phase (operators/keys.py:running_total —
+    range-repartition on the boundary order, per-partition running
+    sums, exact offsets), so no partition-less window survives even
+    in the tenantless global form; a production deployment can still
+    partition by tenant first and sweep within."""
     ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
     mu = F.unix_micros(F.col("ts"))
     span_us = 5 * 60 * 1_000_000
@@ -761,12 +760,14 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     stream = starts.unionByName(ends)
-    w = Window.orderBy(
-        F.col("t").asc(), F.col("is_end").asc(), F.col("event_id").asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    swept = stream.select(
-        "t", F.sum("delta").over(w).cast("long").alias("concurrency")
-    )
+    from sfcrimedatapipeline_spark.operators.keys import running_total
+
+    swept = running_total(
+        stream,
+        [F.col("t").asc(), F.col("is_end").asc(), F.col("event_id").asc()],
+        "delta",
+        "__cum",
+    ).select("t", F.col("__cum").cast("long").alias("concurrency"))
     peak = swept.agg(F.max("concurrency").alias("peak"))
     first_at = (
         swept.join(F.broadcast(peak), swept.concurrency == peak.peak)
@@ -1206,7 +1207,7 @@ def dq_event_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids are dense, so the gated scenario drops every 97th id first —
     the audit then has real holes to find (same stance as
     m7_stale_partitions' deterministic drift)."""
-    from pyspark.sql import Window
+    from sfcrimedatapipeline_spark.operators.keys import dense_ids
 
     ev = (
         read_table(spark, sf_dir, "events")
@@ -1214,17 +1215,22 @@ def dq_event_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.pmod(F.col("event_id"), F.lit(97)) != 0)
         .distinct()
     )
-    w = Window.orderBy("event_id")
-    islands = ev.withColumn(
-        "__isl", F.col("event_id") - F.row_number().over(w)
+    # both rankings are two-phase (ids and islands each scale with the
+    # feed): the island key from dense_ids instead of a partition-less
+    # row_number, and the LEAD via a rank self-join at rank+1 instead
+    # of a partition-less lead window
+    islands = dense_ids(ev, ["event_id"], "__rn").withColumn(
+        "__isl", F.col("event_id") - F.col("__rn")
     )
     bounds = islands.groupBy("__isl").agg(
         F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
     )
-    w2 = Window.orderBy("lo")
+    ranked = dense_ids(bounds.select("lo", "hi"), ["lo"], "__rk")
+    nxt = ranked.select(
+        (F.col("__rk") - 1).alias("__rk"), F.col("lo").alias("__next_lo")
+    )
     return (
-        bounds.withColumn("__next_lo", F.lead("lo").over(w2))
-        .filter(F.col("__next_lo").isNotNull())
+        ranked.join(nxt, "__rk")
         .select(
             (F.col("hi") + 1).alias("gap_start"),
             (F.col("__next_lo") - 1).alias("gap_end"),
