@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_queries,
         fact_queries,
         geo_queries,
+        linkage_queries,
         llmops,
         llmops_ext,
         media,
@@ -92,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **media.QUERIES,
         **fact_queries.QUERIES,
         **geo_queries.QUERIES,
+        **linkage_queries.QUERIES,
         **corpus_queries.QUERIES,
         **udx_queries.QUERIES,
     }
@@ -108,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         events_queries,
         fact_queries,
         geo_queries,
+        linkage_queries,
         llmops,
         llmops_ext,
         media,
@@ -129,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         **media.ORACLE_SQL,
         **fact_queries.ORACLE_SQL,
         **geo_queries.ORACLE_SQL,
+        **linkage_queries.ORACLE_SQL,
         **corpus_queries.ORACLE_SQL,
         **udx_queries.ORACLE_SQL,
     }
