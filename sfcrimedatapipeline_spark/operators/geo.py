@@ -164,3 +164,84 @@ def radius_pairs(
             (F.sqrt(F.col("__d2").cast("double")) / UNIT_PER_DEG).alias("dist_m"),
         )
     )
+
+
+def grid_density_clusters(
+    df: DataFrame,
+    ilat_col: str = "ilat",
+    ilon_col: str = "ilon",
+    cell_units: int = 500,
+    min_pts: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """DBSCAN-style density clustering on the integer grid: cells with
+    >= ``min_pts`` points are dense, 8-adjacent dense cells merge into
+    one cluster (connected components, operators/corpus.py), sparse
+    cells are noise and excluded. The classic grid relaxation of
+    DBSCAN (cell edge plays epsilon; border-point subtleties are
+    traded away for an all-equi-join dataflow).
+
+    Returns one row per cluster: ``(cluster_id, n_cells, n_points,
+    min_cx, max_cx, min_cy, max_cy)`` — all exact integers, so the
+    result hash-gates. ``cluster_id`` = min encoded cell id in the
+    cluster.
+
+    Scale shape: one map-side-combined groupBy counts cells (output is
+    CELL-cardinality, not point-cardinality — the quadratic never
+    exists); adjacency is a 9-way explode of the DENSE cell list
+    joined back to itself on the cell key (an equi-join over the
+    already-thresholded frame); the component step inherits
+    connected_components' one-shuffle-per-round bound on a graph no
+    larger than the dense-cell count."""
+    from sfcrimedatapipeline_spark.operators.corpus import connected_components
+
+    cells = (
+        df.filter(F.col(ilat_col).isNotNull() & F.col(ilon_col).isNotNull())
+        .select(
+            F.expr(f"{ilat_col} div {cell_units}").alias("cx"),
+            F.expr(f"({ilon_col} + {LON_SHIFT}) div {cell_units}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_pts)
+        # the cell list feeds three consumers (explode side, join side,
+        # label join-back); persist so the point scan runs once
+        .persist()
+    )
+    cid = (F.col("cx") * 1_000_000 + F.col("cy")).alias("cid")
+    dense = cells.select(cid, "cx", "cy", "n")
+    # (0,0) self-pair keeps isolated dense cells in the component map
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    fanout = dense.select(
+        F.col("cid").alias("cid_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("nx"),
+                        (F.col("cy") + dy).alias("ny"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("nb"),
+    ).select("cid_a", F.col("nb.nx").alias("cx"), F.col("nb.ny").alias("cy"))
+    edges = fanout.join(dense.select("cid", "cx", "cy"), ["cx", "cy"]).select(
+        "cid_a", F.col("cid").alias("cid_b")
+    )
+    labels = connected_components(
+        edges, src_col="cid_a", dst_col="cid_b", checkpoint_dir=checkpoint_dir
+    ).select(F.col("doc_id").alias("cid"), "canonical_id")
+    out = (
+        dense.join(labels, "cid")
+        .groupBy(F.col("canonical_id").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+            F.min("cx").cast("long").alias("min_cx"),
+            F.max("cx").cast("long").alias("max_cx"),
+            F.min("cy").cast("long").alias("min_cy"),
+            F.max("cy").cast("long").alias("max_cy"),
+        )
+    )
+    return out

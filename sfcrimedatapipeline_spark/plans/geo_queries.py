@@ -57,9 +57,63 @@ def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.radius_pairs(_points(spark, sf_dir), id_col="id", radius_m=RADIUS_M)
 
 
+DBSCAN_CELL_UNITS = 500
+DBSCAN_MIN_PTS = 30
+
+
+def _blob_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic clustered point set in integer 1e-5-degree units: 50
+    blobs (one per ``user_id % 50``) on a 1300x1500-unit center grid
+    with +-200-unit md5 scatter, plus full-extent noise for every 10th
+    event. The staging lattice (_points) is a 1-D modular curve —
+    every cell it touches is EQUALLY dense, so a density threshold
+    can't separate anything; clustering needs blobs AND background.
+    All placement is md5-slice arithmetic (operators/corpus.py's
+    uniform-coin idiom), so the oracle re-derives identical points."""
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def hslice(pos: int) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), pos, 8), 16, 10
+        ).cast("long")
+
+    u = F.col("user_id") % 50
+    blob_lat = F.lit(3_770_000) + (u % 10) * 1300 + (hslice(1) % 401 - 200)
+    blob_lon = (
+        F.lit(-12_251_000)
+        + F.expr("(user_id % 50) div 10") * 1500
+        + (hslice(9) % 401 - 200)
+    )
+    noise_lat = F.lit(3_770_000) + hslice(17) % 13000
+    noise_lon = F.lit(-12_251_000) + hslice(25) % 15000
+    is_noise = F.col("event_id") % 10 == 0
+    return ensure_min_partitions(
+        e.select(
+            F.col("event_id").alias("pid"),
+            F.when(is_noise, noise_lat).otherwise(blob_lat).alias("ilat"),
+            F.when(is_noise, noise_lon).otherwise(blob_lon).alias("ilon"),
+        )
+    )
+
+
+def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density (DBSCAN-style) clusters of the blob point set
+    (operators/geo.py:grid_density_clusters): ~555 m cells, dense at
+    >= 30 points, 8-adjacency merge; noise cells dropped. The oracle
+    recomputes the components by brute-force |dense|^2 adjacency +
+    recursive closure — a different algorithm, so the gate validates
+    the explode-join adjacency itself."""
+    return geo.grid_density_clusters(
+        _blob_points(spark, sf_dir),
+        cell_units=DBSCAN_CELL_UNITS,
+        min_pts=DBSCAN_MIN_PTS,
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "geo_grid_hotspots": geo_grid_hotspots,
     "geo_radius_pairs": geo_radius_pairs,
+    "geo_dbscan_clusters": geo_dbscan_clusters,
 }
 
 _PTS = """
@@ -101,5 +155,57 @@ ORACLE_SQL: dict[str, str] = {
         WHERE (a.ilat - b.ilat) * {geo.LAT_W} * ((a.ilat - b.ilat) * {geo.LAT_W})
               + (a.ilon - b.ilon) * {geo.LON_W} * ((a.ilon - b.ilon) * {geo.LON_W})
               <= CAST({RADIUS_M} * 100000 AS BIGINT) * CAST({RADIUS_M} * 100000 AS BIGINT)
+    """,
+    "geo_dbscan_clusters": f"""
+        WITH RECURSIVE hx AS (
+            SELECT event_id, user_id,
+                   md5(CAST(event_id AS VARCHAR)) AS h
+            FROM events
+        ),
+        bpts AS (
+            SELECT event_id AS pid,
+                   CASE WHEN event_id % 10 = 0
+                        THEN 3770000
+                             + CAST(('0x' || substring(h, 17, 8)) AS BIGINT) % 13000
+                        ELSE 3770000 + (user_id % 50 % 10) * 1300
+                             + (CAST(('0x' || substring(h, 1, 8)) AS BIGINT) % 401 - 200)
+                   END AS ilat,
+                   CASE WHEN event_id % 10 = 0
+                        THEN -12251000
+                             + CAST(('0x' || substring(h, 25, 8)) AS BIGINT) % 15000
+                        ELSE -12251000 + (user_id % 50 // 10) * 1500
+                             + (CAST(('0x' || substring(h, 9, 8)) AS BIGINT) % 401 - 200)
+                   END AS ilon
+            FROM hx
+        ),
+        dense AS (
+            SELECT (ilat // {DBSCAN_CELL_UNITS}) * 1000000
+                   + (ilon + {geo.LON_SHIFT}) // {DBSCAN_CELL_UNITS} AS cid,
+                   ilat // {DBSCAN_CELL_UNITS} AS cx,
+                   (ilon + {geo.LON_SHIFT}) // {DBSCAN_CELL_UNITS} AS cy,
+                   count(*) AS n
+            FROM bpts GROUP BY 1, 2, 3
+            HAVING count(*) >= {DBSCAN_MIN_PTS}
+        ),
+        adj AS (
+            SELECT a.cid AS src, b.cid AS dst
+            FROM dense a JOIN dense b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        ),
+        reach(id, r) AS (
+            SELECT cid, cid FROM dense
+            UNION
+            SELECT reach.id, adj.dst FROM reach JOIN adj ON reach.r = adj.src
+        ),
+        lab AS (SELECT id AS cid, min(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(n) AS BIGINT) AS n_points,
+               CAST(min(cx) AS BIGINT) AS min_cx,
+               CAST(max(cx) AS BIGINT) AS max_cx,
+               CAST(min(cy) AS BIGINT) AS min_cy,
+               CAST(max(cy) AS BIGINT) AS max_cy
+        FROM dense JOIN lab USING (cid)
+        GROUP BY 1
     """,
 }

@@ -75,3 +75,47 @@ def test_hotspots_drop_half_null_coordinates(spark):
     df = spark.createDataFrame(rows, "id long, lat double, lon double")
     out = grid_hotspots(df, cell_units=500, k=10).collect()
     assert len(out) == 1 and out[0].n_incidents == 1
+
+
+def test_grid_density_clusters_merge_and_noise(spark):
+    from sfcrimedatapipeline_spark.operators.geo import (
+        LON_SHIFT,
+        grid_density_clusters,
+    )
+
+    # integer unit coords. cell_units=10, min_pts=3.
+    # cluster A: two ADJACENT dense cells (0,0) and (10,0) -> cx 0 and 1
+    # isolated dense cell far away at (50,50) -> cx 5
+    # noise: 2 points in a cell (below min_pts), and a NULL row
+    rows = (
+        [(i, 0 + i % 3, 0) for i in range(3)]            # cell (0, s)
+        + [(10 + i, 10 + i % 3, 0) for i in range(3)]    # cell (1, s)
+        + [(20 + i, 50, 50) for i in range(3)]           # cell (5, s+5)
+        + [(30, 90, 90), (31, 90, 90)]                    # sparse: only 2
+        + [(32, None, None)]
+    )
+    df = spark.createDataFrame(rows, "pid long, ilat long, ilon long")
+    out = {
+        r.cluster_id: r
+        for r in grid_density_clusters(df, cell_units=10, min_pts=3).collect()
+    }
+    assert len(out) == 2
+    shift_cy = LON_SHIFT // 10
+    merged = out[0 * 1_000_000 + shift_cy]
+    assert merged.n_cells == 2 and merged.n_points == 6
+    assert (merged.min_cx, merged.max_cx) == (0, 1)
+    iso = out[5 * 1_000_000 + shift_cy + 5]
+    assert iso.n_cells == 1 and iso.n_points == 3
+
+
+def test_grid_density_clusters_diagonal_adjacency(spark):
+    from sfcrimedatapipeline_spark.operators.geo import (
+        LON_SHIFT,
+        grid_density_clusters,
+    )
+
+    # diagonal neighbors (0,0) and (1,1) must merge (8-adjacency)
+    rows = [(i, 0, 0) for i in range(3)] + [(10 + i, 10, 10) for i in range(3)]
+    df = spark.createDataFrame(rows, "pid long, ilat long, ilon long")
+    out = grid_density_clusters(df, cell_units=10, min_pts=3).collect()
+    assert len(out) == 1 and out[0].n_cells == 2 and out[0].n_points == 6
