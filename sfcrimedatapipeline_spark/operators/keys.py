@@ -139,6 +139,19 @@ def running_total(
     The caller must pass a TOTAL order — ties across a partition
     boundary would otherwise make the running sum partition-dependent.
     """
+    return running_totals(df, order_exprs, {value_col: out_col})
+
+
+def running_totals(
+    df: DataFrame, order_exprs: list, value_cols: dict[str, str]
+) -> DataFrame:
+    """Multi-column :func:`running_total`: each ``value_col -> out_col``
+    entry gets its own global running sum, all sharing ONE
+    range-repartition + sort (the dominant cost). The per-partition
+    offsets come from one triangular join producing every column's
+    exclusive prefix at once. Used where two cumulative series ride
+    the same total order (e.g. the KS statistic's paired ECDFs)."""
+    items = list(value_cols.items())
     sorted_df = df.repartitionByRange(*order_exprs).sortWithinPartitions(
         *order_exprs
     )
@@ -150,16 +163,37 @@ def running_total(
     )
     with_local = sorted_df.select(
         part.alias("__pid"),
-        F.sum(value_col).over(lw).alias("__run"),
+        *[F.sum(v).over(lw).alias(f"__run_{i}") for i, (v, _) in enumerate(items)],
         *df.columns,
     )
     # the offset is each partition's TOTAL — sum the raw value, never
     # max(__run): for signed values (e.g. a sweep-line's ±1 deltas)
     # the running max exceeds the final value and corrupts every
     # later partition's offset
-    counts = with_local.groupBy("__pid").agg(F.sum(value_col).alias("__n"))
-    offsets = partition_offsets(counts)
-    return (
-        with_local.join(F.broadcast(offsets), "__pid")
-        .select((F.col("__run") + F.col("__offset")).alias(out_col), *df.columns)
+    counts = with_local.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__n_{i}") for i, (v, _) in enumerate(items)]
+    )
+    lower = counts.select(
+        F.col("__pid").alias("__pid2"),
+        *[F.col(f"__n_{i}").alias(f"__n2_{i}") for i in range(len(items))],
+    )
+    offsets = (
+        counts.select("__pid")
+        .join(lower, F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__n2_{i}"), F.lit(0))
+                .cast("long")
+                .alias(f"__off_{i}")
+                for i in range(len(items))
+            ]
+        )
+    )
+    return with_local.join(F.broadcast(offsets), "__pid").select(
+        *[
+            (F.col(f"__run_{i}") + F.col(f"__off_{i}")).alias(out)
+            for i, (_, out) in enumerate(items)
+        ],
+        *df.columns,
     )

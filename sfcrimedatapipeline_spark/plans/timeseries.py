@@ -684,6 +684,111 @@ ORACLE_SQL["events_chisq_independence"] = """
 """
 
 
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV test: do 'click' and 'purchase'
+    event values come from the same distribution? The continuous-drift
+    companion to events_drift_tvd's categorical TVD.
+
+    Exactness: D = max |F1(x) − F2(x)| is evaluated as the INTEGER
+    max of |cum1·n2 − cum2·n1| over the distinct-cents spine (value
+    quantized once to cents, the repo-wide money discipline), divided
+    by n1·n2 only at the end — no float comparison decides the max.
+    The paired ECDFs ride ONE two-phase global running sum
+    (operators/keys.py:running_totals — range-repartition + offsets,
+    no single-partition window even though the spine is bounded by
+    the cents DOMAIN, not row count). The α=0.05 decision uses
+    c(α)=1.358 with IEEE sqrt (correctly rounded per 754, so
+    engine-identical bits).
+
+    Scale: the groupBy collapses N rows to ≤ |value domain in cents|
+    cells before anything ordered happens; cum·n products stay under
+    2^63 up to ~3·10^9 rows per sample (then lift to DECIMAL)."""
+    from sfcrimedatapipeline_spark.operators.keys import running_totals
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events")).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cells = ev.groupBy(cents.alias("c")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("k2"),
+    )
+    cum = running_totals(cells, [F.asc("c")], {"k1": "cum1", "k2": "cum2"})
+    tot = cells.agg(
+        F.sum("k1").cast("long").alias("n1"), F.sum("k2").cast("long").alias("n2")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    d_num = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    agg = j.agg(
+        F.max(d_num).cast("long").alias("d_num"),
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d_stat = F.col("d_num").cast("double") / (n1d * n2d)
+    crit = F.lit(1.358) * F.sqrt((n1d + n2d) / (n1d * n2d))
+    return agg.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+        "d_num",
+        d_stat.alias("d_stat"),
+        crit.alias("crit_05"),
+        (d_stat > crit).alias("drifted"),
+    )
+
+
+QUERIES["events_ks_drift"] = events_ks_drift
+
+ORACLE_SQL["events_ks_drift"] = """
+    WITH f AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    cells AS (
+        SELECT c,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k1,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k2
+        FROM f GROUP BY 1
+    ),
+    cum AS (
+        SELECT c,
+               CAST(sum(k1) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum1,
+               CAST(sum(k2) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum2
+        FROM cells
+    ),
+    t AS (SELECT CAST(sum(k1) AS BIGINT) AS n1,
+                 CAST(sum(k2) AS BIGINT) AS n2 FROM cells),
+    m AS (
+        SELECT CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+               max(n1) AS n1, max(n2) AS n2
+        FROM cum CROSS JOIN t
+    )
+    SELECT n1 AS n_click, n2 AS n_purchase, d_num,
+           CAST(d_num AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat,
+           1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+               AS crit_05,
+           CAST(d_num AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             > 1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+               AS drifted
+    FROM m
+"""
+
+
 def events_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVIVAL life table (the Kaplan-Meier INPUT): per calendar day,
     users at risk (first activity ≤ day ≤ last activity) and deaths
