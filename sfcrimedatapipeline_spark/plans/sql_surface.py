@@ -839,6 +839,144 @@ ORACLE_SQL["privacy_k_anonymity"] = """
 """
 
 
+L_DIV = 2
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy: L-DIVERSITY audit — k-anonymity's blind spot is a
+    group of k rows that all share the SENSITIVE value (group size
+    protects identity, not the attribute). Same QI grouping as
+    privacy_k_anonymity (order date × priority), sensitive attribute
+    = order status: per priority, how many QI groups carry fewer than
+    l=2 distinct sensitive values, and how many rows sit in them.
+    Two exact-integer groupBys (QI grain → priority grain) — the
+    distinct count is per-QI-group, never global."""
+    o = read_table(spark, sf_dir, "orders")
+    qi = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("qi_date"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderstatus").alias("div"),
+    )
+    return qi.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("div") < L_DIV, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_diversity_groups"),
+        F.sum(F.when(F.col("div") < L_DIV, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("div").cast("long").alias("min_diversity"),
+        F.max("div").cast("long").alias("max_diversity"),
+    )
+
+
+QUERIES["privacy_l_diversity"] = privacy_l_diversity
+
+ORACLE_SQL["privacy_l_diversity"] = f"""
+    WITH qi AS (
+        SELECT CAST(o_orderdate AS DATE) AS qi_date,
+               o_orderpriority AS priority,
+               count(*) AS n,
+               count(DISTINCT o_orderstatus) AS div
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN div < {L_DIV} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_diversity_groups,
+           CAST(sum(CASE WHEN div < {L_DIV} THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           CAST(min(div) AS BIGINT) AS min_diversity,
+           CAST(max(div) AS BIGINT) AS max_diversity
+    FROM qi GROUP BY 1
+"""
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily purchase-revenue
+    series: the day k maximizing |n·cum_k − k·T| — the integer-scaled
+    form of the classic |cum_k − k·(T/n)| deviation-from-flat
+    statistic, so the argmax is decided in EXACT BIGINT arithmetic
+    (multiply through by n; divide only for display). Both cumulative
+    series (cents and day index) ride ONE two-phase global running
+    sum (operators/keys.py:running_totals); the argmax is a k=1
+    TakeOrderedAndProject with a deterministic day tie-break.
+
+    Scale: the series is day-cardinality (calendar-bounded) after one
+    map-side-combined groupBy; products n·cum stay under 2^63 while
+    total-cents × n-days < 9.2e18 — lift to DECIMAL beyond."""
+    from sfcrimedatapipeline_spark.operators.keys import running_totals
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    cum = running_totals(
+        daily, [F.asc("day")], {"cents": "cum_cents", "one": "k"}
+    )
+    tot = daily.agg(
+        F.sum("cents").cast("long").alias("t_cents"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    d_num = F.abs(
+        F.col("n_days") * F.col("cum_cents") - F.col("k") * F.col("t_cents")
+    )
+    return (
+        j.select(
+            "day",
+            F.col("k").alias("day_index"),
+            d_num.cast("long").alias("d_num"),
+            "n_days",
+            "t_cents",
+            (
+                d_num.cast("double")
+                / (F.col("n_days").cast("double") * F.col("t_cents").cast("double"))
+            ).alias("cusum_share"),
+        )
+        .orderBy(F.col("d_num").desc(), F.col("day").asc())
+        .limit(1)
+    )
+
+
+QUERIES["events_cusum_changepoint"] = events_cusum_changepoint
+
+ORACLE_SQL["events_cusum_changepoint"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    cum AS (
+        SELECT day,
+               CAST(sum(cents) OVER w AS BIGINT) AS cum_cents,
+               CAST(count(*) OVER w AS BIGINT) AS k
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    t AS (SELECT CAST(sum(cents) AS BIGINT) AS t_cents,
+                 CAST(count(*) AS BIGINT) AS n_days FROM daily)
+    SELECT day, k AS day_index,
+           CAST(abs(n_days * cum_cents - k * t_cents) AS BIGINT) AS d_num,
+           n_days, t_cents,
+           CAST(abs(n_days * cum_cents - k * t_cents) AS DOUBLE)
+               / (CAST(n_days AS DOUBLE) * CAST(t_cents AS DOUBLE))
+               AS cusum_share
+    FROM cum CROSS JOIN t
+    ORDER BY d_num DESC, day ASC
+    LIMIT 1
+"""
+
+
 def privacy_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy: pseudonymize the customer key in BOTH orders and
     customer with the same salt, then prove joinability survives —

@@ -46,6 +46,7 @@ ONLY = set(sys.argv[2:])
 CROSS_OK: dict[str, str] = {
     "events_chisq_independence": "crossJoin(broadcast(1-row N total))",
     "events_ks_drift": "crossJoin(broadcast(1-row n1/n2 totals))",
+    "events_cusum_changepoint": "crossJoin(broadcast(1-row n/T totals))",
     "events_drift_tvd": "crossJoin(broadcast(1-row totals))",
     "events_max_concurrency": "1-row running-max reduction",
     "events_trend_line": "crossJoin(broadcast(1-row regression sums))",
