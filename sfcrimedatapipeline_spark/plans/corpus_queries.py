@@ -1326,3 +1326,88 @@ ORACLE_SQL["sample_pps"] = """
 # the MG sketch tier exact-recounts its candidates, and on these
 # small-domain columns candidates = all values — one oracle gates both
 ORACLE_SQL["freq_items_lineitem_mg"] = ORACLE_SQL["freq_items_lineitem"]
+
+
+def graph_modularity_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY decomposition of the near-dup graph under its
+    connected-component communities: per community, nodes, internal
+    edges e_in, total degree d_c, and the modularity term
+    e_in/m − (d_c/2m)² — the quality score community detection
+    maximizes; Σterm is Q. CC communities have NO cross-community
+    edges by construction, so Q = Σ e_in/m − Σ(d_c/2m)² measures how
+    much the cluster-size distribution beats random wiring.
+
+    Exactness: e_in, d_c, m are exact integers; each term is one
+    fixed per-row IEEE sequence (two divides, one multiply) — no
+    cross-row float accumulation, so the table hash-gates. Scale:
+    degrees and e_in are map-side-combined groupBys on the pair list;
+    m is a 1-row broadcast."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_duplicates(docs).select("doc_a", "doc_b").persist()
+    cc = corpus.connected_components(pairs)
+    m_row = pairs.agg(F.count("*").cast("long").alias("m"))
+    # per-node degree from the mirrored edge list
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    node = cc.join(deg, "doc_id")
+    comm = node.groupBy(F.col("canonical_id").alias("community")).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("deg").cast("long").alias("d_c"),
+    )
+    # internal edges: both endpoints' communities (equal for CC labels)
+    ea = cc.select(F.col("doc_id").alias("doc_a"), F.col("canonical_id").alias("community"))
+    e_in = (
+        pairs.join(ea, "doc_a")
+        .groupBy("community")
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    j = comm.join(e_in, "community").crossJoin(F.broadcast(m_row))
+    half = F.col("d_c").cast("double") / (F.lit(2).cast("long") * F.col("m")).cast("double")
+    term = F.col("e_in").cast("double") / F.col("m").cast("double") - half * half
+    return j.select(
+        "community", "n_nodes", "e_in", "d_c", "m", term.alias("modularity_term")
+    )
+
+
+QUERIES["graph_modularity_dup"] = graph_modularity_dup
+
+ORACLE_SQL["graph_modularity_dup"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()}) p
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    cc AS (SELECT id AS doc_id, min(r) AS community FROM reach GROUP BY id),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+    deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY 1),
+    comm AS (
+        SELECT community, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(deg) AS BIGINT) AS d_c
+        FROM cc JOIN deg USING (doc_id) GROUP BY 1
+    ),
+    ein AS (
+        SELECT cc.community, CAST(count(*) AS BIGINT) AS e_in
+        FROM pairs JOIN cc ON pairs.doc_a = cc.doc_id
+        GROUP BY 1
+    )
+    SELECT CAST(comm.community AS BIGINT) AS community, n_nodes, e_in, d_c, m,
+           CAST(e_in AS DOUBLE) / CAST(m AS DOUBLE)
+           - (CAST(d_c AS DOUBLE) / CAST(2 * m AS DOUBLE))
+             * (CAST(d_c AS DOUBLE) / CAST(2 * m AS DOUBLE)) AS modularity_term
+    FROM comm JOIN ein ON comm.community = ein.community
+    CROSS JOIN mm
+"""

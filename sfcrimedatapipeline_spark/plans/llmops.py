@@ -1296,3 +1296,48 @@ ORACLE_SQL["dedup_lsh_recall"] = f"""
            (SELECT count(*) FROM ex JOIN mh
              ON ex.doc_a = mh.doc_a AND ex.doc_b = mh.doc_b) AS n_common
 """
+
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX: detected language (the stopword
+    heuristic, operators/textstats.py:with_lang_id) against the
+    declared ``lang`` column — the evaluation every classifier-scored
+    pipeline owes its filters. One matrix cell per (declared,
+    predicted) pair with its share within the declared language;
+    per-declared-lang totals arrive by a broadcast join on the
+    lang-cardinality aggregate, not a window."""
+    from sfcrimedatapipeline_spark.operators import textstats
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    cells = (
+        textstats.with_lang_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("n_lang"))
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        "n_lang",
+        (F.col("n").cast("double") / F.col("n_lang").cast("double")).alias(
+            "share"
+        ),
+        (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
+    )
+
+
+QUERIES["text_langid_confusion"] = text_langid_confusion
+
+ORACLE_SQL["text_langid_confusion"] = f"""
+    WITH pred AS ({_lang_case()}),
+    cells AS (
+        SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1)
+    SELECT cells.lang, lang_pred, n, n_lang,
+           CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE) AS share,
+           cells.lang = lang_pred AS is_correct
+    FROM cells JOIN tot ON cells.lang = tot.lang
+"""

@@ -2473,3 +2473,99 @@ ORACLE_SQL["orders_business_lead_time"] = """
            CAST(max(lead) AS BIGINT) AS max_bdays
     FROM j GROUP BY 1
 """
+
+
+RECO_TOP_K = 3
+
+
+def reco_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM RECOMMENDATIONS: for every part, the top-3 co-purchased
+    parts by cosine similarity n_both / sqrt(n_a·n_b) — the
+    neighborhood model of collaborative filtering, built on the same
+    order-keyed basket self-join as basket_part_pairs (baskets are
+    small; the join is lines-per-order², never parts²). The pair list
+    is SYMMETRIZED before ranking so every part recommends from its
+    full neighborhood; ranking is a top-k window PARTITIONED by the
+    recommending part (k-bounded output per part). sqrt is IEEE
+    correctly-rounded, so the cosine — one multiply, one sqrt, one
+    divide on exact integer counts — carries identical bits on both
+    engines and the rank order gates exactly (ties broken by the
+    recommended part id)."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    part_n = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("part_b").alias("part_a"),
+            F.col("part_a").alias("part_b"),
+            "n_both",
+        )
+    )
+    na = part_n.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    nb = part_n.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    scored = (
+        sym.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .withColumn(
+            "cosine",
+            F.col("n_both").cast("double")
+            / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.col("cosine").desc(), F.col("part_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= RECO_TOP_K)
+        .select("part_a", "rank", "part_b", "n_both", "n_a", "n_b", "cosine")
+    )
+
+
+QUERIES["reco_parts_topk"] = reco_parts_topk
+
+ORACLE_SQL["reco_parts_topk"] = f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    part_n AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {BASKET_MIN_SUPPORT}
+    ),
+    sym AS (
+        SELECT part_a, part_b, n_both FROM pairs
+        UNION ALL
+        SELECT part_b, part_a, n_both FROM pairs
+    ),
+    scored AS (
+        SELECT part_a, part_b, n_both, na.n AS n_a, nb.n AS n_b,
+               CAST(n_both AS DOUBLE)
+                   / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS cosine
+        FROM sym
+        JOIN part_n na ON sym.part_a = na.l_partkey
+        JOIN part_n nb ON sym.part_b = nb.l_partkey
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY part_a
+                       ORDER BY cosine DESC, part_b ASC) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT part_a, rank, part_b, n_both, n_a, n_b, cosine
+    FROM ranked WHERE rank <= {RECO_TOP_K}
+"""

@@ -47,6 +47,7 @@ CROSS_OK: dict[str, str] = {
     "events_chisq_independence": "crossJoin(broadcast(1-row N total))",
     "events_ks_drift": "crossJoin(broadcast(1-row n1/n2 totals))",
     "events_cusum_changepoint": "crossJoin(broadcast(1-row n/T totals))",
+    "graph_modularity_dup": "crossJoin(broadcast(1-row edge-count m))",
     "events_drift_tvd": "crossJoin(broadcast(1-row totals))",
     "events_max_concurrency": "1-row running-max reduction",
     "events_trend_line": "crossJoin(broadcast(1-row regression sums))",
