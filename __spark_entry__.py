@@ -34,6 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: share one session-cached fixture (streaming/events.py:
 #: cached_stream_fixture), so grouping them also amortizes its build.
 _DEFERRED = [
+    # round-6 iterative additions (CC / MinHash-graph downstream)
+    "er_customer_clusters",
+    "geo_dbscan_clusters",
+    "graph_modularity_dup",
     "ann_recall_eval",
     "docs_bm25_index_search",
     "corpus_shard_manifest",

@@ -2569,3 +2569,140 @@ ORACLE_SQL["reco_parts_topk"] = f"""
     SELECT part_a, rank, part_b, n_both, n_a, n_b, cosine
     FROM ranked WHERE rank <= {RECO_TOP_K}
 """
+
+
+CONTRACT_ENUM_MAX = 10
+
+
+def dq_suggest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONTRACT INFERENCE: profile the orders table once and emit
+    the expectation rules the evidence supports — not_null where zero
+    nulls, unique where distinct == rows, accepted_values where
+    cardinality ≤ 10, range with observed bounds — i.e. the input a
+    team feeds check_expectations when onboarding an undocumented
+    table. One conditional-aggregation pass builds a 1-row profile;
+    each candidate rule is a literal select over that row kept only
+    when its condition holds (the union is rule-candidate-bounded,
+    ~3 rows per column — never data). Money ranges are emitted in
+    exact cents and everything else as ints/ISO dates, so the param
+    strings are engine-identical."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    prof = o.agg(
+        F.count("*").alias("n"),
+        *[
+            x
+            for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_orderpriority", "o_orderdate"]
+            for x in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+            )
+        ],
+        F.count("o_totalprice").alias("nn_o_totalprice"),
+        F.min(F.col("o_orderkey")).cast("long").alias("mn_o_orderkey"),
+        F.max(F.col("o_orderkey")).cast("long").alias("mx_o_orderkey"),
+        F.min(F.col("o_custkey")).cast("long").alias("mn_o_custkey"),
+        F.max(F.col("o_custkey")).cast("long").alias("mx_o_custkey"),
+        F.min(F.col("o_orderdate").cast("date")).alias("mn_o_orderdate"),
+        F.max(F.col("o_orderdate").cast("date")).alias("mx_o_orderdate"),
+        F.min(cents).alias("mn_cents"),
+        F.max(cents).alias("mx_cents"),
+    ).persist()
+
+    def rule(col: str, kind: str, param, cond) -> DataFrame:
+        return prof.filter(cond).select(
+            F.lit(col).alias("column"),
+            F.lit(kind).alias("rule"),
+            param.cast("string").alias("param"),
+        )
+
+    span = lambda a, b: F.concat(
+        F.col(a).cast("string"), F.lit(".."), F.col(b).cast("string")
+    )
+    parts = []
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+              "o_orderpriority", "o_orderdate", "o_totalprice"]:
+        parts.append(
+            rule(c, "not_null", F.lit(""), F.col(f"nn_{c}") == F.col("n"))
+        )
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+              "o_orderpriority", "o_orderdate"]:
+        parts.append(
+            rule(c, "unique", F.lit(""), F.col(f"nd_{c}") == F.col("n"))
+        )
+        parts.append(
+            rule(
+                c,
+                "accepted_values",
+                F.col(f"nd_{c}"),
+                F.col(f"nd_{c}") <= CONTRACT_ENUM_MAX,
+            )
+        )
+    parts.append(rule("o_orderkey", "range", span("mn_o_orderkey", "mx_o_orderkey"), F.lit(True)))
+    parts.append(rule("o_custkey", "range", span("mn_o_custkey", "mx_o_custkey"), F.lit(True)))
+    parts.append(rule("o_orderdate", "range", span("mn_o_orderdate", "mx_o_orderdate"), F.lit(True)))
+    parts.append(rule("o_totalprice_cents", "range", span("mn_cents", "mx_cents"), F.lit(True)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES["dq_suggest_contract"] = dq_suggest_contract
+
+ORACLE_SQL["dq_suggest_contract"] = f"""
+    WITH prof AS (
+        SELECT count(*) AS n,
+               count(o_orderkey) AS nn_o_orderkey,
+               count(DISTINCT o_orderkey) AS nd_o_orderkey,
+               count(o_custkey) AS nn_o_custkey,
+               count(DISTINCT o_custkey) AS nd_o_custkey,
+               count(o_orderstatus) AS nn_o_orderstatus,
+               count(DISTINCT o_orderstatus) AS nd_o_orderstatus,
+               count(o_orderpriority) AS nn_o_orderpriority,
+               count(DISTINCT o_orderpriority) AS nd_o_orderpriority,
+               count(o_orderdate) AS nn_o_orderdate,
+               count(DISTINCT o_orderdate) AS nd_o_orderdate,
+               count(o_totalprice) AS nn_o_totalprice,
+               CAST(min(o_orderkey) AS BIGINT) AS mn_o_orderkey,
+               CAST(max(o_orderkey) AS BIGINT) AS mx_o_orderkey,
+               CAST(min(o_custkey) AS BIGINT) AS mn_o_custkey,
+               CAST(max(o_custkey) AS BIGINT) AS mx_o_custkey,
+               min(CAST(o_orderdate AS DATE)) AS mn_o_orderdate,
+               max(CAST(o_orderdate AS DATE)) AS mx_o_orderdate,
+               min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS mn_cents,
+               max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS mx_cents
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS "column", 'not_null' AS rule, '' AS param
+        FROM prof WHERE nn_o_orderkey = n
+    UNION ALL SELECT 'o_custkey', 'not_null', '' FROM prof WHERE nn_o_custkey = n
+    UNION ALL SELECT 'o_orderstatus', 'not_null', '' FROM prof WHERE nn_o_orderstatus = n
+    UNION ALL SELECT 'o_orderpriority', 'not_null', '' FROM prof WHERE nn_o_orderpriority = n
+    UNION ALL SELECT 'o_orderdate', 'not_null', '' FROM prof WHERE nn_o_orderdate = n
+    UNION ALL SELECT 'o_totalprice', 'not_null', '' FROM prof WHERE nn_o_totalprice = n
+    UNION ALL SELECT 'o_orderkey', 'unique', '' FROM prof WHERE nd_o_orderkey = n
+    UNION ALL SELECT 'o_custkey', 'unique', '' FROM prof WHERE nd_o_custkey = n
+    UNION ALL SELECT 'o_orderstatus', 'unique', '' FROM prof WHERE nd_o_orderstatus = n
+    UNION ALL SELECT 'o_orderpriority', 'unique', '' FROM prof WHERE nd_o_orderpriority = n
+    UNION ALL SELECT 'o_orderdate', 'unique', '' FROM prof WHERE nd_o_orderdate = n
+    UNION ALL SELECT 'o_orderkey', 'accepted_values', CAST(nd_o_orderkey AS VARCHAR)
+        FROM prof WHERE nd_o_orderkey <= {CONTRACT_ENUM_MAX}
+    UNION ALL SELECT 'o_custkey', 'accepted_values', CAST(nd_o_custkey AS VARCHAR)
+        FROM prof WHERE nd_o_custkey <= {CONTRACT_ENUM_MAX}
+    UNION ALL SELECT 'o_orderstatus', 'accepted_values', CAST(nd_o_orderstatus AS VARCHAR)
+        FROM prof WHERE nd_o_orderstatus <= {CONTRACT_ENUM_MAX}
+    UNION ALL SELECT 'o_orderpriority', 'accepted_values', CAST(nd_o_orderpriority AS VARCHAR)
+        FROM prof WHERE nd_o_orderpriority <= {CONTRACT_ENUM_MAX}
+    UNION ALL SELECT 'o_orderdate', 'accepted_values', CAST(nd_o_orderdate AS VARCHAR)
+        FROM prof WHERE nd_o_orderdate <= {CONTRACT_ENUM_MAX}
+    UNION ALL SELECT 'o_orderkey', 'range',
+        CAST(mn_o_orderkey AS VARCHAR) || '..' || CAST(mx_o_orderkey AS VARCHAR) FROM prof
+    UNION ALL SELECT 'o_custkey', 'range',
+        CAST(mn_o_custkey AS VARCHAR) || '..' || CAST(mx_o_custkey AS VARCHAR) FROM prof
+    UNION ALL SELECT 'o_orderdate', 'range',
+        CAST(mn_o_orderdate AS VARCHAR) || '..' || CAST(mx_o_orderdate AS VARCHAR) FROM prof
+    UNION ALL SELECT 'o_totalprice_cents', 'range',
+        CAST(mn_cents AS VARCHAR) || '..' || CAST(mx_cents AS VARCHAR) FROM prof
+"""

@@ -1390,3 +1390,58 @@ ORACLE_SQL["dq_event_id_gaps"] = """
     FROM bounds
     QUALIFY lead(lo) OVER (ORDER BY lo) IS NOT NULL
 """
+
+
+PATH_TOP_K = 15
+
+
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 three-step user JOURNEYS: the most frequent consecutive
+    (step1 → step2 → step3) event-type sequences across users — the
+    sequential-pattern tier above events_markov_transitions' bigram
+    matrix (a funnel DISCOVERED from data rather than declared). Two
+    lead windows per user over the same (ts, event_id) total order —
+    one sort, both leads ride it — then one map-side-combined count;
+    the top-15 is a TakeOrderedAndProject (per-partition top-k, no
+    global sort), count ties broken lexicographically so the cut is
+    deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = (
+        ev.select(
+            F.col("event_type").alias("step1"),
+            F.lead("event_type", 1).over(w).alias("step2"),
+            F.lead("event_type", 2).over(w).alias("step3"),
+        )
+        .filter(F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count("*").cast("long").alias("n_paths"))
+    )
+    return tri.orderBy(
+        F.col("n_paths").desc(),
+        F.col("step1").asc(),
+        F.col("step2").asc(),
+        F.col("step3").asc(),
+    ).limit(PATH_TOP_K)
+
+
+QUERIES["events_path_trigrams"] = events_path_trigrams
+
+ORACLE_SQL["events_path_trigrams"] = f"""
+    WITH seq AS (
+        SELECT event_type AS step1,
+               lead(event_type, 1) OVER w AS step2,
+               lead(event_type, 2) OVER w AS step3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE step3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
+    LIMIT {PATH_TOP_K}
+"""
