@@ -118,3 +118,55 @@ def range_layout_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    path_col: str,
+    bytes_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """SMALL-FILE compaction planner — the other half of table
+    maintenance next to :func:`compact_parquet_dir`, for when the
+    manifest is a TABLE (millions of files at lake scale), not a local
+    directory listing: assign every file a compaction bin such that
+    bins are contiguous in ``path_col`` order (preserving any
+    z-order / range layout the writer established) and each bin's
+    bytes land near ``target_bytes``.
+
+    Assignment is the distributed-planner standard: exclusive running
+    total of sizes over the path order, ``bin = floor(excl_cum /
+    target)``. A bin can overshoot by at most one file (the straddling
+    file joins the bin it starts in) — the price of a plan computable
+    in one pass with NO sequential greedy state. Exact integers, so
+    the plan is deterministic and oracle-checkable.
+
+    Scale shape: the running total is the TWO-PHASE
+    ``operators/keys.py:running_total`` (range-repartition + local
+    window + broadcast offsets) — no global single-partition window,
+    so the planner itself survives a 10^8-file manifest.
+    ``path_col`` must be unique (it is a path): the order is total.
+    """
+    from sfcrimedatapipeline_spark.operators.keys import running_total
+
+    cum = running_total(files, [F.asc(path_col)], bytes_col, "__cum")
+    return cum.select(
+        *files.columns,
+        F.floor(
+            (F.col("__cum") - F.col(bytes_col)) / F.lit(float(target_bytes))
+        )
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+def compaction_summary(plan: DataFrame, path_col: str, bytes_col: str) -> DataFrame:
+    """Per-bin rollup of a :func:`compaction_plan`: file count, total
+    bytes, and the path range — what a compaction job scheduler
+    consumes (one task per bin, reading [first_file, last_file])."""
+    return plan.groupBy("bin_id").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(bytes_col).cast("long").alias("bin_bytes"),
+        F.min(path_col).alias("first_file"),
+        F.max(path_col).alias("last_file"),
+    )

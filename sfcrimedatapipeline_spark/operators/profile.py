@@ -712,3 +712,103 @@ def robust_outliers_mad(
         F.col("med").alias("median_cents"),
         F.col("mad").alias("mad_cents"),
     )
+
+
+def _cms_bucket(key, row: int, seed: str, width: int):
+    """Bucket of ``key`` in hash row ``row``: the md5-derived 32-bit
+    uniform (same engine-portable construction as
+    corpus.deterministic_uniform) reduced mod ``width``. The row index
+    is baked into the hashed string, so the ``depth`` rows are
+    independent hash functions derived from one md5."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:{row}:"), key)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 128,
+    depth: int = 4,
+    seed: str = "cms",
+) -> DataFrame:
+    """COUNT-MIN SKETCH build: the mergeable frequency summary for
+    streams/shards too wide for an exact per-key count. Output is the
+    sketch itself — ``(i, bucket, c)`` with at most ``depth·width``
+    rows — so two shards' sketches merge by summing counters
+    (``union → groupBy(i, bucket) → sum``), the property
+    :func:`frequent_items_mg` (capacity-bounded but merge-hostile
+    candidates) does not give.
+
+    Point estimates (:func:`cms_estimate`) are upper bounds: est ≥ true,
+    and est ≤ true + εN with ε = e/width at the usual confidence
+    1 − e^−depth — collisions only ever ADD. All arithmetic is exact
+    integers on md5-derived buckets, so the sketch is bit-identical
+    across engines and partitionings (a DuckDB twin can rebuild it in
+    SQL — see plans/corpus_queries.py:events_cms_user_counts).
+
+    Scale shape: one projection exploding each row into ``depth``
+    (i, bucket) pairs, one map-side-combined groupBy whose shuffle is
+    capacity-bounded at depth·width rows per task — never
+    distinct-bounded. The sketch never holds keys, only counters.
+    """
+    key = F.col(col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("i"),
+                _cms_bucket(key, i, seed, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    width: int = 128,
+    depth: int = 4,
+    seed: str = "cms",
+) -> DataFrame:
+    """Point-query a :func:`cms_sketch`: for each candidate key, the
+    estimate is min over the ``depth`` rows of the counter its hash
+    lands in (missing bucket ⇒ 0). ``width``/``depth``/``seed`` must
+    match the build. The sketch (≤ depth·width rows) is broadcast, so
+    estimating any number of candidates is one map-side join — no
+    shuffle of the candidate set."""
+    key = F.col(col).cast("string")
+    cand = keys.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("i"),
+                        _cms_bucket(key, i, seed, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(col, F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket"))
+    return (
+        cand.join(F.broadcast(sketch), ["i", "bucket"], "left")
+        .groupBy(col)
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("cms_estimate")
+        )
+    )

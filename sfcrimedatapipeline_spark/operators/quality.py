@@ -249,3 +249,92 @@ def pseudonymize(
         )
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), token))
     return out
+
+
+def _dgeom(key: Column) -> Column:
+    """Geometric(1/2) variate in [0, 31] from an md5-derived 32-bit
+    uniform: P(G=j) = 2^-(j+1), realized as the leading-zero count
+    32 − length(bin(u32)). Integer-and-string ops only — both engines
+    render bin() without padding, so the draw is bit-identical
+    cross-engine and partition-independent (the same reason every
+    sampler here is an md5-coin, never rand(seed))."""
+    u32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return (F.lit(32) - F.length(F.bin(u32))).cast("long")
+
+
+def dp_noise(key: Column) -> Column:
+    """DISCRETE LAPLACE (two-sided geometric) noise with α = 1/2:
+    the difference of two independent Geometric(1/2) draws, giving
+    P(k) = (1/3)·2^−|k| — the geometric mechanism of Ghosh-
+    Roughgarden-Sundararajan, which is ε-differentially-private with
+    ε = ln 2 for a sensitivity-1 statistic, and universally
+    utility-optimal among ε=ln2 mechanisms for counts.
+
+    Deliberately DISCRETE, not continuous Laplace: sampling continuous
+    Laplace needs ln(u), and transcendental libm calls are not
+    bit-identical across engines (the same reason drift_tvd is TVD,
+    not KL). This construction is md5 → bin() → length — exact
+    integers end-to-end, so a DuckDB oracle replays the identical
+    noise and the release is hash-gatable."""
+    return _dgeom(F.concat(F.lit("a:"), key)) - _dgeom(F.concat(F.lit("b:"), key))
+
+
+def dp_release_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str | None = None,
+    clamp_cents: int | None = None,
+    seed: str = "dp",
+) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE aggregate release: per-group noisy count
+    (and optionally a noisy clamped sum), each protected by the
+    geometric mechanism (:func:`dp_noise`) at ε = ln 2 per released
+    statistic with respect to ONE input row.
+
+    - count: sensitivity 1 ⇒ ``released_n = n + noise``.
+    - sum: each row's contribution is clamped to [0, clamp_cents]
+      integer cents FIRST (contribution bounding — without the clamp a
+      sum has unbounded sensitivity and no finite ε), then noised with
+      ``clamp_cents · noise`` — the scaled discrete Laplace that gives
+      ε = ln 2 at sensitivity clamp_cents.
+
+    The group-key domain is assumed PUBLIC (a fixed taxonomy like
+    event types): groups absent from the input are simply absent from
+    the release. For private key domains, a release needs key
+    thresholding (stability-based selection) first — out of scope
+    here and documented so nobody mistakes this for it. True values
+    never appear in the output.
+
+    Scale shape: one map-side-combined groupBy; the noise is a per-row
+    md5 expression at GROUP grain. Deterministic under ``seed``, so a
+    re-run releases identical values instead of leaking fresh draws of
+    the same statistic (ε composes across distinct releases, not
+    re-runs)."""
+    aggs = [F.count("*").cast("long").alias("__n")]
+    if value_col is not None:
+        if clamp_cents is None:
+            raise ValueError("a DP sum requires clamp_cents (contribution bound)")
+        cents = F.least(
+            F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long"),
+            F.lit(clamp_cents),
+        )
+        aggs.append(F.sum(F.greatest(cents, F.lit(0))).cast("long").alias("__s"))
+    g = df.groupBy(*group_cols).agg(*aggs)
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    out = [
+        *group_cols,
+        (F.col("__n") + dp_noise(F.concat(F.lit(f"{seed}:n:"), key)))
+        .cast("long")
+        .alias("released_n"),
+    ]
+    if value_col is not None:
+        out.append(
+            (
+                F.col("__s")
+                + F.lit(clamp_cents)
+                * dp_noise(F.concat(F.lit(f"{seed}:s:"), key))
+            )
+            .cast("long")
+            .alias("released_sum_cents")
+        )
+    return g.select(*out)

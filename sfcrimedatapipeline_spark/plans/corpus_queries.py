@@ -1411,3 +1411,71 @@ ORACLE_SQL["graph_modularity_dup"] = f"""
     FROM comm JOIN ein ON comm.community = ein.community
     CROSS JOIN mm
 """
+
+
+CMS_WIDTH, CMS_DEPTH, CMS_SEED, CMS_CAND_MAX = 128, 4, "cms", 20
+
+
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch frequency estimates (operators/profile.py:
+    cms_sketch/cms_estimate): build a 4×128 Count-Min sketch over
+    events.user_id, then point-query it for the public candidate set
+    user_id < 20, reporting estimate vs exact and the (always ≥ 0)
+    overcount. The sketch shuffle is capacity-bounded (≤ depth·width
+    rows), never distinct-bounded — the per-key-count shape that still
+    works when user_id has 10^9 distinct values; shard sketches merge
+    by counter addition. The oracle rebuilds the identical sketch from
+    the same md5 buckets in SQL."""
+    from sfcrimedatapipeline_spark.operators.profile import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    sketch = cms_sketch(ev, "user_id", CMS_WIDTH, CMS_DEPTH, CMS_SEED)
+    cand = (
+        ev.filter(F.col("user_id") < CMS_CAND_MAX)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+    )
+    est = cms_estimate(
+        sketch, cand.select("user_id"), "user_id", CMS_WIDTH, CMS_DEPTH, CMS_SEED
+    )
+    return est.join(cand, "user_id").select(
+        "user_id",
+        "cms_estimate",
+        "exact_n",
+        (F.col("cms_estimate") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
+QUERIES["events_cms_user_counts"] = events_cms_user_counts
+
+_CMS_BUCKET = (
+    "CAST(('0x' || substring(md5('cms:' || CAST(t.i AS VARCHAR) || ':' "
+    "|| CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % 128"
+)
+
+ORACLE_SQL["events_cms_user_counts"] = f"""
+    WITH sketch AS (
+        SELECT t.i, {_CMS_BUCKET.format(key="e.user_id")} AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events e CROSS JOIN generate_series(0, 3) AS t(i)
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+        FROM events WHERE user_id < 20 GROUP BY 1
+    ),
+    probes AS (
+        SELECT c.user_id, c.exact_n, t.i,
+               {_CMS_BUCKET.format(key="c.user_id")} AS bucket
+        FROM cand c CROSS JOIN generate_series(0, 3) AS t(i)
+    )
+    SELECT p.user_id,
+           CAST(min(coalesce(s.c, 0)) AS BIGINT) AS cms_estimate,
+           p.exact_n,
+           CAST(min(coalesce(s.c, 0)) - p.exact_n AS BIGINT) AS overcount
+    FROM probes p LEFT JOIN sketch s ON s.i = p.i AND s.bucket = p.bucket
+    GROUP BY p.user_id, p.exact_n
+"""

@@ -12,6 +12,7 @@ hash) as the Spark side, so the two engines cannot drift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sfcrimedatapipeline_spark.functions.hashing import sql_hash64
 from sfcrimedatapipeline_spark.functions.text import SQL_TOKENS, sql_ngrams
@@ -722,4 +723,62 @@ ORACLE_SQL["docs_search_snippets"] = f"""
                   least(pos + 1 + {KWIC_CTX}, len(tk))], ' ') AS snippet
     FROM hits
     WHERE tok = '{KWIC_TERM}'
+"""
+
+
+COMPACT_TARGET_BYTES = 4000
+COMPACT_FILES_PER_SOURCE = 10
+
+
+def docs_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance: small-file COMPACTION plan
+    (operators/layout.py:compaction_plan) — derive a file manifest
+    from documents (file = source × doc_id%10, bytes = Σ n_chars),
+    assign contiguous path-ordered bins near a byte target with the
+    two-phase running total (no global window), and roll up per bin.
+    The 100 TB companion to corpus_shard_manifest: that one checksums
+    a handoff, this one plans the rewrite that keeps the lake's file
+    count sane."""
+    from sfcrimedatapipeline_spark.operators.layout import (
+        compaction_plan,
+        compaction_summary,
+    )
+
+    docs = _docs(spark, sf_dir)
+    files = docs.groupBy(
+        F.concat_ws(
+            ":",
+            F.col("source"),
+            (F.col("doc_id") % COMPACT_FILES_PER_SOURCE).cast("string"),
+        ).alias("path")
+    ).agg(F.sum("n_chars").cast("long").alias("bytes"))
+    plan = compaction_plan(files, "path", "bytes", COMPACT_TARGET_BYTES)
+    return compaction_summary(plan, "path", "bytes")
+
+
+QUERIES["docs_compaction_plan"] = docs_compaction_plan
+
+ORACLE_SQL["docs_compaction_plan"] = f"""
+    WITH files AS (
+        SELECT source || ':' || CAST(doc_id % {COMPACT_FILES_PER_SOURCE} AS VARCHAR) AS path,
+               CAST(sum(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY 1
+    ),
+    cum AS (
+        SELECT path, bytes,
+               sum(bytes) OVER (ORDER BY path
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM files
+    ),
+    plan AS (
+        SELECT path, bytes,
+               CAST(floor((c - bytes) / CAST({COMPACT_TARGET_BYTES} AS DOUBLE)) AS BIGINT) AS bin_id
+        FROM cum
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+           min(path) AS first_file,
+           max(path) AS last_file
+    FROM plan GROUP BY 1
 """

@@ -2706,3 +2706,50 @@ ORACLE_SQL["dq_suggest_contract"] = f"""
     UNION ALL SELECT 'o_totalprice_cents', 'range',
         CAST(mn_cents AS VARCHAR) || '..' || CAST(mx_cents AS VARCHAR) FROM prof
 """
+
+
+DP_CLAMP_CENTS = 10000
+
+
+def privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy: DIFFERENTIALLY-PRIVATE release (operators/quality.py:
+    dp_release_counts) — per event type (a public taxonomy), noisy
+    count and noisy clamped-sum-of-cents, each ε = ln 2 via the
+    geometric mechanism. The noise is a seeded md5→bin() integer
+    draw, so both engines replay the identical release and the query
+    hash-gates; true values never appear in the output. Completes the
+    privacy ladder next to k-anonymity / l-diversity / pseudonymize:
+    those audit or mask a release, this one carries a formal ε."""
+    from sfcrimedatapipeline_spark.operators.quality import dp_release_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return dp_release_counts(
+        ev,
+        ["event_type"],
+        value_col="value",
+        clamp_cents=DP_CLAMP_CENTS,
+        seed="dp",
+    )
+
+
+QUERIES["privacy_dp_release"] = privacy_dp_release
+
+_DP_G = (
+    "(32 - length(bin(CAST(('0x' || substring(md5({k}), 1, 8)) AS BIGINT))))"
+)
+
+ORACLE_SQL["privacy_dp_release"] = f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(GREATEST(LEAST(CAST(floor(value * 100 + 0.5) AS BIGINT),
+                                       {DP_CLAMP_CENTS}), 0)) AS BIGINT) AS s
+        FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n + {_DP_G.format(k="'a:dp:n:' || event_type")}
+                  - {_DP_G.format(k="'b:dp:n:' || event_type")} AS BIGINT) AS released_n,
+           CAST(s + {DP_CLAMP_CENTS} * ({_DP_G.format(k="'a:dp:s:' || event_type")}
+                  - {_DP_G.format(k="'b:dp:s:' || event_type")}) AS BIGINT) AS released_sum_cents
+    FROM g
+"""

@@ -123,3 +123,42 @@ def test_range_layout_prunes_time_predicates(spark, tmp_path):
     lo, hi = spans[3]
     overlapping = sum(1 for s_lo, s_hi in spans if s_lo <= hi and s_hi >= lo)
     assert overlapping <= 3
+
+
+def test_compaction_plan_bins_are_contiguous_and_near_target(spark):
+    """Plan invariants: every byte lands in exactly one bin; bins are
+    contiguous runs of the path order (no interleaving); each bin
+    except the last reaches the target once its straddling file is
+    counted, and overshoot is bounded by one file."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.layout import (
+        compaction_plan,
+        compaction_summary,
+    )
+
+    target = 1000
+    files = spark.range(200).select(
+        F.format_string("part-%05d", F.col("id")).alias("path"),
+        ((F.col("id") * 37) % 300 + 1).cast("long").alias("bytes"),
+    )
+    plan = compaction_plan(files, "path", "bytes", target).cache()
+    assert plan.count() == 200
+    total = files.agg(F.sum("bytes")).first()[0]
+
+    rows = sorted(plan.collect(), key=lambda r: r["path"])
+    max_file = max(r["bytes"] for r in rows)
+    # contiguity: bin ids are non-decreasing along the path order
+    bins = [r["bin_id"] for r in rows]
+    assert bins == sorted(bins)
+
+    summary = {r["bin_id"]: r for r in compaction_summary(plan, "path", "bytes").collect()}
+    assert sum(r["bin_bytes"] for r in summary.values()) == total
+    last_bin = max(summary)
+    for b, r in summary.items():
+        assert r["bin_bytes"] < target + max_file
+        if b != last_bin:
+            # the NEXT file started a new bin, so this bin's exclusive
+            # cumsum already crossed its right edge minus one file
+            assert r["bin_bytes"] + max_file >= target
+    plan.unpersist()

@@ -69,3 +69,54 @@ def test_robust_outliers_mad(spark):
     vals = [v for g, _, v in rows if g == "a"]
     z = (1_000_000 - statistics.mean(vals)) / statistics.pstdev(vals)
     assert z < 5
+
+
+def test_cms_overestimates_and_wide_sketch_is_exact(spark):
+    """CMS point estimates never undercount; with width >> distinct
+    keys and 4 independent rows, the min-over-rows estimate is exact
+    for every key on this 20-key domain."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.profile import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.range(2000).select((F.col("id") % 20).alias("k"))
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").count().withColumnRenamed("count", "n").collect()}
+    keys = df.select("k").distinct()
+
+    wide = cms_estimate(cms_sketch(df, "k", 4096, 4, "t"), keys, "k", 4096, 4, "t")
+    for r in wide.collect():
+        assert r["cms_estimate"] == exact[r["k"]]
+
+    narrow = cms_estimate(cms_sketch(df, "k", 8, 2, "t"), keys, "k", 8, 2, "t")
+    for r in narrow.collect():
+        assert r["cms_estimate"] >= exact[r["k"]]
+
+
+def test_cms_sketches_merge_by_counter_addition(spark):
+    """The mergeability contract: sketch(A) ⊎ sketch(B) (union +
+    groupBy-sum of counters) equals sketch(A ∪ B) row for row —
+    what lets per-shard sketches combine without re-reading shards."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.profile import cms_sketch
+
+    a = spark.range(0, 500).select((F.col("id") % 13).alias("k"))
+    b = spark.range(500, 1300).select((F.col("id") % 7).alias("k"))
+    merged = (
+        cms_sketch(a, "k", 64, 3, "m")
+        .unionByName(cms_sketch(b, "k", 64, 3, "m"))
+        .groupBy("i", "bucket")
+        .agg(F.sum("c").alias("c_merged"))
+    )
+    whole = cms_sketch(a.unionByName(b), "k", 64, 3, "m").withColumnRenamed(
+        "c", "c_whole"
+    )
+    diff = merged.join(whole, ["i", "bucket"], "full").filter(
+        F.col("c_merged").isNull()
+        | F.col("c_whole").isNull()
+        | (F.col("c_merged") != F.col("c_whole"))
+    )
+    assert diff.count() == 0

@@ -307,3 +307,66 @@ def test_approx_quantiles_plan_has_no_sort_or_shuffle_join(spark):
     )
     assert "Sort" not in plan
     assert "partial_percentile_approx" in plan  # map-side combine
+
+
+def test_dp_release_deterministic_bounded_and_true_values_hidden(spark):
+    """The DP release replays identically under one seed, differs
+    under another (fresh ε spend), never leaks a __n/__s column, and
+    its noise is the documented discrete Laplace: zero-mass ≈ 1/3
+    over many groups, every draw within the ±31 support."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.quality import dp_release_counts
+
+    df = spark.range(20000).select(
+        (F.col("id") % 500).cast("string").alias("g"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    rel1 = dp_release_counts(df, ["g"], value_col="v", clamp_cents=300, seed="s1")
+    assert set(rel1.columns) == {"g", "released_n", "released_sum_cents"}
+    r1 = {r["g"]: (r["released_n"], r["released_sum_cents"]) for r in rel1.collect()}
+    r1b = {
+        r["g"]: (r["released_n"], r["released_sum_cents"])
+        for r in dp_release_counts(
+            df, ["g"], value_col="v", clamp_cents=300, seed="s1"
+        ).collect()
+    }
+    assert r1 == r1b
+    r2 = {
+        r["g"]: (r["released_n"], r["released_sum_cents"])
+        for r in dp_release_counts(
+            df, ["g"], value_col="v", clamp_cents=300, seed="s2"
+        ).collect()
+    }
+    assert r1 != r2
+
+    exact = {
+        r["g"]: (r["n"], r["s"])
+        for r in df.groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.least(F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long"), F.lit(300))
+            ).alias("s"),
+        )
+        .collect()
+    }
+    count_noise = [r1[g][0] - exact[g][0] for g in exact]
+    sum_noise = [(r1[g][1] - exact[g][1]) // 300 for g in exact]
+    for ns in (count_noise, sum_noise):
+        assert all(-62 <= x <= 62 for x in ns)
+        zero_mass = sum(1 for x in ns if x == 0) / len(ns)
+        assert 0.22 <= zero_mass <= 0.45  # P(0) = 1/3, 500 draws
+
+
+def test_dp_sum_requires_contribution_bound(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.quality import dp_release_counts
+
+    df = spark.range(10).select(
+        F.lit("a").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises(ValueError):
+        dp_release_counts(df, ["g"], value_col="v")
