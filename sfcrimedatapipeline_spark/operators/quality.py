@@ -285,6 +285,7 @@ def dp_release_counts(
     value_col: str | None = None,
     clamp_cents: int | None = None,
     seed: str = "dp",
+    k_threshold: int | None = None,
 ) -> DataFrame:
     """DIFFERENTIALLY-PRIVATE aggregate release: per-group noisy count
     (and optionally a noisy clamped sum), each protected by the
@@ -299,11 +300,16 @@ def dp_release_counts(
       ε = ln 2 at sensitivity clamp_cents.
 
     The group-key domain is assumed PUBLIC (a fixed taxonomy like
-    event types): groups absent from the input are simply absent from
-    the release. For private key domains, a release needs key
-    thresholding (stability-based selection) first — out of scope
-    here and documented so nobody mistakes this for it. True values
-    never appear in the output.
+    event types) when ``k_threshold`` is None: groups absent from the
+    input are simply absent from the release. For PRIVATE key domains
+    (user-generated strings), pass ``k_threshold``: only groups whose
+    NOISY count reaches the threshold are released — stability-based
+    key selection, the mechanism behind every "publish queries seen
+    ≥ k times" release. The selection predicate reads the noisy count,
+    never the true one, so it composes as post-processing (no extra ε);
+    the threshold sets the probability a rare key slips out
+    (P ≈ 2^−(k−n)/3 for a key seen n < k times). True values never
+    appear in the output.
 
     Scale shape: one map-side-combined groupBy; the noise is a per-row
     md5 expression at GROUP grain. Deterministic under ``seed``, so a
@@ -337,4 +343,7 @@ def dp_release_counts(
             .cast("long")
             .alias("released_sum_cents")
         )
-    return g.select(*out)
+    released = g.select(*out)
+    if k_threshold is not None:
+        released = released.filter(F.col("released_n") >= k_threshold)
+    return released

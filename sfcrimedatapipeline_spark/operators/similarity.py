@@ -1059,3 +1059,126 @@ def rrf_fuse(
             "rrf_score",
         )
     )
+
+
+def sq8_bounds(corpus: DataFrame, vec_col: str = "embedding", dim: int = DEFAULT_DIM) -> DataFrame:
+    """Per-dimension [min, max] of the corpus as ONE 1-row aggregate
+    (2·dim counters, map-side combined) — the training artifact of the
+    SQ8 tier, broadcast into both encode sides. Exact doubles from the
+    data; no iteration, no driver collect."""
+    return corpus.agg(
+        *[
+            F.min(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"__mn_{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.max(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"__mx_{i}")
+            for i in range(dim)
+        ],
+    )
+
+
+def _sq8_codes(vec_col: str, dim: int):
+    """Affine int8-range quantizer per dimension: code_i =
+    floor((x_i − mn_i)·255/(mx_i − mn_i) + 0.5) ∈ [0, 255]
+    (constant dimensions encode 0). Pure IEEE −·×/÷·floor in a fixed
+    order, so codes are bit-identical in the DuckDB twin."""
+    return [
+        F.when(
+            F.col(f"__mx_{i}") > F.col(f"__mn_{i}"),
+            F.floor(
+                (F.element_at(F.col(vec_col), i + 1).cast("double") - F.col(f"__mn_{i}"))
+                * F.lit(255.0)
+                / (F.col(f"__mx_{i}") - F.col(f"__mn_{i}"))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"__c_{i}")
+        for i in range(dim)
+    ]
+
+
+def _sq8_recon_sql(vec_col: str, dim: int) -> str:
+    """Decode expression: recon_i = mn_i + code_i·(mx_i−mn_i)/255 —
+    the value the stored 8-bit code stands for. Emitted as ONE SQL
+    string (the ``dot_fixed`` lesson: Column-operator composition costs
+    ~6 py4j round-trips per element; ``F.expr`` of the same text is
+    milliseconds and parses to the identical tree). ``255.0D``/``0.5D``
+    pin DOUBLE literals — a bare ``255.0`` parses as DECIMAL in Spark
+    SQL and would change the arithmetic the oracle replays."""
+    terms = []
+    for i in range(dim):
+        x = f"CAST(`{vec_col}`[{i}] AS DOUBLE)"
+        mn, mx = f"`__mn_{i}`", f"`__mx_{i}`"
+        terms.append(
+            f"CASE WHEN {mx} > {mn} THEN {mn} + "
+            f"FLOOR(({x} - {mn}) * 255.0D / ({mx} - {mn}) + 0.5D)"
+            f" * ({mx} - {mn}) / 255.0D ELSE {mn} END"
+        )
+    return "array(" + ", ".join(terms) + ")"
+
+
+def cosine_topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """SCALAR-QUANTIZED (SQ8) similarity tier — the FAISS-style memory
+    path: corpus vectors live as dim bytes (:func:`_sq8_codes`)
+    instead of dim floats, an 8× smaller footprint that at 100 TB of
+    embeddings IS the feature. Scoring DECODES each code back to the
+    value it stands for (``mn_i + code·(mx_i−mn_i)/255`` — raw code
+    dot products are meaningless across dimensions with different
+    affine scales) and computes exact cosine over the reconstructions,
+    reusing the unrolled-codegen ``cosine_fixed`` path.
+
+    Rank fidelity vs the exact tier is pinned in tests (recall@k) —
+    the quantization error is the stated trade. Deterministic:
+    reconstruction is fixed-order IEEE arithmetic, so the DuckDB twin
+    replays it bit-for-bit and the tier hash-gates like the others.
+
+    Scale shape: bounds = one 1-row aggregate; decode = map-only under
+    that broadcast row; scoring/top-k mirror cosine_topk (broadcast
+    queries, per-query window). A production layout would persist the
+    byte codes and decode at scan time — the plan shape is the same.
+    """
+    bounds = F.broadcast(sq8_bounds(corpus, vec_col, dim))
+    recon = F.expr(_sq8_recon_sql(vec_col, dim))
+    c = (
+        corpus.crossJoin(bounds)
+        .select(F.col(id_col).alias("neighbor_id"), recon.alias("cv"))
+        .select("neighbor_id", "cv", norm_fixed("cv", dim).alias("cn"))
+    )
+    q = F.broadcast(
+        queries.crossJoin(bounds)
+        .select(F.col(id_col).alias("query_id"), recon.alias("qv"))
+        .select("query_id", "qv", norm_fixed("qv", dim).alias("qn"))
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_fixed("qv", "cv", dim, "qn", "cn"), 6
+            ).alias("cosine_sq8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sq8"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "cosine_sq8",
+        )
+    )

@@ -1341,3 +1341,56 @@ ORACLE_SQL["text_langid_confusion"] = f"""
            cells.lang = lang_pred AS is_correct
     FROM cells JOIN tot ON cells.lang = tot.lang
 """
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized similarity tier
+    (operators/similarity.py:cosine_topk_sq8): per-dim affine int8
+    codes trained from corpus bounds, decoded at scoring time, exact
+    cosine over the reconstructions — the 8x-smaller-footprint path
+    next to PQ (sub-byte, trained codebooks) and IVF (partition
+    pruning). Fixed-order IEEE decode ⇒ the oracle replays the
+    identical reconstruction and the tier hash-gates. Same
+    (query_id, rank, neighbor_id, score) shape as the other tiers."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return similarity.cosine_topk_sq8(emb, queries, k=ANN_K)
+
+
+QUERIES["ann_sq8_topk"] = ann_sq8_topk
+
+_SQL_SQ8_COS = _sql_cosine("qv", "cv")
+
+ORACLE_SQL["ann_sq8_topk"] = f"""
+    WITH v AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v
+        FROM embeddings
+    ),
+    b AS (
+        SELECT t.i AS i, min(__v[t.i]) AS mn, max(__v[t.i]) AS mx
+        FROM v, generate_series(1, 64) AS t(i) GROUP BY 1
+    ),
+    r AS (
+        SELECT v.vec_id, b.i,
+               CASE WHEN b.mx > b.mn
+                    THEN b.mn + floor((__v[b.i] - b.mn) * 255.0 / (b.mx - b.mn) + 0.5)
+                         * (b.mx - b.mn) / 255.0
+                    ELSE b.mn END AS rv
+        FROM v, b
+    ),
+    rl AS (SELECT vec_id, list(rv ORDER BY i) AS __r FROM r GROUP BY 1),
+    q AS (SELECT vec_id AS query_id, __r AS qv FROM rl WHERE vec_id < {ANN_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, __r AS cv FROM rl),
+    scored AS (
+        SELECT query_id, neighbor_id, {_SQL_SQ8_COS} AS cosine_sq8
+        FROM c, q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine_sq8
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sq8 DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {ANN_K}
+"""

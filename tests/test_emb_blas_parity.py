@@ -159,3 +159,55 @@ def test_standardize_embeddings_unit_stats_and_constant_dim(spark):
     assert np.abs(z[:, live].std(axis=0) - 1.0).max() < 1e-3
     # the constant dimension is exactly zero, never NaN
     assert (z[:, 3] == 0.0).all()
+
+
+def test_sq8_codes_bounded_and_rank_fidelity_vs_exact(spark):
+    """SQ8 contract: every code lands in [0, 255] (the 8x footprint
+    claim is exactly "one byte per dim"); numpy replays the quantizer
+    bit-for-bit; and cosine over the DECODED vectors recovers nearly
+    all of the exact tier's neighbors (recall@5 ≥ 0.9 on the fixture)
+    — 8-bit quantization error is far below this corpus's neighbor
+    separation."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.similarity import (
+        _sq8_codes,
+        cosine_topk,
+        cosine_topk_sq8,
+        sq8_bounds,
+    )
+    from sfcrimedatapipeline_spark.plans.llmops import _read_parallel
+
+    emb = _read_parallel(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    codes = (
+        emb.crossJoin(F.broadcast(sq8_bounds(emb)))
+        .select(F.col("vec_id"), *_sq8_codes("embedding", 64))
+        .collect()
+    )
+    for r in codes:
+        for i in range(64):
+            assert 0 <= r[f"__c_{i}"] <= 255
+
+    rows = {r["vec_id"]: r for r in codes}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    mat = np.stack(list(vecs.values()))
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    some_id = next(iter(vecs))
+    expect = np.floor((vecs[some_id] - mn) * 255.0 / (mx - mn) + 0.5).astype(np.int64)
+    got = np.array([rows[some_id][f"__c_{i}"] for i in range(64)])
+    assert (expect == got).all()
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    sq8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_sq8(emb, queries, k=5).collect()
+    }
+    recall = len(exact & sq8) / len(exact)
+    assert recall >= 0.9, recall

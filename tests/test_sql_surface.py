@@ -370,3 +370,31 @@ def test_dp_sum_requires_contribution_bound(spark):
     )
     with pytest.raises(ValueError):
         dp_release_counts(df, ["g"], value_col="v")
+
+
+def test_dp_key_threshold_suppresses_rare_private_keys(spark):
+    """Stability-based selection: with k_threshold, only groups whose
+    NOISY count clears the bar appear — rare (n=1) user-generated keys
+    are overwhelmingly suppressed, big groups survive, and the
+    predicate is post-processing (surviving rows identical to the
+    unthresholded release)."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.quality import dp_release_counts
+
+    # 5 heavy groups (1000 rows each) + 200 singleton keys
+    heavy = spark.range(5000).select(
+        F.concat(F.lit("h"), (F.col("id") % 5).cast("string")).alias("g")
+    )
+    rare = spark.range(200).select(
+        F.concat(F.lit("r"), F.col("id").cast("string")).alias("g")
+    )
+    df = heavy.unionByName(rare)
+    full = {r["g"]: r["released_n"] for r in dp_release_counts(df, ["g"]).collect()}
+    kept = {
+        r["g"]: r["released_n"]
+        for r in dp_release_counts(df, ["g"], k_threshold=20).collect()
+    }
+    assert all(g.startswith("h") for g in kept), sorted(kept)[:5]
+    assert len(kept) == 5
+    assert all(kept[g] == full[g] for g in kept)
