@@ -110,3 +110,88 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_evolved(
+    spark: SparkSession,
+    path: str,
+    target_schema,
+    widen: dict[str, str] | None = None,
+) -> DataFrame:
+    """SCHEMA-EVOLUTION-tolerant parquet read — the lake reality a
+    bare ``spark.read.parquet(dir)`` hides until it throws: a table
+    directory accretes files written months apart, so old files MISS
+    columns added later, and some columns were WIDENED (int→bigint,
+    float→double) along the way. Spark's ``mergeSchema`` only unions
+    column SETS — a type conflict between generations fails the read
+    with CANNOT_MERGE_SCHEMAS (verified in tests), so evolution with
+    widenings needs the generation-aware read this implements.
+
+    Mechanics: group the files by footer schema (pyarrow metadata
+    reads — no data IO; at lake scale this list comes from the table
+    manifest/catalog rather than a directory walk), read each
+    generation with its own fixed schema, project every generation to
+    ``target_schema`` (missing columns → typed NULLs, type changes →
+    casts), and union by name.
+
+    Cast policy: per-column casts are applied when the on-disk type
+    differs, but only LOSSLESS widenings (int ladder, float→double,
+    date→timestamp) are accepted implicitly; anything else must be
+    sanctioned by the caller in ``widen`` (column → SQL type) or the
+    read refuses at PLAN time — a silent lossy cast in an ingest path
+    is corruption, not convenience.
+
+    Scale shape: footer reads are metadata-only; each generation scan
+    prunes to the projected columns; the union is plan-level (no
+    shuffle, no data movement beyond the scans).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql import functions as F
+
+    widen = widen or {}
+    safe = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+        ("float", "double"),
+        ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+        ("date", "timestamp"),
+    }
+
+    files = sorted(
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    )
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        groups.setdefault(str(_pq.read_schema(f)), []).append(f)
+
+    def project(gen: DataFrame) -> DataFrame:
+        have = {f.name: f.dataType.simpleString() for f in gen.schema.fields}
+        cols = []
+        for f in target_schema.fields:
+            want = f.dataType.simpleString()
+            if f.name not in have:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif f.name in widen:
+                cols.append(F.col(f.name).cast(widen[f.name]).alias(f.name))
+            elif have[f.name] == want or (have[f.name], want) in safe:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                raise ValueError(
+                    f"column {f.name!r}: on-disk {have[f.name]} -> target "
+                    f"{want} is not a lossless widening; pass widen="
+                    f"{{{f.name!r}: {want!r}}} to sanction it explicitly"
+                )
+        return gen.select(*cols)
+
+    out: DataFrame | None = None
+    for members in groups.values():
+        gen = project(spark.read.parquet(*members))
+        out = gen if out is None else out.unionByName(gen)
+    if out is None:
+        raise ValueError(f"no parquet files under {path!r}")
+    return out

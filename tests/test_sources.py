@@ -300,3 +300,55 @@ def test_csv_permissive_quarantines_bad_lines(spark, tmp_path):
         assert {r.id for r in clean.collect()} == {1, 3}
     finally:
         df.unpersist()
+
+
+def test_read_evolved_merges_schemas_defaults_and_widens(spark, tmp_path):
+    """Three generations of one table directory: v1 (int value, no
+    label), v2 (adds label), v3 (value widened to bigint). read_evolved
+    returns the v3 target for ALL rows: v1/v2 ints widened, v1's label
+    NULL — and refuses a narrowing unless sanctioned via widen=."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sfcrimedatapipeline_spark.sources.tables import read_evolved
+
+    d = str(tmp_path / "t")
+    spark.createDataFrame([(1, 10)], "id int, value int").write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame(
+        [(2, 20, "b")], "id int, value int, label string"
+    ).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(3, 2**40, "c")], "id int, value bigint, label string"
+    ).write.mode("append").parquet(d)
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("value", T.LongType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    # the naive read path really does fail on this layout — the
+    # failure mode read_evolved exists for
+    with pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS|merg"):
+        spark.read.option("mergeSchema", "true").parquet(d).collect()
+
+    out = read_evolved(spark, d, target)
+    assert out.schema.simpleString() == "struct<id:int,value:bigint,label:string>"
+    rows = {r["id"]: (r["value"], r["label"]) for r in out.collect()}
+    assert rows == {1: (10, None), 2: (20, "b"), 3: (2**40, "c")}
+
+    narrow = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("value", T.IntegerType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    with pytest.raises(ValueError, match="lossless widening"):
+        read_evolved(spark, d, narrow)
+    sanctioned = read_evolved(spark, d, narrow, widen={"value": "int"})
+    assert dict(sanctioned.dtypes)["value"] == "int"
