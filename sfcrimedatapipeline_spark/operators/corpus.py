@@ -1319,3 +1319,103 @@ def shard_rebalance_report(
         )
 
     return summarize(mod_moved, "mod").unionByName(summarize(hrw_moved, "rendezvous"))
+
+
+def mix_temperature(
+    docs: DataFrame,
+    total_budget: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TEMPERATURE-weighted training mixture: per-source shares derived
+    from the data itself as ``share_s ∝ tokens_s^alpha`` — the
+    multilingual-LM sampling-temperature knob (alpha = 1 reproduces
+    natural proportions, alpha → 0 approaches uniform; alpha ≈ 0.3–0.7
+    is the standard head-flattening/tail-boosting range). The
+    companion to :func:`mix_to_token_budget`, which takes CURATED
+    weights; this one computes them, then applies the identical
+    rate-and-coin discipline.
+
+    Determinism discipline: alpha = 0.5 (sqrt — correctly-rounded
+    IEEE, oracle-identical) and alpha = 1.0 (identity) hash-gate;
+    other alphas go through ``pow`` (exp·ln — transcendental, NOT
+    bit-stable cross-engine) and must gate rows-only. The share
+    denominator is folded over sources in SORTED source order
+    (sort_array + left fold == the oracle's list_sum over
+    list(ORDER BY)), never a float SUM() whose aggregation order
+    floats free.
+
+    Scale shape: one map-side-combined groupBy(source) (rows =
+    #sources), a 1-row weight-total broadcast, a broadcast rate join
+    back, a per-row coin filter, one final groupBy — the corpus never
+    shuffles, same as the fixed-weight mixer.
+    """
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    tok = docs.select(
+        F.col(source_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__n"),
+        deterministic_uniform(F.col(id_col)).alias("__coin"),
+    )
+    totals = tok.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__n").cast("long").alias("source_tokens"),
+    )
+    st = F.col("source_tokens").cast("double")
+    if alpha == 0.5:
+        w = F.sqrt(st)
+    elif alpha == 1.0:
+        w = st
+    else:  # documented: rows-only territory
+        w = F.pow(st, F.lit(float(alpha)))
+    weighted = totals.withColumn("__w", w)
+    denom = F.broadcast(
+        weighted.agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct(F.col(source_col), F.col("__w")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__w"],
+            ).alias("__sumw")
+        )
+    )
+    rates = weighted.crossJoin(denom).select(
+        source_col,
+        "n_docs",
+        "source_tokens",
+        (F.col("__w") / F.col("__sumw")).alias("target_share"),
+        (F.col("__w") / F.col("__sumw") * F.lit(float(total_budget))).alias(
+            "target_tokens"
+        ),
+        F.when(
+            F.col("source_tokens") > 0,
+            F.least(
+                F.lit(1.0),
+                F.col("__w") / F.col("__sumw") * F.lit(float(total_budget)) / st,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rate"),
+    )
+    sampled = (
+        tok.join(F.broadcast(rates.select(source_col, "rate")), source_col)
+        .filter(F.col("__coin") < F.col("rate"))
+        .groupBy(source_col)
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum("__n").cast("long").alias("sampled_tokens"),
+        )
+    )
+    return rates.join(sampled, source_col, "left").select(
+        source_col,
+        "n_docs",
+        "source_tokens",
+        "target_share",
+        "target_tokens",
+        "rate",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias("n_sampled"),
+        F.coalesce(F.col("sampled_tokens"), F.lit(0).cast("long")).alias(
+            "sampled_tokens"
+        ),
+    )

@@ -1479,3 +1479,60 @@ ORACLE_SQL["events_cms_user_counts"] = f"""
     FROM probes p LEFT JOIN sketch s ON s.i = p.i AND s.bucket = p.bucket
     GROUP BY p.user_id, p.exact_n
 """
+
+
+def mix_temperature_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-TEMPERATURE mixture (operators/corpus.py:
+    mix_temperature): shares ∝ source_tokens^0.5 computed from the
+    corpus itself (the multilingual head-flattening knob), then the
+    same deterministic rate-and-coin sampling as mix_report — shares,
+    targets, rates, and yields under one hash. alpha=0.5 keeps every
+    op correctly-rounded IEEE (sqrt, no pow), so the oracle replays
+    it bit-for-bit; the share denominator folds in sorted source
+    order on both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus.mix_temperature(docs, MIX_BUDGET, alpha=0.5)
+
+
+QUERIES["mix_temperature_report"] = mix_temperature_report
+
+_MT_UNIFORM = (
+    "CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0"
+)
+
+ORACLE_SQL["mix_temperature_report"] = f"""
+    WITH tok AS (
+        SELECT doc_id, source, CAST(len({SQL_TOKENS}) AS BIGINT) AS n
+        FROM documents
+    ),
+    tot AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS source_tokens
+        FROM tok GROUP BY 1
+    ),
+    w AS (SELECT *, sqrt(CAST(source_tokens AS DOUBLE)) AS wv FROM tot),
+    d AS (SELECT list_sum(list(wv ORDER BY source)) AS sumw FROM w),
+    r AS (
+        SELECT source, n_docs, source_tokens,
+               wv / sumw AS target_share,
+               wv / sumw * CAST({MIX_BUDGET} AS DOUBLE) AS target_tokens,
+               CASE WHEN source_tokens > 0
+                    THEN least(1.0, wv / sumw * CAST({MIX_BUDGET} AS DOUBLE)
+                               / CAST(source_tokens AS DOUBLE))
+                    ELSE 0.0 END AS rate
+        FROM w, d
+    ),
+    s AS (
+        SELECT t.source, CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(t.n) AS BIGINT) AS sampled_tokens
+        FROM tok t JOIN r ON t.source = r.source
+        WHERE {_MT_UNIFORM} < r.rate
+        GROUP BY 1
+    )
+    SELECT r.source, r.n_docs, r.source_tokens, r.target_share,
+           r.target_tokens, r.rate,
+           coalesce(s.n_sampled, CAST(0 AS BIGINT)) AS n_sampled,
+           coalesce(s.sampled_tokens, CAST(0 AS BIGINT)) AS sampled_tokens
+    FROM r LEFT JOIN s ON r.source = s.source
+"""

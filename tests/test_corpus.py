@@ -1046,3 +1046,34 @@ def test_sample_pps_systematic_exact_k_and_partition_invariance(spark):
     assert sorted((r.doc_id, r.n_copies) for r in got2) == sorted(
         (r.doc_id, r.n_copies) for r in got
     )
+
+
+def test_mix_temperature_flattens_shares_and_preserves_total(spark):
+    """alpha=0.5 must sit between natural proportions (alpha=1) and
+    uniform: the biggest source's share shrinks, the smallest one's
+    grows, shares still sum to 1, and rates never exceed 1."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.corpus import mix_temperature
+
+    docs = spark.range(1300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "big").otherwise(
+            F.when(F.col("id") < 1200, "mid").otherwise("tiny")
+        ).alias("source"),
+        F.lit("alpha beta gamma delta").alias("text"),
+    )
+    nat = {r["source"]: r["target_share"]
+           for r in mix_temperature(docs, 1000, alpha=1.0).collect()}
+    cooled = {r["source"]: r["target_share"]
+              for r in mix_temperature(docs, 1000, alpha=0.5).collect()}
+    assert abs(sum(nat.values()) - 1.0) < 1e-12
+    assert abs(sum(cooled.values()) - 1.0) < 1e-12
+    assert cooled["big"] < nat["big"]
+    assert cooled["tiny"] > nat["tiny"]
+    uniform = 1.0 / 3
+    for s in nat:
+        lo, hi = sorted((nat[s], uniform))
+        assert lo - 1e-12 <= cooled[s] <= hi + 1e-12
+    rates = mix_temperature(docs, 1000, alpha=0.5).select("rate").collect()
+    assert all(0.0 <= r["rate"] <= 1.0 for r in rates)

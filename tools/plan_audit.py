@@ -45,6 +45,8 @@ ONLY = set(sys.argv[2:])
 #: centroid tables), never a data-cardinality frame.
 CROSS_OK: dict[str, str] = {
     "events_chisq_independence": "crossJoin(broadcast(1-row N total))",
+    "ann_sq8_topk": "crossJoin(broadcast(1-row per-dim bounds)) x2 + broadcast query codes",
+    "docs_compaction_plan": "running_total's triangular offset join: bounded by partition count, never data",
     "events_ks_drift": "crossJoin(broadcast(1-row n1/n2 totals))",
     "events_cusum_changepoint": "crossJoin(broadcast(1-row n/T totals))",
     "graph_modularity_dup": "crossJoin(broadcast(1-row edge-count m))",
