@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions),
     ordered cheap-first (see _DEFERRED)."""
     from sfcrimedatapipeline_spark.plans import (
+        analytic_ext,
         corpus_queries,
         events_queries,
         fact_queries,
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     merged = {
         **tpch.QUERIES,
+        **analytic_ext.QUERIES,
         **tpch_suite.QUERIES,
         **sql_surface.QUERIES,
         **timeseries.QUERIES,
@@ -110,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; omitted keys get rows-only checks."""
     from sfcrimedatapipeline_spark.plans import (
+        analytic_ext,
         corpus_queries,
         events_queries,
         fact_queries,
@@ -127,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **tpch.ORACLE_SQL,
+        **analytic_ext.ORACLE_SQL,
         **tpch_suite.ORACLE_SQL,
         **sql_surface.ORACLE_SQL,
         **timeseries.ORACLE_SQL,

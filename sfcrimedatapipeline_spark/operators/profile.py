@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -812,3 +812,60 @@ def cms_estimate(
             .alias("cms_estimate")
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    band_width: int,
+) -> DataFrame:
+    """Pareto frontier (skyline) in 2-D: the rows no other row
+    dominates, where domination means ``x`` (minimize) no worse AND
+    ``y`` (maximize) no worse, with at least one strictly better. The
+    classic multi-criteria exploration query (cheapest-vs-largest,
+    fastest-vs-freshest); no reference counterpart — extension operator.
+
+    Naively this is a quadratic NOT EXISTS self-join (the oracle runs
+    exactly that, so the gate validates the pruning). Scale shape is
+    TWO-PHASE:
+
+    1. **Band prune** — bucket ``x`` by integer ``div band_width``; a
+       tiny per-band ``max(y)`` aggregate (map-side combined) yields,
+       per band, the best ``y`` of all STRICTLY CHEAPER bands (running
+       max over the band frame, which is aggregate-bounded:
+       x-range/band_width rows, never the data). Any row whose ``y``
+       falls below that is dominated by some strictly-cheaper row and
+       is dropped in a broadcast-join filter — one scan, no shuffle of
+       the data beyond the band aggregate.
+    2. **Exact finish** — dominance anti-join among the survivors
+       only. Survivors are rows within one band of the frontier in
+       ``y``; pick ``band_width`` near the x-spread of a frontier step
+       so this set is O(frontier), and the broadcast nested-loop the
+       anti-join plans to is over a small candidate set, never the
+       full table.
+
+    ``x_col`` must be integral (cast money to cents upstream — float
+    band boundaries round nondeterministically). Ties: two identical
+    points dominate neither; both survive.
+    """
+    pts = df.withColumn("__band", F.expr(f"{x_col} div {band_width}"))
+    band_max = pts.groupBy("__band").agg(F.max(y_col).alias("__ymax"))
+    wb = Window.orderBy("__band").rowsBetween(Window.unboundedPreceding, -1)
+    prev = band_max.select(
+        "__band", F.max("__ymax").over(wb).alias("__prev")
+    )
+    cand = (
+        pts.join(F.broadcast(prev), "__band")
+        .filter(F.col("__prev").isNull() | (F.col(y_col) >= F.col("__prev")))
+        .drop("__band", "__prev")
+    )
+    dom = cand.select(
+        F.col(x_col).alias("__dx"), F.col(y_col).alias("__dy")
+    )
+    dominated = (
+        (F.col("__dx") <= F.col(x_col))
+        & (F.col("__dy") >= F.col(y_col))
+        & ((F.col("__dx") < F.col(x_col)) | (F.col("__dy") > F.col(y_col)))
+    )
+    return cand.join(F.broadcast(dom), on=dominated, how="left_anti")

@@ -139,6 +139,63 @@ def binned_range_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width_s: int,
+) -> DataFrame:
+    """Join every pair of intervals that OVERLAP — ``max(lo) <
+    min(hi)``, half-open — as an equi-join on time bins, never an
+    inequality join (Spark can only plan a pure theta join as
+    BroadcastNestedLoop: quadratic at scale).
+
+    All four bound columns are epoch-MICROSECOND longs (use
+    ``F.unix_micros`` upstream); left and right column names must be
+    disjoint. BOTH sides explode to every bin they touch and equi-join
+    on the bin id, so shuffle is rows × (span / bin width) per side —
+    pick the bin width near the median interval span. A pair that
+    shares k bins would surface k times; exactly one copy survives the
+    canonical-bin filter ``bin == greatest(l_lo, r_lo) div bin_us``:
+    the overlap's first instant lies inside both intervals, so its bin
+    is always among the shared bins — no ``distinct`` (and its extra
+    full-width shuffle) needed.
+
+    Bin ids use integer ``div`` (a double quotient near a bin boundary
+    can round across it at epoch-micros magnitudes).
+    """
+    binus = bin_width_s * US
+    lv = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{l_lo} div {binus}"), F.expr(f"({l_hi} - 1) div {binus}")
+            )
+        ),
+    )
+    rv = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{r_lo} div {binus}"), F.expr(f"({r_hi} - 1) div {binus}")
+            )
+        ),
+    )
+    start = F.greatest(F.col(l_lo), F.col(r_lo))
+    end = F.least(F.col(l_hi), F.col(r_hi))
+    return (
+        lv.join(rv, on="_bin", how="inner")
+        .filter(
+            (start < end)
+            & (F.col("_bin") == F.expr(f"greatest({l_lo}, {r_lo}) div {binus}"))
+        )
+        .drop("_bin")
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     steps: list[str],

@@ -496,6 +496,62 @@ def j14_range_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j17_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17 (extension): interval×interval overlap join — for every
+    30-minute high-value-purchase window, the per-(user, hour) activity
+    intervals (min..max event time, ≥2 events) it overlaps, via the
+    bin-blocked operator (operators/temporal.py:interval_overlap_join).
+    Both sides scale with the data — the pure theta-join form Spark
+    would plan as BroadcastNestedLoop; here the pair space collapses to
+    an equi-join on 30-minute bins with a canonical-bin dedup filter.
+
+    Oracle is the brute-force O(n·m) theta join — deliberately a
+    different algorithm, so the hash gate validates the bin blocking
+    and the exactly-once canonical-bin rule, not just the arithmetic.
+    """
+    from sfcrimedatapipeline_spark.operators.temporal import (
+        US,
+        interval_overlap_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    windows = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100.0)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        F.unix_micros("ts").alias("w_lo_us"),
+        (F.unix_micros("ts") + F.lit(1800 * US)).alias("w_hi_us"),
+    )
+    activity = (
+        ev.groupBy(
+            "user_id", F.expr("unix_micros(ts) div 3600000000").alias("hour_id")
+        )
+        .agg(
+            F.min(F.unix_micros("ts")).alias("a_lo_us"),
+            (F.max(F.unix_micros("ts")) + F.lit(US)).alias("a_hi_us"),
+            F.count("*").alias("n_ev"),
+        )
+        .filter(F.col("n_ev") >= 2)
+        .drop("n_ev", "hour_id")
+    )
+    joined = interval_overlap_join(
+        windows,
+        activity,
+        l_lo="w_lo_us",
+        l_hi="w_hi_us",
+        r_lo="a_lo_us",
+        r_hi="a_hi_us",
+        bin_width_s=1800,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.least("w_hi_us", "a_hi_us") - F.greatest("w_lo_us", "a_lo_us")
+        ).alias("sum_overlap_us"),
+    )
+
+
 def _zorder_oracle_sql() -> str:
     """DuckDB twin of z1_zorder_values, generated from the SAME
     (columns, bits) constants as the Spark expression."""
@@ -760,6 +816,33 @@ def build_oracle_sql() -> dict[str, str]:
             FROM p JOIN e ON e.ts_us >= p.lo_us AND e.ts_us < p.hi_us
             GROUP BY 1
         """,
+        "j17_interval_join": """
+            WITH w AS (
+                SELECT event_id AS window_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS w_lo_us,
+                       epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS w_hi_us
+                FROM events
+                WHERE event_type = 'purchase' AND CAST(value AS DOUBLE) > 100.0
+            ),
+            a AS (
+                SELECT user_id,
+                       min(epoch_us(CAST(ts AS TIMESTAMP))) AS a_lo_us,
+                       max(epoch_us(CAST(ts AS TIMESTAMP))) + 1000000 AS a_hi_us
+                FROM events
+                GROUP BY user_id,
+                         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                HAVING count(*) >= 2
+            )
+            SELECT w.window_id,
+                   count(*) AS n_intervals,
+                   count(DISTINCT a.user_id) AS n_users,
+                   CAST(sum(least(w.w_hi_us, a.a_hi_us)
+                            - greatest(w.w_lo_us, a.a_lo_us)) AS BIGINT)
+                       AS sum_overlap_us
+            FROM w JOIN a
+              ON greatest(w.w_lo_us, a.a_lo_us) < least(w.w_hi_us, a.a_hi_us)
+            GROUP BY 1
+        """,
         "events_sessionize": f"""
             WITH e AS (
                 SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
@@ -812,6 +895,7 @@ QUERIES = {
     "events_stream_stream_join": events_stream_stream_join,
     "j13_asof_join": j13_asof_join,
     "j14_range_window_count": j14_range_window_count,
+    "j17_interval_join": j17_interval_join,
     "events_sessionize": events_sessionize,
     # rows-only: no oracle_sql entry by design (see docstring)
     "events_sessionize_stream": events_sessionize_stream,
