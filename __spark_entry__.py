@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DEFERRED = [
     # round-6 iterative additions (CC / MinHash-graph downstream)
     "er_customer_clusters",
+    "er_golden_record",
     "geo_dbscan_clusters",
     "graph_modularity_dup",
     "ann_recall_eval",

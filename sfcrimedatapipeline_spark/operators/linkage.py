@@ -165,3 +165,60 @@ def resolve_entities(
     return cc.select(
         F.col("doc_id").alias(id_col), F.col("canonical_id")
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    longest: list[str] | None = None,
+    maxes: list[str] | None = None,
+    mins: list[str] | None = None,
+    modes: list[str] | None = None,
+) -> DataFrame:
+    """Survivorship merge: one canonical "golden" record per entity
+    cluster — the step after :func:`resolve_entities` in an MDM
+    pipeline. Strategies per attribute, all with TOTAL deterministic
+    orderings (a ``first()``-style pick would be partition-order
+    nondeterministic):
+
+    - ``longest``: longest value wins, lexicographically largest on
+      length ties (``max_by`` over a ``(length, value)`` struct).
+    - ``maxes`` / ``mins``: plain extreme.
+    - ``modes``: most frequent value wins, largest value on count ties
+      (per-(cluster, value) count then ``max_by`` over
+      ``(count, value)``).
+
+    One map-side-combined aggregation for longest/max/min/count; each
+    mode column adds one (cluster, value)-grained aggregate joined
+    back — every shuffle is on the cluster key, nothing is windowed.
+    Output: ``cluster_col``, ``n_members``, one column per rule.
+    """
+    longest = longest or []
+    maxes = maxes or []
+    mins = mins or []
+    modes = modes or []
+    aggs = [F.count("*").alias("n_members")]
+    for c in longest:
+        aggs.append(
+            F.max_by(
+                c, F.struct(F.length(c).alias("l"), F.col(c).alias("v"))
+            ).alias(c)
+        )
+    for c in maxes:
+        aggs.append(F.max(c).alias(c))
+    for c in mins:
+        aggs.append(F.min(c).alias(c))
+    out = df.groupBy(cluster_col).agg(*aggs)
+    for c in modes:
+        picked = (
+            df.groupBy(cluster_col, c)
+            .agg(F.count("*").alias("__c"))
+            .groupBy(cluster_col)
+            .agg(
+                F.max_by(
+                    c, F.struct(F.col("__c").alias("c"), F.col(c).alias("v"))
+                ).alias(c)
+            )
+        )
+        out = out.join(picked, cluster_col)
+    return out

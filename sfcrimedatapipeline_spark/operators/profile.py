@@ -869,3 +869,98 @@ def skyline_2d(
         & ((F.col("__dx") < F.col(x_col)) | (F.col("__dy") > F.col(y_col)))
     )
     return cand.join(F.broadcast(dom), on=dominated, how="left_anti")
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two groups — the
+    nonparametric two-sample monitor (did segment A's spend
+    distribution shift vs B's?) that, unlike the t-test, needs no
+    normality assumption. Returns one row: n_a, n_b, U for group a,
+    its null mean/stddev (tie-corrected), and the z statistic.
+
+    ``value_col`` must be integral (cast money to cents upstream): the
+    whole computation is EXACT integer/decimal arithmetic until the
+    final fixed-order IEEE formulas, so the result is bit-stable under
+    any partitioning and shared verbatim with the oracle (the s12
+    discipline; a built-in ``rank()`` + double sum would be neither).
+
+    Scale shape: ranks are never materialized per row. Values collapse
+    to (value, count_a, count_b) — one map-side-combined aggregate —
+    and the rank-before-each-value prefix sum over the distinct-value
+    frame is TWO-PHASE (range-repartition + local running sum + exact
+    per-partition offsets via the triangular ``partition_offsets``
+    join): no partition-less window even when the distinct-value count
+    scales with the data. Tie handling is the textbook average-rank:
+    a value with t ties contributes c_a·(2·before + t + 1)/2 to
+    group a's rank sum — kept doubled (integer) until the end.
+    """
+    from pyspark.sql import Window
+
+    from sfcrimedatapipeline_spark.operators.keys import partition_offsets
+
+    d = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("long").alias("__v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__is_a"),
+    )
+    vc = d.groupBy("__v").agg(
+        F.sum("__is_a").cast("long").alias("__c1"),
+        F.sum(1 - F.col("__is_a")).cast("long").alias("__c2"),
+        F.count("*").alias("__t"),
+    )
+    sorted_df = vc.repartitionByRange(F.asc("__v")).sortWithinPartitions(
+        F.asc("__v")
+    )
+    pid = F.spark_partition_id()
+    local_w = (
+        Window.partitionBy(pid)
+        .orderBy(F.asc("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_run = sorted_df.select(
+        pid.alias("__pid"),
+        F.sum("__t").over(local_w).alias("__run"),
+        "__v",
+        "__c1",
+        "__c2",
+        "__t",
+    )
+    counts = with_run.groupBy("__pid").agg(F.max("__run").alias("__n"))
+    offsets = partition_offsets(counts)
+    g = with_run.join(F.broadcast(offsets), "__pid")
+    before = F.col("__run") - F.col("__t") + F.col("__offset")
+    avg2 = before * 2 + F.col("__t") + 1  # doubled average rank of the tie block
+    td = F.col("__t").cast("decimal(38,0)")
+    base = g.agg(
+        F.sum("__c1").cast("long").alias("n_a"),
+        F.sum("__c2").cast("long").alias("n_b"),
+        F.sum(F.col("__c1").cast("decimal(38,0)") * avg2).alias("__r1_2"),
+        F.sum(td * td * td - td).alias("__ties"),
+    )
+    n1 = F.col("n_a").cast("double")
+    n2 = F.col("n_b").cast("double")
+    nn = n1 + n2
+    u_a = (F.col("__r1_2").cast("double") - n1 * (n1 + F.lit(1.0))) / F.lit(2.0)
+    mu = n1 * n2 / F.lit(2.0)
+    sigma = F.sqrt(
+        n1
+        * n2
+        / F.lit(12.0)
+        * (
+            (nn + F.lit(1.0))
+            - F.col("__ties").cast("double") / (nn * (nn - F.lit(1.0)))
+        )
+    )
+    return base.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        mu.alias("mu_u"),
+        sigma.alias("sigma_u"),
+        ((u_a - mu) / sigma).alias("z"),
+    )

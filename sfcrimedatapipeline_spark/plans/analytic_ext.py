@@ -123,14 +123,194 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_mwu_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test: did URGENT orders' price distribution shift
+    vs LOW ones? (operators/profile.py:mann_whitney_u — tie-corrected,
+    exact integer rank sums over the distinct-value frame with
+    two-phase prefix ranking, never a per-row rank)."""
+    from sfcrimedatapipeline_spark.operators.profile import mann_whitney_u
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return mann_whitney_u(o, "cents", "pr", "1-URGENT", "5-LOW")
+
+
+#: the five TPC-H order priorities — conditional-aggregate pivot keys
+ANOVA_GROUPS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def orders_anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order price across the five priorities:
+    between/within sums of squares, F statistic, and η² from EXACT
+    per-group moment sums (the s12 discipline). The k per-group sums
+    land as COLUMNS of one row via a conditional-aggregate pivot — the
+    cross-group reduction is then a FIXED expression tree, not a
+    partition-order double sum, so the result is bit-stable and shared
+    verbatim with the oracle. One map-side-combined pass."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cd = cents.cast("decimal(38,0)")
+    aggs = []
+    for i, p in enumerate(ANOVA_GROUPS):
+        hit = F.col("o_orderpriority") == p
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(f"n{i}"),
+            F.sum(F.when(hit, cents).otherwise(0)).cast("long").alias(f"s{i}"),
+            F.sum(F.when(hit, cd * cd).otherwise(F.lit(0).cast("decimal(38,0)")))
+            .alias(f"ss{i}"),
+        ]
+    base = o.agg(*aggs)
+
+    def d(c: str) -> F.Column:
+        return F.col(c).cast("double")
+
+    k = len(ANOVA_GROUPS)
+    n_total = F.col("n0") + F.col("n1") + F.col("n2") + F.col("n3") + F.col("n4")
+    s_total = F.col("s0") + F.col("s1") + F.col("s2") + F.col("s3") + F.col("s4")
+    ss_total = (
+        F.col("ss0") + F.col("ss1") + F.col("ss2") + F.col("ss3") + F.col("ss4")
+    )
+    nd = n_total.cast("double")
+    sd = s_total.cast("double")
+    ssd = ss_total.cast("double")
+    term = (
+        d("s0") * d("s0") / d("n0")
+        + d("s1") * d("s1") / d("n1")
+        + d("s2") * d("s2") / d("n2")
+        + d("s3") * d("s3") / d("n3")
+        + d("s4") * d("s4") / d("n4")
+    )
+    ssb = term - sd * sd / nd
+    sst = ssd - sd * sd / nd
+    ssw = sst - ssb
+    f_stat = (ssb / F.lit(float(k - 1))) / (ssw / (nd - F.lit(float(k))))
+    return base.select(
+        n_total.alias("n_total"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        f_stat.alias("f_stat"),
+        (ssb / sst).alias("eta_sq"),
+    )
+
+
 QUERIES = {
     "skyline_parts": skyline_parts,
     "events_trend_ols": events_trend_ols,
+    "orders_mwu_priority": orders_mwu_priority,
+    "orders_anova_priority": orders_anova_priority,
     # rows-only: sketch estimates are engine-specific by design
     "events_hll_rollup": events_hll_rollup,
 }
 
+def _anova_oracle_sql() -> str:
+    """Generated from the SAME group list and formula order as the
+    Spark expression tree — cross-engine bit-equality hinges on it."""
+    n_parts, s_parts, ss_parts = [], [], []
+    term_parts = []
+    for i, p in enumerate(ANOVA_GROUPS):
+        esc = p.replace("'", "''")
+        n_parts.append(
+            f"CAST(sum(CASE WHEN o_orderpriority = '{esc}' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n{i}"
+        )
+        s_parts.append(
+            f"CAST(sum(CASE WHEN o_orderpriority = '{esc}' THEN cents"
+            f" ELSE 0 END) AS BIGINT) AS s{i}"
+        )
+        ss_parts.append(
+            f"sum(CASE WHEN o_orderpriority = '{esc}'"
+            f" THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))"
+            f" ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss{i}"
+        )
+        term_parts.append(
+            f"CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE) / CAST(n{i} AS DOUBLE)"
+        )
+    k = len(ANOVA_GROUPS)
+    nd = "CAST(n0 + n1 + n2 + n3 + n4 AS DOUBLE)"
+    sd = "CAST(s0 + s1 + s2 + s3 + s4 AS DOUBLE)"
+    ssd = "CAST(ss0 + ss1 + ss2 + ss3 + ss4 AS DOUBLE)"
+    term = "\n                 + ".join(term_parts)
+    return f"""
+        WITH o AS (
+            SELECT o_orderpriority,
+                   CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                        AS BIGINT) AS cents
+            FROM orders
+        ),
+        m AS (
+            SELECT {", ".join(n_parts)},
+                   {", ".join(s_parts)},
+                   {", ".join(ss_parts)}
+            FROM o
+        ),
+        f AS (
+            SELECT n0 + n1 + n2 + n3 + n4 AS n_total,
+                   ({term})
+                       - {sd} * {sd} / {nd} AS ssb,
+                   {ssd} - {sd} * {sd} / {nd} AS sst
+            FROM m
+        )
+        SELECT n_total, ssb,
+               sst - ssb AS ssw,
+               (ssb / {float(k - 1)}) / ((sst - ssb) / (CAST(n_total AS DOUBLE)
+                   - {float(k)})) AS f_stat,
+               ssb / sst AS eta_sq
+        FROM f
+    """
+
+
 ORACLE_SQL = {
+    "orders_mwu_priority": """
+        WITH d AS (
+            SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                        AS BIGINT) AS v,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS is_a
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        vc AS (
+            SELECT v, sum(is_a) AS c1, sum(1 - is_a) AS c2, count(*) AS t
+            FROM d GROUP BY v
+        ),
+        r AS (
+            SELECT *,
+                   sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t
+                       AS bef
+            FROM vc
+        ),
+        m AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+                   CAST(sum(c2) AS BIGINT) AS n_b,
+                   sum(CAST(c1 AS DECIMAL(38,0)) * (bef * 2 + t + 1)) AS r1_2,
+                   sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+                       * CAST(t AS DECIMAL(38,0))
+                       - CAST(t AS DECIMAL(38,0))) AS ties
+            FROM r
+        ),
+        f AS (
+            SELECT n_a, n_b,
+                   (CAST(r1_2 AS DOUBLE)
+                       - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0))
+                       / 2.0 AS u_a,
+                   CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu_u,
+                   sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                        * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                           - CAST(ties AS DOUBLE)
+                             / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                                * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                                   - 1.0)))) AS sigma_u
+            FROM m
+        )
+        SELECT n_a, n_b, u_a, mu_u, sigma_u,
+               (u_a - mu_u) / sigma_u AS z
+        FROM f
+    """,
+    "orders_anova_priority": _anova_oracle_sql(),
     "skyline_parts": f"""
         WITH p AS (
             SELECT p_partkey, p_size,

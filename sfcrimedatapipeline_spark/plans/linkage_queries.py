@@ -84,16 +84,58 @@ def er_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkage.resolve_entities(matches).orderBy("rec_id")
 
 
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge after entity resolution
+    (operators/linkage.py:golden_record): one canonical record per
+    resolved entity — longest name (lexicographic max on ties), max
+    account balance, most frequent market segment (largest on count
+    ties), member count. Unmatched records are their own singleton
+    entity (canonical = self). Attributes come from the base customer
+    row (``rec_id % 1e7`` strips the variant offset), so every variant
+    of one customer carries the base's balance/segment and the merge's
+    work is the deterministic pick rules, which the hash gate checks
+    value-for-value against the oracle's window-ranked picks."""
+    from sfcrimedatapipeline_spark.operators.linkage import golden_record
+
+    dirty = _dirty_customers(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    ent = linkage.resolve_entities(er_customer_pairs(spark, sf_dir))
+    enriched = (
+        dirty.join(cust, dirty["rec_id"] % 10_000_000 == cust["c_custkey"])
+        .join(ent, "rec_id", "left")
+        .withColumn("canonical_id", F.coalesce("canonical_id", "rec_id"))
+        .select("canonical_id", "name", "acctbal", "segment")
+    )
+    g = golden_record(
+        enriched,
+        "canonical_id",
+        longest=["name"],
+        maxes=["acctbal"],
+        modes=["segment"],
+    )
+    return g.select(
+        "canonical_id",
+        F.col("name").alias("canonical_name"),
+        "n_members",
+        F.col("acctbal").alias("acctbal_max"),
+        F.col("segment").alias("segment_mode"),
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "er_customer_pairs": er_customer_pairs,
     "er_customer_clusters": er_customer_clusters,
+    "er_golden_record": er_golden_record,
 }
 
 
-#: shared dirty-records + scored-pairs SQL (DuckDB list comprehension
-#: mirrors char_trigrams' sequence+transform walk)
-_ER_PAIRS_SQL = f"""
-    WITH base AS (
+#: shared dirty-records CTEs (base + the three variant classes) —
+#: used by the pairs oracle and the golden-record oracle
+_DIRTY_CTES = """base AS (
         SELECT c_custkey AS rec_id, c_name AS name, c_nationkey AS nation
         FROM customer
     ),
@@ -111,7 +153,12 @@ _ER_PAIRS_SQL = f"""
                'Vendor ' || right(regexp_extract(name, '([0-9]+)', 1), 3),
                nation
         FROM base WHERE rec_id % 11 = 0
-    ),
+    )"""
+
+#: shared dirty-records + scored-pairs SQL (DuckDB list comprehension
+#: mirrors char_trigrams' sequence+transform walk)
+_ER_PAIRS_SQL = f"""
+    WITH {_DIRTY_CTES},
     recs AS (
         SELECT rec_id, nation,
                trim(regexp_replace(lower(name), '\\s+', ' ', 'g')) AS nm,
@@ -144,9 +191,7 @@ _ER_PAIRS_SQL = f"""
 """
 
 
-ORACLE_SQL: dict[str, str] = {
-    "er_customer_pairs": _ER_PAIRS_SQL,
-    "er_customer_clusters": f"""
+_ER_CLUSTERS_SQL = f"""
         WITH RECURSIVE m AS (
             SELECT id_a, id_b FROM ({_ER_PAIRS_SQL}) p
         ),
@@ -165,5 +210,51 @@ ORACLE_SQL: dict[str, str] = {
                CAST(min(r) AS BIGINT) AS canonical_id
         FROM reach GROUP BY id
         ORDER BY rec_id
+    """
+
+ORACLE_SQL: dict[str, str] = {
+    "er_customer_pairs": _ER_PAIRS_SQL,
+    "er_customer_clusters": _ER_CLUSTERS_SQL,
+    # golden record: window-ranked picks — deliberately a different
+    # formulation than the Spark side's max_by-over-struct, so the
+    # gate validates the total ordering of every survivorship rule
+    "er_golden_record": f"""
+        WITH {_DIRTY_CTES},
+        ent AS (SELECT * FROM ({_ER_CLUSTERS_SQL}) t),
+        enriched AS (
+            SELECT coalesce(e.canonical_id, d.rec_id) AS canonical_id,
+                   d.name, cu.c_acctbal AS acctbal,
+                   cu.c_mktsegment AS segment
+            FROM dirty d
+            JOIN customer cu ON cu.c_custkey = d.rec_id % 10000000
+            LEFT JOIN ent e ON e.rec_id = d.rec_id
+        ),
+        name_pick AS (
+            SELECT canonical_id, name AS canonical_name
+            FROM (SELECT canonical_id, name,
+                         row_number() OVER (
+                             PARTITION BY canonical_id
+                             ORDER BY len(name) DESC, name DESC) AS rn
+                  FROM enriched) WHERE rn = 1
+        ),
+        seg_pick AS (
+            SELECT canonical_id, segment AS segment_mode
+            FROM (SELECT canonical_id, segment,
+                         row_number() OVER (
+                             PARTITION BY canonical_id
+                             ORDER BY c DESC, segment DESC) AS rn
+                  FROM (SELECT canonical_id, segment, count(*) AS c
+                        FROM enriched GROUP BY 1, 2)) WHERE rn = 1
+        ),
+        agg AS (
+            SELECT canonical_id, count(*) AS n_members,
+                   max(acctbal) AS acctbal_max
+            FROM enriched GROUP BY 1
+        )
+        SELECT a.canonical_id, n.canonical_name, a.n_members,
+               a.acctbal_max, s.segment_mode
+        FROM agg a
+        JOIN name_pick n USING (canonical_id)
+        JOIN seg_pick s USING (canonical_id)
     """,
 }

@@ -117,3 +117,66 @@ def test_hll_rollup_within_5pct_of_exact(spark):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
+
+
+def test_mwu_matches_pure_python_with_ties(spark):
+    from sfcrimedatapipeline_spark.operators.profile import mann_whitney_u
+
+    a = [3, 5, 5, 7, 9, 9, 9, 12]
+    b = [1, 5, 6, 9, 10, 10]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+
+    # reference: average ranks over the pooled sample
+    pooled = sorted(a + b)
+    rank = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        for v in {pooled[i]}:
+            rank[v] = (i + 1 + j) / 2  # average of ranks i+1..j
+        i = j
+    r1 = sum(rank[v] for v in a)
+    u1 = r1 - len(a) * (len(a) + 1) / 2
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert abs(out["u_a"] - u1) < 1e-9
+    assert abs(out["mu_u"] - len(a) * len(b) / 2) < 1e-9
+    # tie-corrected sigma (textbook formula)
+    from collections import Counter
+
+    n, m = len(a), len(b)
+    nn = n + m
+    ties = sum(t**3 - t for t in Counter(pooled).values())
+    sigma = (n * m / 12 * ((nn + 1) - ties / (nn * (nn - 1)))) ** 0.5
+    assert abs(out["sigma_u"] - sigma) < 1e-9
+    assert abs(out["z"] - (u1 - n * m / 2) / sigma) < 1e-9
+
+
+def test_golden_record_deterministic_tie_rules(spark):
+    from sfcrimedatapipeline_spark.operators.linkage import golden_record
+
+    rows = [
+        # cluster 1: name ties on length -> lexicographic max;
+        # segment mode ties 2-2 -> larger value wins
+        (1, "abc", 5.0, "AUTO"),
+        (1, "abd", 7.0, "AUTO"),
+        (1, "ab", 1.0, "FOOD"),
+        (1, "xy", 2.0, "FOOD"),
+        # cluster 2: singleton
+        (2, "solo", 3.0, "HOME"),
+    ]
+    df = spark.createDataFrame(rows, "cid long, name string, bal double, seg string")
+    out = {
+        r["cid"]: r
+        for r in golden_record(
+            df, "cid", longest=["name"], maxes=["bal"], modes=["seg"]
+        ).collect()
+    }
+    assert out[1]["name"] == "abd"  # longest (3) tie -> max lexicographic
+    assert out[1]["bal"] == 7.0
+    assert out[1]["seg"] == "FOOD"  # 2-2 tie -> larger value
+    assert out[1]["n_members"] == 4
+    assert out[2]["name"] == "solo" and out[2]["n_members"] == 1
