@@ -245,3 +245,62 @@ def grid_density_clusters(
         )
     )
     return out
+
+
+def point_in_polygon_counts(
+    points: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Assign each point to the polygons containing it (ray casting)
+    and return per-point membership: ``(id, poly_id)`` for every
+    polygon whose boundary an upward ray from the point crosses an odd
+    number of times. The district-assignment primitive the reference's
+    PdDistrict column implies but never computes.
+
+    ``points``: (id, x, y) in exact integer units (quantize upstream
+    with the module's cents formula). ``edges``: (poly_id, x1, y1,
+    x2, y2) — one row per polygon edge; polygon tables are tiny
+    (boundaries, not data), so the pair space is a BROADCAST
+    nested-loop of points x edges — rows x edges comparisons, each a
+    few integer ops, with no shuffle of the points beyond the final
+    parity groupBy on (id, poly_id).
+
+    Crossing test is EXACT integer arithmetic (the module discipline —
+    no division, so no float rounding and no engine divergence):
+    the edge straddles the horizontal at py iff ``(y1 <= py) !=
+    (y2 <= py)`` (half-open: a vertex exactly at py belongs to the
+    edge going up from it, counting each crossing once), and the
+    intersection lies strictly right of the point iff the
+    cross-multiplied ``(x1-px)(y2-y1) + (x2-x1)(py-y1)`` is positive
+    when y2 > y1, negative otherwise. Coordinates up to ~2e7 units
+    keep the products < 2^63.
+    """
+    p = points
+    cross = (
+        ((F.col("y1") <= F.col("__py")) != (F.col("y2") <= F.col("__py")))
+        & (
+            F.when(
+                F.col("y2") > F.col("y1"),
+                (F.col("x1") - F.col("__px")) * (F.col("y2") - F.col("y1"))
+                + (F.col("x2") - F.col("x1")) * (F.col("__py") - F.col("y1"))
+                > 0,
+            ).otherwise(
+                (F.col("x1") - F.col("__px")) * (F.col("y2") - F.col("y1"))
+                + (F.col("x2") - F.col("x1")) * (F.col("__py") - F.col("y1"))
+                < 0
+            )
+        )
+    )
+    pts = p.select(
+        F.col(id_col),
+        F.col("x").alias("__px"),
+        F.col("y").alias("__py"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(edges))
+        .groupBy(id_col, "poly_id")
+        .agg(F.sum(F.when(cross, 1).otherwise(0)).alias("__n_cross"))
+        .filter(F.col("__n_cross") % 2 == 1)
+        .select(id_col, "poly_id")
+    )

@@ -77,3 +77,68 @@ def bucketed_colocated_join(
     spark = SparkSession.getActiveSession()
     l, r = spark.table(left_name), spark.table(right_name)
     return l.hint("merge").join(r, F.col(left_key) == F.col(right_key))
+
+
+def join_strategy_advisor(
+    left: DataFrame,
+    right: DataFrame,
+    l_key: str,
+    r_key: str,
+    broadcast_rows: int = 1_000_000,
+    skew_share: float = 0.2,
+) -> DataFrame:
+    """Pre-flight join diagnosis: one row of exact key statistics for
+    both sides plus the physical strategy a planner should pick —
+    ``broadcast_left``/``broadcast_right`` when a side fits the
+    broadcast budget (row-count proxy; plug in byte stats where
+    available), ``salted_shuffle`` when the hottest key carries more
+    than ``skew_share`` of the bigger side (one reducer would own that
+    key's whole partition — operators/joins.py:salted_left_join is the
+    fix), else ``shuffle``. The decision CASE is deterministic on
+    exact aggregates, so the whole report is hash-gateable.
+
+    Cost: one map-side-combined aggregate per side (count + distinct +
+    max single-key count via a two-level groupBy) — the same stats an
+    ANALYZE would persist; run it once and store the row.
+    """
+
+    def stats(df: DataFrame, key: str, tag: str) -> DataFrame:
+        per_key = df.groupBy(F.col(key).alias("__k")).agg(
+            F.count("*").alias("__c")
+        )
+        return per_key.agg(
+            F.sum("__c").cast("long").alias(f"{tag}_rows"),
+            F.count("*").cast("long").alias(f"{tag}_keys"),
+            F.max("__c").cast("long").alias(f"{tag}_max_key_rows"),
+        )
+    ls = stats(left, l_key, "left")
+    rs = stats(right, r_key, "right")
+    rep = ls.crossJoin(rs)
+    bigger_rows = F.greatest(F.col("left_rows"), F.col("right_rows"))
+    hot_share = (
+        F.when(
+            F.col("left_rows") >= F.col("right_rows"),
+            F.col("left_max_key_rows").cast("double")
+            / F.col("left_rows").cast("double"),
+        ).otherwise(
+            F.col("right_max_key_rows").cast("double")
+            / F.col("right_rows").cast("double")
+        )
+    )
+    strategy = (
+        F.when(F.col("right_rows") <= broadcast_rows, F.lit("broadcast_right"))
+        .when(F.col("left_rows") <= broadcast_rows, F.lit("broadcast_left"))
+        .when(hot_share > skew_share, F.lit("salted_shuffle"))
+        .otherwise(F.lit("shuffle"))
+    )
+    return rep.select(
+        "left_rows",
+        "left_keys",
+        "left_max_key_rows",
+        "right_rows",
+        "right_keys",
+        "right_max_key_rows",
+        hot_share.alias("hot_key_share"),
+        bigger_rows.alias("bigger_side_rows"),
+        strategy.alias("strategy"),
+    )

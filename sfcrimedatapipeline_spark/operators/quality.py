@@ -347,3 +347,51 @@ def dp_release_counts(
     if k_threshold is not None:
         released = released.filter(F.col("released_n") >= k_threshold)
     return released
+
+
+def repair_nulls_by_fd(
+    df: DataFrame,
+    det_col: str,
+    dep_col: str,
+    repaired_flag: str = "was_repaired",
+) -> DataFrame:
+    """Impute NULLs in ``dep_col`` from a functional dependency
+    ``det_col → dep_col`` discovered in the data itself (the repair
+    step after ``profile_functional_deps`` flags the FD): for each
+    determinant value, the surviving value is the MODE of the non-null
+    dependents, largest value on count ties — a total deterministic
+    order, so the repair is reproducible across runs and engines.
+
+    Two shuffles on the determinant (one to build the mode map, one
+    broadcast-joined back if small — Spark's AQE will broadcast the
+    map side when it fits, since it has one row per distinct
+    determinant). Rows whose determinant has no non-null dependent
+    anywhere stay NULL with ``repaired_flag`` false.
+    """
+    m = (
+        df.filter(F.col(dep_col).isNotNull())
+        .groupBy(det_col, dep_col)
+        .agg(F.count("*").alias("__c"))
+        .groupBy(det_col)
+        .agg(
+            F.max_by(
+                dep_col,
+                F.struct(F.col("__c").alias("c"), F.col(dep_col).alias("v")),
+            ).alias("__fill")
+        )
+    )
+    out_cols = [
+        F.coalesce(F.col(dep_col), F.col("__fill")).alias(c)
+        if c == dep_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return (
+        df.join(m, det_col, "left")
+        .select(
+            *out_cols,
+            (F.col(dep_col).isNull() & F.col("__fill").isNotNull()).alias(
+                repaired_flag
+            ),
+        )
+    )

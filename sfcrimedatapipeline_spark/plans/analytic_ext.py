@@ -197,8 +197,96 @@ def orders_anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: advisor broadcast budget (rows) — demo-scoped; a deployment feeds
+#: byte stats. 20k puts sf0.01 orders under it and sf0.1 over it, so
+#: both decision branches get exercised across the gate and the bench.
+ADVISOR_BROADCAST_ROWS = 20_000
+ADVISOR_SKEW_SHARE = 0.2
+
+
+def advisor_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pre-flight report for lineitem ⋈ orders
+    (operators/joins.py:join_strategy_advisor): exact per-side key
+    stats + the physical strategy a planner should pick. The decision
+    CASE runs on exact aggregates, so the whole report — including the
+    recommendation string — is hash-gated."""
+    from sfcrimedatapipeline_spark.operators.joins import join_strategy_advisor
+
+    return join_strategy_advisor(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+        broadcast_rows=ADVISOR_BROADCAST_ROWS,
+        skew_share=ADVISOR_SKEW_SHARE,
+    )
+
+
+def dq_repair_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD-based NULL repair (operators/quality.py:repair_nulls_by_fd)
+    on the staging frame: ``Incident Description`` functionally
+    determines ``Incident Category`` (both are modular picks off the
+    id — id%400 fixes id%10), so the mode-per-determinant fill
+    restores every NULLed category (every 50th row). Gated on the
+    post-repair per-category counts; a wrong mode pick or a missed
+    repair shifts a count."""
+    from sfcrimedatapipeline_spark.operators.quality import repair_nulls_by_fd
+    from sfcrimedatapipeline_spark.plans.fact_queries import _staging_from_events
+
+    st = _staging_from_events(spark, sf_dir).select(
+        "id",
+        F.col("Incident Description").alias("descr"),
+        F.col("Incident Category").alias("cat"),
+    )
+    rep = repair_nulls_by_fd(st, det_col="descr", dep_col="cat")
+    return rep.groupBy("cat").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("was_repaired"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_repaired"),
+    )
+
+
+def _repair_oracle_sql() -> str:
+    from sfcrimedatapipeline_spark.testing import _CATEGORIES
+
+    cats = "[" + ", ".join(f"'{c}'" for c in _CATEGORIES) + "]"
+    return f"""
+        WITH s AS (
+            SELECT event_id AS id,
+                   'desc ' || CAST(event_id % 400 AS VARCHAR) AS descr,
+                   CASE WHEN event_id % 50 = 0 THEN NULL
+                        ELSE {cats}[CAST(event_id % 10 AS INT) + 1]
+                   END AS cat
+            FROM events
+        ),
+        counts AS (
+            SELECT descr, cat, count(*) AS c
+            FROM s WHERE cat IS NOT NULL GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT descr, cat AS fill FROM (
+                SELECT descr, cat,
+                       row_number() OVER (PARTITION BY descr
+                                          ORDER BY c DESC, cat DESC) AS rn
+                FROM counts) WHERE rn = 1
+        ),
+        rep AS (
+            SELECT coalesce(s.cat, m.fill) AS cat,
+                   (s.cat IS NULL AND m.fill IS NOT NULL) AS was_repaired
+            FROM s LEFT JOIN m USING (descr)
+        )
+        SELECT cat, count(*) AS n_rows,
+               CAST(sum(CASE WHEN was_repaired THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repaired
+        FROM rep GROUP BY 1
+    """
+
+
 QUERIES = {
     "skyline_parts": skyline_parts,
+    "advisor_join_strategy": advisor_join_strategy,
+    "dq_repair_category": dq_repair_category,
     "events_trend_ols": events_trend_ols,
     "orders_mwu_priority": orders_mwu_priority,
     "orders_anova_priority": orders_anova_priority,
@@ -264,6 +352,42 @@ def _anova_oracle_sql() -> str:
 
 
 ORACLE_SQL = {
+    "dq_repair_category": _repair_oracle_sql(),
+    "advisor_join_strategy": f"""
+        WITH l AS (SELECT l_orderkey AS k, count(*) AS c
+                   FROM lineitem GROUP BY 1),
+        r AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        ls AS (SELECT CAST(sum(c) AS BIGINT) AS left_rows,
+                      count(*) AS left_keys,
+                      CAST(max(c) AS BIGINT) AS left_max_key_rows FROM l),
+        rs AS (SELECT CAST(sum(c) AS BIGINT) AS right_rows,
+                      count(*) AS right_keys,
+                      CAST(max(c) AS BIGINT) AS right_max_key_rows FROM r),
+        j AS (SELECT * FROM ls CROSS JOIN rs),
+        h AS (
+            SELECT *,
+                   CASE WHEN left_rows >= right_rows
+                        THEN CAST(left_max_key_rows AS DOUBLE)
+                             / CAST(left_rows AS DOUBLE)
+                        ELSE CAST(right_max_key_rows AS DOUBLE)
+                             / CAST(right_rows AS DOUBLE)
+                   END AS hot_key_share
+            FROM j
+        )
+        SELECT left_rows, left_keys, left_max_key_rows,
+               right_rows, right_keys, right_max_key_rows,
+               hot_key_share,
+               greatest(left_rows, right_rows) AS bigger_side_rows,
+               CASE WHEN right_rows <= {ADVISOR_BROADCAST_ROWS}
+                         THEN 'broadcast_right'
+                    WHEN left_rows <= {ADVISOR_BROADCAST_ROWS}
+                         THEN 'broadcast_left'
+                    WHEN hot_key_share > {ADVISOR_SKEW_SHARE}
+                         THEN 'salted_shuffle'
+                    ELSE 'shuffle'
+               END AS strategy
+        FROM h
+    """,
     "orders_mwu_priority": """
         WITH d AS (
             SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)

@@ -110,11 +110,109 @@ def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: synthetic district boundaries in exact integer 1e-5-degree units
+#: (y = ilat, x = ilon) over the staging lattice extent — rectangle,
+#: non-convex L-shape, and a triangle overlapping both, so the parity
+#: test is exercised on >1 crossing and on multi-membership points.
+#: ONE constant generates the Spark edge frame AND the oracle VALUES.
+DISTRICT_POLYGONS: dict[int, list[tuple[int, int]]] = {
+    1: [
+        (-12_250_000, 3_771_000),
+        (-12_244_000, 3_771_000),
+        (-12_244_000, 3_776_000),
+        (-12_250_000, 3_776_000),
+    ],
+    # L-shape straddling the sf0.01 diagonal (ids <= 10k put every
+    # point on y = x + 16_021_000): the notch cuts ids ~6000-6500 out
+    # of the 6000-9000 band only when y < 3_776_500, so the concavity
+    # is load-bearing at both scale factors
+    2: [
+        (-12_245_000, 3_775_500),
+        (-12_242_000, 3_775_500),
+        (-12_242_000, 3_782_000),
+        (-12_244_000, 3_782_000),
+        (-12_244_000, 3_776_500),
+        (-12_245_000, 3_776_500),
+    ],
+    3: [
+        (-12_249_000, 3_777_000),
+        (-12_238_000, 3_777_000),
+        (-12_244_000, 3_782_500),
+    ],
+}
+
+
+def _district_edges() -> list[tuple[int, int, int, int, int]]:
+    out = []
+    for pid, ring in sorted(DISTRICT_POLYGONS.items()):
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            out.append((pid, x1, y1, x2, y2))
+    return out
+
+
+def geo_district_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon district assignment
+    (operators/geo.py:point_in_polygon_counts, exact-integer ray
+    casting): how many incidents fall inside each synthetic district
+    boundary. The oracle recomputes the same parity test as a plain
+    CROSS JOIN over a VALUES edge list generated from the SAME
+    constant — a wrong crossing rule or a lost multi-membership point
+    shows as a count mismatch."""
+    from sfcrimedatapipeline_spark.operators.geo import point_in_polygon_counts
+
+    pts = (
+        _points(spark, sf_dir)
+        .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .select(
+            F.col("id"),
+            F.floor(F.col("lon") * 100000 + F.lit(0.5)).cast("long").alias("x"),
+            F.floor(F.col("lat") * 100000 + F.lit(0.5)).cast("long").alias("y"),
+        )
+    )
+    edges = spark.createDataFrame(
+        _district_edges(), "poly_id int, x1 long, y1 long, x2 long, y2 long"
+    )
+    inside = point_in_polygon_counts(pts, edges, id_col="id")
+    return inside.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "geo_grid_hotspots": geo_grid_hotspots,
     "geo_radius_pairs": geo_radius_pairs,
     "geo_dbscan_clusters": geo_dbscan_clusters,
+    "geo_district_assign": geo_district_assign,
 }
+
+
+def _district_oracle_sql() -> str:
+    """DuckDB twin generated from DISTRICT_POLYGONS — same edges, same
+    exact-integer crossing rule."""
+    values = ",\n               ".join(
+        f"({p}, {x1}, {y1}, {x2}, {y2})"
+        for p, x1, y1, x2, y2 in _district_edges()
+    )
+    num = "(e.x1 - p.ilon) * (e.y2 - e.y1) + (e.x2 - e.x1) * (p.ilat - e.y1)"
+    return f"""
+        WITH {_PTS},
+        edges(poly_id, x1, y1, x2, y2) AS (
+            VALUES {values}
+        ),
+        c AS (
+            SELECT p.pid, e.poly_id,
+                   sum(CASE WHEN ((e.y1 <= p.ilat) <> (e.y2 <= p.ilat))
+                             AND (CASE WHEN e.y2 > e.y1
+                                       THEN {num} > 0
+                                       ELSE {num} < 0 END)
+                        THEN 1 ELSE 0 END) AS n_cross
+            FROM pts p CROSS JOIN edges e
+            GROUP BY 1, 2
+        )
+        SELECT CAST(poly_id AS INTEGER) AS poly_id,
+               count(*) AS n_points
+        FROM c WHERE n_cross % 2 = 1
+        GROUP BY 1
+    """
 
 _PTS = """
     pts AS (
@@ -128,6 +226,7 @@ _PTS = """
 """
 
 ORACLE_SQL: dict[str, str] = {
+    "geo_district_assign": _district_oracle_sql(),
     "geo_grid_hotspots": f"""
         WITH {_PTS},
         cells AS (

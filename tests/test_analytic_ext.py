@@ -180,3 +180,79 @@ def test_golden_record_deterministic_tie_rules(spark):
     assert out[1]["seg"] == "FOOD"  # 2-2 tie -> larger value
     assert out[1]["n_members"] == 4
     assert out[2]["name"] == "solo" and out[2]["n_members"] == 1
+
+
+def _brute_pip(px, py, ring):
+    # pure-python ray cast, same half-open rule
+    n = len(ring)
+    c = 0
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 <= py) != (y2 <= py):
+            num = (x1 - px) * (y2 - y1) + (x2 - x1) * (py - y1)
+            if (num > 0) if y2 > y1 else (num < 0):
+                c += 1
+    return c % 2 == 1
+
+
+def test_point_in_polygon_nonconvex_matches_brute_force(spark):
+    import random
+
+    from sfcrimedatapipeline_spark.operators.geo import point_in_polygon_counts
+
+    ring = [(0, 0), (100, 0), (100, 100), (60, 100), (60, 40), (40, 40),
+            (40, 100), (0, 100)]  # U-shape: concave notch at top
+    edges = spark.createDataFrame(
+        [(1, *ring[i], *ring[(i + 1) % len(ring)]) for i in range(len(ring))],
+        "poly_id int, x1 long, y1 long, x2 long, y2 long",
+    )
+    rng = random.Random(11)
+    pts = [(i, rng.randrange(-20, 121), rng.randrange(-20, 121))
+           for i in range(400)]
+    pdf = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        r["id"] for r in point_in_polygon_counts(pdf, edges).collect()
+    }
+    want = {i for i, x, y in pts if _brute_pip(x, y, ring)}
+    assert got == want
+    # the notch interior is outside
+    assert not _brute_pip(50, 80, ring)
+
+
+def test_repair_nulls_by_fd_unfillable_determinant_stays_null(spark):
+    from sfcrimedatapipeline_spark.operators.quality import repair_nulls_by_fd
+
+    df = spark.createDataFrame(
+        [(1, "d1", "A"), (2, "d1", None), (3, "d1", "B"), (4, "d1", "B"),
+         (5, "d2", None)],  # d2 has no non-null dependent anywhere
+        "id long, det string, dep string",
+    )
+    out = {r["id"]: r for r in repair_nulls_by_fd(df, "det", "dep").collect()}
+    assert out[2]["dep"] == "B" and out[2]["was_repaired"]  # mode (2x B)
+    assert out[5]["dep"] is None and not out[5]["was_repaired"]
+    assert not out[1]["was_repaired"]
+
+
+def test_join_advisor_branches(spark):
+    from sfcrimedatapipeline_spark.operators.joins import join_strategy_advisor
+
+    big = spark.createDataFrame(
+        [(i % 7, i) for i in range(1000)], "k long, v long"
+    )
+    skewed = spark.createDataFrame(
+        [(0 if i < 900 else i, i) for i in range(1000)], "k long, v long"
+    )
+    small = spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+    r1 = join_strategy_advisor(big, small, "k", "k", broadcast_rows=100).collect()[0]
+    assert r1["strategy"] == "broadcast_right"
+    r2 = join_strategy_advisor(small, big, "k", "k", broadcast_rows=100).collect()[0]
+    assert r2["strategy"] == "broadcast_left"
+    r3 = join_strategy_advisor(
+        skewed, big, "k", "k", broadcast_rows=10, skew_share=0.2
+    ).collect()[0]
+    assert r3["strategy"] == "salted_shuffle" and r3["hot_key_share"] == 0.9
+    r4 = join_strategy_advisor(
+        big, big, "k", "k", broadcast_rows=10, skew_share=0.5
+    ).collect()[0]
+    assert r4["strategy"] == "shuffle"
