@@ -559,3 +559,65 @@ def rolling_zscore(
         z.alias("zscore"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def holt_linear_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 7,
+) -> DataFrame:
+    """Per-key Holt double-exponential (level + trend) smoothing with an
+    h-step-ahead forecast — the capacity-planning op a metrics
+    warehouse runs nightly. Returns one row per (key, h) with the
+    forecast and the final smoothed level/trend.
+
+    The recurrence is inherently sequential per key, so this is the
+    one shape that belongs in ``applyInPandas``: Arrow-batched numpy
+    per key, keys distributed across executors, zero shuffles beyond
+    the groupBy. Contract: one key's HISTORY fits an executor (true by
+    construction when the input is a per-key daily/hourly rollup — a
+    century of days is 36.5k rows); the raw event stream must be
+    aggregated to the forecast grain upstream.
+
+    Initialization: level = y[0], trend = y[1] - y[0] (0 for
+    singleton series). Mathematical invariants the tests pin: a
+    constant series forecasts the constant for every h; an exactly
+    linear series stays ON the line for any alpha/beta (the update
+    fixes level_t = y_t, trend_t = slope exactly), so h-step forecasts
+    extrapolate it exactly. Gated rows-only (an iterative recurrence
+    has no SQL twin); determinism comes from fixed-order IEEE
+    arithmetic over a sorted series with an explicit tie-break on ts.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} string, h int, forecast double, level double, trend double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        lvl = float(y[0])
+        trend = float(y[1] - y[0]) if len(y) > 1 else 0.0
+        for t in range(1, len(y)):
+            prev = lvl + trend
+            new_lvl = alpha * float(y[t]) + (1.0 - alpha) * prev
+            trend = beta * (new_lvl - lvl) + (1.0 - beta) * trend
+            lvl = new_lvl
+        key = pdf[key_col].iloc[0]
+        return pd.DataFrame(
+            {
+                key_col: [key] * horizon,
+                "h": np.arange(1, horizon + 1, dtype=np.int32),
+                "forecast": [lvl + h * trend for h in range(1, horizon + 1)],
+                "level": [lvl] * horizon,
+                "trend": [trend] * horizon,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(fit, schema=out_schema)

@@ -197,6 +197,24 @@ def orders_anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day Holt (level+trend) forecast of daily total event value per
+    event type (operators/temporal.py:holt_linear_forecast —
+    applyInPandas per key over the day-grain rollup). The input series
+    is exact (integer cents summed, one final division), so the
+    smoothing arithmetic is reproducible across runs/partitionings."""
+    from sfcrimedatapipeline_spark.operators.temporal import holt_linear_forecast
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg((F.sum(cents) / F.lit(100.0)).alias("daily_value"))
+    return holt_linear_forecast(
+        daily, "event_type", "day", "daily_value", alpha=0.5, beta=0.3, horizon=7
+    ).orderBy("event_type", "h")
+
+
 #: advisor broadcast budget (rows) — demo-scoped; a deployment feeds
 #: byte stats. 20k puts sf0.01 orders under it and sf0.1 over it, so
 #: both decision branches get exercised across the gate and the bench.
@@ -292,6 +310,10 @@ QUERIES = {
     "orders_anova_priority": orders_anova_priority,
     # rows-only: sketch estimates are engine-specific by design
     "events_hll_rollup": events_hll_rollup,
+    # rows-only: iterative smoothing recurrence has no SQL twin;
+    # exactness pinned by mathematical invariants in
+    # tests/test_analytic_ext.py (constant + linear series)
+    "events_holt_forecast": events_holt_forecast,
 }
 
 def _anova_oracle_sql() -> str:

@@ -256,3 +256,39 @@ def test_join_advisor_branches(spark):
         big, big, "k", "k", broadcast_rows=10, skew_share=0.5
     ).collect()[0]
     assert r4["strategy"] == "shuffle"
+
+
+def test_holt_constant_series_forecasts_constant(spark):
+    from sfcrimedatapipeline_spark.operators.temporal import holt_linear_forecast
+
+    df = spark.createDataFrame(
+        [("k", t, 42.0) for t in range(20)], "key string, ts long, v double"
+    )
+    rows = holt_linear_forecast(
+        df, "key", "ts", "v", alpha=0.4, beta=0.2, horizon=5
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r["forecast"] - 42.0) < 1e-9
+        assert abs(r["trend"]) < 1e-9
+
+
+def test_holt_linear_series_extrapolates_exactly(spark):
+    from sfcrimedatapipeline_spark.operators.temporal import holt_linear_forecast
+
+    # y = 7t + 3: Holt stays exactly on the line for any alpha/beta
+    df = spark.createDataFrame(
+        [("a", t, 7.0 * t + 3.0) for t in range(30)]
+        + [("b", t, -2.0 * t + 100.0) for t in range(15)],
+        "key string, ts long, v double",
+    )
+    out = {
+        (r["key"], r["h"]): r
+        for r in holt_linear_forecast(
+            df, "key", "ts", "v", alpha=0.7, beta=0.1, horizon=3
+        ).collect()
+    }
+    for h in (1, 2, 3):
+        assert abs(out[("a", h)]["forecast"] - (7.0 * (29 + h) + 3.0)) < 1e-6
+        assert abs(out[("b", h)]["forecast"] - (-2.0 * (14 + h) + 100.0)) < 1e-6
+    assert abs(out[("a", 1)]["trend"] - 7.0) < 1e-9

@@ -118,6 +118,12 @@ CROSS_OK: dict[str, str] = {
     "docs_sample_negatives": "partition_offsets triangular join (P-bounded)",
     "corpus_epoch_order": "partition_offsets triangular join (P-bounded)",
     "sample_pps": "partition_offsets triangular join + 1-row total",
+    # round-6b additions (verified in-plan): each BNLJ build side is
+    # aggregate-bounded, never a data-cardinality frame
+    "skyline_parts": "dominance anti-join over O(frontier) band-pruned candidates",
+    "advisor_join_strategy": "crossJoin of two 1-row stat aggregates",
+    "orders_mwu_priority": "partition_offsets triangular join (P-bounded)",
+    "geo_district_assign": "broadcast polygon edge list (boundary-bounded)",
 }
 
 #: BatchEvalPython whitelist — Python surfaces that exist to DEMO the
@@ -154,6 +160,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "fact_crime_build": "3 dim surrogate keys over SELECT DISTINCT",
     "serve_initial_reports": "dim surrogate keys over SELECT DISTINCT",
     "fact_cube_districts": "dim surrogate keys over SELECT DISTINCT",
+    "skyline_parts": "band running-max over x-range/band_width rows (aggregate-bounded)",
 }
 
 
