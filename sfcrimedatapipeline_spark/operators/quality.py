@@ -395,3 +395,65 @@ def repair_nulls_by_fd(
             ),
         )
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """t-closeness audit — the third rung of the anonymity ladder after
+    k-anonymity (group size) and l-diversity (distinct sensitive
+    values): per quasi-identifier group, the distance between the
+    group's sensitive-value distribution and the whole table's. For
+    categorical sensitive attributes the ground distance is uniform,
+    so EMD reduces to total variation: t = ½·Σ_v |p_g(v) − p(v)|.
+
+    EXACT-RATIONAL: the summand is |c_gv·N − C_v·n_g| in integers
+    (cross-multiplied, never a per-value float ratio), one final
+    division to double — bit-stable under any partitioning and shared
+    verbatim with the oracle. BIGINT headroom: c_gv·N ≤ n·N caps at
+    ~3·10⁹ rows; lift the product to DECIMAL(38,0) past that.
+
+    Cost: one (quasi × sensitive)-grained aggregate, one broadcast of
+    the value-marginal (sensitive-domain-bounded), one group rollup.
+    Values the group LACKS still contribute |0 − C_v·n_g| via the
+    marginal side: the complement term Σ_{v∉g} C_v·n_g = (N − Σ_{v∈g}
+    C_v)·n_g is added in closed form rather than densifying the join.
+    """
+    from pyspark.sql import Window
+
+    gv = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count("*").alias("__c_gv")
+    )
+    marg = df.groupBy(sensitive_col).agg(F.count("*").alias("__c_v"))
+    total = df.count()  # driver scalar (an aggregate, not a row collect)
+    # group size on the ALREADY-AGGREGATED (quasi x sensitive) frame —
+    # the window input is domain-bounded, never the data
+    gv2 = gv.withColumn(
+        "__n_g", F.sum("__c_gv").over(Window.partitionBy(*quasi_cols))
+    )
+    per_group = (
+        gv2.join(F.broadcast(marg), sensitive_col)
+        .groupBy(*quasi_cols)
+        .agg(
+            F.max("__n_g").cast("long").alias("n_g"),
+            F.sum(
+                F.abs(
+                    F.col("__c_gv") * F.lit(total)
+                    - F.col("__c_v") * F.col("__n_g")
+                )
+            ).alias("__present_num"),
+            F.sum("__c_v").cast("long").alias("__cv_present"),
+        )
+    )
+    n_g = F.col("n_g")
+    num = F.col("__present_num") + (F.lit(total) - F.col("__cv_present")) * n_g
+    return per_group.select(
+        *quasi_cols,
+        "n_g",
+        (
+            num.cast("double")
+            / (F.lit(2.0) * n_g.cast("double") * F.lit(float(total)))
+        ).alias("t_closeness"),
+    )

@@ -1182,3 +1182,180 @@ def cosine_topk_sq8(
             "cosine_sq8",
         )
     )
+
+
+def gram_matrix_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """EXACT Gram matrix Σ qᵀq over integer-quantized embeddings —
+    the d×d summary that feeds PCA/whitening without ever shuffling a
+    vector. Each float is quantized ONCE to ``round(x·2^scale_bits)``
+    (deterministic), per-Arrow-batch partial Grams accumulate in numpy
+    int64 (|x|≤2 ⇒ products < 2^42; a 10k-row batch stays < 2^56), and
+    the cross-batch merge is a DECIMAL(38,0) sum on (i, j) — map-side
+    combined, shuffle = d² rows per task regardless of corpus size.
+
+    Returns (i, j, gram_q) with 1-based indices and the QUANTIZED
+    integer gram (divide by 2^(2·scale_bits) for the float Gram).
+    Bit-stable under any partitioning: integer addition commutes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    scale = float(1 << scale_bits)
+    ij = np.indices((dim, dim)) + 1  # 1-based
+
+    def acc(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(m * scale + 0.5).astype(np.int64)
+            g = q.T @ q
+            yield pd.DataFrame(
+                {
+                    "i": ij[0].ravel(),
+                    "j": ij[1].ravel(),
+                    "g": g.ravel(),
+                }
+            )
+
+    partial = df.select(vec_col).mapInPandas(acc, "i long, j long, g long")
+    return partial.groupBy("i", "j").agg(
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("gram_q")
+    )
+
+
+def pca_eigenvalues(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = DEFAULT_DIM,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Top-k PCA eigenvalues + explained-variance ratios of the
+    embedding covariance. Distributed part is EXACT and bounded: the
+    quantized Gram (``gram_matrix_exact``) plus per-dimension integer
+    sums — d² + d rows collected to the driver (4 KB·d²/4096 — metadata,
+    not data), where the covariance is assembled and ``eigvalsh`` runs
+    on a d×d symmetric matrix. Eigen-VECTORS are deliberately not
+    returned (sign/rotation ambiguity breaks any cross-run contract);
+    eigenvalues are rotation-free.
+
+    Gated rows-only: LAPACK eigensolvers are iterative and
+    platform-specific; tests pin parity against ``np.cov`` + eigvalsh
+    on the same data and the trace identity Σλ = tr(C).
+    """
+    import numpy as np
+
+    gram_rows = gram_matrix_exact(df, vec_col, dim, scale_bits).collect()
+    scale = float(1 << scale_bits)
+    sums = (
+        df.select(
+            F.posexplode(
+                F.transform(
+                    vec_col,
+                    lambda x: F.floor(x.cast("double") * F.lit(scale) + 0.5).cast(
+                        "long"
+                    ),
+                )
+            ).alias("pos", "q")
+        )
+        .groupBy("pos")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    n = int(sums[0]["n"])
+    s = np.zeros(dim)
+    for r in sums:
+        s[r["pos"]] = float(r["s"])
+    g = np.zeros((dim, dim))
+    for r in gram_rows:
+        g[int(r["i"]) - 1, int(r["j"]) - 1] = float(r["gram_q"])
+    cov = (g - np.outer(s, s) / n) / ((n - 1) * scale * scale)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = float(evals.sum())
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (r + 1, float(evals[r]), float(evals[r] / total))
+            for r in range(min(k, dim))
+        ],
+        "component int, eigenvalue double, explained_ratio double",
+    )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lamb: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversity pass after
+    any ANN tier: greedily pick, per query, the candidate maximizing
+    ``λ·relevance − (1−λ)·max_cosine_to_already_picked`` (λ=1 is pure
+    relevance, λ→0 maximal diversity). Sequential by definition, so it
+    runs in ``applyInPandas`` per query over the CANDIDATE set (the
+    ANN top-N, bounded by contract) — the corpus-sized work already
+    happened in the ANN tier; this join only moves |candidates|
+    vectors.
+
+    Deterministic: float64 numpy in fixed order, ties broken by
+    smaller neighbor id. ``candidates`` needs (query_id, neighbor_id,
+    cosine); vectors are joined in from ``corpus``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    joined = candidates.join(vecs, "neighbor_id")
+
+    out_schema = (
+        "query_id long, rank int, neighbor_id long, relevance double, "
+        "mmr_score double"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id", kind="mergesort").reset_index(
+            drop=True
+        )
+        m = np.stack(pdf["__nv"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = m / norms[:, None]
+        sim = unit @ unit.T
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        chosen: list[int] = []
+        rows = []
+        for rank in range(1, min(k, len(pdf)) + 1):
+            if chosen:
+                penalty = sim[:, chosen].max(axis=1)
+            else:
+                penalty = np.zeros(len(pdf))
+            score = lamb * rel - (1.0 - lamb) * penalty
+            score[chosen] = -np.inf
+            # np.argmax returns the FIRST max — ids are sorted
+            # ascending, so the smaller neighbor id wins ties
+            best = int(np.argmax(score))
+            chosen.append(best)
+            rows.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    rank,
+                    int(ids[best]),
+                    float(rel[best]),
+                    float(score[best]),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "rank", "neighbor_id", "relevance", "mmr_score"],
+        )
+
+    return joined.groupBy("query_id").applyInPandas(pick, out_schema)

@@ -301,8 +301,73 @@ def _repair_oracle_sql() -> str:
     """
 
 
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/quality.py:t_closeness) over
+    (nation, segment) quasi-groups with the $2000 account-balance band
+    as the sensitive attribute — completes the k-anonymity /
+    l-diversity / t-closeness ladder. Exact-rational total-variation
+    distance, hash-gated."""
+    from sfcrimedatapipeline_spark.operators.quality import t_closeness
+
+    d = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("sv"),
+    )
+    return t_closeness(d, ["nat", "seg"], "sv")
+
+
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantized Gram matrix of the embedding corpus
+    (operators/similarity.py:gram_matrix_exact — per-batch numpy int64
+    partials, DECIMAL merge, d² shuffle rows). The oracle recomputes
+    every entry by brute-force list indexing over a generate_series
+    grid — a different dataflow, so the gate validates the batch
+    accumulation and quantization, not just the arithmetic."""
+    from sfcrimedatapipeline_spark.operators.similarity import gram_matrix_exact
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return gram_matrix_exact(emb).select(
+        "i", "j", F.col("gram_q").cast("double").alias("gram")
+    )
+
+
+def emb_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 PCA eigenvalues + explained-variance ratios
+    (operators/similarity.py:pca_eigenvalues: exact distributed
+    Gram/mean sums, bounded d²-row driver assembly, LAPACK eigvalsh).
+    Rows-only (iterative eigensolver); numpy-cov parity + trace
+    identity pinned in tests/test_analytic_ext.py."""
+    from sfcrimedatapipeline_spark.operators.similarity import pca_eigenvalues
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca_eigenvalues(emb, k=5)
+
+
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity re-ranking of ANN results
+    (operators/similarity.py:mmr_rerank): exact top-20 candidates per
+    query (the gated cosine_topk path), then per-query greedy MMR to 5
+    picks at λ=0.7 in applyInPandas. Rows-only (greedy recurrence);
+    λ=1 ≡ relevance-order and hand-computed picks pinned in tests."""
+    from sfcrimedatapipeline_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cands = cosine_topk(emb, queries, k=20)
+    return mmr_rerank(cands, emb, k=5, lamb=0.7).orderBy("query_id", "rank")
+
+
 QUERIES = {
     "skyline_parts": skyline_parts,
+    "privacy_t_closeness": privacy_t_closeness,
+    "emb_gram_matrix": emb_gram_matrix,
+    # rows-only: LAPACK eigensolver / greedy MMR recurrence — no SQL twin
+    "emb_pca_topk": emb_pca_topk,
+    "ann_mmr_rerank": ann_mmr_rerank,
     "advisor_join_strategy": advisor_join_strategy,
     "dq_repair_category": dq_repair_category,
     "events_trend_ols": events_trend_ols,
@@ -374,6 +439,48 @@ def _anova_oracle_sql() -> str:
 
 
 ORACLE_SQL = {
+    "privacy_t_closeness": """
+        WITH d AS (
+            SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                   CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000) AS BIGINT)
+                       AS sv
+            FROM customer
+        ),
+        gv AS (SELECT nat, seg, sv, count(*) AS c_gv FROM d GROUP BY 1, 2, 3),
+        ng AS (SELECT nat, seg, CAST(sum(c_gv) AS BIGINT) AS n_g
+               FROM gv GROUP BY 1, 2),
+        marg AS (SELECT sv, count(*) AS c_v FROM d GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM d),
+        present AS (
+            SELECT gv.nat, gv.seg,
+                   CAST(sum(abs(gv.c_gv * tot.n - marg.c_v * ng.n_g))
+                        AS BIGINT) AS pnum,
+                   CAST(sum(marg.c_v) AS BIGINT) AS cv_present
+            FROM gv
+            JOIN marg USING (sv)
+            JOIN ng ON ng.nat = gv.nat AND ng.seg = gv.seg
+            CROSS JOIN tot
+            GROUP BY 1, 2
+        )
+        SELECT p.nat, p.seg, ng.n_g,
+               CAST(p.pnum + (tot.n - p.cv_present) * ng.n_g AS DOUBLE)
+                   / (2.0 * CAST(ng.n_g AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                   AS t_closeness
+        FROM present p
+        JOIN ng ON ng.nat = p.nat AND ng.seg = p.seg
+        CROSS JOIN tot
+    """,
+    "emb_gram_matrix": """
+        WITH q AS (
+            SELECT [CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+                         AS BIGINT) FOR x IN embedding] AS qe
+            FROM embeddings
+        )
+        SELECT g1.i AS i, g2.j AS j,
+               CAST(sum(qe[g1.i] * qe[g2.j]) AS DOUBLE) AS gram
+        FROM q, generate_series(1, 64) g1(i), generate_series(1, 64) g2(j)
+        GROUP BY 1, 2
+    """,
     "dq_repair_category": _repair_oracle_sql(),
     "advisor_join_strategy": f"""
         WITH l AS (SELECT l_orderkey AS k, count(*) AS c

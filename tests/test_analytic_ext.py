@@ -292,3 +292,56 @@ def test_holt_linear_series_extrapolates_exactly(spark):
         assert abs(out[("a", h)]["forecast"] - (7.0 * (29 + h) + 3.0)) < 1e-6
         assert abs(out[("b", h)]["forecast"] - (-2.0 * (14 + h) + 100.0)) < 1e-6
     assert abs(out[("a", 1)]["trend"] - 7.0) < 1e-9
+
+
+def test_t_closeness_hand_example(spark):
+    from sfcrimedatapipeline_spark.operators.quality import t_closeness
+
+    # global sv dist: A:4, B:2, C:2 (N=8). group g1 = {A,A,B,A} ->
+    # p=(3/4, 1/4, 0); q=(1/2, 1/4, 1/4); t = 0.5*(1/4 + 0 + 1/4) = 0.25
+    rows = [("g1", "A"), ("g1", "A"), ("g1", "B"), ("g1", "A"),
+            ("g2", "A"), ("g2", "B"), ("g2", "C"), ("g2", "C")]
+    df = spark.createDataFrame(rows, "g string, sv string")
+    out = {r["g"]: r for r in t_closeness(df, ["g"], "sv").collect()}
+    assert out["g1"]["n_g"] == 4
+    assert abs(out["g1"]["t_closeness"] - 0.25) < 1e-12
+    assert abs(out["g2"]["t_closeness"] - 0.25) < 1e-12
+
+
+def test_pca_matches_numpy_cov_and_trace(spark):
+    from sfcrimedatapipeline_spark.operators.similarity import pca_eigenvalues
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = pca_eigenvalues(emb, k=64).collect()
+    rows = emb.select("embedding").collect()
+    m = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    # quantize the reference exactly like the operator (2^20 grid)
+    q = np.floor(m * (1 << 20) + 0.5) / (1 << 20)
+    ref = np.linalg.eigvalsh(np.cov(q, rowvar=False))[::-1]
+    for r in got:
+        assert abs(r["eigenvalue"] - ref[r["component"] - 1]) < 1e-9
+    trace = float(np.cov(q, rowvar=False).trace())
+    assert abs(sum(r["eigenvalue"] for r in got) - trace) < 1e-9
+
+
+def test_mmr_lambda_one_is_relevance_order_and_diversity_kicks_in(spark):
+    from sfcrimedatapipeline_spark.operators.similarity import mmr_rerank
+
+    # corpus: two tight clusters (ids 1,2 near e1; ids 3,4 near e2)
+    vecs = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.99, 0.14, 0.0]),
+        (3, [0.0, 1.0, 0.0]), (4, [0.1, 0.99, 0.0]),
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cands = spark.createDataFrame(
+        [(0, 1, 0.98), (0, 2, 0.97), (0, 3, 0.60), (0, 4, 0.59)],
+        "query_id long, neighbor_id long, cosine double",
+    )
+    pure = mmr_rerank(cands, corpus, k=4, lamb=1.0).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in pure] == [1, 2, 3, 4]  # relevance order
+    div = mmr_rerank(cands, corpus, k=2, lamb=0.5).orderBy("rank").collect()
+    # first pick = most relevant (1); second pick jumps clusters (3 or 4),
+    # never the near-duplicate 2
+    assert div[0]["neighbor_id"] == 1
+    assert div[1]["neighbor_id"] in (3, 4)
