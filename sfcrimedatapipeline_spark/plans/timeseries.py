@@ -1445,3 +1445,103 @@ ORACLE_SQL["events_path_trigrams"] = f"""
     ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
     LIMIT {PATH_TOP_K}
 """
+
+
+#: decay half-life: credit halves every 6 h of view->purchase age
+DECAY_HALFLIFE_S = 6 * 3600
+#: weights ride as integers scaled by 2^40 — dyadic rationals summed
+#: exactly (a raw float 1/2^k sum is partition-order-dependent)
+DECAY_SCALE_BITS = 40
+
+
+def events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay MULTI-touch attribution — the model between
+    last-touch and linear: every view inside the 24 h lookback earns
+    ``cents / 2^(age div 6h)`` of unnormalized credit, rolled up by
+    view hour-of-day ("which hours' impressions drive revenue").
+
+    Exactness: the decay weight is a POWER OF TWO kept as a scaled
+    BIGINT (``1 << (40 - k)``), so per-pair credit is an exact integer
+    and the rollup is a DECIMAL sum — no float accumulates across
+    rows; one cast + one division at the end. The pair space is the
+    binned range join (operators/temporal.py), 6 h bins = the
+    half-life, with the same-user residual filter; the oracle is the
+    brute-force theta join, validating the binning."""
+    from sfcrimedatapipeline_spark.operators.temporal import US, binned_range_join
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    mu = F.unix_micros(F.col("ts"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), mu.alias("v_mu")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        mu.alias("p_mu"),
+        (mu - F.lit(ATTR_WINDOW_S).cast("long") * US).alias("lo_mu"),
+        mu.alias("hi_mu"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    pairs = binned_range_join(
+        views,
+        purchases,
+        ts="v_mu",
+        lo="lo_mu",
+        hi="hi_mu",
+        bin_width_s=DECAY_HALFLIFE_S,
+    ).filter(F.col("v_user") == F.col("p_user"))
+    half_us = DECAY_HALFLIFE_S * US
+    cs = F.expr(
+        f"cents * (CAST(1 AS BIGINT) << ({DECAY_SCALE_BITS} - "
+        f"CAST((p_mu - v_mu) DIV {half_us} AS INT)))"
+    )
+    hour = F.expr("(v_mu div 3600000000) % 24")
+    return (
+        pairs.groupBy(hour.alias("view_hour"))
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum(cs.cast("decimal(38,0)")).alias("__cs"),
+        )
+        .select(
+            "view_hour",
+            "n_touches",
+            (
+                F.col("__cs").cast("double")
+                / F.lit(float(1 << DECAY_SCALE_BITS))
+            ).alias("decay_credit"),
+        )
+    )
+
+
+QUERIES["events_attribution_decay"] = events_attribution_decay
+
+ORACLE_SQL["events_attribution_decay"] = f"""
+    WITH v AS (
+        SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS v_mu
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS p_mu,
+               CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT v.v_mu, p.p_mu, p.cents
+        FROM v JOIN p
+          ON v.u = p.u
+         AND v.v_mu >= p.p_mu - {ATTR_WINDOW_S * 1_000_000}
+         AND v.v_mu < p.p_mu
+    ),
+    w AS (
+        SELECT (v_mu // 3600000000) % 24 AS view_hour,
+               cents * (CAST(1 AS BIGINT)
+                        << ({DECAY_SCALE_BITS}
+                            - CAST((p_mu - v_mu) // {DECAY_HALFLIFE_S * 1_000_000}
+                                   AS INT))) AS cs
+        FROM pairs
+    )
+    SELECT view_hour, count(*) AS n_touches,
+           CAST(sum(cs) AS DOUBLE) / {float(1 << DECAY_SCALE_BITS)}
+               AS decay_credit
+    FROM w GROUP BY 1
+"""

@@ -196,3 +196,75 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
                 shutil.rmtree(gdir)
                 removed.append(gdir)
     return removed
+
+
+def append_version(df: DataFrame, path: str, note: str = "") -> int:
+    """APPEND transaction: commit a new version whose manifest is the
+    previous version's file list PLUS the new file group — the
+    lakehouse append (incremental loads, one commit per micro-batch).
+    Readers at v(N-1) never see the new rows; time travel replays the
+    ingestion history point-by-point."""
+    prev = latest_version(path)
+    prev_files = read_manifest(path, prev)["files"] if prev else []
+    group = uuid.uuid4().hex
+    data_dir = os.path.join(path, "data", group)
+    df.write.mode("errorifexists").parquet(data_dir)
+    files = prev_files + sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    version = (prev or 0) + 1
+    while os.path.exists(_manifest_path(path, version)):
+        version += 1
+    manifest = {
+        "version": version,
+        "files": files,
+        "note": note,
+        "n_files": len(files),
+        "committed_at": time.time(),
+        "schema": df.schema.json(),
+    }
+    os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
+    _atomic_write(
+        _manifest_path(path, version), json.dumps(manifest, indent=1)
+    )
+    _atomic_write(os.path.join(path, _LATEST), str(version))
+    return version
+
+
+def versioned_stream_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    query_name: str = "versioned_sink",
+):
+    """Structured-Streaming sink into the versioned table: every
+    micro-batch is ONE append transaction (``foreachBatch`` →
+    :func:`append_version`), so the commit history IS the ingestion
+    log — a consumer reading v(N) sees exactly batches 1..N, and a
+    failed downstream job replays from any version. Composes Spark's
+    checkpoint-based exactly-once batch ids with the manifest commit:
+    a batch retried after a crash overwrites nothing (new uuid group;
+    the duplicate-batch guard is the batch-id note, checked before
+    committing). Returns the started StreamingQuery (availableNow
+    trigger — drains the source, then stops)."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        note = f"stream batch {batch_id}"
+        prev = latest_version(path)
+        if prev:  # replay guard: batch id already committed -> skip
+            seen = {
+                h["note"] for h in history(path)
+            }
+            if note in seen:
+                return
+        append_version(batch_df, path, note=note)
+
+    return (
+        stream_df.writeStream.foreachBatch(commit)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

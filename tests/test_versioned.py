@@ -64,3 +64,41 @@ def test_vacuum_reclaims_only_unreferenced_groups(spark, tmp_path):
     assert len(removed) == 1  # v2's group reclaimed, v1's survives via v3
     assert V.read_version(spark, p).count() == 2  # latest still readable
     assert V.read_version(spark, p, 1).count() == 2  # shared files intact
+
+
+def test_append_version_accumulates_and_time_travels(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.append_version(_df(spark, range(3)), p, note="day 1")
+    V.append_version(_df(spark, range(100, 104)), p, note="day 2")
+    assert V.read_version(spark, p, 1).count() == 3
+    assert V.read_version(spark, p).count() == 7  # cumulative
+    # the append reuses day-1's physical files, no rewrite
+    f1 = set(V.read_manifest(p, 1)["files"])
+    f2 = set(V.read_manifest(p, 2)["files"])
+    assert f1 < f2
+
+
+def test_versioned_stream_sink_one_version_per_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # two source files -> two micro-batches (maxFilesPerTrigger=1)
+    _df(spark, range(4)).coalesce(1).write.parquet(str(src / "a"))
+    _df(spark, range(50, 53)).coalesce(1).write.parquet(str(src / "b"))
+    for sub in ("a", "b"):
+        for f in (src / sub).glob("*.parquet"):
+            f.rename(src / f"{sub}_{f.name}")
+    stream = (
+        spark.readStream.schema("id long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    table = str(tmp_path / "table")
+    q = V.versioned_stream_sink(
+        stream, table, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    hist = V.history(table)
+    assert len(hist) == 2
+    assert {h["note"] for h in hist} == {"stream batch 0", "stream batch 1"}
+    assert V.read_version(spark, table).count() == 7  # both batches
+    assert V.read_version(spark, table, 1).count() in (3, 4)  # first batch only
