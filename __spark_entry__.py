@@ -40,6 +40,8 @@ _DEFERRED = [
     "geo_dbscan_clusters",
     "graph_modularity_dup",
     "ann_recall_eval",
+    "ann_mmr_rerank",
+    "emb_pca_topk",
     "docs_bm25_index_search",
     "corpus_shard_manifest",
     "graph_bfs_distances",

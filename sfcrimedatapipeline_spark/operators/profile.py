@@ -846,8 +846,11 @@ def skyline_2d(
        full table.
 
     ``x_col`` must be integral (cast money to cents upstream — float
-    band boundaries round nondeterministically). Ties: two identical
-    points dominate neither; both survive.
+    band boundaries round nondeterministically). Negative x is safe —
+    ``div`` truncates toward zero, which keeps bands monotone in x and
+    only doubles band 0's width (slightly weaker pruning there); shift
+    x non-negative upstream if that band grows hot. Ties: two
+    identical points dominate neither; both survive.
     """
     pts = df.withColumn("__band", F.expr(f"{x_col} div {band_width}"))
     band_max = pts.groupBy("__band").agg(F.max(y_col).alias("__ymax"))

@@ -1210,6 +1210,8 @@ def gram_matrix_exact(
 
     def acc(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             q = np.floor(m * scale + 0.5).astype(np.int64)
             g = q.T @ q

@@ -361,8 +361,58 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cands, emb, k=5, lamb=0.7).orderBy("query_id", "rank")
 
 
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: documents ranked easy→hard
+    (n_chars as the difficulty proxy) WITHIN each source, then
+    interleaved round-robin ACROSS sources (position order =
+    (src_rank, source)) so no source forms a contiguous run — the
+    standard curriculum + source-mixing pass before sharding.
+
+    Scale shape: both rankings are the two-phase ``dense_ids`` recipe
+    (range-repartition + per-partition offsets) — a per-source
+    ``row_number`` window would funnel each source's full corpus
+    through one task. The per-source rank falls out of the FIRST
+    global ranking (ordered source-major) minus broadcast per-source
+    start offsets (a source-cardinality aggregate); the oracle computes
+    both ranks with plain windows — a different formulation, so the
+    gate validates the offset arithmetic."""
+    from pyspark.sql import Window
+
+    from sfcrimedatapipeline_spark.operators.keys import dense_ids
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    g = dense_ids(docs, ["source", "n_chars", "doc_id"], "__g")
+    starts = (
+        g.groupBy("source")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__start",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("source").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("source", "__start")
+    )
+    ranked = g.join(F.broadcast(starts), "source").select(
+        "doc_id",
+        "source",
+        (F.col("__g") - F.col("__start")).alias("src_rank"),
+    )
+    return dense_ids(ranked, ["src_rank", "source"], "position").select(
+        "doc_id", "source", "src_rank", "position"
+    )
+
+
 QUERIES = {
     "skyline_parts": skyline_parts,
+    "docs_curriculum_order": docs_curriculum_order,
     "privacy_t_closeness": privacy_t_closeness,
     "emb_gram_matrix": emb_gram_matrix,
     # rows-only: LAPACK eigensolver / greedy MMR recurrence — no SQL twin
@@ -439,6 +489,19 @@ def _anova_oracle_sql() -> str:
 
 
 ORACLE_SQL = {
+    "docs_curriculum_order": """
+        WITH r AS (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS src_rank
+            FROM documents
+        )
+        SELECT doc_id, source, src_rank,
+               CAST(row_number() OVER (ORDER BY src_rank, source)
+                    AS BIGINT) AS position
+        FROM r
+    """,
     "privacy_t_closeness": """
         WITH d AS (
             SELECT c_nationkey AS nat, c_mktsegment AS seg,

@@ -91,6 +91,7 @@ CROSS_OK: dict[str, str] = {
     "corpus_curation_report": "1-row report assembly",
     "corpus_e2e_pipeline": "composes whitelisted stages",
     "mix_report": "broadcast per-source budget shares",
+    "mix_temperature_report": "1-row weight-total broadcast + broadcast rate join",
     "quantiles_approx": "broadcast 1-row sketch result",
     "quantiles_by_returnflag": "per-group boundaries, group-bounded",
     "diff_orders_tables": "1-row diff summary",
@@ -124,6 +125,8 @@ CROSS_OK: dict[str, str] = {
     "advisor_join_strategy": "crossJoin of two 1-row stat aggregates",
     "orders_mwu_priority": "partition_offsets triangular join (P-bounded)",
     "geo_district_assign": "broadcast polygon edge list (boundary-bounded)",
+    "ann_mmr_rerank": "candidates from the documented query x corpus scorer",
+    "docs_curriculum_order": "partition_offsets triangular join (P-bounded) x2",
 }
 
 #: BatchEvalPython whitelist — Python surfaces that exist to DEMO the
@@ -161,6 +164,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "serve_initial_reports": "dim surrogate keys over SELECT DISTINCT",
     "fact_cube_districts": "dim surrogate keys over SELECT DISTINCT",
     "skyline_parts": "band running-max over x-range/band_width rows (aggregate-bounded)",
+    "docs_curriculum_order": "source-cardinality start-offset cumsum",
 }
 
 

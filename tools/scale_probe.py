@@ -66,6 +66,18 @@ PROBE_QUERIES = [
     "media_dedup_perceptual",
     "media_dedup_perceptual_groups",
     "corpus_e2e_pipeline",
+    # round-6b additions with distinct scale shapes: bin-blocked
+    # interval joins, two-phase rank stats, band-pruned skyline,
+    # survivorship over CC, broadcast-edge ray casting, d2-shuffle
+    # Gram, FD mode-map repair
+    "j17_interval_join",
+    "events_attribution_decay",
+    "orders_mwu_priority",
+    "skyline_parts",
+    "er_golden_record",
+    "geo_district_assign",
+    "emb_gram_matrix",
+    "dq_repair_category",
 ]
 
 
