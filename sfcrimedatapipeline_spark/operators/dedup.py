@@ -968,18 +968,7 @@ def chunk_dedup_corpus(
     counts are derived arithmetically (``n_chunks − n_kept`` per doc)
     instead of marking each duplicate row.
     """
-    toks = tokens(F.col(text_col))
-    n_tok = F.size(toks)
-    k = F.lit(chunk_tokens)
-    idx = F.when(n_tok >= 1, F.sequence(F.lit(0), ((n_tok - 1) / k).cast("int"))).otherwise(
-        F.array().cast("array<int>")
-    )
-    chunked = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i * k + 1, chunk_tokens), " "))
-        ).alias("chunk_idx", "chunk_text"),
-    )
+    chunked = _token_chunks(df, id_col, text_col, chunk_tokens)
     # first occurrence per fingerprint: min over (doc_id, chunk_idx,
     # chunk_text) — struct comparison is lexicographic and (doc_id,
     # chunk_idx) is a total order, so chunk_text rides along without
@@ -995,7 +984,39 @@ def chunk_dedup_corpus(
         )
         .select("__first.*")
     )
-    kept_per_doc = firsts.groupBy(id_col).agg(
+    return _reassemble_chunks(df, id_col, chunked, firsts)
+
+
+def _token_chunks(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int
+) -> DataFrame:
+    """Consecutive ``chunk_tokens``-token chunks of every document —
+    per-row Catalyst array ops (no UDF, one output row per CHUNK, not
+    per token). Emits ``(id, chunk_idx, chunk_text)``; empty texts
+    produce no chunks."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    k = F.lit(chunk_tokens)
+    idx = F.when(n_tok >= 1, F.sequence(F.lit(0), ((n_tok - 1) / k).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i * k + 1, chunk_tokens), " "))
+        ).alias("chunk_idx", "chunk_text"),
+    )
+
+
+def _reassemble_chunks(
+    df: DataFrame, id_col: str, chunked: DataFrame, kept: DataFrame
+) -> DataFrame:
+    """Rebuild ``(id, clean_text, n_chunks, n_dropped)`` from the full
+    chunk set and its surviving subset: per-doc collect + array_sort on
+    chunk_idx (bounded by document length), dropped counts derived
+    arithmetically (``n_chunks − n_kept``), empty-text documents kept
+    with 0 counts."""
+    kept_per_doc = kept.groupBy(id_col).agg(
         F.count("*").cast("int").alias("n_kept"),
         F.array_sort(
             F.collect_list(F.struct("chunk_idx", "chunk_text"))
@@ -1015,7 +1036,6 @@ def chunk_dedup_corpus(
             "n_dropped"
         ),
     )
-    # empty-text documents produce no chunks; keep them with 0 counts
     return (
         df.select(id_col)
         .join(per_doc, id_col, "left")
@@ -1026,3 +1046,50 @@ def chunk_dedup_corpus(
             F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
         )
     )
+
+
+def remove_boilerplate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-frequency BOILERPLATE REMOVAL (the CCNet/RefinedWeb
+    recipe applied at fixed token-chunk granularity): any chunk whose
+    fingerprint appears in ``min_docs`` or more DISTINCT documents is
+    boilerplate — headers, footers, license blocks, navigation text —
+    and is dropped from EVERY document, including the first occurrence.
+    The complement of :func:`chunk_dedup_corpus` (keep-first): dedup
+    preserves one copy of repeated content, boilerplate removal
+    preserves none, because content repeated across many independent
+    documents is template, not signal.
+
+    Emits one row per input document: ``(id, clean_text, n_chunks,
+    n_dropped)``; a pure-template document survives with
+    ``clean_text=''`` (curation decides whether to drop empties).
+
+    Scale shape: chunking is per-row Catalyst array ops. Document
+    frequency is ``distinct(fingerprint, doc)`` then
+    ``groupBy(fingerprint).count`` — both MAP-SIDE COMBINABLE, so the
+    worst-case chunk (one navbar repeated 10^8 times) collapses to one
+    row per input partition before either shuffle. The frequent set is
+    ≤ total_chunks / min_docs distinct fingerprints and in practice
+    tiny (only chunks shared across documents), so removal is a
+    BROADCAST LEFT ANTI join on the fingerprint: the corpus is never
+    shuffled by the skewed chunk key and no window partition tracks
+    duplicate multiplicity.
+    """
+    chunked = _token_chunks(df, id_col, text_col, chunk_tokens)
+    fp = F.md5(F.col("chunk_text"))
+    doc_freq = (
+        chunked.select(fp.alias("__fp"), id_col)
+        .distinct()
+        .groupBy("__fp")
+        .agg(F.count("*").alias("__nd"))
+    )
+    frequent = doc_freq.filter(F.col("__nd") >= min_docs).select("__fp")
+    kept = chunked.withColumn("__fp", fp).join(
+        F.broadcast(frequent), "__fp", "left_anti"
+    )
+    return _reassemble_chunks(df, id_col, chunked, kept)

@@ -967,3 +967,39 @@ def mann_whitney_u(
         sigma.alias("sigma_u"),
         ((u_a - mu) / sigma).alias("z"),
     )
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """ROC AUC of a numeric score against a boolean label — the
+    threshold-free ranking metric for classifier evaluation (does the
+    quality score actually rank curated documents above the rest?).
+    One row: ``(n_pos, n_neg, auc)`` with the probabilistic reading
+    ``auc = P(s_pos > s_neg) + 0.5 * P(s_pos = s_neg)``.
+
+    AUC IS the scaled Mann-Whitney statistic (``U_pos / (n_pos *
+    n_neg)``), so this delegates to :func:`mann_whitney_u` and
+    inherits its exactness contract: values collapse to per-distinct-
+    score counts (map-side combinable), the rank prefix sum is
+    two-phase (range repartition + per-partition offsets — never a
+    partition-less window), tie blocks contribute textbook average
+    ranks, and everything stays integer/decimal until the final
+    fixed-order double formula shared verbatim with the oracle.
+    ``score_col`` must be integral (cents idiom); a NULL label counts
+    as negative.
+    """
+    lab = F.when(F.col(label_col).cast("boolean"), F.lit("p")).otherwise(F.lit("n"))
+    base = mann_whitney_u(
+        df.select(F.col(score_col).alias("__s"), lab.alias("__g")),
+        "__s",
+        "__g",
+        "p",
+        "n",
+    )
+    return base.select(
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+        (
+            F.col("u_a")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("auc"),
+    )

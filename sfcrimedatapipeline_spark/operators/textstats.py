@@ -998,3 +998,120 @@ def inverted_index_search(
             ).alias("bm25"),
         )
     )
+
+
+#: lcm(2..11) — makes the harmonic NDCG discount 1/(rank+1) an exact
+#: integer weight at every rank ≤ 10, so DCG numerators are BIGINTs
+NDCG_DISCOUNT_LCM = 27_720
+
+
+def retrieval_ndcg(
+    df: DataFrame,
+    query_terms: dict[str, list[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Graded retrieval evaluation: NDCG@k of the BM25 ranking for a
+    panel of queries, scored in ONE dataflow — the search-quality
+    monitor a corpus pipeline runs after every index rebuild. The
+    relevance grade of a (query, doc) pair is the number of DISTINCT
+    query terms the document contains (a judgment derivable from the
+    data itself, so the metric needs no external label table).
+
+    EXACT-RATIONAL variant: position discounts are harmonic
+    ``1/(rank+1)`` rather than the textbook ``1/log2(rank+1)`` —
+    log's last ulp is libm- and engine-specific (the bm25_scores idf
+    precedent) — and are scaled by lcm(2..k+1) so every DCG/IDCG
+    numerator is an exact BIGINT; the only double op is the final
+    ``dcg/idcg`` divide, bit-stable across engines. Harmonic vs log2
+    changes the absolute NDCG, not the ranking monotonicity it grades.
+    Requires ``k <= 10`` (the lcm covers ranks 1..10).
+
+    Scale shape: one tokenize + explode filtered to the query-term
+    union (an in-list pushed to the scan), tf/df aggregates map-side
+    combined, query map / term df / 2-number corpus stats all
+    BROADCAST. Both ranking windows partition by query id — the
+    per-partition frame is one query's MATCHED docs (term-pruned, not
+    the corpus) and the two windows share one exchange. Queries with
+    no matching document produce no row (search-result semantics).
+    """
+    if k > 10:
+        raise ValueError("k <= 10: NDCG_DISCOUNT_LCM covers ranks 1..10")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qrows = [
+        (qid, t.lower())
+        for qid, ts in sorted(query_terms.items())
+        for t in sorted({x.lower() for x in ts})
+    ]
+    qmap = spark.createDataFrame(qrows, "qid string, __t string")
+    all_terms = sorted({t for _, t in qrows})
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__tk")).select(
+        id_col, F.size("__tk").cast("long").alias("dl"), F.col("__tk")
+    )
+    corpus = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("__tk").alias("__t"))
+        .filter(F.col("__t").isin(all_terms))
+        .groupBy(id_col, "dl", "__t")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    # per-term document frequency over the TERM UNION, computed once —
+    # a term shared by two queries must not double-count its df
+    df_t = tf.groupBy("__t").agg(F.count("*").cast("long").alias("df_t"))
+    joined = (
+        tf.join(F.broadcast(df_t), "__t")
+        .join(F.broadcast(qmap), "__t")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf_q = F.expr(
+        f"({BM25_IDF_SCALE}L * (2 * (n_docs - df_t) + 1)) div (2 * df_t + 1)"
+    )
+    contrib = F.expr(
+        "CAST(__idfq AS DECIMAL(38,0)) * 22 * tf * t_tokens"
+        " div CAST(10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs AS DECIMAL(38,0))"
+    )
+    scored = (
+        joined.withColumn("__idfq", idf_q)
+        .withColumn("__contrib", contrib)
+        .groupBy("qid", id_col)
+        .agg(
+            F.count("*").cast("long").alias("__rel"),
+            (
+                F.sum("__contrib").cast("double")
+                / F.lit(BM25_IDF_SCALE).cast("double")
+            ).alias("bm25"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc(id_col))
+    w_ideal = Window.partitionBy("qid").orderBy(F.desc("__rel"), F.asc(id_col))
+    ranked = scored.withColumn(
+        "__rn", F.row_number().over(w_rank)
+    ).withColumn("__ri", F.row_number().over(w_ideal))
+    w_at = F.expr(f"{NDCG_DISCOUNT_LCM}L div (__rn + 1)")
+    w_ideal_at = F.expr(f"{NDCG_DISCOUNT_LCM}L div (__ri + 1)")
+    per_q = ranked.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.sum(F.when(F.col("__rn") <= k, F.col("__rel") * w_at).otherwise(0))
+        .cast("long")
+        .alias("dcg_num"),
+        F.sum(F.when(F.col("__ri") <= k, F.col("__rel") * w_ideal_at).otherwise(0))
+        .cast("long")
+        .alias("idcg_num"),
+    )
+    return per_q.select(
+        "qid",
+        "n_matched",
+        "dcg_num",
+        "idcg_num",
+        (F.col("dcg_num").cast("double") / F.col("idcg_num").cast("double")).alias(
+            "ndcg"
+        ),
+    )

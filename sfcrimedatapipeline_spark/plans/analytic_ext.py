@@ -692,3 +692,57 @@ ORACLE_SQL = {
         FROM m
     """,
 }
+
+
+def events_purchase_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does event value rank purchases above non-purchases? ROC AUC
+    (operators/profile.py:roc_auc — the scaled Mann-Whitney statistic)
+    of value-cents against event_type='purchase': tie-corrected exact
+    integer rank sums with two-phase prefix ranking, one final double
+    divide shared verbatim with the oracle."""
+    from sfcrimedatapipeline_spark.operators.profile import roc_auc
+
+    e = read_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    return roc_auc(e, "cents", "is_purchase")
+
+
+QUERIES["events_purchase_auc"] = events_purchase_auc
+
+ORACLE_SQL["events_purchase_auc"] = """
+    WITH d AS (
+        SELECT CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS is_a
+        FROM events
+    ),
+    vc AS (
+        SELECT v, sum(is_a) AS c1, sum(1 - is_a) AS c2, count(*) AS t
+        FROM d GROUP BY v
+    ),
+    r AS (
+        SELECT *,
+               sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t
+                   AS bef
+        FROM vc
+    ),
+    m AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+               CAST(sum(c2) AS BIGINT) AS n_b,
+               sum(CAST(c1 AS DECIMAL(38,0)) * (bef * 2 + t + 1)) AS r1_2
+        FROM r
+    ),
+    f AS (
+        SELECT n_a, n_b,
+               (CAST(r1_2 AS DOUBLE)
+                   - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0))
+                   / 2.0 AS u_a
+        FROM m
+    )
+    SELECT n_a AS n_pos, n_b AS n_neg,
+           u_a / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS auc
+    FROM f
+"""

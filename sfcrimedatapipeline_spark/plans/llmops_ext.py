@@ -782,3 +782,150 @@ ORACLE_SQL["docs_compaction_plan"] = f"""
            max(path) AS last_file
     FROM plan GROUP BY 1
 """
+
+
+#: boilerplate threshold: a chunk in >= this many DISTINCT docs is
+#: template text (measured: ~20 shared-chunk fingerprints at sf0.001,
+#: ~17 at sf0.01 — a real but partial cut at every test scale)
+BOILERPLATE_MIN_DOCS = 3
+
+
+def docs_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (operators/dedup.py:
+    remove_boilerplate_chunks — the CCNet/RefinedWeb recipe): chunks in
+    >= BOILERPLATE_MIN_DOCS distinct docs are dropped from EVERY doc,
+    first copy included; map-side-combined doc-frequency + broadcast
+    anti join, never a shuffle keyed on the skewed chunk fingerprint."""
+    return dedup.remove_boilerplate_chunks(
+        _docs(spark, sf_dir),
+        chunk_tokens=CHUNK_TOKENS,
+        min_docs=BOILERPLATE_MIN_DOCS,
+    )
+
+
+QUERIES["docs_remove_boilerplate"] = docs_remove_boilerplate
+
+ORACLE_SQL["docs_remove_boilerplate"] = f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    tokrows AS (
+        SELECT doc_id,
+               CAST(floor((generate_subscripts(tk, 1) - 1) / {CHUNK_TOKENS}) AS INT) AS chunk_idx,
+               generate_subscripts(tk, 1) AS ord,
+               unnest(tk) AS tok
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_idx,
+               string_agg(tok, ' ' ORDER BY ord) AS chunk_text
+        FROM tokrows GROUP BY doc_id, chunk_idx
+    ),
+    freq AS (
+        SELECT md5(chunk_text) AS fp, count(DISTINCT doc_id) AS nd
+        FROM chunks GROUP BY 1
+    ),
+    marked AS (
+        SELECT c.doc_id, c.chunk_idx, c.chunk_text,
+               (f.nd >= {BOILERPLATE_MIN_DOCS}) AS is_bp
+        FROM chunks c JOIN freq f ON md5(c.chunk_text) = f.fp
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_chunks,
+               CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS INTEGER) AS n_dropped,
+               coalesce(string_agg(CASE WHEN NOT is_bp THEN chunk_text END,
+                                   ' ' ORDER BY chunk_idx), '') AS clean_text
+        FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.clean_text, '') AS clean_text,
+           coalesce(p.n_chunks, 0) AS n_chunks,
+           coalesce(p.n_dropped, 0) AS n_dropped
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+#: NDCG evaluation panel: four fixed queries over the corpus
+#: vocabulary — two broad, one mid, one mixing the rare term 'dup'
+#: (idf contrast exercises the ranking, not just the grade)
+NDCG_QUERIES = {
+    "q_joins": ["hash", "join", "merge"],
+    "q_streaming": ["stream", "window", "batch"],
+    "q_scan": ["sort", "scan", "filter"],
+    "q_rare": ["dup", "vector"],
+}
+NDCG_K = 10
+
+
+def docs_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking for a fixed query panel
+    (operators/textstats.py:retrieval_ndcg) — graded relevance =
+    distinct query terms present; harmonic discounts scaled by
+    lcm(2..11) keep DCG numerators exact BIGINTs (the rational-idf
+    discipline), so the metric is bit-gated."""
+    return textstats.retrieval_ndcg(
+        _docs(spark, sf_dir), NDCG_QUERIES, k=NDCG_K
+    )
+
+
+QUERIES["docs_ndcg_eval"] = docs_ndcg_eval
+
+_NDCG_TERMS = sorted({t for ts in NDCG_QUERIES.values() for t in ts})
+_NDCG_IN = ", ".join(f"'{t}'" for t in _NDCG_TERMS)
+_NDCG_QMAP = ", ".join(
+    f"('{q}', '{t}')"
+    for q in sorted(NDCG_QUERIES)
+    for t in sorted(set(NDCG_QUERIES[q]))
+)
+_LCM = 27_720  # textstats.NDCG_DISCOUNT_LCM
+
+ORACLE_SQL["docs_ndcg_eval"] = f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM tok),
+    corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS t_tokens
+        FROM base
+    ),
+    tf AS (
+        SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, dl, unnest(tk) AS t FROM base) u
+        WHERE t IN ({_NDCG_IN})
+        GROUP BY 1, 2, 3
+    ),
+    dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+    qmap(qid, t) AS (VALUES {_NDCG_QMAP}),
+    contrib AS (
+        SELECT q.qid, doc_id,
+               CAST(({_S} * (2 * (n_docs - df_t) + 1)) // (2 * df_t + 1)
+                    AS HUGEINT) * 22 * tf * t_tokens
+               // CAST(10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs
+                       AS HUGEINT) AS c
+        FROM tf JOIN dft USING (t) JOIN qmap q USING (t) CROSS JOIN corpus
+    ),
+    scored AS (
+        SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS rel,
+               CAST(sum(c) AS DOUBLE) / CAST({_S} AS DOUBLE) AS bm25
+        FROM contrib GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY bm25 DESC, doc_id ASC) AS rn,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, doc_id ASC) AS ri
+        FROM scored
+    ),
+    agg AS (
+        SELECT qid, CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN rn <= {NDCG_K}
+                             THEN rel * ({_LCM} // (rn + 1)) ELSE 0 END)
+                    AS BIGINT) AS dcg_num,
+               CAST(sum(CASE WHEN ri <= {NDCG_K}
+                             THEN rel * ({_LCM} // (ri + 1)) ELSE 0 END)
+                    AS BIGINT) AS idcg_num
+        FROM ranked GROUP BY qid
+    )
+    SELECT qid, n_matched, dcg_num, idcg_num,
+           CAST(dcg_num AS DOUBLE) / CAST(idcg_num AS DOUBLE) AS ndcg
+    FROM agg
+"""

@@ -1077,3 +1077,70 @@ def test_mix_temperature_flattens_shares_and_preserves_total(spark):
         assert lo - 1e-12 <= cooled[s] <= hi + 1e-12
     rates = mix_temperature(docs, 1000, alpha=0.5).select("rate").collect()
     assert all(0.0 <= r["rate"] <= 1.0 for r in rates)
+
+
+def test_remove_boilerplate_drops_every_copy(spark):
+    from sfcrimedatapipeline_spark.operators.dedup import remove_boilerplate_chunks
+
+    # K=2 chunks, min_docs=2: "a b" appears in docs 1-3 → dropped from
+    # ALL of them (keep-first would spare doc 1); doc-internal repeats
+    # ("c d" twice in doc 1) are NOT boilerplate (1 distinct doc)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d c d"),   # chunks: "a b", "c d", "c d"
+            (2, "a b x y"),
+            (3, "a b"),           # pure template → empty survivor
+            (4, ""),              # no chunks at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_chunks(
+            docs, chunk_tokens=2, min_docs=2
+        ).collect()
+    }
+    assert out[1].clean_text == "c d c d" and out[1].n_dropped == 1
+    assert out[2].clean_text == "x y" and out[2].n_dropped == 1
+    assert out[3].clean_text == "" and out[3].n_dropped == 1
+    assert out[4].clean_text == "" and out[4].n_chunks == 0
+
+
+def test_retrieval_ndcg_ideal_and_graded(spark):
+    from sfcrimedatapipeline_spark.operators.textstats import retrieval_ndcg
+
+    # single matching doc → trivially ideal ranking, ndcg = 1
+    solo = spark.createDataFrame(
+        [(1, "apple pie"), (2, "nothing here")], "doc_id long, text string"
+    )
+    row = retrieval_ndcg(solo, {"q": ["apple"]}, k=10).collect()[0]
+    assert row.n_matched == 1 and row.ndcg == 1.0 and row.dcg_num == row.idcg_num
+
+    # doc 1 matches both terms once; doc 2 stuffs one term — BM25 may
+    # order either way, but the invariants hold: idcg >= dcg, ndcg in
+    # (0, 1], grades weight rel=2 above rel=1 in the ideal ranking
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana walnut"),
+            (2, "apple apple apple apple apple apple"),
+            (3, "walnut only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.qid: r for r in retrieval_ndcg(docs, {"q2": ["apple", "banana"]}).collect()}
+    r = out["q2"]
+    assert r.n_matched == 2
+    assert r.idcg_num >= r.dcg_num > 0
+    assert 0.0 < r.ndcg <= 1.0
+    # ideal ranking puts the rel=2 doc first: idcg = 2*(27720//2) + 1*(27720//3)
+    assert r.idcg_num == 2 * 13860 + 9240
+
+
+def test_retrieval_ndcg_rejects_large_k(spark):
+    import pytest as _pytest
+
+    from sfcrimedatapipeline_spark.operators.textstats import retrieval_ndcg
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        retrieval_ndcg(docs, {"q": ["x"]}, k=11)

@@ -120,3 +120,29 @@ def test_cms_sketches_merge_by_counter_addition(spark):
         | (F.col("c_merged") != F.col("c_whole"))
     )
     assert diff.count() == 0
+
+
+def test_roc_auc_known_values(spark):
+    from sfcrimedatapipeline_spark.operators.profile import roc_auc
+
+    # perfect separation → AUC 1.0
+    perfect = spark.createDataFrame(
+        [(1, False), (2, False), (3, True), (4, True)],
+        "score long, label boolean",
+    )
+    row = roc_auc(perfect, "score", "label").collect()[0]
+    assert row.n_pos == 2 and row.n_neg == 2 and row.auc == 1.0
+
+    # tie case: pos {2,3}, neg {1,2} → (1 + 0.5 + 1 + 1)/4 = 0.875
+    tied = spark.createDataFrame(
+        [(1, False), (2, False), (2, True), (3, True)],
+        "score long, label boolean",
+    )
+    assert roc_auc(tied, "score", "label").collect()[0].auc == 0.875
+
+    # anti-predictive score → 0.0; null labels count as negative
+    anti = spark.createDataFrame(
+        [(5, False), (6, None), (1, True)], "score long, label boolean"
+    )
+    row = roc_auc(anti, "score", "label").collect()[0]
+    assert row.n_neg == 2 and row.auc == 0.0

@@ -127,6 +127,8 @@ CROSS_OK: dict[str, str] = {
     "geo_district_assign": "broadcast polygon edge list (boundary-bounded)",
     "ann_mmr_rerank": "candidates from the documented query x corpus scorer",
     "docs_curriculum_order": "partition_offsets triangular join (P-bounded) x2",
+    "events_purchase_auc": "partition_offsets triangular join (P-bounded)",
+    "docs_ndcg_eval": "broadcast 1-row corpus stats (the bm25 shape)",
 }
 
 #: BatchEvalPython whitelist — Python surfaces that exist to DEMO the
