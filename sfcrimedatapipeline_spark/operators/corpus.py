@@ -1419,3 +1419,58 @@ def mix_temperature(
             "sampled_tokens"
         ),
     )
+
+
+def weak_label_votes(
+    df: DataFrame,
+    lfs: list[tuple[str, Column]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weak-supervision label aggregation — the Snorkel-style majority
+    vote that turns a panel of cheap heuristic LABELING FUNCTIONS into
+    one training label per row. Each LF is ``(name, expr)`` where the
+    expression evaluates to 1 (keep), 0 (drop), or NULL (abstain);
+    the output is per-row vote counts, the majority ``label``
+    ('keep' / 'drop' / 'tie'), and ``confidence`` = majority votes /
+    non-abstaining votes (NULL when every LF abstains). Counts are
+    exact integers; the one divide is the only double op.
+
+    Scale shape: pure per-row Catalyst expressions over the input —
+    ZERO shuffle, fully pipelined into the scan, so adding labeling
+    functions costs expression width, not passes. (Snorkel's
+    generative-model weighting needs EM over the LF agreement matrix;
+    majority vote is its standard scale-out baseline.)
+    """
+    base = df.select(
+        F.col(id_col),
+        *[c.cast("int").alias(f"__lf_{n}") for n, c in lfs],
+    )
+    one = lambda pred: F.when(pred, 1).otherwise(0)  # noqa: E731
+    n_keep = sum(
+        [one(F.col(f"__lf_{n}") == 1) for n, _ in lfs], F.lit(0)
+    ).alias("n_keep")
+    n_drop = sum(
+        [one(F.col(f"__lf_{n}") == 0) for n, _ in lfs], F.lit(0)
+    ).alias("n_drop")
+    n_abstain = sum(
+        [one(F.col(f"__lf_{n}").isNull()) for n, _ in lfs], F.lit(0)
+    ).alias("n_abstain")
+    out = base.select(id_col, n_keep, n_drop, n_abstain)
+    voted = F.col("n_keep") + F.col("n_drop")
+    label = (
+        F.when(F.col("n_keep") > F.col("n_drop"), F.lit("keep"))
+        .when(F.col("n_drop") > F.col("n_keep"), F.lit("drop"))
+        .otherwise(F.lit("tie"))
+    )
+    confidence = F.when(
+        voted > 0,
+        F.greatest("n_keep", "n_drop").cast("double") / voted.cast("double"),
+    )
+    return out.select(
+        id_col,
+        "n_keep",
+        "n_drop",
+        "n_abstain",
+        label.alias("label"),
+        confidence.alias("confidence"),
+    )

@@ -292,3 +292,75 @@ def k_core(
             checkpoint_dir,
         )
     return core.select(F.col("src").alias("doc_id"), "degree")
+
+
+def label_propagation(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    rounds: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous LABEL PROPAGATION community detection (Raghavan et
+    al. 2007) over the pair graph → ``(doc_id, community_id)``.
+    DETERMINISTIC variant: every node starts labeled with its own id;
+    each round ALL nodes simultaneously adopt their neighbors' most
+    frequent previous-round label, ties broken by the SMALLEST label.
+    No randomized visit order, no partition-order dependence — a fixed
+    round count replays exactly, so the result can be hash-gated
+    against an oracle that unrolls the same rounds in SQL (unlike
+    classic asynchronous LPA, whose output depends on update order).
+
+    Scale shape: per round, ONE shuffle of the node-cardinality label
+    frame into the pre-partitioned edge join (the pagerank discipline:
+    edges carry the loop-invariant partitioning), then two MAP-SIDE-
+    COMBINABLE aggregates — ``groupBy(node, label).count`` and the
+    argmax via ``groupBy(node).max(struct(cnt, -label))``. No window:
+    a celebrity node's degree never becomes one task's sort buffer.
+    Lineage truncated every second round (``checkpoint_dir`` switches
+    to reliable checkpoints for the cluster setting).
+    """
+    fwd = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    spark = edges.sparkSession
+    e_cnt = edges.count()
+    parts = max(
+        1, min(spark.sparkContext.defaultParallelism, 1 + e_cnt // 1_000_000)
+    )
+    edges_p = edges.repartition(parts, "src").persist()
+    edges_p.count()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for r in range(rounds):
+        nb = edges_p.join(labels, edges_p.src == labels.id).select(
+            F.col("dst").alias("node"), "label"
+        )
+        cnt = nb.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+                ).alias("m")
+            )
+            .select(F.col("node").alias("id"), (-F.col("m.neg")).alias("label"))
+        )
+        if r % 2 == 1 or r == rounds - 1:
+            from sfcrimedatapipeline_spark.functions.caching import (
+                truncate_lineage,
+            )
+
+            labels = truncate_lineage(labels, checkpoint_dir, eager=True)
+    edges.unpersist()
+    edges_p.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("community_id")
+    )

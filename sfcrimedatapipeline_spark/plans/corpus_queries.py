@@ -1536,3 +1536,54 @@ ORACLE_SQL["mix_temperature_report"] = f"""
            coalesce(s.sampled_tokens, CAST(0 AS BIGINT)) AS sampled_tokens
     FROM r LEFT JOIN s ON r.source = s.source
 """
+
+
+LPA_ROUNDS = 3
+
+
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the MinHash
+    near-dup graph (operators/graph.py:label_propagation): 3 rounds of
+    most-frequent-neighbor-label, ties to the smallest label — the
+    community detector that costs one shuffle per round and no window.
+    Hash-gated: the oracle unrolls the SAME rounds in SQL (classic
+    asynchronous LPA could not be — its output depends on visit
+    order)."""
+    from sfcrimedatapipeline_spark.operators.graph import label_propagation
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_duplicates(docs)
+    return label_propagation(pairs, rounds=LPA_ROUNDS)
+
+
+QUERIES["graph_lpa_communities"] = graph_lpa_communities
+
+
+def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
+    """Unrolls the synchronous rounds as CTE stages — generated from
+    the same round count as the Spark loop so the two cannot drift."""
+    parts = [
+        f"pairs AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) p)",
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"c{r} AS (SELECT e.dst AS id, l.label, count(*) AS cnt"
+            f" FROM edges e JOIN l{r - 1} l ON e.src = l.id GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{r} AS (SELECT id, label FROM ("
+            f"SELECT id, label, row_number() OVER (PARTITION BY id"
+            f" ORDER BY cnt DESC, label ASC) AS rn FROM c{r}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(label AS BIGINT) AS community_id
+    FROM l{rounds}"""
+    )
+
+
+ORACLE_SQL["graph_lpa_communities"] = _lpa_oracle_sql()

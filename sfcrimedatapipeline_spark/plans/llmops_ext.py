@@ -929,3 +929,74 @@ ORACLE_SQL["docs_ndcg_eval"] = f"""
            CAST(dcg_num AS DOUBLE) / CAST(idcg_num AS DOUBLE) AS ndcg
     FROM agg
 """
+
+
+#: labeling-function thresholds for the weak-label panel — chosen
+#: against the corpus n_chars distribution (48..553, median ~306) so
+#: every vote value actually occurs at test scales
+WEAK_LEN_KEEP = 300
+WEAK_LEN_DROP = 150
+
+
+def docs_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snorkel-style weak-supervision majority vote
+    (operators/corpus.py:weak_label_votes) from three heuristic
+    labeling functions: length (long → keep, short → drop, else
+    abstain), target language (en → keep, else drop — never abstains),
+    and lexical diversity (distinct/total tokens < 1/2 → drop, else
+    abstain). Zero-shuffle per-row expressions; exact vote counts,
+    one final divide for the confidence."""
+    docs = _docs(spark, sf_dir)
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    tk = tokens(F.col("text"))
+    lfs = [
+        (
+            "length",
+            F.when(F.col("n_chars") >= WEAK_LEN_KEEP, 1).when(
+                F.col("n_chars") < WEAK_LEN_DROP, 0
+            ),
+        ),
+        ("lang", (F.col("lang") == "en").cast("int")),
+        (
+            "diversity",
+            F.when(F.size(F.array_distinct(tk)) * 2 < F.size(tk), 0),
+        ),
+    ]
+    return corpus_ops.weak_label_votes(docs, lfs)
+
+
+QUERIES["docs_weak_labels"] = docs_weak_labels
+
+ORACLE_SQL["docs_weak_labels"] = f"""
+    WITH v AS (
+        SELECT doc_id,
+               CASE WHEN n_chars >= {WEAK_LEN_KEEP} THEN 1
+                    WHEN n_chars < {WEAK_LEN_DROP} THEN 0 END AS lf_length,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lf_lang,
+               CASE WHEN len(list_distinct({SQL_TOKENS})) * 2
+                         < len({SQL_TOKENS}) THEN 0 END AS lf_diversity
+        FROM documents
+    ),
+    agg AS (
+        SELECT doc_id,
+               (CASE WHEN lf_length = 1 THEN 1 ELSE 0 END
+                + CASE WHEN lf_lang = 1 THEN 1 ELSE 0 END
+                + CASE WHEN lf_diversity = 1 THEN 1 ELSE 0 END) AS n_keep,
+               (CASE WHEN lf_length = 0 THEN 1 ELSE 0 END
+                + CASE WHEN lf_lang = 0 THEN 1 ELSE 0 END
+                + CASE WHEN lf_diversity = 0 THEN 1 ELSE 0 END) AS n_drop,
+               (CASE WHEN lf_length IS NULL THEN 1 ELSE 0 END
+                + CASE WHEN lf_lang IS NULL THEN 1 ELSE 0 END
+                + CASE WHEN lf_diversity IS NULL THEN 1 ELSE 0 END) AS n_abstain
+        FROM v
+    )
+    SELECT doc_id, n_keep, n_drop, n_abstain,
+           CASE WHEN n_keep > n_drop THEN 'keep'
+                WHEN n_drop > n_keep THEN 'drop'
+                ELSE 'tie' END AS label,
+           CASE WHEN n_keep + n_drop > 0
+                THEN CAST(greatest(n_keep, n_drop) AS DOUBLE)
+                     / CAST(n_keep + n_drop AS DOUBLE) END AS confidence
+    FROM agg
+"""

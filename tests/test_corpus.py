@@ -1144,3 +1144,31 @@ def test_retrieval_ndcg_rejects_large_k(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         retrieval_ndcg(docs, {"q": ["x"]}, k=11)
+
+
+def test_weak_label_votes_majority_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.corpus import weak_label_votes
+
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 1, "zh"), (3, 5, "en"), (4, 1, "en")],
+        "doc_id long, x long, lang string",
+    )
+    lfs = [
+        ("big", F.when(F.col("x") >= 8, 1).when(F.col("x") <= 2, 0)),
+        ("en", (F.col("lang") == "en").cast("int")),
+    ]
+    out = {r.doc_id: r for r in weak_label_votes(df, lfs).collect()}
+    assert out[1].label == "keep" and out[1].confidence == 1.0
+    assert out[2].label == "drop" and out[2].n_abstain == 0
+    # abstain on one LF → majority decided by the other alone
+    assert out[3].label == "keep" and out[3].n_abstain == 1
+    # 1 keep vs 1 drop → tie, confidence 0.5
+    assert out[4].label == "tie" and out[4].confidence == 0.5
+    # every LF abstains → tie with NULL confidence
+    allnull = spark.createDataFrame([(9, 5, "zz")], "doc_id long, x long, lang string")
+    row = weak_label_votes(
+        allnull, [("big", F.when(F.col("x") >= 8, 1))]
+    ).collect()[0]
+    assert row.label == "tie" and row.confidence is None and row.n_abstain == 1

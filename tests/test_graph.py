@@ -198,3 +198,32 @@ def test_k_core_parity_with_python_peel(spark):
     assert set(py_kcore(edges, 3)) == {1, 2, 3, 4}
     two = py_kcore(edges, 2)
     assert 8 not in two and 11 not in two and 5 in two
+
+
+def test_label_propagation_two_triangles(spark):
+    from sfcrimedatapipeline_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge: after 3 synchronous rounds
+    # the left triangle converges on its minimum id (1); the bridge
+    # node 4 first adopts its smallest neighbor label (3), which then
+    # propagates through the right triangle — so both sides settle on
+    # a single in-triangle label and the two communities stay distinct
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc_id: r.community_id for r in label_propagation(pairs, rounds=3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == out[5] == out[6] == 3
+
+
+def test_label_propagation_star_ties_to_smallest(spark):
+    from sfcrimedatapipeline_spark.operators.graph import label_propagation
+
+    # a star: leaves see only the hub's label; the hub sees one vote
+    # per leaf label and must break the tie to the SMALLEST
+    pairs = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3)], "doc_a long, doc_b long"
+    )
+    one = {r.doc_id: r.community_id for r in label_propagation(pairs, rounds=1).collect()}
+    assert one[10] == 1 and one[1] == one[2] == one[3] == 10
