@@ -1003,3 +1003,85 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("auc"),
     )
+
+
+def _doubled_avg_ranks(df: DataFrame, col: str) -> DataFrame:
+    """Per DISTINCT value of ``col``: the DOUBLED average (midrank)
+    ``2·bef + t + 1`` — kept integer exactly like mann_whitney_u's tie
+    blocks — via the same two-phase prefix sum (range repartition +
+    local running sum + triangular partition offsets; never a
+    partition-less window). Returns ``(col, __r2)``."""
+    from pyspark.sql import Window
+
+    from sfcrimedatapipeline_spark.operators.keys import partition_offsets
+
+    vc = df.groupBy(col).agg(F.count("*").cast("long").alias("__t"))
+    sorted_df = vc.repartitionByRange(F.asc(col)).sortWithinPartitions(
+        F.asc(col)
+    )
+    pid = F.spark_partition_id()
+    local_w = (
+        Window.partitionBy(pid)
+        .orderBy(F.asc(col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_run = sorted_df.select(
+        pid.alias("__pid"),
+        F.sum("__t").over(local_w).alias("__run"),
+        col,
+        "__t",
+    )
+    counts = with_run.groupBy("__pid").agg(F.max("__run").alias("__n"))
+    offsets = partition_offsets(counts)
+    g = with_run.join(F.broadcast(offsets), "__pid")
+    before = F.col("__run") - F.col("__t") + F.col("__offset")
+    return g.select(col, (before * 2 + F.col("__t") + 1).alias("__r2"))
+
+
+def spearman_rho(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Spearman rank correlation between two integral columns — the
+    monotone-association monitor (does lead time grow with order
+    value?) that, unlike Pearson on raw values, is outlier-robust and
+    scale-free. One row: ``(n, rho)``.
+
+    Tie-corrected the textbook way: Pearson computed ON MIDRANKS.
+    Ranks are never materialized by a global window — each column's
+    DOUBLED midrank per distinct value comes from the two-phase prefix
+    machinery (:func:`_doubled_avg_ranks`), joins back on the value,
+    and the correlation reduces to one pass of exact BIGINT/DECIMAL
+    moment sums over doubled ranks (doubling cancels in the formula).
+    Final formula is the fixed-order IEEE expression shared verbatim
+    with the oracle: ``(n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy −
+    Sy²))`` — sqrt is correctly-rounded per IEEE 754, so it is
+    engine-stable, unlike ln (the s12 discipline).
+    """
+    d = df.select(
+        F.col(col_a).cast("long").alias("__a"),
+        F.col(col_b).cast("long").alias("__b"),
+    )
+    ra = _doubled_avg_ranks(d, "__a").select(
+        "__a", F.col("__r2").alias("__ra2")
+    )
+    rb = _doubled_avg_ranks(d, "__b").select(
+        "__b", F.col("__r2").alias("__rb2")
+    )
+    j = d.join(ra, "__a").join(rb, "__b")
+    xd = F.col("__ra2").cast("decimal(38,0)")
+    yd = F.col("__rb2").cast("decimal(38,0)")
+    m = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__ra2").cast("long").alias("sx"),
+        F.sum("__rb2").cast("long").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = F.col("sxy").cast("double") * nd - sx * sy
+    den = F.sqrt(
+        (F.col("sxx").cast("double") * nd - sx * sx)
+        * (F.col("syy").cast("double") * nd - sy * sy)
+    )
+    return m.select("n", (num / den).alias("rho"))

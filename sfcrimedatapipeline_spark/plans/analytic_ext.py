@@ -746,3 +746,137 @@ ORACLE_SQL["events_purchase_auc"] = """
            u_a / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS auc
     FROM f
 """
+
+
+def lineitem_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line quantity and extended
+    price (operators/profile.py:spearman_rho): midranks from the
+    two-phase prefix machinery, Pearson on doubled ranks with exact
+    BIGINT/DECIMAL moment sums, one fixed-order sqrt formula at the
+    end — never a partition-less rank window."""
+    from sfcrimedatapipeline_spark.operators.profile import spearman_rho
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return spearman_rho(li, "qty", "price_cents")
+
+
+QUERIES["lineitem_spearman_qty_price"] = lineitem_spearman_qty_price
+
+ORACLE_SQL["lineitem_spearman_qty_price"] = """
+    WITH d AS (
+        SELECT CAST(l_quantity AS BIGINT) AS a,
+               CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS b
+        FROM lineitem
+    ),
+    ca AS (SELECT a, count(*) AS t FROM d GROUP BY a),
+    ra AS (
+        SELECT a,
+               (sum(t) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING) - t) * 2
+                   + t + 1 AS ra2
+        FROM ca
+    ),
+    cb AS (SELECT b, count(*) AS t FROM d GROUP BY b),
+    rb AS (
+        SELECT b,
+               (sum(t) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - t) * 2
+                   + t + 1 AS rb2
+        FROM cb
+    ),
+    j AS (
+        SELECT ra2, rb2 FROM d
+        JOIN ra USING (a)
+        JOIN rb USING (b)
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ra2) AS BIGINT) AS sx,
+               CAST(sum(rb2) AS BIGINT) AS sy,
+               sum(CAST(ra2 AS DECIMAL(38,0)) * CAST(ra2 AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(rb2 AS DECIMAL(38,0)) * CAST(rb2 AS DECIMAL(38,0))) AS syy,
+               sum(CAST(ra2 AS DECIMAL(38,0)) * CAST(rb2 AS DECIMAL(38,0))) AS sxy
+        FROM j
+    )
+    SELECT n,
+           (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(syy AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+    FROM m
+"""
+
+
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier gross revenue
+    within each nation — the market-concentration monitor (an HHI near
+    1 means one supplier owns the nation's volume; near 1/n, an even
+    split). Exact-rational: per-supplier revenue rides as BIGINT cents,
+    HHI = Σ rev_s² / rev_nation² with the squared sums in
+    DECIMAL(38,0) and ONE double division at the end — never a float
+    share per supplier summed in partition order. Two map-side-combined
+    aggregations + a broadcast supplier→nation dim join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    per_sup = (
+        li.select(F.col("l_suppkey").alias("s_suppkey"), cents.alias("c"))
+        .groupBy("s_suppkey")
+        .agg(F.sum("c").alias("rev"))
+        .join(F.broadcast(sup), "s_suppkey")
+        .join(F.broadcast(nat), "s_nationkey")
+    )
+    rd = F.col("rev").cast("decimal(38,0)")
+    agg = per_sup.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("rev").cast("long").alias("revenue_cents"),
+        F.sum(rd * rd).alias("ss"),
+    )
+    tot = F.col("revenue_cents").cast("double")
+    return agg.select(
+        "n_name",
+        "n_suppliers",
+        "revenue_cents",
+        (F.col("ss").cast("double") / (tot * tot)).alias("hhi"),
+    )
+
+
+QUERIES["supplier_hhi_by_nation"] = supplier_hhi_by_nation
+
+ORACLE_SQL["supplier_hhi_by_nation"] = """
+    WITH per_sup AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    located AS (
+        SELECT n.n_name, p.rev
+        FROM per_sup p
+        JOIN supplier s ON s.s_suppkey = p.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    agg AS (
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(rev) AS BIGINT) AS revenue_cents,
+               sum(CAST(rev AS DECIMAL(38,0)) * CAST(rev AS DECIMAL(38,0))) AS ss
+        FROM located GROUP BY 1
+    )
+    SELECT n_name, n_suppliers, revenue_cents,
+           CAST(ss AS DOUBLE)
+               / (CAST(revenue_cents AS DOUBLE)
+                  * CAST(revenue_cents AS DOUBLE)) AS hhi
+    FROM agg
+"""

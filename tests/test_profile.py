@@ -146,3 +146,25 @@ def test_roc_auc_known_values(spark):
     )
     row = roc_auc(anti, "score", "label").collect()[0]
     assert row.n_neg == 2 and row.auc == 0.0
+
+
+def test_spearman_rho_known_values(spark):
+    from sfcrimedatapipeline_spark.operators.profile import spearman_rho
+
+    # perfect monotone (nonlinear) relation → rho = 1 exactly
+    mono = spark.createDataFrame(
+        [(1, 1), (2, 8), (3, 27), (4, 64)], "a long, b long"
+    )
+    row = spearman_rho(mono, "a", "b").collect()[0]
+    assert row.n == 4 and abs(row.rho - 1.0) < 1e-12
+
+    # perfect inverse → -1
+    inv = spark.createDataFrame([(1, 9), (2, 5), (3, 1)], "a long, b long")
+    assert abs(spearman_rho(inv, "a", "b").collect()[0].rho + 1.0) < 1e-12
+
+    # tie-corrected midranks match scipy's definition on a hand case:
+    # a = [1,2,2,3], b = [10,20,20,40] → rho = 1 (same tie structure)
+    tied = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 20), (3, 40)], "a long, b long"
+    )
+    assert abs(spearman_rho(tied, "a", "b").collect()[0].rho - 1.0) < 1e-12

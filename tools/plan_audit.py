@@ -129,6 +129,7 @@ CROSS_OK: dict[str, str] = {
     "docs_curriculum_order": "partition_offsets triangular join (P-bounded) x2",
     "events_purchase_auc": "partition_offsets triangular join (P-bounded)",
     "docs_ndcg_eval": "broadcast 1-row corpus stats (the bm25 shape)",
+    "lineitem_spearman_qty_price": "partition_offsets triangular join (P-bounded) x2",
 }
 
 #: BatchEvalPython whitelist — Python surfaces that exist to DEMO the
