@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: cached_stream_fixture), so grouping them also amortizes its build.
 _DEFERRED = [
     # round-6 iterative additions (CC / MinHash-graph downstream)
+    "graph_lpa_communities",
     "er_customer_clusters",
     "er_golden_record",
     "geo_dbscan_clusters",

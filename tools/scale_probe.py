@@ -49,6 +49,10 @@ TABLES = {
 #: iterative graph, quantiles — plus the windows/streaming-batch twins
 #: whose skew behavior matters at scale
 PROBE_QUERIES = [
+    "graph_lpa_communities",
+    "docs_remove_boilerplate",
+    "docs_ndcg_eval",
+    "docs_curriculum_order",
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
     "dedup_simhash",
