@@ -652,3 +652,32 @@ def test_chunk_dedup_survives_hot_chunk_skew(spark):
     assert agg.dropped == n - 1
     keeper = out.filter(F.col("doc_id") == 0).collect()[0]
     assert keeper.clean_text == "the same boiler plate uniq0"
+
+
+def test_remove_boilerplate_no_window_and_survives_skew(spark):
+    # same skew contract as chunk dedup: doc frequency is two map-side
+    # combinable aggregates and removal a broadcast ANTI join — never a
+    # window or a shuffle keyed on the hot fingerprint. A chunk in all
+    # 100k docs is dropped from every one of them.
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators.dedup import remove_boilerplate_chunks
+
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the same boiler plate "), F.lit("uniq"), F.col("id")).alias(
+            "text"
+        ),
+    )
+    out = remove_boilerplate_chunks(docs, chunk_tokens=4, min_docs=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    agg = out.agg(
+        F.sum("n_dropped").alias("dropped"), F.sum("n_chunks").alias("chunks")
+    ).collect()[0]
+    # the boilerplate chunk is dropped from EVERY doc (no keep-first)
+    assert agg.chunks == 2 * n and agg.dropped == n
+    keeper = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert keeper.clean_text == "uniq0" and keeper.n_dropped == 1
