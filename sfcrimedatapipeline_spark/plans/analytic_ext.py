@@ -880,3 +880,227 @@ ORACLE_SQL["supplier_hhi_by_nation"] = """
                   * CAST(revenue_cents AS DOUBLE)) AS hhi
     FROM agg
 """
+
+
+def events_burstiness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type from DAILY counts: Fano factor
+    (variance/mean — 1 for a Poisson arrival process, >1 for bursty)
+    and the Goh-Barabási burstiness coefficient (σ−μ)/(σ+μ). Computed
+    at the day grain so no per-event window exists: one
+    map-side-combined rollup to (type, day) counts, one to per-type
+    exact moment sums (BIGINT/DECIMAL), then the fixed-order double
+    formula shared verbatim with the oracle (population variance;
+    sqrt is IEEE-correctly-rounded, engine-stable)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(cd * cd).alias("ss"),
+    )
+    nd = F.col("n_days").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    mean = sd / nd
+    var = (ssd * nd - sd * sd) / (nd * nd)
+    sigma = F.sqrt(var)
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("n_events"),
+        (var / mean).alias("fano"),
+        ((sigma - mean) / (sigma + mean)).alias("burstiness"),
+    )
+
+
+QUERIES["events_burstiness_daily"] = events_burstiness_daily
+
+ORACLE_SQL["events_burstiness_daily"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(c) AS BIGINT) AS s,
+               sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS ss
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, n_days, s AS n_events,
+           ((CAST(ss AS DOUBLE) * CAST(n_days AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+            / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)))
+           / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano,
+           (sqrt((CAST(ss AS DOUBLE) * CAST(n_days AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)))
+            - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+           / (sqrt((CAST(ss AS DOUBLE) * CAST(n_days AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)))
+              + CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) AS burstiness
+    FROM m
+"""
+
+
+#: contingency enums for Cramér's V — fixed lists so the Spark
+#: expression tree and the generated SQL agree cell by cell
+CRAMER_ROWS = ANOVA_GROUPS  # the five o_orderpriority values
+CRAMER_COLS = ["F", "O", "P"]  # o_orderstatus
+
+
+def orders_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between order priority and order status —
+    the effect-size companion to the chi-square independence test
+    (events_chisq_independence): V = sqrt(χ² / (n·min(r−1, c−1))) in
+    [0, 1]. The 5×3 contingency table lands as COLUMNS of one row via
+    conditional aggregates (the ANOVA pivot discipline), so χ² is a
+    FIXED expression tree over exact BIGINT cells — no per-cell float
+    partials merged in partition order."""
+    o = read_table(spark, sf_dir, "orders")
+    aggs = []
+    for i, p in enumerate(CRAMER_ROWS):
+        for j, s in enumerate(CRAMER_COLS):
+            hit = (F.col("o_orderpriority") == p) & (F.col("o_orderstatus") == s)
+            aggs.append(
+                F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(f"n{i}_{j}")
+            )
+    base = o.agg(*aggs)
+    cells = {
+        (i, j): F.col(f"n{i}_{j}").cast("double")
+        for i in range(len(CRAMER_ROWS))
+        for j in range(len(CRAMER_COLS))
+    }
+    row_tot = {i: sum(cells[(i, j)] for j in range(len(CRAMER_COLS))) for i in range(len(CRAMER_ROWS))}
+    col_tot = {j: sum(cells[(i, j)] for i in range(len(CRAMER_ROWS))) for j in range(len(CRAMER_COLS))}
+    n = sum(row_tot.values())
+    chi2 = None
+    for i in range(len(CRAMER_ROWS)):
+        for j in range(len(CRAMER_COLS)):
+            e = row_tot[i] * col_tot[j] / n
+            term = (cells[(i, j)] - e) * (cells[(i, j)] - e) / e
+            chi2 = term if chi2 is None else chi2 + term
+    dof_min = min(len(CRAMER_ROWS) - 1, len(CRAMER_COLS) - 1)
+    v = F.sqrt(chi2 / (n * F.lit(float(dof_min))))
+    return base.select(
+        n.cast("long").alias("n"),
+        chi2.alias("chi2"),
+        F.lit((len(CRAMER_ROWS) - 1) * (len(CRAMER_COLS) - 1)).alias("dof"),
+        v.alias("cramers_v"),
+    )
+
+
+QUERIES["orders_cramers_v"] = orders_cramers_v
+
+
+def _cramers_oracle_sql() -> str:
+    """Generated from the SAME enum lists and term order as the Spark
+    expression tree — cross-engine bit-equality hinges on it."""
+    r, c = len(CRAMER_ROWS), len(CRAMER_COLS)
+    cells = []
+    for i, p in enumerate(CRAMER_ROWS):
+        esc = p.replace("'", "''")
+        for j, s in enumerate(CRAMER_COLS):
+            cells.append(
+                f"CAST(sum(CASE WHEN o_orderpriority = '{esc}'"
+                f" AND o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n{i}_{j}"
+            )
+    def cd(i, j):
+        return f"CAST(n{i}_{j} AS DOUBLE)"
+    row_tot = {i: "(" + " + ".join(cd(i, j) for j in range(c)) + ")" for i in range(r)}
+    col_tot = {j: "(" + " + ".join(cd(i, j) for i in range(r)) + ")" for j in range(c)}
+    n = "(" + " + ".join(row_tot[i] for i in range(r)) + ")"
+    terms = []
+    for i in range(r):
+        for j in range(c):
+            e = f"({row_tot[i]} * {col_tot[j]} / {n})"
+            terms.append(f"(({cd(i, j)} - {e}) * ({cd(i, j)} - {e}) / {e})")
+    chi2 = "(" + " + ".join(terms) + ")"
+    dof_min = float(min(r - 1, c - 1))
+    return f"""
+        WITH m AS (SELECT {", ".join(cells)} FROM orders)
+        SELECT CAST({n} AS BIGINT) AS n,
+               {chi2} AS chi2,
+               {(r - 1) * (c - 1)} AS dof,
+               sqrt({chi2} / ({n} * {dof_min})) AS cramers_v
+        FROM m
+    """
+
+
+ORACLE_SQL["orders_cramers_v"] = _cramers_oracle_sql()
+
+
+def orders_control_chart_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart control chart over monthly order revenue: each month's
+    total cents against the all-months mean ± 3σ (population σ from
+    exact BIGINT/DECIMAL moment sums, one fixed-order formula). The
+    months frame is CALENDAR-BOUNDED (~80 rows here, 1200 for a
+    century), so the 1-row stats crossJoin broadcast costs nothing at
+    any data scale — raw orders are touched exactly once, map-side
+    combined into the month grain."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    xd = F.col("cents").cast("decimal(38,0)")
+    stats = monthly.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(xd * xd).alias("ss"),
+    )
+    j = monthly.crossJoin(F.broadcast(stats))
+    kd = F.col("k").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    mu = sd / kd
+    sigma = F.sqrt((ssd * kd - sd * sd) / (kd * kd))
+    z = (F.col("cents").cast("double") - mu) / sigma
+    return j.select(
+        "month",
+        "n_orders",
+        "cents",
+        z.alias("z"),
+        (F.abs(z) > 3.0).alias("out_of_control"),
+    )
+
+
+QUERIES["orders_control_chart_monthly"] = orders_control_chart_monthly
+
+ORACLE_SQL["orders_control_chart_monthly"] = """
+    WITH monthly AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               sum(CAST(cents AS DECIMAL(38,0))) AS s,
+               sum(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS ss
+        FROM monthly
+    )
+    SELECT month, n_orders, cents,
+           (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+           / sqrt((CAST(ss AS DOUBLE) * CAST(k AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE))) AS z,
+           abs((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+               / sqrt((CAST(ss AS DOUBLE) * CAST(k AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)))) > 3.0
+               AS out_of_control
+    FROM monthly CROSS JOIN stats
+"""

@@ -345,3 +345,78 @@ def test_mmr_lambda_one_is_relevance_order_and_diversity_kicks_in(spark):
     # never the near-duplicate 2
     assert div[0]["neighbor_id"] == 1
     assert div[1]["neighbor_id"] in (3, 4)
+
+
+def test_burstiness_constant_series_is_poisson_floor(spark):
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.plans.analytic_ext import (
+        events_burstiness_daily,
+    )
+
+    # constant daily counts → variance 0 → fano 0, burstiness -1
+    # (the regular-process floor of the Goh-Barabási coefficient)
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for day in range(1, 6):
+        for _ in range(4):
+            rows.append((eid, f"2024-01-0{day} 12:00:00", 1, "tick", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = events_burstiness_daily(spark, d).collect()[0]
+    assert out.n_days == 5 and out.n_events == 20
+    assert out.fano == 0.0 and out.burstiness == -1.0
+
+
+def test_cramers_v_bounds_on_driver_data(spark):
+    from sfcrimedatapipeline_spark.plans.analytic_ext import orders_cramers_v
+
+    row = orders_cramers_v(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n > 0 and row.dof == 8
+    assert row.chi2 >= 0.0 and 0.0 <= row.cramers_v <= 1.0
+
+
+def test_control_chart_flags_known_outlier(spark):
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.plans.analytic_ext import (
+        orders_control_chart_monthly,
+    )
+    import pandas as pd
+    import tempfile
+
+    # 11 quiet months at ~100.00 and one 10x month: only that month
+    # may exceed the 3-sigma band
+    rows = []
+    for m in range(1, 13):
+        price = 1000.00 if m == 12 else 100.00
+        rows.append((m, 1, "F", price, f"2024-{m:02d}-15", "1-URGENT"))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ],
+        )
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/orders.parquet")
+        out = {r.month: r for r in orders_control_chart_monthly(spark, d).collect()}
+    assert out["2024-12"].out_of_control
+    assert sum(1 for r in out.values() if r.out_of_control) == 1

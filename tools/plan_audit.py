@@ -130,6 +130,7 @@ CROSS_OK: dict[str, str] = {
     "events_purchase_auc": "partition_offsets triangular join (P-bounded)",
     "docs_ndcg_eval": "broadcast 1-row corpus stats (the bm25 shape)",
     "lineitem_spearman_qty_price": "partition_offsets triangular join (P-bounded) x2",
+    "orders_control_chart_monthly": "crossJoin(broadcast(1-row moment stats)) over a calendar-bounded month frame",
 }
 
 #: BatchEvalPython whitelist — Python surfaces that exist to DEMO the
