@@ -1000,3 +1000,64 @@ ORACLE_SQL["docs_weak_labels"] = f"""
                      / CAST(n_keep + n_drop AS DOUBLE) END AS confidence
     FROM agg
 """
+
+
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson lexical diversity per source: the probability two
+    randomly drawn tokens differ, ``1 − Σ nᵢ(nᵢ−1) / (N(N−1))`` —
+    the size-unbiased diversity index (unlike type-token ratio, it
+    does not shrink with corpus growth), computed from EXACT BIGINT
+    token counts with one double division. Two map-side-combined
+    aggregates: (source, token) counts, then per-source sums — the
+    vocabulary grain bounds the shuffle, never raw token rows."""
+    docs = _docs(spark, sf_dir)
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    counts = tok.groupBy("source", "t").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    m = counts.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(nd * (nd - 1)).alias("same_pairs2"),
+    )
+    big_n = F.col("n_tokens").cast("double")
+    return m.select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        (
+            F.lit(1.0)
+            - F.col("same_pairs2").cast("double") / (big_n * (big_n - F.lit(1.0)))
+        ).alias("simpson_diversity"),
+    )
+
+
+QUERIES["text_simpson_diversity"] = text_simpson_diversity
+
+ORACLE_SQL["text_simpson_diversity"] = f"""
+    WITH tok AS (
+        SELECT source, unnest({SQL_TOKENS}) AS t FROM documents
+    ),
+    counts AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               sum(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) - 1))
+                   AS same_pairs2
+        FROM counts GROUP BY 1
+    )
+    SELECT source, n_tokens, n_distinct,
+           1.0 - CAST(same_pairs2 AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
+               AS simpson_diversity
+    FROM m
+"""

@@ -160,3 +160,84 @@ def register_sequence_stream_source(spark: SparkSession) -> None:
             return _SeqStreamReader(self.options)
 
     spark.dataSource.register(SeqStreamSource)
+
+
+def register_jsonl_sink(spark: SparkSession) -> None:
+    """Register ``jsonlsink`` — the WRITER side of the Spark 4 Python
+    DataSource API (the batch-reader/stream-reader surfaces are
+    exercised by ``seqgen``/``seqstream`` above; this completes the
+    contract: schema receipt, per-partition executor writes, commit
+    messages, driver-side commit/abort). Each task writes its
+    partition to ``part-<pid>.jsonl`` under the ``path`` option and
+    returns a commit message with its row count; ``commit`` publishes
+    a ``_SUCCESS`` manifest with the total, ``abort`` removes the
+    partials — the same files-then-manifest protocol every production
+    sink here uses (sources/versioned.py, write_audit_publish).
+
+    ``mode("overwrite")`` clears the target driver-side before tasks
+    launch; ``append`` adds new part files (pids are unique per job,
+    so a second append uses fresh names only if the caller rotates
+    ``path`` — the demo contract, documented rather than hidden).
+    """
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Done(WriterCommitMessage):
+        def __init__(self, path: str, count: int):
+            self.path, self.count = path, count
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("jsonlsink requires option 'path'")
+            # driver side: prepare the target before tasks launch
+            if overwrite and os.path.isdir(self.path):
+                shutil.rmtree(self.path)
+            os.makedirs(self.path, exist_ok=True)
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            n = 0
+            with open(out, "w") as fh:
+                for row in iterator:
+                    fh.write(
+                        _json.dumps(
+                            row.asDict(recursive=True),
+                            sort_keys=True,
+                            default=str,
+                        )
+                    )
+                    fh.write("\n")
+                    n += 1
+            return _Done(out, n)
+
+        def commit(self, messages):
+            total = sum(m.count for m in messages)
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+                _json.dump({"rows": total, "files": len(messages)}, fh)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonlsink"
+
+        def writer(self, schema, overwrite: bool):
+            return _JsonlWriter(self.options, overwrite)
+
+    spark.dataSource.register(JsonlSink)

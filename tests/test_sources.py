@@ -352,3 +352,35 @@ def test_read_evolved_merges_schemas_defaults_and_widens(spark, tmp_path):
         read_evolved(spark, d, narrow)
     sanctioned = read_evolved(spark, d, narrow, widen={"value": "int"})
     assert dict(sanctioned.dtypes)["value"] == "int"
+
+
+def test_jsonl_sink_roundtrip_and_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.sources.jsonl import (
+        read_jsonl,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    p = str(tmp_path / "sink")
+    df = spark.range(100, numPartitions=4).select(
+        F.col("id"), (F.col("id") * 2).alias("dbl"), F.lit("x").alias("tag")
+    )
+    df.write.format("jsonlsink").option("path", p).mode("overwrite").save()
+    import json
+    import os
+
+    # files-then-manifest protocol: _SUCCESS records the totals
+    with open(os.path.join(p, "_SUCCESS")) as fh:
+        manifest = json.load(fh)
+    assert manifest == {"rows": 100, "files": 4}
+    back = read_jsonl(spark, p, "id long, dbl long, tag string")
+    assert back.count() == 100
+    assert back.agg(F.sum("dbl")).collect()[0][0] == 2 * sum(range(100))
+
+    # overwrite clears prior contents (write fewer rows, nothing stale)
+    spark.range(7).select(
+        F.col("id"), F.col("id").alias("dbl"), F.lit("y").alias("tag")
+    ).write.format("jsonlsink").option("path", p).mode("overwrite").save()
+    assert read_jsonl(spark, p, "id long, dbl long, tag string").count() == 7
