@@ -1268,7 +1268,12 @@ def pca_eigenvalues(
         .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
         .collect()
     )
-    n = int(sums[0]["n"])
+    n = int(sums[0]["n"]) if sums else 0
+    if n < 2:
+        raise ValueError(
+            f"pca_eigenvalues needs >= 2 vectors (got {n}): the sample "
+            "covariance divides by n-1, so fewer rows have no spectrum"
+        )
     s = np.zeros(dim)
     for r in sums:
         s[r["pos"]] = float(r["s"])

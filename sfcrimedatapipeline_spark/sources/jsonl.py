@@ -175,13 +175,16 @@ def register_jsonl_sink(spark: SparkSession) -> None:
     sink here uses (sources/versioned.py, write_audit_publish).
 
     ``mode("overwrite")`` clears the target driver-side before tasks
-    launch; ``append`` adds new part files (pids are unique per job,
-    so a second append uses fresh names only if the caller rotates
-    ``path`` — the demo contract, documented rather than hidden).
+    launch; ``append`` adds new part files under a per-JOB uuid
+    (``part-<jobuuid>-<pid>.jsonl``) so two appends with overlapping
+    partition ids never collide — without the uuid a second append
+    silently overwrote the first append's files, and ``commit``
+    rewrote ``_SUCCESS`` with only the latest job's counts.
     """
     import json as _json
     import os
     import shutil
+    import uuid as _uuid
 
     from pyspark.sql.datasource import (
         DataSource,
@@ -198,6 +201,11 @@ def register_jsonl_sink(spark: SparkSession) -> None:
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("jsonlsink requires option 'path'")
+            self.overwrite = overwrite
+            # per-JOB uuid, minted driver-side and serialized to every
+            # task: append jobs with overlapping partition ids write
+            # disjoint filenames instead of silently clobbering
+            self.job_id = _uuid.uuid4().hex[:12]
             # driver side: prepare the target before tasks launch
             if overwrite and os.path.isdir(self.path):
                 shutil.rmtree(self.path)
@@ -207,7 +215,9 @@ def register_jsonl_sink(spark: SparkSession) -> None:
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
-            out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            out = os.path.join(
+                self.path, f"part-{self.job_id}-{pid:05d}.jsonl"
+            )
             n = 0
             with open(out, "w") as fh:
                 for row in iterator:
@@ -224,8 +234,17 @@ def register_jsonl_sink(spark: SparkSession) -> None:
 
         def commit(self, messages):
             total = sum(m.count for m in messages)
-            with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-                _json.dump({"rows": total, "files": len(messages)}, fh)
+            n_files = len(messages)
+            success = os.path.join(self.path, "_SUCCESS")
+            if not self.overwrite and os.path.exists(success):
+                # append: fold prior jobs' totals in so the manifest
+                # describes the whole target, not just the latest job
+                with open(success) as fh:
+                    prev = _json.load(fh)
+                total += prev.get("rows", 0)
+                n_files += prev.get("files", 0)
+            with open(success, "w") as fh:
+                _json.dump({"rows": total, "files": n_files}, fh)
 
         def abort(self, messages):
             for m in messages:

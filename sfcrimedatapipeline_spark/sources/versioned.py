@@ -177,28 +177,43 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
 
     Safe order: compute the retained file set FIRST, then delete
     groups fully outside it — a crash mid-vacuum only leaves garbage,
-    never a broken retained snapshot."""
+    never a broken retained snapshot.
+
+    Retention is compared by group-directory BASENAME (the uuid), not
+    by full path: manifests record the path string used at write time,
+    and a vacuum called with an equivalent-but-differently-spelled
+    path (relative vs absolute, ``./`` prefix, symlinked parent)
+    must never conclude that every retained group is deletable."""
     import shutil
 
+    if keep_versions < 1:
+        raise ValueError(
+            f"keep_versions must be >= 1 (got {keep_versions}): retaining "
+            "zero versions would delete the latest committed snapshot while "
+            "its manifest remains, leaving every subsequent read dangling"
+        )
     versions = list_versions(path)
-    keep = set(versions[-keep_versions:]) if keep_versions else set()
+    keep = set(versions[-keep_versions:])
     retained: set[str] = set()
     for v in keep:
         retained.update(
-            os.path.dirname(f) for f in read_manifest(path, v)["files"]
+            os.path.basename(os.path.dirname(f))
+            for f in read_manifest(path, v)["files"]
         )
     removed = []
     data_root = os.path.join(path, "data")
     if os.path.isdir(data_root):
         for group in sorted(os.listdir(data_root)):
-            gdir = os.path.join(data_root, group)
-            if gdir not in retained:
+            if group not in retained:
+                gdir = os.path.join(data_root, group)
                 shutil.rmtree(gdir)
                 removed.append(gdir)
     return removed
 
 
-def append_version(df: DataFrame, path: str, note: str = "") -> int:
+def append_version(
+    df: DataFrame, path: str, note: str = "", extra: dict | None = None
+) -> int:
     """APPEND transaction: commit a new version whose manifest is the
     previous version's file list PLUS the new file group — the
     lakehouse append (incremental loads, one commit per micro-batch).
@@ -224,6 +239,7 @@ def append_version(df: DataFrame, path: str, note: str = "") -> int:
         "n_files": len(files),
         "committed_at": time.time(),
         "schema": df.schema.json(),
+        **(extra or {}),
     }
     os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
     _atomic_write(
@@ -246,20 +262,33 @@ def versioned_stream_sink(
     failed downstream job replays from any version. Composes Spark's
     checkpoint-based exactly-once batch ids with the manifest commit:
     a batch retried after a crash overwrites nothing (new uuid group;
-    the duplicate-batch guard is the batch-id note, checked before
-    committing). Returns the started StreamingQuery (availableNow
-    trigger — drains the source, then stops)."""
+    the duplicate-batch guard is the DEDICATED ``stream_batch_id`` +
+    ``stream_query`` manifest fields — never the free-text note, which
+    a manual append/rollback could collide with — checked against the
+    most recent manifests before committing; two distinct streams
+    writing the same table are disambiguated by query name). Returns
+    the started StreamingQuery (availableNow trigger — drains the
+    source, then stops)."""
+
+    #: Spark retries land within a handful of batches of the crash
+    #: point; scanning a bounded window keeps the per-micro-batch
+    #: guard O(1) instead of re-reading every manifest ever written.
+    REPLAY_WINDOW = 32
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        note = f"stream batch {batch_id}"
-        prev = latest_version(path)
-        if prev:  # replay guard: batch id already committed -> skip
-            seen = {
-                h["note"] for h in history(path)
-            }
-            if note in seen:
-                return
-        append_version(batch_df, path, note=note)
+        for v in list_versions(path)[-REPLAY_WINDOW:]:
+            m = read_manifest(path, v)
+            if (
+                m.get("stream_batch_id") == batch_id
+                and m.get("stream_query") == query_name
+            ):
+                return  # replayed batch: already committed, skip
+        append_version(
+            batch_df,
+            path,
+            note=f"stream batch {batch_id}",
+            extra={"stream_batch_id": batch_id, "stream_query": query_name},
+        )
 
     return (
         stream_df.writeStream.foreachBatch(commit)

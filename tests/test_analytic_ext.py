@@ -420,3 +420,19 @@ def test_control_chart_flags_known_outlier(spark):
         out = {r.month: r for r in orders_control_chart_monthly(spark, d).collect()}
     assert out["2024-12"].out_of_control
     assert sum(1 for r in out.values() if r.out_of_control) == 1
+
+
+def test_pca_rejects_degenerate_inputs(spark):
+    """ADVICE r6: empty and single-row inputs raise a clear ValueError
+    instead of IndexError / ZeroDivisionError deep in the assembly."""
+    import pytest
+
+    from sfcrimedatapipeline_spark.operators.similarity import pca_eigenvalues
+
+    schema = "vec_id long, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        pca_eigenvalues(empty, dim=4)
+    one = spark.createDataFrame([(1, [0.1, 0.2, 0.3, 0.4])], schema)
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        pca_eigenvalues(one, dim=4)

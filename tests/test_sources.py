@@ -384,3 +384,31 @@ def test_jsonl_sink_roundtrip_and_overwrite(spark, tmp_path):
         F.col("id"), F.col("id").alias("dbl"), F.lit("y").alias("tag")
     ).write.format("jsonlsink").option("path", p).mode("overwrite").save()
     assert read_jsonl(spark, p, "id long, dbl long, tag string").count() == 7
+
+
+def test_jsonl_sink_append_is_lossless(spark, tmp_path):
+    """ADVICE r6: append jobs get a per-job uuid in part filenames, so
+    a second append with overlapping partition ids adds rows instead of
+    silently overwriting, and _SUCCESS folds prior jobs' totals in."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.sources.jsonl import (
+        read_jsonl,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    p = str(tmp_path / "sink")
+    mk = lambda n, tag: spark.range(n, numPartitions=2).select(
+        F.col("id"), F.col("id").alias("dbl"), F.lit(tag).alias("tag")
+    )
+    mk(10, "a").write.format("jsonlsink").option("path", p).mode("overwrite").save()
+    mk(5, "b").write.format("jsonlsink").option("path", p).mode("append").save()
+    back = read_jsonl(spark, p, "id long, dbl long, tag string")
+    assert back.count() == 15  # both jobs' rows survive
+    assert back.where("tag = 'a'").count() == 10
+    with open(os.path.join(p, "_SUCCESS")) as fh:
+        assert json.load(fh) == {"rows": 15, "files": 4}

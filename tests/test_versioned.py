@@ -102,3 +102,89 @@ def test_versioned_stream_sink_one_version_per_batch(spark, tmp_path):
     assert {h["note"] for h in hist} == {"stream batch 0", "stream batch 1"}
     assert V.read_version(spark, table).count() == 7  # both batches
     assert V.read_version(spark, table, 1).count() in (3, 4)  # first batch only
+
+
+def test_vacuum_path_spelling_invariant(spark, tmp_path):
+    """ADVICE r6: retention compared by group basename, so calling
+    vacuum through a differently-spelled but equivalent path (here:
+    a route through the parent + a redundant segment) must not treat
+    every retained group as deletable."""
+    p = str(tmp_path / "t")
+    V.write_version(_df(spark, range(2)), p)
+    V.write_version(_df(spark, range(3)), p)
+    alt = os.path.join(str(tmp_path), ".", "t")  # equivalent, ≠ string
+    assert alt != p
+    removed = V.vacuum(alt, keep_versions=1)
+    assert len(removed) == 1  # only v1's group, never the latest
+    assert V.read_version(spark, p).count() == 3  # latest intact
+
+
+def test_vacuum_rejects_zero_retention(tmp_path):
+    """ADVICE r6: keep_versions=0 would delete the latest committed
+    snapshot while its manifest dangles — must raise, not comply."""
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_versions"):
+        V.vacuum(str(tmp_path / "t"), keep_versions=0)
+
+
+def test_stream_replay_guard_ignores_note_collisions(spark, tmp_path):
+    """ADVICE r6: the replay guard keys on dedicated manifest fields
+    (stream_batch_id + stream_query), so a manual append whose NOTE
+    happens to spell 'stream batch 0' must not cause the stream's real
+    batch 0 to be silently skipped."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _df(spark, range(4)).coalesce(1).write.parquet(str(src / "a"))
+    for f in (src / "a").glob("*.parquet"):
+        f.rename(src / f"a_{f.name}")
+    table = str(tmp_path / "table")
+    # adversarial manual append: note collides with the old guard key
+    V.append_version(_df(spark, range(900, 902)), table, note="stream batch 0")
+    stream = (
+        spark.readStream.schema("id long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = V.versioned_stream_sink(
+        stream, table, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    hist = V.history(table)
+    assert len(hist) == 2  # manual append + the real batch 0
+    assert V.read_manifest(table, 2).get("stream_batch_id") == 0
+    assert V.read_version(spark, table).count() == 6  # 2 manual + 4 stream
+
+
+def test_stream_replayed_batch_id_commits_once(spark, tmp_path):
+    """A batch id already committed by THIS query is skipped on replay
+    (field-based dedup), while the same batch id from a DIFFERENT
+    query name is a distinct stream and commits."""
+    table = str(tmp_path / "table")
+    V.append_version(
+        _df(spark, range(3)), table, note="stream batch 0",
+        extra={"stream_batch_id": 0, "stream_query": "qa"},
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    _df(spark, range(10, 14)).coalesce(1).write.parquet(str(src / "a"))
+    for f in (src / "a").glob("*.parquet"):
+        f.rename(src / f"a_{f.name}")
+    stream = (
+        spark.readStream.schema("id long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    # same query name -> batch 0 is a replay, must be skipped
+    q = V.versioned_stream_sink(
+        stream, table, checkpoint_dir=str(tmp_path / "ck1"), query_name="qa"
+    )
+    q.awaitTermination(120)
+    assert len(V.history(table)) == 1  # skipped: already committed
+    # different query name -> distinct stream, must commit
+    q = V.versioned_stream_sink(
+        stream, table, checkpoint_dir=str(tmp_path / "ck2"), query_name="qb"
+    )
+    q.awaitTermination(120)
+    assert len(V.history(table)) == 2
+    assert V.read_version(spark, table).count() == 7
