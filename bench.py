@@ -1,8 +1,18 @@
 """Benchmark surface for the driver: run every declared query at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and print ONE COMPACT JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "total_query_wall", "value": N, "unit": "sec",
+     "n_queries": N, "queries": {<top-10 slowest>}, "sf": ...,
+     "full": "BENCH_FULL_r7.json"}
+
+The stdout line is deliberately SMALL: rounds 4-6 shipped a driver
+artifact with ``"parsed": null`` because the full 300-query map made
+the single line longer than the driver's stdout capture, so the tail
+truncated mid-JSON (VERDICT r6 #1). The COMPLETE per-query map is
+always written to ``BENCH_FULL_r7.json`` at the repo root (override
+with $SPARK_GRAFT_BENCH_OUT); stdout carries the total, the count, and
+the top-10 slowest — enough for the round-over-round ledger to parse.
 
 Per-query time = full plan build + execution + collect at the driver
 (the same surface the correctness gate measures, minus the oracle).
@@ -21,6 +31,15 @@ per-query variance spikes (round-1 bench recorded text_lang_id at
 10 s vs a 0.4-0.9 s steady state), and a median of 3 makes a single
 GC/compaction/noisy-neighbor event invisible instead of defining the
 recorded number.
+
+``--isolate`` mode (VERDICT r6 #3): run each named query in a FRESH
+SparkSession subprocess, 5 reps, median — removes per-round scheduling
+interference entirely so a "swing" reading can be attributed to the
+query itself rather than to whatever ran before it in the shared
+session. Usage::
+
+    python bench.py --isolate ann_pq_topk_trained text_bpe_merges
+    python bench.py --isolate-child <name>   # internal: one child run
 """
 
 from __future__ import annotations
@@ -28,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -36,6 +56,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_SF_DIR = "/root/testdata/sf0.001"
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+REPO = os.path.dirname(os.path.abspath(__file__))
+FULL_OUT = os.environ.get(
+    "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "BENCH_FULL_r7.json")
+)
 
 #: Correctness-gate-only entries excluded from the bench: their wall
 #: time measures test-harness fixture work (rewriting the input as
@@ -65,6 +89,63 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
+def _run_one(spark, fn, reps: int) -> float:
+    """Warm at sf0.001, then ``reps`` timed runs at SF_DIR; median."""
+    if os.path.isdir(WARM_SF_DIR) and WARM_SF_DIR != SF_DIR:
+        fn(spark, WARM_SF_DIR).collect()  # compile/JIT warm-up (module doc)
+        spark.catalog.clearCache()
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        samples.append(time.perf_counter() - t0)
+        # operators persist reused intermediates (e.g. minhash shingle
+        # frames); drop them between runs so storage memory from one
+        # run doesn't evict/execute-spill the next
+        spark.catalog.clearCache()
+    return round(statistics.median(samples), 3)
+
+
+def _isolate_child(name: str) -> None:
+    """One query in this fresh interpreter: print its median and exit."""
+    import __spark_entry__ as e
+    from sfcrimedatapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-iso-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = e.queries()[name]
+    print(json.dumps({"query": name, "sec": _run_one(spark, fn, reps=1)}))
+
+
+def _isolate(names: list[str], reps: int = 5) -> None:
+    """VERDICT r6 #3: fresh-session-per-rep timing for the swing class.
+    Each rep is a separate subprocess (cold JVM scheduling state, warm
+    OS page cache — the parquet bytes stay resident, which is the
+    steady-state a real cluster sees); median of ``reps``."""
+    out = {}
+    for name in names:
+        samples = []
+        for _ in range(reps):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--isolate-child", name],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            try:
+                samples.append(json.loads(line)["sec"])
+            except (json.JSONDecodeError, KeyError):
+                sys.stderr.write(proc.stderr[-2000:] + "\n")
+                raise SystemExit(f"isolate child failed for {name}")
+        out[name] = {
+            "median": round(statistics.median(samples), 3),
+            "samples": samples,
+            "reps": reps,
+        }
+    print(json.dumps({"mode": "isolate", "sf": _sf_from_dir(SF_DIR), "queries": out}))
+
+
 def main() -> None:
     import __spark_entry__ as e
     from sfcrimedatapipeline_spark.session import get_spark
@@ -76,8 +157,6 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     # warm the Python/Arrow workers (pandas+numpy import per worker) so
     # the first mapInPandas query isn't charged for interpreter startup
-    import pandas as _pd
-
     def _noop(batches):
         for b in batches:
             yield b
@@ -89,37 +168,46 @@ def main() -> None:
     for name, fn in e.queries().items():
         if (only and name not in only) or (not only and name in BENCH_SKIP):
             continue
-        if os.path.isdir(WARM_SF_DIR) and WARM_SF_DIR != SF_DIR:
-            fn(spark, WARM_SF_DIR).collect()  # compile/JIT warm-up (see module doc)
-            spark.catalog.clearCache()
-        reps = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
-            reps.append(time.perf_counter() - t0)
-            # operators persist reused intermediates (e.g. minhash
-            # shingle frames); drop them between runs so storage memory
-            # from one run doesn't evict/execute-spill the next
-            spark.catalog.clearCache()
-        timings[name] = round(statistics.median(reps), 3)
+        timings[name] = _run_one(spark, fn, REPS)
 
     total = round(sum(timings.values()), 3)
-    payload = {
+    full = {
         "metric": "total_query_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "reps": REPS,
+        "n_queries": len(timings),
     }
-    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
-    if out_path:
-        # self-published complete artifact: the driver's BENCH_r{N} tail
-        # truncates (VERDICT r5 #5) — keep the full per-query map in-repo
-        with open(out_path, "w") as fh:
-            json.dump({**payload, "n_queries": len(timings)}, fh, indent=1, sort_keys=True)
-    print(json.dumps(payload))
+    # the COMPLETE map lives in the repo artifact (driver tails
+    # truncate); filtered debug runs must not clobber the full record
+    if not only:
+        with open(FULL_OUT, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": top10,
+                "sf": _sf_from_dir(SF_DIR),
+                "reps": REPS,
+                "full": os.path.basename(FULL_OUT),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolate-child":
+        _isolate_child(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        _isolate(sys.argv[2:])
+    else:
+        main()
