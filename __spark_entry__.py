@@ -26,6 +26,66 @@ def entry(spark: SparkSession) -> DataFrame:
     return j8_star_join_monthly(spark, SMOKE_SF_DIR)
 
 
+#: Always FIRST, in this order: the reference-surface series from
+#: SURVEY.md §2 (projections, aggregations, the full join ladder, the
+#: two window/key ops, both dim generators, and the spark.sql flagship
+#: twin). The driver's correctness artifact caps at ~50 queries
+#: (VERDICT r4-r6), and the reference ops are the hard contract — they
+#: must appear in every round's driver record.
+_REFERENCE_FIRST = [
+    "s13_sql_flagship",
+    "p1_project_alias",
+    "p2_null_default",
+    "p3_cast_date",
+    "p4_cast_time",
+    "p5_in_filter",
+    "a1_distinct_2col",
+    "a2_distinct_3col",
+    "a3_month_rollup",
+    "j1_left_join_dim",
+    "j2_time_string_join",
+    "j3_dim_aliased_twice",
+    "j4_dead_join_pair",
+    "j5_composite_null_keys",
+    "j6_composite_2key",
+    "j7_dedup_nonkey_join",
+    "j8_star_join_monthly",
+    "dim_time_rollup",
+    "dim_date_yearly",
+    "w1_surrogate_key",
+    "w2_load_order_id",
+]
+
+
+def _current_round() -> int:
+    """Best-effort round number for the rotation seed (VERDICT r6 #6).
+
+    The driver appends ``{"round": N, ...}`` lines to PROGRESS.jsonl;
+    the last parseable line wins. Falls back to counting published
+    CORRECTNESS_r*.json artifacts. Any failure degrades to round 0
+    (a fixed but still deterministic ordering), never an exception —
+    queries() must not be able to fail on an I/O edge.
+    """
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo, "PROGRESS.jsonl")) as fh:
+            lines = fh.read().strip().splitlines()
+        for line in reversed(lines):
+            try:
+                rnd = json.loads(line).get("round")
+                if isinstance(rnd, int):
+                    return rnd
+            except json.JSONDecodeError:
+                continue
+    except OSError:
+        pass
+    return len(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))) + 1
+
+
 #: Run these LAST: pipeline rebuilds, iterative ops, and genuine
 #: streaming executions (micro-batched, fixture-backed). The round-4
 #: driver artifact truncated at 50/118 queries on a time budget
@@ -72,8 +132,19 @@ _DEFERRED = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ extensions),
-    ordered cheap-first (see _DEFERRED)."""
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions).
+
+    Ordering (VERDICT r6 #6): the reference-surface series first (the
+    driver's ~50-query correctness cap must always include the hard
+    contract), then every other batch query in a ROUND-SEEDED
+    deterministic shuffle (sha256 of ``r{round}:{name}``) so successive
+    driver artifacts rotate which ~25 of the remaining ~250 queries get
+    driver-verified — cumulatively proving the whole surface across
+    rounds — then the expensive/iterative/streaming block (_DEFERRED).
+    Within one round the ordering is a pure function of the repo state,
+    so the driver's gate and any local re-run see the same sequence.
+    """
+    import hashlib
     from sfcrimedatapipeline_spark.plans import (
         analytic_ext,
         corpus_queries,
@@ -108,7 +179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **udx_queries.QUERIES,
     }
     deferred = set(_DEFERRED)
-    ordered = {k: v for k, v in merged.items() if k not in deferred}
+    first = set(_REFERENCE_FIRST)
+    rnd = _current_round()
+    middle = sorted(
+        (k for k in merged if k not in deferred and k not in first),
+        key=lambda k: hashlib.sha256(f"r{rnd}:{k}".encode()).hexdigest(),
+    )
+    ordered = {k: merged[k] for k in _REFERENCE_FIRST if k in merged}
+    ordered.update({k: merged[k] for k in middle})
     ordered.update({k: merged[k] for k in _DEFERRED if k in merged})
     return ordered
 
