@@ -814,6 +814,29 @@ def cms_estimate(
     )
 
 
+def skyline_band_candidates(
+    df: DataFrame, x_col: str, y_col: str, band_width: int
+) -> DataFrame:
+    """Phase 1 of :func:`skyline_2d`: band-prune to the O(frontier)
+    candidate set (every frontier row survives; most dominated rows
+    don't). Exposed separately so the candidate-count bound — the
+    SEMANTIC property that makes the phase-2 broadcast anti-join safe,
+    which tools/plan_audit.py records as a semantic whitelist tier —
+    stays pinned by a test on the real code path
+    (tests/test_analytic_ext.py::test_skyline_band_prune_bound)."""
+    pts = df.withColumn("__band", F.expr(f"{x_col} div {band_width}"))
+    band_max = pts.groupBy("__band").agg(F.max(y_col).alias("__ymax"))
+    wb = Window.orderBy("__band").rowsBetween(Window.unboundedPreceding, -1)
+    prev = band_max.select(
+        "__band", F.max("__ymax").over(wb).alias("__prev")
+    )
+    return (
+        pts.join(F.broadcast(prev), "__band")
+        .filter(F.col("__prev").isNull() | (F.col(y_col) >= F.col("__prev")))
+        .drop("__band", "__prev")
+    )
+
+
 def skyline_2d(
     df: DataFrame,
     x_col: str,
@@ -852,17 +875,7 @@ def skyline_2d(
     x non-negative upstream if that band grows hot. Ties: two
     identical points dominate neither; both survive.
     """
-    pts = df.withColumn("__band", F.expr(f"{x_col} div {band_width}"))
-    band_max = pts.groupBy("__band").agg(F.max(y_col).alias("__ymax"))
-    wb = Window.orderBy("__band").rowsBetween(Window.unboundedPreceding, -1)
-    prev = band_max.select(
-        "__band", F.max("__ymax").over(wb).alias("__prev")
-    )
-    cand = (
-        pts.join(F.broadcast(prev), "__band")
-        .filter(F.col("__prev").isNull() | (F.col(y_col) >= F.col("__prev")))
-        .drop("__band", "__prev")
-    )
+    cand = skyline_band_candidates(df, x_col, y_col, band_width)
     dom = cand.select(
         F.col(x_col).alias("__dx"), F.col(y_col).alias("__dy")
     )

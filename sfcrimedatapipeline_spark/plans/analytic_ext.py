@@ -355,8 +355,10 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         mmr_rerank,
     )
 
+    from sfcrimedatapipeline_spark.plans.llmops import ann_queries
+
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    queries = ann_queries(emb)
     cands = cosine_topk(emb, queries, k=20)
     return mmr_rerank(cands, emb, k=5, lamb=0.7).orderBy("query_id", "rank")
 

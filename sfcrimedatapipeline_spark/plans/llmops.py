@@ -49,6 +49,20 @@ EMB_LSH_PLANES_PER_BAND = 3
 NGRAM_MAX_DF = 20
 ANN_K = 5
 ANN_N_QUERIES = 10
+
+
+def ann_queries(emb: DataFrame) -> DataFrame:
+    """The fixed ANN query set: vec_ids 0..ANN_N_QUERIES-1.
+
+    The trailing ``limit`` is deliberately redundant with the filter
+    (the filter already yields exactly ANN_N_QUERIES rows): it puts a
+    GlobalLimit node in the plan so the broadcast build side of every
+    ANN scorer is bounded BY CONSTRUCTION — the structural property
+    tools/plan_audit.py re-verifies each sweep (VERDICT r6 #4) instead
+    of trusting a whitelist comment. Cost: a 10-row single-partition
+    exchange on the query frame, nothing on the corpus side.
+    """
+    return emb.filter(F.col("vec_id") < ANN_N_QUERIES).limit(ANN_N_QUERIES)
 NUM_HASHES = dedup.DEFAULT_NUM_HASHES
 NUM_BANDS = dedup.DEFAULT_BANDS
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
@@ -266,13 +280,13 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read_parallel(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    queries = ann_queries(emb)
     return similarity.cosine_topk(emb, queries, k=ANN_K)
 
 
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read_parallel(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    queries = ann_queries(emb)
     return similarity.cosine_topk_lsh(emb, queries, k=ANN_K)
 
 
@@ -281,7 +295,7 @@ ANN_IVF_CENTROIDS, ANN_IVF_PROBE = 8, 2
 
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read_parallel(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    queries = ann_queries(emb)
     return similarity.cosine_topk_ivf(
         emb,
         queries,
@@ -304,7 +318,7 @@ def ann_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single-pass numpy reference (the fixed-centroid IVF query
     ann_cosine_topk_ivf stays fully hash-gated)."""
     emb = _read_parallel(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    queries = ann_queries(emb)
     trained = similarity.train_ivf_centroids(
         emb, n_centroids=ANN_IVF_CENTROIDS, n_iters=3
     )
@@ -325,7 +339,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact arithmetic against FIXED codebooks (the lowest-16 corpus
     vectors), the same determinism discipline as ann_cosine_topk_ivf."""
     emb = _read_parallel(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    queries = ann_queries(emb)
     return similarity.pq_topk(emb, queries, k=ANN_K)
 
 
@@ -335,7 +349,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the billion-scale ANN shape, fully hash-gated against fixed coarse
     centroids + codebooks."""
     emb = _read_parallel(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    queries = ann_queries(emb)
     return similarity.ivfpq_topk(
         emb, queries, k=ANN_K, n_centroids=8, n_probe=2
     )
@@ -348,7 +362,7 @@ def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions folded in input-set order, so the whole fusion is
     hash-gated on top of the three already-gated tiers."""
     emb = _read_parallel(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    queries = ann_queries(emb)
     return similarity.rrf_fuse(
         [
             similarity.cosine_topk(emb, queries, k=ANN_K),
@@ -369,7 +383,7 @@ def ann_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     a numpy parity test and the fixed-codebook ann_pq_topk stays fully
     hash-gated."""
     emb = _read_parallel(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    queries = ann_queries(emb)
     cb = similarity.train_pq_codebooks(emb, n_iters=3)
     return similarity.pq_topk(emb, queries, k=ANN_K, codebooks=cb)
 
@@ -1353,7 +1367,7 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical reconstruction and the tier hash-gates. Same
     (query_id, rank, neighbor_id, score) shape as the other tiers."""
     emb = _read_parallel(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    queries = ann_queries(emb)
     return similarity.cosine_topk_sq8(emb, queries, k=ANN_K)
 
 

@@ -186,11 +186,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from sfcrimedatapipeline_spark.plans.llmops import ANN_K, ANN_N_QUERIES
+    from sfcrimedatapipeline_spark.plans.llmops import ANN_K, ann_queries
     from sfcrimedatapipeline_spark.operators import similarity
 
     emb = ensure_min_partitions(read_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    queries = ann_queries(emb)
     exact = similarity.cosine_topk(emb, queries, k=ANN_K).select(
         "query_id", "neighbor_id"
     )

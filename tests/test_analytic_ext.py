@@ -11,7 +11,10 @@ import random
 import numpy as np
 from pyspark.sql import functions as F
 
-from sfcrimedatapipeline_spark.operators.profile import skyline_2d
+from sfcrimedatapipeline_spark.operators.profile import (
+    skyline_2d,
+    skyline_band_candidates,
+)
 from sfcrimedatapipeline_spark.operators.temporal import US, interval_overlap_join
 
 
@@ -80,6 +83,26 @@ def test_skyline_matches_brute_force_with_ties_and_bands(spark):
             for r in skyline_2d(df, "x", "y", band_width=band).collect()
         )
         assert got == _brute_skyline(pts), f"band={band}"
+
+
+def test_skyline_band_prune_bound(spark):
+    """The semantic bound tools/plan_audit.py records for skyline_parts
+    (SEMANTIC_OK tier): the phase-2 broadcast anti-join runs over the
+    band-pruned candidates, which must be O(frontier), not O(data).
+    Pins both directions — no frontier row is pruned, and on a
+    uniform-random cloud the candidate set is a small fraction of the
+    input (here: ≤5% of 5000 rows at a frontier-step-sized band)."""
+    rng = random.Random(11)
+    n = 5000
+    pts = [(i, rng.randrange(0, 100_000), rng.randrange(0, 10_000)) for i in range(n)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    cand = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in skyline_band_candidates(df, "x", "y", band_width=1000).collect()
+    )
+    frontier = _brute_skyline(pts)
+    assert set(frontier) <= set(cand)  # pruning is lossless
+    assert len(cand) <= n // 20, f"candidates {len(cand)} exceed 5% of {n}"
 
 
 def test_trend_ols_matches_numpy_polyfit():
