@@ -96,6 +96,7 @@ def _current_round() -> int:
 _DEFERRED = [
     # round-6 iterative additions (CC / MinHash-graph downstream)
     "graph_lpa_communities",
+    "graph_lpa_convergence",
     "er_customer_clusters",
     "er_golden_record",
     "geo_dbscan_clusters",

@@ -319,7 +319,62 @@ def label_propagation(
     a celebrity node's degree never becomes one task's sort buffer.
     Lineage truncated every second round (``checkpoint_dir`` switches
     to reliable checkpoints for the cluster setting).
+
+    Round-count guidance (VERDICT r6 #5): a fixed ``rounds`` keeps the
+    output deterministic and hash-gateable, but label information only
+    travels ``rounds`` hops — on a graph whose communities have larger
+    diameter, a too-small count fragments them silently. Before fixing
+    ``rounds`` on a new corpus, run :func:`lpa_convergence` (same loop,
+    same arguments) and read the per-round changed-label counts: pick
+    the smallest round where ``n_changed`` reaches its fixpoint plateau
+    (0, or the stable oscillation floor — synchronous LPA can 2-cycle
+    on bipartite-ish structures, so a small non-zero plateau is the
+    converged state, not a bug). On the gated MinHash near-dup graph
+    the probe shows the plateau inside 3 rounds
+    (tests/test_graph.py::test_lpa_convergence_probe pins it); near-dup
+    clusters are dense and low-diameter, so this transfers to 100 TB —
+    duplicate-cluster diameter doesn't grow with corpus size.
     """
+    labels, _ = _lpa_run(
+        pairs, src_col, dst_col, rounds, checkpoint_dir, track_changes=False
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("community_id")
+    )
+
+
+def lpa_convergence(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    rounds: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Convergence probe for :func:`label_propagation` (VERDICT r6 #5):
+    runs the SAME synchronous rounds and returns one row per round —
+    ``(round_no, n_changed)``, the count of nodes whose label differs
+    from the previous round. ``n_changed`` hitting its plateau tells
+    you the fixed round count has reached the fixpoint; a value still
+    falling at the last round means communities are fragmented and
+    ``rounds`` must grow. Driver cost: one scalar count per round
+    (bounded — never a row collect)."""
+    labels, changed = _lpa_run(
+        pairs, src_col, dst_col, rounds, checkpoint_dir, track_changes=True
+    )
+    spark = labels.sparkSession
+    return spark.createDataFrame(changed, "round_no int, n_changed long")
+
+
+def _lpa_run(
+    pairs: DataFrame,
+    src_col: str,
+    dst_col: str,
+    rounds: int,
+    checkpoint_dir: str | None,
+    track_changes: bool,
+) -> tuple[DataFrame, list[tuple[int, int]]]:
+    """Shared synchronous-LPA loop. Returns (final labels, per-round
+    changed counts — empty unless track_changes)."""
     fwd = pairs.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -339,12 +394,13 @@ def label_propagation(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    changed: list[tuple[int, int]] = []
     for r in range(rounds):
         nb = edges_p.join(labels, edges_p.src == labels.id).select(
             F.col("dst").alias("node"), "label"
         )
         cnt = nb.groupBy("node", "label").agg(F.count("*").alias("cnt"))
-        labels = (
+        new_labels = (
             cnt.groupBy("node")
             .agg(
                 F.max(
@@ -353,14 +409,23 @@ def label_propagation(
             )
             .select(F.col("node").alias("id"), (-F.col("m.neg")).alias("label"))
         )
-        if r % 2 == 1 or r == rounds - 1:
+        if track_changes or r % 2 == 1 or r == rounds - 1:
             from sfcrimedatapipeline_spark.functions.caching import (
                 truncate_lineage,
             )
 
-            labels = truncate_lineage(labels, checkpoint_dir, eager=True)
+            # when probing, truncate EVERY round so the per-round count
+            # below doesn't recompute the chain it just measured
+            new_labels = truncate_lineage(new_labels, checkpoint_dir, eager=True)
+        if track_changes:
+            prev = labels.select("id", F.col("label").alias("__old"))
+            n = (
+                new_labels.join(prev, "id")
+                .filter(F.col("label") != F.col("__old"))
+                .count()  # bounded: one scalar per round
+            )
+            changed.append((r + 1, n))
+        labels = new_labels
     edges.unpersist()
     edges_p.unpersist()
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("community_id")
-    )
+    return labels, changed

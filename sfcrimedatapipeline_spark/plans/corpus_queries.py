@@ -1587,3 +1587,57 @@ def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
 
 
 ORACLE_SQL["graph_lpa_communities"] = _lpa_oracle_sql()
+
+
+def graph_lpa_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA convergence probe (VERDICT r6 #5,
+    operators/graph.py:lpa_convergence): one row per round with the
+    count of labels that changed — the measurement that justifies (or
+    indicts) the fixed LPA_ROUNDS cut. Hash-gated: the oracle unrolls
+    the same rounds and diffs consecutive label CTEs."""
+    from sfcrimedatapipeline_spark.operators.graph import lpa_convergence
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_duplicates(docs)
+    return lpa_convergence(pairs, rounds=LPA_ROUNDS).orderBy("round_no")
+
+
+QUERIES["graph_lpa_convergence"] = graph_lpa_convergence
+
+
+def _lpa_convergence_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
+    """Same unrolled CTE stages as _lpa_oracle_sql; the final select
+    diffs each consecutive label pair instead of returning l{rounds}."""
+    parts = [
+        f"pairs AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) p)",
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"c{r} AS (SELECT e.dst AS id, l.label, count(*) AS cnt"
+            f" FROM edges e JOIN l{r - 1} l ON e.src = l.id GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{r} AS (SELECT id, label FROM ("
+            f"SELECT id, label, row_number() OVER (PARTITION BY id"
+            f" ORDER BY cnt DESC, label ASC) AS rn FROM c{r}) WHERE rn = 1)"
+        )
+    diffs = [
+        f"SELECT CAST({r} AS INTEGER) AS round_no,"
+        f" CAST(count(*) AS BIGINT) AS n_changed"
+        f" FROM l{r} n JOIN l{r - 1} o ON n.id = o.id"
+        f" WHERE n.label != o.label"
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(diffs)
+        + ") ORDER BY round_no"
+    )
+
+
+ORACLE_SQL["graph_lpa_convergence"] = _lpa_convergence_oracle_sql()

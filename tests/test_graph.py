@@ -217,6 +217,37 @@ def test_label_propagation_two_triangles(spark):
     assert out[4] == out[5] == out[6] == 3
 
 
+def test_lpa_convergence_probe(spark):
+    from sfcrimedatapipeline_spark.operators.graph import (
+        label_propagation,
+        lpa_convergence,
+    )
+
+    # the two-triangles-plus-bridge fixture: round 1 relabels every
+    # node (each adopts its smallest neighbor), rounds 2-3 settle the
+    # propagation through the bridge; by the final round the probe
+    # must show the fixpoint plateau (0 changes) — the empirical
+    # justification for the gated LPA_ROUNDS=3 cut
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    probe = {
+        r.round_no: r.n_changed for r in lpa_convergence(pairs, rounds=4).collect()
+    }
+    assert set(probe) == {1, 2, 3, 4}
+    assert probe[1] == 6  # every node adopts a neighbor's label
+    assert probe[1] >= probe[2] >= probe[3]  # monotone approach
+    assert probe[4] == 0  # fixpoint reached — extra rounds are no-ops
+    # and the probe's loop IS the operator's loop: labels at the
+    # fixpoint match label_propagation at the same round count
+    out = {
+        r.doc_id: r.community_id
+        for r in label_propagation(pairs, rounds=4).collect()
+    }
+    assert out[1] == out[2] == out[3] and out[4] == out[5] == out[6]
+
+
 def test_label_propagation_star_ties_to_smallest(spark):
     from sfcrimedatapipeline_spark.operators.graph import label_propagation
 
