@@ -692,6 +692,75 @@ def bpe_segment_counts(
     )
 
 
+#: token-id namespace split for :func:`bpe_tokenize`: single-character
+#: tokens map to their Unicode codepoint (stable, vocab-file-free);
+#: merged tokens map to MERGED_ID_BASE + merge rank. The base clears
+#: the whole Unicode range (max codepoint 0x10FFFF = 1 114 111 <
+#: 10 000 000), so the two id spaces can never collide.
+MERGED_ID_BASE = 10_000_000
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full BPE segmentation emit (VERDICT r6 #8): ``(doc_id,
+    token_ids array<long>)`` — the trainable-shard payload, closing the
+    gap between :func:`bpe_segment_counts` (counts only) and what
+    ``pack_sequences`` actually needs to feed a trainer.
+
+    Same replay semantics as :func:`bpe_segment_counts` (merges applied
+    in rank order, greedy left-to-right within each word; training-set
+    words reproduce their trained segmentation exactly), accepting the
+    output of :func:`train_bpe` / :func:`train_bpe_local` or any fixed
+    ``(rank, left, right, ...)`` table. Token ids need no vocab file:
+    single-char tokens are their codepoint, merged tokens are
+    ``MERGED_ID_BASE + rank`` (ranks are unique; if two merges ever
+    produce the same surface string the smallest rank wins, so the
+    mapping is a function). One Arrow pass, no shuffle; the merge list
+    rides the closure like a production tokenizer's vocab artifact.
+    """
+    ordered = [(m[1], m[2]) for m in sorted(merges)]
+    rank_of: dict[str, int] = {}
+    for m in sorted(merges):
+        rank_of.setdefault(m[1] + m[2], int(m[0]))
+
+    def segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        def encode_word(word: str) -> list[int]:
+            s = list(word)
+            for a, b in ordered:
+                i, out = 0, []
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return [
+                MERGED_ID_BASE + rank_of[t] if len(t) > 1 else ord(t)
+                for t in s
+            ]
+
+        for pdf in batches:
+            ids = [
+                [i for w in str(t).lower().split() for i in encode_word(w)]
+                if t is not None
+                else []
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "token_ids": ids})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        segment, f"{id_col} long, token_ids array<long>"
+    )
+
+
 #: script ranges as LITERAL char-class fragments shared by both engines
 #: (Java regex and RE2 disagree on \u vs \x{} escape syntax, but both
 #: accept literal codepoint ranges inside a class)

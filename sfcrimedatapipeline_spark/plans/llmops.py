@@ -115,6 +115,79 @@ def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_script_mix(docs).select(*cols, "dominant_script")
 
 
+#: Fixed production-style merge table for the GATED tokenization query:
+#: a tokenizer is trained once and shipped as a constant artifact, so
+#: the gate exercises segmentation + id assignment with the table
+#: inlined in BOTH engines (the trained-merge path is covered rows-only
+#: by text_bpe_merges* plus the pytest parity suite — a learned table
+#: cannot be inlined into a static oracle string). Ranks replay in
+#: order; later merges may consume earlier outputs (th+e, in+g).
+TOKENIZE_MERGES: list[tuple[int, str, str]] = [
+    (1, "t", "h"),
+    (2, "th", "e"),
+    (3, "i", "n"),
+    (4, "a", "n"),
+    (5, "an", "d"),
+    (6, "e", "r"),
+    (7, "o", "n"),
+    (8, "r", "e"),
+    (9, "o", "u"),
+    (10, "t", "o"),
+    (11, "e", "n"),
+    (12, "o", "f"),
+    (13, "s", "t"),
+    (14, "in", "g"),
+    (15, "a", "t"),
+    (16, "e", "s"),
+]
+
+
+def docs_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenization emit (operators/textstats.py:bpe_tokenize,
+    VERDICT r6 #8): every document → its token-id array under the hash
+    gate — the actual trainable-shard payload. Ids are vocab-file-free
+    (codepoint for single chars, MERGED_ID_BASE+rank for merges); the
+    oracle replays the same fixed merge table as delimiter-guarded
+    replace() chains (tokens never contain whitespace, so a two-space
+    separator makes greedy left-to-right replace ≡ the BPE scan)."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return textstats.bpe_tokenize(docs, TOKENIZE_MERGES).select(
+        "doc_id", "token_ids"
+    )
+
+
+def _tokenize_bpe_sql() -> str:
+    """Generated from TOKENIZE_MERGES so the two engines cannot drift.
+
+    Word → '  c1  c2  ...  cN ' (two-space separators; single spaces
+    inside each merge pattern share one space with each neighbor, so
+    consecutive pairs stay matchable after a replacement — the '||'
+    trick with a character no token can contain). DuckDB's replace()
+    is non-overlapping left-to-right, exactly the BPE greedy scan.
+    """
+    from sfcrimedatapipeline_spark.operators.textstats import MERGED_ID_BASE
+
+    expr = "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')"
+    for rank, a, b in TOKENIZE_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    case = " ".join(
+        f"WHEN t = '{a}{b}' THEN CAST({MERGED_ID_BASE + rank} AS BIGINT)"
+        for rank, a, b in TOKENIZE_MERGES
+    )
+    return f"""
+        SELECT doc_id,
+               flatten(list_transform(
+                   list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                               x -> x <> ''),
+                   w -> list_transform(
+                            list_filter(string_split({expr}, ' '), t -> t <> ''),
+                            t -> CASE {case}
+                                 ELSE CAST(unicode(t) AS BIGINT) END)
+               )) AS token_ids
+        FROM documents
+    """
+
+
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training over the corpus word-frequency
     table (operators/textstats.py:train_bpe). Rows-only by design: the
@@ -935,6 +1008,7 @@ def build_oracle_sql() -> dict[str, str]:
             FROM tok
         """,
         "text_winnow_fingerprints": _winnow_sql(),
+        "docs_tokenize_bpe": _tokenize_bpe_sql(),
         # curate_corpus composed: quality + repetition CTEs feed one
         # disposition CASE in the operator's priority order; dedup is
         # min(doc_id) per fingerprint among eligible docs only
@@ -1263,6 +1337,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_count_bpe": text_token_count_bpe,
+    "docs_tokenize_bpe": docs_tokenize_bpe,
     "text_repetition": text_repetition,
     "text_unigram_lm": text_unigram_lm,
     "text_script_mix": text_script_mix,

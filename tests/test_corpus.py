@@ -534,6 +534,43 @@ def test_bpe_trainer_matches_pure_python_reference(spark):
         assert seg[r.doc_id] == expect
 
 
+def test_bpe_tokenize_ids_match_pure_python_segmenter(spark):
+    """VERDICT r6 #8 done-criterion: bpe_tokenize's token-id arrays
+    reproduce the pure-Python segmenter on the fixture corpus, for
+    TRAINED merges (the production path — the gated query pins the
+    fixed-table path against the DuckDB oracle)."""
+    import re
+
+    from sfcrimedatapipeline_spark.operators import textstats
+    from sfcrimedatapipeline_spark.operators.textstats import MERGED_ID_BASE
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    texts = [r.text for r in docs.select("text").collect()]
+    merges, ref_syms = _bpe_reference(texts, 12)
+    rank_of = {m[3]: m[0] for m in merges}
+    got = {
+        r.doc_id: list(r.token_ids)
+        for r in textstats.bpe_tokenize(docs, merges).collect()
+    }
+    assert len(got) == len(texts)
+    for r in docs.select("doc_id", "text").limit(30).collect():
+        words = [x for x in re.split(r"\s+", r.text.lower()) if x]
+        expect = [
+            MERGED_ID_BASE + rank_of[t] if len(t) > 1 else ord(t)
+            for w in words
+            for t in ref_syms[w]
+        ]
+        assert got[r.doc_id] == expect
+    # empty / null text → empty array, never null
+    edge = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "the and")], "doc_id long, text string"
+    )
+    out = {r.doc_id: list(r.token_ids) for r in textstats.bpe_tokenize(edge, merges).collect()}
+    assert out[1] == [] and out[2] == []
+    assert len(out[3]) > 0
+
+
 def test_bpe_merges_reduce_token_count(spark):
     from sfcrimedatapipeline_spark.operators import textstats
 
