@@ -119,6 +119,7 @@ _DEFERRED = [
     "dedup_clusters_2phase",
     "pagerank_dup_graph",
     "graph_triangle_count",
+    "graph_clustering_coeff",
     "u4_cogroup_alignment",
     "events_hourly_agg_stream",
     "events_sliding_agg_stream",

@@ -167,6 +167,78 @@ def triangle_count(
     return unpersist_when_released(tri, e)
 
 
+def clustering_coefficients(
+    pairs: DataFrame, src_col: str = "doc_a", dst_col: str = "doc_b"
+) -> DataFrame:
+    """Local clustering coefficient per node → ``(doc_id, degree,
+    n_triangles, clustering_coeff)`` with coeff = 2·T(v) / (d(v)·(d(v)−1))
+    — how clique-like each node's neighborhood is (a near-dup cluster
+    member scores ~1, a hub stitching unrelated docs scores ~0, the
+    standard triage between the two).
+
+    Same relational shape as :func:`triangle_count` — canonical (lo,hi)
+    edges, two equi-joins enumerate each triangle a<b<c exactly once —
+    then each triangle is EXPLODED to its three corners and one
+    map-side-combined count per node joins the degree frame. Exact
+    integer arithmetic to one final divide. Degree-1 nodes (no possible
+    wedge) report coeff 0.0.
+    """
+    from sfcrimedatapipeline_spark.functions.caching import (
+        unpersist_when_released,
+    )
+
+    e = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("lo").alias("id"))
+        .union(e.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri_nodes = (
+        ab.join(bc, F.col("ab.hi") == F.col("bc.lo"))
+        .join(
+            ac,
+            (F.col("ac.lo") == F.col("ab.lo")) & (F.col("ac.hi") == F.col("bc.hi")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("ab.lo"), F.col("ab.hi"), F.col("bc.hi"))
+            ).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    dd = F.col("degree").cast("double")
+    out = (
+        deg.join(tri_nodes, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (dd * (dd - F.lit(1.0))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+    return unpersist_when_released(out, e)
+
+
 def bfs_distances(
     pairs: DataFrame,
     seed_pred,

@@ -982,6 +982,101 @@ def mann_whitney_u(
     )
 
 
+def kruskal_wallis(
+    df: DataFrame, value_col: str, group_col: str, groups: list[str]
+) -> DataFrame:
+    """Kruskal-Wallis H test across ``groups`` — the k-group extension
+    of :func:`mann_whitney_u` (one-way ANOVA on ranks, no normality
+    assumption): did the value distribution shift across ALL segments
+    at once? Returns one row: n_total, df (k-1), h, and the
+    tie-corrected h_c.
+
+    ``value_col`` must be integral (the s12/MWU discipline): rank sums
+    stay EXACT integers (doubled average ranks) until the final
+    fixed-order IEEE expression, so the result is bit-stable under any
+    partitioning and shared verbatim with the oracle.
+
+    Scale shape: same as MWU — values collapse to (value, per-group
+    counts) in one map-side-combined aggregate (groups land as COLUMNS
+    via conditional sums, the ANOVA pivot, so the cross-group reduction
+    is a fixed expression tree, never a partition-order double sum);
+    the rank-before-each-value prefix over the distinct-value frame is
+    TWO-PHASE (range-repartition + local running sum + triangular
+    ``partition_offsets``) — no partition-less window even when the
+    distinct-value count scales with the data.
+    """
+    from pyspark.sql import Window
+
+    from sfcrimedatapipeline_spark.operators.keys import partition_offsets
+
+    k = len(groups)
+    d = df.filter(F.col(group_col).isin(groups)).select(
+        F.col(value_col).cast("long").alias("__v"), F.col(group_col).alias("__g")
+    )
+    vc = d.groupBy("__v").agg(
+        *[
+            F.sum(F.when(F.col("__g") == g, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__c{i}")
+            for i, g in enumerate(groups)
+        ],
+        F.count("*").alias("__t"),
+    )
+    sorted_df = vc.repartitionByRange(F.asc("__v")).sortWithinPartitions(
+        F.asc("__v")
+    )
+    pid = F.spark_partition_id()
+    local_w = (
+        Window.partitionBy(pid)
+        .orderBy(F.asc("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_run = sorted_df.select(
+        pid.alias("__pid"),
+        F.sum("__t").over(local_w).alias("__run"),
+        "*",
+    )
+    counts = with_run.groupBy("__pid").agg(F.max("__run").alias("__n"))
+    offsets = partition_offsets(counts)
+    g = with_run.join(F.broadcast(offsets), "__pid")
+    before = F.col("__run") - F.col("__t") + F.col("__offset")
+    avg2 = (before * 2 + F.col("__t") + 1).cast("decimal(38,0)")
+    td = F.col("__t").cast("decimal(38,0)")
+    base = g.agg(
+        *[
+            F.sum(F.col(f"__c{i}")).cast("long").alias(f"n{i}")
+            for i in range(k)
+        ],
+        *[
+            F.sum(F.col(f"__c{i}").cast("decimal(38,0)") * avg2).alias(f"r2_{i}")
+            for i in range(k)
+        ],
+        F.sum(td * td * td - td).alias("__ties"),
+    )
+
+    def dd(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    n_total = F.col("n0")
+    for i in range(1, k):
+        n_total = n_total + F.col(f"n{i}")
+    # Σ R_g²/n_g with R_g = r2_g/2 → Σ r2²/n / 4; H = 12/(N(N+1))·Σ − 3(N+1)
+    term = dd("r2_0") * dd("r2_0") / dd("n0")
+    for i in range(1, k):
+        term = term + dd(f"r2_{i}") * dd(f"r2_{i}") / dd(f"n{i}")
+    nd = n_total.cast("double")
+    h = F.lit(3.0) * term / (nd * (nd + F.lit(1.0))) - F.lit(3.0) * (
+        nd + F.lit(1.0)
+    )
+    corr = F.lit(1.0) - dd("__ties") / (nd * nd * nd - nd)
+    return base.select(
+        n_total.alias("n_total"),
+        F.lit(k - 1).cast("int").alias("df"),
+        h.alias("h"),
+        (h / corr).alias("h_tie_corrected"),
+    )
+
+
 def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """ROC AUC of a numeric score against a boolean label — the
     threshold-free ranking metric for classifier evaluation (does the

@@ -621,3 +621,81 @@ def holt_linear_forecast(
         )
 
     return df.groupBy(key_col).applyInPandas(fit, schema=out_schema)
+
+
+def acf_pairwise(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    bucket_seconds: int = 60,
+    max_lag: int = 8,
+) -> DataFrame:
+    """Sample autocorrelation of a bucketed series at lags 1..max_lag →
+    ``(lag_buckets, n_pairs, acf)`` — the standard first look at a
+    metric's memory (is load self-similar minute-over-minute? does
+    value decay follow the hourly cycle?).
+
+    Estimator: PAIRWISE-COMPLETE Pearson — for lag k, correlate the
+    (x_t, x_{t+k}) pairs where BOTH buckets exist. Unlike the textbook
+    global-mean estimator this is well-defined on gappy series (no
+    imputation policy smuggled in) and needs no corpus-wide mean, so
+    there is no 1-row crossJoin: per-lag sums are one equi-join + one
+    map-side-combined aggregate. ``value_col=None`` correlates bucket
+    COUNTS (pure integers); otherwise the value is floor-cents cast.
+
+    All six sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) stay exact
+    integers/decimals until one fixed-order IEEE formula (the s12
+    discipline) — bit-stable under any partitioning, shared verbatim
+    with the oracle.
+
+    Scale shape: bucketing is ONE map-side-combined aggregate; the lag
+    expansion multiplies the BUCKET frame (time-range/bucket cardinality,
+    not event cardinality) by max_lag via explode, then one equi-join
+    on (bucket+lag) and one aggregate to max_lag rows. At 100 TB the
+    bucket frame for a year of minutes is 526 k rows × 8 lags — noise
+    next to the event scan that feeds it.
+    """
+    bucket = F.expr(f"unix_micros({ts_col}) div {bucket_seconds * US}").cast(
+        "long"
+    )
+    if value_col is None:
+        series = df.groupBy(bucket.alias("__b")).agg(
+            F.count("*").cast("long").alias("__x")
+        )
+    else:
+        cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+        series = df.groupBy(bucket.alias("__b")).agg(
+            F.sum(cents).cast("long").alias("__x")
+        )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+    ).alias("lag_buckets")
+    left = series.select("__b", "__x", lags)
+    right = series.select(
+        (F.col("__b")).alias("__b2"), F.col("__x").alias("__y")
+    )
+    paired = left.join(
+        right, (F.col("__b") + F.col("lag_buckets")) == F.col("__b2")
+    )
+    xd = F.col("__x").cast("decimal(38,0)")
+    yd = F.col("__y").cast("decimal(38,0)")
+    base = paired.groupBy("lag_buckets").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(xd * xd).alias("__sx2"),
+        F.sum(yd * yd).alias("__sy2"),
+        F.sum(xd * yd).alias("__sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sx2 = F.col("__sx2").cast("double")
+    sy2 = F.col("__sy2").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    acf = (n * sxy - sx * sy) / F.sqrt(
+        (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+    )
+    return base.select("lag_buckets", "n_pairs", acf.alias("acf")).orderBy(
+        "lag_buckets"
+    )

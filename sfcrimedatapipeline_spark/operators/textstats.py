@@ -692,6 +692,59 @@ def bpe_segment_counts(
     )
 
 
+def ttr_hapax_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document type-token ratio and hapax-legomena ratio →
+    ``(doc_id, n_tokens, n_types, ttr, n_hapax, hapax_ratio)`` — the
+    classic vocabulary-richness pair (low TTR = repetitive boilerplate,
+    high hapax share = rich/noisy text), complementing the Simpson
+    diversity index with the two counts every corpus report quotes.
+
+    Relational shape: explode tokens → per-(doc, token) counts → one
+    map-side-combined per-doc aggregate (n_types = distinct tokens,
+    n_hapax = tokens with count 1), then a left join back to the doc
+    frame so empty documents keep a row with zeros. Exact integers to
+    two final divides.
+    """
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    per_tok = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count("*").alias("__c"))
+    )
+    stats = per_tok.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    base = df.select(id_col).join(stats, id_col, "left")
+    nt = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    return base.select(
+        id_col,
+        nt.alias("n_tokens"),
+        F.coalesce(F.col("n_types"), F.lit(0)).cast("long").alias("n_types"),
+        F.when(
+            nt > 0,
+            F.coalesce(F.col("n_types"), F.lit(0)).cast("double")
+            / nt.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ttr"),
+        F.coalesce(F.col("n_hapax"), F.lit(0)).cast("long").alias("n_hapax"),
+        F.when(
+            nt > 0,
+            F.coalesce(F.col("n_hapax"), F.lit(0)).cast("double")
+            / nt.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("hapax_ratio"),
+    )
+
+
 #: token-id namespace split for :func:`bpe_tokenize`: single-character
 #: tokens map to their Unicode codepoint (stable, vocab-file-free);
 #: merged tokens map to MERGED_ID_BASE + merge rank. The base clears

@@ -143,6 +143,23 @@ def orders_mwu_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANOVA_GROUPS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
+def orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across all five order priorities
+    (operators/profile.py:kruskal_wallis): the rank-based one-way
+    ANOVA — the nonparametric companion to orders_anova_priority,
+    sharing its conditional-aggregate pivot (fixed cross-group
+    expression tree) and MWU's exact two-phase doubled-rank sums."""
+    from sfcrimedatapipeline_spark.operators.profile import kruskal_wallis
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return kruskal_wallis(o, "cents", "pr", ANOVA_GROUPS)
+
+
 def orders_anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA of order price across the five priorities:
     between/within sums of squares, F statistic, and η² from EXACT
@@ -425,6 +442,7 @@ QUERIES = {
     "events_trend_ols": events_trend_ols,
     "orders_mwu_priority": orders_mwu_priority,
     "orders_anova_priority": orders_anova_priority,
+    "orders_kruskal_wallis": orders_kruskal_wallis,
     # rows-only: sketch estimates are engine-specific by design
     "events_hll_rollup": events_hll_rollup,
     # rows-only: iterative smoothing recurrence has no SQL twin;
@@ -432,6 +450,70 @@ QUERIES = {
     # tests/test_analytic_ext.py (constant + linear series)
     "events_holt_forecast": events_holt_forecast,
 }
+
+def _kruskal_oracle_sql() -> str:
+    """Generated from the SAME group list and expression order as the
+    Spark tree (the ANOVA discipline): exact doubled average ranks over
+    the distinct-value frame, per-group sums pivoted to columns, fixed
+    final formula."""
+    k = len(ANOVA_GROUPS)
+    c_parts, n_parts, r_parts = [], [], []
+    for i, p in enumerate(ANOVA_GROUPS):
+        esc = p.replace("'", "''")
+        c_parts.append(
+            f"CAST(sum(CASE WHEN pr = '{esc}' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS c{i}"
+        )
+        n_parts.append(f"CAST(sum(c{i}) AS BIGINT) AS n{i}")
+        r_parts.append(
+            f"sum(CAST(c{i} AS DECIMAL(38,0)) * CAST(avg2 AS DECIMAL(38,0)))"
+            f" AS r2_{i}"
+        )
+    term = "\n                 + ".join(
+        f"CAST(r2_{i} AS DOUBLE) * CAST(r2_{i} AS DOUBLE) / CAST(n{i} AS DOUBLE)"
+        for i in range(k)
+    )
+    nd = "CAST(" + " + ".join(f"n{i}" for i in range(k)) + " AS DOUBLE)"
+    return f"""
+        WITH o AS (
+            SELECT o_orderpriority AS pr,
+                   CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                        AS BIGINT) AS v
+            FROM orders
+            WHERE o_orderpriority IN ({", ".join("'" + p.replace("'", "''") + "'" for p in ANOVA_GROUPS)})
+        ),
+        vc AS (
+            SELECT v, {", ".join(c_parts)}, CAST(count(*) AS BIGINT) AS t
+            FROM o GROUP BY v
+        ),
+        rk AS (
+            SELECT *,
+                   CAST(2 * (sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) - t) + t + 1 AS BIGINT)
+                       AS avg2
+            FROM vc
+        ),
+        m AS (
+            SELECT {", ".join(n_parts)},
+                   {", ".join(r_parts)},
+                   sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+                       * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0)))
+                       AS ties
+            FROM rk
+        ),
+        f AS (
+            SELECT {" + ".join(f"n{i}" for i in range(k))} AS n_total,
+                   3.0 * ({term}) / ({nd} * ({nd} + 1.0))
+                       - 3.0 * ({nd} + 1.0) AS h,
+                   1.0 - CAST(ties AS DOUBLE)
+                       / ({nd} * {nd} * {nd} - {nd}) AS corr
+            FROM m
+        )
+        SELECT n_total, CAST({k - 1} AS INTEGER) AS df, h,
+               h / corr AS h_tie_corrected
+        FROM f
+    """
+
 
 def _anova_oracle_sql() -> str:
     """Generated from the SAME group list and formula order as the
@@ -629,6 +711,7 @@ ORACLE_SQL = {
         FROM f
     """,
     "orders_anova_priority": _anova_oracle_sql(),
+    "orders_kruskal_wallis": _kruskal_oracle_sql(),
     "skyline_parts": f"""
         WITH p AS (
             SELECT p_partkey, p_size,

@@ -166,6 +166,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(pairs)
 
 
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the near-dup graph
+    (operators/graph.py:clustering_coefficients): the cluster-member vs
+    hub triage — 2·T(v)/(d(v)(d(v)−1)) from exact per-node triangle and
+    degree counts, hash-gated against the relational triangle
+    enumeration in SQL."""
+    from sfcrimedatapipeline_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir))
+    return clustering_coefficients(pairs).orderBy("doc_id")
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bare read, NOT _docs: the sample is a pure per-row filter and its
     # plan-quality contract is "zero Exchange anywhere" — a fan-out
@@ -425,6 +439,19 @@ def quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return corpus.pack_sequences(docs, cap=PACK_CAP, n_shards=PACK_SHARDS)
+
+
+def docs_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed trainable shards (operators/corpus.py:pack_token_ids):
+    per (shard, bin) the CONCATENATED BPE token-id array of member
+    docs — the actual training-sample payload, hash-gated with the
+    tokenizer SQL composed into the packing oracle."""
+    from sfcrimedatapipeline_spark.plans.llmops import TOKENIZE_MERGES
+
+    docs = _docs(spark, sf_dir)
+    return corpus.pack_token_ids(
+        docs, TOKENIZE_MERGES, cap=PACK_CAP, n_shards=PACK_SHARDS
+    )
 
 
 def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,6 +724,35 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_triangles
             FROM e ab JOIN e bc ON ab.hi = bc.lo
                       JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+        """,
+        "graph_clustering_coeff": f"""
+            WITH p AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh),
+            e AS (
+                SELECT DISTINCT least(doc_a, doc_b) AS lo,
+                                greatest(doc_a, doc_b) AS hi
+                FROM p WHERE doc_a <> doc_b
+            ),
+            deg AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT lo AS id FROM e UNION ALL SELECT hi FROM e)
+                GROUP BY id
+            ),
+            tri AS (
+                SELECT unnest([ab.lo, ab.hi, bc.hi]) AS id
+                FROM e ab JOIN e bc ON ab.hi = bc.lo
+                          JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+            ),
+            tn AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+                   FROM tri GROUP BY id)
+            SELECT CAST(deg.id AS BIGINT) AS doc_id, deg.degree,
+                   coalesce(tn.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+                   CASE WHEN deg.degree >= 2
+                        THEN 2.0 * CAST(coalesce(tn.n_triangles, 0) AS DOUBLE)
+                             / (CAST(deg.degree AS DOUBLE)
+                                * (CAST(deg.degree AS DOUBLE) - 1.0))
+                        ELSE 0.0 END AS clustering_coeff
+            FROM deg LEFT JOIN tn ON deg.id = tn.id
+            ORDER BY doc_id
         """,
         # target literals are the SAME python floats the Spark side
         # lits, written in E-notation: DuckDB types a bare decimal
@@ -1242,6 +1298,7 @@ QUERIES = {
     "freq_items_lineitem": freq_items_lineitem,
     "freq_items_lineitem_mg": freq_items_lineitem_mg,
     "graph_triangle_count": graph_triangle_count,
+    "graph_clustering_coeff": graph_clustering_coeff,
     "graph_bfs_distances": graph_bfs_distances,
     "quantiles_by_returnflag": quantiles_by_returnflag,
     "hist_extendedprice": hist_extendedprice,
@@ -1641,3 +1698,40 @@ def _lpa_convergence_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
 
 
 ORACLE_SQL["graph_lpa_convergence"] = _lpa_convergence_oracle_sql()
+
+
+def _pack_token_ids_oracle_sql() -> str:
+    """Composes the tokenizer oracle (llmops._tokenize_bpe_sql — the
+    SAME generated replace-chain the gated docs_tokenize_bpe uses) into
+    the pack_sequences bin rule, then concatenates member id arrays in
+    doc order per bin."""
+    from sfcrimedatapipeline_spark.plans.llmops import _tokenize_bpe_sql
+
+    return f"""
+        WITH t AS ({_tokenize_bpe_sql()}),
+        sized AS (
+            SELECT doc_id,
+                   CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+                   token_ids,
+                   CAST(len(token_ids) AS BIGINT) AS n
+            FROM t
+        ),
+        binned AS (
+            SELECT shard,
+                   CAST(coalesce(sum(n) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {PACK_CAP} AS BIGINT) AS bin_id,
+                   doc_id, token_ids, n
+            FROM sized
+        )
+        SELECT shard, bin_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               flatten(list(token_ids ORDER BY doc_id)) AS input_ids
+        FROM binned GROUP BY shard, bin_id
+    """
+
+
+QUERIES["docs_pack_token_ids"] = docs_pack_token_ids
+ORACLE_SQL["docs_pack_token_ids"] = _pack_token_ids_oracle_sql()

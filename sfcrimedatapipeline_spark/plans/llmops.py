@@ -96,6 +96,14 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + hapax-legomena share per document
+    (operators/textstats.py:ttr_hapax_stats) — the vocabulary-richness
+    pair next to Simpson diversity, exact integers to two divides."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return textstats.ttr_hapax_stats(docs)
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_parallel(spark, sf_dir, "documents")
     return textstats.repetition_stats(docs)
@@ -1009,6 +1017,32 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "text_winnow_fingerprints": _winnow_sql(),
         "docs_tokenize_bpe": _tokenize_bpe_sql(),
+        "text_ttr_hapax": f"""
+            WITH tok AS (SELECT doc_id, unnest({SQL_TOKENS}) AS t FROM documents),
+            tc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+                   FROM tok GROUP BY doc_id, t),
+            st AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_hapax
+                FROM tc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(st.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+                   coalesce(st.n_types, CAST(0 AS BIGINT)) AS n_types,
+                   CASE WHEN coalesce(st.n_tokens, 0) > 0
+                        THEN CAST(st.n_types AS DOUBLE)
+                             / CAST(st.n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS ttr,
+                   coalesce(st.n_hapax, CAST(0 AS BIGINT)) AS n_hapax,
+                   CASE WHEN coalesce(st.n_tokens, 0) > 0
+                        THEN CAST(st.n_hapax AS DOUBLE)
+                             / CAST(st.n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS hapax_ratio
+            FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        """,
         # curate_corpus composed: quality + repetition CTEs feed one
         # disposition CASE in the operator's priority order; dedup is
         # min(doc_id) per fingerprint among eligible docs only
@@ -1338,6 +1372,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_token_count_bpe": text_token_count_bpe,
     "docs_tokenize_bpe": docs_tokenize_bpe,
+    "text_ttr_hapax": text_ttr_hapax,
     "text_repetition": text_repetition,
     "text_unigram_lm": text_unigram_lm,
     "text_script_mix": text_script_mix,

@@ -1545,3 +1545,54 @@ ORACLE_SQL["events_attribution_decay"] = f"""
                AS decay_credit
     FROM w GROUP BY 1
 """
+
+
+ACF_MAX_LAG = 8
+ACF_BUCKET_S = 60
+
+
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of per-minute event counts at lags 1..8
+    (operators/temporal.py:acf_pairwise): the load-memory correlogram,
+    pairwise-complete Pearson from exact integer sufficient statistics
+    — no global mean, no crossJoin, one bucket aggregate + one lag
+    equi-join."""
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    return temporal.acf_pairwise(
+        ev, bucket_seconds=ACF_BUCKET_S, max_lag=ACF_MAX_LAG
+    )
+
+
+QUERIES["events_acf"] = events_acf
+
+ORACLE_SQL["events_acf"] = f"""
+    WITH s AS (
+        SELECT epoch_us(ts) // {ACF_BUCKET_S * 1_000_000} AS b,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    l AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag_buckets),
+    p AS (
+        SELECT l.lag_buckets, a.x AS x, c.x AS y
+        FROM s a CROSS JOIN l
+        JOIN s c ON a.b + l.lag_buckets = c.b
+    ),
+    m AS (
+        SELECT lag_buckets,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sx2,
+               sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sy2,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+        FROM p GROUP BY 1
+    )
+    SELECT CAST(lag_buckets AS INTEGER) AS lag_buckets, n_pairs,
+           (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+    FROM m ORDER BY lag_buckets
+"""

@@ -105,6 +105,41 @@ def test_skyline_band_prune_bound(spark):
     assert len(cand) <= n // 20, f"candidates {len(cand)} exceed 5% of {n}"
 
 
+def test_kruskal_wallis_matches_pure_python(spark):
+    from sfcrimedatapipeline_spark.operators.profile import kruskal_wallis
+
+    data = {
+        "a": [1, 2, 3, 3],
+        "b": [2, 3, 4, 9],
+        "c": [10, 11, 11, 2],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = kruskal_wallis(df, "v", "grp", ["a", "b", "c"]).collect()[0]
+
+    # textbook reference: average ranks over the pooled sample
+    pooled = sorted(v for vs in data.values() for v in vs)
+    n = len(pooled)
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j] == pooled[i]:
+            j += 1
+        rank[pooled[i]] = (i + 1 + j) / 2.0
+        i = j
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(rank[v] for v in vs) ** 2 / len(vs) for vs in data.values()
+    ) - 3.0 * (n + 1)
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(pooled).values())
+    corr = 1.0 - ties / (n**3 - n)
+    assert got.n_total == n and got.df == 2
+    assert abs(got.h - h) < 1e-9
+    assert abs(got.h_tie_corrected - h / corr) < 1e-9
+
+
 def test_trend_ols_matches_numpy_polyfit():
     # same moment formulas as the query, checked against the reference
     # implementation on an exactly-representable integer series

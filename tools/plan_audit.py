@@ -139,6 +139,7 @@ CROSS_OK: dict[str, str] = {
     "skyline_parts": "dominance anti-join over O(frontier) band-pruned candidates",
     "advisor_join_strategy": "crossJoin of two 1-row stat aggregates",
     "orders_mwu_priority": "partition_offsets triangular join (P-bounded)",
+    "orders_kruskal_wallis": "partition_offsets triangular join (P-bounded)",
     "geo_district_assign": "broadcast polygon edge list (boundary-bounded)",
     "ann_mmr_rerank": "candidates from the documented query x corpus scorer",
     "docs_curriculum_order": "partition_offsets triangular join (P-bounded) x2",

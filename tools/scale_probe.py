@@ -1,15 +1,31 @@
-"""sf1 scale probe (VERDICT r5, next-round #8).
+"""sf1 scale probe (VERDICT r5 #8; uniqueness mode VERDICT r6 #2).
 
 The per-round bench runs at sf0.1, where iterative/banded operators are
 dominated by per-round scheduling overhead; the claim "this shrinks
 relative to data at scale" needs a MEASUREMENT. This probe materializes
-a 10x replication of sf0.1 (~sf1: ids remapped to stay unique, all
-other values byte-identical — exact-duplicate text/vector copies are a
-deliberate stress for the dedup families) under .scale_probe/sf1/, runs
-the heaviest query families once warm at both scales, and prints a
-JSON map {query: {"sf0.1": s, "sf1": s, "ratio": x}}. A dataflow whose
-cost is data-proportional shows ratio ≈ 10 (or the family's documented
+a 10x scale-up of sf0.1 (~sf1) under .scale_probe/sf1/, runs the
+heaviest query families once warm at both scales, and prints a JSON
+map {query: {"sf0.1": s, "sf1": s, "ratio": x}}. A dataflow whose cost
+is data-proportional shows ratio ≈ 10 (or the family's documented
 complexity); per-round overhead shows ratio « 10.
+
+Two scale-up modes (the ``mode`` field in the artifact names which ran):
+
+- ``unique`` (default): every copy's text/vectors are DETERMINISTICALLY
+  PERTURBED so copies are not near-duplicates of each other — each
+  document's tokens get a per-copy suffix (which preserves WITHIN-copy
+  token/shingle Jaccard exactly, so the organic duplicate structure of
+  sf0.1 replicates per copy: duplicate-group COUNT grows 10x, group
+  SIZE stays constant — realistic corpus growth), and each embedding
+  gets per-copy pseudo-random sign flips (cosine across copies ~0,
+  within-copy geometry exactly preserved). This separates data growth
+  from pair-multiplicity growth — the question the probe exists to
+  answer (r6 re-read the 8.3x minhash ratio as quadratic pair blow-up
+  inside 10x-multiplied duplicate groups, which the replicate mode
+  manufactures and real 100 TB growth does not).
+- ``replicate`` (SPARK_GRAFT_PROBE_MODE=replicate): ids remapped, all
+  other values byte-identical — 10x duplicate multiplicity as a
+  deliberate worst-case stress for the dedup families.
 
 Usage: python tools/scale_probe.py [out.json] [query ...]
 (query names after out.json restrict the probe to that subset — the
@@ -30,6 +46,7 @@ sys.path.insert(0, "/root/repo")
 SRC = "/root/testdata/sf0.1"
 DST = "/root/repo/.scale_probe/sf1"
 COPIES = 10
+MODE = os.environ.get("SPARK_GRAFT_PROBE_MODE", "unique")
 
 #: (table, id columns to offset per copy)
 TABLES = {
@@ -103,6 +120,27 @@ def build_scaled(spark) -> None:
             c = src
             for col, off in offsets.items():
                 c = c.withColumn(col, F.col(col) + F.lit(i * off))
+            if MODE == "unique" and i > 0:
+                if table == "documents":
+                    # suffix every token with a per-copy tag: within-copy
+                    # shingle Jaccard is exactly preserved (every doc in
+                    # copy i shifts identically), cross-copy Jaccard = 0
+                    c = c.withColumn(
+                        "text",
+                        F.regexp_replace(F.col("text"), r"(\S+)", rf"$1q{i}"),
+                    ).withColumn("n_chars", F.length("text"))
+                elif table == "embeddings":
+                    # per-copy pseudo-random sign flips: within-copy dot
+                    # products (and so all distances/cosines) are exactly
+                    # preserved — signs cancel — while cross-copy cosine
+                    # concentrates near 0
+                    c = c.withColumn(
+                        "embedding",
+                        F.expr(
+                            "transform(embedding, (x, j) -> CASE WHEN"
+                            f" pmod(hash({i}, j), 2) = 0 THEN x ELSE -x END)"
+                        ),
+                    )
             copies = c if copies is None else copies.unionByName(c)
         copies.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
 
@@ -144,7 +182,18 @@ def main() -> None:
         print(f"{name:28s} sf0.1={row['sf0.1']:7.2f}s sf1={row['sf1']:7.2f}s "
               f"ratio={row['ratio']:5.1f}", file=sys.stderr)
 
-    payload = {"copies": COPIES, "queries": results}
+    payload = {
+        "copies": COPIES,
+        "mode": MODE,
+        "uniqueness": (
+            "per-copy token suffix on documents.text (within-copy Jaccard "
+            "preserved, cross-copy 0) + per-copy sign flips on embeddings "
+            "(within-copy geometry preserved, cross-copy cosine ~0)"
+            if MODE == "unique"
+            else "byte-identical copies — 10x duplicate-multiplicity stress"
+        ),
+        "queries": results,
+    }
     print(json.dumps(payload, indent=1, sort_keys=True))
     if len(sys.argv) > 1:
         # subset re-measures merge into an existing artifact instead of
@@ -152,7 +201,7 @@ def main() -> None:
         if os.path.exists(sys.argv[1]):
             with open(sys.argv[1]) as fh:
                 prior = json.load(fh)
-            if prior.get("copies") == COPIES:
+            if prior.get("copies") == COPIES and prior.get("mode") == MODE:
                 payload["queries"] = {**prior.get("queries", {}), **results}
         with open(sys.argv[1], "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
