@@ -577,6 +577,77 @@ def embedding_near_duplicates_blas(
     return blocked.groupBy("gi", "gj").applyInPandas(score, _PAIR_SCHEMA)
 
 
+def auto_lsh_config(
+    n_vectors: int,
+    threshold: float = 0.98,
+    recall_target: float = 0.95,
+    target_bucket_rows: int = 512,
+    max_bands: int = 32,
+) -> tuple[int, int]:
+    """Size hyperplane-LSH for a corpus: returns ``(n_bands,
+    planes_per_band)`` such that (a) expected bucket occupancy stays
+    ~``target_bucket_rows`` — planes = ceil(log2(n / target)) — and
+    (b) the banded recall for pairs AT the cosine threshold meets
+    ``recall_target``: per-plane collision c = 1 − acos(θ)/π, per-band
+    cᵖ, recall = 1 − (1−cᵖ)ᵇ ⇒ b = ceil(ln(1−R)/ln(1−cᵖ)).
+
+    This is the piece the round-7 unique-data scale probe showed a
+    FIXED config lacks: with constant 2^planes buckets, 10x unique
+    vectors made within-bucket verify work grow ~quadratically
+    (SCALE_PROBE_r7: 8.5x at 10x data). Occupancy-constant sizing makes
+    verify work linear in n — the cost surfaces in bands (more bucket
+    tables, each a linear scan), which is the correct trade at scale:
+    total bucket rows = b·n, total verify tiles ≈ b·n·target.
+    Deterministic given (n, θ, R, target) — both the config and the
+    output replay exactly for the same corpus.
+    """
+    import math
+
+    planes = max(1, math.ceil(math.log2(max(2.0, n_vectors / target_bucket_rows))))
+    c = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    band_hit = c**planes
+    if band_hit >= 1.0:
+        bands = 1
+    else:
+        bands = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - band_hit))
+    return min(max_bands, max(1, bands)), planes
+
+
+def embedding_near_duplicates_lsh_auto(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    dim: int = 64,
+    recall_target: float = 0.95,
+    target_bucket_rows: int = 512,
+) -> DataFrame:
+    """:func:`embedding_near_duplicates_lsh` with the config derived
+    from the corpus size by :func:`auto_lsh_config` — the actual 100 TB
+    entry point. One cheap count() action sizes the tables (the LPA
+    edge-count precedent: a bounded 1-scalar driver read), then the
+    fixed-config operator runs unchanged. Not static-oracle-expressible
+    (the plane COUNT depends on the data, and the oracle inlines plane
+    literals), so the gate is rows-only + the recall/subset parity
+    tests in tests/test_dedup.py."""
+    n = emb.count()  # bounded: one scalar
+    bands, planes = auto_lsh_config(
+        n,
+        threshold=threshold,
+        recall_target=recall_target,
+        target_bucket_rows=target_bucket_rows,
+    )
+    return embedding_near_duplicates_lsh(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        dim=dim,
+        n_bands=bands,
+        planes_per_band=planes,
+    )
+
+
 def embedding_near_duplicates_lsh(
     emb: DataFrame,
     id_col: str = "vec_id",

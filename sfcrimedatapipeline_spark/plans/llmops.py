@@ -513,6 +513,23 @@ def emb_near_duplicates_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_near_duplicates_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy-scaled LSH near-dup (operators/dedup.py:
+    embedding_near_duplicates_lsh_auto) — the actual 100 TB entry
+    point: planes = ceil(log2(n/512)) holds bucket occupancy constant
+    (the round-7 unique-data probe measured the FIXED config going
+    quadratic: 8.5x verify work at 10x data), bands re-derived to hold
+    ≥0.95 recall at the threshold. Rows-only BY CONSTRUCTION: the
+    plane COUNT is data-dependent, and the static oracle inlines plane
+    literals — parity is the recall/subset pytest
+    (tests/test_dedup.py::test_lsh_auto_scaling_and_recall) plus the
+    sorted row output under the rows-only gate."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates_lsh_auto(
+        emb, threshold=EMB_NEAR_DUP_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
 # --- oracle SQL builders ---------------------------------------------------
 
 def _sql_cosine_raw(av: str, bv: str, dim: int = 64) -> str:
@@ -1407,6 +1424,7 @@ QUERIES = {
     "emb_semantic_dedup": emb_semantic_dedup,
     "emb_near_duplicates": emb_near_duplicates,
     "emb_near_duplicates_lsh": emb_near_duplicates_lsh,
+    "emb_near_duplicates_lsh_auto": emb_near_duplicates_lsh_auto,
 }
 
 ORACLE_SQL = build_oracle_sql()

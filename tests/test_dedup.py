@@ -49,6 +49,58 @@ def test_max_df_none_is_exact(spark):
     assert set(out) == {(100, 101)} and out[(100, 101)] == 1.0
 
 
+def test_lsh_auto_scaling_and_recall(spark):
+    """Parity contract for the rows-only emb_near_duplicates_lsh_auto
+    query: (a) auto_lsh_config holds bucket occupancy ~constant —
+    planes grow with log2(n) — and re-derives bands for the recall
+    target; (b) on a corpus with planted near-dup pairs, the auto
+    output is a SUBSET of the exact near-dup set (every pair is
+    exactly verified) and catches ≥95% of it (the recall target)."""
+    import numpy as np
+
+    from sfcrimedatapipeline_spark.operators.dedup import (
+        auto_lsh_config,
+        embedding_near_duplicates_lsh_auto,
+        embedding_near_duplicates_blas,
+    )
+
+    # (a) occupancy-constant sizing: 10x corpus -> +log2(10) ~ +3-4 planes
+    b1, p1 = auto_lsh_config(10_000, target_bucket_rows=512)
+    b2, p2 = auto_lsh_config(100_000, target_bucket_rows=512)
+    assert p2 - p1 in (3, 4) and p1 == 5
+    assert b2 >= b1  # more planes -> more bands to hold recall
+    # recall math: 1-(1-c^p)^b >= 0.95 for pairs at the threshold
+    import math
+
+    c = 1.0 - math.acos(0.98) / math.pi
+    assert 1.0 - (1.0 - c**p2) ** b2 >= 0.95
+
+    # (b) planted pairs: 150 base vectors + a near-dup of each
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(150, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    eps = rng.normal(size=(150, 64)) * 0.02
+    dup = base + eps
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(150)] + [
+        (1000 + i, [float(x) for x in dup[i]]) for i in range(150)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates_blas(emb, threshold=0.98).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates_lsh_auto(
+            emb, threshold=0.98, target_bucket_rows=32
+        ).collect()
+    }
+    assert got <= exact  # exact verify: no false positives, ever
+    assert len(exact) >= 100  # the plant worked
+    assert len(got) / len(exact) >= 0.95
+
+
 def test_emb_lsh_mega_bucket_is_split_and_bounded(spark):
     """Skew bound for the embedding-LSH path (VERDICT r2 #6): when one
     hyperplane bucket holds the whole corpus, the adaptive sub-grid

@@ -99,6 +99,13 @@ PROBE_QUERIES = [
     "geo_district_assign",
     "emb_gram_matrix",
     "dq_repair_category",
+    # round-7 additions: triangle-corner explode + degree join, the
+    # full tokenization emit (linear Arrow pass — the trainable-shard
+    # path), and the occupancy-scaled LSH whose whole point is fixing
+    # the fixed-config 8.5x unique-data reading
+    "graph_clustering_coeff",
+    "docs_tokenize_bpe",
+    "emb_near_duplicates_lsh_auto",
 ]
 
 
