@@ -445,6 +445,119 @@ def pack_token_ids(
     )
 
 
+#: span-corruption constants — block length, 1-in-MOD masking rate
+#: (≈ SPAN_LEN/MOD of tokens masked), and the sentinel-id namespace
+#: (above bpe_tokenize's merged-token range: 10M + rank < 20M always)
+SPAN_LEN = 3
+SPAN_MASK_MOD = 7
+SENTINEL_BASE = 20_000_000
+
+
+def span_corrupt(
+    token_frame: DataFrame,
+    span_len: int = SPAN_LEN,
+    mask_mod: int = SPAN_MASK_MOD,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """T5-style span corruption over token-id arrays → ``(doc_id,
+    input_ids, target_ids)``: contiguous spans are cut from the input
+    and replaced by per-doc sentinel ids; the target is each sentinel
+    followed by the tokens it hides — the denoising objective's actual
+    training pair, produced FROM the gated tokenization output.
+
+    Deterministic twin-expressible masking instead of RNG: position
+    blocks of ``span_len`` are masked iff md5(doc_id:block) % mask_mod
+    == 0 (the stratified-sample hash-coin idiom) — replayable on any
+    engine, independent of partitioning. Sentinels number 1..k per doc
+    in block order (SENTINEL_BASE + k, disjoint from both codepoint and
+    merged-token id spaces).
+
+    Relational shape: posexplode → block/mask marking → per-doc block
+    ranking (window partitioned BY DOC — never partition-less) → two
+    keyed unions reassembled with sort_array(collect_list(struct)) per
+    doc. Everything is exact integers; docs with no tokens keep a row
+    with two empty arrays.
+    """
+    pos = (
+        token_frame.select(
+            id_col, F.posexplode(ids_col).alias("__p", "__tid")
+        )
+        .withColumn("__blk", F.expr(f"__p div {span_len}"))
+        .withColumn(
+            "__mask",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col(id_col).cast("string"),
+                            F.col("__blk").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mask_mod
+            == 0,
+        )
+    )
+    blocks = (
+        pos.filter("__mask")
+        .groupBy(id_col, "__blk")
+        .agg(F.min("__p").alias("__bstart"))
+    )
+    kw = Window.partitionBy(id_col).orderBy("__blk")
+    sent = blocks.select(
+        id_col,
+        "__blk",
+        "__bstart",
+        (F.lit(SENTINEL_BASE) + F.row_number().over(kw)).cast("long").alias(
+            "__sid"
+        ),
+    )
+    marked = pos.join(sent, [id_col, "__blk"], "left")
+    # input: unmasked tokens at their position; one sentinel per masked
+    # block at the block's first position
+    in_tokens = marked.filter(~F.col("__mask")).select(
+        id_col, F.col("__p").alias("__k"), F.col("__tid").alias("__v")
+    )
+    in_sent = sent.select(
+        id_col, F.col("__bstart").alias("__k"), F.col("__sid").alias("__v")
+    )
+    # target: sentinel (key 2·bstart) then its hidden tokens (2·p+1)
+    tgt_sent = sent.select(
+        id_col, (F.col("__bstart") * 2).alias("__k"), F.col("__sid").alias("__v")
+    )
+    tgt_tokens = marked.filter(F.col("__mask")).select(
+        id_col, (F.col("__p") * 2 + 1).alias("__k"), F.col("__tid").alias("__v")
+    )
+
+    def assemble(entries: DataFrame, out: str) -> DataFrame:
+        return entries.groupBy(id_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__k", "__v"))),
+                lambda s: s["__v"],
+            ).alias(out)
+        )
+
+    inp = assemble(in_tokens.unionByName(in_sent), "input_ids")
+    tgt = assemble(tgt_sent.unionByName(tgt_tokens), "target_ids")
+    empty = F.array().cast("array<long>")
+    return (
+        token_frame.select(id_col)
+        .join(inp, id_col, "left")
+        .join(tgt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("input_ids"), empty).alias("input_ids"),
+            F.coalesce(F.col("target_ids"), empty).alias("target_ids"),
+        )
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by tf·(N/df) — RATIONAL
     idf, not ln(N/df): the ranking ties only differ where ln would also

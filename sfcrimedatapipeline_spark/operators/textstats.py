@@ -446,6 +446,86 @@ def unigram_lm_score(
     )
 
 
+#: smaller than LM_SCALE because the bigram quantum carries the PREFIX
+#: count as a multiplier: q = (c_prefix·SCALE) div c_bigram peaks at
+#: c_prefix·SCALE when the bigram is a hapax — 10⁹ keeps q and the
+#: per-doc Σc·q inside BIGINT up to ~10⁹-token corpora (switch the two
+#: sums to DECIMAL(38,0) beyond that; the formula is unchanged).
+BIGRAM_LM_SCALE = 10**9
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram-LM surprisal score per document — the
+    transition-aware companion to :func:`unigram_lm_score` (CCNet-style
+    perplexity filtering distinguishes shuffled-word salad from fluent
+    text only with context; a unigram LM scores both identically).
+
+    The LM is the corpus itself: p(b|a) = c_ab / c_a•, where c_a• sums
+    c_ab over the continuations of prefix ``a`` (so rows and columns
+    come from ONE bigram-count frame). The score is the arithmetic-mean
+    inverse conditional probability, mean over the doc's bigrams of
+    c_a•/c_ab — high = improbable transitions. Same exactness recipe as
+    the unigram score: the quantum q_ab = (c_a•·BIGRAM_LM_SCALE) div
+    c_ab is an exact BIGINT, per-doc sums are exact BIGINTs, and the
+    final divides are a fixed IEEE sequence — bit-stable, shared
+    verbatim with the oracle. Docs with <2 tokens score 0.0.
+
+    Scale shape: bigram explode → groupBy(id, bigram) map-side
+    combined; the LM frame is groupBy(bigram) at bigram-vocabulary
+    cardinality; prefix totals are a second vocabulary-sized aggregate;
+    the tf↔LM join shuffles on the bigram key (both sides
+    pre-aggregated); final groupBy(id).
+    """
+    from sfcrimedatapipeline_spark.functions.text import ngrams, tokens
+
+    bgs = ngrams(tokens(F.col(text_col)), 2)
+    tf = (
+        df.select(F.col(id_col), F.explode(bgs).alias("__bg"))
+        .groupBy(id_col, "__bg")
+        .agg(F.count("*").alias("__c"))
+    )
+    lm = tf.groupBy("__bg").agg(F.sum("__c").cast("long").alias("__cb"))
+    pref = lm.groupBy(
+        F.split(F.col("__bg"), " ").getItem(0).alias("__a")
+    ).agg(F.sum("__cb").cast("long").alias("__ca"))
+    lm_q = lm.join(
+        pref, F.split(F.col("__bg"), " ").getItem(0) == F.col("__a")
+    ).select(
+        "__bg",
+        F.expr(f"(__ca * {BIGRAM_LM_SCALE}L) div __cb").alias("__q"),
+    )
+    scored = (
+        tf.join(lm_q, "__bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("__c") * F.col("__q")).cast("long").alias("__sq"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (
+                F.col("__sq").cast("double")
+                / F.lit(float(BIGRAM_LM_SCALE))
+                / F.col("n_bigrams").cast("double")
+            ).alias("surprisal"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("surprisal"), F.lit(0.0)).alias("surprisal"),
+        )
+    )
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 10,

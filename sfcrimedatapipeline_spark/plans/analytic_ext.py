@@ -160,6 +160,45 @@ def orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kruskal_wallis(o, "cents", "pr", ANOVA_GROUPS)
 
 
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue: the MEDIAN of all
+    pairwise day-to-day slopes — the outlier-immune companion to
+    events_trend_ols (one corrupted day moves OLS arbitrarily, moves
+    the pairwise-slope median not at all; breakdown point 29%).
+
+    Scale shape: the quadratic pair step runs on the DAILY frame — a
+    calendar-bounded aggregate (TPC-H spans ~2.4k days; a decade of
+    100 TB telemetry is still <4k rows), so ~3M slope pairs regardless
+    of fact cardinality. Each slope is one exact-integer subtraction
+    pair and one correctly-rounded divide; the median is the exact
+    two-phase quantile machinery (operators/profile.py:exact_quantiles)
+    with its explicit interpolation formula shared with the oracle."""
+    from sfcrimedatapipeline_spark.operators.profile import exact_quantiles
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        o.groupBy("o_orderdate")
+        .agg(F.sum(cents).cast("long").alias("y"))
+        .select(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "y",
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.x") > F.col("a.x")).select(
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope")
+    )
+    return exact_quantiles(slopes, "slope", [0.5]).select(
+        "prob", F.col("value").alias("slope_cents_per_day")
+    )
+
+
 def orders_anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA of order price across the five priorities:
     between/within sums of squares, F statistic, and η² from EXACT
@@ -443,6 +482,7 @@ QUERIES = {
     "orders_mwu_priority": orders_mwu_priority,
     "orders_anova_priority": orders_anova_priority,
     "orders_kruskal_wallis": orders_kruskal_wallis,
+    "orders_theilsen_trend": orders_theilsen_trend,
     # rows-only: sketch estimates are engine-specific by design
     "events_hll_rollup": events_hll_rollup,
     # rows-only: iterative smoothing recurrence has no SQL twin;
@@ -712,6 +752,34 @@ ORACLE_SQL = {
     """,
     "orders_anova_priority": _anova_oracle_sql(),
     "orders_kruskal_wallis": _kruskal_oracle_sql(),
+    "orders_theilsen_trend": """
+        WITH daily AS (
+            SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                        AS BIGINT) AS x,
+                   CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100
+                                       + 0.5) AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY o_orderdate
+        ),
+        slopes AS (
+            SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                       AS slope
+            FROM daily a JOIN daily b ON b.x > a.x
+        ),
+        ranked AS (
+            SELECT slope AS v,
+                   ROW_NUMBER() OVER (ORDER BY slope) - 1 AS r
+            FROM slopes
+        ),
+        n AS (SELECT count(*) AS cnt FROM slopes),
+        probs AS (SELECT CAST(0.5 AS DOUBLE) AS p)
+        SELECT p AS prob,
+               lo.v + (hi.v - lo.v) * (p * (cnt - 1) - floor(p * (cnt - 1)))
+                   AS slope_cents_per_day
+        FROM probs, n
+        JOIN ranked lo ON lo.r = CAST(floor(p * (cnt - 1)) AS BIGINT)
+        JOIN ranked hi
+          ON hi.r = least(CAST(floor(p * (cnt - 1)) AS BIGINT) + 1, cnt - 1)
+    """,
     "skyline_parts": f"""
         WITH p AS (
             SELECT p_partkey, p_size,

@@ -1735,3 +1735,73 @@ def _pack_token_ids_oracle_sql() -> str:
 
 QUERIES["docs_pack_token_ids"] = docs_pack_token_ids
 ORACLE_SQL["docs_pack_token_ids"] = _pack_token_ids_oracle_sql()
+
+
+def docs_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (operators/corpus.py:span_corrupt) over
+    the gated BPE tokenization: deterministic hash-coin masking of
+    span_len blocks, per-doc sentinels, (input_ids, target_ids) pairs —
+    the denoising-objective training payload, hash-gated end to end
+    (text → token ids → corrupted pair)."""
+    from sfcrimedatapipeline_spark.operators.textstats import bpe_tokenize
+    from sfcrimedatapipeline_spark.plans.llmops import TOKENIZE_MERGES
+
+    docs = _docs(spark, sf_dir)
+    return corpus.span_corrupt(bpe_tokenize(docs, TOKENIZE_MERGES))
+
+
+def _span_corruption_oracle_sql() -> str:
+    """Composes the tokenizer oracle with the same hash-coin masking,
+    block ranking, and keyed-union reassembly as span_corrupt."""
+    from sfcrimedatapipeline_spark.operators.corpus import (
+        SENTINEL_BASE,
+        SPAN_LEN,
+        SPAN_MASK_MOD,
+    )
+    from sfcrimedatapipeline_spark.plans.llmops import _tokenize_bpe_sql
+
+    return f"""
+        WITH t AS ({_tokenize_bpe_sql()}),
+        pos AS (
+            SELECT doc_id,
+                   generate_subscripts(token_ids, 1) - 1 AS p,
+                   unnest(token_ids) AS tid
+            FROM t
+        ),
+        marked AS (
+            SELECT *, p // {SPAN_LEN} AS blk,
+                   (CAST(('0x' || substring(md5(doc_id || ':' ||
+                        (p // {SPAN_LEN})), 1, 8)) AS BIGINT)
+                    % {SPAN_MASK_MOD}) = 0 AS mask
+            FROM pos
+        ),
+        sent AS (
+            SELECT doc_id, blk, min(p) AS bstart,
+                   CAST({SENTINEL_BASE} + row_number() OVER (
+                       PARTITION BY doc_id ORDER BY blk) AS BIGINT) AS sid
+            FROM marked WHERE mask GROUP BY doc_id, blk
+        ),
+        in_entries AS (
+            SELECT doc_id, p AS k, tid AS v FROM marked WHERE NOT mask
+            UNION ALL
+            SELECT doc_id, bstart, sid FROM sent
+        ),
+        tgt_entries AS (
+            SELECT doc_id, bstart * 2 AS k, sid AS v FROM sent
+            UNION ALL
+            SELECT m.doc_id, m.p * 2 + 1, m.tid FROM marked m WHERE m.mask
+        ),
+        inp AS (SELECT doc_id, list(v ORDER BY k) AS input_ids
+                FROM in_entries GROUP BY doc_id),
+        tgt AS (SELECT doc_id, list(v ORDER BY k) AS target_ids
+                FROM tgt_entries GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(inp.input_ids, CAST([] AS BIGINT[])) AS input_ids,
+               coalesce(tgt.target_ids, CAST([] AS BIGINT[])) AS target_ids
+        FROM t LEFT JOIN inp ON t.doc_id = inp.doc_id
+               LEFT JOIN tgt ON t.doc_id = tgt.doc_id
+    """
+
+
+QUERIES["docs_span_corruption"] = docs_span_corruption
+ORACLE_SQL["docs_span_corruption"] = _span_corruption_oracle_sql()

@@ -96,6 +96,15 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per document (operators/textstats.py:
+    bigram_lm_score): mean inverse conditional transition probability
+    against the corpus's own bigram LM — the context-aware curation
+    score a unigram LM can't provide, exact to the final divides."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    return textstats.bigram_lm_score(docs)
+
+
 def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-token ratio + hapax-legomena share per document
     (operators/textstats.py:ttr_hapax_stats) — the vocabulary-richness
@@ -1034,6 +1043,32 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "text_winnow_fingerprints": _winnow_sql(),
         "docs_tokenize_bpe": _tokenize_bpe_sql(),
+        "text_bigram_lm": f"""
+            WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+            bgx AS (SELECT doc_id, unnest({sql_ngrams('t', 2)}) AS b FROM tok),
+            tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+                   FROM bgx GROUP BY doc_id, b),
+            lm AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM tf GROUP BY b),
+            pref AS (SELECT string_split(b, ' ')[1] AS a,
+                            CAST(sum(cb) AS BIGINT) AS ca
+                     FROM lm GROUP BY 1),
+            q AS (SELECT lm.b,
+                         CAST((pref.ca * {textstats.BIGRAM_LM_SCALE}) // lm.cb
+                              AS BIGINT) AS q
+                  FROM lm JOIN pref ON string_split(lm.b, ' ')[1] = pref.a),
+            sc AS (SELECT tf.doc_id,
+                          CAST(sum(tf.c) AS BIGINT) AS n_bigrams,
+                          CAST(sum(tf.c * q.q) AS BIGINT) AS sq
+                   FROM tf JOIN q ON tf.b = q.b GROUP BY tf.doc_id)
+            SELECT d.doc_id,
+                   coalesce(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+                   CASE WHEN sc.n_bigrams IS NOT NULL
+                        THEN CAST(sc.sq AS DOUBLE)
+                             / {float(textstats.BIGRAM_LM_SCALE)}
+                             / CAST(sc.n_bigrams AS DOUBLE)
+                        ELSE 0.0 END AS surprisal
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        """,
         "text_ttr_hapax": f"""
             WITH tok AS (SELECT doc_id, unnest({SQL_TOKENS}) AS t FROM documents),
             tc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
@@ -1390,6 +1425,7 @@ QUERIES = {
     "text_token_count_bpe": text_token_count_bpe,
     "docs_tokenize_bpe": docs_tokenize_bpe,
     "text_ttr_hapax": text_ttr_hapax,
+    "text_bigram_lm": text_bigram_lm,
     "text_repetition": text_repetition,
     "text_unigram_lm": text_unigram_lm,
     "text_script_mix": text_script_mix,

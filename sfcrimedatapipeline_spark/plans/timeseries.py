@@ -1596,3 +1596,84 @@ ORACLE_SQL["events_acf"] = f"""
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
     FROM m ORDER BY lag_buckets
 """
+
+
+MASE_SEASON_H = 168  # weekly seasonality on the hourly series
+MASE_EVAL_H = 336    # last two weeks are the holdout
+
+
+def events_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each holdout hour's
+    event count with the same hour LAST WEEK, score with MASE (MAE of
+    the seasonal model over MAE of the one-step random walk) — the
+    standard scale-free forecast baseline every real model must beat,
+    and the eval harness shape (split → predict → score) a forecasting
+    pipeline runs daily.
+
+    Exact arithmetic throughout: hourly counts are integers, both MAEs
+    are exact-integer |Δ| sums divided once, MASE is one final divide.
+    Scale shape: ONE map-side-combined hourly aggregate (time-bounded
+    frame), two self-equi-joins on shifted hour keys, a 1-row max-hour
+    broadcast for the holdout boundary, and a 1-row reduction."""
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    hourly = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("h")
+    ).agg(F.count("*").cast("long").alias("y"))
+    mx = hourly.agg(F.max("h").alias("hmax"))  # 1-row broadcast
+    holdout = (
+        hourly.crossJoin(F.broadcast(mx))
+        .filter(F.col("h") > F.col("hmax") - MASE_EVAL_H)
+        .select("h", "y")
+    )
+    season = hourly.select((F.col("h") + MASE_SEASON_H).alias("h"),
+                           F.col("y").alias("y_season"))
+    prev = hourly.select((F.col("h") + 1).alias("h"), F.col("y").alias("y_prev"))
+    joined = holdout.join(season, "h").join(prev, "h")
+    base = joined.agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum(F.abs(F.col("y") - F.col("y_season"))).cast("long").alias("__am"),
+        F.sum(F.abs(F.col("y") - F.col("y_prev"))).cast("long").alias("__an"),
+    )
+    n = F.col("n_hours").cast("double")
+    mae_m = F.col("__am").cast("double") / n
+    mae_n = F.col("__an").cast("double") / n
+    return base.select(
+        "n_hours",
+        mae_m.alias("mae_model"),
+        mae_n.alias("mae_naive"),
+        (F.col("__am").cast("double") / F.col("__an").cast("double")).alias(
+            "mase"
+        ),
+    )
+
+
+QUERIES["events_seasonal_naive_mase"] = events_seasonal_naive_mase
+
+ORACLE_SQL["events_seasonal_naive_mase"] = f"""
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS h,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    mx AS (SELECT max(h) AS hmax FROM hourly),
+    holdout AS (
+        SELECT h, y FROM hourly, mx WHERE h > hmax - {MASE_EVAL_H}
+    ),
+    j AS (
+        SELECT a.y, s.y AS y_season, p.y AS y_prev
+        FROM holdout a
+        JOIN hourly s ON s.h = a.h - {MASE_SEASON_H}
+        JOIN hourly p ON p.h = a.h - 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(abs(y - y_season)) AS BIGINT) AS am,
+               CAST(sum(abs(y - y_prev)) AS BIGINT) AS an
+        FROM j
+    )
+    SELECT n_hours,
+           CAST(am AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mae_model,
+           CAST(an AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mae_naive,
+           CAST(am AS DOUBLE) / CAST(an AS DOUBLE) AS mase
+    FROM m
+"""

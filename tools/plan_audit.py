@@ -120,6 +120,7 @@ CROSS_OK: dict[str, str] = {
     "events_resample_interp": "broadcast 1-row spine bounds",
     "events_resample_locf": "broadcast 1-row spine bounds",
     "events_missing_minutes": "broadcast 1-row spine bounds",
+    "events_seasonal_naive_mase": "crossJoin(broadcast(1-row max-hour bound))",
     "q22_dormant_rich_customers": "TPC-H Q22: scalar avg(acctbal) subquery",
     "s15_correlated_subquery": "decorrelated scalar subquery",
     "geo_radius_pairs": "documented grid-blocked pair join",
@@ -140,6 +141,7 @@ CROSS_OK: dict[str, str] = {
     "advisor_join_strategy": "crossJoin of two 1-row stat aggregates",
     "orders_mwu_priority": "partition_offsets triangular join (P-bounded)",
     "orders_kruskal_wallis": "partition_offsets triangular join (P-bounded)",
+    "orders_theilsen_trend": "calendar-bounded daily-aggregate pair join (declared group-bounded on o_orderdate) + partition_offsets (P-bounded)",
     "geo_district_assign": "broadcast polygon edge list (boundary-bounded)",
     "ann_mmr_rerank": "candidates from the documented query x corpus scorer",
     "docs_curriculum_order": "partition_offsets triangular join (P-bounded) x2",
@@ -155,7 +157,11 @@ CROSS_OK: dict[str, str] = {
 #: aggregate must use; the verifier asserts the plan's grouping keys
 #: match, so a rewrite that changes what the build side groups by
 #: fails the sweep instead of inheriting the old justification.
-GROUP_BOUNDED_OK: dict[str, list[str]] = {}
+GROUP_BOUNDED_OK: dict[str, list[str]] = {
+    # daily-revenue frame: one row per o_orderdate — calendar-bounded
+    # (TPC-H spans ~2.4k dates), the Theil-Sen pair join's build side
+    "orders_theilsen_trend": ["o_orderdate"],
+}
 
 #: Build sides bounded by SEMANTICS a physical plan cannot exhibit
 #: (band-pruned frontier candidates, grid-cell co-membership). These
