@@ -693,9 +693,12 @@ def acf_pairwise(
     sx2 = F.col("__sx2").cast("double")
     sy2 = F.col("__sy2").cast("double")
     sxy = F.col("__sxy").cast("double")
-    acf = (n * sxy - sx * sy) / F.sqrt(
-        (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
-    )
+    # a constant series (tiny fixtures, dead hours) has zero variance:
+    # the correlation is undefined — NULL, never an ANSI divide error
+    var_prod = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+    acf = F.when(
+        var_prod > 0, (n * sxy - sx * sy) / F.sqrt(var_prod)
+    ).otherwise(F.lit(None).cast("double"))
     return base.select("lag_buckets", "n_pairs", acf.alias("acf")).orderBy(
         "lag_buckets"
     )

@@ -1588,12 +1588,17 @@ ORACLE_SQL["events_acf"] = f"""
         FROM p GROUP BY 1
     )
     SELECT CAST(lag_buckets AS INTEGER) AS lag_buckets, n_pairs,
-           (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
-                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                  * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+           CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                ELSE NULL END AS acf
     FROM m ORDER BY lag_buckets
 """
 
@@ -1634,16 +1639,19 @@ def events_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("y") - F.col("y_season"))).cast("long").alias("__am"),
         F.sum(F.abs(F.col("y") - F.col("y_prev"))).cast("long").alias("__an"),
     )
+    # sparse fixtures can leave an empty or flat holdout — NULL, never
+    # an ANSI divide error
     n = F.col("n_hours").cast("double")
-    mae_m = F.col("__am").cast("double") / n
-    mae_n = F.col("__an").cast("double") / n
+    mae_m = F.when(F.col("n_hours") > 0, F.col("__am").cast("double") / n)
+    mae_n = F.when(F.col("n_hours") > 0, F.col("__an").cast("double") / n)
     return base.select(
         "n_hours",
         mae_m.alias("mae_model"),
         mae_n.alias("mae_naive"),
-        (F.col("__am").cast("double") / F.col("__an").cast("double")).alias(
-            "mase"
-        ),
+        F.when(
+            F.col("__an") > 0,
+            F.col("__am").cast("double") / F.col("__an").cast("double"),
+        ).alias("mase"),
     )
 
 
@@ -1672,8 +1680,13 @@ ORACLE_SQL["events_seasonal_naive_mase"] = f"""
         FROM j
     )
     SELECT n_hours,
-           CAST(am AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mae_model,
-           CAST(an AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mae_naive,
-           CAST(am AS DOUBLE) / CAST(an AS DOUBLE) AS mase
+           CASE WHEN n_hours > 0
+                THEN CAST(am AS DOUBLE) / CAST(n_hours AS DOUBLE) END
+               AS mae_model,
+           CASE WHEN n_hours > 0
+                THEN CAST(an AS DOUBLE) / CAST(n_hours AS DOUBLE) END
+               AS mae_naive,
+           CASE WHEN an > 0
+                THEN CAST(am AS DOUBLE) / CAST(an AS DOUBLE) END AS mase
     FROM m
 """
