@@ -164,11 +164,16 @@ def main() -> None:
     spark.range(64, numPartitions=64).mapInPandas(_noop, "id long").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     only = set(sys.argv[1:])
     for name, fn in e.queries().items():
         if (only and name not in only) or (not only and name in BENCH_SKIP):
             continue
-        timings[name] = _run_one(spark, fn, REPS)
+        try:
+            timings[name] = _run_one(spark, fn, REPS)
+        except Exception as ex:  # one bad query must not zero the artifact
+            errors[name] = str(ex)[:300]
+            sys.stderr.write(f"BENCH ERROR {name}: {errors[name]}\n")
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -179,6 +184,7 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "reps": REPS,
         "n_queries": len(timings),
+        "errors": errors,
     }
     # the COMPLETE map lives in the repo artifact (driver tails
     # truncate); filtered debug runs must not clobber the full record
@@ -198,6 +204,7 @@ def main() -> None:
                 "queries": top10,
                 "sf": _sf_from_dir(SF_DIR),
                 "reps": REPS,
+                "n_errors": len(errors),
                 "full": os.path.basename(FULL_OUT),
             }
         )
