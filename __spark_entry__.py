@@ -108,6 +108,7 @@ _DEFERRED = [
     "corpus_shard_manifest",
     "graph_bfs_distances",
     "src_python_stream_source",
+    "s20_recursive_cte",
     "text_bpe_merges",
     "emb_semantic_dedup",
     "ann_pq_topk_trained",

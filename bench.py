@@ -78,6 +78,10 @@ BENCH_SKIP = {
     # memory-sink MicroBatchExecution harness — measures trigger
     # scheduling, not operator throughput
     "src_python_stream_source",
+    # UnionLoop recursion: ~84 iterations x per-job scheduling overhead
+    # (25.9s at sf0.1 AND sf0.001 alike — the month count, not data,
+    # drives it); benching it would record the scheduler, not the engine
+    "s20_recursive_cte",
 }
 
 

@@ -2753,3 +2753,62 @@ ORACLE_SQL["privacy_dp_release"] = f"""
                   - {_DP_G.format(k="'b:dp:s:' || event_type")}) AS BIGINT) AS released_sum_cents
     FROM g
 """
+
+
+_RCTE_SQL = """
+    WITH RECURSIVE m AS (
+        SELECT (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+                   AS mi,
+               CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    r (mi, bal) AS (
+        SELECT mi, CAST(rev AS DOUBLE) FROM m
+        WHERE mi = (SELECT min(mi) FROM m)
+        UNION ALL
+        SELECT m.mi, r.bal * CAST(0.9 AS DOUBLE) + CAST(m.rev AS DOUBLE)
+        FROM r JOIN m ON m.mi = r.mi + 1
+    )
+    SELECT CAST(mi AS INTEGER) AS month_index, bal AS smoothed_revenue
+    FROM r ORDER BY month_index
+"""
+
+
+def s20_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20: WITH RECURSIVE through the SQL surface (Spark 4's
+    UnionLoop execution): exponentially-smoothed monthly revenue —
+    bal_m = 0.9·bal_{m-1} + revenue_m — a recurrence whose value
+    genuinely depends on evaluation ORDER, which the recursion pins
+    identically in both engines (windows can only express it as a
+    float power series with a different rounding path). Monthly
+    revenues are exact integer cents; each step is two IEEE ops in
+    recursion order, so the hash gate holds bit-exactly. The recursion
+    depth is the MONTH count (calendar-bounded, ~84 for TPC-H's seven
+    years) — never data cardinality."""
+    from sfcrimedatapipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RCTE_SQL)
+
+
+QUERIES["s20_recursive_cte"] = s20_recursive_cte
+
+ORACLE_SQL["s20_recursive_cte"] = """
+    WITH RECURSIVE m AS (
+        SELECT (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+                   AS mi,
+               CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT mi, CAST(rev AS DOUBLE) AS bal FROM m
+        WHERE mi = (SELECT min(mi) FROM m)
+        UNION ALL
+        SELECT m.mi, r.bal * CAST(0.9 AS DOUBLE) + CAST(m.rev AS DOUBLE)
+        FROM r JOIN m ON m.mi = r.mi + 1
+    )
+    SELECT CAST(mi AS INTEGER) AS month_index, bal AS smoothed_revenue
+    FROM r ORDER BY month_index
+"""
