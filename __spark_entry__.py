@@ -124,6 +124,7 @@ _DEFERRED = [
     "u4_cogroup_alignment",
     "events_hourly_agg_stream",
     "events_sliding_agg_stream",
+    "events_session_window_stream",
     "events_stream_static_join",
     "events_incremental_agg_stream",
     "events_stream_stream_join",

@@ -70,6 +70,7 @@ BENCH_SKIP = {
     "events_hourly_agg_stream",
     "events_stream_stream_join",
     "events_sliding_agg_stream",
+    "events_session_window_stream",
     "events_stream_static_join",
     "events_incremental_agg_stream",
     "dedup_exact_stream",

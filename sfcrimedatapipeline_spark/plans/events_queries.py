@@ -130,6 +130,32 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE session_window aggregation executed as a GENUINE
+    Structured Streaming query (time-sliced files → watermark →
+    session_window groupBy → memory sink, complete mode) — Spark's
+    built-in streaming session state (merge-on-arrival, one in-progress
+    session per key) driven end to end and hash-gated by the SAME
+    first-principles oracle as the batch twin: complete mode keeps all
+    session state, and the event-time-ordered stream files mean no row
+    is ever late, so the final emitted set must equal the batch
+    aggregation bit for bit."""
+    from sfcrimedatapipeline_spark.streaming.events import (
+        cached_stream_fixture,
+        run_stream_to_memory,
+        session_window_agg,
+    )
+
+    stream_dir = cached_stream_fixture(spark, sf_dir)
+    return run_stream_to_memory(
+        spark,
+        stream_dir,
+        lambda src: session_window_agg(src, gap=f"{GAP_MINUTES} minutes"),
+        query_name="events_session_window_stream",
+        output_mode="complete",
+    )
+
+
 def events_sliding_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sliding-window aggregation executed as a GENUINE Structured
     Streaming query (time-sliced files → watermark → hopping window →
@@ -876,6 +902,7 @@ QUERIES = {
     "events_hourly_agg_stream": events_hourly_agg_stream,
     "events_sliding_agg": events_sliding_agg,
     "events_session_window": events_session_window,
+    "events_session_window_stream": events_session_window_stream,
     "m3_incremental_agg": m3_incremental_agg,
     "events_funnel": events_funnel,
     "events_incremental_agg_stream": events_incremental_agg_stream,
@@ -902,3 +929,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = build_oracle_sql()
+
+# the streaming session-window execution must converge to the batch
+# twin exactly (complete mode, no late rows possible) — same oracle
+ORACLE_SQL["events_session_window_stream"] = ORACLE_SQL["events_session_window"]
