@@ -1690,3 +1690,55 @@ ORACLE_SQL["events_seasonal_naive_mase"] = f"""
                 THEN CAST(am AS DOUBLE) / CAST(an AS DOUBLE) END AS mase
     FROM m
 """
+
+
+def events_acf_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACF correlogram over per-minute VALUE totals (cents) rather
+    than counts — does revenue remember itself minute-over-minute?
+    Same pairwise-complete estimator and exact sufficient statistics
+    as events_acf (operators/temporal.py:acf_pairwise)."""
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    return temporal.acf_pairwise(
+        ev, value_col="value", bucket_seconds=ACF_BUCKET_S, max_lag=ACF_MAX_LAG
+    )
+
+
+QUERIES["events_acf_value"] = events_acf_value
+
+ORACLE_SQL["events_acf_value"] = f"""
+    WITH s AS (
+        SELECT epoch_us(ts) // {ACF_BUCKET_S * 1_000_000} AS b,
+               CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    l AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag_buckets),
+    p AS (
+        SELECT l.lag_buckets, a.x AS x, c.x AS y
+        FROM s a CROSS JOIN l
+        JOIN s c ON a.b + l.lag_buckets = c.b
+    ),
+    m AS (
+        SELECT lag_buckets,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sx2,
+               sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sy2,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+        FROM p GROUP BY 1
+    )
+    SELECT CAST(lag_buckets AS INTEGER) AS lag_buckets, n_pairs,
+           CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                ELSE NULL END AS acf
+    FROM m ORDER BY lag_buckets
+"""
