@@ -1742,3 +1742,108 @@ ORACLE_SQL["events_acf_value"] = f"""
                 ELSE NULL END AS acf
     FROM m ORDER BY lag_buckets
 """
+
+
+def events_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample 1-D WASSERSTEIN-1 (earth mover's) distance between
+    'click' and 'purchase' event values — the MAGNITUDE companion to
+    events_ks_drift's max-deviation statistic (KS says whether the
+    ECDFs separate; W1 says by how much, in cents of mass transport).
+
+    Exactness: W1 = Σ over the distinct-cents spine of
+    |cum1·n2 − cum2·n1| · (next_value − value), accumulated in
+    DECIMAL(38,0) (products reach n1·n2·gap·cells — past 2^63), with
+    ONE divide by n1·n2 at the end. The paired ECDFs ride the same
+    two-phase running_totals as KS; the "next value" gap comes from a
+    dense_ids rank self-join (rank+1), never a partition-less lead
+    window. The spine's maximum value has cumdiff 0 by construction
+    (both ECDFs have reached their totals), so the missing terminal
+    gap contributes nothing.
+    """
+    from sfcrimedatapipeline_spark.operators.keys import dense_ids, running_totals
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events")).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cells = ev.groupBy(cents.alias("c")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("k2"),
+    )
+    cum = running_totals(cells, [F.asc("c")], {"k1": "cum1", "k2": "cum2"})
+    ranked = dense_ids(cum.select("c", "cum1", "cum2"), ["c"], "__r")
+    nxt = ranked.select(
+        (F.col("__r") - 1).alias("__r"), F.col("c").alias("c_next")
+    )
+    gapped = ranked.join(nxt, "__r")  # drops the max-c row (cumdiff 0 there)
+    tot = cells.agg(
+        F.sum("k1").cast("long").alias("n1"), F.sum("k2").cast("long").alias("n2")
+    )
+    j = gapped.crossJoin(F.broadcast(tot))
+    term = (
+        F.abs(
+            F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+            - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+        )
+        * (F.col("c_next") - F.col("c")).cast("decimal(38,0)")
+    )
+    agg = j.agg(
+        F.sum(term).alias("__w"),
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+    )
+    w1 = F.col("__w").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2").cast("double")
+    )
+    return agg.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+        w1.alias("w1_cents"),
+    )
+
+
+QUERIES["events_emd_drift"] = events_emd_drift
+
+ORACLE_SQL["events_emd_drift"] = """
+    WITH f AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    cells AS (
+        SELECT c,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k1,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k2
+        FROM f GROUP BY 1
+    ),
+    cum AS (
+        SELECT c,
+               CAST(sum(k1) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum1,
+               CAST(sum(k2) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum2,
+               lead(c) OVER (ORDER BY c) AS c_next
+        FROM cells
+    ),
+    t AS (SELECT CAST(sum(k1) AS BIGINT) AS n1,
+                 CAST(sum(k2) AS BIGINT) AS n2 FROM cells),
+    m AS (
+        SELECT sum(abs(CAST(cum1 AS DECIMAL(38,0)) * n2
+                       - CAST(cum2 AS DECIMAL(38,0)) * n1)
+                   * CAST(c_next - c AS DECIMAL(38,0))) AS w,
+               max(n1) AS n1, max(n2) AS n2
+        FROM cum CROSS JOIN t
+        WHERE c_next IS NOT NULL
+    )
+    SELECT n1 AS n_click, n2 AS n_purchase,
+           CAST(w AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS w1_cents
+    FROM m
+"""
