@@ -304,3 +304,68 @@ def point_in_polygon_counts(
         .filter(F.col("__n_cross") % 2 == 1)
         .select(id_col, "poly_id")
     )
+
+
+def nearest_hub_assign(
+    df: DataFrame,
+    hubs: list[tuple[int, int, int]],
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Assign every point to its nearest hub (k fixed facilities —
+    stations, depots, serving cells) → per-hub ``(hub_id, n_points,
+    rms_dist_m)``. The k-NN-assignment primitive (the same argmin an
+    IVF coarse quantizer runs, in 2-D).
+
+    ``hubs`` is ``[(hub_id, ilat, ilon)]`` in 1e-5-degree integer grid
+    units (the repo's coordinate discipline). The argmin compares EXACT
+    integer squared metric distances — Δlat·LAT_W and Δlon·LON_W
+    products, never a float — with ties to the smallest hub_id via one
+    ``min(struct(d2, hub_id))``; the per-hub dispersion is the RMS of
+    the exact d2 sum (decimal accumulation, ONE divide, ONE
+    correctly-rounded sqrt — a float mean-of-sqrts would depend on
+    partition order). Scale shape: points × k is an explode over a
+    k-row literal, one map-side-combined argmin per point, then the
+    k-row hub rollup — two shuffles, the second on a k-bounded key.
+    """
+    ilat = F.floor(F.col(lat_col) * UNIT_PER_DEG + F.lit(0.5)).cast("long")
+    ilon = F.floor(F.col(lon_col) * UNIT_PER_DEG + F.lit(0.5)).cast("long")
+    pts = df.filter(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    ).select(F.col(id_col).alias("__pid"), ilat.alias("__la"), ilon.alias("__lo"))
+    hub_arr = F.array(
+        *[
+            F.struct(
+                F.lit(h).cast("int").alias("hub_id"),
+                F.lit(la).cast("long").alias("hla"),
+                F.lit(lo).cast("long").alias("hlo"),
+            )
+            for h, la, lo in hubs
+        ]
+    )
+    ex = pts.select("__pid", "__la", "__lo", F.explode(hub_arr).alias("h"))
+    dla = (F.col("__la") - F.col("h.hla")) * F.lit(LAT_W)
+    dlo = (F.col("__lo") - F.col("h.hlo")) * F.lit(LON_W)
+    d2 = (
+        dla.cast("decimal(38,0)") * dla.cast("decimal(38,0)")
+        + dlo.cast("decimal(38,0)") * dlo.cast("decimal(38,0)")
+    )
+    best = ex.groupBy("__pid").agg(
+        F.min(F.struct(d2.alias("d2"), F.col("h.hub_id").alias("hub_id"))).alias(
+            "m"
+        )
+    )
+    per_hub = best.groupBy(F.col("m.hub_id").alias("hub_id")).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum(F.col("m.d2")).alias("__sd2"),  # exact decimal sum
+    )
+    rms = (
+        F.sqrt(
+            F.col("__sd2").cast("double") / F.col("n_points").cast("double")
+        )
+        / F.lit(100000.0)
+    )
+    return per_hub.select(
+        "hub_id", "n_points", rms.alias("rms_dist_m")
+    ).orderBy("hub_id")

@@ -308,3 +308,59 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1
     """,
 }
+
+
+#: five fixed hubs spread across the synthetic coordinate box
+#: (ilat 3,770,000..3,783,000; ilon -12,251,000..-12,236,000)
+HUBS: list[tuple[int, int, int]] = [
+    (1, 3_772_000, -12_249_000),
+    (2, 3_775_000, -12_244_000),
+    (3, 3_778_000, -12_239_000),
+    (4, 3_781_000, -12_247_000),
+    (5, 3_773_500, -12_237_500),
+]
+
+
+def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility assignment (operators/geo.py:nearest_hub_assign):
+    every incident to its closest of five fixed hubs by exact integer
+    squared metric distance, per-hub counts + RMS distance — the 2-D
+    coarse-quantizer argmin, hash-gated against the same arithmetic in
+    SQL."""
+    return geo.nearest_hub_assign(_points(spark, sf_dir), HUBS)
+
+
+QUERIES["geo_nearest_hub"] = geo_nearest_hub
+
+
+def _nearest_hub_oracle_sql() -> str:
+    values = ",\n               ".join(f"({h}, {la}, {lo})" for h, la, lo in HUBS)
+    d2 = (
+        f"CAST((p.ilat - h.hla) * {geo.LAT_W} AS DECIMAL(38,0))"
+        f" * CAST((p.ilat - h.hla) * {geo.LAT_W} AS DECIMAL(38,0))"
+        f" + CAST((p.ilon - h.hlo) * {geo.LON_W} AS DECIMAL(38,0))"
+        f" * CAST((p.ilon - h.hlo) * {geo.LON_W} AS DECIMAL(38,0))"
+    )
+    return f"""
+        WITH {_PTS},
+        hubs(hub_id, hla, hlo) AS (VALUES {values}),
+        d AS (
+            SELECT p.pid, h.hub_id, {d2} AS d2
+            FROM pts p CROSS JOIN hubs h
+        ),
+        best AS (
+            SELECT pid, hub_id, d2 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY pid ORDER BY d2 ASC, hub_id ASC) AS rn
+                FROM d
+            ) WHERE rn = 1
+        )
+        SELECT CAST(hub_id AS INTEGER) AS hub_id,
+               CAST(count(*) AS BIGINT) AS n_points,
+               sqrt(CAST(sum(d2) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                   / 100000.0 AS rms_dist_m
+        FROM best GROUP BY hub_id ORDER BY hub_id
+    """
+
+
+ORACLE_SQL["geo_nearest_hub"] = _nearest_hub_oracle_sql()
