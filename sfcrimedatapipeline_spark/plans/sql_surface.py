@@ -2812,3 +2812,95 @@ ORACLE_SQL["s20_recursive_cte"] = """
     SELECT CAST(mi AS INTEGER) AS month_index, bal AS smoothed_revenue
     FROM r ORDER BY month_index
 """
+
+
+ASSOC_TOP_K = 50
+
+
+def orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES over order baskets: support, confidence and
+    lift for co-purchased part pairs — the market-basket classic next
+    to reco_parts_topk's cosine neighborhood (lift ≷ 1 answers a
+    different question: does A's presence CHANGE B's odds?). Same
+    order-keyed basket self-join (lines-per-order², never parts²);
+    every metric is one or two divides on exact integer counts, the
+    final top-50 is a global ORDER BY + LIMIT (TakeOrderedAndProject,
+    no sort shuffle) with ties broken by the part pair."""
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    part_n = items.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    na = part_n.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    nb = part_n.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    j = (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    no = F.col("n_orders").cast("double")
+    support = F.col("n_ab").cast("double") / no
+    conf = F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+    lift = (
+        F.col("n_ab").cast("double")
+        * no
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        j.select(
+            "part_a", "part_b", "n_a", "n_b", "n_ab", "n_orders",
+            support.alias("support"),
+            conf.alias("confidence_a_to_b"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(ASSOC_TOP_K)
+    )
+
+
+QUERIES["orders_assoc_rules"] = orders_assoc_rules
+
+ORACLE_SQL["orders_assoc_rules"] = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+           FROM items),
+    pn AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+           FROM items GROUP BY 1),
+    pr AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {3}
+    )
+    SELECT pr.part_a, pr.part_b,
+           na.n AS n_a, nb.n AS n_b, pr.n_ab, no.n_orders,
+           CAST(pr.n_ab AS DOUBLE) / CAST(no.n_orders AS DOUBLE) AS support,
+           CAST(pr.n_ab AS DOUBLE) / CAST(na.n AS DOUBLE)
+               AS confidence_a_to_b,
+           CAST(pr.n_ab AS DOUBLE) * CAST(no.n_orders AS DOUBLE)
+               / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS lift
+    FROM pr
+    JOIN pn na ON na.l_partkey = pr.part_a
+    JOIN pn nb ON nb.l_partkey = pr.part_b
+    CROSS JOIN no
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT {ASSOC_TOP_K}
+"""
