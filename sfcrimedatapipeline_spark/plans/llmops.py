@@ -1572,3 +1572,58 @@ ORACLE_SQL["ann_sq8_topk"] = f"""
     )
     WHERE rank <= {ANN_K}
 """
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three INTEGER regex counts
+    (words = whitespace tokens, sentences = [.!?]+ runs with a floor of
+    1, syllables = [aeiouy]+ vowel groups — the standard heuristic).
+    The formula is a fixed IEEE expression over exact integers, so the
+    gate holds bit-exactly; the regexes are simple character classes,
+    identical under Java regex and RE2. One scan, no shuffle."""
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    words = F.size(tokens(F.col("text")))
+    sentences = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    syllables = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    wd = words.cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (wd / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / wd)
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.when(words > 0, flesch).otherwise(F.lit(0.0)).alias("flesch"),
+    )
+
+
+QUERIES["text_readability"] = text_readability
+ORACLE_SQL["text_readability"] = f"""
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len({SQL_TOKENS}) AS BIGINT) AS n_words,
+                       CAST(greatest(len(regexp_extract_all(text,
+                            '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '[aeiouy]+')) AS BIGINT) AS n_syllables
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words > 0
+                        THEN 206.835
+                             - 1.015 * (CAST(n_words AS DOUBLE)
+                                        / CAST(n_sentences AS DOUBLE))
+                             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                       / CAST(n_words AS DOUBLE))
+                        ELSE 0.0 END AS flesch
+            FROM c
+        """

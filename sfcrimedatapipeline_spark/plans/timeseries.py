@@ -1847,3 +1847,66 @@ ORACLE_SQL["events_emd_drift"] = """
                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS w1_cents
     FROM m
 """
+
+
+def orders_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year SEASONAL INDICES of order revenue: each calendar
+    month's share of an average month (index 1.0 = no seasonality) —
+    the classical ratio-to-grand-mean decomposition a demand planner
+    reads before any forecast. Exact: per-month cents sums and month
+    counts are integers; the index is (month_total/month_n_years) /
+    (grand_total/grand_n_months) rearranged into multiplies and TWO
+    divides in fixed order. One aggregate + one 12-row reduction."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    per = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(F.sum(cents).cast("long").alias("rev"))
+    monthly = per.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_years"),
+        F.sum("rev").cast("long").alias("total_cents"),
+    )
+    grand = per.agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.sum("rev").cast("long").alias("grand_cents"),
+    )
+    j = monthly.crossJoin(F.broadcast(grand))
+    idx = (
+        F.col("total_cents").cast("double")
+        * F.col("n_months").cast("double")
+        / (
+            F.col("n_years").cast("double")
+            * F.col("grand_cents").cast("double")
+        )
+    )
+    return j.select(
+        F.col("m").alias("month"),
+        "n_years",
+        "total_cents",
+        idx.alias("seasonal_index"),
+    ).orderBy("month")
+
+
+QUERIES["orders_seasonal_indices"] = orders_seasonal_indices
+
+ORACLE_SQL["orders_seasonal_indices"] = """
+    WITH per AS (
+        SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+               CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS n_years,
+               CAST(sum(rev) AS BIGINT) AS total_cents
+        FROM per GROUP BY 1
+    ),
+    grand AS (SELECT CAST(count(*) AS BIGINT) AS n_months,
+                     CAST(sum(rev) AS BIGINT) AS grand_cents FROM per)
+    SELECT CAST(m AS INTEGER) AS month, n_years, total_cents,
+           CAST(total_cents AS DOUBLE) * CAST(n_months AS DOUBLE)
+               / (CAST(n_years AS DOUBLE) * CAST(grand_cents AS DOUBLE))
+               AS seasonal_index
+    FROM monthly CROSS JOIN grand
+    ORDER BY month
+"""

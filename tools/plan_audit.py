@@ -65,6 +65,7 @@ CROSS_OK: dict[str, str] = {
     "events_ks_drift": "crossJoin(broadcast(1-row n1/n2 totals))",
     "events_emd_drift": "crossJoin(broadcast(1-row n1/n2 totals)) + partition_offsets (P-bounded)",
     "orders_assoc_rules": "crossJoin(broadcast(1-row n_orders total))",
+    "orders_seasonal_indices": "crossJoin(broadcast(1-row grand totals))",
     "events_cusum_changepoint": "crossJoin(broadcast(1-row n/T totals))",
     "graph_modularity_dup": "crossJoin(broadcast(1-row edge-count m))",
     "events_drift_tvd": "crossJoin(broadcast(1-row totals))",
