@@ -117,6 +117,7 @@ _DEFERRED = [
     "serve_initial_reports",
     "fact_cube_districts",
     "dedup_clusters",
+    "dedup_cluster_sizes",
     "dedup_clusters_2phase",
     "pagerank_dup_graph",
     "graph_triangle_count",

@@ -1805,3 +1805,39 @@ def _span_corruption_oracle_sql() -> str:
 
 QUERIES["docs_span_corruption"] = docs_span_corruption
 ORACLE_SQL["docs_span_corruption"] = _span_corruption_oracle_sql()
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE HISTOGRAM: how many near-dup components
+    have 2, 3, ... members — the first diagnostic a dedup pipeline
+    owner reads (a fat tail means boilerplate families or a too-loose
+    threshold; singletons are excluded since an unclustered doc isn't a
+    duplicate). Two map-side-combined aggregates over the CC output —
+    the histogram key is the component size, bounded by the largest
+    cluster, never data cardinality."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_duplicates(docs)
+    cc = corpus.connected_components(pairs)
+    sizes = cc.groupBy("canonical_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.filter(F.col("cluster_size") >= 2)
+        .groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+QUERIES["dedup_cluster_sizes"] = dedup_cluster_sizes
+
+ORACLE_SQL["dedup_cluster_sizes"] = f"""
+    WITH cc AS ({_cc_oracle_sql()}),
+    sizes AS (
+        SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM cc GROUP BY canonical_id
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes WHERE cluster_size >= 2
+    GROUP BY cluster_size ORDER BY cluster_size
+"""
