@@ -600,17 +600,61 @@ def auto_lsh_config(
     total bucket rows = b·n, total verify tiles ≈ b·n·target.
     Deterministic given (n, θ, R, target) — both the config and the
     output replay exactly for the same corpus.
-    """
-    import math
 
-    planes = max(1, math.ceil(math.log2(max(2.0, n_vectors / target_bucket_rows))))
+    ``planes`` is INTEGER-EXACT (round 8): smallest p ≥ 1 with
+    2^p ≥ ceil(n / target) — no libm ``log2``/``ceil`` whose last-ulp
+    could disagree with the DuckDB oracle's replication of the same
+    config at a power-of-two boundary. ``bands`` still uses float math
+    but only as a function of the integer ``planes``, so the oracle can
+    inline a planes→bands CASE table computed by THIS function
+    (:func:`bands_for_planes`) and never re-derive floats cross-engine.
+
+    When the recall-target band count exceeds ``max_bands`` the clamp
+    BINDS and the returned config no longer meets ``recall_target`` —
+    per the repo's no-silent-caps discipline (ADVICE r7 #4) this now
+    emits a ``UserWarning`` carrying the ACHIEVED recall so callers see
+    the target was missed. (At weak thresholds — θ ≤ ~0.5, where the
+    per-plane collision rate is close to a coin flip — hyperplane LSH
+    needs exponentially many bands for high recall and the clamp is
+    expected; the dedup-grade θ ≥ 0.95 regime stays unclamped to
+    millions of vectors.)
+    """
+    m = max(1, -(-n_vectors // target_bucket_rows))  # ceil-div, exact
+    planes = max(1, (m - 1).bit_length())  # smallest p with 2^p >= m
+    bands = bands_for_planes(planes, threshold, recall_target, max_bands)
+    return bands, planes
+
+
+def bands_for_planes(
+    planes: int,
+    threshold: float = 0.98,
+    recall_target: float = 0.95,
+    max_bands: int = 32,
+) -> int:
+    """Band count meeting ``recall_target`` for pairs AT the cosine
+    threshold, given a band width: per-plane collision
+    c = 1 − acos(θ)/π, per-band cᵖ, recall = 1 − (1−cᵖ)ᵇ ⇒
+    b = ceil(ln(1−R)/ln(1−cᵖ)), clamped to ``max_bands`` with a
+    UserWarning stating the achieved recall when the clamp binds."""
+    import math
+    import warnings
+
     c = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
     band_hit = c**planes
     if band_hit >= 1.0:
-        bands = 1
-    else:
-        bands = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - band_hit))
-    return min(max_bands, max(1, bands)), planes
+        return 1
+    bands = max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - band_hit)))
+    if bands > max_bands:
+        achieved = 1.0 - (1.0 - band_hit) ** max_bands
+        warnings.warn(
+            f"auto_lsh_config: recall target {recall_target} at threshold "
+            f"{threshold} needs {bands} bands but max_bands={max_bands} "
+            f"binds; achieved recall ≈ {achieved:.3f}",
+            UserWarning,
+            stacklevel=2,
+        )
+        return max_bands
+    return bands
 
 
 def embedding_near_duplicates_lsh_auto(
@@ -623,13 +667,20 @@ def embedding_near_duplicates_lsh_auto(
     target_bucket_rows: int = 512,
 ) -> DataFrame:
     """:func:`embedding_near_duplicates_lsh` with the config derived
-    from the corpus size by :func:`auto_lsh_config` — the actual 100 TB
-    entry point. One cheap count() action sizes the tables (the LPA
-    edge-count precedent: a bounded 1-scalar driver read), then the
-    fixed-config operator runs unchanged. Not static-oracle-expressible
-    (the plane COUNT depends on the data, and the oracle inlines plane
-    literals), so the gate is rows-only + the recall/subset parity
-    tests in tests/test_dedup.py."""
+    from the corpus size by :func:`auto_lsh_config` — THE DEFAULT
+    embedding near-dup entry point (round 8; the fixed-config variant
+    is demoted to a small-corpus option). One cheap count() action
+    sizes the tables (the LPA edge-count precedent: a bounded 1-scalar
+    driver read), then the fixed-config operator runs unchanged.
+
+    Hash-gated since round 8: the oracle computes the SAME config from
+    ``count(*)`` — planes via an exact-integer CASE ladder (smallest p
+    with 2^p ≥ ceil(n/target)), bands via a planes→bands CASE table
+    that Python :func:`bands_for_planes` computed (no cross-engine
+    libm), and the hyperplanes themselves via the md5 formula
+    (:func:`similarity._hyperplane` is hex-parse exact in DuckDB) — so
+    the data-dependent plane COUNT no longer forces a rows-only gate
+    (plans/llmops.py:_emb_lsh_auto_sql)."""
     n = emb.count()  # bounded: one scalar
     bands, planes = auto_lsh_config(
         n,
@@ -658,10 +709,18 @@ def embedding_near_duplicates_lsh(
     planes_per_band: int = 3,
     max_bucket_rows: int = 4096,
 ) -> DataFrame:
-    """LSH-bucketed near-dup — the default 100 TB path: hyperplane
+    """LSH-bucketed near-dup with a CALLER-FIXED config: hyperplane
     buckets (reusing :func:`similarity.lsh_bucket`'s deterministic
     planes) bound the quadratic step to within-bucket tiles, so no
     all-pairs set is ever materialized anywhere.
+
+    Since round 8 this fixed-config form is the SMALL-CORPUS option
+    (and the building block the auto variant delegates to): a constant
+    2^planes bucket count makes within-bucket verify work n²/B — the
+    round-7 unique-data probe measured it going quadratic at 10x data.
+    Corpus-facing callers should use
+    :func:`embedding_near_duplicates_lsh_auto`, which holds bucket
+    occupancy constant as n grows.
 
     Banded like MinHash-LSH: ``n_bands`` independent bucket tables of
     ``planes_per_band`` sign bits each; a pair is a candidate if it

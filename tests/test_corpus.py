@@ -571,6 +571,109 @@ def test_bpe_tokenize_ids_match_pure_python_segmenter(spark):
     assert len(out[3]) > 0
 
 
+def _naive_rank_order_sweep(word, pairs_in_rank_order):
+    """The pre-round-8 replay: for EVERY word, sweep the entire ordered
+    merge list (O(V·|w|) per word) — kept verbatim as the semantic
+    reference the rank-indexed encoder must reproduce."""
+    s = list(word)
+    for a, b in pairs_in_rank_order:
+        i, out = 0, []
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return tuple(s)
+
+
+def _wordpiece_style_merges(n_words, rng):
+    """A WELL-FORMED synthetic merge table ≥10k entries: for each word,
+    left-to-right prefix merges (prefix, next_char), ordered by product
+    length so every merge's left operand is a base char or the product
+    of a strictly lower-ranked merge — the train_bpe well-formedness
+    invariant, at production-vocab scale without a slow training run."""
+    words = {
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(rng.randint(4, 12)))
+        for _ in range(n_words)
+    }
+    by_len: dict[int, list[tuple[str, str]]] = {}
+    seen = set()
+    for w in sorted(words):
+        for k in range(2, len(w) + 1):
+            p = (w[: k - 1], w[k - 1])
+            if p not in seen:
+                seen.add(p)
+                by_len.setdefault(k, []).append(p)
+    ordered = [p for k in sorted(by_len) for p in sorted(by_len[k])]
+    return sorted(words), ordered
+
+
+def test_bpe_rank_indexed_encoder_replay_identity_10k_merges():
+    """VERDICT r7 #1 done-criterion: the rank-indexed greedy encoder is
+    replay-identical to the naive full-vocab sweep on a ≥10k-merge
+    well-formed table — over training words (collapse to one token),
+    unseen words (partial merges), and adversarial repeats."""
+    import random
+
+    from sfcrimedatapipeline_spark.operators.textstats import (
+        _rank_indexed_encoder,
+    )
+
+    rng = random.Random(8)
+    words, ordered = _wordpiece_style_merges(2500, rng)
+    assert len(ordered) >= 10_000, len(ordered)
+    encode = _rank_indexed_encoder(ordered)
+
+    probes = words[:200]  # training words: must collapse per the sweep
+    probes += [  # unseen words: partial merges only
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(rng.randint(1, 20)))
+        for _ in range(200)
+    ]
+    probes += ["aaaaaaa", "abababab", words[0] + words[1], "z", ""]
+    for w in probes:
+        assert encode(w) == _naive_rank_order_sweep(w, ordered), w
+
+
+def test_bpe_rank_indexed_encoder_cost_flat_in_vocab_size():
+    """The per-word replay cost must be independent of V (the whole
+    point of the fix): encoding the SAME words under a 100-merge table
+    and a ≥10k-merge superset table does the same per-word work apart
+    from dict-lookup noise. Asserted structurally — identical results
+    where the small table's merges decide — and with a generous wall
+    bound (naive sweep is ~100× slower at this V gap; the flat-in-V
+    probe row lives in tools/scale_probe.py)."""
+    import random
+    import time
+
+    from sfcrimedatapipeline_spark.operators.textstats import (
+        _rank_indexed_encoder,
+    )
+
+    rng = random.Random(9)
+    _, big = _wordpiece_style_merges(2500, rng)
+    assert len(big) >= 10_000
+    probes = [
+        "".join(rng.choice("qrstuvwxyz") for _ in range(12)) for _ in range(2000)
+    ]  # alphabet disjoint from the merge table: zero merges apply,
+    # isolating the pair-scan cost from merge work
+    small_t = big_t = 0.0
+    for table, attr in ((big[:100], "small_t"), (big, "big_t")):
+        enc = _rank_indexed_encoder(table)
+        t0 = time.perf_counter()
+        for w in probes:
+            assert enc(w) == tuple(w)
+        if attr == "small_t":
+            small_t = time.perf_counter() - t0
+        else:
+            big_t = time.perf_counter() - t0
+    # 100× the vocab must NOT cost ~100× the time; allow 5× for dict /
+    # cache noise on a sub-10ms measurement
+    assert big_t < small_t * 5 + 0.05, (small_t, big_t)
+
+
 def test_bpe_merges_reduce_token_count(spark):
     from sfcrimedatapipeline_spark.operators import textstats
 

@@ -50,8 +50,11 @@ def test_max_df_none_is_exact(spark):
 
 
 def test_lsh_auto_scaling_and_recall(spark):
-    """Parity contract for the rows-only emb_near_duplicates_lsh_auto
-    query: (a) auto_lsh_config holds bucket occupancy ~constant —
+    """Recall contract for the occupancy-scaled LSH behind the gated
+    emb_near_duplicates_lsh default (round 8 — the config itself is now
+    ALSO hash-gated via the dynamic oracle; this test pins the recall
+    math the oracle cannot express): (a) auto_lsh_config holds bucket
+    occupancy ~constant —
     planes grow with log2(n) — and re-derives bands for the recall
     target; (b) on a corpus with planted near-dup pairs, the auto
     output is a SUBSET of the exact near-dup set (every pair is

@@ -101,11 +101,16 @@ PROBE_QUERIES = [
     "dq_repair_category",
     # round-7 additions: triangle-corner explode + degree join, the
     # full tokenization emit (linear Arrow pass — the trainable-shard
-    # path), and the occupancy-scaled LSH whose whole point is fixing
-    # the fixed-config 8.5x unique-data reading
+    # path)
     "graph_clustering_coeff",
     "docs_tokenize_bpe",
-    "emb_near_duplicates_lsh_auto",
+    # round-8: the demoted fixed-config LSH (known n²/B — kept probed
+    # so the contrast with the auto default stays measured); the new
+    # occupancy-scaled dedup-grade default is in emb_near_duplicates_lsh
+    # above; the composed tokenize→pack→corrupt chain (VERDICT r7 #8)
+    "emb_near_duplicates_lsh_smallcorpus",
+    "docs_span_corruption",
+    "docs_pack_token_ids",
 ]
 
 
