@@ -372,6 +372,7 @@ def label_propagation(
     dst_col: str = "doc_b",
     rounds: int = 3,
     checkpoint_dir: str | None = None,
+    adaptive: bool = False,
 ) -> DataFrame:
     """Synchronous LABEL PROPAGATION community detection (Raghavan et
     al. 2007) over the pair graph → ``(doc_id, community_id)``.
@@ -406,9 +407,27 @@ def label_propagation(
     (tests/test_graph.py::test_lpa_convergence_probe pins it); near-dup
     clusters are dense and low-diameter, so this transfers to 100 TB —
     duplicate-cluster diameter doesn't grow with corpus size.
+
+    ``adaptive=True`` (VERDICT r7 #6) USES the convergence probe's
+    measurement instead of asking the operator to guess: the loop stops
+    at the first round where ``n_changed = 0`` (a true fixpoint —
+    labels that didn't change under a synchronous update never change
+    again), with ``rounds`` acting as the hard cap (synchronous LPA can
+    2-cycle on bipartite-ish structures, where changed never hits 0 and
+    the cap is the stop). Costs one scalar count per round — the same
+    bounded action the probe already pays. The gated queries keep the
+    fixed deterministic 3-round twin (an oracle must unroll a STATIC
+    round count); adaptive is the production entry point for graphs
+    whose diameter is unknown.
     """
     labels, _ = _lpa_run(
-        pairs, src_col, dst_col, rounds, checkpoint_dir, track_changes=False
+        pairs,
+        src_col,
+        dst_col,
+        rounds,
+        checkpoint_dir,
+        track_changes=False,
+        adaptive=adaptive,
     )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("community_id")
@@ -444,9 +463,12 @@ def _lpa_run(
     rounds: int,
     checkpoint_dir: str | None,
     track_changes: bool,
+    adaptive: bool = False,
 ) -> tuple[DataFrame, list[tuple[int, int]]]:
     """Shared synchronous-LPA loop. Returns (final labels, per-round
-    changed counts — empty unless track_changes)."""
+    changed counts — empty unless track_changes/adaptive). With
+    ``adaptive``, stops early at the first changed = 0 round (``rounds``
+    is the cap)."""
     fwd = pairs.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -481,7 +503,7 @@ def _lpa_run(
             )
             .select(F.col("node").alias("id"), (-F.col("m.neg")).alias("label"))
         )
-        if track_changes or r % 2 == 1 or r == rounds - 1:
+        if track_changes or adaptive or r % 2 == 1 or r == rounds - 1:
             from sfcrimedatapipeline_spark.functions.caching import (
                 truncate_lineage,
             )
@@ -489,7 +511,7 @@ def _lpa_run(
             # when probing, truncate EVERY round so the per-round count
             # below doesn't recompute the chain it just measured
             new_labels = truncate_lineage(new_labels, checkpoint_dir, eager=True)
-        if track_changes:
+        if track_changes or adaptive:
             prev = labels.select("id", F.col("label").alias("__old"))
             n = (
                 new_labels.join(prev, "id")
@@ -497,6 +519,11 @@ def _lpa_run(
                 .count()  # bounded: one scalar per round
             )
             changed.append((r + 1, n))
+            if adaptive and n == 0:
+                # synchronous fixpoint: an unchanged label vector maps
+                # to itself every following round — stop here
+                labels = new_labels
+                break
         labels = new_labels
     edges.unpersist()
     edges_p.unpersist()

@@ -248,6 +248,50 @@ def test_lpa_convergence_probe(spark):
     assert out[1] == out[2] == out[3] and out[4] == out[5] == out[6]
 
 
+def test_lpa_adaptive_reaches_fixpoint_where_fixed_rounds_do_not(spark):
+    """VERDICT r7 #6 done-criterion: on a clique-anchored path whose
+    diameter exceeds 3, the fixed 3-round cut leaves labels still
+    moving, while adaptive=True runs until changed = 0 (cap 20) and
+    lands on the true fixpoint — one community, everything labeled by
+    the clique minimum. The GATED queries keep the deterministic
+    3-round twin; this pins the production path."""
+    from sfcrimedatapipeline_spark.operators.graph import (
+        label_propagation,
+        lpa_convergence,
+    )
+
+    # 4-clique {0,1,2,3} anchors label 0; path 3-4-5-6-7-8 makes the
+    # zero label creep ONE hop per synchronous round (tie of two
+    # single-vote neighbors breaks to the smaller label)
+    clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    path = [(3, 4), (4, 5), (5, 6), (6, 7), (7, 8)]
+    pairs = spark.createDataFrame(clique + path, "doc_a long, doc_b long")
+
+    probe = {
+        r.round_no: r.n_changed
+        for r in lpa_convergence(pairs, rounds=4).collect()
+    }
+    assert probe[4] > 0  # still moving after round 4 — 3 rounds fragment
+
+    fixed = {
+        r.doc_id: r.community_id
+        for r in label_propagation(pairs, rounds=3).collect()
+    }
+    assert len(set(fixed.values())) > 1  # fragmented at the fixed cut
+
+    adaptive = {
+        r.doc_id: r.community_id
+        for r in label_propagation(pairs, rounds=20, adaptive=True).collect()
+    }
+    assert set(adaptive.values()) == {0}  # one community, true fixpoint
+    # and the adaptive stop IS a fixpoint: one more synchronous round
+    # (any fixed count past convergence) reproduces it exactly
+    assert adaptive == {
+        r.doc_id: r.community_id
+        for r in label_propagation(pairs, rounds=9).collect()
+    }
+
+
 def test_label_propagation_star_ties_to_smallest(spark):
     from sfcrimedatapipeline_spark.operators.graph import label_propagation
 
