@@ -64,26 +64,42 @@ def _current_round() -> int:
     the last parseable line wins. Falls back to counting published
     CORRECTNESS_r*.json artifacts. Any failure degrades to round 0
     (a fixed but still deterministic ordering), never an exception —
-    queries() must not be able to fail on an I/O edge.
+    queries() must not be able to fail on an I/O edge. Snapshotted
+    once per process (ADVICE r7 #3): a new PROGRESS line landing
+    between the driver's gate run and a local re-run must not reorder
+    queries() mid-process.
     """
+    global _ROUND_SNAPSHOT
+    if _ROUND_SNAPSHOT is not None:
+        return _ROUND_SNAPSHOT
     import glob
     import json
     import os
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    rnd_found = None
     try:
         with open(os.path.join(repo, "PROGRESS.jsonl")) as fh:
             lines = fh.read().strip().splitlines()
         for line in reversed(lines):
             try:
-                rnd = json.loads(line).get("round")
-                if isinstance(rnd, int):
-                    return rnd
+                obj = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            # a parseable non-dict line (bare number/string/array) must
+            # degrade, not raise AttributeError (ADVICE r7 #3)
+            if isinstance(obj, dict) and isinstance(obj.get("round"), int):
+                rnd_found = obj["round"]
+                break
     except OSError:
         pass
-    return len(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))) + 1
+    if rnd_found is None:
+        rnd_found = len(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))) + 1
+    _ROUND_SNAPSHOT = rnd_found
+    return rnd_found
+
+
+_ROUND_SNAPSHOT: int | None = None
 
 
 #: Run these LAST: pipeline rebuilds, iterative ops, and genuine

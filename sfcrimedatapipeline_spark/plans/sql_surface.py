@@ -2888,7 +2888,7 @@ ORACLE_SQL["orders_assoc_rules"] = f"""
         FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
         WHERE a.l_partkey < b.l_partkey
         GROUP BY 1, 2
-        HAVING count(*) >= {3}
+        HAVING count(*) >= {BASKET_MIN_SUPPORT}
     )
     SELECT pr.part_a, pr.part_b,
            na.n AS n_a, nb.n AS n_b, pr.n_ab, no.n_orders,

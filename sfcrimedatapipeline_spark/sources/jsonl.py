@@ -233,16 +233,38 @@ def register_jsonl_sink(spark: SparkSession) -> None:
             return _Done(out, n)
 
         def commit(self, messages):
+            # append-mode totals are a read-modify-write of _SUCCESS:
+            # SINGLE-WRITER BY CONTRACT (ADVICE r7 #5) — two concurrent
+            # append jobs both succeed (their part files are uuid-
+            # disjoint) but the later commit's totals win. A corrupt or
+            # partial prior _SUCCESS must not fail an otherwise
+            # complete job: rebuild the prior totals from the part
+            # files on disk instead (the ground truth the manifest
+            # summarizes).
             total = sum(m.count for m in messages)
             n_files = len(messages)
             success = os.path.join(self.path, "_SUCCESS")
             if not self.overwrite and os.path.exists(success):
-                # append: fold prior jobs' totals in so the manifest
-                # describes the whole target, not just the latest job
-                with open(success) as fh:
-                    prev = _json.load(fh)
-                total += prev.get("rows", 0)
-                n_files += prev.get("files", 0)
+                ours = {os.path.basename(m.path) for m in messages}
+                try:
+                    with open(success) as fh:
+                        prev = _json.load(fh)
+                    if not isinstance(prev, dict):
+                        raise ValueError("non-dict _SUCCESS")
+                    total += prev.get("rows", 0)
+                    n_files += prev.get("files", 0)
+                except (ValueError, OSError):
+                    # malformed manifest: count prior part files (rows
+                    # by line count — jsonl is one row per line)
+                    for name in os.listdir(self.path):
+                        if (
+                            name.startswith("part-")
+                            and name.endswith(".jsonl")
+                            and name not in ours
+                        ):
+                            n_files += 1
+                            with open(os.path.join(self.path, name)) as fh:
+                                total += sum(1 for _ in fh)
             with open(success, "w") as fh:
                 _json.dump({"rows": total, "files": n_files}, fh)
 

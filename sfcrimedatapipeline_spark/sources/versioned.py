@@ -273,16 +273,32 @@ def versioned_stream_sink(
     #: Spark retries land within a handful of batches of the crash
     #: point; scanning a bounded window keeps the per-micro-batch
     #: guard O(1) instead of re-reading every manifest ever written.
+    #: The window counts THIS QUERY's commits (ADVICE r7 #2): a fixed
+    #: window over ALL manifests breaks exactly-once when another
+    #: writer (a second stream, manual appends) lands >32 versions
+    #: between a crash and the restart and pushes the replayed batch's
+    #: manifest out of view. Scanning newest-first and stopping once
+    #: this query's manifests reach a batch_id at or below the replayed
+    #: one keeps the scan bounded — batch ids per query are monotone,
+    #: so anything older cannot contain it.
     REPLAY_WINDOW = 32
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        for v in list_versions(path)[-REPLAY_WINDOW:]:
+        seen_this_query = 0
+        for v in reversed(list_versions(path)):
             m = read_manifest(path, v)
-            if (
-                m.get("stream_batch_id") == batch_id
-                and m.get("stream_query") == query_name
-            ):
+            if m.get("stream_query") != query_name:
+                continue  # other writers don't consume the window
+            if m.get("stream_batch_id") == batch_id:
                 return  # replayed batch: already committed, skip
+            if (
+                isinstance(m.get("stream_batch_id"), int)
+                and m["stream_batch_id"] < batch_id
+            ):
+                break  # monotone ids: older manifests can't hold it
+            seen_this_query += 1
+            if seen_this_query >= REPLAY_WINDOW:
+                break
         append_version(
             batch_df,
             path,
