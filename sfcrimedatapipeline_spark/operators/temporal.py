@@ -312,6 +312,25 @@ def resample_locf(
     the same spine as a cold one.
     """
     bucket_us = bucket_seconds * US
+    joined = _spine_obs(df, key_col, ts_col, value_col, bucket_us)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        F.timestamp_micros(F.col("__b") * bucket_us).alias("bucket_ts"),
+        "obs_cents",
+        F.last("obs_cents", ignorenulls=True).over(w).alias("filled_cents"),
+    )
+
+
+def _spine_obs(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str, bucket_us: int
+) -> DataFrame:
+    """Shared resample prefix: per-key complete bucket spine LEFT-joined
+    with the last-observation-per-bucket → (key, __b, obs_cents)."""
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
     micros = F.unix_micros(F.col(ts_col))
     bucket = F.floor(micros / bucket_us).cast("long")
@@ -332,17 +351,59 @@ def resample_locf(
         )
         .select(key_col, F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("__b"))
     )
-    joined = spine.join(obs, [key_col, "__b"], "left")
+    return spine.join(obs, [key_col, "__b"], "left")
+
+
+def resample_gap_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """BOUNDED-OUTPUT resample audit (VERDICT r7 #4): per key, the gap
+    profile of the hourly spine — ``(key, n_buckets, n_obs, n_filled,
+    max_gap_run)`` — instead of the full filled series. This is what a
+    100 TB resample job actually EMITS for monitoring (the filled
+    series itself feeds the next operator, it doesn't come back to a
+    driver): output cardinality = distinct keys, not spine rows, so the
+    bench line measures the spine dataflow rather than driver
+    serialization of a million-row series.
+
+    ``max_gap_run`` (longest consecutive run of unobserved buckets) via
+    the gaps-and-islands trick: a running count of NON-NULL
+    observations is constant exactly across each gap run, so grouping
+    the null rows by (key, that count) yields one row per run. Same
+    partitioned-window + map-side-combinable aggregate shape as the
+    LOCF fill itself — one extra shuffle on key, all exact integers.
+    """
+    bucket_us = bucket_seconds * US
+    joined = _spine_obs(df, key_col, ts_col, value_col, bucket_us)
     w = (
         Window.partitionBy(key_col)
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
+    runs = joined.withColumn("__grp", F.count("obs_cents").over(w))
+    per_run = (
+        runs.filter(F.col("obs_cents").isNull())
+        .groupBy(key_col, "__grp")
+        .agg(F.count("*").alias("__len"))
+    )
+    gap = per_run.groupBy(key_col).agg(
+        F.sum("__len").cast("long").alias("__n_filled"),
+        F.max("__len").cast("long").alias("__max_gap"),
+    )
+    base = joined.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.count("obs_cents").cast("long").alias("n_obs"),
+    )
+    return base.join(gap, key_col, "left").select(
         key_col,
-        F.timestamp_micros(F.col("__b") * bucket_us).alias("bucket_ts"),
-        "obs_cents",
-        F.last("obs_cents", ignorenulls=True).over(w).alias("filled_cents"),
+        "n_buckets",
+        "n_obs",
+        F.coalesce("__n_filled", F.lit(0)).cast("long").alias("n_filled"),
+        F.coalesce("__max_gap", F.lit(0)).cast("long").alias("max_gap_run"),
     )
 
 

@@ -123,9 +123,19 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_resample_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap profile of the hourly resample spine
+    (operators/temporal.py:resample_gap_stats, VERDICT r7 #4): the
+    bounded-output variant whose bench line measures spine DATAFLOW —
+    output is one row per user, not the 1M-row filled series."""
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    return temporal.resample_gap_stats(ev, bucket_seconds=BUCKET_SECONDS)
+
+
 QUERIES["events_resample_interp"] = events_resample_interp
 QUERIES["events_collapse_bursts"] = events_collapse_bursts
 QUERIES["events_rolling_zscore"] = events_rolling_zscore
+QUERIES["events_resample_gap_stats"] = events_resample_gap_stats
 
 _SPINE_CTES = f"""
         ev AS (
@@ -177,6 +187,36 @@ ORACLE_SQL["events_resample_interp"] = f"""
                        / CAST(bn - bp AS DOUBLE)
                 ELSE CAST(filled_cents AS DOUBLE) END AS interp_cents
     FROM base
+"""
+
+ORACLE_SQL["events_resample_gap_stats"] = f"""
+    WITH {_SPINE_CTES},
+    j AS (
+        SELECT s.user_id, s.b, o.obs_cents,
+               count(o.obs_cents) OVER (
+                   PARTITION BY s.user_id ORDER BY s.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM spine s
+        LEFT JOIN obs o ON s.user_id = o.user_id AND s.b = o.b
+    ),
+    runs AS (
+        SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        FROM j WHERE obs_cents IS NULL GROUP BY 1, 2
+    ),
+    gap AS (
+        SELECT user_id, CAST(sum(len) AS BIGINT) AS n_filled,
+               CAST(max(len) AS BIGINT) AS max_gap
+        FROM runs GROUP BY 1
+    ),
+    base AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(count(obs_cents) AS BIGINT) AS n_obs
+        FROM j GROUP BY 1
+    )
+    SELECT base.user_id, n_buckets, n_obs,
+           CAST(coalesce(gap.n_filled, 0) AS BIGINT) AS n_filled,
+           CAST(coalesce(gap.max_gap, 0) AS BIGINT) AS max_gap_run
+    FROM base LEFT JOIN gap ON base.user_id = gap.user_id
 """
 
 ORACLE_SQL["events_collapse_bursts"] = f"""
