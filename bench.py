@@ -4,13 +4,13 @@
 
     {"metric": "total_query_wall", "value": N, "unit": "sec",
      "n_queries": N, "queries": {<top-10 slowest>}, "sf": ...,
-     "full": "BENCH_FULL_r7.json"}
+     "full": "BENCH_FULL_r8.json"}
 
 The stdout line is deliberately SMALL: rounds 4-6 shipped a driver
 artifact with ``"parsed": null`` because the full 300-query map made
 the single line longer than the driver's stdout capture, so the tail
 truncated mid-JSON (VERDICT r6 #1). The COMPLETE per-query map is
-always written to ``BENCH_FULL_r7.json`` at the repo root (override
+always written to ``BENCH_FULL_r8.json`` at the repo root (override
 with $SPARK_GRAFT_BENCH_OUT); stdout carries the total, the count, and
 the top-10 slowest — enough for the round-over-round ledger to parse.
 
@@ -58,7 +58,7 @@ WARM_SF_DIR = "/root/testdata/sf0.001"
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 REPO = os.path.dirname(os.path.abspath(__file__))
 FULL_OUT = os.environ.get(
-    "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "BENCH_FULL_r7.json")
+    "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "BENCH_FULL_r8.json")
 )
 
 #: Correctness-gate-only entries excluded from the bench: their wall
@@ -149,7 +149,14 @@ def _isolate(names: list[str], reps: int = 5) -> None:
     """VERDICT r6 #3: fresh-session-per-rep timing for the swing class.
     Each rep is a separate subprocess (cold JVM scheduling state, warm
     OS page cache — the parquet bytes stay resident, which is the
-    steady-state a real cluster sees); median of ``reps``."""
+    steady-state a real cluster sees); median of ``reps``.
+
+    Results also MERGE into BENCH_ISOLATED.json at the repo root
+    (VERDICT r7 #3): that artifact is the adjudication record for the
+    scheduling-swing class — tools/bench_diff.py reads it and
+    reclassifies a shared-session "regression" whose new reading sits
+    inside the query's isolated steady state as a SWING, so 1.5x
+    session-interference deltas stop consuming verdict cycles."""
     out = {}
     for name in names:
         samples = []
@@ -171,7 +178,20 @@ def _isolate(names: list[str], reps: int = 5) -> None:
             "samples": samples,
             "reps": reps,
         }
-    print(json.dumps({"mode": "isolate", "sf": _sf_from_dir(SF_DIR), "queries": out}))
+        sys.stderr.write(f"ISOLATED {name}: {out[name]['median']}s {samples}\n")
+    payload = {"mode": "isolate", "sf": _sf_from_dir(SF_DIR), "queries": out}
+    artifact = os.path.join(REPO, "BENCH_ISOLATED.json")
+    if os.path.exists(artifact):
+        try:
+            with open(artifact) as fh:
+                prior = json.load(fh)
+            if prior.get("sf") == payload["sf"]:
+                payload["queries"] = {**prior.get("queries", {}), **out}
+        except (json.JSONDecodeError, OSError):
+            pass
+    with open(artifact, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(json.dumps(payload))
 
 
 def main() -> None:

@@ -1764,6 +1764,95 @@ QUERIES["docs_pack_token_ids"] = docs_pack_token_ids
 ORACLE_SQL["docs_pack_token_ids"] = _pack_token_ids_oracle_sql()
 
 
+def corpus_pack_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit (round 8): per shard of the trainable
+    token-id shards — bin count, documents, token totals, the largest
+    bin, overflow-bin count (first-fit lets one document overflow its
+    bin), and the fill rate against capacity. This is the number a
+    training-data owner actually watches (wasted pad tokens = wasted
+    compute at 100 TB); output is one row per shard, never per bin.
+    fill_rate is the only double: one divide of two exact integers, so
+    the table hash-gates."""
+    from sfcrimedatapipeline_spark.plans.llmops import TOKENIZE_MERGES
+
+    docs = _docs(spark, sf_dir)
+    packed = corpus.pack_token_ids(
+        docs, TOKENIZE_MERGES, cap=PACK_CAP, n_shards=PACK_SHARDS
+    )
+    return packed.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("n_tokens").cast("long").alias("max_bin_tokens"),
+        F.sum(F.when(F.col("n_tokens") > PACK_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("overflow_bins"),
+        (
+            F.sum("n_tokens").cast("double")
+            / (F.count("*") * PACK_CAP).cast("double")
+        ).alias("fill_rate"),
+    )
+
+
+QUERIES["corpus_pack_fill_stats"] = corpus_pack_fill_stats
+
+ORACLE_SQL["corpus_pack_fill_stats"] = f"""
+    WITH p AS ({_pack_token_ids_oracle_sql()})
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_bin_tokens,
+           CAST(sum(CASE WHEN n_tokens > {PACK_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS overflow_bins,
+           CAST(sum(n_tokens) AS DOUBLE)
+               / CAST(count(*) * {PACK_CAP} AS DOUBLE) AS fill_rate
+    FROM p GROUP BY shard
+"""
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate LEAKAGE MATRIX between corpus sources: for every
+    unordered source pair, how many MinHash near-dup pairs straddle it
+    (diagonal = within-source duplication). The triage view a corpus
+    owner reads before choosing dedup scope — heavy off-diagonal mass
+    means cross-source syndication and per-source dedup won't cut it.
+    Rides the memoized pair graph; output is bounded by source-pair
+    count (≤ S²/2), never data cardinality. Exact integers end to end."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    pairs = _dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("__sa")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("__sb")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+QUERIES["dedup_cross_source_matrix"] = dedup_cross_source_matrix
+
+ORACLE_SQL["dedup_cross_source_matrix"] = f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) p)
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.doc_a
+    JOIN documents db ON db.doc_id = pairs.doc_b
+    GROUP BY 1, 2
+"""
+
+
 def docs_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5-style span corruption (operators/corpus.py:span_corrupt) over
     the gated BPE tokenization: deterministic hash-coin masking of

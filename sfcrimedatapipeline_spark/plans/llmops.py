@@ -173,6 +173,132 @@ def docs_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer QA (round 8): decode the gated BPE token-id stream
+    back to characters and verify the roundtrip invariant — the id
+    stream preserves the character stream modulo case and whitespace
+    (word boundaries are not encoded; single-char ids are codepoints,
+    merged ids map back through the merge table). Output one
+    ``(doc_id, n_tokens, lossless)`` row per document — the bounded
+    audit a 100 TB tokenization job ships with (a FALSE row means id
+    corruption: rank collision, codepoint truncation, surface drift).
+
+    The whitespace squash runs JVM-side (Java regex) and in the oracle
+    RE2-side — the engines' \\s parity on this corpus is already
+    load-bearing for the tokenizer itself; Python only decodes ids and
+    compares bytes. One Arrow pass over the id stream after a doc-id
+    equi-join, no extra shuffle shape beyond the join."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from sfcrimedatapipeline_spark.operators.textstats import MERGED_ID_BASE
+
+    surface = {MERGED_ID_BASE + r: a + b for r, a, b in TOKENIZE_MERGES}
+    docs = _read_parallel(spark, sf_dir, "documents")
+    ids = textstats.bpe_tokenize(docs, TOKENIZE_MERGES)
+    squashed = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", ""), F.lit("")
+        ).alias("__sq"),
+    )
+    joined = ids.join(squashed, "doc_id").select("doc_id", "token_ids", "__sq")
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            n_tok, lossless = [], []
+            for row_ids, sq in zip(pdf["token_ids"], pdf["__sq"]):
+                toks = list(row_ids)
+                n_tok.append(len(toks))
+                try:
+                    dec = "".join(
+                        surface[i] if i >= MERGED_ID_BASE else chr(i)
+                        for i in toks
+                    )
+                except (KeyError, ValueError, OverflowError):
+                    dec = None  # unknown id = corruption, never a crash
+                lossless.append(dec == (sq or ""))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": n_tok,
+                    "lossless": lossless,
+                }
+            )
+
+    return joined.mapInPandas(
+        check, "doc_id long, n_tokens long, lossless boolean"
+    )
+
+
+def _tokenize_roundtrip_sql() -> str:
+    """Decodes the tokenizer oracle's id stream with chr()/a CASE over
+    the merge table and compares against the RE2 whitespace squash."""
+    from sfcrimedatapipeline_spark.operators.textstats import MERGED_ID_BASE
+
+    surf_case = " ".join(
+        f"WHEN tid = {MERGED_ID_BASE + r} THEN '{a}{b}'"
+        for r, a, b in TOKENIZE_MERGES
+    )
+    return f"""
+        WITH t AS ({_tokenize_bpe_sql()}),
+        dec AS (
+            SELECT doc_id,
+                   string_agg(
+                       CASE {surf_case}
+                            WHEN tid >= {MERGED_ID_BASE} THEN NULL
+                            ELSE chr(CAST(tid AS INTEGER)) END,
+                       '' ORDER BY p) AS decoded
+            FROM (SELECT doc_id,
+                         generate_subscripts(token_ids, 1) AS p,
+                         unnest(token_ids) AS tid
+                  FROM t) u
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(t.token_ids) AS BIGINT) AS n_tokens,
+               coalesce(dec.decoded, '') =
+                   coalesce(regexp_replace(lower(d.text), '\\s+', '', 'g'), '')
+                   AS lossless
+        FROM documents d
+        JOIN t ON t.doc_id = d.doc_id
+        LEFT JOIN dec ON dec.doc_id = d.doc_id
+    """
+
+
+TOP_NGRAMS_K = 5
+
+
+def text_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most frequent word bigrams per language — the corpus-
+    characterization table every LM data report opens with (boilerplate
+    families and templated spam surface as over-represented n-grams).
+    Exact integer counts with (count desc, ngram asc) tie-break, so the
+    ranked table hash-gates. Scale: explode → one map-side-combined
+    count per (lang, ngram) → top-k via one window over the COUNT table
+    (vocabulary-bounded, never corpus-bounded)."""
+    from pyspark.sql import Window
+
+    from sfcrimedatapipeline_spark.functions.text import ngrams, tokens
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang", F.explode(ngrams(tokens(F.col("text")), 2)).alias("ngram")
+    )
+    counts = grams.groupBy("lang", "ngram").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_NGRAMS_K)
+        .select("lang", "rank", "ngram", "n")
+    )
+
+
 def _tokenize_bpe_sql() -> str:
     """Generated from TOKENIZE_MERGES so the two engines cannot drift.
 
@@ -1627,9 +1753,27 @@ QUERIES = {
     "emb_near_duplicates": emb_near_duplicates,
     "emb_near_duplicates_lsh": emb_near_duplicates_lsh,
     "emb_near_duplicates_lsh_smallcorpus": emb_near_duplicates_lsh_smallcorpus,
+    "docs_tokenize_roundtrip": docs_tokenize_roundtrip,
+    "text_top_ngrams_per_lang": text_top_ngrams_per_lang,
 }
 
 ORACLE_SQL = build_oracle_sql()
+
+ORACLE_SQL["docs_tokenize_roundtrip"] = _tokenize_roundtrip_sql()
+
+ORACLE_SQL["text_top_ngrams_per_lang"] = f"""
+    WITH tok AS (SELECT lang, {SQL_TOKENS} AS toks FROM documents),
+    grams AS (SELECT lang, unnest({sql_ngrams('toks', 2)}) AS ngram FROM tok),
+    counts AS (
+        SELECT lang, ngram, CAST(count(*) AS BIGINT) AS n
+        FROM grams GROUP BY 1, 2
+    )
+    SELECT lang, CAST(rank AS INTEGER) AS rank, ngram, n FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY n DESC, ngram ASC) AS rank
+        FROM counts) r
+    WHERE rank <= {TOP_NGRAMS_K}
+"""
 
 # recall harness: the two pair-set oracles composed as nested CTEs
 ORACLE_SQL["dedup_lsh_recall"] = f"""

@@ -40,8 +40,25 @@ def load(path: str) -> dict[str, float]:
     }
 
 
+def load_isolated() -> dict[str, float]:
+    """Isolated steady-state medians from bench.py --isolate
+    (BENCH_ISOLATED.json at the repo root) — the adjudication record
+    for the scheduling-swing class (VERDICT r7 #3)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "BENCH_ISOLATED.json")
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+        return {q: v["median"] for q, v in doc.get("queries", {}).items()}
+    except (OSError, json.JSONDecodeError, KeyError, TypeError):
+        return {}
+
+
 def main() -> int:
     old, new = load(sys.argv[1]), load(sys.argv[2])
+    iso = load_isolated()
     ratio_bar = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     abs_bar = 0.3
     shared = sorted(set(old) & set(new))
@@ -49,13 +66,24 @@ def main() -> int:
           f"new-only {len(set(new)-set(old))})")
     print(f"overlap totals: {sum(old[q] for q in shared):.1f}s -> "
           f"{sum(new[q] for q in shared):.1f}s")
-    regressions = []
+    regressions, swings = [], []
     for q in shared:
         o, n = old[q], new[q]
         if n > o * ratio_bar and n - o >= abs_bar:
-            regressions.append((n / max(o, 1e-9), q, o, n))
+            # a "regression" whose new reading sits inside the query's
+            # isolated steady state (median ± the documented ~30%
+            # isolated band + the abs bar) is shared-session
+            # scheduling interference, not a code regression
+            if q in iso and n <= iso[q] * 1.3 + abs_bar:
+                swings.append((n / max(o, 1e-9), q, o, n, iso[q]))
+            else:
+                regressions.append((n / max(o, 1e-9), q, o, n))
     for r, q, o, n in sorted(regressions, reverse=True):
-        print(f"  REGRESSION {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x)")
+        extra = f" [isolated steady state {iso[q]:.2f}s EXCEEDED]" if q in iso else ""
+        print(f"  REGRESSION {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x){extra}")
+    for r, q, o, n, m in sorted(swings, reverse=True):
+        print(f"  swing {q}: {o:.2f}s -> {n:.2f}s ({r:.1f}x) — within "
+              f"isolated steady state {m:.2f}s, not a regression")
     improvements = [
         (o / max(n, 1e-9), q, o, n)
         for q in shared
