@@ -445,6 +445,64 @@ def pack_token_ids(
     )
 
 
+def denoise_pack(
+    corrupted: DataFrame,
+    cap: int = 2048,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack (input_ids, target_ids) denoising pairs into trainable
+    shards — the final stage of the tokenize → span-corrupt → pack
+    chain (VERDICT r7 #8): per ``(shard, bin_id)``, the concatenated
+    corrupted inputs AND their aligned targets of the member documents
+    in id order. Bin rule is :func:`pack_token_ids`' first-fit
+    cumulative-cap keyed on the INPUT length (the sequence the model
+    actually consumes; targets ride along — a trainer reads them
+    position-aligned per member, which id-order concatenation on both
+    arrays preserves). Same scale shape: one window per shard, one
+    grouped concat bounded by the bin cap plus one overflow document.
+    """
+    sized = corrupted.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        "input_ids",
+        "target_ids",
+        F.size("input_ids").cast("long").alias("n"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n").over(w), F.lit(0))
+    binned = sized.select(
+        "shard",
+        F.floor(cum_before / F.lit(cap)).cast("long").alias("bin_id"),
+        F.col(id_col),
+        "input_ids",
+        "target_ids",
+        "n",
+    )
+
+    def _flat(col: str):
+        return F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col).alias("d"), col))
+                ),
+                lambda s: s[col],
+            )
+        )
+
+    return binned.groupBy("shard", "bin_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_input_tokens"),
+        F.sum(F.size("target_ids")).cast("long").alias("n_target_tokens"),
+        _flat("input_ids").alias("input_ids"),
+        _flat("target_ids").alias("target_ids"),
+    )
+
+
 #: span-corruption constants — block length, 1-in-MOD masking rate
 #: (≈ SPAN_LEN/MOD of tokens masked), and the sentinel-id namespace
 #: (above bpe_tokenize's merged-token range: 10M + rank < 20M always)

@@ -1923,6 +1923,51 @@ QUERIES["docs_span_corruption"] = docs_span_corruption
 ORACLE_SQL["docs_span_corruption"] = _span_corruption_oracle_sql()
 
 
+def corpus_denoise_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED tokenize → span-corrupt → pack chain under ONE hash
+    (VERDICT r7 #8): raw text → gated BPE token ids → deterministic T5
+    span corruption → first-fit packed (input_ids, target_ids) shards
+    (operators/corpus.py:denoise_pack) — the complete
+    denoising-pretraining data build as a single gated dataflow, so a
+    regression anywhere in the three stages breaks exactly one hash."""
+    from sfcrimedatapipeline_spark.operators.textstats import bpe_tokenize
+    from sfcrimedatapipeline_spark.plans.llmops import TOKENIZE_MERGES
+
+    docs = _docs(spark, sf_dir)
+    corrupted = corpus.span_corrupt(bpe_tokenize(docs, TOKENIZE_MERGES))
+    return corpus.denoise_pack(corrupted, cap=PACK_CAP, n_shards=PACK_SHARDS)
+
+
+QUERIES["corpus_denoise_shards"] = corpus_denoise_shards
+
+ORACLE_SQL["corpus_denoise_shards"] = f"""
+    WITH c AS ({_span_corruption_oracle_sql()}),
+    sized AS (
+        SELECT doc_id,
+               CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+               input_ids, target_ids,
+               CAST(len(input_ids) AS BIGINT) AS n
+        FROM c
+    ),
+    binned AS (
+        SELECT shard,
+               CAST(coalesce(sum(n) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // {PACK_CAP} AS BIGINT) AS bin_id,
+               doc_id, input_ids, target_ids, n
+        FROM sized
+    )
+    SELECT shard, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_input_tokens,
+           CAST(sum(len(target_ids)) AS BIGINT) AS n_target_tokens,
+           flatten(list(input_ids ORDER BY doc_id)) AS input_ids,
+           flatten(list(target_ids ORDER BY doc_id)) AS target_ids
+    FROM binned GROUP BY shard, bin_id
+"""
+
+
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster SIZE HISTOGRAM: how many near-dup components
     have 2, 3, ... members — the first diagnostic a dedup pipeline

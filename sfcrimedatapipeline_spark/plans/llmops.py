@@ -269,6 +269,31 @@ def _tokenize_roundtrip_sql() -> str:
     """
 
 
+NORM_BUCKET_SCALE = 4  # quarter-unit histogram buckets
+
+
+def emb_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm histogram of the embedding corpus (quarter-unit
+    buckets) — the one-glance ingest diagnostic that catches the
+    failure modes validate_embeddings flags row-by-row at corpus
+    level: a mass at 0 = dead encoder outputs, a long right tail =
+    un-normalized mixtures, bimodality = two checkpoint versions in one
+    table. Norms use the same unrolled sequential-sum discipline as
+    every gated cosine (functions/vectors.py:norm_fixed ↔ list_sum),
+    bucket = floor(norm · 4) is one multiply + floor on identical
+    doubles, counts exact — the histogram hash-gates. One scan, one
+    map-side-combined aggregate over ≤ a few dozen buckets."""
+    from sfcrimedatapipeline_spark.functions.vectors import norm_fixed
+
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    bucket = F.floor(norm_fixed("embedding", 64) * NORM_BUCKET_SCALE).cast("long")
+    return (
+        emb.select(bucket.alias("norm_bucket"))
+        .groupBy("norm_bucket")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+
+
 TOP_NGRAMS_K = 5
 
 
@@ -1755,11 +1780,21 @@ QUERIES = {
     "emb_near_duplicates_lsh_smallcorpus": emb_near_duplicates_lsh_smallcorpus,
     "docs_tokenize_roundtrip": docs_tokenize_roundtrip,
     "text_top_ngrams_per_lang": text_top_ngrams_per_lang,
+    "emb_norm_histogram": emb_norm_histogram,
 }
 
 ORACLE_SQL = build_oracle_sql()
 
 ORACLE_SQL["docs_tokenize_roundtrip"] = _tokenize_roundtrip_sql()
+
+ORACLE_SQL["emb_norm_histogram"] = f"""
+    SELECT CAST(floor(sqrt(list_sum(
+               [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                for i in generate_series(1, 64)]))
+               * {NORM_BUCKET_SCALE}) AS BIGINT) AS norm_bucket,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM embeddings GROUP BY 1
+"""
 
 ORACLE_SQL["text_top_ngrams_per_lang"] = f"""
     WITH tok AS (SELECT lang, {SQL_TOKENS} AS toks FROM documents),

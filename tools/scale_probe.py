@@ -107,10 +107,10 @@ PROBE_QUERIES = [
     # round-8: the demoted fixed-config LSH (known n²/B — kept probed
     # so the contrast with the auto default stays measured); the new
     # occupancy-scaled dedup-grade default is in emb_near_duplicates_lsh
-    # above; the composed tokenize→pack→corrupt chain (VERDICT r7 #8)
+    # above; the composed tokenize→corrupt→pack chain under one hash
+    # (VERDICT r7 #8) is corpus_denoise_shards
     "emb_near_duplicates_lsh_smallcorpus",
-    "docs_span_corruption",
-    "docs_pack_token_ids",
+    "corpus_denoise_shards",
 ]
 
 
@@ -157,6 +157,32 @@ def build_scaled(spark) -> None:
         copies.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
 
 
+def vocab_axis_probe(spark) -> dict:
+    """VERDICT r7 #1 probe row: per-doc BPE replay cost must be FLAT in
+    vocabulary size. Times the full bpe_tokenize Spark query over sf0.1
+    documents under a 100-merge and a 10,000-merge table whose operands
+    can never fire on this corpus (uppercase operands vs the
+    lowercased token stream), so the measured delta isolates the
+    vocab-scan overhead from legitimate merge work. The naive rank-
+    order sweep costs ~100x more at the 100x vocab; the rank-indexed
+    encoder's per-pair dict probe is size-independent."""
+    from sfcrimedatapipeline_spark.operators.textstats import bpe_tokenize
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, SRC, "documents")
+    out = {}
+    for label, v in (("v100_nomatch", 100), ("v10k_nomatch", 10_000)):
+        merges = [(r + 1, f"Q{r}", "R") for r in range(v)]
+        bpe_tokenize(docs, merges).write.mode("overwrite").format("noop").save()
+        t = time.time()
+        bpe_tokenize(docs, merges).write.mode("overwrite").format("noop").save()
+        out[label] = round(time.time() - t, 2)
+        spark.catalog.clearCache()
+    out["ratio"] = round(out["v10k_nomatch"] / max(out["v100_nomatch"], 1e-9), 2)
+    print(f"vocab_axis: {out}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as e
     from sfcrimedatapipeline_spark.session import get_spark
@@ -197,6 +223,7 @@ def main() -> None:
     payload = {
         "copies": COPIES,
         "mode": MODE,
+        "vocab_axis": vocab_axis_probe(spark),
         "uniqueness": (
             "per-copy token suffix on documents.text (within-copy Jaccard "
             "preserved, cross-copy 0) + per-copy sign flips on embeddings "
