@@ -30,19 +30,7 @@ def sessionize(
 ) -> DataFrame:
     """One row per (user, session): bounds, event count, value sum."""
     gap_us = gap_minutes * 60 * 1_000_000
-    w = Window.partitionBy(user_col).orderBy(ts_col)
-    us = F.unix_micros(F.col(ts_col))
-    new_session = (
-        F.when(F.lag(ts_col).over(w).isNull(), 1)
-        .when(us - F.unix_micros(F.lag(ts_col).over(w)) > gap_us, 1)
-        .otherwise(0)
-    )
-    with_idx = events.withColumn(
-        "session_idx",
-        F.sum(new_session).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    with_idx = _with_session_idx(events, gap_us, user_col, ts_col)
     return (
         with_idx.groupBy(user_col, "session_idx")
         .agg(
@@ -56,6 +44,86 @@ def sessionize(
             .alias("sum_value"),
         )
         .withColumn("session_idx", F.col("session_idx").cast("long"))
+    )
+
+
+def _with_session_idx(
+    events: DataFrame, gap_us: int, user_col: str, ts_col: str
+) -> DataFrame:
+    """Gap-based session assignment: running count of session breaks
+    (first event, or gap > gap_us) per user — shared by sessionize and
+    session_paths so the assignment cannot drift between them."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    new_session = (
+        F.when(F.lag(ts_col).over(w).isNull(), 1)
+        .when(us - F.unix_micros(F.lag(ts_col).over(w)) > gap_us, 1)
+        .otherwise(0)
+    )
+    return events.withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+    max_len: int = 5,
+    top_k: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k SESSION PATHS — the sequence-mining staple over gap-based
+    sessions: each session's first ``max_len`` event types in time
+    order (ties broken by event id — a total order, so the path string
+    is partitioning-independent), joined with ' > ', counted, ranked
+    ``(rank, path, n_sessions)``. The funnel query answers "how many
+    reach step 3"; this answers "what do sessions actually DO" —
+    navigation-pattern discovery.
+
+    Scale shape: the same per-user session window as sessionize, one
+    per-session top-``max_len`` row-number (bounded output per
+    session), a map-side-combined path count, then a global
+    ``orderBy().limit(k)`` — a TakeOrdered, never a full sort — with
+    the rank window applied AFTER the limit so the partition-less
+    window's input is LocalLimit-bounded (the plan-audit structural
+    whitelist class). Exact strings and integers throughout.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_idx = _with_session_idx(events, gap_us, user_col, ts_col)
+    we = Window.partitionBy(user_col, "session_idx").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    seq = with_idx.withColumn("__rn", F.row_number().over(we)).filter(
+        F.col("__rn") <= max_len
+    )
+    per_session = seq.groupBy(user_col, "session_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__rn").alias("r"), F.col(type_col).alias("t")
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " > ",
+        ).alias("path")
+    )
+    counts = per_session.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(top_k)
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("int")).select(
+        "rank", "path", "n_sessions"
     )
 
 

@@ -58,6 +58,23 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sz.sessionize(events, gap_minutes=GAP_MINUTES)
 
 
+PATH_MAX_LEN, PATH_TOP_K = 5, 10
+
+
+def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session paths (operators/sessionize.py:session_paths):
+    the first five event types of each gap-based session, time-ordered
+    with event-id tie-break, joined ' > ', counted and ranked — the
+    navigation-pattern companion to the funnel query, hash-gated."""
+    events = read_table(spark, sf_dir, "events")
+    return sz.session_paths(
+        events,
+        gap_minutes=GAP_MINUTES,
+        max_len=PATH_MAX_LEN,
+        top_k=PATH_TOP_K,
+    )
+
+
 def events_hourly_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME tumbling-window aggregation executed as a genuine
     Structured Streaming query (readStream → watermark → window agg →
@@ -893,6 +910,48 @@ def build_oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM idx GROUP BY 1, 2
         """,
+        "events_top_session_paths": f"""
+            WITH e AS (
+                SELECT user_id, event_id, event_type,
+                       CAST(ts AS TIMESTAMP) AS ts
+                FROM events
+            ),
+            lagged AS (
+                SELECT user_id, event_id, event_type, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            idx AS (
+                SELECT *, sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                ) AS session_idx
+                FROM lagged
+            ),
+            seq AS (
+                SELECT user_id, session_idx, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id, session_idx
+                           ORDER BY ts ASC, event_id ASC) AS rn
+                FROM idx
+            ),
+            paths AS (
+                SELECT user_id, session_idx,
+                       string_agg(event_type, ' > ' ORDER BY rn) AS path
+                FROM seq WHERE rn <= {PATH_MAX_LEN} GROUP BY 1, 2
+            ),
+            counts AS (
+                SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+                FROM paths GROUP BY 1
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY n_sessions DESC, path ASC) AS INTEGER) AS rank,
+                   path, n_sessions
+            FROM counts
+            QUALIFY rank <= {PATH_TOP_K}
+        """,
     }
 
 
@@ -924,6 +983,7 @@ QUERIES = {
     "j14_range_window_count": j14_range_window_count,
     "j17_interval_join": j17_interval_join,
     "events_sessionize": events_sessionize,
+    "events_top_session_paths": events_top_session_paths,
     # rows-only: no oracle_sql entry by design (see docstring)
     "events_sessionize_stream": events_sessionize_stream,
 }

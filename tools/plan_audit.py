@@ -215,6 +215,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "fact_cube_districts": "dim surrogate keys over SELECT DISTINCT",
     "skyline_parts": "band running-max over x-range/band_width rows (aggregate-bounded)",
     "docs_curriculum_order": "source-cardinality start-offset cumsum",
+    "events_top_session_paths": "rank over a top-k TakeOrdered frame (limit-bounded)",
 }
 
 
