@@ -447,6 +447,54 @@ def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement Venn over the three gated pair detectors —
+    MinHash+LSH, n-gram Jaccard, length-banded edit distance — at their
+    gated configs: one row per membership combination with its pair
+    count. The calibration table a dedup owner reads before trusting
+    one method alone (minhash-only mass = LSH noise or Jaccard's DF cap
+    biting; fuzzy-only mass = typo-dups token methods miss). Full outer
+    joins of three already-bounded pair sets (each banded/blocked
+    upstream, never all-pairs); output ≤ 7 rows. Exact booleans and
+    counts — hash-gated by composing the three pair oracles."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    mh = (
+        dedup.minhash_near_duplicates(docs, threshold=JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .withColumn("__mh", F.lit(True))
+    )
+    ng = (
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
+        )
+        .select("doc_a", "doc_b")
+        .withColumn("__ng", F.lit(True))
+    )
+    fz = (
+        dedup.fuzzy_dup_pairs(
+            docs,
+            block_cols=("lang",),
+            max_dist=FUZZY_MAX_DIST,
+            band_width=FUZZY_BAND,
+            prefix_len=FUZZY_PREFIX,
+        )
+        .select("doc_a", "doc_b")
+        .withColumn("__fz", F.lit(True))
+    )
+    j = mh.join(ng, ["doc_a", "doc_b"], "full").join(
+        fz, ["doc_a", "doc_b"], "full"
+    )
+    return (
+        j.select(
+            F.coalesce("__mh", F.lit(False)).alias("in_minhash"),
+            F.coalesce("__ng", F.lit(False)).alias("in_ngram"),
+            F.coalesce("__fz", F.lit(False)).alias("in_fuzzy"),
+        )
+        .groupBy("in_minhash", "in_ngram", "in_fuzzy")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenless docs are dropped by the operator's explode, matching the
     # oracle's unnest semantics
@@ -1781,11 +1829,34 @@ QUERIES = {
     "docs_tokenize_roundtrip": docs_tokenize_roundtrip,
     "text_top_ngrams_per_lang": text_top_ngrams_per_lang,
     "emb_norm_histogram": emb_norm_histogram,
+    "dedup_method_agreement": dedup_method_agreement,
 }
 
 ORACLE_SQL = build_oracle_sql()
 
 ORACLE_SQL["docs_tokenize_roundtrip"] = _tokenize_roundtrip_sql()
+
+# method-agreement Venn: the three pair oracles composed as subqueries
+ORACLE_SQL["dedup_method_agreement"] = f"""
+    WITH mh AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) m),
+    ng AS (SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_ngram_jaccard"]}) n),
+    fz AS (SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_fuzzy_editdist"]}) f),
+    j AS (
+        SELECT coalesce(mh.doc_a, ng.doc_a, fz.doc_a) AS doc_a,
+               coalesce(mh.doc_b, ng.doc_b, fz.doc_b) AS doc_b,
+               mh.doc_a IS NOT NULL AS in_minhash,
+               ng.doc_a IS NOT NULL AS in_ngram,
+               fz.doc_a IS NOT NULL AS in_fuzzy
+        FROM mh
+        FULL OUTER JOIN ng ON mh.doc_a = ng.doc_a AND mh.doc_b = ng.doc_b
+        FULL OUTER JOIN fz
+          ON coalesce(mh.doc_a, ng.doc_a) = fz.doc_a
+         AND coalesce(mh.doc_b, ng.doc_b) = fz.doc_b
+    )
+    SELECT in_minhash, in_ngram, in_fuzzy,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY 1, 2, 3
+"""
 
 ORACLE_SQL["emb_norm_histogram"] = f"""
     SELECT CAST(floor(sqrt(list_sum(
