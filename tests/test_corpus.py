@@ -1312,3 +1312,34 @@ def test_weak_label_votes_majority_and_ties(spark):
         allnull, [("big", F.when(F.col("x") >= 8, 1))]
     ).collect()[0]
     assert row.label == "tie" and row.confidence is None and row.n_abstain == 1
+
+
+def test_denoise_pack_concatenation_aligns_members(spark):
+    """denoise_pack: per (shard, bin) the concatenated inputs AND
+    targets are both in member-doc-id order, and the bin rule is the
+    first-fit cumulative cap on INPUT length."""
+    from sfcrimedatapipeline_spark.operators.corpus import denoise_pack
+
+    rows = [
+        (0, [1, 2, 3], [9]),       # shard 0, n=3
+        (2, [4, 5], [8, 7]),       # shard 0 (2 % 2 = 0), n=2
+        (4, [6], []),              # shard 0, n=1
+        (1, [10, 11, 12, 13], [1]),  # shard 1, n=4
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, input_ids array<long>, target_ids array<long>"
+    )
+    out = {
+        (r.shard, r.bin_id): r
+        for r in denoise_pack(df, cap=4, n_shards=2).collect()
+    }
+    # shard 0: doc0 (cum 0) -> bin 0; doc2 (cum 3) -> bin 0; doc4
+    # (cum 5) -> bin 1
+    b00 = out[(0, 0)]
+    assert list(b00.input_ids) == [1, 2, 3, 4, 5]  # doc order 0 then 2
+    assert list(b00.target_ids) == [9, 8, 7]
+    assert b00.n_docs == 2 and b00.n_input_tokens == 5
+    assert b00.n_target_tokens == 3
+    b01 = out[(0, 1)]
+    assert list(b01.input_ids) == [6] and list(b01.target_ids) == []
+    assert out[(1, 0)].n_input_tokens == 4

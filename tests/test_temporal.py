@@ -330,3 +330,31 @@ def test_twa_survives_int64_overflowing_product(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     row = time_weighted_avg(df).collect()[0]
     assert abs(row.twa_cents - 1e12) < 1.0
+
+
+def test_resample_gap_stats_runs_and_bounds(spark):
+    """Gap profile semantics: a user observed every bucket has zero
+    fills; a user with one long hole reports its exact run length; the
+    identity n_buckets = n_obs + n_filled holds row by row."""
+    from pyspark.sql import functions as F
+    from sfcrimedatapipeline_spark.operators.temporal import resample_gap_stats
+
+    rows = [
+        # user 1: hours 0,1,2 all observed -> no gaps
+        (1, "2023-01-01 00:30:00", 1.0),
+        (1, "2023-01-01 01:30:00", 1.0),
+        (1, "2023-01-01 02:30:00", 1.0),
+        # user 2: hour 0 and hour 5 -> one 4-bucket hole (hours 1-4)
+        (2, "2023-01-01 00:10:00", 2.0),
+        (2, "2023-01-01 05:10:00", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.user_id: r for r in resample_gap_stats(df).collect()}
+    assert out[1].n_buckets == 3 and out[1].n_filled == 0
+    assert out[1].max_gap_run == 0
+    assert out[2].n_buckets == 6 and out[2].n_obs == 2
+    assert out[2].n_filled == 4 and out[2].max_gap_run == 4
+    for r in out.values():
+        assert r.n_buckets == r.n_obs + r.n_filled
