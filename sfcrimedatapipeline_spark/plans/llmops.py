@@ -269,6 +269,73 @@ def _tokenize_roundtrip_sql() -> str:
     """
 
 
+COLLOC_MIN_SUPPORT = 5
+COLLOC_TOP_K = 15
+
+
+def text_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by LIFT — the PMI-family measure kept
+    rational so it hash-gates: lift(a b) = P(ab) / (P(a)·P(b)) =
+    n_ab·N_tok² / (N_big·n_a·n_b), computed as one fixed-order double
+    expression over exact integer counts (PMI's log changes ranking not
+    at all — log is monotone — and libm cross-engine parity is exactly
+    what this repo bans). High-lift bigrams are multiword units
+    ("machine learning"-style); frequency-only top n-grams surface
+    boilerplate instead. Min support COLLOC_MIN_SUPPORT, top
+    COLLOC_TOP_K by (lift desc, bigram asc); the rank window runs
+    after orderBy().limit() (TakeOrdered-bounded input). Corpus totals
+    ride two broadcast 1-row scalars — the structurally whitelisted
+    BNLJ class."""
+    from pyspark.sql import Window
+
+    from sfcrimedatapipeline_spark.functions.text import ngrams, tokens
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n_w"))
+    )
+    big = (
+        toks.select(F.explode(ngrams(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    n_tok = uni.agg(F.sum("n_w").cast("long").alias("n_tok"))
+    n_big = big.agg(F.sum("n_ab").cast("long").alias("n_big"))
+    parts = big.filter(F.col("n_ab") >= COLLOC_MIN_SUPPORT).select(
+        "bigram",
+        "n_ab",
+        F.split(F.col("bigram"), " ").getItem(0).alias("__w1"),
+        F.split(F.col("bigram"), " ").getItem(1).alias("__w2"),
+    )
+    ua = uni.select(F.col("w").alias("__w1"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("__w2"), F.col("n_w").alias("n_b"))
+    j = (
+        parts.join(ua, "__w1")
+        .join(ub, "__w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+    )
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_tok").cast("double")
+        * F.col("n_tok").cast("double")
+        / (
+            F.col("n_big").cast("double")
+            * F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+        )
+    )
+    scored = j.select("bigram", "n_ab", "n_a", "n_b", lift.alias("lift"))
+    top = scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(COLLOC_TOP_K)
+    wr = Window.orderBy(F.desc("lift"), F.asc("bigram"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("int")).select(
+        "rank", "bigram", "n_ab", "n_a", "n_b", "lift"
+    )
+
+
 NORM_BUCKET_SCALE = 4  # quarter-unit histogram buckets
 
 
@@ -1830,6 +1897,7 @@ QUERIES = {
     "text_top_ngrams_per_lang": text_top_ngrams_per_lang,
     "emb_norm_histogram": emb_norm_histogram,
     "dedup_method_agreement": dedup_method_agreement,
+    "text_bigram_collocations": text_bigram_collocations,
 }
 
 ORACLE_SQL = build_oracle_sql()
@@ -1856,6 +1924,38 @@ ORACLE_SQL["dedup_method_agreement"] = f"""
     SELECT in_minhash, in_ngram, in_fuzzy,
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM j GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["text_bigram_collocations"] = f"""
+    WITH tok AS (SELECT {SQL_TOKENS} AS toks FROM documents),
+    uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_w
+        FROM (SELECT unnest(toks) AS w FROM tok) u GROUP BY 1
+    ),
+    big AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
+        FROM (SELECT unnest({sql_ngrams('toks', 2)}) AS bigram FROM tok) g
+        GROUP BY 1
+    ),
+    nt AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_tok FROM uni),
+    nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_big FROM big),
+    scored AS (
+        SELECT b.bigram, b.n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+               CAST(b.n_ab AS DOUBLE) * CAST(nt.n_tok AS DOUBLE)
+                   * CAST(nt.n_tok AS DOUBLE)
+               / (CAST(nb.n_big AS DOUBLE) * CAST(ua.n_w AS DOUBLE)
+                  * CAST(ub.n_w AS DOUBLE)) AS lift
+        FROM big b
+        JOIN uni ua ON ua.w = string_split(b.bigram, ' ')[1]
+        JOIN uni ub ON ub.w = string_split(b.bigram, ' ')[2]
+        CROSS JOIN nt CROSS JOIN nb
+        WHERE b.n_ab >= {COLLOC_MIN_SUPPORT}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY lift DESC, bigram ASC)
+                AS INTEGER) AS rank,
+           bigram, n_ab, n_a, n_b, lift
+    FROM scored
+    QUALIFY rank <= {COLLOC_TOP_K}
 """
 
 ORACLE_SQL["emb_norm_histogram"] = f"""

@@ -216,6 +216,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "skyline_parts": "band running-max over x-range/band_width rows (aggregate-bounded)",
     "docs_curriculum_order": "source-cardinality start-offset cumsum",
     "events_top_session_paths": "rank over a top-k TakeOrdered frame (limit-bounded)",
+    "text_bigram_collocations": "rank over a top-k TakeOrdered frame (limit-bounded)",
+    "parts_link_prediction": "rank over a top-k TakeOrdered frame (limit-bounded)",
 }
 
 
