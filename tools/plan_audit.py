@@ -133,6 +133,7 @@ CROSS_OK: dict[str, str] = {
     "w2_load_order_id": "partition_offsets triangular join (P-bounded)",
     "q11_important_stock": "TPC-H Q11: 1-row scalar threshold subquery",
     "events_funnel": "BNLJ of three 1-row step counts",
+    "text_bigram_collocations": "crossJoin(broadcast(1-row corpus totals)) x2",
     "events_funnel_bounded": "BNLJ of 1-row step counts",
     "dq_event_id_gaps": "1-row min/max id bounds",
     "docs_sample_negatives": "partition_offsets triangular join (P-bounded)",
