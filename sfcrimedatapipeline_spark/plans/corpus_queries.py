@@ -1811,6 +1811,76 @@ ORACLE_SQL["corpus_pack_fill_stats"] = f"""
 """
 
 
+def corpus_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI in TOKENS, per source: whitespace-token totals before
+    vs after MinHash keep-one (canonical keeps itself; docs outside any
+    dup cluster keep themselves), with the removed-token count exact
+    and the savings ratio the only double. This is the number that
+    justifies (or kills) a dedup pass at 100 TB — pairs found is
+    vanity, training tokens removed is budget. Rides the memoized CC
+    map; two map-side-combined aggregates over the doc frame."""
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("__t")
+    )
+    cc = _dup_cc(spark, sf_dir)
+    j = docs.join(cc, "doc_id", "left")
+    kept = F.col("canonical_id").isNull() | (
+        F.col("canonical_id") == F.col("doc_id")
+    )
+    agg = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("tokens_total"),
+        F.sum(F.when(kept, F.col("__t")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        "tokens_kept",
+        (F.col("tokens_total") - F.col("tokens_kept")).alias("tokens_removed"),
+        F.when(
+            F.col("tokens_total") > 0,
+            (F.col("tokens_total") - F.col("tokens_kept")).cast("double")
+            / F.col("tokens_total").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("savings_ratio"),
+    )
+
+
+QUERIES["corpus_dedup_token_savings"] = corpus_dedup_token_savings
+
+ORACLE_SQL["corpus_dedup_token_savings"] = f"""
+    WITH cc AS ({_cc_oracle_sql()}),
+    tok AS (
+        SELECT doc_id, source, CAST(len({SQL_TOKENS}) AS BIGINT) AS t
+        FROM documents
+    ),
+    j AS (
+        SELECT tok.source, tok.t,
+               (cc.canonical_id IS NULL OR cc.canonical_id = tok.doc_id)
+                   AS kept
+        FROM tok LEFT JOIN cc ON cc.doc_id = tok.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN kept THEN t ELSE 0 END) AS BIGINT)
+               AS tokens_kept,
+           CAST(sum(t) - sum(CASE WHEN kept THEN t ELSE 0 END) AS BIGINT)
+               AS tokens_removed,
+           CASE WHEN sum(t) > 0
+                THEN CAST(sum(t) - sum(CASE WHEN kept THEN t ELSE 0 END)
+                          AS DOUBLE) / CAST(sum(t) AS DOUBLE)
+                ELSE 0.0 END AS savings_ratio
+    FROM j GROUP BY source
+"""
+
+
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate LEAKAGE MATRIX between corpus sources: for every
     unordered source pair, how many MinHash near-dup pairs straddle it

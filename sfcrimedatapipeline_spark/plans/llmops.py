@@ -269,6 +269,48 @@ def _tokenize_roundtrip_sql() -> str:
     """
 
 
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE tokenizer fertility under the gated trained-merge
+    BPE: subwords emitted per whitespace word — THE multilingual
+    tokenizer-quality metric (fertility ≫ 1 for a language means the
+    merge table underserves it: every content word costs several ids,
+    inflating training cost and effectively shrinking that language's
+    context window). The per-doc regex-BPE ratio exists
+    (text_token_count_bpe); this is the TRAINED-tokenizer, per-corpus-
+    slice view a tokenizer owner compares across vocab candidates.
+    Exact integer sums, one final divide per language."""
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    subs = textstats.bpe_tokenize(docs, TOKENIZE_MERGES).select(
+        "doc_id", F.size("token_ids").cast("long").alias("__sub")
+    )
+    words = docs.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("__w")
+    )
+    agg = (
+        words.join(subs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__w").cast("long").alias("n_words"),
+            F.sum("__sub").cast("long").alias("n_subwords"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_subwords").cast("double") / F.col("n_words").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+    )
+
+
 COLLOC_MIN_SUPPORT = 5
 COLLOC_TOP_K = 15
 
@@ -1898,6 +1940,7 @@ QUERIES = {
     "emb_norm_histogram": emb_norm_histogram,
     "dedup_method_agreement": dedup_method_agreement,
     "text_bigram_collocations": text_bigram_collocations,
+    "text_tokenizer_fertility": text_tokenizer_fertility,
 }
 
 ORACLE_SQL = build_oracle_sql()
@@ -1924,6 +1967,25 @@ ORACLE_SQL["dedup_method_agreement"] = f"""
     SELECT in_minhash, in_ngram, in_fuzzy,
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM j GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["text_tokenizer_fertility"] = f"""
+    WITH t AS ({_tokenize_bpe_sql()}),
+    words AS (SELECT doc_id, lang, CAST(len({SQL_TOKENS}) AS BIGINT) AS w
+              FROM documents),
+    j AS (
+        SELECT words.lang, words.w,
+               CAST(len(t.token_ids) AS BIGINT) AS sub
+        FROM words JOIN t ON t.doc_id = words.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(sub) AS BIGINT) AS n_subwords,
+           CASE WHEN sum(w) > 0
+                THEN CAST(sum(sub) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+                ELSE 0.0 END AS fertility
+    FROM j GROUP BY lang
 """
 
 ORACLE_SQL["text_bigram_collocations"] = f"""
