@@ -259,3 +259,76 @@ def test_semantic_dedup_subsplit_matches_unsplit(spark):
     assert whole == split
     kept = [r for r in whole if r[3]]
     assert len(kept) == 31  # 40 - (10 dups - 1 survivor)
+
+
+def test_planted_twin_corpus_and_auto_lsh_default(spark):
+    """Semantic contract of the round-8 gated default beyond the hash
+    gate: (a) every planted sign-flip twin pair's exact cosine is
+    1 − 2·v_d²/‖v‖² (the plant works and lands in the dedup band for
+    these roughly-isotropic vectors); (b) the auto-LSH output is a
+    SUBSET of the exact pair set (no false positives, ever) and
+    catches ≥ the recall target of it."""
+    import numpy as np
+
+    from sfcrimedatapipeline_spark.plans.llmops import (
+        EMB_DEDUP_THRESHOLD,
+        PLANT_ID_OFFSET,
+        PLANT_MOD,
+        _with_planted_near_dups,
+    )
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    aug = _with_planted_near_dups(emb)
+    base = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    got = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in aug.collect()}
+    n_planted = 0
+    for vid, v in base.items():
+        assert np.array_equal(got[vid], v)  # originals untouched
+        if vid % PLANT_MOD == 0:
+            tw = got[vid + PLANT_ID_OFFSET]
+            d = vid % 64
+            flipped = v.copy(); flipped[d] = -flipped[d]
+            assert np.array_equal(tw, flipped)  # sign flip is exact
+            n_planted += 1
+    assert n_planted == sum(1 for v in base if v % PLANT_MOD == 0) > 0
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_duplicates_blas(
+            aug, threshold=EMB_DEDUP_THRESHOLD
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_duplicates_lsh_auto(
+            aug, threshold=EMB_DEDUP_THRESHOLD
+        ).collect()
+    }
+    assert approx <= exact          # exact verify: no false positives
+    assert len(exact) > 0           # the plant produced dedup-grade pairs
+    assert len(approx) / len(exact) >= 0.95
+
+
+def test_hyperplane_formula_matches_duckdb_hex_parse():
+    """The dynamic LSH oracle regenerates similarity._hyperplane in SQL
+    (md5 hex-parse / 0x7FFFFFFF − 1); pin the bit parity the gated
+    default depends on, across plane indices and dimensions."""
+    import duckdb
+
+    from sfcrimedatapipeline_spark.operators.similarity import _hyperplane
+
+    con = duckdb.connect()
+    for pidx in (0, 3, 17, 191):
+        want = _hyperplane(64, pidx)
+        got = con.sql(
+            f"""
+            SELECT [CAST(('0x' || substring(md5(CAST({pidx} AS VARCHAR)
+                       || ':' || CAST(d - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 2147483647.0 - 1.0
+                    for d in generate_series(1, 64)]
+            """
+        ).fetchone()[0]
+        assert list(got) == want  # bit-for-bit, all 64 dims
