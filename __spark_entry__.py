@@ -132,6 +132,9 @@ _DEFERRED = [
     "fact_crime_build",
     "serve_initial_reports",
     "fact_cube_districts",
+    # round-8 additions that compose multiple detectors / whole chains
+    "dedup_method_agreement",
+    "corpus_denoise_shards",
     "dedup_clusters",
     "dedup_cluster_sizes",
     "dedup_clusters_2phase",
