@@ -1881,6 +1881,111 @@ ORACLE_SQL["corpus_dedup_token_savings"] = f"""
 """
 
 
+def corpus_quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-biserial correlation between document QUALITY and
+    DUPLICATION — the hypothesis check behind quality-aware dedup ("do
+    duplicates skew low-quality?"): r_pb = (M_dup − M_nondup)/σ_q ·
+    sqrt(p·q) over the integer quality score (0-3) and the is-in-a-dup-
+    cluster flag from the memoized CC map. Every sum is an exact
+    BIGINT from one global aggregate (1-row output); the final formula
+    is a FIXED-ORDER double expression written identically in the
+    oracle, so even the correlation hash-gates. A strong negative r on
+    a real corpus is the empirical license for dedup_keep_best's
+    highest-quality-keeper policy over min-id."""
+    docs = _docs(spark, sf_dir)
+    q = textstats.with_quality(docs).select(
+        "doc_id", F.col("quality_score").cast("long").alias("q")
+    )
+    dup = _dup_cc(spark, sf_dir).select("doc_id", F.lit(1).alias("__dup"))
+    j = q.join(dup, "doc_id", "left").select(
+        "q", F.coalesce("__dup", F.lit(0)).alias("d")
+    )
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("n_dup"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.sum(F.col("q") * F.col("d")).cast("long").alias("sum_q_dup"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sum_q_sq"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n_dup").cast("double")
+    n0 = (F.col("n") - F.col("n_dup")).cast("double")
+    m1 = F.col("sum_q_dup").cast("double") / n1
+    m0 = (F.col("sum_q") - F.col("sum_q_dup")).cast("double") / n0
+    var = F.col("sum_q_sq").cast("double") / n - (
+        F.col("sum_q").cast("double") / n
+    ) * (F.col("sum_q").cast("double") / n)
+    r = (m1 - m0) / F.sqrt(var) * F.sqrt((n1 / n) * (n0 / n))
+    return agg.select(
+        "n",
+        "n_dup",
+        F.when((F.col("n_dup") > 0) & (F.col("n_dup") < F.col("n")), m1)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("mean_q_dup"),
+        F.when((F.col("n_dup") > 0) & (F.col("n_dup") < F.col("n")), m0)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("mean_q_nondup"),
+        F.when(
+            (F.col("n_dup") > 0) & (F.col("n_dup") < F.col("n")), r
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("r_pointbiserial"),
+    )
+
+
+QUERIES["corpus_quality_dup_correlation"] = corpus_quality_dup_correlation
+
+
+def _quality_dup_corr_oracle_sql() -> str:
+    """Same exact-integer sums and the IDENTICAL fixed-order double
+    formula; the quality score replicates llmops' gated quality SQL."""
+    from sfcrimedatapipeline_spark.plans.llmops import ORACLE_SQL as LLM_SQL
+
+    return f"""
+        WITH q AS (
+            SELECT doc_id, CAST(quality_score AS BIGINT) AS q
+            FROM ({LLM_SQL["text_quality"]}) tq
+        ),
+        cc AS ({_cc_oracle_sql()}),
+        j AS (
+            SELECT q.q,
+                   CASE WHEN cc.doc_id IS NULL THEN 0 ELSE 1 END AS d
+            FROM q LEFT JOIN cc ON cc.doc_id = q.doc_id
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(d) AS BIGINT) AS n_dup,
+                   CAST(sum(q) AS BIGINT) AS sum_q,
+                   CAST(sum(q * d) AS BIGINT) AS sum_q_dup,
+                   CAST(sum(q * q) AS BIGINT) AS sum_q_sq
+            FROM j
+        )
+        SELECT n, n_dup,
+               CASE WHEN n_dup > 0 AND n_dup < n
+                    THEN CAST(sum_q_dup AS DOUBLE) / CAST(n_dup AS DOUBLE)
+                    ELSE NULL END AS mean_q_dup,
+               CASE WHEN n_dup > 0 AND n_dup < n
+                    THEN CAST(sum_q - sum_q_dup AS DOUBLE)
+                         / CAST(n - n_dup AS DOUBLE)
+                    ELSE NULL END AS mean_q_nondup,
+               CASE WHEN n_dup > 0 AND n_dup < n
+                    THEN (CAST(sum_q_dup AS DOUBLE) / CAST(n_dup AS DOUBLE)
+                          - CAST(sum_q - sum_q_dup AS DOUBLE)
+                            / CAST(n - n_dup AS DOUBLE))
+                         / sqrt(CAST(sum_q_sq AS DOUBLE) / CAST(n AS DOUBLE)
+                                - (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)))
+                         * sqrt((CAST(n_dup AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(n - n_dup AS DOUBLE)
+                                   / CAST(n AS DOUBLE)))
+                    ELSE NULL END AS r_pointbiserial
+        FROM agg
+    """
+
+
+ORACLE_SQL["corpus_quality_dup_correlation"] = _quality_dup_corr_oracle_sql()
+
+
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate LEAKAGE MATRIX between corpus sources: for every
     unordered source pair, how many MinHash near-dup pairs straddle it

@@ -1950,3 +1950,72 @@ ORACLE_SQL["orders_seasonal_indices"] = """
     FROM monthly CROSS JOIN grand
     ORDER BY month
 """
+
+
+def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU per calendar day — THE product-health rollup:
+    distinct active users on each day, in the trailing 7 days, and the
+    trailing 30 days. Sliding DISTINCT counts don't decompose as plain
+    window sums (a user active twice in a week must count once), so the
+    scale shape is contribute-and-count: dedup events to distinct
+    (user, day) rows — the frame every step after is bounded by, which
+    is ≪ event count — then explode each user-day into the 7 (and 30)
+    trailing window days it contributes to and take one
+    map-side-combined count(DISTINCT user) per (window, day). Days with
+    events define the output spine (a day with zero events has no
+    row — the upstream distinct has nothing to contribute). Exact
+    integers end to end."""
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ud = ev.select(
+        F.col("user_id"), F.to_date("ts").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(
+        F.count("*").cast("long").alias("dau")
+    )  # already distinct per (user, day)
+
+    def rolling(days: int, name: str) -> DataFrame:
+        contrib = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), days - 1)
+                )
+            ).alias("day"),
+        )
+        return contrib.groupBy("day").agg(
+            F.count_distinct("user_id").cast("long").alias(name)
+        )
+
+    out = (
+        dau.join(rolling(7, "wau"), "day")
+        .join(rolling(30, "mau"), "day")
+        # contribution windows extend past the last event day; keep the
+        # observed-day spine only so every row has all three counts
+        .join(ud.select("day").distinct(), "day", "left_semi")
+    )
+    return out.select("day", "dau", "wau", "mau")
+
+
+QUERIES["events_active_users_rolling"] = events_active_users_rolling
+
+ORACLE_SQL["events_active_users_rolling"] = """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    w AS (
+        SELECT wday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM (SELECT user_id,
+                     unnest([day + CAST(x AS INTEGER) for x in generate_series(0, 6)]) AS wday
+              FROM ud) c
+        GROUP BY 1
+    ),
+    m AS (
+        SELECT mday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM (SELECT user_id,
+                     unnest([day + CAST(x AS INTEGER) for x in generate_series(0, 29)]) AS mday
+              FROM ud) c
+        GROUP BY 1
+    )
+    SELECT dau.day, dau.dau, w.wau, m.mau
+    FROM dau JOIN w USING (day) JOIN m USING (day)
+    WHERE day IN (SELECT day FROM ud)
+"""
