@@ -135,6 +135,7 @@ _DEFERRED = [
     # round-8 additions that compose multiple detectors / whole chains
     "dedup_method_agreement",
     "corpus_denoise_shards",
+    "corpus_quality_dup_correlation",
     "dedup_clusters",
     "dedup_cluster_sizes",
     "dedup_clusters_2phase",
