@@ -350,8 +350,19 @@ def ngram_jaccard_pairs(
         filtered = exploded.select(id_col, "sh").join(keep, "sh")
         sizes = filtered.groupBy(id_col).agg(F.count("*").alias("n_sh"))
         exploded = filtered.join(sizes, id_col).persist()
+    pair_counts = _shingle_pair_counts(exploded, id_col)
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return pair_counts.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _shingle_pair_counts(exploded: DataFrame, id_col: str) -> DataFrame:
+    """Shared tail of the exact shingle-overlap family: self-join the
+    exploded (id, n_sh, sh) frame on the shingle block key →
+    (doc_a, doc_b, n_a, n_b, n_inter) per pair sharing ≥1 shingle."""
     a, b = exploded.alias("a"), exploded.alias("b")
-    pair_counts = (
+    return (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
@@ -365,10 +376,64 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_inter"))
     )
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return pair_counts.select(
-        "doc_a", "doc_b", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (Broder '97): c(contained →
+    container) = |A∩B| / |A| — the inclusion detector symmetric Jaccard
+    is BLIND to: a 100-word document pasted verbatim inside a
+    10k-word document scores Jaccard ≈ 0.01 but containment 1.0.
+    Exactly the quote/syndication/boilerplate-wrapper case a training
+    corpus needs flagged separately from near-identical pairs (the
+    contained doc adds no new tokens; the container may still be
+    mostly novel and worth keeping).
+
+    Emits DIRECTED rows ``(doc_contained, doc_container, containment)``
+    — one per direction that clears the threshold, so mutual
+    containment (≈ exact dup) yields two rows. Same relational shape,
+    skew cap, and max_df semantics as :func:`ngram_jaccard_pairs`
+    (containment over discriminative shingles when capped); the ratio
+    is one exact-integer divide, so the table hash-gates.
+    """
+    exploded = (
+        shingle_sets(df, id_col, text_col, n)
+        .select(
+            F.col(id_col),
+            F.size("shingles").alias("n_sh"),
+            F.explode_outer("shingles").alias("sh"),
+        )
+        .filter(F.col("sh").isNotNull())
+        .persist()
+    )
+    if max_df is not None:
+        keep = (
+            exploded.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        filtered = exploded.select(id_col, "sh").join(keep, "sh")
+        sizes = filtered.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        exploded = filtered.join(sizes, id_col).persist()
+    pc = _shingle_pair_counts(exploded, id_col)
+    fwd = pc.select(
+        F.col("doc_a").alias("doc_contained"),
+        F.col("doc_b").alias("doc_container"),
+        (F.col("n_inter") / F.col("n_a")).alias("containment"),
+    )
+    rev = pc.select(
+        F.col("doc_b").alias("doc_contained"),
+        F.col("doc_a").alias("doc_container"),
+        (F.col("n_inter") / F.col("n_b")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
 
 
 def simhash_fingerprints(

@@ -556,6 +556,28 @@ def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (operators/dedup.py:
+    containment_pairs, Broder '97): DIRECTED (contained, container)
+    rows where ≥80% of the smaller side's discriminative shingles
+    appear in the other document — the quote/syndication/wrapper
+    detector symmetric Jaccard is blind to. Same max_df skew cap as
+    the gated Jaccard query; one exact-integer divide per direction,
+    rounded like every gated ratio."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(
+        docs, threshold=CONTAIN_THRESHOLD, max_df=NGRAM_MAX_DF
+    )
+    return pairs.select(
+        "doc_contained",
+        "doc_container",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Method-agreement Venn over the three gated pair detectors —
     MinHash+LSH, n-gram Jaccard, length-banded edit distance — at their
@@ -1941,6 +1963,7 @@ QUERIES = {
     "dedup_method_agreement": dedup_method_agreement,
     "text_bigram_collocations": text_bigram_collocations,
     "text_tokenizer_fertility": text_tokenizer_fertility,
+    "dedup_containment": dedup_containment,
 }
 
 ORACLE_SQL = build_oracle_sql()
@@ -1967,6 +1990,30 @@ ORACLE_SQL["dedup_method_agreement"] = f"""
     SELECT in_minhash, in_ngram, in_fuzzy,
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM j GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["dedup_containment"] = f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, list_distinct({sql_ngrams('t')}) AS shingles FROM tok),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= {NGRAM_MAX_DF}),
+    ex AS (SELECT doc_id, g FROM ex0 JOIN keep USING (g)),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dirs AS (
+        SELECT doc_a AS doc_contained, doc_b AS doc_container,
+               CAST(ni AS DOUBLE) / sa.n_sh AS c
+        FROM p JOIN sz sa ON sa.doc_id = p.doc_a
+        UNION ALL
+        SELECT doc_b, doc_a, CAST(ni AS DOUBLE) / sb.n_sh AS c
+        FROM p JOIN sz sb ON sb.doc_id = p.doc_b
+    )
+    SELECT doc_contained, doc_container, round(c, 6) AS containment
+    FROM dirs WHERE c >= {CONTAIN_THRESHOLD}
 """
 
 ORACLE_SQL["text_tokenizer_fertility"] = f"""

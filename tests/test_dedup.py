@@ -332,3 +332,26 @@ def test_hyperplane_formula_matches_duckdb_hex_parse():
             """
         ).fetchone()[0]
         assert list(got) == want  # bit-for-bit, all 64 dims
+
+
+def test_containment_is_asymmetric_where_jaccard_is_blind(spark):
+    """A short doc pasted verbatim inside a much longer one: containment
+    (contained -> container) = 1.0 while Jaccard stays far below any
+    dedup threshold — the inclusion case the symmetric measure misses.
+    The reverse direction must NOT fire."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} filler{i} unique{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, f"{filler} {short} {filler}"), (3, "totally different body")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_contained, r.doc_container): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}  # one direction only, exactly 1.0
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=1e-9).collect()
+    }
+    assert jac[(1, 2)] < 0.1  # Jaccard is blind to the inclusion
