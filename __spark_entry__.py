@@ -152,6 +152,7 @@ _DEFERRED = [
     "dedup_exact_stream",
     "dedup_exact_stream_wm",
     "docs_accrete_stream",
+    "events_dau_stream",
     "events_sessionize_stream",
 ]
 

@@ -76,6 +76,7 @@ BENCH_SKIP = {
     "dedup_exact_stream",
     "dedup_exact_stream_wm",
     "docs_accrete_stream",
+    "events_dau_stream",
     # memory-sink MicroBatchExecution harness — measures trigger
     # scheduling, not operator throughput
     "src_python_stream_source",

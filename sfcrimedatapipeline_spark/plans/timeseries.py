@@ -1996,7 +1996,48 @@ def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("day", "dau", "wau", "mau")
 
 
+def events_dau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DAU end-to-end: the rolling-active-users family's base
+    metric maintained incrementally — streaming
+    ``dropDuplicates(user, day)`` (exact dedup state, no watermark so
+    no eviction) feeding a complete-mode per-day count through the
+    micro-batch harness. Sound gate, not best-effort: with unbounded
+    dedup state and complete output, the final sink must equal the
+    batch DISTINCT-then-count bit for bit, so the oracle is the same
+    SQL as the batch DAU. At 100 TB the state is bounded by distinct
+    (user, day) — add a watermark sized to the ingest lateness horizon
+    and the state becomes horizon-bounded (the dedup_exact_stream_wm
+    precedent pins those eviction semantics)."""
+    from sfcrimedatapipeline_spark.streaming.events import (
+        cached_stream_fixture,
+        run_stream_to_memory,
+    )
+
+    stream_dir = cached_stream_fixture(spark, sf_dir)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ud = stream.select(
+            "user_id", F.to_date("ts").alias("day")
+        ).dropDuplicates(["user_id", "day"])
+        return ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+
+    return run_stream_to_memory(
+        spark,
+        stream_dir,
+        transform,
+        query_name="events_dau_stream",
+        output_mode="complete",
+    )
+
+
 QUERIES["events_active_users_rolling"] = events_active_users_rolling
+QUERIES["events_dau_stream"] = events_dau_stream
+
+ORACLE_SQL["events_dau_stream"] = """
+    SELECT day, CAST(count(*) AS BIGINT) AS dau
+    FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) ud
+    GROUP BY day
+"""
 
 ORACLE_SQL["events_active_users_rolling"] = """
     WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
