@@ -556,6 +556,33 @@ def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency HISTOGRAM: how many distinct 3-gram
+    shingles appear in exactly 1, 2, 3 … documents — the calibration
+    view behind the max_df skew cap every shared-shingle detector uses
+    (a shingle in k docs contributes k² candidate pairs; this table
+    shows exactly where the quadratic tail starts and what signal a
+    given cap discards). Two map-side-combined aggregates; histogram
+    key bounded by the max DF, never corpus cardinality. Exact
+    integers, hash-gated."""
+    from sfcrimedatapipeline_spark.operators.dedup import shingle_sets
+
+    docs = _read_parallel(spark, sf_dir, "documents")
+    ex = (
+        shingle_sets(docs, "doc_id", "text", 3)
+        .select(F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+    df_per_shingle = ex.groupBy("sh").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    return (
+        df_per_shingle.groupBy("df")
+        .agg(F.count("*").cast("long").alias("n_shingles"))
+        .select(F.col("df").alias("doc_frequency"), "n_shingles")
+    )
+
+
 CONTAIN_THRESHOLD = 0.8
 
 
@@ -1964,6 +1991,7 @@ QUERIES = {
     "text_bigram_collocations": text_bigram_collocations,
     "text_tokenizer_fertility": text_tokenizer_fertility,
     "dedup_containment": dedup_containment,
+    "dedup_shingle_df_profile": dedup_shingle_df_profile,
 }
 
 ORACLE_SQL = build_oracle_sql()
@@ -1990,6 +2018,15 @@ ORACLE_SQL["dedup_method_agreement"] = f"""
     SELECT in_minhash, in_ngram, in_fuzzy,
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM j GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["dedup_shingle_df_profile"] = f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, list_distinct({sql_ngrams('t')}) AS shingles FROM tok),
+    ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    dfs AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY g)
+    SELECT df AS doc_frequency, CAST(count(*) AS BIGINT) AS n_shingles
+    FROM dfs GROUP BY df
 """
 
 ORACLE_SQL["dedup_containment"] = f"""
