@@ -153,6 +153,7 @@ _DEFERRED = [
     "dedup_exact_stream_wm",
     "docs_accrete_stream",
     "events_dau_stream",
+    "events_dau_stream_wm",
     "events_sessionize_stream",
 ]
 

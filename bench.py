@@ -77,6 +77,7 @@ BENCH_SKIP = {
     "dedup_exact_stream_wm",
     "docs_accrete_stream",
     "events_dau_stream",
+    "events_dau_stream_wm",
     # memory-sink MicroBatchExecution harness — measures trigger
     # scheduling, not operator throughput
     "src_python_stream_source",

