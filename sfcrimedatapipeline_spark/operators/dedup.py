@@ -906,6 +906,133 @@ def embedding_near_duplicates_lsh(
     return pairs.distinct() if n_bands > 1 else pairs
 
 
+def embedding_contamination_lsh(
+    eval_emb: DataFrame,
+    train_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    recall_target: float = 0.95,
+    target_bucket_rows: int = 512,
+    max_bucket_rows: int = 4096,
+) -> DataFrame:
+    """SEMANTIC train/eval contamination (VERDICT r8 #8): directed
+    ``(train_id, eval_id, cosine)`` pairs where an eval item has a
+    paraphrase-grade near-duplicate (cosine ≥ threshold) in the
+    training corpus — the embedding-level member of the contamination
+    family next to the lexical detectors (winnow containment /
+    exact n-grams, operators/corpus.py), both of which a PARAPHRASED
+    eval item escapes.
+
+    Delta-vs-corpus SHAPE (the :func:`dedup_against_corpus` /
+    :func:`minhash_cross_corpus` discipline): both sides land in one
+    banded hyperplane bucket table — config sized by
+    :func:`auto_lsh_config` on the COMBINED cardinality, so occupancy
+    stays constant as the corpus grows — but candidate generation and
+    exact verify only ever pair eval-sub-block × train-sub-block
+    inside a bucket: the eval side never triggers a corpus×corpus
+    pass, and total verify work is Σ_buckets |eval∩b|·|train∩b| —
+    linear in train for a fixed eval set at constant occupancy. Skew
+    reuses :func:`embedding_near_duplicates_lsh`'s grid sub-split:
+    buckets above ``max_bucket_rows`` split into ``s`` id-hashed
+    sub-blocks and every (eval-block ge, train-block gt) combination
+    becomes its own Arrow task, capping task input regardless of skew.
+
+    Oracle equivalence (how the hash gate replays this without a
+    cross-corpus SQL dialect): band collision is PAIRWISE, so the
+    cross pair set equals the SELF-join pair set of the tagged union
+    restricted to cross pairs — the gated auto-LSH oracle
+    (plans/llmops.py:_emb_lsh_auto_sql) with a final one-endpoint-per-
+    side filter, same planes from the same combined n, same
+    dim-sequential tile cosine, same HALF_UP rounding. ``id_a`` (the
+    smaller id) is the train side whenever eval ids are offset above
+    the train id range, which the gated query guarantees by
+    construction (PLANT_ID_OFFSET).
+    """
+    import pandas as pd
+
+    from sfcrimedatapipeline_spark.operators.similarity import _hyperplane, lsh_bucket
+
+    n = train_emb.count() + eval_emb.count()  # bounded: two scalars
+    n_bands, planes_per_band = auto_lsh_config(
+        n,
+        threshold=threshold,
+        recall_target=recall_target,
+        target_bucket_rows=target_bucket_rows,
+    )
+    planes = [_hyperplane(dim, p) for p in range(n_bands * planes_per_band)]
+
+    def side(df: DataFrame, is_eval: int) -> DataFrame:
+        return df.select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.lit(is_eval).alias("__eval"),
+        )
+
+    tagged = side(train_emb, 0).unionByName(side(eval_emb, 1))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                lsh_bucket(
+                    F.col("__v"),
+                    planes[b * planes_per_band : (b + 1) * planes_per_band],
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bucketed = (
+        tagged.select("__id", "__v", "__eval", F.explode(bands).alias("band"))
+        .select("__id", "__v", "__eval", "band.band_idx", "band.bucket")
+        .persist()
+    )
+    counts = bucketed.groupBy("band_idx", "bucket").agg(
+        F.ceil(F.count("*") / max_bucket_rows).cast("int").alias("__s")
+    )
+    # cross sub-split: an eval row in sub-block g must meet EVERY train
+    # sub-block j (and vice versa), so each side explodes over the
+    # OTHER side's block axis — group key (band, bucket, ge, gt) holds
+    # exactly one eval block and one train block
+    blocked = (
+        bucketed.join(F.broadcast(counts), ["band_idx", "bucket"])
+        .withColumn("__g", (F.col("__id") % F.col("__s")).cast("int"))
+        .withColumn("__j", F.explode(F.sequence(F.lit(0), F.col("__s") - 1)))
+        .select(
+            "__id",
+            "__v",
+            "__eval",
+            "band_idx",
+            "bucket",
+            F.when(F.col("__eval") == 1, F.col("__g"))
+            .otherwise(F.col("__j"))
+            .alias("ge"),
+            F.when(F.col("__eval") == 1, F.col("__j"))
+            .otherwise(F.col("__g"))
+            .alias("gt"),
+        )
+    )
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pe, pt = pdf[pdf["__eval"] == 1], pdf[pdf["__eval"] == 0]
+        if not len(pe) or not len(pt):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids_e, mat_e = _ids_mat(pe, "__id", "__v")
+        ids_t, mat_t = _ids_mat(pt, "__id", "__v")
+        cos = _tile_cosine(
+            mat_e, mat_t, _seq_sq_norm(mat_e), _seq_sq_norm(mat_t), dim
+        )
+        return _round6_filter(
+            ids_e, ids_t, cos, cos >= threshold - 1e-6, threshold
+        )
+
+    pairs = blocked.groupBy("band_idx", "bucket", "ge", "gt").applyInPandas(
+        score, _PAIR_SCHEMA
+    )
+    return pairs.distinct() if n_bands > 1 else pairs
+
+
 def fuzzy_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

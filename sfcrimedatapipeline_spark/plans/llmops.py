@@ -906,11 +906,12 @@ EMB_DEDUP_MAX_BANDS = 32
 _AUTO_MAX_PLANES = 48  # 2^48 buckets ≈ 1.4e14 target rows — any corpus
 
 
-def _with_planted_near_dups(emb: DataFrame) -> DataFrame:
-    """Union the corpus with its deterministic sign-flip twins (see
-    PLANT_MOD note above). Pure per-row map + union — linear, no
-    shuffle, no Python."""
-    planted = emb.filter(F.col("vec_id") % PLANT_MOD == 0).select(
+def _planted_twins(emb: DataFrame) -> DataFrame:
+    """Just the deterministic sign-flip twins (see PLANT_MOD note
+    above) — the near-dup plant the LSH gate must find, and the
+    stand-in 'paraphrased eval set' for the semantic-contamination
+    gate. Pure per-row map — linear, no shuffle, no Python."""
+    return emb.filter(F.col("vec_id") % PLANT_MOD == 0).select(
         (F.col("vec_id") + PLANT_ID_OFFSET).alias("vec_id"),
         F.transform(
             "embedding",
@@ -919,7 +920,12 @@ def _with_planted_near_dups(emb: DataFrame) -> DataFrame:
             ).otherwise(x),
         ).alias("embedding"),
     )
-    return emb.select("vec_id", "embedding").unionByName(planted)
+
+
+def _with_planted_near_dups(emb: DataFrame) -> DataFrame:
+    """Union the corpus with its deterministic sign-flip twins (see
+    PLANT_MOD note above)."""
+    return emb.select("vec_id", "embedding").unionByName(_planted_twins(emb))
 
 
 def emb_near_duplicates_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,6 +964,42 @@ def emb_near_duplicates_lsh_smallcorpus(spark: SparkSession, sf_dir: str) -> Dat
         threshold=EMB_NEAR_DUP_THRESHOLD,
         n_bands=EMB_LSH_BANDS,
         planes_per_band=EMB_LSH_PLANES_PER_BAND,
+    )
+
+
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC train/eval contamination (VERDICT r8 #8): which eval
+    items have a paraphrase-grade (cosine ≥ 0.95) near-duplicate in the
+    training corpus? The embedding-level closer of the contamination
+    family — contamination_winnow and corpus_eval_decontaminate are
+    LEXICAL (shared character windows / exact n-grams) and a
+    paraphrased eval item escapes both; an embedding twin doesn't.
+
+    The eval set is the planted sign-flip twins (the gated planted-
+    near-dup precedent: organic max cosine is ~0.6, so a θ=0.95
+    contract on raw splits would be vacuous — the twins ARE the
+    'paraphrased eval items', cosine ≈ 1−2/64 ≈ 0.97 to their train
+    source). Delta-vs-corpus shape end to end
+    (operators/dedup.py:embedding_contamination_lsh): eval only ever
+    meets train inside shared LSH buckets — never a corpus×corpus
+    pass. Fully hash-gated: the oracle is the auto-LSH self-join SQL
+    over the tagged union restricted to cross pairs (band collision is
+    pairwise, so the sets coincide exactly)."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    train = emb.select("vec_id", "embedding")
+    pairs = dedup.embedding_contamination_lsh(
+        _planted_twins(emb),
+        train,
+        threshold=EMB_DEDUP_THRESHOLD,
+        recall_target=EMB_DEDUP_RECALL,
+        target_bucket_rows=EMB_DEDUP_TARGET_BUCKET,
+    )
+    # id_a < id_b and every eval id is offset above the train range,
+    # so id_a IS the train endpoint
+    return pairs.select(
+        F.col("id_b").alias("eval_id"),
+        F.col("id_a").alias("train_id"),
+        "cosine",
     )
 
 
@@ -1152,7 +1194,7 @@ def _planted_emb_sql() -> str:
     """
 
 
-def _emb_lsh_auto_sql() -> str:
+def _emb_lsh_auto_sql(final_select: str | None = None) -> str:
     """Exact oracle for the OCCUPANCY-SCALED LSH default — the round-7
     'rows-only by construction' verdict is retired by making the
     data-dependent config SQL-computable with zero cross-engine float
@@ -1252,8 +1294,7 @@ def _emb_lsh_auto_sql() -> str:
             JOIN vd a ON a.vec_id = id_a
             JOIN vd b ON b.vec_id = id_b
         )
-        SELECT id_a, id_b, cosine FROM scored
-        WHERE cosine >= {EMB_DEDUP_THRESHOLD}
+        {final_select or f"SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {EMB_DEDUP_THRESHOLD}"}
     """
 
 
@@ -1948,6 +1989,17 @@ def build_oracle_sql() -> dict[str, str]:
             WHERE rank <= {ANN_K}
         """,
         "emb_near_duplicates_lsh": _emb_lsh_auto_sql(),
+        # cross-pair restriction of the SAME self-join oracle: band
+        # collision is pairwise, so the cross-corpus operator's pair
+        # set is exactly the union self-join's pairs with one endpoint
+        # per side of PLANT_ID_OFFSET
+        "contamination_semantic": _emb_lsh_auto_sql(
+            final_select=f"""
+            SELECT id_b AS eval_id, id_a AS train_id, cosine FROM scored
+            WHERE cosine >= {EMB_DEDUP_THRESHOLD}
+              AND id_b >= {PLANT_ID_OFFSET} AND id_a < {PLANT_ID_OFFSET}
+            """
+        ),
         "emb_near_duplicates_lsh_smallcorpus": _emb_lsh_sql(),
         "emb_near_duplicates": f"""
             WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v FROM embeddings)
@@ -2004,6 +2056,7 @@ QUERIES = {
     "emb_semantic_dedup": emb_semantic_dedup,
     "emb_near_duplicates": emb_near_duplicates,
     "emb_near_duplicates_lsh": emb_near_duplicates_lsh,
+    "contamination_semantic": contamination_semantic,
     "emb_near_duplicates_lsh_smallcorpus": emb_near_duplicates_lsh_smallcorpus,
     "docs_tokenize_roundtrip": docs_tokenize_roundtrip,
     "text_top_ngrams_per_lang": text_top_ngrams_per_lang,

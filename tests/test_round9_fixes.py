@@ -356,3 +356,32 @@ def test_wm_dau_overcounts_after_eviction(spark, tmp_path):
     }
     # 3 distinct users, but user 1's evicted entry re-emitted: DAU = 4
     assert dau == {"2024-01-01": 4}
+
+
+# ------------------------------------------------------------ VERDICT #8
+def test_embedding_contamination_lsh_is_cross_only(spark):
+    """The semantic-contamination operator pairs eval items with TRAIN
+    near-duplicates only: two identical EVAL vectors must not pair with
+    each other, and an uncontaminated eval vector stays absent."""
+    from sfcrimedatapipeline_spark.operators import dedup
+
+    def vec(seed: int) -> list[float]:
+        return [float((seed * 31 + d * 7) % 13 - 6) for d in range(8)]
+
+    train = spark.createDataFrame(
+        [(0, vec(1)), (1, vec(2)), (2, vec(3))],
+        "vec_id long, embedding array<float>",
+    )
+    evals = spark.createDataFrame(
+        [
+            (100, vec(1)),   # contaminated: identical to train 0
+            (101, vec(99)),  # clean
+            (102, vec(99)),  # identical to eval 101 — must NOT pair
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = dedup.embedding_contamination_lsh(
+        evals, train, threshold=0.99, dim=8
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(0, 100)}
+    assert rows[0].cosine == 1.0
