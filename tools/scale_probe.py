@@ -111,6 +111,17 @@ PROBE_QUERIES = [
     # (VERDICT r7 #8) is corpus_denoise_shards
     "emb_near_duplicates_lsh_smallcorpus",
     "corpus_denoise_shards",
+    # round-9 additions (VERDICT r8 #6): the 37x contribute-and-count
+    # explode behind rolling DAU/WAU/MAU; the directed containment
+    # detector; the 1-row-scalar-crossJoin collocation family; the
+    # memo-riding source-pair matrix; and the new cross-corpus semantic
+    # contamination (delta-vs-corpus — the ≤3x-at-10x claim, VERDICT
+    # r8 #8)
+    "events_active_users_rolling",
+    "dedup_containment",
+    "text_bigram_collocations",
+    "dedup_cross_source_matrix",
+    "contamination_semantic",
 ]
 
 
@@ -183,8 +194,47 @@ def vocab_axis_probe(spark) -> dict:
     return out
 
 
-def main() -> None:
+def _run_noop(df) -> None:
+    # noop sink: materializes every output column executor-side with
+    # no driver transfer. collect() was the first cut and it skewed
+    # the quadratic-output queries: media_dedup_perceptual's sf1
+    # pair list (~100x rows under the 10x exact-copy stress) spent
+    # ~7 min in driver Row serialization — measuring the sink, not
+    # the operator dataflow under test.
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _child(name: str) -> None:
+    """One probe query in a FRESH session (VERDICT r8 #6): the round-8
+    probe ran every query in ONE shared session, so the memoized
+    prefixes (_dup_pairs/_dup_cc, _tables) made later dup-graph
+    queries' sf0.1 numerators shrink to their marginal work while the
+    first query absorbed the derivation — ratios mixed memoization
+    effects with scaling and stopped being comparable round-over-round.
+    A fresh session per query pays its own full derivation at BOTH
+    scales, so the ratio is the query's complete dataflow scaling —
+    stable against any future memo additions."""
     import __spark_entry__ as e
+    from sfcrimedatapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scale-probe-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = e.queries()[name]
+    _run_noop(fn(spark, "/root/testdata/sf0.001"))  # compile warm-up
+    spark.catalog.clearCache()
+    row = {}
+    for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+        t = time.time()
+        _run_noop(fn(spark, sf_dir))
+        row[label] = round(time.time() - t, 2)
+        spark.catalog.clearCache()
+    row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 1)
+    print("\nSCALE_PROBE_CHILD " + json.dumps({name: row}))
+
+
+def main() -> None:
+    import subprocess
+
     from sfcrimedatapipeline_spark.session import get_spark
 
     spark = get_spark(app_name="scale-probe")
@@ -192,38 +242,43 @@ def main() -> None:
     t0 = time.time()
     build_scaled(spark)
     print(f"built {DST} in {time.time() - t0:.0f}s", file=sys.stderr)
+    vocab = vocab_axis_probe(spark)
+    spark.stop()  # children get the machine to themselves
 
-    qs = e.queries()
     probe_list = sys.argv[2:] if len(sys.argv) > 2 else PROBE_QUERIES
     results: dict[str, dict] = {}
-    def run(df):
-        # noop sink: materializes every output column executor-side with
-        # no driver transfer. collect() was the first cut and it skewed
-        # the quadratic-output queries: media_dedup_perceptual's sf1
-        # pair list (~100x rows under the 10x exact-copy stress) spent
-        # ~7 min in driver Row serialization — measuring the sink, not
-        # the operator dataflow under test.
-        df.write.mode("overwrite").format("noop").save()
-
+    me = os.path.abspath(__file__)
     for name in probe_list:
-        fn = qs[name]
-        run(fn(spark, "/root/testdata/sf0.001"))  # compile warm-up
-        spark.catalog.clearCache()
-        row = {}
-        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
-            t = time.time()
-            run(fn(spark, sf_dir))
-            row[label] = round(time.time() - t, 2)
-            spark.catalog.clearCache()
-        row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 1)
+        proc = subprocess.run(
+            [sys.executable, me, "--child", name],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        row = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("SCALE_PROBE_CHILD "):
+                row = json.loads(line[len("SCALE_PROBE_CHILD "):])[name]
+        if proc.returncode != 0 or row is None:
+            row = {"error": (proc.stderr or proc.stdout)[-400:]}
         results[name] = row
-        print(f"{name:28s} sf0.1={row['sf0.1']:7.2f}s sf1={row['sf1']:7.2f}s "
-              f"ratio={row['ratio']:5.1f}", file=sys.stderr)
+        if "error" in row:
+            print(f"{name:28s} ERROR", file=sys.stderr)
+        else:
+            print(
+                f"{name:28s} sf0.1={row['sf0.1']:7.2f}s sf1={row['sf1']:7.2f}s "
+                f"ratio={row['ratio']:5.1f}",
+                file=sys.stderr,
+            )
 
     payload = {
         "copies": COPIES,
         "mode": MODE,
-        "vocab_axis": vocab_axis_probe(spark),
+        "method": (
+            "fresh session per query (isolated children — memoized "
+            "prefixes re-derived at both scales), noop sink both sides"
+        ),
+        "vocab_axis": vocab,
         "uniqueness": (
             "per-copy token suffix on documents.text (within-copy Jaccard "
             "preserved, cross-copy 0) + per-copy sign flips on embeddings "
@@ -248,4 +303,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        _child(sys.argv[2])
+    else:
+        main()
