@@ -2199,3 +2199,50 @@ ORACLE_SQL["dedup_cluster_sizes"] = f"""
     FROM sizes WHERE cluster_size >= 2
     GROUP BY cluster_size ORDER BY cluster_size
 """
+
+
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-LEAKAGE AUDIT: how many near-duplicate pairs straddle the
+    per-document train/val/test hash split? The number that justifies
+    docs_assign_splits_grouped (group-keyed splits) over the per-doc
+    split — every off-diagonal pair here is an eval item whose near-
+    twin sits in train, i.e. leaked evaluation signal the per-doc split
+    permits BY CONSTRUCTION. Rides the memoized MinHash pair graph (the
+    _dup_pairs invariant) and the exact md5 split assignment; output is
+    a ≤6-row (split_lo, split_hi) matrix of exact counts, pair order
+    normalized lexicographically so the matrix is symmetric-free."""
+    pairs = _dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    splits = corpus.assign_splits(
+        _docs(spark, sf_dir), "doc_id", SPLITS
+    ).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+QUERIES["dedup_split_leakage"] = dedup_split_leakage
+
+ORACLE_SQL["dedup_split_leakage"] = f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh),
+    s AS ({ORACLE_SQL["docs_assign_splits"]})
+    SELECT least(sa.split, sb.split) AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN s sa ON sa.doc_id = pairs.doc_a
+    JOIN s sb ON sb.doc_id = pairs.doc_b
+    GROUP BY 1, 2
+"""

@@ -28,6 +28,7 @@ from sfcrimedatapipeline_spark.functions.text import (
     STOPWORDS,
     sql_ngrams,
     sql_stopword_hits,
+    tokens,
 )
 from sfcrimedatapipeline_spark.functions.partitioning import ensure_min_partitions
 from sfcrimedatapipeline_spark.operators import dedup, similarity, textstats
@@ -2363,3 +2364,300 @@ ORACLE_SQL["text_readability"] = f"""
                         ELSE 0.0 END AS flesch
             FROM c
         """
+
+
+# --- round-9 additions -------------------------------------------------------
+
+IMPORTANCE_TARGET_LANG = "en"
+
+
+def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-LITE importance weights (Xie et al. '23 re-expressed
+    integer-exact): score every document by how target-domain-like its
+    tokens are, for importance SAMPLING toward a target distribution —
+    the data-selection step between raw crawl and mixture weighting.
+
+    A token is TARGET-DISTINCTIVE when its relative frequency in the
+    target slice (lang = 'en') exceeds its corpus-wide relative
+    frequency; the cross-multiplied comparison
+    ``cnt_target(t) · N_corpus > cnt_corpus(t) · N_target`` stays in
+    exact BIGINTs (no ratio, no log-likelihood — the log-ratio score
+    would hash-differ cross-engine on libm's last ulp; counts can't).
+    importance = distinctive token occurrences / doc tokens, one
+    divide, rounded like every gated ratio.
+
+    Scale shape: two map-side-combined token aggregates build the
+    distinctive-token table (bounded by corpus VOCABULARY, not corpus
+    size), one hash join of the token stream against it, one per-doc
+    count. The corpus-total scalars ride a 1-row broadcast crossJoin
+    (the collocation scalar-total precedent, whitelisted structurally).
+    Tokenless docs drop with the explode — same as the oracle's unnest.
+    """
+    docs = _read_parallel(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == IMPORTANCE_TARGET_LANG).alias("__t"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    stats = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("c_all"),
+        F.sum(F.col("__t").cast("long")).cast("long").alias("c_tgt"),
+    )
+    totals = tok.agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(F.col("__t").cast("long")).cast("long").alias("n_tgt"),
+    )
+    distinctive = (
+        stats.crossJoin(F.broadcast(totals))
+        .filter(F.col("c_tgt") * F.col("n_all") > F.col("c_all") * F.col("n_tgt"))
+        .select("token")
+    )
+    scored = tok.join(
+        distinctive.withColumn("__d", F.lit(1)), "token", "left"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.count("__d").cast("long").alias("distinctive_hits"),
+        F.round(
+            F.count("__d").cast("double") / F.count("*").cast("double"), 6
+        ).alias("importance"),
+    )
+
+
+QUERIES["corpus_importance_weights"] = corpus_importance_weights
+ORACLE_SQL["corpus_importance_weights"] = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN lang = '{IMPORTANCE_TARGET_LANG}' THEN 1 ELSE 0 END AS t,
+               unnest({SQL_TOKENS}) AS token
+        FROM documents
+    ),
+    stats AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c_all,
+               CAST(sum(t) AS BIGINT) AS c_tgt
+        FROM tok GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(t) AS BIGINT) AS n_tgt
+        FROM tok
+    ),
+    d AS (
+        SELECT token FROM stats, totals
+        WHERE c_tgt * n_all > c_all * n_tgt
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(d.token) AS BIGINT) AS distinctive_hits,
+           round(CAST(count(d.token) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS importance
+    FROM tok LEFT JOIN d ON tok.token = d.token
+    GROUP BY doc_id
+"""
+
+
+COVERAGE_KS = (10, 20, 50, 100, 200)
+
+
+def text_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget CURVE: what fraction of all token occurrences
+    do the top-k vocabulary entries cover, for k in {10,20,50,100,200}
+    — the table a tokenizer owner reads to pick a vocab size before
+    training (the knee of this curve IS the budget decision). Rides the
+    gated vocabulary builder: conditional sums over the LocalLimit-
+    bounded top-200 ranking (rank ties broken (freq DESC, token ASC),
+    identical both engines), corpus total via one scalar crossJoin.
+    Exact integers, one divide per row."""
+    docs = _read_parallel(spark, sf_dir, "documents")
+    vocab = textstats.build_vocabulary(docs, VOCAB_SIZE)  # token_id < 200
+    covered = vocab.agg(
+        *[
+            F.sum(F.when(F.col("token_id") < k, F.col("freq")).otherwise(0))
+            .cast("long")
+            .alias(f"c{k}")
+            for k in COVERAGE_KS
+        ]
+    )
+    total = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .agg(F.count("*").cast("long").alias("total_tokens"))
+    )
+    wide = covered.crossJoin(F.broadcast(total))
+    curve = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("top_k"),
+                        F.col(f"c{k}").alias("tokens_covered"),
+                    )
+                    for k in COVERAGE_KS
+                ]
+            )
+        ).alias("e"),
+        "total_tokens",
+    )
+    return curve.select(
+        F.col("e.top_k").alias("top_k"),
+        F.col("e.tokens_covered").alias("tokens_covered"),
+        "total_tokens",
+        F.round(
+            F.col("e.tokens_covered").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+QUERIES["text_token_coverage_curve"] = text_token_coverage_curve
+ORACLE_SQL["text_token_coverage_curve"] = f"""
+    WITH tok AS (SELECT unnest({SQL_TOKENS}) AS token FROM documents),
+    c AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+    r AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) - 1
+                    AS INTEGER) AS token_id,
+               CAST(freq AS BIGINT) AS freq
+        FROM c
+    ),
+    top AS (SELECT * FROM r WHERE token_id < {VOCAB_SIZE}),
+    totals AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM tok),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in COVERAGE_KS)}]) AS top_k)
+    SELECT CAST(ks.top_k AS INTEGER) AS top_k,
+           CAST(sum(CASE WHEN top.token_id < ks.top_k THEN top.freq
+                         ELSE 0 END) AS BIGINT) AS tokens_covered,
+           totals.total_tokens,
+           round(CAST(sum(CASE WHEN top.token_id < ks.top_k THEN top.freq
+                              ELSE 0 END) AS DOUBLE)
+                 / CAST(totals.total_tokens AS DOUBLE), 6) AS coverage
+    FROM ks, top, totals
+    GROUP BY ks.top_k, totals.total_tokens
+"""
+
+
+ANN_FILTER_LANG = "en"
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k cosine neighbors restricted to a
+    metadata predicate (docs.lang = 'en'), the retrieval shape every
+    RAG / vector-store workload runs (filter + similarity). The filter
+    joins the embedding table to its document row BEFORE scoring —
+    predicate applied at the corpus scan, so the scored candidate set
+    shrinks to the filtered slice (never post-filtering a top-k, which
+    under-fills k). Reuses the exact brute scorer (broadcast query set,
+    codegen dot product); same deterministic (cosine DESC, id ASC)
+    ranking as the gated ANN family."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    docs = _read_parallel(spark, sf_dir, "documents")
+    keep = docs.filter(F.col("lang") == ANN_FILTER_LANG).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus_side = emb.join(keep, "vec_id")
+    return similarity.cosine_topk(corpus_side, ann_queries(emb), k=ANN_K)
+
+
+QUERIES["ann_filtered_topk"] = ann_filtered_topk
+ORACLE_SQL["ann_filtered_topk"] = f"""
+    WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, __v AS qv FROM v
+          WHERE vec_id < {{ann_n}}),
+    c AS (SELECT vec_id AS neighbor_id, __v AS cv FROM v
+          JOIN documents d ON d.doc_id = v.vec_id
+          WHERE d.lang = '{ANN_FILTER_LANG}'),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {_sql_cosine("qv", "cv")} AS cosine
+        FROM c, q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    ) r
+    WHERE rank <= {{k}}
+"""
+
+
+MATRYOSHKA_DIM = 16
+
+
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA retrieval audit: per query, how much of the full
+    64-dim exact top-k does the truncated {MATRYOSHKA_DIM}-dim PREFIX
+    top-k recover? The measurement behind MRL-style tiered retrieval
+    (coarse search on a prefix, re-rank on the full vector): overlap/k
+    is the recall the cheap tier delivers. Both rankings are the exact
+    brute scorer at different unrolled dims; overlap is an exact-integer
+    join count per query."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    q = ann_queries(emb)
+    full = similarity.cosine_topk(emb, q, k=ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    prefix = similarity.cosine_topk(emb, q, k=ANN_K, dim=MATRYOSHKA_DIM).select(
+        "query_id", F.col("neighbor_id").alias("p_neighbor")
+    )
+    hits = full.join(
+        prefix,
+        (full.query_id == prefix.query_id)
+        & (full.neighbor_id == prefix.p_neighbor),
+        "left",
+    ).groupBy(full.query_id.alias("query_id"))
+    return hits.agg(
+        F.count("*").cast("long").alias("k"),
+        F.count("p_neighbor").cast("long").alias("n_common"),
+        F.round(
+            F.count("p_neighbor").cast("double") / F.count("*").cast("double"),
+            6,
+        ).alias("prefix_recall"),
+    )
+
+
+QUERIES["ann_matryoshka_recall"] = ann_matryoshka_recall
+ORACLE_SQL["ann_matryoshka_recall"] = f"""
+    WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, __v AS qv FROM v
+          WHERE vec_id < {{ann_n}}),
+    c AS (SELECT vec_id AS neighbor_id, __v AS cv FROM v),
+    full_r AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY {_sql_cosine("qv", "cv")} DESC, neighbor_id
+            ) AS rank
+            FROM c, q WHERE neighbor_id <> query_id
+        ) WHERE rank <= {{k}}
+    ),
+    pref_r AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY {_sql_cosine("qv", "cv", MATRYOSHKA_DIM)} DESC,
+                         neighbor_id
+            ) AS rank
+            FROM c, q WHERE neighbor_id <> query_id
+        ) WHERE rank <= {{k}}
+    )
+    SELECT f.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_common,
+           round(CAST(count(p.neighbor_id) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS prefix_recall
+    FROM full_r f
+    LEFT JOIN pref_r p
+      ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+"""
+
+# fill the shared ANN constants into the two new oracles (f-string
+# escaping kept the cosine builders readable; constants land here)
+ORACLE_SQL["ann_filtered_topk"] = ORACLE_SQL["ann_filtered_topk"].format(
+    ann_n=ANN_N_QUERIES, k=ANN_K
+)
+ORACLE_SQL["ann_matryoshka_recall"] = ORACLE_SQL["ann_matryoshka_recall"].format(
+    ann_n=ANN_N_QUERIES, k=ANN_K
+)

@@ -3024,3 +3024,125 @@ ORACLE_SQL["orders_assoc_rules"] = f"""
     ORDER BY lift DESC, part_a ASC, part_b ASC
     LIMIT {ASSOC_TOP_K}
 """
+
+
+PIVOT_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def orders_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT through the relational surface: order counts per year ×
+    priority, priorities turned into columns (the report shape every
+    BI tool asks for). Spark's ``groupBy().pivot(col, values)`` with
+    the value list given EXPLICITLY — omitting it costs a separate
+    distinct-collect pass AND makes the output schema data-dependent,
+    which a 100 TB pipeline can't have. One map-side-combined aggregate
+    either way; the oracle is the standard conditional-count rendering.
+    Empty cells are 0, not NULL (count semantics on both engines)."""
+    o = read_table(spark, sf_dir, "orders")
+    wide = (
+        o.select(F.year("o_orderdate").alias("order_year"), "o_orderpriority")
+        .groupBy("order_year")
+        .pivot("o_orderpriority", PIVOT_PRIORITIES)
+        .count()
+    )
+    renames = {
+        p: "p" + p.split("-", 1)[0] + "_"
+        + p.split("-", 1)[1].lower().replace(" ", "_")
+        for p in PIVOT_PRIORITIES
+    }
+    return wide.select(
+        "order_year",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(alias)
+            for p, alias in renames.items()
+        ],
+    )
+
+
+QUERIES["orders_pivot_priority_year"] = orders_pivot_priority_year
+
+ORACLE_SQL["orders_pivot_priority_year"] = """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+               AS p1_urgent,
+           CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)
+               AS p2_high,
+           CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT)
+               AS p3_medium,
+           CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT)
+               AS p4_not_specified,
+           CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT)
+               AS p5_low
+    FROM orders GROUP BY 1
+"""
+
+
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) through the relational surface: the three
+    lineitem money/rate measures turned into (measure, value) rows —
+    the long format every metrics store and charting layer ingests.
+    Spark's native ``DataFrame.unpivot`` (SQL ``stack``) — one
+    narrow projection, zero shuffle, values passed through BIT-EXACT
+    (no arithmetic anywhere, so doubles hash-gate trivially). The
+    oracle is the textbook three-way UNION ALL."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+QUERIES["lineitem_unpivot_measures"] = lineitem_unpivot_measures
+
+ORACLE_SQL["lineitem_unpivot_measures"] = """
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure,
+           l_extendedprice AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
+def lineitem_quartiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT (linear interpolation) next to the gated DISC
+    family (a11_percentile_disc): exact interpolated quartiles of
+    extended price per return flag. Hash-gates on DOUBLES without a
+    fixed-order chain because every term is EXACT: inputs are integer
+    cents, p ∈ {.25, .5, .75} makes the interpolation fraction a
+    dyadic rational, so lo + (hi−lo)·f is computed without rounding in
+    either engine — algebraically equal formulas are bit-equal when no
+    step rounds. Spark's ``percentile`` sorts per group (exact, not
+    the t-digest approx); the group count is 3 flags, never data-
+    bounded."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    q = F.percentile(cents, F.lit([0.25, 0.5, 0.75]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("q"))
+        .select(
+            "l_returnflag",
+            F.col("q")[0].alias("q25_cents"),
+            F.col("q")[1].alias("q50_cents"),
+            F.col("q")[2].alias("q75_cents"),
+        )
+    )
+
+
+QUERIES["lineitem_quartiles_cont"] = lineitem_quartiles_cont
+
+ORACLE_SQL["lineitem_quartiles_cont"] = """
+    SELECT l_returnflag,
+           quantile_cont(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+                         0.25) AS q25_cents,
+           quantile_cont(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+                         0.5) AS q50_cents,
+           quantile_cont(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+                         0.75) AS q75_cents
+    FROM lineitem GROUP BY 1
+"""

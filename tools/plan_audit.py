@@ -153,6 +153,11 @@ CROSS_OK: dict[str, str] = {
     "docs_ndcg_eval": "broadcast 1-row corpus stats (the bm25 shape)",
     "lineitem_spearman_qty_price": "partition_offsets triangular join (P-bounded) x2",
     "orders_control_chart_monthly": "crossJoin(broadcast(1-row moment stats)) over a calendar-bounded month frame",
+    # round-9 additions (each structurally re-verified per sweep):
+    "corpus_importance_weights": "crossJoin(broadcast(1-row corpus token totals))",
+    "text_token_coverage_curve": "crossJoin(broadcast(1-row total-token scalar)) over the vocab-bounded conditional sums",
+    "ann_filtered_topk": "documented query x corpus scorer (corpus pre-filtered by metadata join)",
+    "ann_matryoshka_recall": "two documented query x corpus scorers (full-dim and prefix-dim)",
 }
 
 #: Grouped aggregates whose output IS bounded, but by semantics the
@@ -219,6 +224,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "events_top_session_paths": "rank over a top-k TakeOrdered frame (limit-bounded)",
     "text_bigram_collocations": "rank over a top-k TakeOrdered frame (limit-bounded)",
     "parts_link_prediction": "rank over a top-k TakeOrdered frame (limit-bounded)",
+    # round-9: rides build_vocabulary — the text_vocabulary bound
+    "text_token_coverage_curve": "vocab-size-bounded rank (limit-first)",
 }
 
 
