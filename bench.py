@@ -98,6 +98,9 @@ BENCH_SKIP = {
 #: bounded-output audit twin (events_resample_gap_stats) stays on the
 #: collect contract like every other query.
 BENCH_NOOP_SINK = {
+    # full-spine melt: 1.8M output rows at sf0.1 — driver Row
+    # serialization, not operator dataflow
+    "lineitem_unpivot_measures",
     "events_resample_locf",
     "events_resample_interp",
 }

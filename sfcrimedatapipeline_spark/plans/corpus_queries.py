@@ -2246,3 +2246,43 @@ ORACLE_SQL["dedup_split_leakage"] = f"""
     JOIN s sb ON sb.doc_id = pairs.doc_b
     GROUP BY 1, 2
 """
+
+
+def graph_dup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE DISTRIBUTION of the near-dup graph: how many documents
+    have exactly d near-duplicates — the one-look summary that
+    separates a corpus of scattered twins (mass at d=1-2) from
+    boilerplate storms (a heavy tail of hub documents every detector
+    must block on). Complements dedup_cluster_sizes (components) with
+    the per-node view; rides the memoized pair graph; output bounded
+    by max degree. Exact integers throughout."""
+    pairs = _dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = nodes.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+QUERIES["graph_dup_degree_distribution"] = graph_dup_degree_distribution
+
+ORACLE_SQL["graph_dup_degree_distribution"] = f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh),
+    nodes AS (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b FROM pairs
+    ),
+    deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+        FROM nodes GROUP BY 1
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY 1 ORDER BY degree
+"""

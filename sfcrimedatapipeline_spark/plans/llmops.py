@@ -2661,3 +2661,92 @@ ORACLE_SQL["ann_filtered_topk"] = ORACLE_SQL["ann_filtered_topk"].format(
 ORACLE_SQL["ann_matryoshka_recall"] = ORACLE_SQL["ann_matryoshka_recall"].format(
     ann_n=ANN_N_QUERIES, k=ANN_K
 )
+
+
+def emb_sq8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 QUANTIZATION-ERROR audit: per vector, the squared L2 error
+    between the embedding and its scalar-quantized reconstruction —
+    the number that justifies (or vetoes) the 8x memory saving
+    ann_sq8_topk banks on before an index is rebuilt at byte precision.
+    Reuses the gated tier's bounds + affine reconstruction
+    (operators/similarity.py:sq8_bounds/_sq8_recon_sql) under the same
+    1-row broadcast; the error is the unrolled dim-sequential
+    (v−r)² chain (the _sqd_sql fold order), so both engines compute
+    bit-identical doubles and the per-vector audit hash-gates."""
+    from sfcrimedatapipeline_spark.operators.similarity import (
+        _sq8_recon_sql,
+        sq8_bounds,
+    )
+
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    recon = F.expr(_sq8_recon_sql("embedding", 64))
+    v = emb.crossJoin(F.broadcast(sq8_bounds(emb))).select(
+        "vec_id",
+        F.col("embedding").alias("__v"),
+        recon.alias("__r"),
+    )
+    err = " + ".join(
+        f"(CAST(element_at(__v, {i}) AS DOUBLE) - element_at(__r, {i}))"
+        f" * (CAST(element_at(__v, {i}) AS DOUBLE) - element_at(__r, {i}))"
+        for i in range(1, 65)
+    )
+    return v.select(
+        "vec_id", F.round(F.expr(err), 6).alias("l2_err_sq")
+    )
+
+
+QUERIES["emb_sq8_reconstruction_error"] = emb_sq8_reconstruction_error
+
+_SQ8_ERR_CHAIN = " + ".join(
+    f"(CAST(__v[{i}] AS DOUBLE) - __r[{i}]) * (CAST(__v[{i}] AS DOUBLE) - __r[{i}])"
+    for i in range(1, 65)
+)
+
+ORACLE_SQL["emb_sq8_reconstruction_error"] = f"""
+    WITH v AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v
+        FROM embeddings
+    ),
+    b AS (
+        SELECT t.i AS i, min(__v[t.i]) AS mn, max(__v[t.i]) AS mx
+        FROM v, generate_series(1, 64) AS t(i) GROUP BY 1
+    ),
+    r AS (
+        SELECT v.vec_id, b.i,
+               CASE WHEN b.mx > b.mn
+                    THEN b.mn + floor((__v[b.i] - b.mn) * 255.0 / (b.mx - b.mn) + 0.5)
+                         * (b.mx - b.mn) / 255.0
+                    ELSE b.mn END AS rv
+        FROM v, b
+    ),
+    rl AS (SELECT vec_id, list(rv ORDER BY i) AS __r FROM r GROUP BY 1)
+    SELECT v.vec_id, round({_SQ8_ERR_CHAIN}, 6) AS l2_err_sq
+    FROM v JOIN rl ON rl.vec_id = v.vec_id
+"""
+
+
+RESAMPLE_TOP_N = 200
+
+
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION step on top of corpus_importance_weights: keep the
+    top-N most target-like documents (DSIR's resample-by-importance,
+    deterministic variant — rank by importance with exact tie-breaks
+    instead of a random draw, so the kept set replays bit-for-bit).
+    ORDER BY (importance DESC, distinctive_hits DESC, doc_id ASC) +
+    LIMIT compiles to TakeOrderedAndProject — no global sort shuffle,
+    k-bounded by construction."""
+    scored = corpus_importance_weights(spark, sf_dir)
+    return scored.orderBy(
+        F.desc("importance"), F.desc("distinctive_hits"), F.asc("doc_id")
+    ).limit(RESAMPLE_TOP_N)
+
+
+QUERIES["corpus_importance_resample"] = corpus_importance_resample
+
+ORACLE_SQL["corpus_importance_resample"] = f"""
+    WITH scored AS ({ORACLE_SQL["corpus_importance_weights"]})
+    SELECT * FROM scored
+    ORDER BY importance DESC, distinctive_hits DESC, doc_id ASC
+    LIMIT {RESAMPLE_TOP_N}
+"""

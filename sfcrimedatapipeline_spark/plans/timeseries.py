@@ -2124,3 +2124,38 @@ ORACLE_SQL["events_active_users_rolling"] = """
     FROM dau JOIN w USING (day) JOIN m USING (day)
     WHERE day IN (SELECT day FROM ud)
 """
+
+
+def events_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER LIFESPAN histogram: days between a user's first and last
+    event (0 = single-day users), bucketed exactly — the engagement-
+    duration distribution behind retention targets (the life-table
+    query gives survival per day; this gives the closed-form spread).
+    One map-side-combined min/max per user, one count per lifespan —
+    both shuffles keyed far below event cardinality. Exact integers."""
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    span = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("int")
+        .alias("lifespan_days")
+    )
+    return (
+        span.groupBy("lifespan_days")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("lifespan_days")
+    )
+
+
+QUERIES["events_user_lifespan"] = events_user_lifespan
+
+ORACLE_SQL["events_user_lifespan"] = """
+    WITH span AS (
+        SELECT user_id,
+               CAST(date_diff('day', min(CAST(ts AS DATE)),
+                              max(CAST(ts AS DATE))) AS INTEGER)
+                   AS lifespan_days
+        FROM events GROUP BY 1
+    )
+    SELECT lifespan_days, CAST(count(*) AS BIGINT) AS n_users
+    FROM span GROUP BY 1 ORDER BY lifespan_days
+"""

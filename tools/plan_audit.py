@@ -158,6 +158,8 @@ CROSS_OK: dict[str, str] = {
     "text_token_coverage_curve": "crossJoin(broadcast(1-row total-token scalar)) over the vocab-bounded conditional sums",
     "ann_filtered_topk": "documented query x corpus scorer (corpus pre-filtered by metadata join)",
     "ann_matryoshka_recall": "two documented query x corpus scorers (full-dim and prefix-dim)",
+    "corpus_importance_resample": "crossJoin(broadcast(1-row corpus token totals)) — the importance_weights prefix",
+    "emb_sq8_reconstruction_error": "crossJoin(broadcast(1-row per-dim SQ8 bounds)) — the ann_sq8_topk shape",
 }
 
 #: Grouped aggregates whose output IS bounded, but by semantics the
