@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_queries,
         fact_queries,
         geo_queries,
+        infotheory,
         linkage_queries,
         llmops,
         llmops_ext,
@@ -203,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **geo_queries.QUERIES,
         **linkage_queries.QUERIES,
         **corpus_queries.QUERIES,
+        **infotheory.QUERIES,
         **udx_queries.QUERIES,
     }
     deferred = set(_DEFERRED)
@@ -226,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         events_queries,
         fact_queries,
         geo_queries,
+        infotheory,
         linkage_queries,
         llmops,
         llmops_ext,
@@ -251,5 +254,6 @@ def oracle_sql() -> dict[str, str]:
         **geo_queries.ORACLE_SQL,
         **linkage_queries.ORACLE_SQL,
         **corpus_queries.ORACLE_SQL,
+        **infotheory.ORACLE_SQL,
         **udx_queries.ORACLE_SQL,
     }

@@ -1,0 +1,320 @@
+"""Tests for the ln-unlocked information-theory family
+(plans/infotheory.py, functions/fixedpoint.py, events_kmv_overlap).
+
+The first two tests pin the module's two load-bearing assumptions —
+libm bit-identity and fixed-point order-free summation — so a platform
+change fails HERE, loudly, instead of silently at the driver's hash
+gate. The rest are numeric parity checks against numpy re-derivations.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# assumption guards
+# ---------------------------------------------------------------------------
+
+
+def test_ln_det_bit_identity(spark):
+    """The deterministic sqrt-chain log (functions/detmath.py) must be
+    bit-identical Spark↔DuckDB — the foundation of every gated query in
+    plans/infotheory.py. Raw ``ln`` is deliberately NOT used in gated
+    fragments: it diverges in the last ulp on ~1% of arguments (as do
+    2-arg ``log`` and ``%`` on doubles), which is why detmath exists."""
+    from sfcrimedatapipeline_spark.functions.detmath import sql_ln_det
+
+    frag = sql_ln_det("x")
+    sdf = spark.sql(
+        f"""SELECT x, {frag} AS l FROM (
+              SELECT CAST(id AS DOUBLE) + 1.0 AS x FROM range(1, 20001)
+              UNION ALL
+              SELECT (CAST(id AS DOUBLE) + 1.0) / 1234567.0 FROM range(1, 20001)
+            )"""
+    ).toPandas()
+    ddf = duckdb.connect().execute(
+        f"""SELECT x, {frag} AS l FROM (
+              SELECT CAST(range AS DOUBLE) + 1.0 AS x FROM range(1, 20001)
+              UNION ALL
+              SELECT (CAST(range AS DOUBLE) + 1.0) / 1234567.0 FROM range(1, 20001)
+            )"""
+    ).df()
+    m = sdf.merge(ddf, on="x", suffixes=("_s", "_d"))
+    assert len(m) == 40000
+    bad = m[m.l_s != m.l_d]
+    assert len(bad) == 0, f"ln_det diverged on {len(bad)} args: {bad.head()}"
+
+
+def test_ln_det_accuracy():
+    """ln_det must track math.log to ~1.4e-11 absolute over the full
+    argument range the gated queries use."""
+    from sfcrimedatapipeline_spark.functions.detmath import ln_det_py
+
+    import random
+
+    rng = random.Random(7)
+    worst = 0.0
+    for _ in range(20000):
+        x = math.exp(rng.uniform(-21.0, 21.0))
+        worst = max(worst, abs(ln_det_py(x) - math.log(x)))
+    for n in range(1, 5000):
+        worst = max(worst, abs(ln_det_py(float(n)) - math.log(n)))
+    assert worst < 2e-11, worst
+    assert ln_det_py(1.0) == 0.0
+
+
+def test_fx_sum_cross_engine(spark):
+    """floor(x·2^40) fixed-point sums must be exact and engine-identical
+    regardless of aggregation order (positive and negative terms)."""
+    from sfcrimedatapipeline_spark.functions.detmath import sql_ln_det
+    from sfcrimedatapipeline_spark.functions.fixedpoint import sql_fx
+
+    # the term MUST use the deterministic log: raw ln's last-ulp
+    # divergence flips fx floors and was exactly the landmine this
+    # module exists to remove
+    term = f"CAST(id AS DOUBLE) * {sql_ln_det('CAST(id AS DOUBLE) + 1.0')}"
+    s = (
+        spark.range(1, 50001)
+        .selectExpr(f"{sql_fx(term)} AS t", f"{sql_fx(f'-({term})')} AS tn")
+        .groupBy()
+        .agg(F.sum("t").alias("s"), F.sum("tn").alias("sn"))
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    d, dn = con.execute(
+        f"SELECT sum({sql_fx(term)}), sum({sql_fx(f'-({term})')}) "
+        "FROM (SELECT CAST(range AS BIGINT) AS id FROM range(1, 50001))"
+    ).fetchone()
+    assert str(s["s"]) == str(d)
+    assert str(s["sn"]) == str(dn)
+
+
+def test_fx_quantization_error_bound():
+    """unfx(fx(x)) is within 2^-40 below x — the documented floor bias."""
+    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE
+
+    for x in [0.0, 1e-13, 3.14159, -2.71828, 1234.5678, -0.333333]:
+        q = math.floor(x * FX_SCALE) / FX_SCALE
+        assert q <= x < q + 1.0 / FX_SCALE + 1e-30
+
+
+# ---------------------------------------------------------------------------
+# numeric parity vs numpy
+# ---------------------------------------------------------------------------
+
+
+def _docs_pdf() -> pd.DataFrame:
+    return duckdb.connect().execute(
+        f"SELECT doc_id, text, lang, source FROM '{SF_SMALL}/documents.parquet'"
+    ).df()
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.lower().split() if t]
+
+
+def test_zipf_fit_matches_numpy(spark):
+    from sfcrimedatapipeline_spark.plans.infotheory import (
+        ZIPF_TOP_RANKS,
+        text_zipf_fit,
+    )
+
+    got = {r["lang"]: r for r in text_zipf_fit(spark, SF_SMALL).collect()}
+    pdf = _docs_pdf()
+    for lang, grp in pdf.groupby("lang"):
+        counts: dict[str, int] = {}
+        for text in grp["text"]:
+            for t in _tokens(text):
+                counts[t] = counts.get(t, 0) + 1
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = ranked[:ZIPF_TOP_RANKS]
+        x = np.log(np.arange(1, len(top) + 1, dtype=float))
+        y = np.log(np.array([n for _, n in top], dtype=float))
+        slope, intercept = np.polyfit(x, y, 1)
+        r = got[lang]
+        assert r["n_ranks"] == len(top)
+        assert abs(r["zipf_slope"] - slope) < 1e-6
+        assert abs(r["intercept"] - intercept) < 1e-6
+        assert -3.0 < r["zipf_slope"] < 0.0  # natural-ish text
+        assert 0.0 <= r["r2"] <= 1.0 + 1e-12
+
+
+def test_kl_divergence_matches_numpy_and_nonnegative(spark):
+    from sfcrimedatapipeline_spark.plans.infotheory import (
+        docs_source_kl_divergence,
+    )
+
+    got = {r["source"]: r for r in docs_source_kl_divergence(spark, SF_SMALL).collect()}
+    pdf = _docs_pdf()
+    corpus: dict[str, int] = {}
+    per_src: dict[str, dict[str, int]] = {}
+    for _, row in pdf.iterrows():
+        d = per_src.setdefault(row["source"], {})
+        for t in _tokens(row["text"]):
+            corpus[t] = corpus.get(t, 0) + 1
+            d[t] = d.get(t, 0) + 1
+    vocab = sorted(corpus)
+    V = len(vocab)
+    T = sum(corpus.values())
+    q = np.array([(corpus[t] + 1) / (T + V) for t in vocab])
+    for src, cnts in per_src.items():
+        n_s = sum(cnts.values())
+        p = np.array([(cnts.get(t, 0) + 1) / (n_s + V) for t in vocab])
+        kl = float(np.sum(p * (np.log(p) - np.log(q))))
+        r = got[src]
+        assert r["n_tokens"] == n_s
+        assert r["vocab_used"] == len(cnts)
+        assert abs(r["kl_nats"] - kl) < 1e-5, (src, r["kl_nats"], kl)
+        assert r["kl_nats"] >= 0.0
+
+
+def test_perplexity_histogram_matches_numpy(spark):
+    from sfcrimedatapipeline_spark.plans.infotheory import (
+        PPL_BUCKETS_PER_NAT,
+        docs_perplexity_unigram,
+    )
+
+    got = {r["ce_bucket"]: r for r in docs_perplexity_unigram(spark, SF_SMALL).collect()}
+    pdf = _docs_pdf()
+    corpus: dict[str, int] = {}
+    docs: list[list[str]] = []
+    for text in pdf["text"]:
+        toks = _tokens(text)
+        docs.append(toks)
+        for t in toks:
+            corpus[t] = corpus.get(t, 0) + 1
+    V, T = len(corpus), sum(corpus.values())
+    buckets: dict[int, list[float]] = {}
+    for toks in docs:
+        if not toks:
+            continue
+        ce = -sum(math.log((corpus[t] + 1) / (T + V)) for t in toks) / len(toks)
+        buckets.setdefault(int(math.floor(ce * PPL_BUCKETS_PER_NAT)), []).append(ce)
+    assert set(got) == set(buckets)
+    total_docs = sum(len(v) for v in buckets.values())
+    assert sum(r["n_docs"] for r in got.values()) == total_docs
+    for b, ces in buckets.items():
+        r = got[b]
+        assert r["n_docs"] == len(ces)
+        assert abs(r["avg_ce"] - float(np.mean(ces))) < 1e-6
+        # avg rides the Q40 fixed point, whose floor bias can push it up
+        # to 2^-40 below min on singleton buckets
+        assert r["min_ce"] - 2e-12 <= r["avg_ce"] <= r["max_ce"] + 2e-12
+
+
+def test_markov_entropy_matches_numpy(spark):
+    from sfcrimedatapipeline_spark.plans.infotheory import (
+        RATE_ROW,
+        events_markov_entropy,
+    )
+
+    rows = events_markov_entropy(spark, SF_SMALL).collect()
+    ev = duckdb.connect().execute(
+        f"SELECT user_id, ts, event_id, event_type FROM '{SF_SMALL}/events.parquet' "
+        "ORDER BY user_id, ts, event_id"
+    ).df()
+    trans: dict[tuple[str, str], int] = {}
+    for _, grp in ev.groupby("user_id"):
+        types = list(grp["event_type"])
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    n = sum(trans.values())
+    n_i: dict[str, int] = {}
+    for (a, _), c in trans.items():
+        n_i[a] = n_i.get(a, 0) + c
+    expected_h = {
+        a: -sum(
+            (c / n_i[a]) * math.log(c / n_i[a])
+            for (x, _), c in trans.items()
+            if x == a
+        )
+        for a in n_i
+    }
+    expected_rate = -sum(
+        (c / n) * math.log(c / n_i[a]) for (a, _), c in trans.items()
+    )
+    by_state = {r["from_type"]: r for r in rows}
+    rate_row = by_state.pop(RATE_ROW)
+    assert rate_row["n_transitions"] == n
+    assert abs(rate_row["h_nats"] - expected_rate) < 1e-6
+    for a, h in expected_h.items():
+        assert by_state[a]["n_transitions"] == n_i[a]
+        assert abs(by_state[a]["h_nats"] - h) < 1e-6
+        # conditional entropy bounded by ln(#states)
+        assert -1e-12 <= by_state[a]["h_nats"] <= math.log(len(n_i)) + 1e-9
+    # rate is a convex combination of per-state entropies
+    lo = min(expected_h.values()) - 1e-9
+    hi = max(expected_h.values()) + 1e-9
+    assert lo <= rate_row["h_nats"] <= hi
+
+
+def test_trigram_novelty_bounds(spark):
+    from sfcrimedatapipeline_spark.plans.infotheory import docs_trigram_novelty
+
+    rows = docs_trigram_novelty(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["avg_novelty"] <= 1.0
+        assert 0 <= r["n_fully_novel"] <= r["n_docs"]
+        assert r["novel_grams"] <= r["distinct_grams"]
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exhaustive_sketch_is_exact(spark):
+    """When every per-type user set fits in the sketch (n ≤ K), θ = 2^60
+    and the estimates must equal the exact counts bit-for-bit."""
+    from sfcrimedatapipeline_spark.plans.analytic_ext import (
+        KMV_K,
+        events_kmv_overlap,
+    )
+
+    rows = events_kmv_overlap(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r["n_exact_a"] <= KMV_K and r["n_exact_b"] <= KMV_K:
+            assert r["est_union"] == float(r["exact_union"])
+            assert r["est_inter"] == float(r["exact_inter"])
+
+
+def test_kmv_estimation_accuracy_synthetic(spark):
+    """On sets far larger than K, the KMV estimates must land within the
+    theoretical relative-error band (~1/sqrt(K−1), tested at 5σ)."""
+    from sfcrimedatapipeline_spark.plans.analytic_ext import KMV_K
+    from sfcrimedatapipeline_spark.plans import analytic_ext
+
+    n_a, overlap = 40_000, 20_000
+    df = (
+        spark.range(0, n_a)
+        .selectExpr("'a' AS event_type", "id AS user_id")
+        .unionAll(
+            spark.range(overlap, overlap + n_a).selectExpr(
+                "'b' AS event_type", "id AS user_id"
+            )
+        )
+        .selectExpr("user_id", "event_type")
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+        rows = analytic_ext.events_kmv_overlap(spark, tmp).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["exact_inter"] == n_a - overlap  # ids overlap..n_a-1 shared
+    tol = 5.0 / math.sqrt(KMV_K - 1)
+    assert abs(r["est_union"] - r["exact_union"]) <= tol * r["exact_union"]
+    assert abs(r["est_inter"] - r["exact_inter"]) <= tol * r["exact_union"]

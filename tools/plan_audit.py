@@ -160,6 +160,11 @@ CROSS_OK: dict[str, str] = {
     "ann_matryoshka_recall": "two documented query x corpus scorers (full-dim and prefix-dim)",
     "corpus_importance_resample": "crossJoin(broadcast(1-row corpus token totals)) — the importance_weights prefix",
     "emb_sq8_reconstruction_error": "crossJoin(broadcast(1-row per-dim SQ8 bounds)) — the ann_sq8_topk shape",
+    # round-9b additions (plans/infotheory.py + the KMV sketch):
+    "docs_perplexity_unigram": "crossJoin(broadcast(1-row corpus token totals)) — the unigram-LM shape",
+    "docs_source_kl_divergence": "crossJoin(broadcast(1-row corpus totals)) + crossJoin(broadcast(1-row Σ ln q scalar))",
+    "events_markov_entropy": "crossJoin(broadcast(1-row transition-total scalar))",
+    "events_kmv_overlap": "θ pair grid — BNLJ of two event-type-bounded sketch aggregates (keys declared in GROUP_BOUNDED_OK)",
 }
 
 #: Grouped aggregates whose output IS bounded, but by semantics the
@@ -172,6 +177,10 @@ GROUP_BOUNDED_OK: dict[str, list[str]] = {
     # daily-revenue frame: one row per o_orderdate — calendar-bounded
     # (TPC-H spans ~2.4k dates), the Theil-Sen pair join's build side
     "orders_theilsen_trend": ["o_orderdate"],
+    # KMV θ pair grid: both BNLJ sides are per-event-type sketch
+    # aggregates — bounded by the event-type enum (~5 values), never
+    # data cardinality
+    "events_kmv_overlap": ["event_type"],
 }
 
 #: Build sides bounded by SEMANTICS a physical plan cannot exhibit
