@@ -41,6 +41,11 @@ these extend the LLM-training-data families the build is graded on):
   (journey predictability; complements events_markov_transitions).
 - ``docs_trigram_novelty`` — per-source share of corpus-unique
   trigrams: the memorization-risk / boilerplate-saturation audit.
+- ``docs_lang_source_mi`` — mutual information I(lang; source) + NMI
+  over the document contingency table: the corpus-composition audit
+  (are sources language silos?).
+- ``text_token_entropy`` — per-language unigram entropy + redundancy
+  ``1 − H/ln V``: information density of each language slice.
 
 Scale notes (100 TB): every aggregation is vocab-, type-, or
 doc-bounded exactly like the neighboring llmops families; corpus
@@ -653,4 +658,218 @@ ORACLE_SQL["docs_trigram_novelty"] = f"""
            CAST(sum(CASE WHEN novelty = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_fully_novel
     FROM scored GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_lang_source_mi
+# ---------------------------------------------------------------------------
+
+#: pointwise MI log, bound at the (lang, source) cell grain:
+#: ln((n_ls·n) / (n_l·n_s))
+_LN_PMI = sql_ln_det(
+    "(CAST(n_ls AS DOUBLE) * CAST(n AS DOUBLE))"
+    " / (CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE))"
+)
+
+#: MI contribution per cell: (n_ls/n) · ln_pmi
+_MI_TERM = "(CAST(n_ls AS DOUBLE) / CAST(n AS DOUBLE)) * ln_pmi"
+
+#: marginal-entropy terms, bound at the lang / source marginal grains
+_HL_TERM = (
+    "-(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln_l"
+)
+_HS_TERM = (
+    "-(CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln_s"
+)
+_LN_L = sql_ln_det("CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE)")
+_LN_S = sql_ln_det("CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)")
+
+#: final assembly — one deterministic scalar expression, shared textually
+_NMI = "(mi_nats / sqrt(h_lang * h_source))"
+
+
+def docs_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION I(lang; source) over the document contingency
+    table, with both marginal entropies and the normalized MI — the
+    one-number corpus-composition audit: 0 means languages are spread
+    evenly across sources; near min(H) means sources are language silos
+    (so source-level sampling decisions silently become language
+    decisions, and vice versa).
+
+    Cells are exact BIGINT doc counts at the (lang, source) grain
+    (enum-bounded — tens of rows); marginals are cell-grain window
+    sums; the corpus total is a 1-row scalar crossJoin (whitelisted
+    shape). Logs are deterministic sqrt-chain values bound per cell /
+    marginal row; the three entropy sums ride the Q40 fixed point; NMI
+    is one deterministic sqrt + divide."""
+    docs = _docs(spark, sf_dir)
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_ls")
+    )
+    total = cells.agg(F.sum("n_ls").cast("long").alias("n"))
+    with_marg = (
+        cells.withColumn(
+            "n_l", F.sum("n_ls").over(Window.partitionBy("lang")).cast("long")
+        )
+        .withColumn(
+            "n_s", F.sum("n_ls").over(Window.partitionBy("source")).cast("long")
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("ln_pmi", F.expr(_LN_PMI))
+    )
+    mi = with_marg.agg(
+        F.sum("n_ls").cast("long").alias("n_docs"),
+        F.expr(sql_unfx(f"sum({sql_fx(_MI_TERM)})")).alias("mi_nats"),
+    )
+    langs = (
+        cells.groupBy("lang")
+        .agg(F.sum("n_ls").cast("long").alias("n_l"))
+        .crossJoin(F.broadcast(total))
+        .withColumn("ln_l", F.expr(_LN_L))
+        .agg(F.expr(sql_unfx(f"sum({sql_fx(_HL_TERM)})")).alias("h_lang"))
+    )
+    sources = (
+        cells.groupBy("source")
+        .agg(F.sum("n_ls").cast("long").alias("n_s"))
+        .crossJoin(F.broadcast(total))
+        .withColumn("ln_s", F.expr(_LN_S))
+        .agg(F.expr(sql_unfx(f"sum({sql_fx(_HS_TERM)})")).alias("h_source"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(sources))
+        .select(
+            "n_docs",
+            "mi_nats",
+            "h_lang",
+            "h_source",
+            F.expr(_NMI).alias("nmi"),
+        )
+    )
+
+
+QUERIES["docs_lang_source_mi"] = docs_lang_source_mi
+
+ORACLE_SQL["docs_lang_source_mi"] = f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ls
+        FROM documents GROUP BY 1, 2
+    ),
+    total AS (
+        SELECT CAST(sum(n_ls) AS BIGINT) AS n FROM cells
+    ),
+    with_marg AS (
+        SELECT lang, source, n_ls, n_l, n_s, n, {_LN_PMI} AS ln_pmi
+        FROM (
+            SELECT lang, source, n_ls,
+                   CAST(sum(n_ls) OVER (PARTITION BY lang) AS BIGINT) AS n_l,
+                   CAST(sum(n_ls) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+                   n
+            FROM cells CROSS JOIN total
+        )
+    ),
+    mi AS (
+        SELECT CAST(sum(n_ls) AS BIGINT) AS n_docs,
+               {sql_unfx(f"sum({sql_fx(_MI_TERM)})")} AS mi_nats
+        FROM with_marg
+    ),
+    langs AS (
+        SELECT {sql_unfx(f"sum({sql_fx(_HL_TERM)})")} AS h_lang
+        FROM (
+            SELECT n_l, n, {_LN_L} AS ln_l FROM (
+                SELECT CAST(sum(n_ls) AS BIGINT) AS n_l, n
+                FROM cells CROSS JOIN total GROUP BY lang, n
+            )
+        )
+    ),
+    sources AS (
+        SELECT {sql_unfx(f"sum({sql_fx(_HS_TERM)})")} AS h_source
+        FROM (
+            SELECT n_s, n, {_LN_S} AS ln_s FROM (
+                SELECT CAST(sum(n_ls) AS BIGINT) AS n_s, n
+                FROM cells CROSS JOIN total GROUP BY source, n
+            )
+        )
+    )
+    SELECT n_docs, mi_nats, h_lang, h_source, {_NMI} AS nmi
+    FROM mi CROSS JOIN langs CROSS JOIN sources
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_token_entropy
+# ---------------------------------------------------------------------------
+
+#: per-token entropy term, bound at the (lang, token) grain
+_LN_PT = sql_ln_det("CAST(c AS DOUBLE) / CAST(n_l AS DOUBLE)")
+_HT_TERM = "-(CAST(c AS DOUBLE) / CAST(n_l AS DOUBLE)) * ln_pt"
+
+#: redundancy = 1 − H/ln(V) (0 = uniform vocabulary use, →1 = a few
+#: tokens dominate)
+_REDUNDANCY = "(1.0 - h_nats / ln_v)"
+_LN_V = sql_ln_det("CAST(vocab AS DOUBLE)")
+
+
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language UNIGRAM ENTROPY of the token distribution (nats) and
+    its REDUNDANCY ``1 − H/ln V`` — the information density of each
+    language slice: entropy near ln V means flat, diverse token use;
+    high redundancy marks template/boilerplate-dominated slices where
+    a few tokens carry most of the mass (the aggregate twin of the
+    per-doc perplexity filter).
+
+    Exact BIGINT counts at the (lang, token) grain; per-lang totals as
+    lang-partitioned window sums over the vocab grain; deterministic
+    sqrt-chain logs bound per vocab row; Q40 fixed-point entropy sums;
+    redundancy is one deterministic divide against ln_det(V)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("lang", F.explode(tokens(F.col("text"))).alias("t"))
+    counts = tok.groupBy("lang", "t").agg(F.count("*").cast("long").alias("c"))
+    scored = counts.withColumn(
+        "n_l", F.sum("c").over(Window.partitionBy("lang")).cast("long")
+    ).withColumn("ln_pt", F.expr(_LN_PT))
+    per_lang = scored.groupBy("lang").agg(
+        F.max("n_l").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.expr(sql_unfx(f"sum({sql_fx(_HT_TERM)})")).alias("h_nats"),
+    )
+    return per_lang.withColumn("ln_v", F.expr(_LN_V)).select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        "h_nats",
+        F.expr(_REDUNDANCY).alias("redundancy"),
+    )
+
+
+QUERIES["text_token_entropy"] = text_token_entropy
+
+ORACLE_SQL["text_token_entropy"] = f"""
+    WITH tok AS (
+        SELECT lang, unnest({SQL_TOKENS}) AS t FROM documents
+    ),
+    counts AS (
+        SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT lang, c, n_l, {_LN_PT} AS ln_pt
+        FROM (
+            SELECT lang, c,
+                   CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n_l
+            FROM counts
+        )
+    ),
+    per_lang AS (
+        SELECT lang,
+               max(n_l) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               {sql_unfx(f"sum({sql_fx(_HT_TERM)})")} AS h_nats
+        FROM scored GROUP BY 1
+    )
+    SELECT lang, n_tokens, vocab, h_nats,
+           {_REDUNDANCY.replace("ln_v", _LN_V)} AS redundancy
+    FROM per_lang
 """

@@ -318,3 +318,50 @@ def test_kmv_estimation_accuracy_synthetic(spark):
     tol = 5.0 / math.sqrt(KMV_K - 1)
     assert abs(r["est_union"] - r["exact_union"]) <= tol * r["exact_union"]
     assert abs(r["est_inter"] - r["exact_inter"]) <= tol * r["exact_union"]
+
+
+def test_lang_source_mi_matches_numpy(spark):
+    from sfcrimedatapipeline_spark.plans.infotheory import docs_lang_source_mi
+
+    r = docs_lang_source_mi(spark, SF_SMALL).collect()
+    assert len(r) == 1
+    r = r[0]
+    pdf = _docs_pdf()
+    n = len(pdf)
+    cells = pdf.groupby(["lang", "source"]).size()
+    nl = pdf.groupby("lang").size()
+    ns = pdf.groupby("source").size()
+    mi = sum(
+        (c / n) * math.log((c * n) / (nl[l] * ns[s]))
+        for (l, s), c in cells.items()
+    )
+    h_l = -sum((c / n) * math.log(c / n) for c in nl)
+    h_s = -sum((c / n) * math.log(c / n) for c in ns)
+    assert r["n_docs"] == n
+    assert abs(r["mi_nats"] - mi) < 1e-8
+    assert abs(r["h_lang"] - h_l) < 1e-8
+    assert abs(r["h_source"] - h_s) < 1e-8
+    assert abs(r["nmi"] - mi / math.sqrt(h_l * h_s)) < 1e-8
+    # information-theory invariants
+    assert -1e-10 <= r["mi_nats"] <= min(h_l, h_s) + 1e-10
+    assert 0.0 <= r["nmi"] <= 1.0 + 1e-12
+
+
+def test_token_entropy_matches_numpy(spark):
+    from sfcrimedatapipeline_spark.plans.infotheory import text_token_entropy
+
+    got = {r["lang"]: r for r in text_token_entropy(spark, SF_SMALL).collect()}
+    pdf = _docs_pdf()
+    for lang, grp in pdf.groupby("lang"):
+        counts: dict[str, int] = {}
+        for text in grp["text"]:
+            for t in _tokens(text):
+                counts[t] = counts.get(t, 0) + 1
+        n_l = sum(counts.values())
+        h = -sum((c / n_l) * math.log(c / n_l) for c in counts.values())
+        r = got[lang]
+        assert r["n_tokens"] == n_l
+        assert r["vocab"] == len(counts)
+        assert abs(r["h_nats"] - h) < 1e-7
+        assert abs(r["redundancy"] - (1.0 - h / math.log(len(counts)))) < 1e-7
+        assert -1e-10 <= r["h_nats"] <= math.log(len(counts)) + 1e-9

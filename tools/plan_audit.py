@@ -165,6 +165,7 @@ CROSS_OK: dict[str, str] = {
     "docs_source_kl_divergence": "crossJoin(broadcast(1-row corpus totals)) + crossJoin(broadcast(1-row Σ ln q scalar))",
     "events_markov_entropy": "crossJoin(broadcast(1-row transition-total scalar))",
     "events_kmv_overlap": "θ pair grid — BNLJ of two event-type-bounded sketch aggregates (keys declared in GROUP_BOUNDED_OK)",
+    "docs_lang_source_mi": "crossJoin(broadcast(1-row doc-total scalar)) ×3 + 1-row MI/H-marginal assembly",
 }
 
 #: Grouped aggregates whose output IS bounded, but by semantics the
