@@ -64,3 +64,64 @@ def ln_det_py(x: float) -> float:
         y = math.sqrt(y)
     u = (y - 1.0) / (y + 1.0)
     return _LN_PREFACTOR * u * (1.0 + (u * u) / 3.0 + (u * u * u * u) / 5.0)
+
+
+# ---------------------------------------------------------------------------
+# deterministic exp — squaring chain
+# ---------------------------------------------------------------------------
+
+#: number of exact squarings in the range reconstruction
+EXP_SQUARINGS = 16
+
+#: 2^EXP_SQUARINGS — the argument pre-scale (power of two, exact divide)
+_EXP_SCALE = float(1 << EXP_SQUARINGS)
+
+
+def _exp_taylor(t: str) -> str:
+    """5-term Horner Taylor of exp on the tiny pre-scaled argument."""
+    return (
+        f"(1.0 + ({t}) * (1.0 + ({t}) * (0.5 + ({t})"
+        f" * (0.16666666666666666 + ({t}) * 0.041666666666666664))))"
+    )
+
+
+def with_exp_det(df, arg_col: str, out_col: str):
+    """Spark side: bind ``exp_det(arg_col)`` as ``out_col`` via a
+    withColumn chain (the 16 squarings MUST be bound stages — inlining
+    them would blow the expression tree up 2^16-fold).
+
+    exp(x) = (T₅(x/2^16))^(2^16): the prescale divide is exact (power
+    of two), the Taylor series on |t| ≤ x/65536 and the squarings are
+    correctly-rounded IEEE ops — bit-identical across engines like
+    :func:`sql_ln_det`. Measured accuracy: relative error ≤ 1.4e-11
+    over x ∈ [−30, 30] (tests/test_infotheory.py)."""
+    from pyspark.sql import functions as F
+
+    df = df.withColumn(
+        out_col, F.expr(_exp_taylor(f"({arg_col}) / {_EXP_SCALE!r}"))
+    )
+    for _ in range(EXP_SQUARINGS):
+        df = df.withColumn(out_col, F.col(out_col) * F.col(out_col))
+    return df
+
+
+def sql_exp_det_wrap(inner_sql: str, arg_expr: str, out_col: str) -> str:
+    """DuckDB side of :func:`with_exp_det`: wrap a SELECT in the bound
+    Taylor stage + 16 ``SELECT * REPLACE (out*out AS out)`` squaring
+    stages (binding per stage, same reason as the Spark chain)."""
+    q = (
+        f"SELECT *, {_exp_taylor(f'({arg_expr}) / {_EXP_SCALE!r}')}"
+        f" AS {out_col} FROM ({inner_sql})"
+    )
+    for _ in range(EXP_SQUARINGS):
+        q = f"SELECT * REPLACE ({out_col} * {out_col} AS {out_col}) FROM ({q})"
+    return q
+
+
+def exp_det_py(x: float) -> float:
+    """Python twin of the exp_det chain — same operation sequence."""
+    t = x / _EXP_SCALE
+    b = 1.0 + t * (1.0 + t * (0.5 + t * (0.16666666666666666 + t * 0.041666666666666664)))
+    for _ in range(EXP_SQUARINGS):
+        b = b * b
+    return b

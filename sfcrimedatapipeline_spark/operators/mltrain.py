@@ -1,0 +1,119 @@
+"""Deterministic distributed model training — gradient descent whose
+trace is bit-reproducible across Spark, DuckDB, and driver Python.
+
+The classic objection to training INSIDE a data engine is that the
+result is not reproducible: float gradient sums depend on partition
+order, and sigmoid/exp differ between libms. Both objections fall to
+the repo's determinism primitives:
+
+- gradients are Q40 fixed-point sums (functions/fixedpoint.py) —
+  exact DECIMAL(38,0) integers, any aggregation order, any partition
+  count;
+- the sigmoid rides ``exp_det`` (functions/detmath.py) — the
+  squaring-chain exp built only from IEEE-correctly-rounded ops,
+  bit-identical on every engine;
+- weight updates are plain scalar IEEE double math, repeated textually
+  in the DuckDB oracle's recursive CTE and in the driver loop here.
+
+By induction over iterations the weight trace is IDENTICAL in all
+three implementations — which is why the ``docs_logreg_train`` query
+(plans/infotheory.py) can be VALUE-HASH gated against a recursive-CTE
+SQL oracle: the first gated in-engine trainer in this repo.
+
+Scale (100 TB): each iteration is ONE map-side-combinable aggregate
+over the cached feature frame — F+1 fixed-point sums (F features + the
+count) shuffle F+1 scalars total; the driver holds only the weight
+vector. This is textbook full-batch distributed GD; iterations
+serialize (inherent to GD), everything inside an iteration is one
+whole-stage-codegen pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sfcrimedatapipeline_spark.functions.detmath import exp_det_py, with_exp_det
+from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE, sql_fx
+
+
+def logreg_train(
+    feats: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int,
+    lr: float,
+) -> list[tuple]:
+    """Full-batch logistic-regression GD over a feature frame.
+
+    Returns the weight TRACE ``[(it, w_0..w_F), ...]`` for it = 0..iters
+    (it=0 is the zero seed) — the value the gated query materializes as
+    a literal frame. ``feats`` must expose ``feature_cols`` and a 0/1
+    double ``label_col``; it is cached for the duration (iters passes)
+    and unpersisted before returning."""
+    feats = feats.cache()
+    n = feats.count()
+    w = [0.0] * len(feature_cols)
+    trace: list[tuple] = [(0, *w)]
+    for it in range(1, iters + 1):
+        # z with the current weights embedded as full-precision literals
+        # (repr round-trips the double; both engines parse it back to
+        # the same value — the oracle's recursive CTE carries w as
+        # columns instead, same arithmetic text)
+        z = " + ".join(
+            f"CAST({w[j]!r} AS DOUBLE) * {c}"
+            for j, c in enumerate(feature_cols)
+        )
+        d = feats.withColumn("nz", F.expr(f"0.0 - ({z})"))
+        d = with_exp_det(d, "nz", "enz")
+        d = d.withColumn("sig", F.expr("1.0 / (1.0 + enz)"))
+        grads = d.agg(
+            *[
+                F.sum(F.expr(sql_fx(f"{c} * ({label_col} - sig)"))).alias(
+                    f"g{j}"
+                )
+                for j, c in enumerate(feature_cols)
+            ]
+        ).collect()[0]
+        # update arithmetic mirrored TEXTUALLY by the oracle:
+        # w' = w + lr * ((unfx(g) ) / n)
+        w = [
+            w[j] + lr * ((float(grads[f"g{j}"]) / FX_SCALE) / n)
+            for j in range(len(feature_cols))
+        ]
+        trace.append((it, *w))
+    feats.unpersist()
+    return trace
+
+
+def logreg_train_py(
+    rows: list[tuple],
+    iters: int,
+    lr: float,
+) -> list[tuple]:
+    """Bit-exact Python twin of :func:`logreg_train` for parity tests:
+    ``rows`` is ``[(y, x_0..x_F), ...]``. Every operation sequence
+    matches the engine path (fx floor-quantization, exp_det sigmoid,
+    identical update order), so the traces must be EQUAL, not close."""
+    import math
+
+    nf = len(rows[0]) - 1
+    n = len(rows)
+    w = [0.0] * nf
+    trace: list[tuple] = [(0, *w)]
+    for it in range(1, iters + 1):
+        g = [0] * nf
+        for row in rows:
+            y, xs = row[0], row[1:]
+            # left-associated exactly like the SQL text `w0*x0 + w1*x1
+            # + ...` (no leading 0.0+ term — keeps ±0 edge cases
+            # bit-identical)
+            z = w[0] * xs[0]
+            for j in range(1, nf):
+                z = z + w[j] * xs[j]
+            sig = 1.0 / (1.0 + exp_det_py(0.0 - z))
+            for j in range(nf):
+                g[j] += math.floor((xs[j] * (y - sig)) * FX_SCALE)
+        w = [w[j] + lr * ((float(g[j]) / FX_SCALE) / n) for j in range(nf)]
+        trace.append((it, *w))
+    return trace

@@ -873,3 +873,147 @@ ORACLE_SQL["text_token_entropy"] = f"""
            {_REDUNDANCY.replace("ln_v", _LN_V)} AS redundancy
     FROM per_lang
 """
+
+
+# ---------------------------------------------------------------------------
+# docs_logreg_train — gated in-engine model training
+# ---------------------------------------------------------------------------
+
+#: full-batch GD iterations and learning rate (interpolated into BOTH
+#: engines — never hardcode one side)
+LOGREG_ITERS = 8
+LOGREG_LR = 2.0
+
+#: shared feature fragments over the bound base columns
+#: (n_chars, ntok, hits_en, hits_zh) — identical text both engines
+LOGREG_FEATURES: list[str] = [
+    "1.0",
+    "CAST(n_chars AS DOUBLE) / 1000.0",
+    "CAST(ntok AS DOUBLE) / 100.0",
+    "CAST(hits_en AS DOUBLE) / (CAST(ntok AS DOUBLE) + 1.0)",
+    "CAST(hits_fr AS DOUBLE) / (CAST(ntok AS DOUBLE) + 1.0)",
+]
+_LOGREG_Y = "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END"
+
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sfcrimedatapipeline_spark.functions.text import stopword_hits
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "lang",
+        "n_chars",
+        F.size(toks).alias("ntok"),
+        stopword_hits(toks, "en").alias("hits_en"),
+        stopword_hits(toks, "fr").alias("hits_fr"),
+    )
+    return base.select(
+        F.expr(_LOGREG_Y).alias("y"),
+        *[F.expr(x).alias(f"x{j}") for j, x in enumerate(LOGREG_FEATURES)],
+    )
+
+
+def docs_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE MODEL TRAINING, value-hash gated: full-batch logistic
+    regression (is-this-English classifier over length / token-count /
+    stopword-rate features) whose 8-iteration weight TRACE is
+    bit-identical across the Spark trainer (operators/mltrain.py), the
+    DuckDB recursive-CTE oracle, and the pure-Python twin — because
+    gradients are Q40 fixed-point sums, the sigmoid rides the
+    deterministic exp_det squaring chain, and weight updates repeat the
+    same IEEE scalar text in all three. The first gated trainer in the
+    repo: training inside the engine with a bit-reproducibility
+    guarantee, not a tolerance.
+
+    Scale (100 TB): one map-side-combinable aggregate per iteration —
+    F+1 fixed-point scalars cross the wire, the feature frame is
+    cached once, the driver holds 5 doubles. The returned frame is a
+    driver literal (the trace), like the BPE-merge trainer precedent."""
+    from sfcrimedatapipeline_spark.operators.mltrain import logreg_train
+
+    feats = _logreg_features(spark, sf_dir)
+    trace = logreg_train(
+        feats,
+        [f"x{j}" for j in range(len(LOGREG_FEATURES))],
+        "y",
+        iters=LOGREG_ITERS,
+        lr=LOGREG_LR,
+    )
+    schema = "it bigint, " + ", ".join(
+        f"w{j} double" for j in range(len(LOGREG_FEATURES))
+    )
+    return spark.createDataFrame(trace, schema)
+
+
+QUERIES["docs_logreg_train"] = docs_logreg_train
+
+
+def _logreg_oracle() -> str:
+    """Recursive-CTE twin of the Spark trainer, generated from the SAME
+    constants/fragments (features, iters, lr, fx scale, exp_det wrap)
+    so the two engines cannot drift. Weight state rides the recursion;
+    each recursive step computes the full-batch gradient via one
+    correlated struct_pack subquery over the feature CTE, with the
+    sigmoid's 16 squaring stages bound as nested SELECT * REPLACE
+    levels (detmath.sql_exp_det_wrap)."""
+    from sfcrimedatapipeline_spark.functions.detmath import sql_exp_det_wrap
+    from sfcrimedatapipeline_spark.functions.text import sql_stopword_hits
+
+    nf = len(LOGREG_FEATURES)
+    feat_cols = ", ".join(f"{x} AS x{j}" for j, x in enumerate(LOGREG_FEATURES))
+    z = " + ".join(f"st.w{j} * x{j}" for j in range(nf))
+    inner = (
+        f"SELECT y, {', '.join(f'x{j}' for j in range(nf))}, "
+        f"0.0 - ({z}) AS nz FROM feats"
+    )
+    sig_sel = (
+        "SELECT *, 1.0 / (1.0 + enz) AS sig FROM ("
+        + sql_exp_det_wrap(inner, "nz", "enz")
+        + ")"
+    )
+    packs = ", ".join(
+        f"g{j} := sum({sql_fx(f'x{j} * (y - sig)')})" for j in range(nf)
+    )
+    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE
+
+    upd = ",\n             ".join(
+        f"u.w{j} + {LOGREG_LR!r} * ((CAST(struct_extract(u.g, 'g{j}') AS DOUBLE)"
+        f" / {FX_SCALE!r}) / CAST((SELECT n FROM n_cte) AS DOUBLE)) AS w{j}"
+        for j in range(nf)
+    )
+    seed = ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(nf))
+    wlist = ", ".join(f"w{j}" for j in range(nf))
+    stw = ", ".join(f"st.w{j}" for j in range(nf))
+    return f"""
+    WITH RECURSIVE tokd AS (
+        SELECT lang, n_chars, {SQL_TOKENS} AS toks FROM documents
+    ),
+    base AS (
+        SELECT lang, n_chars, len(toks) AS ntok,
+               {sql_stopword_hits('toks', 'en')} AS hits_en,
+               {sql_stopword_hits('toks', 'fr')} AS hits_fr
+        FROM tokd
+    ),
+    feats AS (
+        SELECT {_LOGREG_Y} AS y, {feat_cols} FROM base
+    ),
+    n_cte AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM feats
+    ),
+    st(it, {wlist}) AS (
+        SELECT 0 AS it, {seed}
+        UNION ALL
+        SELECT u.it + 1 AS it,
+             {upd}
+        FROM (
+            SELECT st.it, {stw},
+                   (SELECT struct_pack({packs}) FROM ({sig_sel})) AS g
+            FROM st WHERE st.it < {LOGREG_ITERS}
+        ) u
+    )
+    SELECT CAST(it AS BIGINT) AS it, {wlist} FROM st
+"""
+
+
+ORACLE_SQL["docs_logreg_train"] = _logreg_oracle()

@@ -365,3 +365,104 @@ def test_token_entropy_matches_numpy(spark):
         assert abs(r["h_nats"] - h) < 1e-7
         assert abs(r["redundancy"] - (1.0 - h / math.log(len(counts)))) < 1e-7
         assert -1e-10 <= r["h_nats"] <= math.log(len(counts)) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# deterministic exp + gated trainer
+# ---------------------------------------------------------------------------
+
+
+def test_exp_det_bit_identity_and_accuracy(spark):
+    from sfcrimedatapipeline_spark.functions.detmath import (
+        exp_det_py,
+        sql_exp_det_wrap,
+        with_exp_det,
+    )
+
+    sdf = spark.range(0, 20000).selectExpr(
+        "(CAST(id AS DOUBLE) - 10000.0) / 400.0 AS x"
+    )
+    spdf = with_exp_det(sdf, "x", "e").toPandas()
+    inner = "SELECT (CAST(range AS DOUBLE) - 10000.0) / 400.0 AS x FROM range(0, 20000)"
+    ddf = duckdb.connect().execute(sql_exp_det_wrap(inner, "x", "e")).df()
+    m = spdf.merge(ddf, on="x", suffixes=("_s", "_d"))
+    assert len(m) == 20000
+    assert (m.e_s == m.e_d).all()
+    worst = max(
+        abs(r.e_s - math.exp(r.x)) / math.exp(r.x) for r in m.itertuples()
+    )
+    assert worst < 2e-11, worst
+    assert all(exp_det_py(r.x) == r.e_s for r in m.itertuples())
+    assert exp_det_py(0.0) == 1.0
+
+
+def _logreg_rows_py() -> list[tuple]:
+    from sfcrimedatapipeline_spark.functions.text import STOPWORDS
+
+    pdf = duckdb.connect().execute(
+        f"SELECT lang, n_chars, text FROM '{SF_SMALL}/documents.parquet'"
+    ).df()
+    en, fr = set(STOPWORDS["en"]), set(STOPWORDS["fr"])
+    rows = []
+    for _, r in pdf.iterrows():
+        toks = _tokens(r["text"])
+        ntok = len(toks)
+        hits_en = sum(1 for t in toks if t in en)
+        hits_fr = sum(1 for t in toks if t in fr)
+        y = 1.0 if r["lang"] == "en" else 0.0
+        rows.append(
+            (
+                y,
+                1.0,
+                float(r["n_chars"]) / 1000.0,
+                float(ntok) / 100.0,
+                float(hits_en) / (float(ntok) + 1.0),
+                float(hits_fr) / (float(ntok) + 1.0),
+            )
+        )
+    return rows
+
+
+def test_logreg_trace_bit_exact_vs_python_twin(spark):
+    """The gated trainer's weight trace must EQUAL the pure-Python twin
+    bit for bit — the reproducibility guarantee, not a tolerance."""
+    from sfcrimedatapipeline_spark.operators.mltrain import logreg_train_py
+    from sfcrimedatapipeline_spark.plans.infotheory import (
+        LOGREG_ITERS,
+        LOGREG_LR,
+        docs_logreg_train,
+    )
+
+    got = sorted(
+        (tuple(r) for r in docs_logreg_train(spark, SF_SMALL).collect())
+    )
+    expected = sorted(logreg_train_py(_logreg_rows_py(), LOGREG_ITERS, LOGREG_LR))
+    assert len(got) == LOGREG_ITERS + 1
+    for g, e in zip(got, expected):
+        assert g[0] == e[0]
+        for a, b in zip(g[1:], e[1:]):
+            assert a == b, (g[0], a, b)
+
+
+def test_logreg_learns_separation():
+    """At the final trace weights, mean sigmoid over English docs must
+    exceed mean sigmoid over the rest — GD moved in the right
+    direction on the fixture."""
+    from sfcrimedatapipeline_spark.functions.detmath import exp_det_py
+    from sfcrimedatapipeline_spark.operators.mltrain import logreg_train_py
+    from sfcrimedatapipeline_spark.plans.infotheory import (
+        LOGREG_ITERS,
+        LOGREG_LR,
+    )
+
+    rows = _logreg_rows_py()
+    trace = logreg_train_py(rows, LOGREG_ITERS, LOGREG_LR)
+    w = trace[-1][1:]
+    def sig(xs):
+        z = sum(wj * xj for wj, xj in zip(w, xs))
+        return 1.0 / (1.0 + exp_det_py(-z))
+
+    en = [sig(r[1:]) for r in rows if r[0] == 1.0]
+    other = [sig(r[1:]) for r in rows if r[0] == 0.0]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)

@@ -122,6 +122,16 @@ PROBE_QUERIES = [
     "text_bigram_collocations",
     "dedup_cross_source_matrix",
     "contamination_semantic",
+    # round-9b additions: the detmath/fixedpoint info-theory family
+    # (vocab-bounded ln chains + doc-grain fx sums — expect ≈ data-
+    # proportional with a sublinear vocab axis) and the KMV sketch
+    # (sketch-grain pair math over a distinct-hash build — expect the
+    # distinct-build to dominate)
+    "docs_perplexity_unigram",
+    "docs_source_kl_divergence",
+    "docs_trigram_novelty",
+    "text_token_entropy",
+    "events_kmv_overlap",
 ]
 
 
