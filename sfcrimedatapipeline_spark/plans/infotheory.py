@@ -882,18 +882,29 @@ ORACLE_SQL["text_token_entropy"] = f"""
 #: full-batch GD iterations and learning rate (interpolated into BOTH
 #: engines — never hardcode one side)
 LOGREG_ITERS = 8
-LOGREG_LR = 2.0
+LOGREG_LR = 6.0
 
 #: shared feature fragments over the bound base columns
-#: (n_chars, ntok, hits_en, hits_zh) — identical text both engines
+#: (n_chars, ntok, nvocab, hits_en) — identical text both engines
 LOGREG_FEATURES: list[str] = [
     "1.0",
     "CAST(n_chars AS DOUBLE) / 1000.0",
     "CAST(ntok AS DOUBLE) / 100.0",
     "CAST(hits_en AS DOUBLE) / (CAST(ntok AS DOUBLE) + 1.0)",
-    "CAST(hits_fr AS DOUBLE) / (CAST(ntok AS DOUBLE) + 1.0)",
+    "CAST(nvocab AS DOUBLE) / (CAST(ntok AS DOUBLE) + 1.0)",
 ]
-_LOGREG_Y = "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END"
+
+#: the DISTILLATION TARGET: a Snorkel-style 2-of-3 heuristic vote
+#: (long doc, lexical diversity ≥ 4/9 via exact integer cross-multiply,
+#: ≥4 English stopword hits) — the docs_weak_labels pattern. Training a
+#: parametric scorer to mimic rule-based labeling functions is the
+#: standard quality-classifier bootstrap for LLM curation.
+_LOGREG_Y = (
+    "CASE WHEN (CASE WHEN n_chars >= 330 THEN 1 ELSE 0 END"
+    " + CASE WHEN nvocab * 9 >= ntok * 4 THEN 1 ELSE 0 END"
+    " + CASE WHEN hits_en >= 4 THEN 1 ELSE 0 END) >= 2"
+    " THEN 1.0 ELSE 0.0 END"
+)
 
 
 def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,11 +913,10 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
     base = docs.select(
-        "lang",
         "n_chars",
         F.size(toks).alias("ntok"),
+        F.size(F.array_distinct(toks)).alias("nvocab"),
         stopword_hits(toks, "en").alias("hits_en"),
-        stopword_hits(toks, "fr").alias("hits_fr"),
     )
     return base.select(
         F.expr(_LOGREG_Y).alias("y"),
@@ -916,8 +926,10 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-ENGINE MODEL TRAINING, value-hash gated: full-batch logistic
-    regression (is-this-English classifier over length / token-count /
-    stopword-rate features) whose 8-iteration weight TRACE is
+    regression DISTILLING the weak-label heuristic vote (length /
+    diversity / stopword rules) into a parametric quality scorer —
+    the FastText-style classifier bootstrap for LLM curation, run
+    inside the engine. The 8-iteration weight TRACE is
     bit-identical across the Spark trainer (operators/mltrain.py), the
     DuckDB recursive-CTE oracle, and the pure-Python twin — because
     gradients are Q40 fixed-point sums, the sigmoid rides the
@@ -987,12 +999,12 @@ def _logreg_oracle() -> str:
     stw = ", ".join(f"st.w{j}" for j in range(nf))
     return f"""
     WITH RECURSIVE tokd AS (
-        SELECT lang, n_chars, {SQL_TOKENS} AS toks FROM documents
+        SELECT n_chars, {SQL_TOKENS} AS toks FROM documents
     ),
     base AS (
-        SELECT lang, n_chars, len(toks) AS ntok,
-               {sql_stopword_hits('toks', 'en')} AS hits_en,
-               {sql_stopword_hits('toks', 'fr')} AS hits_fr
+        SELECT n_chars, len(toks) AS ntok,
+               len(list_distinct(toks)) AS nvocab,
+               {sql_stopword_hits('toks', 'en')} AS hits_en
         FROM tokd
     ),
     feats AS (
@@ -1017,3 +1029,108 @@ def _logreg_oracle() -> str:
 
 
 ORACLE_SQL["docs_logreg_train"] = _logreg_oracle()
+
+
+# ---------------------------------------------------------------------------
+# docs_logreg_calibration — train → score → reliability table
+# ---------------------------------------------------------------------------
+
+#: calibration histogram granularity: 16 score buckets (power of two,
+#: exact bucket multiply)
+CALIB_BUCKETS = 16.0
+
+
+def docs_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION (reliability) TABLE of the gated trainer's final
+    model: score every document with the trained weights, bucket the
+    sigmoid into 16 bins, and report per-bin count, positive count,
+    observed rate, and mean predicted score — the standard
+    well-calibrated-classifier audit (observed ≈ predicted per bin),
+    here gated end-to-end: the ORACLE RETRAINS the model inside its own
+    recursive CTE and scores with the same deterministic sigmoid, so
+    the hash covers train + score + calibrate as one artifact.
+
+    Same determinism stack as docs_logreg_train (fx gradient sums,
+    exp_det sigmoid, literal-embedded weights on the Spark side vs
+    recursion-carried weights in the oracle); mean predicted score per
+    bin rides one more fx sum. Scale: scoring is one codegen pass over
+    the feature frame; the output is 16 rows."""
+    from sfcrimedatapipeline_spark.functions.detmath import with_exp_det
+    from sfcrimedatapipeline_spark.operators.mltrain import logreg_train
+
+    feats = _logreg_features(spark, sf_dir)
+    trace = logreg_train(
+        feats,
+        [f"x{j}" for j in range(len(LOGREG_FEATURES))],
+        "y",
+        iters=LOGREG_ITERS,
+        lr=LOGREG_LR,
+    )
+    w = trace[-1][1:]
+    z = " + ".join(
+        f"CAST({w[j]!r} AS DOUBLE) * x{j}" for j in range(len(LOGREG_FEATURES))
+    )
+    d = feats.withColumn("nz", F.expr(f"0.0 - ({z})"))
+    d = with_exp_det(d, "nz", "enz")
+    d = d.withColumn("sig", F.expr("1.0 / (1.0 + enz)"))
+    return d.groupBy(
+        F.floor(F.col("sig") * F.lit(CALIB_BUCKETS)).alias("score_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("y").cast("long")).cast("long").alias("n_positive"),
+        (
+            F.sum(F.col("y").cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("observed_rate"),
+        (
+            F.expr(sql_unfx(f"sum({sql_fx('sig')})"))
+            / F.count("*").cast("double")
+        ).alias("mean_score"),
+    )
+
+
+QUERIES["docs_logreg_calibration"] = docs_logreg_calibration
+
+
+def _logreg_calibration_oracle() -> str:
+    """Oracle: the full trainer recursion (shared builder) → take the
+    final-iteration weights → score + bucket with the same fragments."""
+    from sfcrimedatapipeline_spark.functions.detmath import sql_exp_det_wrap
+
+    nf = len(LOGREG_FEATURES)
+    z = " + ".join(f"fw.w{j} * x{j}" for j in range(nf))
+    inner = (
+        f"SELECT y, {', '.join(f'x{j}' for j in range(nf))}, "
+        f"0.0 - ({z}) AS nz FROM feats CROSS JOIN fw"
+    )
+    sig_sel = (
+        "SELECT *, 1.0 / (1.0 + enz) AS sig FROM ("
+        + sql_exp_det_wrap(inner, "nz", "enz")
+        + ")"
+    )
+    wlist = ", ".join(f"w{j}" for j in range(nf))
+    train = _logreg_oracle()
+    # reuse the trainer CTE text: strip its final SELECT, keep the CTEs
+    # (rstrip + comma turns the st CTE's closing paren into a CTE-list
+    # separator)
+    cte_body = train[: train.rindex("SELECT CAST(it AS BIGINT)")].rstrip()
+    return f"""{cte_body},
+    fw AS (
+        SELECT {wlist} FROM st
+        WHERE it = {LOGREG_ITERS}
+    ),
+    scored AS (
+        {sig_sel}
+    )
+    SELECT CAST(floor(sig * {CALIB_BUCKETS!r}) AS BIGINT) AS score_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_positive,
+           CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS observed_rate,
+           {sql_unfx(f"sum({sql_fx('sig')})")} / CAST(count(*) AS DOUBLE)
+               AS mean_score
+    FROM scored GROUP BY 1
+"""
+
+
+ORACLE_SQL["docs_logreg_calibration"] = _logreg_calibration_oracle()

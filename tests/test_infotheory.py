@@ -400,16 +400,21 @@ def _logreg_rows_py() -> list[tuple]:
     from sfcrimedatapipeline_spark.functions.text import STOPWORDS
 
     pdf = duckdb.connect().execute(
-        f"SELECT lang, n_chars, text FROM '{SF_SMALL}/documents.parquet'"
+        f"SELECT n_chars, text FROM '{SF_SMALL}/documents.parquet'"
     ).df()
-    en, fr = set(STOPWORDS["en"]), set(STOPWORDS["fr"])
+    en = set(STOPWORDS["en"])
     rows = []
     for _, r in pdf.iterrows():
         toks = _tokens(r["text"])
         ntok = len(toks)
+        nvocab = len(set(toks))
         hits_en = sum(1 for t in toks if t in en)
-        hits_fr = sum(1 for t in toks if t in fr)
-        y = 1.0 if r["lang"] == "en" else 0.0
+        votes = (
+            (1 if r["n_chars"] >= 330 else 0)
+            + (1 if nvocab * 9 >= ntok * 4 else 0)
+            + (1 if hits_en >= 4 else 0)
+        )
+        y = 1.0 if votes >= 2 else 0.0
         rows.append(
             (
                 y,
@@ -417,7 +422,7 @@ def _logreg_rows_py() -> list[tuple]:
                 float(r["n_chars"]) / 1000.0,
                 float(ntok) / 100.0,
                 float(hits_en) / (float(ntok) + 1.0),
-                float(hits_fr) / (float(ntok) + 1.0),
+                float(nvocab) / (float(ntok) + 1.0),
             )
         )
     return rows
