@@ -117,3 +117,103 @@ def logreg_train_py(
         w = [w[j] + lr * ((float(g[j]) / FX_SCALE) / n) for j in range(nf)]
         trace.append((it, *w))
     return trace
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-means (Lloyd's) — the gated IVF-quantizer trainer
+# ---------------------------------------------------------------------------
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+) -> list[tuple]:
+    """Full-batch Lloyd's k-means over an ``(vec_id, embedding)`` frame,
+    deterministic to the bit: init is the k smallest vec_ids' vectors;
+    per-point distances are Q40 fixed-point sums at the (vec, cluster)
+    grain (so the argmin is an exact-integer comparison, tie-broken on
+    cluster id); new centroids are fixed-point means. Returns final
+    centroid rows ``[(cluster, n_members, dim, centroid), ...]`` —
+    k·dims rows — exactly reproducible by the DuckDB unrolled-CTE
+    oracle and any partitioning.
+
+    Scale (100 TB): per iteration, one broadcast of k·dims centroid
+    cells into the exploded point grain, one (vec, cluster) distance
+    aggregate (map-side combinable), one (cluster, dim) mean aggregate.
+    Centroids collect to the driver between iterations (k·dims values —
+    the BPE/IVF trainer precedent); empty clusters keep their previous
+    centroid (COALESCE, mirrored in the oracle)."""
+    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE, sql_fx
+
+    spark = emb.sparkSession
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val_f")
+    ).select(
+        "vec_id",
+        (F.col("pos") + F.lit(1)).alias("dim"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    pts = pts.cache()
+    # deterministic init: the k smallest vec_ids, cluster = their rank
+    init_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(k).collect()
+    ]
+    cent: list[tuple] = [
+        (c, 0, r["dim"], r["val"])
+        for c, vid in enumerate(init_ids)
+        for r in pts.filter(F.col("vec_id") == vid).collect()
+    ]
+    cent = [(c, n, d, v) for (c, n, d, v) in cent]
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(c, d, v) for (c, _, d, v) in cent],
+                "cluster bigint, dim int, cval double",
+            )
+        )
+        dist = (
+            pts.join(cdf, "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(F.expr(sql_fx("(val - cval) * (val - cval)"))).alias(
+                    "dist_fx"
+                )
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dist_fx").asc(), F.col("cluster").asc()
+        )
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        means = (
+            assign.join(pts, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(F.expr(sql_fx("val"))).alias("s_fx"),
+                F.count("*").cast("long").alias("n"),
+            )
+            .collect()
+        )
+        got = {
+            (r["cluster"], r["dim"]): (
+                (float(r["s_fx"]) / FX_SCALE) / r["n"],
+                r["n"],
+            )
+            for r in means
+        }
+        # empty clusters keep the previous centroid (n = 0)
+        cent = [
+            (c, got[(c, d)][1], d, got[(c, d)][0])
+            if (c, d) in got
+            else (c, 0, d, v)
+            for (c, _, d, v) in cent
+        ]
+    pts.unpersist()
+    return cent

@@ -1134,3 +1134,114 @@ def _logreg_calibration_oracle() -> str:
 
 
 ORACLE_SQL["docs_logreg_calibration"] = _logreg_calibration_oracle()
+
+
+# ---------------------------------------------------------------------------
+# emb_kmeans_train — gated k-means (the IVF coarse-quantizer trainer)
+# ---------------------------------------------------------------------------
+
+#: clusters / Lloyd iterations (interpolated into both engines)
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GATED K-MEANS: 3 Lloyd iterations over the embeddings table,
+    k = 4, deterministic to the bit — init from the k smallest vec_ids,
+    Q40 fixed-point distances (argmin becomes an exact integer compare,
+    tie-broken on cluster id) and fixed-point centroid means, so the
+    final (cluster, dim, centroid, n_members) table value-hash matches
+    a DuckDB oracle that re-runs the SAME three iterations as unrolled
+    CTE stages. Upgrades the IVF coarse-quantizer story from rows-only
+    (operators/similarity.py trainer) to hash-gated: the quantizer a
+    100 TB ANN index trains is now gate-verifiable.
+
+    Scale: per iteration one k·dims-cell broadcast into the exploded
+    point grain, one (vec, cluster) distance aggregate, one
+    (cluster, dim) mean aggregate — all map-side combinable; the
+    driver holds k·dims doubles between iterations (BPE-trainer
+    precedent). Empty clusters keep their previous centroid
+    (COALESCE on both sides)."""
+    from sfcrimedatapipeline_spark.operators.mltrain import kmeans_train
+
+    emb = ensure_min_partitions(read_table(spark, sf_dir, "embeddings"))
+    cent = kmeans_train(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return spark.createDataFrame(
+        cent, "cluster bigint, n_members bigint, dim int, centroid double"
+    )
+
+
+QUERIES["emb_kmeans_train"] = emb_kmeans_train
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled-CTE twin of the Spark k-means: cent0 from the k smallest
+    vec_ids, then per iteration a (vec, cluster) fixed-point distance
+    aggregate, a row_number argmin, and a fixed-point mean — generated
+    from the same constants so the engines cannot drift."""
+    mean_val = (
+        f"(CAST(sum({sql_fx('p.val')}) AS DOUBLE)"
+        " / 1099511627776.0) / CAST(count(*) AS DOUBLE)"
+    )
+    # keep the fx scale interpolated, not hardcoded
+    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE
+
+    mean_val = (
+        f"(CAST(sum({sql_fx('p.val')}) AS DOUBLE)"
+        f" / {FX_SCALE!r}) / CAST(count(*) AS DOUBLE)"
+    )
+    steps = []
+    for i in range(1, KMEANS_ITERS + 1):
+        prev = f"cent{i - 1}"
+        steps.append(f"""
+    d{i} AS (
+        SELECT p.vec_id, c.cluster,
+               sum({sql_fx("(p.val - c.cval) * (p.val - c.cval)")}) AS dist_fx
+        FROM pts p JOIN {prev} c USING (dim)
+        GROUP BY 1, 2
+    ),
+    a{i} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist_fx ASC, cluster ASC) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ),
+    m{i} AS (
+        SELECT a.cluster, p.dim,
+               {mean_val} AS val,
+               CAST(count(*) AS BIGINT) AS n
+        FROM a{i} a JOIN pts p USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    cent{i} AS (
+        SELECT c.cluster, c.dim,
+               COALESCE(m.val, c.cval) AS cval,
+               CAST(COALESCE(m.n, 0) AS BIGINT) AS n
+        FROM {prev} c
+        LEFT JOIN m{i} m ON m.cluster = c.cluster AND m.dim = c.dim
+    )""")
+    return f"""
+    WITH pts AS (
+        SELECT vec_id, r.range AS dim,
+               CAST(embedding[r.range] AS DOUBLE) AS val
+        FROM embeddings CROSS JOIN range(1, 65) r
+    ),
+    init AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cluster
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+    ),
+    cent0 AS (
+        SELECT i.cluster, p.dim, p.val AS cval, CAST(0 AS BIGINT) AS n
+        FROM pts p JOIN init i USING (vec_id)
+    ),{",".join(steps)}
+    SELECT cluster, n AS n_members, CAST(dim AS INTEGER) AS dim,
+           cval AS centroid
+    FROM cent{KMEANS_ITERS}
+"""
+
+
+ORACLE_SQL["emb_kmeans_train"] = _kmeans_oracle()

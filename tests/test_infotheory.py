@@ -471,3 +471,46 @@ def test_logreg_learns_separation():
     other = [sig(r[1:]) for r in rows if r[0] == 0.0]
     assert en and other
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_kmeans_matches_numpy_twin(spark):
+    """The gated k-means centroids must equal a numpy re-derivation of
+    the same deterministic algorithm (fx-floored distances and means)
+    to float tolerance, and basic Lloyd invariants must hold."""
+    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE
+    from sfcrimedatapipeline_spark.plans.infotheory import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        emb_kmeans_train,
+    )
+
+    rows = emb_kmeans_train(spark, SF_SMALL).collect()
+    assert len(rows) == KMEANS_K * 64
+    emb = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMALL}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in emb]
+    X = np.array([r[1] for r in emb], dtype=np.float64)
+    cent = X[np.argsort(ids)[:KMEANS_K]].copy()
+    n_members = np.zeros(KMEANS_K, dtype=int)
+    for _ in range(KMEANS_ITERS):
+        dist_fx = np.zeros((len(X), KMEANS_K), dtype=object)
+        for c in range(KMEANS_K):
+            d = (X - cent[c]) ** 2
+            dist_fx[:, c] = np.floor(d * FX_SCALE).sum(axis=1)
+        assign = np.argmin(dist_fx.astype(np.float64), axis=1)
+        for c in range(KMEANS_K):
+            members = X[assign == c]
+            n_members[c] = len(members)
+            if len(members):
+                cent[c] = (
+                    np.floor(members * FX_SCALE).sum(axis=0) / FX_SCALE
+                ) / len(members)
+    got = {(r["cluster"], r["dim"]): r for r in rows}
+    for c in range(KMEANS_K):
+        for d in range(64):
+            r = got[(c, d + 1)]
+            assert abs(r["centroid"] - cent[c][d]) < 1e-9, (c, d)
+            assert r["n_members"] == n_members[c]
+    assert sum(n_members) == len(X)
