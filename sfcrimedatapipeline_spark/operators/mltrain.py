@@ -217,3 +217,78 @@ def kmeans_train(
         ]
     pts.unpersist()
     return cent
+
+
+# ---------------------------------------------------------------------------
+# deterministic power iteration — the gated PCA/top-eigenvector trainer
+# ---------------------------------------------------------------------------
+
+
+def power_iteration(
+    emb: DataFrame,
+    iters: int,
+    dims: int,
+) -> tuple[list[float], float]:
+    """Top eigenvector of the (uncentered) Gram matrix XᵀX by power
+    iteration, deterministic to the bit: matrix-vector products are Q40
+    fixed-point sums at the vec / dim grains, the norm is a fixed-point
+    sum over the dim grain, and the normalize step is one IEEE
+    sqrt + divide. Returns ``(v, eigenvalue)`` with ``v`` the unit
+    loading vector after ``iters`` rounds and ``eigenvalue ≈ ‖XᵀXv‖``.
+
+    The init is the exact uniform unit vector (1/√dims must be a power
+    of two — asserted — so the literal is exact). Scale (100 TB): per
+    iteration, one dims-cell broadcast, one vec-grain aggregate, one
+    dim-grain aggregate — the driver holds only the 64 loadings
+    (BPE-trainer precedent)."""
+    import math
+
+    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE, sql_fx
+
+    spark = emb.sparkSession
+    lg = int(round(math.log2(dims)))
+    assert (1 << lg) == dims and lg % 2 == 0, (
+        "dims must be an even power of two so 1/sqrt(dims) is exact"
+    )
+    init = 1.0 / float(1 << (lg // 2))
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val_f")
+    ).select(
+        "vec_id",
+        (F.col("pos") + F.lit(1)).alias("dim"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    pts = pts.cache()
+    v = [init] * dims
+    norm2 = 1.0
+    for _ in range(iters):
+        vdf = F.broadcast(
+            spark.createDataFrame(
+                [(d + 1, v[d]) for d in range(dims)], "dim int, vval double"
+            )
+        )
+        u = (
+            pts.join(vdf, "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.expr(sql_fx("val * vval"))).alias("u_fx"))
+            .select(
+                "vec_id",
+                (F.col("u_fx").cast("double") / F.lit(FX_SCALE)).alias("uval"),
+            )
+        )
+        w_rows = (
+            pts.join(u, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.expr(sql_fx("val * uval"))).alias("w_fx"))
+            .collect()
+        )
+        w = [0.0] * dims
+        for r in w_rows:
+            w[r["dim"] - 1] = float(r["w_fx"]) / FX_SCALE
+        # norm² as the same fixed-point sum the oracle runs on its dim
+        # rows (python ints are exact)
+        norm2 = float(sum(math.floor((wd * wd) * FX_SCALE) for wd in w)) / FX_SCALE
+        s = math.sqrt(norm2)
+        v = [wd / s for wd in w]
+    pts.unpersist()
+    return v, math.sqrt(norm2)

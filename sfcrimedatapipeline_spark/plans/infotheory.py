@@ -1245,3 +1245,90 @@ def _kmeans_oracle() -> str:
 
 
 ORACLE_SQL["emb_kmeans_train"] = _kmeans_oracle()
+
+
+# ---------------------------------------------------------------------------
+# emb_power_iteration — gated top-eigenvector (PCA-1) trainer
+# ---------------------------------------------------------------------------
+
+#: power-iteration rounds and embedding dimensionality
+POWER_ITERS = 4
+POWER_DIMS = 64
+
+
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GATED POWER ITERATION: the top principal direction of the
+    embedding Gram matrix XᵀX (uncentered PCA-1), 4 rounds,
+    deterministic to the bit — matrix-vector products and the norm are
+    Q40 fixed-point sums, the normalize step is IEEE sqrt + divide, so
+    the 64 loadings + eigenvalue hash-match a DuckDB oracle that runs
+    the same rounds as unrolled CTE stages. Complements the numpy-side
+    ``emb_pca_topk``: the dominant direction is computed DISTRIBUTED
+    and gate-verified — the ANISOTROPY audit a 100 TB embedding corpus
+    runs without collecting X. (On this fixture the Gram spectrum is
+    nearly flat — λ1/λ2 ≈ 1.07 — so 4 rounds measure anisotropy, the
+    Rayleigh estimate vs the mean eigenvalue, rather than a converged
+    top direction; the twin test pins the estimate inside the true
+    spectrum.)
+
+    Output: one row per dim (1..64) with the loading, plus a dim=0 row
+    carrying the eigenvalue estimate ‖XᵀXv‖. Scale: per round, one
+    64-cell broadcast, one vec-grain aggregate, one dim-grain
+    aggregate; the driver holds 64 doubles."""
+    from sfcrimedatapipeline_spark.operators.mltrain import power_iteration
+
+    emb = ensure_min_partitions(read_table(spark, sf_dir, "embeddings"))
+    v, lam = power_iteration(emb, iters=POWER_ITERS, dims=POWER_DIMS)
+    rows = [(0, lam)] + [(d + 1, v[d]) for d in range(POWER_DIMS)]
+    return spark.createDataFrame(rows, "dim int, loading double")
+
+
+QUERIES["emb_power_iteration"] = emb_power_iteration
+
+
+def _power_iteration_oracle() -> str:
+    """Unrolled-CTE twin: v0 is the exact uniform unit vector; each
+    round is a vec-grain fixed-point matvec, a dim-grain fixed-point
+    matvec, a fixed-point norm, and sqrt-divide normalize — same
+    constants, same text, same bits."""
+    init = 1.0 / 8.0  # 1/sqrt(64), exact power of two
+    steps = []
+    for i in range(1, POWER_ITERS + 1):
+        prev = f"v{i - 1}"
+        steps.append(f"""
+    u{i} AS (
+        SELECT p.vec_id,
+               {sql_unfx(f"sum({sql_fx('p.val * v.vval')})")} AS uval
+        FROM pts p JOIN {prev} v USING (dim)
+        GROUP BY 1
+    ),
+    w{i} AS (
+        SELECT p.dim,
+               {sql_unfx(f"sum({sql_fx('p.val * u.uval')})")} AS wval
+        FROM pts p JOIN u{i} u USING (vec_id)
+        GROUP BY 1
+    ),
+    n{i} AS (
+        SELECT {sql_unfx(f"sum({sql_fx('wval * wval')})")} AS norm2 FROM w{i}
+    ),
+    v{i} AS (
+        SELECT dim, wval / sqrt(norm2) AS vval FROM w{i} CROSS JOIN n{i}
+    )""")
+    return f"""
+    WITH pts AS (
+        SELECT vec_id, r.range AS dim,
+               CAST(embedding[r.range] AS DOUBLE) AS val
+        FROM embeddings CROSS JOIN range(1, {POWER_DIMS + 1}) r
+    ),
+    v0 AS (
+        SELECT CAST(r.range AS INTEGER) AS dim, CAST({init!r} AS DOUBLE) AS vval
+        FROM range(1, {POWER_DIMS + 1}) r
+    ),{",".join(steps)}
+    SELECT CAST(0 AS INTEGER) AS dim, sqrt(norm2) AS loading
+    FROM n{POWER_ITERS}
+    UNION ALL
+    SELECT CAST(dim AS INTEGER) AS dim, vval AS loading FROM v{POWER_ITERS}
+"""
+
+
+ORACLE_SQL["emb_power_iteration"] = _power_iteration_oracle()

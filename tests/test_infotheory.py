@@ -514,3 +514,59 @@ def test_kmeans_matches_numpy_twin(spark):
             assert abs(r["centroid"] - cent[c][d]) < 1e-9, (c, d)
             assert r["n_members"] == n_members[c]
     assert sum(n_members) == len(X)
+
+
+def test_power_iteration_bit_exact_twin_and_rayleigh(spark):
+    """The gated power iteration must EQUAL a python twin of the same
+    fixed-point algorithm bit for bit, keep an exactly unit-norm
+    output, and report an eigenvalue estimate inside the true spectrum
+    (the fixture\'s spectrum is nearly flat — l1/l2 = 1.07 — so 4
+    rounds measure ANISOTROPY, not the converged top direction; the
+    Rayleigh estimate must sit between the mean eigenvalue and the
+    max)."""
+    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE
+    from sfcrimedatapipeline_spark.plans.infotheory import (
+        POWER_DIMS,
+        POWER_ITERS,
+        emb_power_iteration,
+    )
+
+    rows = {r["dim"]: r["loading"] for r in emb_power_iteration(spark, SF_SMALL).collect()}
+    lam = rows.pop(0)
+    v = [rows[d + 1] for d in range(POWER_DIMS)]
+
+    emb = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM \'{SF_SMALL}/embeddings.parquet\'"
+    ).fetchall()
+    X = [list(map(float, r[1])) for r in emb]
+
+    # python twin: same fx floors, same op order
+    tv = [1.0 / 8.0] * POWER_DIMS
+    tlam = 0.0
+    for _ in range(POWER_ITERS):
+        u = [
+            float(sum(math.floor((row[d] * tv[d]) * FX_SCALE) for d in range(POWER_DIMS)))
+            / FX_SCALE
+            for row in X
+        ]
+        w = [
+            float(sum(math.floor((X[i][d] * u[i]) * FX_SCALE) for i in range(len(X))))
+            / FX_SCALE
+            for d in range(POWER_DIMS)
+        ]
+        norm2 = float(sum(math.floor((wd * wd) * FX_SCALE) for wd in w)) / FX_SCALE
+        s_ = math.sqrt(norm2)
+        tv = [wd / s_ for wd in w]
+        tlam = math.sqrt(norm2)
+    assert lam == tlam
+    for a, b in zip(v, tv):
+        assert a == b
+
+    # spectrum invariants
+    Xn = np.array(X)
+    evals = np.linalg.eigvalsh(Xn.T @ Xn)
+    mean_ev = float(evals.mean())
+    assert abs(np.linalg.norm(np.array(v)) - 1.0) < 1e-9
+    assert mean_ev * 0.99 <= lam <= float(evals[-1]) * 1.001, (
+        lam, mean_ev, float(evals[-1]),
+    )
