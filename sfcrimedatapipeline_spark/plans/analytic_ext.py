@@ -1263,20 +1263,11 @@ ORACLE_SQL["orders_control_chart_monthly"] = """
 # events_kmv_overlap — KMV/theta-sketch set operations
 # ---------------------------------------------------------------------------
 
-#: KMV sketch size (k smallest hash values per set)
-KMV_K = 512
-
-#: exhaustive-sketch theta: the portable hash is 60-bit (15 hex chars),
-#: so theta = 2^60 means "the sketch holds the whole set" and every
-#: estimate below degrades to the exact count.
-KMV_HASH_SPACE = 1 << 60
-
-#: theta-sketch estimator: |X ∩ [0, θ_pair)| · 2^60 / θ_pair. 2^60 is a
-#: power of two (exact as a double); θ up to 2^60 rounds to double
-#: identically in both engines; one deterministic multiply + divide.
-_KMV_EST = (
-    "CAST({cnt} AS DOUBLE) * 1152921504606846976.0"
-    " / CAST(theta_pair AS DOUBLE)"
+#: re-exported from the generic sketch operator (tests and older
+#: callers import them from here)
+from sfcrimedatapipeline_spark.operators.sketches import (  # noqa: E402
+    KMV_HASH_SPACE,
+    KMV_K,
 )
 
 
@@ -1284,236 +1275,106 @@ def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values / theta) SKETCH SET OPERATIONS over the
     per-event-type user sets: estimated union AND intersection sizes
     for every type pair, beside the exact answers — the capability HLL
-    fundamentally lacks (HLL unions but cannot intersect; theta
-    sketches do both, which is why audience-overlap at 100 TB is a
-    theta-sketch workload).
+    fundamentally lacks (theta sketches intersect; HLL cannot), which
+    is why audience-overlap at 100 TB is a theta-sketch workload.
 
-    Everything lives in the portable 60-bit hash space
-    (functions/hashing.py): a sketch is the K smallest distinct hashes
-    per type (one rank window over the type-bounded distinct-hash
-    frame); θ_t is the K-th smallest (or 2^60 when the set is smaller
-    than K, making the sketch exhaustive and the estimate exact). For
-    a pair, θ_pair = least(θ_a, θ_b); counting sketch entries below
-    θ_pair gives |A'|, |B'|, |A'∩B'| (the ∩ via an equi-join on the
-    hash), and the estimates are count · 2^60/θ_pair — exact integers
-    plus one deterministic double multiply/divide, so the gate hashes
-    bit-for-bit. The exact columns are the recall-harness pattern
-    (ann_recall_eval precedent): the gate validates the ESTIMATOR
-    itself, not just plumbing.
-
-    Scale: per-partition k-min values merge associatively (min-k of
-    min-ks), so the sketch build is one map-side-combinable pass; the
-    pair grid is (#event_types)² over per-type AGGREGATES — sketch
-    grain, never data grain (GROUP_BOUNDED_OK declares event_type/
-    type_a/type_b in tools/plan_audit.py). The exact-intersection join
-    is hash-grain and exists only as the estimator's oracle."""
-    from pyspark.sql import Window
-
+    Thin wrapper over the generic operator
+    (operators/sketches.py:kmv_pair_overlap — hash space, sketch
+    build, θ-pair math, estimator and scale notes live there); the set
+    key is event_type, the element hash is the portable 60-bit hash of
+    user_id. The exact union/intersection columns are the
+    recall-harness pattern: the gate validates the ESTIMATOR, not just
+    plumbing. Pair grid is event-type-bounded (GROUP_BOUNDED_OK in
+    tools/plan_audit.py)."""
     from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+    from sfcrimedatapipeline_spark.operators.sketches import kmv_pair_overlap
 
     ev = read_table(spark, sf_dir, "events")
     uh = ev.select(
         "event_type", portable_hash64(F.col("user_id")).alias("h")
     ).distinct()
-    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
-    sk = (
-        uh.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= KMV_K)
-        .drop("r")
-    )
-    n_exact = uh.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_exact")
-    )
-    theta = (
-        sk.groupBy("event_type")
-        .agg(F.max("h").alias("max_h"), F.count("*").cast("long").alias("k_t"))
-        .select(
-            "event_type",
-            F.when(F.col("k_t") < KMV_K, F.lit(KMV_HASH_SPACE))
-            .otherwise(F.col("max_h"))
-            .cast("long")
-            .alias("theta"),
-        )
-    )
-    a, b = theta.alias("a"), theta.alias("b")
-    pairs = a.join(
-        b, F.col("a.event_type") < F.col("b.event_type"), "inner"
-    ).select(
-        F.col("a.event_type").alias("type_a"),
-        F.col("b.event_type").alias("type_b"),
-        F.least(F.col("a.theta"), F.col("b.theta")).alias("theta_pair"),
-    )
-    na = (
-        sk.join(pairs, (sk.event_type == pairs.type_a) & (sk.h < pairs.theta_pair))
-        .groupBy("type_a", "type_b")
-        .agg(F.count("*").cast("long").alias("n_a_below"))
-    )
-    nb = (
-        sk.join(pairs, (sk.event_type == pairs.type_b) & (sk.h < pairs.theta_pair))
-        .groupBy("type_a", "type_b")
-        .agg(F.count("*").cast("long").alias("n_b_below"))
-    )
-    sa, sb = sk.alias("sa"), sk.alias("sb")
-    hmatch = sa.join(
-        sb,
-        (F.col("sa.h") == F.col("sb.h"))
-        & (F.col("sa.event_type") < F.col("sb.event_type")),
-    ).select(
-        F.col("sa.event_type").alias("type_a"),
-        F.col("sb.event_type").alias("type_b"),
-        F.col("sa.h").alias("h"),
-    )
-    ni = (
-        hmatch.join(pairs, ["type_a", "type_b"])
-        .filter(F.col("h") < F.col("theta_pair"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count("*").cast("long").alias("n_i_below"))
-    )
-    ua, ub = uh.alias("ua"), uh.alias("ub")
-    xi = (
-        ua.join(
-            ub,
-            (F.col("ua.h") == F.col("ub.h"))
-            & (F.col("ua.event_type") < F.col("ub.event_type")),
-        )
-        .groupBy(
-            F.col("ua.event_type").alias("type_a"),
-            F.col("ub.event_type").alias("type_b"),
-        )
-        .agg(F.count("*").cast("long").alias("exact_inter"))
-    )
-    base = (
-        pairs.join(na, ["type_a", "type_b"], "left")
-        .join(nb, ["type_a", "type_b"], "left")
-        .join(ni, ["type_a", "type_b"], "left")
-        .join(xi, ["type_a", "type_b"], "left")
-        .join(
-            n_exact.withColumnRenamed("event_type", "type_a").withColumnRenamed(
-                "n_exact", "n_exact_a"
-            ),
-            "type_a",
-        )
-        .join(
-            n_exact.withColumnRenamed("event_type", "type_b").withColumnRenamed(
-                "n_exact", "n_exact_b"
-            ),
-            "type_b",
-        )
-        .select(
-            "type_a",
-            "type_b",
-            "n_exact_a",
-            "n_exact_b",
-            F.coalesce(F.col("n_a_below"), F.lit(0)).cast("long").alias("n_a_below"),
-            F.coalesce(F.col("n_b_below"), F.lit(0)).cast("long").alias("n_b_below"),
-            F.coalesce(F.col("n_i_below"), F.lit(0)).cast("long").alias("n_i_below"),
-            F.coalesce(F.col("exact_inter"), F.lit(0)).cast("long").alias("exact_inter"),
-            "theta_pair",
-        )
-    )
-    return base.select(
-        "type_a",
-        "type_b",
-        "n_exact_a",
-        "n_exact_b",
-        (F.col("n_exact_a") + F.col("n_exact_b") - F.col("exact_inter"))
-        .cast("long")
-        .alias("exact_union"),
-        "exact_inter",
-        F.expr(_KMV_EST.format(cnt="(n_a_below + n_b_below) - n_i_below")).alias(
-            "est_union"
-        ),
-        F.expr(_KMV_EST.format(cnt="n_i_below")).alias("est_inter"),
+    return (
+        kmv_pair_overlap(uh, "event_type", KMV_K)
+        .withColumnRenamed("key_a", "type_a")
+        .withColumnRenamed("key_b", "type_b")
     )
 
 
 QUERIES["events_kmv_overlap"] = events_kmv_overlap
 
 
-# interpolated from KMV_K / KMV_HASH_SPACE — never hardcode a
-# constant the Spark side reads from a variable (ADVICE r8 #a)
-ORACLE_SQL["events_kmv_overlap"] = f"""
-    WITH uh AS (
-        SELECT DISTINCT event_type, CAST('0x' || substr(md5(CAST(0 AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-        FROM events
-    ),
-    sk AS (
-        SELECT event_type, h
-        FROM (
-            SELECT event_type, h,
-                   row_number() OVER (PARTITION BY event_type
-                                      ORDER BY h ASC) AS r
-            FROM uh
-        )
-        WHERE r <= {KMV_K}
-    ),
-    n_exact AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
-        FROM uh GROUP BY 1
-    ),
-    theta AS (
-        SELECT event_type,
-               CAST(CASE WHEN count(*) < {KMV_K} THEN {KMV_HASH_SPACE}
-                         ELSE max(h) END AS BIGINT) AS theta
-        FROM sk GROUP BY 1
-    ),
-    pairs AS (
-        SELECT a.event_type AS type_a, b.event_type AS type_b,
-               least(a.theta, b.theta) AS theta_pair
-        FROM theta a JOIN theta b ON a.event_type < b.event_type
-    ),
-    na AS (
-        SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_a_below
-        FROM sk JOIN pairs ON sk.event_type = pairs.type_a
-                          AND sk.h < pairs.theta_pair
-        GROUP BY 1, 2
-    ),
-    nb AS (
-        SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_b_below
-        FROM sk JOIN pairs ON sk.event_type = pairs.type_b
-                          AND sk.h < pairs.theta_pair
-        GROUP BY 1, 2
-    ),
-    ni AS (
-        SELECT p.type_a, p.type_b, CAST(count(*) AS BIGINT) AS n_i_below
-        FROM sk sa
-        JOIN sk sb ON sa.h = sb.h AND sa.event_type < sb.event_type
-        JOIN pairs p ON p.type_a = sa.event_type AND p.type_b = sb.event_type
-        WHERE sa.h < p.theta_pair
-        GROUP BY 1, 2
-    ),
-    xi AS (
-        SELECT ua.event_type AS type_a, ub.event_type AS type_b,
-               CAST(count(*) AS BIGINT) AS exact_inter
-        FROM uh ua
-        JOIN uh ub ON ua.h = ub.h AND ua.event_type < ub.event_type
-        GROUP BY 1, 2
-    ),
-    base AS (
-        SELECT pairs.type_a, pairs.type_b,
-               ea.n_exact AS n_exact_a,
-               eb.n_exact AS n_exact_b,
-               CAST(coalesce(na.n_a_below, 0) AS BIGINT) AS n_a_below,
-               CAST(coalesce(nb.n_b_below, 0) AS BIGINT) AS n_b_below,
-               CAST(coalesce(ni.n_i_below, 0) AS BIGINT) AS n_i_below,
-               CAST(coalesce(xi.exact_inter, 0) AS BIGINT) AS exact_inter,
-               pairs.theta_pair
-        FROM pairs
-        LEFT JOIN na USING (type_a, type_b)
-        LEFT JOIN nb USING (type_a, type_b)
-        LEFT JOIN ni USING (type_a, type_b)
-        LEFT JOIN xi USING (type_a, type_b)
-        JOIN n_exact ea ON ea.event_type = pairs.type_a
-        JOIN n_exact eb ON eb.event_type = pairs.type_b
+def _events_kmv_oracle() -> str:
+    from sfcrimedatapipeline_spark.functions.hashing import sql_hash64
+    from sfcrimedatapipeline_spark.operators.sketches import (
+        sql_kmv_pair_overlap,
     )
-    SELECT type_a, type_b, n_exact_a, n_exact_b,
-           CAST(n_exact_a + n_exact_b - exact_inter AS BIGINT) AS exact_union,
-           exact_inter,
-           CAST((n_a_below + n_b_below) - n_i_below AS DOUBLE)
-               * {float(KMV_HASH_SPACE)!r} / CAST(theta_pair AS DOUBLE)
-               AS est_union,
-           CAST(n_i_below AS DOUBLE)
-               * {float(KMV_HASH_SPACE)!r} / CAST(theta_pair AS DOUBLE)
-               AS est_inter
-    FROM base
-"""
+
+    uh = (
+        "SELECT DISTINCT event_type AS k_, "
+        + sql_hash64("user_id")
+        + " AS h FROM events"
+    )
+    return (
+        "SELECT key_a AS type_a, key_b AS type_b, n_exact_a, n_exact_b, "
+        "exact_union, exact_inter, est_union, est_inter FROM ("
+        + sql_kmv_pair_overlap(uh, KMV_K)
+        + ")"
+    )
+
+
+ORACLE_SQL["events_kmv_overlap"] = _events_kmv_oracle()
+
+
+def docs_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE EXACT-DUPLICATE OVERLAP AT SKETCH COST: KMV/theta
+    estimates of the shared normalized-text fingerprint sets between
+    every source pair, beside the exact answers — the sketch twin of
+    ``dedup_cross_source_matrix`` (which counts NEAR-dup links over the
+    MinHash pair graph; this one counts EXACT shared text, and at
+    100 TB does it from k·|sources| retained hashes instead of a
+    fingerprint-grain join). Same generic operator as
+    events_kmv_overlap (operators/sketches.py); element hash is the
+    portable 60-bit hash of the normalized text."""
+    from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+    from sfcrimedatapipeline_spark.functions.text import normalized
+    from sfcrimedatapipeline_spark.operators.sketches import (
+        KMV_K,
+        kmv_pair_overlap,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    uh = docs.select(
+        "source", portable_hash64(normalized(F.col("text"))).alias("h")
+    ).distinct()
+    return (
+        kmv_pair_overlap(uh, "source", KMV_K)
+        .withColumnRenamed("key_a", "source_a")
+        .withColumnRenamed("key_b", "source_b")
+    )
+
+
+QUERIES["docs_kmv_source_overlap"] = docs_kmv_source_overlap
+
+
+def _docs_kmv_oracle() -> str:
+    from sfcrimedatapipeline_spark.functions.hashing import sql_hash64
+    from sfcrimedatapipeline_spark.functions.text import SQL_NORMALIZED
+    from sfcrimedatapipeline_spark.operators.sketches import (
+        KMV_K,
+        sql_kmv_pair_overlap,
+    )
+
+    uh = (
+        "SELECT DISTINCT source AS k_, "
+        + sql_hash64(SQL_NORMALIZED)
+        + " AS h FROM documents"
+    )
+    return (
+        "SELECT key_a AS source_a, key_b AS source_b, n_exact_a, n_exact_b, "
+        "exact_union, exact_inter, est_union, est_inter FROM ("
+        + sql_kmv_pair_overlap(uh, KMV_K)
+        + ")"
+    )
+
+
+ORACLE_SQL["docs_kmv_source_overlap"] = _docs_kmv_oracle()

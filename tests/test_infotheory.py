@@ -570,3 +570,24 @@ def test_power_iteration_bit_exact_twin_and_rayleigh(spark):
     assert mean_ev * 0.99 <= lam <= float(evals[-1]) * 1.001, (
         lam, mean_ev, float(evals[-1]),
     )
+
+
+def test_docs_kmv_source_overlap_sane(spark):
+    """Sketch-vs-exact sanity on the docs variant: exhaustive sketches
+    degrade to exact, estimates stay within the theta error band."""
+    from sfcrimedatapipeline_spark.operators.sketches import KMV_K
+    from sfcrimedatapipeline_spark.plans.analytic_ext import (
+        docs_kmv_source_overlap,
+    )
+
+    rows = docs_kmv_source_overlap(spark, SF_SMALL).collect()
+    assert rows
+    tol = 5.0 / math.sqrt(KMV_K - 1)
+    for r in rows:
+        assert r["exact_inter"] <= min(r["n_exact_a"], r["n_exact_b"])
+        assert r["exact_union"] >= max(r["n_exact_a"], r["n_exact_b"])
+        if r["n_exact_a"] <= KMV_K and r["n_exact_b"] <= KMV_K:
+            assert r["est_union"] == float(r["exact_union"])
+            assert r["est_inter"] == float(r["exact_inter"])
+        else:
+            assert abs(r["est_union"] - r["exact_union"]) <= tol * r["exact_union"]

@@ -164,7 +164,8 @@ CROSS_OK: dict[str, str] = {
     "docs_perplexity_unigram": "crossJoin(broadcast(1-row corpus token totals)) — the unigram-LM shape",
     "docs_source_kl_divergence": "crossJoin(broadcast(1-row corpus totals)) + crossJoin(broadcast(1-row Σ ln q scalar))",
     "events_markov_entropy": "crossJoin(broadcast(1-row transition-total scalar))",
-    "events_kmv_overlap": "θ pair grid — BNLJ of two event-type-bounded sketch aggregates (keys declared in GROUP_BOUNDED_OK)",
+    "events_kmv_overlap": "θ pair grid — BNLJ of two set-key-bounded sketch aggregates (keys declared in GROUP_BOUNDED_OK)",
+    "docs_kmv_source_overlap": "θ pair grid — BNLJ of two source-bounded sketch aggregates (keys declared in GROUP_BOUNDED_OK)",
     "docs_lang_source_mi": "crossJoin(broadcast(1-row doc-total scalar)) ×3 + 1-row MI/H-marginal assembly",
 }
 
@@ -178,10 +179,12 @@ GROUP_BOUNDED_OK: dict[str, list[str]] = {
     # daily-revenue frame: one row per o_orderdate — calendar-bounded
     # (TPC-H spans ~2.4k dates), the Theil-Sen pair join's build side
     "orders_theilsen_trend": ["o_orderdate"],
-    # KMV θ pair grid: both BNLJ sides are per-event-type sketch
-    # aggregates — bounded by the event-type enum (~5 values), never
-    # data cardinality
-    "events_kmv_overlap": ["event_type"],
+    # KMV θ pair grid: both BNLJ sides are per-set-key sketch
+    # aggregates (operators/sketches.py renames the key to k_) —
+    # bounded by the set-key enum (event types / sources), never data
+    # cardinality
+    "events_kmv_overlap": ["k_", "event_type"],
+    "docs_kmv_source_overlap": ["k_", "source"],
 }
 
 #: Build sides bounded by SEMANTICS a physical plan cannot exhibit
