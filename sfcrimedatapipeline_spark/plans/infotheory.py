@@ -1332,3 +1332,240 @@ def _power_iteration_oracle() -> str:
 
 
 ORACLE_SQL["emb_power_iteration"] = _power_iteration_oracle()
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_entropy_rate
+# ---------------------------------------------------------------------------
+
+#: conditional-entropy term at the (lang, bigram) grain:
+#: −(c_ab/n_a)·ln(c_ab/n_a), weighted to the rate by (c_ab/n_lang)
+_LN_PAB = sql_ln_det("CAST(c_ab AS DOUBLE) / CAST(n_a AS DOUBLE)")
+_BIGRAM_RATE_TERM = (
+    "-(CAST(c_ab AS DOUBLE) / CAST(n_big AS DOUBLE)) * ln_pab"
+)
+
+
+def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BIGRAM ENTROPY RATE: the empirical conditional
+    entropy H(next-token | token) in nats — the text twin of
+    events_markov_entropy and the number that separates predictable
+    boilerplate (low rate) from diverse natural text (rate near the
+    unigram entropy). Reported beside the unigram entropy gap is the
+    whole point: ``h_unigram − h_rate`` is the mutual information one
+    token of context buys, the cheapest LM-ability-to-compress signal
+    a curation pipeline can compute.
+
+    Exact BIGINT counts at the (lang, bigram) grain; the first-token
+    marginal rides a lang+first-token window sum over the bigram
+    grain; deterministic sqrt-chain logs bound per bigram row; Q40
+    fixed-point sums. Bigram grain is corpus-bounded exactly like
+    text_bigram_lm."""
+    from sfcrimedatapipeline_spark.functions.text import ngrams
+
+    docs = _docs(spark, sf_dir)
+    big = docs.select(
+        "lang",
+        F.explode(ngrams(tokens(F.col("text")), 2)).alias("bigram"),
+    ).select(
+        "lang",
+        F.split(F.col("bigram"), " ").getItem(0).alias("a"),
+        F.col("bigram").alias("ab"),
+    )
+    counts = big.groupBy("lang", "a", "ab").agg(
+        F.count("*").cast("long").alias("c_ab")
+    )
+    scored = (
+        counts.withColumn(
+            "n_a",
+            F.sum("c_ab").over(Window.partitionBy("lang", "a")).cast("long"),
+        )
+        .withColumn(
+            "n_big",
+            F.sum("c_ab").over(Window.partitionBy("lang")).cast("long"),
+        )
+        .withColumn("ln_pab", F.expr(_LN_PAB))
+    )
+    return scored.groupBy("lang").agg(
+        F.max("n_big").alias("n_bigrams"),
+        F.count("*").cast("long").alias("distinct_bigrams"),
+        F.expr(sql_unfx(f"sum({sql_fx(_BIGRAM_RATE_TERM)})")).alias(
+            "h_rate_nats"
+        ),
+    )
+
+
+QUERIES["text_bigram_entropy_rate"] = text_bigram_entropy_rate
+
+ORACLE_SQL["text_bigram_entropy_rate"] = f"""
+    WITH tok AS (
+        SELECT lang, {SQL_TOKENS} AS toks FROM documents
+    ),
+    big AS (
+        SELECT lang, ab, string_split(ab, ' ')[1] AS a FROM (
+            SELECT lang, unnest({sql_ngrams("toks", 2)}) AS ab FROM tok
+        )
+    ),
+    counts AS (
+        SELECT lang, a, ab, CAST(count(*) AS BIGINT) AS c_ab
+        FROM big GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT lang, c_ab, n_a, n_big, {_LN_PAB} AS ln_pab
+        FROM (
+            SELECT lang, c_ab,
+                   CAST(sum(c_ab) OVER (PARTITION BY lang, a) AS BIGINT)
+                       AS n_a,
+                   CAST(sum(c_ab) OVER (PARTITION BY lang) AS BIGINT)
+                       AS n_big
+            FROM counts
+        )
+    )
+    SELECT lang,
+           max(n_big) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS distinct_bigrams,
+           {sql_unfx(f"sum({sql_fx(_BIGRAM_RATE_TERM)})")} AS h_rate_nats
+    FROM scored GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_markov_stationary
+# ---------------------------------------------------------------------------
+
+#: power-iteration rounds for the stationary distribution (the chain is
+#: a handful of states; 12 rounds converge far past the gate's digits)
+STATIONARY_ITERS = 12
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY DISTRIBUTION π of the event-type Markov chain (πP = π
+    by 12 power-iteration rounds from uniform), plus one ``__RATE__``
+    row with the TRUE stationary entropy rate ``Σ_i π_i H_i`` — the
+    long-run companion to events_markov_entropy, whose rate weights by
+    EMPIRICAL visit frequency; the gap between the two is the
+    burn-in/NON-stationarity signal in the event stream.
+
+    The transition matrix is an exact-count distributed aggregate
+    (state-bounded, ≤ |types|² rows, collected like the trainer
+    precedents); iteration arithmetic is fx-floored per term with
+    exact integer sums and one renormalizing divide per round —
+    repeated textually by the oracle's unrolled CTE chain, with the
+    rate's log as ln_det, so all three implementations (Spark driver,
+    DuckDB, the python math here) produce the same bits."""
+    import math as _math
+
+    from sfcrimedatapipeline_spark.functions.detmath import ln_det_py
+    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n_ij"))
+        .collect()
+    )
+    n_i: dict[str, int] = {}
+    for r in trans:
+        n_i[r["from_type"]] = n_i.get(r["from_type"], 0) + r["n_ij"]
+    p = [
+        (r["from_type"], r["to_type"], r["n_ij"] / float(n_i[r["from_type"]]))
+        for r in trans
+    ]
+    states = sorted(n_i)
+    s = len(states)
+    pi = {st: 1.0 / float(s) for st in states}
+    for _ in range(STATIONARY_ITERS):
+        q_fx: dict[str, int] = {}
+        for frm, to, pij in p:
+            if frm in pi:
+                q_fx[to] = q_fx.get(to, 0) + _math.floor((pi[frm] * pij) * FX_SCALE)
+        q = {st: float(v) / FX_SCALE for st, v in q_fx.items()}
+        tot = float(sum(_math.floor(v * FX_SCALE) for v in q.values())) / FX_SCALE
+        pi = {st: v / tot for st, v in q.items()}
+    rate_fx = 0
+    for frm, to, pij in p:
+        if frm in pi:
+            rate_fx += _math.floor((-(pi[frm] * pij) * ln_det_py(pij)) * FX_SCALE)
+    rate = float(rate_fx) / FX_SCALE
+    rows = sorted(pi.items()) + [("__RATE__", rate)]
+    return spark.createDataFrame(rows, "event_type string, stationary_p double")
+
+
+QUERIES["events_markov_stationary"] = events_markov_stationary
+
+
+def _markov_stationary_oracle() -> str:
+    """Unrolled power-iteration twin over the transition-probability CTE;
+    per-term fx floors, exact sums, one renormalizing divide per round,
+    ln_det for the rate — the same bits as the driver math."""
+    steps = []
+    for i in range(1, STATIONARY_ITERS + 1):
+        prev = f"pi{i - 1}"
+        steps.append(f"""
+    q{i} AS MATERIALIZED (
+        SELECT p.to_type AS st,
+               {sql_unfx(f"sum({sql_fx('prev.pi * p.pij')})")} AS pi_raw
+        FROM {prev} prev JOIN p ON p.from_type = prev.st
+        GROUP BY 1
+    ),
+    t{i} AS (
+        SELECT {sql_unfx(f"sum({sql_fx('pi_raw')})")} AS tot FROM q{i}
+    ),
+    pi{i} AS MATERIALIZED (
+        SELECT st, pi_raw / tot AS pi FROM q{i} CROSS JOIN t{i}
+    )""")
+    last = f"pi{STATIONARY_ITERS}"
+    ln_pij = sql_ln_det("pij")
+    return f"""
+    WITH trans AS (
+        SELECT from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n_ij
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC)
+                       AS from_type
+            FROM events
+        )
+        WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    p AS MATERIALIZED (
+        SELECT from_type, to_type,
+               CAST(n_ij AS DOUBLE) / CAST(n_i AS DOUBLE) AS pij
+        FROM (
+            SELECT from_type, to_type, n_ij,
+                   CAST(sum(n_ij) OVER (PARTITION BY from_type) AS BIGINT)
+                       AS n_i
+            FROM trans
+        )
+    ),
+    states AS (
+        SELECT DISTINCT from_type AS st FROM trans
+    ),
+    pi0 AS (
+        SELECT st,
+               1.0 / CAST((SELECT count(*) FROM states) AS DOUBLE) AS pi
+        FROM states
+    ),{",".join(steps)},
+    rate AS (
+        SELECT {sql_unfx(f"sum({sql_fx(f'-(prev.pi * p.pij) * ({ln_pij})')})")}
+                   AS rate
+        FROM {last} prev JOIN p ON p.from_type = prev.st
+    )
+    SELECT st AS event_type, pi AS stationary_p FROM {last}
+    UNION ALL
+    SELECT '__RATE__' AS event_type, rate AS stationary_p FROM rate
+"""
+
+
+ORACLE_SQL["events_markov_stationary"] = _markov_stationary_oracle()

@@ -591,3 +591,63 @@ def test_docs_kmv_source_overlap_sane(spark):
             assert r["est_inter"] == float(r["exact_inter"])
         else:
             assert abs(r["est_union"] - r["exact_union"]) <= tol * r["exact_union"]
+
+
+def test_bigram_entropy_rate_invariants(spark):
+    """Conditioning can only reduce entropy: per language the bigram
+    rate must be ≤ the unigram entropy, and both in [0, ln vocab]."""
+    from sfcrimedatapipeline_spark.plans.infotheory import (
+        text_bigram_entropy_rate,
+        text_token_entropy,
+    )
+
+    uni = {r["lang"]: r for r in text_token_entropy(spark, SF_SMALL).collect()}
+    rate = {r["lang"]: r for r in text_bigram_entropy_rate(spark, SF_SMALL).collect()}
+    assert set(uni) == set(rate)
+    for lang in uni:
+        h1 = uni[lang]["h_nats"]
+        hr = rate[lang]["h_rate_nats"]
+        assert -1e-9 <= hr <= h1 + 1e-9, (lang, hr, h1)
+
+
+def test_markov_stationary_matches_numpy(spark):
+    """π must solve πP = π (numpy eig of Pᵀ), sum to 1, and the
+    stationary rate must be a convex combination of per-state
+    entropies."""
+    from sfcrimedatapipeline_spark.plans.infotheory import (
+        RATE_ROW,
+        events_markov_entropy,
+        events_markov_stationary,
+    )
+
+    rows = {r["event_type"]: r["stationary_p"]
+            for r in events_markov_stationary(spark, SF_SMALL).collect()}
+    rate = rows.pop("__RATE__")
+    states = sorted(rows)
+    pi = np.array([rows[s] for s in states])
+    assert abs(pi.sum() - 1.0) < 1e-9
+    assert (pi > 0).all()
+    # rebuild P from the fixture
+    ev = duckdb.connect().execute(
+        f"SELECT user_id, ts, event_id, event_type FROM '{SF_SMALL}/events.parquet' "
+        "ORDER BY user_id, ts, event_id"
+    ).df()
+    trans: dict[tuple[str, str], int] = {}
+    for _, grp in ev.groupby("user_id"):
+        ts = list(grp["event_type"])
+        for a, b in zip(ts, ts[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    n_i: dict[str, int] = {}
+    for (a, _), c in trans.items():
+        n_i[a] = n_i.get(a, 0) + c
+    P = np.zeros((len(states), len(states)))
+    idx = {s: i for i, s in enumerate(states)}
+    for (a, b), c in trans.items():
+        P[idx[a], idx[b]] = c / n_i[a]
+    resid = np.abs(pi @ P - pi).max()
+    assert resid < 1e-6, resid
+    # stationary rate bounded by the per-state entropies
+    h_rows = {r["from_type"]: r["h_nats"]
+              for r in events_markov_entropy(spark, SF_SMALL).collect()}
+    h_rows.pop(RATE_ROW)
+    assert min(h_rows.values()) - 1e-9 <= rate <= max(h_rows.values()) + 1e-9
