@@ -160,12 +160,11 @@ def kmeans_train(
         r["vec_id"]
         for r in emb.select("vec_id").orderBy("vec_id").limit(k).collect()
     ]
+    rank = {vid: c for c, vid in enumerate(init_ids)}
     cent: list[tuple] = [
-        (c, 0, r["dim"], r["val"])
-        for c, vid in enumerate(init_ids)
-        for r in pts.filter(F.col("vec_id") == vid).collect()
+        (rank[r["vec_id"]], 0, r["dim"], r["val"])
+        for r in pts.filter(F.col("vec_id").isin(init_ids)).collect()
     ]
-    cent = [(c, n, d, v) for (c, n, d, v) in cent]
     for _ in range(iters):
         cdf = F.broadcast(
             spark.createDataFrame(

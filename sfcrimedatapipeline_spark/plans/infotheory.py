@@ -1179,11 +1179,7 @@ def _kmeans_oracle() -> str:
     vec_ids, then per iteration a (vec, cluster) fixed-point distance
     aggregate, a row_number argmin, and a fixed-point mean — generated
     from the same constants so the engines cannot drift."""
-    mean_val = (
-        f"(CAST(sum({sql_fx('p.val')}) AS DOUBLE)"
-        " / 1099511627776.0) / CAST(count(*) AS DOUBLE)"
-    )
-    # keep the fx scale interpolated, not hardcoded
+    # fx scale interpolated, never hardcoded (the assoc-rules lesson)
     from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE
 
     mean_val = (
