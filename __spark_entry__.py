@@ -155,6 +155,14 @@ _DEFERRED = [
     "events_dau_stream",
     "events_dau_stream_wm",
     "events_sessionize_stream",
+    # round-9b iterative trainers (multi-job driver loops, the
+    # text_bpe_merges precedent) — keep the driver's ~50-query budget
+    # on cheap rotating batch queries
+    "docs_logreg_train",
+    "docs_logreg_calibration",
+    "emb_kmeans_train",
+    "emb_power_iteration",
+    "events_markov_stationary",
 ]
 
 

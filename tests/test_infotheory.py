@@ -1,10 +1,12 @@
 """Tests for the ln-unlocked information-theory family
 (plans/infotheory.py, functions/fixedpoint.py, events_kmv_overlap).
 
-The first two tests pin the module's two load-bearing assumptions —
-libm bit-identity and fixed-point order-free summation — so a platform
-change fails HERE, loudly, instead of silently at the driver's hash
-gate. The rest are numeric parity checks against numpy re-derivations.
+The assumption-guard tests pin the module's load-bearing facts —
+deterministic-log/exp bit-identity and fixed-point order-free
+summation — so a platform change fails HERE, loudly, instead of
+silently at the driver's hash gate. The rest are numeric parity checks
+against numpy / pure-Python re-derivations (the trainer traces are
+asserted EQUAL, not close).
 """
 
 from __future__ import annotations
