@@ -42,6 +42,7 @@ def pagerank(
     iters: int = 10,
     undirected: bool = True,
     checkpoint_dir: str | None = None,
+    deterministic: bool = False,
 ) -> DataFrame:
     """PageRank over the pair graph → ``(doc_id, rank)``; ranks sum to
     ~1. ``undirected=True`` mirrors every edge first (the near-dup
@@ -80,14 +81,37 @@ def pagerank(
     )
     edges_deg.count()
 
+    # deterministic=True swaps the contribution sum for the Q40
+    # fixed-point aggregate (functions/fixedpoint.py): floor-quantized
+    # contributions sum exactly in any order, so the rank trace is
+    # bit-identical across partitionings AND engines — what upgraded
+    # pagerank_dup_graph from rows-only to value-hash gated (its old
+    # blocker was precisely "aggregation-order-dependent low bits").
+    # Quantization bias per round is ≤ in-degree·2^-40 ≈ 1e-10 on rank
+    # mass — far below any ranking decision.
+    from sfcrimedatapipeline_spark.functions.fixedpoint import sql_fx, sql_unfx
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iters):
-        contribs = (
-            edges_deg.join(ranks, edges_deg.src == ranks.id)
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("contrib"))
-        )
+        joined = edges_deg.join(ranks, edges_deg.src == ranks.id)
+        if deterministic:
+            contribs = (
+                joined.select(
+                    F.col("dst").alias("id"),
+                    F.expr(sql_fx("rank / CAST(deg AS DOUBLE)")).alias("c_fx"),
+                )
+                .groupBy("id")
+                .agg(F.expr(f"{sql_unfx('sum(c_fx)')} ").alias("contrib"))
+            )
+        else:
+            contribs = (
+                joined.select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("contrib"))
+            )
         # mass parked on dangling nodes (no out-edges) spreads uniformly.
         # An undirected graph cannot have dangling nodes (every node is
         # an edge endpoint, so out_deg >= 1 after mirroring): skip the

@@ -164,20 +164,32 @@ def dedup_clusters_2phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
 def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the near-dup pair graph
     (operators/graph.py) — rank-ordered cluster representatives.
 
-    Deliberately has NO oracle_sql entry: the rank doubles are
-    aggregation-order-dependent in their low bits, which SQL cannot pin
-    across engines; the rows-only driver check gates schema + execution
-    and tests/test_graph.py pins numeric parity with a dense numpy
-    power iteration to 1e-12."""
+    VALUE-HASH GATED since round 9b: the historical blocker ("rank
+    doubles are aggregation-order-dependent in their low bits, which
+    SQL cannot pin across engines") is exactly what the Q40 fixed
+    point removes — ``pagerank(deterministic=True)`` floor-quantizes
+    each contribution, sums exactly in any order, and the oracle
+    re-runs the same 5 rounds as unrolled MATERIALIZED CTEs over the
+    same MinHash pair SQL. The float default path keeps its numpy
+    power-iteration parity test in tests/test_graph.py."""
     from sfcrimedatapipeline_spark.operators.graph import pagerank
 
     # 5 iterations: the dup clusters are tiny-diameter, ranks settle
     # fast; the numeric contract at 10 iters lives in the tests
-    return pagerank(_dup_pairs(spark, sf_dir), iters=5).orderBy("doc_id")
+    return pagerank(
+        _dup_pairs(spark, sf_dir),
+        iters=PAGERANK_ITERS,
+        damping=PAGERANK_DAMPING,
+        deterministic=True,
+    ).orderBy("doc_id")
 
 
 BFS_SEED_MOD = 3
@@ -722,6 +734,59 @@ def _cc_oracle_sql() -> str:
         """
 
 
+def _pagerank_oracle_sql() -> str:
+    """Unrolled fx power rounds over the MinHash pair SQL — the twin of
+    pagerank(deterministic=True). Every round's CTE is MATERIALIZED
+    (the chain references each predecessor once, but the pair SQL would
+    otherwise re-inline per round). The base/damping literals are
+    interpolated from the same Python constants the Spark side embeds,
+    so the scalar arithmetic is textually identical."""
+    from sfcrimedatapipeline_spark.functions.fixedpoint import sql_fx, sql_unfx
+
+    one_minus_d = repr(1.0 - PAGERANK_DAMPING)
+    d = repr(PAGERANK_DAMPING)
+    steps = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        prev = f"r{i - 1}"
+        steps.append(f"""
+            r{i} AS MATERIALIZED (
+                SELECT e.dst AS id,
+                       CAST({one_minus_d} AS DOUBLE)
+                           / CAST((SELECT n FROM ncte) AS DOUBLE)
+                       + CAST({d} AS DOUBLE)
+                         * (({sql_unfx(f"sum({sql_fx('prev.rank / CAST(e.deg AS DOUBLE)')})")}) + 0.0)
+                           AS rank
+                FROM edges e JOIN {prev} prev ON e.src = prev.id
+                GROUP BY e.dst
+            )""")
+    return f"""
+            WITH pairs AS (
+                SELECT doc_a, doc_b FROM ({_minhash_sql()}) p
+            ),
+            mirrored AS MATERIALIZED (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            deg AS (
+                SELECT src, CAST(count(*) AS BIGINT) AS deg
+                FROM mirrored GROUP BY 1
+            ),
+            edges AS MATERIALIZED (
+                SELECT m.src, m.dst, d.deg
+                FROM mirrored m JOIN deg d ON d.src = m.src
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM mirrored),
+            ncte AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+            r0 AS MATERIALIZED (
+                SELECT id, 1.0 / CAST((SELECT n FROM ncte) AS DOUBLE) AS rank
+                FROM nodes
+            ),{",".join(steps)}
+            SELECT CAST(id AS BIGINT) AS doc_id, rank
+            FROM r{PAGERANK_ITERS}
+        """
+
+
 def build_oracle_sql() -> dict[str, str]:
     rate_case = "CASE " + " ".join(
         f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
@@ -733,6 +798,7 @@ def build_oracle_sql() -> dict[str, str]:
     return {
         "dedup_clusters": _cc_oracle_sql(),
         "dedup_clusters_2phase": _cc_oracle_sql(),
+        "pagerank_dup_graph": _pagerank_oracle_sql(),
         "graph_bfs_distances": f"""
             WITH RECURSIVE pairs AS (
                 SELECT doc_a, doc_b FROM ({_minhash_sql()}) p

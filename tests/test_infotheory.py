@@ -653,3 +653,73 @@ def test_markov_stationary_matches_numpy(spark):
               for r in events_markov_entropy(spark, SF_SMALL).collect()}
     h_rows.pop(RATE_ROW)
     assert min(h_rows.values()) - 1e-9 <= rate <= max(h_rows.values()) + 1e-9
+
+
+def test_no_raw_transcendentals_in_any_oracle():
+    """REPO-WIDE INVARIANT: no oracle may call raw ln/exp/log — their
+    values differ between the JVM and libm in the last ulp on ~1% of
+    arguments (the round-9 landmine), so any gated log/exp must compile
+    to the detmath sqrt/squaring chains. This guard keeps a future
+    'simplification' from re-arming the coin flip."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    pat = re.compile(r"(?<![a-zA-Z_])(ln|exp|log|log2|log10)\s*\(")
+    offenders = {
+        name: sorted(set(pat.findall(sql)))
+        for name, sql in e.oracle_sql().items()
+        if pat.search(sql)
+    }
+    assert not offenders, offenders
+
+
+def test_pagerank_deterministic_bit_exact_twin(spark):
+    """pagerank(deterministic=True) must equal a pure-Python fx twin of
+    the same 5 rounds bit for bit — the upgrade that took
+    pagerank_dup_graph from rows-only to value-hash gated."""
+    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE
+    from sfcrimedatapipeline_spark.operators.graph import pagerank
+    from sfcrimedatapipeline_spark.plans.corpus_queries import (
+        PAGERANK_DAMPING,
+        PAGERANK_ITERS,
+        _dup_pairs,
+    )
+
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in pagerank(
+            _dup_pairs(spark, SF_SMALL),
+            iters=PAGERANK_ITERS,
+            damping=PAGERANK_DAMPING,
+            deterministic=True,
+        ).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in _dup_pairs(spark, SF_SMALL).select("doc_a", "doc_b").collect()
+    ]
+    edges = pairs + [(b, a) for a, b in pairs]
+    deg: dict[int, int] = {}
+    for s_, _ in edges:
+        deg[s_] = deg.get(s_, 0) + 1
+    nodes = sorted(deg)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    base = (1.0 - PAGERANK_DAMPING) / n
+    for _ in range(PAGERANK_ITERS):
+        agg: dict[int, int] = {}
+        for s_, d_ in edges:
+            agg[d_] = agg.get(d_, 0) + math.floor(
+                (rank[s_] / float(deg[s_])) * FX_SCALE
+            )
+        rank = {
+            v: base + PAGERANK_DAMPING * ((float(fx_) / FX_SCALE) + 0.0)
+            for v, fx_ in agg.items()
+        }
+    assert set(got) == set(rank)
+    for v in rank:
+        assert got[v] == rank[v], (v, got[v], rank[v])
+    assert abs(sum(rank.values()) - 1.0) < 1e-6

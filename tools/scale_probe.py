@@ -132,6 +132,8 @@ PROBE_QUERIES = [
     "docs_trigram_novelty",
     "text_token_entropy",
     "events_kmv_overlap",
+    "text_bigram_entropy_rate",
+    "docs_kmv_source_overlap",
 ]
 
 
