@@ -649,9 +649,11 @@ def holt_linear_forecast(
     constant series forecasts the constant for every h; an exactly
     linear series stays ON the line for any alpha/beta (the update
     fixes level_t = y_t, trend_t = slope exactly), so h-step forecasts
-    extrapolate it exactly. Gated rows-only (an iterative recurrence
-    has no SQL twin); determinism comes from fixed-order IEEE
-    arithmetic over a sorted series with an explicit tie-break on ts.
+    extrapolate it exactly. VALUE-HASH GATED since round 9b: the
+    fixed-order scalar recurrence is replayed bit-for-bit by a
+    recursive-CTE oracle (plans/analytic_ext.py:_holt_oracle_sql) —
+    the smoothing literals interpolate via repr because Python's
+    ``1.0 - 0.3`` and SQL decimal ``1.0 - 0.3`` are different doubles.
     """
     import numpy as np
     import pandas as pd

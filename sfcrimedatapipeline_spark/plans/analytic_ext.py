@@ -253,12 +253,21 @@ def orders_anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Holt smoothing constants — shared by the query call AND the oracle
+#: builder (never hardcode one side)
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
 def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day Holt (level+trend) forecast of daily total event value per
     event type (operators/temporal.py:holt_linear_forecast —
     applyInPandas per key over the day-grain rollup). The input series
-    is exact (integer cents summed, one final division), so the
-    smoothing arithmetic is reproducible across runs/partitionings."""
+    is exact (integer cents summed, one final division), and the
+    smoothing recurrence is fixed-order scalar IEEE arithmetic — which
+    since round 9b makes it VALUE-HASH GATED against a recursive-CTE
+    oracle advancing the same recurrence one row per step (upgraded
+    from rows-only)."""
     from sfcrimedatapipeline_spark.operators.temporal import holt_linear_forecast
 
     ev = read_table(spark, sf_dir, "events")
@@ -267,7 +276,8 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
     ).agg((F.sum(cents) / F.lit(100.0)).alias("daily_value"))
     return holt_linear_forecast(
-        daily, "event_type", "day", "daily_value", alpha=0.5, beta=0.3, horizon=7
+        daily, "event_type", "day", "daily_value",
+        alpha=HOLT_ALPHA, beta=HOLT_BETA, horizon=7,
     ).orderBy("event_type", "h")
 
 
@@ -1378,3 +1388,59 @@ def _docs_kmv_oracle() -> str:
 
 
 ORACLE_SQL["docs_kmv_source_overlap"] = _docs_kmv_oracle()
+
+
+def _holt_oracle_sql() -> str:
+    """Recursive-CTE twin of holt_linear_forecast: the per-key scalar
+    recurrence advanced one row per recursion step, with every
+    smoothing literal interpolated via ``repr`` from the SAME Python
+    constants the pandas loop uses. Interpolation is load-bearing:
+    ``1.0 - 0.3`` in Python IEEE is 0.7000000000000001 while DuckDB's
+    decimal literal arithmetic would yield the double 0.7 — computing
+    the complements in SQL would diverge in the 16th digit and fail the
+    hash."""
+    a, oma = repr(HOLT_ALPHA), repr(1.0 - HOLT_ALPHA)
+    b, omb = repr(HOLT_BETA), repr(1.0 - HOLT_BETA)
+    new_lvl = f"{a} * s.y + {oma} * (st.lvl + st.trend)"
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                   CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                            AS BIGINT)) AS DOUBLE) / 100.0 AS y
+            FROM events
+            GROUP BY 1, 2
+        ),
+        ser AS MATERIALIZED (
+            SELECT event_type, y,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day ASC) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS t
+            FROM daily
+        ),
+        st(event_type, rn, lvl, trend, t) AS (
+            SELECT s1.event_type, 1, s1.y,
+                   CASE WHEN s1.t > 1 THEN s2.y - s1.y ELSE 0.0 END,
+                   s1.t
+            FROM ser s1
+            LEFT JOIN ser s2 ON s2.event_type = s1.event_type AND s2.rn = 2
+            WHERE s1.rn = 1
+            UNION ALL
+            SELECT st.event_type, st.rn + 1,
+                   {new_lvl},
+                   {b} * (({new_lvl}) - st.lvl) + {omb} * st.trend,
+                   st.t
+            FROM st JOIN ser s ON s.event_type = st.event_type
+                              AND s.rn = st.rn + 1
+        )
+        SELECT f.event_type,
+               CAST(r.range AS INTEGER) AS h,
+               f.lvl + CAST(r.range AS DOUBLE) * f.trend AS forecast,
+               f.lvl AS level,
+               f.trend AS trend
+        FROM (SELECT * FROM st WHERE rn = t) f
+        CROSS JOIN range(1, 8) r
+    """
+
+
+ORACLE_SQL["events_holt_forecast"] = _holt_oracle_sql()
