@@ -291,3 +291,120 @@ def power_iteration(
         v = [wd / s for wd in w]
     pts.unpersist()
     return v, math.sqrt(norm2)
+
+
+# ---------------------------------------------------------------------------
+# deterministic spherical k-means — the gated trained-IVF quantizer
+# ---------------------------------------------------------------------------
+
+
+def spherical_kmeans_det(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (cosine assignment, unnormalized means — the
+    train_ivf_centroids semantics) made bit-deterministic: vector and
+    centroid norms are fixed-point sums, assignments are argmax over
+    exact fixed-point dot integers (ties → lowest centroid id), and
+    means divide fixed-point sums — so the trained centroids are
+    identical across partitionings AND engines, which is what upgrades
+    ``ann_cosine_topk_ivf_trained`` from rows-only to value-hash gated
+    (its old rationale: "trained float centroids are not
+    engine-reproducible by design").
+
+    Returns ``[(centroid_id, vector), ...]`` in the
+    :func:`~sfcrimedatapipeline_spark.operators.similarity.cosine_topk_ivf`
+    input shape (centroid ids 0..k-1). Scale: per iteration one k·dims
+    broadcast, one (vec, cid) dot aggregate, one (cid, dim) mean
+    aggregate — all map-side combinable; zero-norm vectors divide by
+    1.0 (the numpy trainer's vn[vn==0]=1 rule)."""
+    import math
+
+    from sfcrimedatapipeline_spark.functions.fixedpoint import (
+        FX_SCALE,
+        sql_fx,
+        sql_unfx,
+    )
+
+    spark = emb.sparkSession
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val_f")
+    ).select(
+        "vec_id",
+        (F.col("pos") + F.lit(1)).alias("dim"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    norm_fx = sql_unfx(f"sum({sql_fx('val * val')})")
+    nv = pts.groupBy("vec_id").agg(F.expr(f"sqrt({norm_fx})").alias("nv"))
+    ph = (
+        pts.join(nv, "vec_id")
+        .select(
+            "vec_id",
+            "dim",
+            "val",
+            F.expr(
+                "val / (CASE WHEN nv = 0.0 THEN 1.0 ELSE nv END)"
+            ).alias("valh"),
+        )
+        .cache()
+    )
+    ph.count()
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    )
+    cent: list[list[float]] = [
+        [float(x) for x in r["embedding"]] for r in seeds
+    ]
+    dims = len(cent[0])
+    for _ in range(iters):
+        # centroid norms with the same fx discipline, driver-side
+        # (python ints are exact — mirrors the oracle's per-cid fx sum)
+        ch_rows = []
+        for cid, cv in enumerate(cent):
+            nc = math.sqrt(
+                float(sum(math.floor((x * x) * FX_SCALE) for x in cv))
+                / FX_SCALE
+            )
+            div = 1.0 if nc == 0.0 else nc
+            for d in range(dims):
+                ch_rows.append((cid, d + 1, cv[d] / div))
+        cdf = F.broadcast(
+            spark.createDataFrame(ch_rows, "cid bigint, dim int, cvalh double")
+        )
+        dots = (
+            ph.join(cdf, "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(F.expr(sql_fx("valh * cvalh"))).alias("dot_fx"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dot_fx").desc(), F.col("cid").asc()
+        )
+        assign = (
+            dots.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        means = (
+            assign.join(ph, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                F.expr(
+                    sql_unfx(f"sum({sql_fx('val')})")
+                    + " / CAST(count(*) AS DOUBLE)"
+                ).alias("mval")
+            )
+            .collect()
+        )
+        got = {(r["cid"], r["dim"]): r["mval"] for r in means}
+        cent = [
+            [
+                got.get((cid, d + 1), cent[cid][d])
+                for d in range(dims)
+            ]
+            for cid in range(k)
+        ]
+    ph.unpersist()
+    return [(cid, cent[cid]) for cid in range(k)]

@@ -775,21 +775,23 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE IVF story: distributed spherical k-means training
-    (one shuffle-free corpus scan per iteration, Arrow partial sums,
-    driver reduce — operators/similarity.py:train_ivf_centroids)
-    followed by the fixed-centroid assignment/probe/score path.
+    """The COMPLETE IVF story, VALUE-HASH GATED end-to-end since round
+    9b: deterministic spherical k-means training
+    (operators/mltrain.py:spherical_kmeans_det — fixed-point norms /
+    dot argmax / means, so the trained centroids ARE
+    engine-reproducible, retiring this query\'s old rows-only
+    rationale) followed by the fixed-centroid assignment/probe/score
+    path; the oracle re-trains inside its own CTE chain
+    (_ivf_trained_cent_sql) and searches with the same SQL as the
+    untrained twin. The float mapInPandas trainer
+    (operators/similarity.py:train_ivf_centroids) remains for the
+    treeAggregate-shape demo, pinned by its numpy parity test."""
+    from sfcrimedatapipeline_spark.operators.mltrain import spherical_kmeans_det
 
-    Deliberately has NO oracle_sql entry: the trained centroids are
-    float means accumulated in partition order, not bit-reproducible
-    across engines — the driver records the rows-only check, and
-    tests/test_emb_blas_parity.py pins the trainer's numerics against
-    a single-pass numpy reference (the fixed-centroid IVF query
-    ann_cosine_topk_ivf stays fully hash-gated)."""
     emb = _read_parallel(spark, sf_dir, "embeddings")
     queries = ann_queries(emb)
-    trained = similarity.train_ivf_centroids(
-        emb, n_centroids=ANN_IVF_CENTROIDS, n_iters=3
+    trained = spherical_kmeans_det(
+        emb, k=ANN_IVF_CENTROIDS, iters=ANN_IVF_TRAIN_ITERS
     )
     return similarity.cosine_topk_ivf(
         emb,
@@ -1481,6 +1483,141 @@ def _ivfpq_sql(
     """
 
 
+def _ivf_search_sql(cent_sql: str) -> str:
+    """IVF assignment/probe/score oracle, parameterized by the CTE that
+    defines ``cent(centroid_id, cvv)`` — the seed-centroid text for the
+    untrained query, the deterministic spherical-kmeans chain for the
+    trained one. Assignment/probe use the RAW cosine (both engines
+    produce identical doubles — rounding first could merge near-ties
+    the Spark side distinguishes); only the output cosine is rounded."""
+    return f"""
+            WITH RECURSIVE v AS (
+                SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v
+                FROM embeddings
+            ),
+            {cent_sql},
+            ca AS (
+                SELECT vec_id AS neighbor_id, __v AS cv, centroid_id FROM (
+                    SELECT v.vec_id, v.__v, cent.centroid_id,
+                           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                               ORDER BY {_sql_cosine_raw("v.__v", "cent.cvv")} DESC,
+                                        cent.centroid_id ASC) AS r
+                    FROM v, cent
+                ) t WHERE r = 1
+            ),
+            qp AS (
+                SELECT vec_id AS query_id, __v AS qv, centroid_id FROM (
+                    SELECT v.vec_id, v.__v, cent.centroid_id,
+                           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                               ORDER BY {_sql_cosine_raw("v.__v", "cent.cvv")} DESC,
+                                        cent.centroid_id ASC) AS r
+                    FROM v, cent WHERE v.vec_id < {ANN_N_QUERIES}
+                ) t WHERE r <= {ANN_IVF_PROBE}
+            ),
+            scored AS (
+                SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS cosine
+                FROM ca JOIN qp USING (centroid_id)
+                WHERE neighbor_id <> query_id
+            )
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                ) AS rank
+                FROM scored
+            ) r
+            WHERE rank <= {ANN_K}
+        """
+
+
+#: trained-IVF spherical k-means rounds (must match the Spark call in
+#: ann_cosine_topk_ivf_trained)
+ANN_IVF_TRAIN_ITERS = 3
+
+
+def _ivf_trained_cent_sql() -> str:
+    """Deterministic spherical-kmeans chain producing
+    ``cent(centroid_id, cvv)`` — the oracle twin of
+    operators/mltrain.py:spherical_kmeans_det (fx norms, fx dot argmax
+    with lowest-cid ties, fx means, empty clusters keep their previous
+    centroid). Per-round CTEs are MATERIALIZED (each is referenced
+    twice; naive inlining grows exponentially — the
+    events_markov_stationary lesson)."""
+    from sfcrimedatapipeline_spark.functions.fixedpoint import sql_fx, sql_unfx
+
+    norm_fx = sql_unfx(f"sum({sql_fx('val * val')})")
+    steps = []
+    for i in range(1, ANN_IVF_TRAIN_ITERS + 1):
+        prev = f"cent{i - 1}"
+        steps.append(f"""
+            cn{i} AS (
+                SELECT cid, sqrt({sql_unfx(f"sum({sql_fx('cval * cval')})")}) AS nc
+                FROM {prev} GROUP BY 1
+            ),
+            ch{i} AS MATERIALIZED (
+                SELECT c.cid, c.dim,
+                       c.cval / (CASE WHEN n.nc = 0.0 THEN 1.0 ELSE n.nc END)
+                           AS cvalh
+                FROM {prev} c JOIN cn{i} n USING (cid)
+            ),
+            dt{i} AS (
+                SELECT ph.vec_id, ch.cid,
+                       sum({sql_fx('ph.valh * ch.cvalh')}) AS dot_fx
+                FROM ph JOIN ch{i} ch USING (dim)
+                GROUP BY 1, 2
+            ),
+            asn{i} AS MATERIALIZED (
+                SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dot_fx DESC, cid ASC) AS rn
+                    FROM dt{i}
+                ) WHERE rn = 1
+            ),
+            mn{i} AS (
+                SELECT a.cid, p.dim,
+                       {sql_unfx(f"sum({sql_fx('p.val')})")}
+                           / CAST(count(*) AS DOUBLE) AS mval
+                FROM asn{i} a JOIN pts p USING (vec_id)
+                GROUP BY 1, 2
+            ),
+            cent{i} AS MATERIALIZED (
+                SELECT c.cid, c.dim, COALESCE(m.mval, c.cval) AS cval
+                FROM {prev} c
+                LEFT JOIN mn{i} m ON m.cid = c.cid AND m.dim = c.dim
+            )""")
+    return f"""pts AS MATERIALIZED (
+                SELECT vec_id, r.range AS dim,
+                       CAST(embedding[r.range] AS DOUBLE) AS val
+                FROM embeddings CROSS JOIN range(1, 65) r
+            ),
+            nvn AS (
+                SELECT vec_id, sqrt({norm_fx}) AS nv FROM pts GROUP BY 1
+            ),
+            ph AS MATERIALIZED (
+                SELECT p.vec_id, p.dim, p.val,
+                       p.val / (CASE WHEN n.nv = 0.0 THEN 1.0 ELSE n.nv END)
+                           AS valh
+                FROM pts p JOIN nvn n USING (vec_id)
+            ),
+            sd AS (
+                SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                           AS cid
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+                      LIMIT {ANN_IVF_CENTROIDS})
+            ),
+            cent0 AS MATERIALIZED (
+                SELECT sd.cid, p.dim, p.val AS cval
+                FROM pts p JOIN sd USING (vec_id)
+            ),{",".join(steps)},
+            cent AS (
+                SELECT cid AS centroid_id,
+                       list(cval ORDER BY dim) AS cvv
+                FROM cent{ANN_IVF_TRAIN_ITERS} GROUP BY 1
+            )"""
+
+
 def build_oracle_sql() -> dict[str, str]:
     q = textstats
     return {
@@ -1952,43 +2089,12 @@ def build_oracle_sql() -> dict[str, str]:
         # IVF: assignment/probe use the RAW cosine (both engines produce
         # identical doubles — rounding first could merge near-ties the
         # Spark side distinguishes); only the output cosine is rounded
-        "ann_cosine_topk_ivf": f"""
-            WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v
-                       FROM embeddings),
-            cent AS (SELECT vec_id AS centroid_id, __v AS cvv FROM v
-                     ORDER BY vec_id LIMIT {ANN_IVF_CENTROIDS}),
-            ca AS (
-                SELECT vec_id AS neighbor_id, __v AS cv, centroid_id FROM (
-                    SELECT v.vec_id, v.__v, cent.centroid_id,
-                           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                               ORDER BY {_sql_cosine_raw("v.__v", "cent.cvv")} DESC,
-                                        cent.centroid_id ASC) AS r
-                    FROM v, cent
-                ) t WHERE r = 1
-            ),
-            qp AS (
-                SELECT vec_id AS query_id, __v AS qv, centroid_id FROM (
-                    SELECT v.vec_id, v.__v, cent.centroid_id,
-                           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                               ORDER BY {_sql_cosine_raw("v.__v", "cent.cvv")} DESC,
-                                        cent.centroid_id ASC) AS r
-                    FROM v, cent WHERE v.vec_id < {ANN_N_QUERIES}
-                ) t WHERE r <= {ANN_IVF_PROBE}
-            ),
-            scored AS (
-                SELECT query_id, neighbor_id, {_sql_cosine("qv", "cv")} AS cosine
-                FROM ca JOIN qp USING (centroid_id)
-                WHERE neighbor_id <> query_id
-            )
-            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
-            FROM (
-                SELECT *, ROW_NUMBER() OVER (
-                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
-                ) AS rank
-                FROM scored
-            ) r
-            WHERE rank <= {ANN_K}
-        """,
+        "ann_cosine_topk_ivf": _ivf_search_sql(
+            f"""cent AS (SELECT vec_id AS centroid_id, __v AS cvv FROM v
+                     ORDER BY vec_id LIMIT {ANN_IVF_CENTROIDS})"""
+        ),
+        "ann_cosine_topk_ivf_trained": _ivf_search_sql(_ivf_trained_cent_sql()),
+
         "emb_near_duplicates_lsh": _emb_lsh_auto_sql(),
         # cross-pair restriction of the SAME self-join oracle: band
         # collision is pairwise, so the cross-corpus operator's pair
@@ -2050,8 +2156,8 @@ QUERIES = {
     "ann_hybrid_rrf": ann_hybrid_rrf,
     # rows-only: trained codebooks are not engine-reproducible by design
     "ann_pq_topk_trained": ann_pq_topk_trained,
-    # rows-only: trained float centroids are not engine-reproducible by
-    # design (see docstring); trainer numerics pinned by numpy parity test
+    # hash-gated since r9b: the deterministic spherical trainer makes
+    # the centroids engine-reproducible (see docstring)
     "ann_cosine_topk_ivf_trained": ann_cosine_topk_ivf_trained,
     "emb_validate": emb_validate,
     "emb_semantic_dedup": emb_semantic_dedup,

