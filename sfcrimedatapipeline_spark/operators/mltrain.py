@@ -408,3 +408,97 @@ def spherical_kmeans_det(
         ]
     ph.unpersist()
     return [(cid, cent[cid]) for cid in range(k)]
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-subspace k-means — the gated trained-PQ codebooks
+# ---------------------------------------------------------------------------
+
+
+def pq_kmeans_det(
+    emb: DataFrame,
+    m: int,
+    n_codes: int,
+    iters: int,
+    dims: int = 64,
+) -> list[list[list[float]]]:
+    """Per-subspace squared-L2 k-means (the train_pq_codebooks
+    semantics) made bit-deterministic: distances are fixed-point sums
+    within each subspace (argmin = exact integer compare, ties → lowest
+    code id), means are fixed-point sums over assigned members, empty
+    codes keep their previous centroid, seeds are the lowest-
+    ``n_codes`` vectors' subvectors. Returns ``codebooks[s][c]`` in the
+    :func:`~sfcrimedatapipeline_spark.operators.similarity.pq_topk`
+    input shape — identical across partitionings AND engines, which is
+    what upgrades ``ann_pq_topk_trained`` from rows-only to value-hash
+    gated. All ``m`` subspaces train in the same distributed passes
+    (the subspace id is just another grouping column)."""
+    from sfcrimedatapipeline_spark.functions.fixedpoint import sql_fx, sql_unfx
+
+    spark = emb.sparkSession
+    sub = dims // m
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val_f")
+    ).select(
+        "vec_id",
+        (F.col("pos") + F.lit(1)).alias("dim"),
+        (F.col("pos") / F.lit(sub)).cast("int").alias("s"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    pts = pts.cache()
+    seeds = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_codes).collect()
+    )
+    # cb[(cid, dim1based)] = value — full-vector layout; the m×k×sub
+    # nesting is re-sliced only at return time
+    cb: dict[tuple[int, int], float] = {}
+    for cid, r in enumerate(seeds):
+        for d, x in enumerate(r["embedding"]):
+            cb[(cid, d + 1)] = float(x)
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(cid, d, v) for (cid, d), v in cb.items()],
+                "cid bigint, dim int, cval double",
+            )
+        )
+        dist = (
+            pts.join(cdf, "dim")
+            .groupBy("vec_id", "s", "cid")
+            .agg(
+                F.sum(F.expr(sql_fx("(val - cval) * (val - cval)"))).alias(
+                    "dist_fx"
+                )
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id", "s").orderBy(
+            F.col("dist_fx").asc(), F.col("cid").asc()
+        )
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "s", "cid")
+        )
+        means = (
+            assign.join(pts, ["vec_id", "s"])
+            .groupBy("cid", "dim")
+            .agg(
+                F.expr(
+                    sql_unfx(f"sum({sql_fx('val')})")
+                    + " / CAST(count(*) AS DOUBLE)"
+                ).alias("mval")
+            )
+            .collect()
+        )
+        got = {(r["cid"], r["dim"]): r["mval"] for r in means}
+        cb = {key: got.get(key, v) for key, v in cb.items()}
+    pts.unpersist()
+    return [
+        [
+            [cb[(cid, s * sub + d + 1)] for d in range(sub)]
+            for cid in range(n_codes)
+        ]
+        for s in range(m)
+    ]

@@ -845,17 +845,26 @@ def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE PQ story: per-subspace k-means codebook training
-    (one shuffle-free Arrow scan per iteration, driver reduce —
-    operators/similarity.py:train_pq_codebooks) followed by the
-    fixed-codebook encode/ADC path. No oracle_sql entry — trained
-    codebooks are float means accumulated in partition order (see
-    ann_cosine_topk_ivf_trained); the trainer's numerics are pinned by
-    a numpy parity test and the fixed-codebook ann_pq_topk stays fully
-    hash-gated."""
+    """The COMPLETE PQ story, VALUE-HASH GATED end-to-end since round
+    9b: deterministic per-subspace k-means
+    (operators/mltrain.py:pq_kmeans_det — fixed-point distances/means
+    make the trained codebooks engine-reproducible, retiring this
+    query\'s old rows-only rationale) followed by the fixed-codebook
+    encode/ADC path; the oracle re-trains in its own CTE chain
+    (_pq_trained_cb_sql) and scores with the SAME search SQL as
+    ann_pq_topk. The float mapInPandas trainer
+    (operators/similarity.py:train_pq_codebooks) remains as the
+    treeAggregate-shape demo, pinned by its numpy parity test."""
+    from sfcrimedatapipeline_spark.operators.mltrain import pq_kmeans_det
+
     emb = _read_parallel(spark, sf_dir, "embeddings")
     queries = ann_queries(emb)
-    cb = similarity.train_pq_codebooks(emb, n_iters=3)
+    cb = pq_kmeans_det(
+        emb,
+        m=similarity.PQ_SUBSPACES,
+        n_codes=similarity.PQ_CODEBOOK_SIZE,
+        iters=PQ_TRAIN_ITERS,
+    )
     return similarity.pq_topk(emb, queries, k=ANN_K, codebooks=cb)
 
 
@@ -1337,11 +1346,16 @@ def _sqd_sql(av: str, bv: str, lo: int, n: int) -> str:
     )
 
 
-def _pq_sql(m: int = 8, sub: int = 8, n_codes: int = 16) -> str:
+def _pq_sql(m: int = 8, sub: int = 8, n_codes: int = 16, cb_sql: str | None = None) -> str:
     """PQ twin: per-subspace squared-L2 terms unrolled left-associative
     (the Spark fold order); encoding argmin via lexicographic list-min
     over (d, cid) — the struct-min twin; ADC as an 8-way self-join on
-    the query table so the + chain fixes the summation order."""
+    the query table so the + chain fixes the summation order.
+
+    ``cb_sql`` overrides the seed codebook CTE body with a trained
+    chain producing ``cb(cid, cv)`` with FULL-vector cv (per-subspace
+    codebooks concatenated — the per-subspace distance slices make the
+    full layout equivalent); default is the lowest-id seed text."""
 
     def dist(av: str, bv: str, s: int) -> str:
         return _sqd_sql(av, bv, s * sub, sub)
@@ -1358,11 +1372,13 @@ def _pq_sql(m: int = 8, sub: int = 8, n_codes: int = 16) -> str:
         for s in range(m)
     )
     adc = " + ".join(f"qt{s}.t{s}" for s in range(m))
-    return f"""
-        WITH cb AS (
+    if cb_sql is None:
+        cb_sql = f"""cb AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
             FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_codes})
-        ),
+        )"""
+    return f"""
+        WITH RECURSIVE {cb_sql},
         pairs AS (
             SELECT e.vec_id, cb.cid, {pair_d}
             FROM embeddings e CROSS JOIN cb
@@ -1616,6 +1632,74 @@ def _ivf_trained_cent_sql() -> str:
                        list(cval ORDER BY dim) AS cvv
                 FROM cent{ANN_IVF_TRAIN_ITERS} GROUP BY 1
             )"""
+
+
+#: trained-PQ k-means rounds (must match the Spark call in
+#: ann_pq_topk_trained)
+PQ_TRAIN_ITERS = 3
+
+
+def _pq_trained_cb_sql(m: int = 8, sub: int = 8, n_codes: int = 16) -> str:
+    """Deterministic per-subspace k-means chain producing ``cb(cid,
+    cv)`` with full-vector cv — the oracle twin of
+    operators/mltrain.py:pq_kmeans_det (fx subspace distances, argmin
+    ties → lowest code id, fx means, empty codes keep their previous
+    centroid). MATERIALIZED per round (the exponential-inlining
+    lesson)."""
+    from sfcrimedatapipeline_spark.functions.fixedpoint import sql_fx, sql_unfx
+
+    steps = []
+    for i in range(1, PQ_TRAIN_ITERS + 1):
+        prev = f"cb{i - 1}"
+        steps.append(f"""
+        dt{i} AS (
+            SELECT p.vec_id, p.s, c.cid,
+                   sum({sql_fx('(p.val - c.cval) * (p.val - c.cval)')})
+                       AS dist_fx
+            FROM pq_pts p JOIN {prev} c USING (dim)
+            GROUP BY 1, 2, 3
+        ),
+        asn{i} AS MATERIALIZED (
+            SELECT vec_id, s, cid FROM (
+                SELECT vec_id, s, cid,
+                       row_number() OVER (PARTITION BY vec_id, s
+                           ORDER BY dist_fx ASC, cid ASC) AS rn
+                FROM dt{i}
+            ) WHERE rn = 1
+        ),
+        mn{i} AS (
+            SELECT a.cid, p.dim,
+                   {sql_unfx(f"sum({sql_fx('p.val')})")}
+                       / CAST(count(*) AS DOUBLE) AS mval
+            FROM asn{i} a JOIN pq_pts p ON p.vec_id = a.vec_id AND p.s = a.s
+            GROUP BY 1, 2
+        ),
+        cb{i} AS MATERIALIZED (
+            SELECT c.cid, c.dim, COALESCE(m.mval, c.cval) AS cval
+            FROM {prev} c
+            LEFT JOIN mn{i} m ON m.cid = c.cid AND m.dim = c.dim
+        )""")
+    return f"""pq_pts AS MATERIALIZED (
+            SELECT vec_id, r.range AS dim,
+                   CAST((r.range - 1) // {sub} AS INTEGER) AS s,
+                   CAST(embedding[r.range] AS DOUBLE) AS val
+            FROM embeddings CROSS JOIN range(1, {m * sub + 1}) r
+        ),
+        pq_sd AS (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                       AS cid
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+                  LIMIT {n_codes})
+        ),
+        cb0 AS MATERIALIZED (
+            SELECT sd.cid, p.dim, p.val AS cval
+            FROM pq_pts p JOIN pq_sd sd USING (vec_id)
+        ),{",".join(steps)},
+        cb AS (
+            SELECT cid, list(cval ORDER BY dim) AS cv
+            FROM cb{PQ_TRAIN_ITERS} GROUP BY 1
+        )"""
 
 
 def build_oracle_sql() -> dict[str, str]:
@@ -2094,6 +2178,7 @@ def build_oracle_sql() -> dict[str, str]:
                      ORDER BY vec_id LIMIT {ANN_IVF_CENTROIDS})"""
         ),
         "ann_cosine_topk_ivf_trained": _ivf_search_sql(_ivf_trained_cent_sql()),
+        "ann_pq_topk_trained": _pq_sql(cb_sql=_pq_trained_cb_sql()),
 
         "emb_near_duplicates_lsh": _emb_lsh_auto_sql(),
         # cross-pair restriction of the SAME self-join oracle: band
@@ -2154,7 +2239,8 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_hybrid_rrf": ann_hybrid_rrf,
-    # rows-only: trained codebooks are not engine-reproducible by design
+    # hash-gated since r9b: the deterministic per-subspace trainer makes
+    # the codebooks engine-reproducible (see docstring)
     "ann_pq_topk_trained": ann_pq_topk_trained,
     # hash-gated since r9b: the deterministic spherical trainer makes
     # the centroids engine-reproducible (see docstring)

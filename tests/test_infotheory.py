@@ -745,3 +745,18 @@ def test_spherical_kmeans_det_repeatable_and_sane(spark):
     # centroids are finite, 64-dim, not all identical
     assert all(len(v) == 64 for _, v in a)
     assert len({tuple(v) for _, v in a}) > 1
+
+
+def test_pq_kmeans_det_repeatable(spark):
+    """The deterministic PQ-codebook trainer must be bit-identical
+    across partitionings, with the m×k×sub shape pq_topk expects."""
+    from sfcrimedatapipeline_spark.operators.mltrain import pq_kmeans_det
+
+    sdf = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    a = pq_kmeans_det(sdf, m=8, n_codes=16, iters=2)
+    b = pq_kmeans_det(sdf.repartition(5), m=8, n_codes=16, iters=2)
+    assert len(a) == 8 and all(len(cbk) == 16 for cbk in a)
+    assert all(len(c) == 8 for cbk in a for c in cbk)
+    for sa, sb in zip(a, b):
+        for ca_, cb_ in zip(sa, sb):
+            assert ca_ == cb_
