@@ -220,6 +220,9 @@ def test_dup_memo_evicts_stale_session_entries(spark):
     calls = []
     fake_pairs = SimpleNamespace(unpersist=lambda: calls.append("unpersisted"))
     dead_session = object()
+    # the sweep runs on REBUILD, not on a memo hit — drop any live
+    # entry another test may have left so _dup_pairs actually rebuilds
+    cq._DUP_MEMO.pop("/root/testdata/sf0.001", None)
     cq._DUP_MEMO["__stale_dir__"] = (dead_session, fake_pairs, None)
     try:
         cq._dup_pairs(spark, "/root/testdata/sf0.001")
