@@ -502,3 +502,80 @@ def pq_kmeans_det(
         ]
         for s in range(m)
     ]
+
+
+# ---------------------------------------------------------------------------
+# deterministic MMR — the gated diversity re-ranker
+# ---------------------------------------------------------------------------
+
+
+def mmr_rerank_det(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lamb: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy MMR (λ·relevance − (1−λ)·max_cosine_to_picked) made
+    gate-deterministic: pairwise cosines are SEQUENTIAL left-fold
+    dot/norm arithmetic — the exact operation order of the oracle's
+    ``list_sum`` fragments — instead of numpy BLAS (whose pairwise
+    summation differs in the last ulp and can flip greedy picks), and
+    the (1−λ) complement is shared with the oracle via ``repr``
+    (Python ``1.0−0.7`` is 0.30000000000000004, not the double the SQL
+    decimal would produce). Candidates are the ANN top-N (bounded by
+    contract — tens of rows per query), so the greedy loop is
+    driver-side on the collected candidate set, like every trainer in
+    this module; ties break to the smaller neighbor id."""
+    import math
+
+    spark = candidates.sparkSession
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    rows = (
+        candidates.join(vecs, "neighbor_id")
+        .select("query_id", "neighbor_id", "cosine", "__nv")
+        .collect()
+    )
+    om = 1.0 - lamb
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def cos_raw(a: list[float], b: list[float]) -> float:
+        return fold_dot(a, b) / (
+            math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
+        )
+
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], float(r["cosine"]), [float(x) for x in r["__nv"]])
+        )
+    out: list[tuple] = []
+    for qid in sorted(by_q):
+        cands = sorted(by_q[qid])  # neighbor_id ascending — the tie rule
+        picked: list[tuple] = []
+        for rank in range(1, min(k, len(cands)) + 1):
+            best = None
+            for nid, rel, v in cands:
+                if any(nid == p[0] for p in picked):
+                    continue
+                pen = (
+                    max(cos_raw(v, p[2]) for p in picked) if picked else 0.0
+                )
+                score = lamb * rel - om * pen
+                if best is None or score > best[0]:
+                    best = (score, nid, rel, v)
+            out.append((qid, rank, best[1], best[2], best[0]))
+            picked.append((best[1], best[2], best[3]))
+    return spark.createDataFrame(
+        out,
+        "query_id long, rank int, neighbor_id long, relevance double, "
+        "mmr_score double",
+    )

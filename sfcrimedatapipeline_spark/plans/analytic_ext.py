@@ -410,23 +410,34 @@ def emb_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_eigenvalues(emb, k=5)
 
 
+#: MMR constants — shared by the Spark call and the oracle builder
+MMR_CAND_K = 20
+MMR_PICKS = 5
+MMR_LAMBDA = 0.7
+
+
 def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diversity re-ranking of ANN results
-    (operators/similarity.py:mmr_rerank): exact top-20 candidates per
-    query (the gated cosine_topk path), then per-query greedy MMR to 5
-    picks at λ=0.7 in applyInPandas. Rows-only (greedy recurrence);
-    λ=1 ≡ relevance-order and hand-computed picks pinned in tests."""
-    from sfcrimedatapipeline_spark.operators.similarity import (
-        cosine_topk,
-        mmr_rerank,
-    )
+    """Diversity re-ranking of ANN results, VALUE-HASH GATED since
+    round 9b: exact top-20 candidates per query (the gated cosine_topk
+    path), then per-query greedy MMR to 5 picks at λ=0.7 via the
+    deterministic re-ranker (operators/mltrain.py:mmr_rerank_det —
+    sequential-fold cosines matching the oracle's list_sum order,
+    repr-shared 1−λ; retires the "greedy recurrence" rows-only
+    rationale: the recurrence unrolls into 5 oracle pick CTEs). The
+    numpy applyInPandas re-ranker
+    (operators/similarity.py:mmr_rerank) remains for the distributed
+    per-query shape, pinned by its hand-computed-pick tests."""
+    from sfcrimedatapipeline_spark.operators.mltrain import mmr_rerank_det
+    from sfcrimedatapipeline_spark.operators.similarity import cosine_topk
 
     from sfcrimedatapipeline_spark.plans.llmops import ann_queries
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = ann_queries(emb)
-    cands = cosine_topk(emb, queries, k=20)
-    return mmr_rerank(cands, emb, k=5, lamb=0.7).orderBy("query_id", "rank")
+    cands = cosine_topk(emb, queries, k=MMR_CAND_K)
+    return mmr_rerank_det(
+        cands, emb, k=MMR_PICKS, lamb=MMR_LAMBDA
+    ).orderBy("query_id", "rank")
 
 
 def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1444,3 +1455,89 @@ def _holt_oracle_sql() -> str:
 
 
 ORACLE_SQL["events_holt_forecast"] = _holt_oracle_sql()
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy-MMR twin: candidates from the shared ANN oracle
+    at k=20, then 5 pick CTEs — each scores the not-yet-picked
+    candidates with λ·relevance − (1−λ)·max(raw cosine to picked) and
+    takes the row_number()=1 row per query (ties → smaller neighbor
+    id). λ and 1−λ interpolate via repr from the same constants the
+    Spark call uses; the raw-cosine fragment is the shared
+    list_sum-fold text, which the deterministic re-ranker's
+    sequential-fold python mirrors bit for bit."""
+    from sfcrimedatapipeline_spark.plans.llmops import (
+        _ann_sql,
+        _sql_cosine_raw,
+    )
+
+    lam, om = repr(MMR_LAMBDA), repr(1.0 - MMR_LAMBDA)
+    steps = []
+    for i in range(2, MMR_PICKS + 1):
+        prev = f"picked{i - 1}"
+        steps.append(f"""
+        pen{i} AS (
+            SELECT c.query_id, c.neighbor_id,
+                   max({_sql_cosine_raw("c.__v", "p.__v")}) AS pen
+            FROM cand c
+            JOIN {prev} p USING (query_id)
+            WHERE NOT EXISTS (
+                SELECT 1 FROM {prev} q
+                WHERE q.query_id = c.query_id
+                  AND q.neighbor_id = c.neighbor_id
+            )
+            GROUP BY 1, 2
+        ),
+        p{i} AS MATERIALIZED (
+            SELECT query_id, neighbor_id, relevance, __v, mmr_score,
+                   {i} AS rank
+            FROM (
+                SELECT c.query_id, c.neighbor_id, c.relevance, c.__v,
+                       CAST({lam} AS DOUBLE) * c.relevance
+                           - CAST({om} AS DOUBLE) * pen.pen AS mmr_score,
+                       row_number() OVER (PARTITION BY c.query_id
+                           ORDER BY CAST({lam} AS DOUBLE) * c.relevance
+                                    - CAST({om} AS DOUBLE) * pen.pen DESC,
+                                    c.neighbor_id ASC) AS rn
+                FROM pen{i} pen
+                JOIN cand c ON c.query_id = pen.query_id
+                           AND c.neighbor_id = pen.neighbor_id
+            ) WHERE rn = 1
+        ),
+        picked{i} AS MATERIALIZED (
+            SELECT * FROM {prev}
+            UNION ALL
+            SELECT query_id, neighbor_id, relevance, __v, mmr_score, rank
+            FROM p{i}
+        )""")
+    return f"""
+        WITH cands AS ({_ann_sql(lsh=False, k=MMR_CAND_K)}),
+        cv AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v
+            FROM embeddings
+        ),
+        cand AS MATERIALIZED (
+            SELECT c.query_id, c.neighbor_id, c.cosine AS relevance, v.__v
+            FROM cands c JOIN cv v ON v.vec_id = c.neighbor_id
+        ),
+        picked1 AS MATERIALIZED (
+            SELECT query_id, neighbor_id, relevance, __v, mmr_score,
+                   1 AS rank
+            FROM (
+                SELECT query_id, neighbor_id, relevance, __v,
+                       CAST({lam} AS DOUBLE) * relevance
+                           - CAST({om} AS DOUBLE) * 0.0 AS mmr_score,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY CAST({lam} AS DOUBLE) * relevance
+                                    - CAST({om} AS DOUBLE) * 0.0 DESC,
+                                    neighbor_id ASC) AS rn
+                FROM cand
+            ) WHERE rn = 1
+        ),{",".join(steps)}
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               relevance, mmr_score
+        FROM picked{MMR_PICKS}
+    """
+
+
+ORACLE_SQL["ann_mmr_rerank"] = _mmr_oracle_sql()

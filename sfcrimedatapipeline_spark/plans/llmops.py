@@ -1104,7 +1104,7 @@ def _simhash_sql() -> str:
     """
 
 
-def _ann_sql(lsh: bool) -> str:
+def _ann_sql(lsh: bool, k: int = ANN_K) -> str:
     if lsh:
         planes = [similarity._hyperplane(64, p) for p in range(6)]
         bucket_terms = []
@@ -1142,7 +1142,7 @@ def _ann_sql(lsh: bool) -> str:
             ) AS rank
             FROM scored
         ) r
-        WHERE rank <= {ANN_K}
+        WHERE rank <= {k}
     """
 
 

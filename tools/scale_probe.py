@@ -134,6 +134,11 @@ PROBE_QUERIES = [
     "events_kmv_overlap",
     "text_bigram_entropy_rate",
     "docs_kmv_source_overlap",
+    # round-9b rows-only retirements: the deterministic trainers cost
+    # per-iteration distributed fx aggregates — measure that the cost
+    # stays data-proportional
+    "ann_cosine_topk_ivf_trained",
+    "ann_pq_topk_trained",
 ]
 
 
