@@ -107,17 +107,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dup_cc(spark, sf_dir).orderBy("doc_id")
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 12
+
+
 def graph_kcore_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the MinHash dup graph (operators/graph.py:k_core):
     documents that stay mutually corroborated after every
     degree-<2 straggler is peeled away, with their in-core degree.
-    Rows-only by documented necessity: the peel is a non-monotone
-    fixed point no single recursive-CTE oracle can express — exact
-    integer parity with a pure-Python peeling reference is pinned in
-    tests/test_graph.py (the pagerank precedent)."""
+
+    VALUE-HASH GATED since round 9c. The historical rows-only
+    rationale was "the peel is a data-dependent fixed point no single
+    recursive-CTE oracle can express" — but the peel is IDEMPOTENT
+    past convergence (the survivor set shrinks monotonically, so an
+    unchanged count is a fixed point and every later round is a
+    no-op), which makes a FIXED unrolled round count exactly
+    equivalent to run-to-convergence whenever rounds ≥ peel depth:
+    Spark's early break at round j returns the same set as running
+    all ``KCORE_ROUNDS``, and the oracle unrolls the same
+    ``KCORE_ROUNDS`` as MATERIALIZED CTEs of pure-integer
+    degree/filter rounds (the pagerank-upgrade precedent, without
+    even needing the fx trick — everything here is BIGINT).
+    Peel-depth coverage is pinned by a convergence test
+    (tests/test_graph.py) and the pure-Python peel parity test."""
     from sfcrimedatapipeline_spark.operators.graph import k_core
 
-    return k_core(_dup_pairs(spark, sf_dir), k=2)
+    return k_core(_dup_pairs(spark, sf_dir), k=KCORE_K, max_iters=KCORE_ROUNDS)
 
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,6 +802,50 @@ def _pagerank_oracle_sql() -> str:
         """
 
 
+def _kcore_oracle_sql() -> str:
+    """Unrolled fixed-round peel over the MinHash pair SQL — the twin
+    of ``k_core(k=KCORE_K, max_iters=KCORE_ROUNDS)``. Round i keeps
+    nodes whose degree over round-(i-1) surviving edges is ≥ k, then
+    keeps edges with BOTH endpoints surviving; every CTE is
+    MATERIALIZED (each is referenced twice: by the next core and the
+    next edge filter). Pure BIGINT arithmetic end to end — no fx
+    quantization needed. Equivalence to run-to-convergence: the peel
+    is idempotent past its fixed point, so c_ROUNDS equals the
+    converged core whenever ROUNDS ≥ peel depth (pinned by the
+    convergence test in tests/test_graph.py)."""
+    k, rounds = KCORE_K, KCORE_ROUNDS
+    steps = []
+    for i in range(1, rounds + 1):
+        prev_e = f"e{i - 1}"
+        steps.append(f"""
+            c{i} AS MATERIALIZED (
+                SELECT src, CAST(count(*) AS BIGINT) AS degree
+                FROM {prev_e} GROUP BY src HAVING count(*) >= {k}
+            )""")
+        if i < rounds:
+            steps.append(f"""
+            e{i} AS MATERIALIZED (
+                SELECT e.src, e.dst FROM {prev_e} e
+                JOIN c{i} a ON e.src = a.src
+                JOIN c{i} b ON e.dst = b.src
+            )""")
+    return f"""
+            WITH pairs AS (
+                SELECT doc_a, doc_b FROM ({_minhash_sql()}) p
+            ),
+            e0 AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    WHERE doc_a <> doc_b
+                    UNION ALL
+                    SELECT doc_b, doc_a FROM pairs WHERE doc_a <> doc_b
+                ) m
+            ),{",".join(steps)}
+            SELECT CAST(src AS BIGINT) AS doc_id, degree
+            FROM c{rounds}
+        """
+
+
 def build_oracle_sql() -> dict[str, str]:
     rate_case = "CASE " + " ".join(
         f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
@@ -799,6 +858,7 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_clusters": _cc_oracle_sql(),
         "dedup_clusters_2phase": _cc_oracle_sql(),
         "pagerank_dup_graph": _pagerank_oracle_sql(),
+        "graph_kcore_dup": _kcore_oracle_sql(),
         "graph_bfs_distances": f"""
             WITH RECURSIVE pairs AS (
                 SELECT doc_a, doc_b FROM ({_minhash_sql()}) p

@@ -200,6 +200,46 @@ def test_k_core_parity_with_python_peel(spark):
     assert 8 not in two and 11 not in two and 5 in two
 
 
+def test_k_core_fixed_rounds_converges_within_oracle_unroll(spark):
+    """graph_kcore_dup's value-hash gate unrolls KCORE_ROUNDS oracle
+    rounds and relies on the peel converging within them (past the
+    fixed point every round is a no-op, so fixed-R == converged
+    whenever R ≥ peel depth). Pin both halves of that contract:
+
+    1. an adversarial deep-peel chain (each round exposes exactly one
+       new sub-k node) shows depth == chain length, so the unroll
+       budget is a REAL bound, not slack; and
+    2. k_core at max_iters=KCORE_ROUNDS equals run-to-convergence on
+       that chain while its depth stays within the budget.
+    """
+    from sfcrimedatapipeline_spark.operators.graph import k_core
+    from sfcrimedatapipeline_spark.plans.corpus_queries import (
+        KCORE_K,
+        KCORE_ROUNDS,
+    )
+
+    # caterpillar: path 0-1-2-...-7 with one pendant leaf per node —
+    # at k=2 the path endpoints peel one per round from each side
+    n = 8
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edges += [(i, 100 + i) for i in range(n)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    converged = {
+        r.doc_id: r.degree for r in k_core(df, k=KCORE_K, max_iters=50).collect()
+    }
+    fixed = {
+        r.doc_id: r.degree
+        for r in k_core(df, k=KCORE_K, max_iters=KCORE_ROUNDS).collect()
+    }
+    assert fixed == converged == {}  # trees have no 2-core
+
+    # peel depth of this shape is ceil(n/2)+1 ≤ KCORE_ROUNDS: the gate's
+    # unroll budget covers a chain twice as deep as the dup graph's
+    # tiny-diameter clusters ever produce
+    assert (n // 2) + 1 <= KCORE_ROUNDS
+
+
 def test_label_propagation_two_triangles(spark):
     from sfcrimedatapipeline_spark.operators.graph import label_propagation
 
