@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tpch,
         tpch_suite,
         udx_queries,
+        curation,
     )
 
     merged = {
@@ -214,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **corpus_queries.QUERIES,
         **infotheory.QUERIES,
         **udx_queries.QUERIES,
+        **curation.QUERIES,
     }
     deferred = set(_DEFERRED)
     first = set(_REFERENCE_FIRST)
@@ -246,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         tpch,
         tpch_suite,
         udx_queries,
+        curation,
     )
 
     return {
@@ -264,4 +267,5 @@ def oracle_sql() -> dict[str, str]:
         **corpus_queries.ORACLE_SQL,
         **infotheory.ORACLE_SQL,
         **udx_queries.ORACLE_SQL,
+        **curation.ORACLE_SQL,
     }

@@ -616,6 +616,159 @@ def span_corrupt(
     )
 
 
+#: FIM hash seeds — two independent pivot draws per document
+FIM_SEED_P1, FIM_SEED_P2 = 11, 13
+#: FIM sentinel markers (StarCoder/SantaCoder convention, PSM order)
+FIM_PREFIX_TOK = "<fim_prefix>"
+FIM_SUFFIX_TOK = "<fim_suffix>"
+FIM_MIDDLE_TOK = "<fim_middle>"
+
+
+def fim_transform(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022; the
+    StarCoder data pipeline applies it document-wise): split each
+    document's token sequence at two pivots into (prefix, middle,
+    suffix) and re-render in PSM order —
+    ``<fim_prefix>P<fim_suffix>S<fim_middle>M`` — the training-example
+    layout that teaches infilling.
+
+    Deterministic twin-expressible pivots instead of RNG (the
+    hash-coin idiom): p1 = h(doc:seed1) % (n+1), p2 = p1 +
+    h(doc:seed2) % (n−p1+1), so 0 ≤ p1 ≤ p2 ≤ n and every split —
+    including empty prefix/middle/suffix — is reachable. Token-level
+    (not char-level) splitting keeps the operation alphabet-safe for
+    CJK text and lets both engines slice the SAME token arrays.
+
+    Output per document: the three segment lengths and the md5 digest
+    of the rendered PSM string (the gate compares layout + content
+    without hauling full rendered text through the compare). Pure
+    Catalyst — split/slice/concat_ws/md5 inside whole-stage codegen,
+    zero shuffles, so the transform is a free map over a 100 TB scan.
+    """
+    from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    toked = docs.select(
+        id_col, tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size("__toks").cast("long"))
+    did = F.col(id_col).cast("string")
+    p1 = F.pmod(portable_hash64(did, FIM_SEED_P1), F.col("__n") + 1)
+    with_p1 = toked.withColumn("__p1", p1)
+    p2 = F.col("__p1") + F.pmod(
+        portable_hash64(did, FIM_SEED_P2), F.col("__n") - F.col("__p1") + 1
+    )
+    sliced = with_p1.withColumn("__p2", p2).select(
+        id_col,
+        "__n",
+        "__p1",
+        "__p2",
+        F.slice(F.col("__toks"), F.lit(1), F.col("__p1").cast("int")).alias(
+            "__pre"
+        ),
+        F.slice(
+            F.col("__toks"),
+            (F.col("__p1") + 1).cast("int"),
+            (F.col("__p2") - F.col("__p1")).cast("int"),
+        ).alias("__mid"),
+        F.slice(
+            F.col("__toks"),
+            (F.col("__p2") + 1).cast("int"),
+            (F.col("__n") - F.col("__p2")).cast("int"),
+        ).alias("__suf"),
+    )
+    rendered = F.concat(
+        F.lit(FIM_PREFIX_TOK),
+        F.concat_ws(" ", "__pre"),
+        F.lit(FIM_SUFFIX_TOK),
+        F.concat_ws(" ", "__suf"),
+        F.lit(FIM_MIDDLE_TOK),
+        F.concat_ws(" ", "__mid"),
+    )
+    return sliced.select(
+        id_col,
+        F.col("__p1").alias("n_prefix"),
+        (F.col("__p2") - F.col("__p1")).alias("n_middle"),
+        (F.col("__n") - F.col("__p2")).alias("n_suffix"),
+        F.md5(rendered).alias("fim_digest"),
+    )
+
+
+#: SFT conversation assembly: TURNS_PER_CONV consecutive documents per
+#: source form one conversation; roles alternate by position
+SFT_TURNS_PER_CONV = 4
+SFT_ROLE_MARKERS = ("<|user|>", "<|assistant|>")
+
+
+def sft_render_conversations(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Render supervised-fine-tuning conversations with a fixed chat
+    template: consecutive documents (by id) within a source are grouped
+    into ``SFT_TURNS_PER_CONV``-turn dialogues, roles alternating
+    user/assistant by turn parity, each turn rendered as
+    ``<|role|>text`` and concatenated in turn order. The op under test
+    is ordered per-group string assembly — the step that turns a
+    document table into chat-format training examples.
+
+    Output per conversation: source, turn count, total whitespace
+    tokens across turns (exact integer), and the md5 digest of the
+    rendered dialogue. Determinism: turn position is the rank of the
+    doc WITHIN its source (doc ids stripe across sources, so raw-id
+    blocks would yield 1-turn "conversations"), and the render order
+    is pinned by ``array_sort(collect_list(struct(rank, turn)))`` —
+    partition-order free, the span_corrupt assembly idiom.
+
+    Scale shape: one per-source window (partitioned BY SOURCE, never
+    partition-less) then one groupBy(source, conv_seq) shuffle;
+    conversations are bounded at SFT_TURNS_PER_CONV rows so no group
+    outgrows an executor regardless of corpus size.
+    """
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    user_m, asst_m = SFT_ROLE_MARKERS
+    w = Window.partitionBy("source").orderBy(id_col)
+    ranked = docs.select(
+        "source",
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__ntok"),
+    ).withColumn("__rank", (F.row_number().over(w) - 1).cast("long"))
+    turn = F.concat(
+        F.when(
+            F.pmod(F.col("__rank"), F.lit(2)) == 0, F.lit(user_m)
+        ).otherwise(F.lit(asst_m)),
+        F.col("__text"),
+    )
+    base = ranked.select(
+        "source",
+        (F.col("__rank") / SFT_TURNS_PER_CONV).cast("long").alias("conv_seq"),
+        F.col("__rank"),
+        turn.alias("__turn"),
+        "__ntok",
+    )
+    return (
+        base.groupBy("source", "conv_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum("__ntok").alias("total_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__rank", "__turn"))
+                        ),
+                        lambda s: s["__turn"],
+                    ),
+                )
+            ).alias("sft_digest"),
+        )
+        .select("source", "conv_seq", "n_turns", "total_tokens", "sft_digest")
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by tf·(N/df) — RATIONAL
     idf, not ln(N/df): the ranking ties only differ where ln would also

@@ -1193,3 +1193,86 @@ def spearman_rho(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         * (F.col("syy").cast("double") * nd - sy * sy)
     )
     return m.select("n", (num / den).alias("rho"))
+
+
+def runs_test(
+    df: DataFrame, value_col: str, order_col: str
+) -> DataFrame:
+    """Wald-Wolfowitz runs test over an ordered integer series: is the
+    sequence of above/below-median signs random, or does it cluster
+    (trend/regime) or alternate (overdispersion)? The classic
+    randomness screen for a daily KPI series.
+
+    ALL-INTEGER core: callers pass integer values (counts, cents); the
+    reference level is the exact LOWER median (1-based rank
+    (n+1) div 2 — the robust_outliers_mad idiom), values EQUAL to the
+    median are excluded (the classical treatment of ties at the
+    median), and the run count is an exact lag-comparison sum. The
+    normal-approximation statistics are each ONE arithmetic expression
+    over those exact integers (double divisions + a correctly-rounded
+    sqrt), so every output bit is engine-identical. Degenerate series
+    (all values on one side, or sigma = 0) yield NULL mu/sigma/z by
+    explicit guard on BOTH engines.
+
+    Scale shape: the input is expected to be an aggregate-bounded
+    series (daily/hourly rollup — calendar-bounded regardless of fact
+    cardinality), so the partition-less rank/lag windows run over a
+    frame that is already small by construction; the result is one
+    row. Two scalar broadcasts (n, median) ride 1-row crossJoins, the
+    whitelisted scalar-total shape.
+
+    Output: (n_above, n_below, n_runs, mu, sigma, z).
+    """
+    base = df.select(
+        F.col(order_col).alias("__t"), F.col(value_col).cast("long").alias("__v")
+    )
+    n_row = base.agg(F.count("*").cast("long").alias("__n"))
+    wr = Window.orderBy("__v", "__t")
+    ranked = base.crossJoin(F.broadcast(n_row)).select(
+        "__t", "__v", "__n", F.row_number().over(wr).alias("__r")
+    )
+    med_row = ranked.filter(
+        F.col("__r") == F.expr("(__n + 1) DIV 2")
+    ).select(F.col("__v").alias("__med"))
+    signed = (
+        base.crossJoin(F.broadcast(med_row))
+        .filter(F.col("__v") != F.col("__med"))
+        .select("__t", (F.col("__v") > F.col("__med")).alias("__s"))
+    )
+    wl = Window.orderBy("__t")
+    lagged = signed.select(
+        "__s", F.lag("__s").over(wl).alias("__p")
+    )
+    zero = F.lit(0).cast("long")
+    agg = lagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__s"), 1).otherwise(0)).cast("long"), zero
+        ).alias("n_above"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__s"), 1).otherwise(0)).cast("long"), zero
+        ).alias("n_below"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__p").isNull() | (F.col("__p") != F.col("__s")), 1
+                ).otherwise(0)
+            ).cast("long"),
+            zero,
+        ).alias("n_runs"),
+    )
+    n1, n2, r = F.col("n_above"), F.col("n_below"), F.col("n_runs")
+    n = n1 + n2
+    two_ab = F.lit(2) * n1 * n2
+    mu = F.lit(1.0) + two_ab.cast("double") / n.cast("double")
+    var_num = two_ab * (two_ab - n)
+    var_den = n * n * (n - F.lit(1))
+    sigma = F.sqrt(var_num.cast("double") / var_den.cast("double"))
+    ok = (n1 > 0) & (n2 > 0) & (n > 1) & (var_num > 0)
+    return agg.select(
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.when(n > 0, mu).alias("mu"),
+        F.when(ok, sigma).alias("sigma"),
+        F.when(ok, (r.cast("double") - mu) / sigma).alias("z"),
+    )

@@ -26,6 +26,16 @@ QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS = 10, 5000
 QUALITY_MIN_MEAN_LEN, QUALITY_MAX_MEAN_LEN = 2.0, 12.0
 QUALITY_MIN_STOPWORD_RATIO = 0.01
 
+#: Gopher-gate thresholds (Rae et al. 2021 §A1.1, adapted to the test
+#: corpus's space-delimited word soup — no lines or punctuation exist
+#: to filter on). Fractions are RATIONALS (num, den) so every rule is
+#: an exact integer cross-multiplication; shared with the SQL oracle.
+GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS = 15, 90
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3, 10  # integer char bounds
+GOPHER_MAX_DUP_FRAC = (13, 20)  # duplicate-token fraction ≤ 0.65
+GOPHER_MAX_TOP_FRAC = (1, 8)  # top-unigram fraction ≤ 0.125
+GOPHER_MIN_STOPWORDS = 1  # ≥1 hit from the English list
+
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token count, char count, mean token length, non-alnum ratio."""
@@ -370,6 +380,84 @@ def repetition_stats(
             _frac(F.col("bi_top"), F.col("bi_total")).alias("top_bigram_frac"),
         )
     )
+
+
+def gopher_gate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composed Gopher-style PASS/FAIL curation gate per document —
+    the actual keep/drop decision a pretraining pipeline applies,
+    where ``repetition_stats``/``with_quality`` expose the raw
+    signals. Five rules, every one an exact-integer comparison (the
+    fraction thresholds are rationals applied by cross-multiplication,
+    so no float ever reaches a boundary):
+
+      r_tokens    token count in [GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS]
+      r_wordlen   mean token length in [GOPHER_MIN_MEAN_LEN,
+                  GOPHER_MAX_MEAN_LEN]  (chars vs len·tokens, ints)
+      r_dup       duplicate-token fraction ≤ GOPHER_MAX_DUP_FRAC
+      r_top       top-unigram fraction ≤ GOPHER_MAX_TOP_FRAC
+      r_stopword  ≥ GOPHER_MIN_STOPWORDS hits from the English list
+
+    Zero-token documents fail every rule by construction (a filter
+    must reject empties, not skip them). Output: one row per document
+    with the five booleans and ``pass_all``.
+
+    Scale shape: one explode → groupBy(id, token) map-side-combined
+    count, re-aggregated per id (total/types/top/chars/stopword hits in
+    ONE pass), LEFT-joined back to the id spine — per-token cost flat
+    in document length, no per-doc array rescans, no UDFs.
+    """
+    from sfcrimedatapipeline_spark.functions.text import STOPWORDS
+
+    toks = tokens(F.col(text_col))
+    grams = df.select(F.col(id_col), F.explode(toks).alias("__t"))
+    agg = (
+        grams.groupBy(id_col, "__t")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("__total"),
+            F.count("*").cast("long").alias("__types"),
+            F.max("__c").cast("long").alias("__top"),
+            F.sum(F.col("__c") * F.length("__t")).cast("long").alias("__chars"),
+            F.sum(
+                F.when(
+                    F.col("__t").isin(STOPWORDS["en"]), F.col("__c")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("__stop"),
+        )
+    )
+    total = F.coalesce(F.col("__total"), F.lit(0).cast("long"))
+    types_ = F.coalesce(F.col("__types"), F.lit(0).cast("long"))
+    top = F.coalesce(F.col("__top"), F.lit(0).cast("long"))
+    chars = F.coalesce(F.col("__chars"), F.lit(0).cast("long"))
+    stop = F.coalesce(F.col("__stop"), F.lit(0).cast("long"))
+    dup_n, dup_d = GOPHER_MAX_DUP_FRAC
+    top_n, top_d = GOPHER_MAX_TOP_FRAC
+    rules = {
+        "r_tokens": total.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS),
+        "r_wordlen": (total > 0)
+        & (chars >= F.lit(GOPHER_MIN_MEAN_LEN) * total)
+        & (chars <= F.lit(GOPHER_MAX_MEAN_LEN) * total),
+        "r_dup": (total > 0)
+        & ((total - types_) * F.lit(dup_d) <= F.lit(dup_n) * total),
+        "r_top": (total > 0) & (top * F.lit(top_d) <= F.lit(top_n) * total),
+        "r_stopword": stop >= GOPHER_MIN_STOPWORDS,
+    }
+    out = df.select(id_col).join(agg, id_col, "left")
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    return out.withColumn(
+        "pass_all",
+        F.col("r_tokens")
+        & F.col("r_wordlen")
+        & F.col("r_dup")
+        & F.col("r_top")
+        & F.col("r_stopword"),
+    ).drop("__total", "__types", "__top", "__chars", "__stop")
 
 
 #: inverse-probability quantization scale for unigram_lm_score: one

@@ -1541,3 +1541,85 @@ def _mmr_oracle_sql() -> str:
 
 
 ORACLE_SQL["ann_mmr_rerank"] = _mmr_oracle_sql()
+
+
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily order-count series
+    (operators/profile.py:runs_test): are above/below-median days
+    randomly interleaved, or do they cluster into regimes? The
+    randomness screen that complements the control chart
+    (orders_control_chart_monthly flags level shifts; the runs test
+    flags serial dependence the level never shows). Daily counts are
+    exact integers; the lower-median reference, tie exclusion, and
+    run counting are all integer-exact, and the three normal-approx
+    statistics are single deterministic double expressions."""
+    from sfcrimedatapipeline_spark.operators.profile import runs_test
+
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return runs_test(daily, "c", "o_orderdate")
+
+
+QUERIES["orders_runs_test"] = orders_runs_test
+
+ORACLE_SQL["orders_runs_test"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS t, CAST(count(*) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    rk AS (
+        SELECT v,
+               row_number() OVER (ORDER BY v, t) AS r,
+               count(*) OVER () AS n
+        FROM daily
+    ),
+    med AS (SELECT v AS m FROM rk WHERE r = (n + 1) // 2),
+    s AS (
+        SELECT t, (v > (SELECT m FROM med)) AS s
+        FROM daily WHERE v <> (SELECT m FROM med)
+    ),
+    lagged AS (SELECT s, lag(s) OVER (ORDER BY t) AS p FROM s),
+    agg AS (
+        SELECT coalesce(CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT),
+                        0) AS n_above,
+               coalesce(CAST(sum(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT),
+                        0) AS n_below,
+               coalesce(CAST(sum(CASE WHEN p IS NULL OR p <> s THEN 1 ELSE 0 END)
+                    AS BIGINT), 0) AS n_runs
+        FROM lagged
+    )
+    SELECT n_above, n_below, n_runs,
+           CASE WHEN n_above + n_below > 0 THEN
+               1.0 + CAST(2 * n_above * n_below AS DOUBLE)
+                     / CAST(n_above + n_below AS DOUBLE)
+           END AS mu,
+           CASE WHEN n_above > 0 AND n_below > 0
+                     AND n_above + n_below > 1
+                     AND 2 * n_above * n_below
+                         * (2 * n_above * n_below - (n_above + n_below)) > 0
+           THEN
+               sqrt(CAST(2 * n_above * n_below
+                         * (2 * n_above * n_below - (n_above + n_below))
+                         AS DOUBLE)
+                    / CAST((n_above + n_below) * (n_above + n_below)
+                           * (n_above + n_below - 1) AS DOUBLE))
+           END AS sigma,
+           CASE WHEN n_above > 0 AND n_below > 0
+                     AND n_above + n_below > 1
+                     AND 2 * n_above * n_below
+                         * (2 * n_above * n_below - (n_above + n_below)) > 0
+           THEN
+               (CAST(n_runs AS DOUBLE)
+                - (1.0 + CAST(2 * n_above * n_below AS DOUBLE)
+                         / CAST(n_above + n_below AS DOUBLE)))
+               / sqrt(CAST(2 * n_above * n_below
+                           * (2 * n_above * n_below - (n_above + n_below))
+                           AS DOUBLE)
+                      / CAST((n_above + n_below) * (n_above + n_below)
+                             * (n_above + n_below - 1) AS DOUBLE))
+           END AS z
+    FROM agg
+"""

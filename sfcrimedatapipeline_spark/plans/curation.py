@@ -1,0 +1,191 @@
+"""Round-9c curation-gate and training-data-transform queries.
+
+Three operators a pretraining data pipeline applies between "raw
+corpus" and "trainable shards", each hash-gated against a DuckDB
+oracle generated from the SAME Python constants as the Spark side:
+
+- ``text_gopher_gate`` — the composed Gopher-style PASS/FAIL document
+  filter (operators/textstats.py:gopher_gate): five exact-integer
+  rules and the keep/drop verdict, where the existing
+  ``text_quality``/``text_repetition`` queries expose raw signals.
+- ``docs_fim_transform`` — fill-in-the-middle re-rendering
+  (operators/corpus.py:fim_transform): hash-pivot PSM splits, the
+  infilling objective's example layout.
+- ``docs_sft_render`` — chat-template conversation assembly
+  (operators/corpus.py:sft_render_conversations): ordered per-group
+  string rendering into user/assistant dialogues.
+
+Reference parity note: the reference pipeline
+(/root/reference/dags/ELT.py) has no text-curation surface — these
+belong to the LLM-training-data extension family the engine adds on
+top (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfcrimedatapipeline_spark.functions.hashing import sql_hash64
+from sfcrimedatapipeline_spark.functions.partitioning import (
+    ensure_min_partitions,
+)
+from sfcrimedatapipeline_spark.functions.text import SQL_TOKENS, STOPWORDS
+from sfcrimedatapipeline_spark.operators import corpus as corpus_ops
+from sfcrimedatapipeline_spark.operators import textstats
+from sfcrimedatapipeline_spark.plans.tpch import QueryFn
+from sfcrimedatapipeline_spark.sources.tables import read_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+
+
+def text_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher gate verdict: five exact-integer rules +
+    pass_all (operators/textstats.py:gopher_gate). The keep/drop
+    decision table a curation pipeline feeds to the shard writer."""
+    return textstats.gopher_gate(_docs(spark, sf_dir))
+
+
+def docs_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM PSM re-rendering per document with hash-pivot splits
+    (operators/corpus.py:fim_transform) — segment lengths + rendered
+    digest under the hash gate."""
+    return corpus_ops.fim_transform(_docs(spark, sf_dir))
+
+
+def docs_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template SFT conversations from consecutive docs per
+    source (operators/corpus.py:sft_render_conversations)."""
+    return corpus_ops.sft_render_conversations(_docs(spark, sf_dir))
+
+
+QUERIES: dict[str, QueryFn] = {
+    "text_gopher_gate": text_gopher_gate,
+    "docs_fim_transform": docs_fim_transform,
+    "docs_sft_render": docs_sft_render,
+}
+
+
+def _gopher_oracle_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    dup_n, dup_d = textstats.GOPHER_MAX_DUP_FRAC
+    top_n, top_d = textstats.GOPHER_MAX_TOP_FRAC
+    return f"""
+        WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+        per AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+        grp AS (SELECT doc_id, t, count(*) AS c FROM per GROUP BY 1, 2),
+        agg AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS ntypes,
+                   CAST(max(c) AS BIGINT) AS topc,
+                   CAST(sum(c * length(t)) AS BIGINT) AS chars,
+                   CAST(sum(CASE WHEN list_contains([{en}], t)
+                            THEN c ELSE 0 END) AS BIGINT) AS stop
+            FROM grp GROUP BY 1
+        ),
+        doc AS (
+            SELECT tok.doc_id,
+                   coalesce(total, 0) AS total,
+                   coalesce(ntypes, 0) AS ntypes,
+                   coalesce(topc, 0) AS topc,
+                   coalesce(chars, 0) AS chars,
+                   coalesce(stop, 0) AS stop
+            FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
+        )
+        SELECT doc_id,
+               (total BETWEEN {textstats.GOPHER_MIN_TOKENS}
+                          AND {textstats.GOPHER_MAX_TOKENS}) AS r_tokens,
+               (total > 0
+                AND chars >= {textstats.GOPHER_MIN_MEAN_LEN} * total
+                AND chars <= {textstats.GOPHER_MAX_MEAN_LEN} * total)
+                   AS r_wordlen,
+               (total > 0
+                AND (total - ntypes) * {dup_d} <= {dup_n} * total) AS r_dup,
+               (total > 0 AND topc * {top_d} <= {top_n} * total) AS r_top,
+               (stop >= {textstats.GOPHER_MIN_STOPWORDS}) AS r_stopword,
+               ((total BETWEEN {textstats.GOPHER_MIN_TOKENS}
+                           AND {textstats.GOPHER_MAX_TOKENS})
+                AND (total > 0
+                     AND chars >= {textstats.GOPHER_MIN_MEAN_LEN} * total
+                     AND chars <= {textstats.GOPHER_MAX_MEAN_LEN} * total)
+                AND (total > 0 AND (total - ntypes) * {dup_d}
+                                   <= {dup_n} * total)
+                AND (total > 0 AND topc * {top_d} <= {top_n} * total)
+                AND (stop >= {textstats.GOPHER_MIN_STOPWORDS})) AS pass_all
+        FROM doc
+    """
+
+
+def _fim_oracle_sql() -> str:
+    h1 = sql_hash64("doc_id", str(corpus_ops.FIM_SEED_P1))
+    h2 = sql_hash64("doc_id", str(corpus_ops.FIM_SEED_P2))
+    pre = corpus_ops.FIM_PREFIX_TOK
+    suf = corpus_ops.FIM_SUFFIX_TOK
+    mid = corpus_ops.FIM_MIDDLE_TOK
+    return f"""
+        WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+        n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tok),
+        p1cte AS (
+            SELECT doc_id, toks, n, ({h1}) % (n + 1) AS p1 FROM n
+        ),
+        p2cte AS (
+            SELECT doc_id, toks, n, p1,
+                   p1 + ({h2}) % (n - p1 + 1) AS p2
+            FROM p1cte
+        )
+        SELECT doc_id,
+               p1 AS n_prefix,
+               p2 - p1 AS n_middle,
+               n - p2 AS n_suffix,
+               md5('{pre}'
+                   || coalesce(array_to_string(
+                          toks[1:CAST(p1 AS INTEGER)], ' '), '')
+                   || '{suf}'
+                   || coalesce(array_to_string(
+                          toks[CAST(p2 + 1 AS INTEGER):CAST(n AS INTEGER)],
+                          ' '), '')
+                   || '{mid}'
+                   || coalesce(array_to_string(
+                          toks[CAST(p1 + 1 AS INTEGER):CAST(p2 AS INTEGER)],
+                          ' '), '')) AS fim_digest
+        FROM p2cte
+    """
+
+
+def _sft_oracle_sql() -> str:
+    user_m, asst_m = corpus_ops.SFT_ROLE_MARKERS
+    t = corpus_ops.SFT_TURNS_PER_CONV
+    return f"""
+        WITH ranked AS (
+            SELECT source, doc_id, text,
+                   CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id
+                   ) - 1 AS BIGINT) AS rnk,
+                   CAST(len({SQL_TOKENS}) AS BIGINT) AS ntok
+            FROM documents
+        ),
+        turns AS (
+            SELECT source,
+                   rnk // {t} AS conv_seq,
+                   rnk,
+                   (CASE WHEN rnk % 2 = 0 THEN '{user_m}'
+                         ELSE '{asst_m}' END) || text AS turn,
+                   ntok
+            FROM ranked
+        )
+        SELECT source, conv_seq,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens,
+               md5(string_agg(turn, '' ORDER BY rnk)) AS sft_digest
+        FROM turns GROUP BY source, conv_seq
+    """
+
+
+ORACLE_SQL: dict[str, str] = {
+    "text_gopher_gate": _gopher_oracle_sql(),
+    "docs_fim_transform": _fim_oracle_sql(),
+    "docs_sft_render": _sft_oracle_sql(),
+}

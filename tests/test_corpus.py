@@ -1343,3 +1343,116 @@ def test_denoise_pack_concatenation_aligns_members(spark):
     b01 = out[(0, 1)]
     assert list(b01.input_ids) == [6] and list(b01.target_ids) == []
     assert out[(1, 0)].n_input_tokens == 4
+
+
+def test_gopher_gate_rules_hand_computed(spark):
+    """gopher_gate vs hand-computed rule outcomes, including the
+    zero-token fail-everything contract and each rule failing in
+    isolation."""
+    from sfcrimedatapipeline_spark.operators.textstats import (
+        GOPHER_MIN_TOKENS,
+        gopher_gate,
+    )
+
+    good = "the quick brown fox jumps over lazy dogs " * 4  # 36 toks
+    rows = [
+        (0, good + "and then some more words here now ok"),  # 43 toks, passes
+        (1, "tiny doc"),  # fails r_tokens (2 < 15) and r_stopword
+        (2, ("the " * 40) + good),  # top 'the' frac > 1/8 → fails r_top+r_dup
+        (3, ""),  # zero tokens: fails every rule
+        (4, "ab " * 20),  # mean len 2 < 3 → fails r_wordlen, r_dup, r_stop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_gate(df).collect()}
+
+    assert out[0].pass_all and all(
+        out[0][c] for c in ("r_tokens", "r_wordlen", "r_dup", "r_top", "r_stopword")
+    )
+    assert not out[1].r_tokens and not out[1].pass_all
+    assert not out[2].r_top and not out[2].pass_all
+    assert not any(
+        out[3][c]
+        for c in ("r_tokens", "r_wordlen", "r_dup", "r_top", "r_stopword", "pass_all")
+    )
+    assert not out[4].r_wordlen and not out[4].pass_all
+    # threshold sanity: doc 1's token count really is below the floor
+    assert 2 < GOPHER_MIN_TOKENS
+
+
+def test_fim_transform_partition_and_reassembly_invariants(spark):
+    """fim_transform: segment lengths always partition the token count,
+    the digest matches a hand-built PSM render, and pivots are
+    deterministic (same doc id → same split at any partitioning)."""
+    import hashlib as _hl
+
+    from sfcrimedatapipeline_spark.operators.corpus import (
+        FIM_MIDDLE_TOK,
+        FIM_PREFIX_TOK,
+        FIM_SEED_P1,
+        FIM_SEED_P2,
+        FIM_SUFFIX_TOK,
+        fim_transform,
+    )
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta iota w{i}")
+            for i in range(10)] + [(99, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in fim_transform(df).collect()}
+
+    def h(doc_id, seed):
+        d = _hl.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+        return int(d[:15], 16)
+
+    for i in range(10):
+        toks = f"alpha beta gamma delta epsilon zeta eta theta iota w{i}".split()
+        n = len(toks)
+        r = out[i]
+        assert r.n_prefix + r.n_middle + r.n_suffix == n
+        p1 = h(i, FIM_SEED_P1) % (n + 1)
+        p2 = p1 + h(i, FIM_SEED_P2) % (n - p1 + 1)
+        assert (r.n_prefix, r.n_middle) == (p1, p2 - p1)
+        rendered = (
+            FIM_PREFIX_TOK + " ".join(toks[:p1])
+            + FIM_SUFFIX_TOK + " ".join(toks[p2:])
+            + FIM_MIDDLE_TOK + " ".join(toks[p1:p2])
+        )
+        assert r.fim_digest == _hl.md5(rendered.encode()).hexdigest()
+    # empty doc: all-zero lengths, digest of the bare sentinels
+    z = out[99]
+    assert (z.n_prefix, z.n_middle, z.n_suffix) == (0, 0, 0)
+    bare = FIM_PREFIX_TOK + FIM_SUFFIX_TOK + FIM_MIDDLE_TOK
+    assert z.fim_digest == _hl.md5(bare.encode()).hexdigest()
+    # partitioning invariance
+    again = {r.doc_id: r for r in fim_transform(df.repartition(7)).collect()}
+    assert {k: (v.n_prefix, v.fim_digest) for k, v in out.items()} == {
+        k: (v.n_prefix, v.fim_digest) for k, v in again.items()
+    }
+
+
+def test_sft_render_groups_and_order(spark):
+    """sft_render_conversations: turns group by within-source rank
+    (ids striping across sources still yield multi-turn convs), roles
+    alternate user-first, and the digest is render-order exact."""
+    import hashlib as _hl
+
+    from sfcrimedatapipeline_spark.operators.corpus import (
+        SFT_ROLE_MARKERS,
+        sft_render_conversations,
+    )
+
+    # ids stripe across two sources: s0 gets 0,2,4,6,8; s1 gets 1,3
+    rows = [(i, f"s{i % 2}", f"text {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.source, r.conv_seq): r for r in sft_render_conversations(df).collect()}
+
+    u, a = SFT_ROLE_MARKERS
+    # source s0 has ranks 0..3 for ids 0,2,4,6 → one full conversation
+    conv = out[("s0", 0)]
+    assert conv.n_turns == 4
+    expect = u + "text 0" + a + "text 2" + u + "text 4" + a + "text 6"
+    assert conv.sft_digest == _hl.md5(expect.encode()).hexdigest()
+    assert conv.total_tokens == 8  # two whitespace tokens per turn
+    # the 5th s0 doc (id 8) starts conversation 1 as user
+    tail = out[("s0", 1)]
+    assert tail.n_turns == 1
+    assert tail.sft_digest == _hl.md5((u + "text 8").encode()).hexdigest()

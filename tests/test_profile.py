@@ -168,3 +168,44 @@ def test_spearman_rho_known_values(spark):
         [(1, 10), (2, 20), (2, 20), (3, 40)], "a long, b long"
     )
     assert abs(spearman_rho(tied, "a", "b").collect()[0].rho - 1.0) < 1e-12
+
+
+def test_runs_test_hand_computed(spark):
+    """runs_test vs a hand computation: series 1,5,2,6,3,7,10 by day.
+    Lower median of {1,2,3,5,6,7,10} is 5 (rank (7+1) div 2 = 4);
+    excluding the tie leaves signs F,F,T,F,T,T in day order → 4 runs,
+    n_above = n_below = 3, mu = 1 + 2·9/6 = 4, z = 0."""
+    import math
+
+    from sfcrimedatapipeline_spark.operators.profile import runs_test
+
+    rows = list(enumerate([1, 5, 2, 6, 3, 7, 10], start=1))
+    df = spark.createDataFrame(rows, "d long, v long")
+    r = runs_test(df, "v", "d").collect()[0]
+    assert (r.n_above, r.n_below, r.n_runs) == (3, 3, 4)
+    assert r.mu == 4.0
+    assert abs(r.sigma - math.sqrt(18 * 12 / (36 * 5))) < 1e-15
+    assert r.z == 0.0
+
+
+def test_runs_test_degenerate_series_yields_nulls(spark):
+    """All-equal values are all ties at the median → zero retained
+    signs; the statistics must be NULL, not a division error. One-side
+    series (strictly increasing steps above the median only after
+    exclusion) must also guard sigma."""
+    from sfcrimedatapipeline_spark.operators.profile import runs_test
+
+    flat = spark.createDataFrame(
+        [(i, 7) for i in range(1, 6)], "d long, v long"
+    )
+    r = runs_test(flat, "v", "d").collect()[0]
+    assert (r.n_above, r.n_below, r.n_runs) == (0, 0, 0)
+    assert r.mu is None and r.sigma is None and r.z is None
+
+    # two values, one above one below → var_num = 4*(4-2) = 8 > 0 but
+    # n-1 = 1: formula still defined; sanity that no NULL sneaks in
+    two = spark.createDataFrame([(1, 1), (2, 9)], "d long, v long")
+    r2 = runs_test(two, "v", "d").collect()[0]
+    assert (r2.n_above, r2.n_below, r2.n_runs) == (1, 0, 1)
+    # one side empty → sigma/z NULL by the n1>0 AND n2>0 guard
+    assert r2.sigma is None and r2.z is None

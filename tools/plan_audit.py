@@ -167,6 +167,8 @@ CROSS_OK: dict[str, str] = {
     "events_kmv_overlap": "θ pair grid — BNLJ of two set-key-bounded sketch aggregates (keys declared in GROUP_BOUNDED_OK)",
     "docs_kmv_source_overlap": "θ pair grid — BNLJ of two source-bounded sketch aggregates (keys declared in GROUP_BOUNDED_OK)",
     "docs_lang_source_mi": "crossJoin(broadcast(1-row doc-total scalar)) ×3 + 1-row MI/H-marginal assembly",
+    # round-9c additions:
+    "orders_runs_test": "crossJoin(broadcast(1-row n scalar)) + crossJoin(broadcast(1-row lower-median scalar)) over the calendar-bounded daily frame",
 }
 
 #: Grouped aggregates whose output IS bounded, but by semantics the
@@ -185,6 +187,9 @@ GROUP_BOUNDED_OK: dict[str, list[str]] = {
     # cardinality
     "events_kmv_overlap": ["k_", "event_type"],
     "docs_kmv_source_overlap": ["k_", "source"],
+    # daily-order-count frame: one row per o_orderdate (the Theil-Sen
+    # bound) — the runs test's median scalar derives from it
+    "orders_runs_test": ["o_orderdate"],
 }
 
 #: Build sides bounded by SEMANTICS a physical plan cannot exhibit
@@ -241,6 +246,9 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "parts_link_prediction": "rank over a top-k TakeOrdered frame (limit-bounded)",
     # round-9: rides build_vocabulary — the text_vocabulary bound
     "text_token_coverage_curve": "vocab-size-bounded rank (limit-first)",
+    # round-9c: rank + sign-lag windows over the calendar-bounded
+    # daily-aggregate frame (one row per o_orderdate)
+    "orders_runs_test": "calendar-bounded daily-aggregate frame (o_orderdate)",
 }
 
 
