@@ -552,3 +552,108 @@ def _lpa_run(
     edges.unpersist()
     edges_p.unpersist()
     return labels, changed
+
+
+def hits(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    iters: int = 4,
+    deterministic: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS (Kleinberg) hubs & authorities over the near-dup pair
+    graph, directed LATER→EARLIER document (``greatest(id) →
+    least(id)``): a later near-duplicate "cites" the earlier original,
+    so high AUTHORITY marks the originals that copies converge on and
+    high HUB marks the aggregator/compilation documents that overlap
+    many originals — the directional provenance ranking PageRank's
+    undirected centrality can't separate.
+
+    Per round: a ← Eᵀh, L1-normalize; h ← Ea, L1-normalize. With
+    ``deterministic=True`` both the contribution sums and the L1
+    totals go through the Q40 fixed point (functions/fixedpoint.py),
+    and each normalization is one double division of engine-exact
+    operands — the pagerank(deterministic=True) discipline, so the
+    full (hub, authority) trace is bit-identical across partitionings
+    and engines and the query hash-gates. Nodes with no in-edges keep
+    authority 0 (resp. hubs for no out-edges) via the spine backfill.
+
+    Scale shape: one join + one map-side-combined aggregate per
+    half-round over an edge list pre-partitioned on its join key; the
+    L1 totals are 1-row aggregates (never a collect); lineage is
+    truncated every second round (executor-local, or reliable via
+    ``checkpoint_dir=``).
+    """
+    from sfcrimedatapipeline_spark.functions.caching import truncate_lineage
+    from sfcrimedatapipeline_spark.functions.fixedpoint import sql_fx, sql_unfx
+
+    edges = (
+        pairs.select(
+            F.greatest(
+                F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+            ).alias("src"),
+            F.least(
+                F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+
+    fx_sum_v = sql_unfx("sum(" + sql_fx("v") + ")") + " + 0.0"
+    fx_sum_raw = sql_unfx("sum(" + sql_fx("raw") + ")") + " + 0.0"
+
+    def _contrib(joined: DataFrame, key: str) -> DataFrame:
+        g = joined.groupBy(F.col(key).alias("id"))
+        if deterministic:
+            return g.agg(F.expr(fx_sum_v).alias("raw"))
+        return g.agg(F.sum("v").alias("raw"))
+
+    # the loop works on SPARSE vectors (only nodes with a nonzero
+    # value): a missing entry is exactly 0 and contributes nothing to
+    # the next half-round's join, so the per-round dense spine backfill
+    # would be a provable no-op — the dense frame materializes ONCE at
+    # output. Each half-round's raw frame is eagerly lineage-truncated
+    # (persisted) BEFORE its L1 total is taken, so the total and every
+    # downstream consumer ride the cache instead of re-deriving the
+    # full iteration chain per action.
+    def _normalize(raw: DataFrame) -> DataFrame:
+        raw = truncate_lineage(raw, checkpoint_dir, eager=True)
+        if deterministic:
+            tot = raw.agg(F.expr(fx_sum_raw).alias("t"))
+        else:
+            tot = raw.agg(F.sum("raw").alias("t"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "id", (F.col("raw") / F.col("t")).alias("v")
+        )
+
+    h = nodes.select("id", F.lit(1.0).alias("v"))
+    a = None
+    for _ in range(iters):
+        a = _normalize(
+            _contrib(edges.join(h, edges.src == h.id).select("dst", "v"), "dst")
+        )
+        h = _normalize(
+            _contrib(edges.join(a, edges.dst == a.id).select("src", "v"), "src")
+        )
+    out = (
+        nodes.join(h.select("id", F.col("v").alias("hub")), "id", "left")
+        .join(a.select("id", F.col("v").alias("authority")), "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
+        )
+    )
+    edges.unpersist()
+    nodes.unpersist()
+    return out

@@ -207,6 +207,28 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+HITS_ITERS = 4
+
+
+def graph_hits_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the near-dup pair graph directed
+    LATER→EARLIER doc (operators/graph.py:hits) — authority ranks the
+    originals later copies converge on; hub ranks aggregator docs that
+    overlap many originals. The directional provenance companion to
+    pagerank_dup_graph's undirected centrality.
+
+    VALUE-HASH GATED via the pagerank(deterministic=True) discipline:
+    Q40 fixed-point contribution and L1-total sums make every round's
+    (hub, authority) trace bit-identical across engines; the oracle
+    unrolls the same 4 rounds (2 contribution + 2 normalization CTEs
+    each, all MATERIALIZED) over the shared MinHash pair SQL."""
+    from sfcrimedatapipeline_spark.operators.graph import hits
+
+    return hits(
+        _dup_pairs(spark, sf_dir), iters=HITS_ITERS, deterministic=True
+    ).orderBy("doc_id")
+
+
 BFS_SEED_MOD = 3
 BFS_MAX_HOPS = 10
 
@@ -846,6 +868,69 @@ def _kcore_oracle_sql() -> str:
         """
 
 
+def _hits_oracle_sql() -> str:
+    """Unrolled HITS rounds over the MinHash pair SQL — the twin of
+    ``hits(iters=HITS_ITERS, deterministic=True)``. Per round: an fx
+    contribution aggregate (a ← Eᵀh, then h ← Ea) and an L1
+    normalization whose total is the fx sum over the SAME raw frame
+    (one scalar subquery — DuckDB evaluates it once), every CTE
+    MATERIALIZED. Arithmetic is textually shared with the Spark side
+    via functions/fixedpoint.py, so each round's doubles are
+    bit-identical."""
+    from sfcrimedatapipeline_spark.functions.fixedpoint import sql_fx, sql_unfx
+
+    fx_sum_v = sql_unfx("sum(" + sql_fx("hp.v") + ")") + " + 0.0"
+    fx_sum_av = sql_unfx("sum(" + sql_fx("ap.v") + ")") + " + 0.0"
+    fx_sum_raw = sql_unfx("sum(" + sql_fx("raw") + ")") + " + 0.0"
+    steps = []
+    for i in range(1, HITS_ITERS + 1):
+        steps.append(f"""
+            ar{i} AS MATERIALIZED (
+                SELECT e.dst AS id, {fx_sum_v} AS raw
+                FROM edges e JOIN h{i - 1} hp ON e.src = hp.id
+                GROUP BY e.dst
+            ),
+            a{i} AS MATERIALIZED (
+                SELECT n.id,
+                       coalesce(r.raw, 0.0)
+                           / (SELECT {fx_sum_raw} FROM ar{i}) AS v
+                FROM nodes n LEFT JOIN ar{i} r ON n.id = r.id
+            ),
+            hr{i} AS MATERIALIZED (
+                SELECT e.src AS id, {fx_sum_av} AS raw
+                FROM edges e JOIN a{i} ap ON e.dst = ap.id
+                GROUP BY e.src
+            ),
+            h{i} AS MATERIALIZED (
+                SELECT n.id,
+                       coalesce(r.raw, 0.0)
+                           / (SELECT {fx_sum_raw} FROM hr{i}) AS v
+                FROM nodes n LEFT JOIN hr{i} r ON n.id = r.id
+            )""")
+    return f"""
+            WITH pairs AS (
+                SELECT doc_a, doc_b FROM ({_minhash_sql()}) p
+            ),
+            edges AS MATERIALIZED (
+                SELECT DISTINCT greatest(doc_a, doc_b) AS src,
+                                least(doc_a, doc_b) AS dst
+                FROM pairs WHERE doc_a <> doc_b
+            ),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM edges
+                    UNION ALL SELECT dst FROM edges
+                ) u
+            ),
+            h0 AS MATERIALIZED (SELECT id, 1.0 AS v FROM nodes),{",".join(steps)}
+            SELECT CAST(n.id AS BIGINT) AS doc_id,
+                   h.v AS hub, a.v AS authority
+            FROM nodes n
+            JOIN h{HITS_ITERS} h ON n.id = h.id
+            JOIN a{HITS_ITERS} a ON n.id = a.id
+        """
+
+
 def build_oracle_sql() -> dict[str, str]:
     rate_case = "CASE " + " ".join(
         f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
@@ -859,6 +944,7 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_clusters_2phase": _cc_oracle_sql(),
         "pagerank_dup_graph": _pagerank_oracle_sql(),
         "graph_kcore_dup": _kcore_oracle_sql(),
+        "graph_hits_dup": _hits_oracle_sql(),
         "graph_bfs_distances": f"""
             WITH RECURSIVE pairs AS (
                 SELECT doc_a, doc_b FROM ({_minhash_sql()}) p
@@ -1448,6 +1534,7 @@ QUERIES = {
     "graph_kcore_dup": graph_kcore_dup,
     # rows-only: rank low bits are aggregation-order-dependent (see docstring)
     "pagerank_dup_graph": pagerank_dup_graph,
+    "graph_hits_dup": graph_hits_dup,
     "sample_stratified": sample_stratified,
     "sample_pps": sample_pps,
     "events_mad_outliers": events_mad_outliers,

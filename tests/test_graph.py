@@ -342,3 +342,96 @@ def test_label_propagation_star_ties_to_smallest(spark):
     )
     one = {r.doc_id: r.community_id for r in label_propagation(pairs, rounds=1).collect()}
     assert one[10] == 1 and one[1] == one[2] == one[3] == 10
+
+
+def _numpy_hits(n_ids, edges, iters=4):
+    """Dense HITS reference: edges directed greatest→least, L1
+    normalization per half-round."""
+    import numpy as np
+
+    ids = sorted(n_ids)
+    idx = {v: i for i, v in enumerate(ids)}
+    dir_edges = {(max(a, b), min(a, b)) for a, b in edges if a != b}
+    h = np.ones(len(ids))
+    a = np.zeros(len(ids))
+    for _ in range(iters):
+        a = np.zeros(len(ids))
+        for s, d in dir_edges:
+            a[idx[d]] += h[idx[s]]
+        a /= a.sum()
+        h = np.zeros(len(ids))
+        for s, d in dir_edges:
+            h[idx[s]] += a[idx[d]]
+        h /= h.sum()
+    return {v: (h[idx[v]], a[idx[v]]) for v in ids}
+
+
+def test_hits_matches_numpy_and_directionality(spark):
+    """hits() float path vs a dense numpy reference; later→earlier
+    direction means pure-source nodes (largest id in all its pairs)
+    carry zero authority and pure-sink nodes zero hub."""
+    from sfcrimedatapipeline_spark.operators.graph import hits
+
+    edges = [(1, 5), (2, 5), (3, 5), (5, 9), (4, 9), (1, 9), (2, 3)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: (r.hub, r.authority) for r in hits(df).collect()}
+    nodes = {v for e in edges for v in e}
+    want = _numpy_hits(nodes, edges)
+    for v in nodes:
+        assert abs(got[v][0] - want[v][0]) < 1e-9, ("hub", v)
+        assert abs(got[v][1] - want[v][1]) < 1e-9, ("auth", v)
+    # node 9 is the largest id in every pair it touches → pure hub
+    assert got[9][1] == 0.0 and got[9][0] > 0
+    # node 1 is the smallest in every pair → pure authority
+    assert got[1][0] == 0.0 and got[1][1] > 0
+    # L1 normalization: both vectors sum to 1
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-9
+
+
+def test_hits_deterministic_bit_exact_python_twin(spark):
+    """hits(deterministic=True) vs a pure-Python Q40 fixed-point
+    replay of the same update math — every output bit equal (the
+    pagerank-deterministic precedent)."""
+    import math
+
+    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE
+    from sfcrimedatapipeline_spark.operators.graph import hits
+
+    edges = [(1, 5), (2, 5), (3, 5), (5, 9), (4, 9), (1, 9), (2, 3)]
+    dir_edges = sorted({(max(a, b), min(a, b)) for a, b in edges})
+    nodes = sorted({v for e in edges for v in e})
+
+    def fx_sum(vals):
+        return sum(math.floor(v * FX_SCALE) for v in vals)
+
+    def unfx(t):
+        return t / FX_SCALE + 0.0
+
+    h = {v: 1.0 for v in nodes}
+    a = {}
+    for _ in range(4):
+        raw = {}
+        for s, d in dir_edges:
+            if s in h:
+                raw.setdefault(d, []).append(h[s])
+        raw = {k: unfx(fx_sum(vs)) for k, vs in raw.items()}
+        t = unfx(fx_sum(raw.values()))
+        a = {k: v / t for k, v in raw.items()}
+        raw = {}
+        for s, d in dir_edges:
+            if d in a:
+                raw.setdefault(s, []).append(a[d])
+        raw = {k: unfx(fx_sum(vs)) for k, vs in raw.items()}
+        t = unfx(fx_sum(raw.values()))
+        h = {k: v / t for k, v in raw.items()}
+
+    got = {
+        r.doc_id: (r.hub, r.authority)
+        for r in hits(
+            spark.createDataFrame(edges, "doc_a long, doc_b long"),
+            deterministic=True,
+        ).collect()
+    }
+    for v in nodes:
+        assert got[v] == (h.get(v, 0.0), a.get(v, 0.0)), v

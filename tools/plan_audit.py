@@ -169,6 +169,7 @@ CROSS_OK: dict[str, str] = {
     "docs_lang_source_mi": "crossJoin(broadcast(1-row doc-total scalar)) ×3 + 1-row MI/H-marginal assembly",
     # round-9c additions:
     "orders_runs_test": "crossJoin(broadcast(1-row n scalar)) + crossJoin(broadcast(1-row lower-median scalar)) over the calendar-bounded daily frame",
+    "graph_hits_dup": "crossJoin(broadcast(1-row L1-total scalar)) per half-round — the pagerank-normalization shape",
 }
 
 #: Grouped aggregates whose output IS bounded, but by semantics the
