@@ -256,6 +256,104 @@ def train_ivf_centroids(
     return [(cid, cent[i].tolist()) for i, (cid, _) in enumerate(seeds)]
 
 
+def _ivf_seq_norm(cvec: list[float]) -> float:
+    """Sequential left-fold norm, NOT math.fsum: fsum is exactly
+    rounded while the JVM fold and DuckDB's list_sum accumulate in
+    order — a 1-ulp difference here could flip an assignment tie."""
+    import math
+
+    s = 0.0
+    for x in cvec:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vid_alias: str,
+    rank_limit: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Attach the ``rank_limit`` best centroids (cos DESC, id ASC) to
+    every vector — the IVF coarse assignment, shared verbatim by
+    :func:`cosine_topk_ivf` (corpus lists + query probes) and the
+    list-size audit so the two can never drift. Output columns:
+    ``(vid_alias, __v, __n, centroid_id)``."""
+    cent_norms = {cid: _ivf_seq_norm(cvec) for cid, cvec in centroids}
+    cent_ids = [cid for cid, _ in centroids]
+    cent_vecs = [[float(x) for x in cvec] for _, cvec in centroids]
+
+    def _cos_structs(negate_id: bool):
+        """All (cosine, centroid_id) pairs as ONE array expression.
+
+        The centroid table is a single nested literal and the cosine is
+        ONE shared ``transform`` lambda indexed into it — expanding a
+        per-centroid copy of the dot expression instead (8 structs × a
+        64-element HOF each) made driver-side Catalyst analysis, not
+        execution, the dominant cost (measured 4.4 s plan build vs
+        0.25 s warm exec at sf0.1). Arithmetic per element is unchanged
+        (same multiply order, same left fold), so assignment stays
+        bit-identical to the oracle twin.
+        """
+        cent_arr = F.array(*[F.lit(v) for v in cent_vecs])
+        norm_arr = F.lit([cent_norms[cid] for cid in cent_ids])
+        cid_arr = F.lit(
+            [-cid if negate_id else cid for cid in cent_ids]
+        ).cast("array<long>")
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(len(cent_ids))),
+            lambda j: F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__v"),
+                            F.element_at(cent_arr, j),
+                            lambda x, y: x.cast("double") * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (F.col("__n") * F.element_at(norm_arr, j))
+                ).alias("ccos"),
+                F.element_at(cid_arr, j).alias("cid"),
+            ),
+        )
+
+    staged = df.select(
+        F.col(id_col).alias(vid_alias),
+        F.col(vec_col).alias("__v"),
+        norm_fixed(vec_col, dim).alias("__n"),
+    )
+    if rank_limit == 1:
+        # argmax via ONE array_max over (ccos, -cid) structs —
+        # lexicographic struct max = max cosine, ties → min id. The
+        # array expression is referenced exactly once: binding the 8
+        # cosines to columns and folding greatest/when over them let
+        # CollapseProject inline each HOF dot into every branch
+        # (~10x work — measured 13 s vs LSH's 2.6 s at sf0.1).
+        best = F.array_max(_cos_structs(negate_id=True))
+        return staged.select(
+            vid_alias, "__v", "__n", (-best.getField("cid")).alias("centroid_id")
+        )
+    stacked = staged.select(
+        vid_alias,
+        "__v",
+        "__n",
+        F.explode(_cos_structs(negate_id=False)).alias("e"),
+    ).select(vid_alias, "__v", "__n", F.col("e.cid").alias("centroid_id"), "e.ccos")
+    w = Window.partitionBy(vid_alias).orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    return (
+        stacked.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= rank_limit)
+        .select(vid_alias, "__v", "__n", "centroid_id")
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -297,94 +395,9 @@ def cosine_topk_ivf(
             for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
         ]
 
-    import math
-
-    def _seq_norm(cvec: list[float]) -> float:
-        # sequential left-fold, NOT math.fsum: fsum is exactly rounded
-        # while the JVM fold and DuckDB's list_sum accumulate in order —
-        # a 1-ulp difference here could flip an assignment tie
-        s = 0.0
-        for x in cvec:
-            s += float(x) * float(x)
-        return math.sqrt(s)
-
-    cent_norms = {cid: _seq_norm(cvec) for cid, cvec in centroids}
-
-    cent_ids = [cid for cid, _ in centroids]
-    cent_vecs = [[float(x) for x in cvec] for _, cvec in centroids]
-
-    def _cos_structs(negate_id: bool):
-        """All (cosine, centroid_id) pairs as ONE array expression.
-
-        The centroid table is a single nested literal and the cosine is
-        ONE shared ``transform`` lambda indexed into it — expanding a
-        per-centroid copy of the dot expression instead (8 structs × a
-        64-element HOF each) made driver-side Catalyst analysis, not
-        execution, the dominant cost (measured 4.4 s plan build vs
-        0.25 s warm exec at sf0.1). Arithmetic per element is unchanged
-        (same multiply order, same left fold), so assignment stays
-        bit-identical to the oracle twin.
-        """
-        cent_arr = F.array(*[F.lit(v) for v in cent_vecs])
-        norm_arr = F.lit([cent_norms[cid] for cid in cent_ids])
-        cid_arr = F.lit(
-            [-cid if negate_id else cid for cid in cent_ids]
-        ).cast("array<long>")
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(len(cent_ids))),
-            lambda j: F.struct(
-                (
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("__v"),
-                            F.element_at(cent_arr, j),
-                            lambda x, y: x.cast("double") * y,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    / (F.col("__n") * F.element_at(norm_arr, j))
-                ).alias("ccos"),
-                F.element_at(cid_arr, j).alias("cid"),
-            ),
-        )
-
-    def _assign(df: DataFrame, vid_alias: str, rank_limit: int) -> DataFrame:
-        """Attach the ``rank_limit`` best centroids (cos DESC, id ASC)."""
-        staged = df.select(
-            F.col(id_col).alias(vid_alias),
-            F.col(vec_col).alias("__v"),
-            norm_fixed(vec_col, dim).alias("__n"),
-        )
-        if rank_limit == 1:
-            # argmax via ONE array_max over (ccos, -cid) structs —
-            # lexicographic struct max = max cosine, ties → min id. The
-            # array expression is referenced exactly once: binding the 8
-            # cosines to columns and folding greatest/when over them let
-            # CollapseProject inline each HOF dot into every branch
-            # (~10x work — measured 13 s vs LSH's 2.6 s at sf0.1).
-            best = F.array_max(_cos_structs(negate_id=True))
-            return staged.select(
-                vid_alias, "__v", "__n", (-best.getField("cid")).alias("centroid_id")
-            )
-        stacked = staged.select(
-            vid_alias,
-            "__v",
-            "__n",
-            F.explode(_cos_structs(negate_id=False)).alias("e"),
-        ).select(vid_alias, "__v", "__n", F.col("e.cid").alias("centroid_id"), "e.ccos")
-        w = Window.partitionBy(vid_alias).orderBy(
-            F.desc("ccos"), F.asc("centroid_id")
-        )
-        return (
-            stacked.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= rank_limit)
-            .select(vid_alias, "__v", "__n", "centroid_id")
-        )
-
-    c = _assign(corpus, "neighbor_id", 1).withColumnRenamed("__v", "cv").withColumnRenamed("__n", "cn")
+    c = ivf_assign(corpus, centroids, "neighbor_id", 1, id_col, vec_col, dim).withColumnRenamed("__v", "cv").withColumnRenamed("__n", "cn")
     q = F.broadcast(
-        _assign(queries, "query_id", n_probe)
+        ivf_assign(queries, centroids, "query_id", n_probe, id_col, vec_col, dim)
         .withColumnRenamed("__v", "qv")
         .withColumnRenamed("__n", "qn")
     )

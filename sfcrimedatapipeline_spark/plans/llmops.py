@@ -2942,3 +2942,108 @@ ORACLE_SQL["corpus_importance_resample"] = f"""
     ORDER BY importance DESC, distinctive_hits DESC, doc_id ASC
     LIMIT {RESAMPLE_TOP_N}
 """
+
+
+def ann_ivf_imbalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit over the TRAINED coarse quantizer: per
+    inverted list its size, its share of the corpus (= the scan
+    fraction a query probing this list pays), and how many of the
+    standard query set probe it at n_probe — the skew report that
+    tells an operator whether nprobe/recall tradeoffs will hold before
+    shipping the index (a 10× oversized list means probing it scans
+    10× the expected candidates; an unprobed list is wasted training
+    capacity).
+
+    Rides the SAME deterministic trained centroids
+    (operators/mltrain.py:spherical_kmeans_det) and the SAME shared
+    assignment expression (operators/similarity.py:ivf_assign) as
+    ann_cosine_topk_ivf_trained, so the audit can never drift from
+    the index it audits; the oracle re-trains in its CTE chain and
+    re-derives both assignments. Exact integers + one double division
+    per row."""
+    from sfcrimedatapipeline_spark.operators import similarity
+    from sfcrimedatapipeline_spark.operators.mltrain import spherical_kmeans_det
+
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    trained = spherical_kmeans_det(
+        emb, k=ANN_IVF_CENTROIDS, iters=ANN_IVF_TRAIN_ITERS
+    )
+    sizes = (
+        similarity.ivf_assign(emb, trained, "nid", 1)
+        .groupBy("centroid_id")
+        .agg(F.count("*").cast("long").alias("list_size"))
+    )
+    probes = (
+        similarity.ivf_assign(
+            ann_queries(emb), trained, "query_id", ANN_IVF_PROBE
+        )
+        .groupBy("centroid_id")
+        .agg(F.count("*").cast("long").alias("n_probing_queries"))
+    )
+    spine = spark.createDataFrame(
+        [(int(cid),) for cid, _ in trained], "centroid_id long"
+    )
+    total = sizes.agg(F.sum("list_size").cast("long").alias("__tot"))
+    ls = F.coalesce(F.col("list_size"), F.lit(0).cast("long"))
+    return (
+        spine.join(sizes, "centroid_id", "left")
+        .join(probes, "centroid_id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "centroid_id",
+            ls.alias("list_size"),
+            (ls.cast("double") / F.col("__tot").cast("double")).alias(
+                "scan_share"
+            ),
+            F.coalesce(F.col("n_probing_queries"), F.lit(0).cast("long")).alias(
+                "n_probing_queries"
+            ),
+        )
+    )
+
+
+QUERIES["ann_ivf_imbalance_audit"] = ann_ivf_imbalance_audit
+
+ORACLE_SQL["ann_ivf_imbalance_audit"] = f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v
+        FROM embeddings
+    ),
+    {_ivf_trained_cent_sql()},
+    ca AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_sql_cosine_raw("v.__v", "cent.cvv")} DESC,
+                                cent.centroid_id ASC) AS r
+            FROM v, cent
+        ) t WHERE r = 1
+    ),
+    sizes AS (
+        SELECT centroid_id, CAST(count(*) AS BIGINT) AS list_size
+        FROM ca GROUP BY 1
+    ),
+    qp AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_sql_cosine_raw("v.__v", "cent.cvv")} DESC,
+                                cent.centroid_id ASC) AS r
+            FROM v, cent WHERE v.vec_id < {ANN_N_QUERIES}
+        ) t WHERE r <= {ANN_IVF_PROBE}
+    ),
+    probes AS (
+        SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_probing_queries
+        FROM qp GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(list_size) AS BIGINT) AS n FROM sizes)
+    SELECT c.centroid_id,
+           CAST(coalesce(s.list_size, 0) AS BIGINT) AS list_size,
+           CAST(coalesce(s.list_size, 0) AS DOUBLE)
+               / CAST((SELECT n FROM tot) AS DOUBLE) AS scan_share,
+           CAST(coalesce(p.n_probing_queries, 0) AS BIGINT)
+               AS n_probing_queries
+    FROM (SELECT DISTINCT centroid_id FROM cent) c
+    LEFT JOIN sizes s USING (centroid_id)
+    LEFT JOIN probes p USING (centroid_id)
+"""

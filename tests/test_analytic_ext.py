@@ -494,3 +494,25 @@ def test_pca_rejects_degenerate_inputs(spark):
     one = spark.createDataFrame([(1, [0.1, 0.2, 0.3, 0.4])], schema)
     with pytest.raises(ValueError, match=">= 2 vectors"):
         pca_eigenvalues(one, dim=4)
+
+
+def test_ivf_imbalance_audit_conservation(spark):
+    """The IVF audit's invariants: every corpus vector lands in exactly
+    one list (sizes sum to the corpus), every query probes exactly
+    n_probe lists (probe counts sum to n_queries*n_probe), shares sum
+    to 1, and the spine covers all k trained centroids."""
+    from sfcrimedatapipeline_spark.plans.llmops import (
+        ANN_IVF_CENTROIDS,
+        ANN_IVF_PROBE,
+        ANN_N_QUERIES,
+        ann_ivf_imbalance_audit,
+    )
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = ann_ivf_imbalance_audit(spark, sf).collect()
+    n_vecs = read_table(spark, sf, "embeddings").count()
+    assert len(rows) == ANN_IVF_CENTROIDS
+    assert sum(r.list_size for r in rows) == n_vecs
+    assert sum(r.n_probing_queries for r in rows) == ANN_N_QUERIES * ANN_IVF_PROBE
+    assert abs(sum(r.scan_share for r in rows) - 1.0) < 1e-12

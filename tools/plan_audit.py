@@ -170,6 +170,7 @@ CROSS_OK: dict[str, str] = {
     # round-9c additions:
     "orders_runs_test": "crossJoin(broadcast(1-row n scalar)) + crossJoin(broadcast(1-row lower-median scalar)) over the calendar-bounded daily frame",
     "graph_hits_dup": "crossJoin(broadcast(1-row L1-total scalar)) per half-round — the pagerank-normalization shape",
+    "ann_ivf_imbalance_audit": "crossJoin(broadcast(1-row corpus-total scalar)) over the k-row centroid spine (driver-literal)",
 }
 
 #: Grouped aggregates whose output IS bounded, but by semantics the
