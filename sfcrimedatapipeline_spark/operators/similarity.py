@@ -276,12 +276,15 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DEFAULT_DIM,
+    keep_cos: bool = False,
 ) -> DataFrame:
     """Attach the ``rank_limit`` best centroids (cos DESC, id ASC) to
     every vector — the IVF coarse assignment, shared verbatim by
-    :func:`cosine_topk_ivf` (corpus lists + query probes) and the
-    list-size audit so the two can never drift. Output columns:
-    ``(vid_alias, __v, __n, centroid_id)``."""
+    :func:`cosine_topk_ivf` (corpus lists + query probes), the
+    list-size audit, and the silhouette audit so none can drift.
+    Output columns: ``(vid_alias, __v, __n, centroid_id)``, plus
+    ``(__ccos, __r)`` when ``keep_cos=True`` (rank_limit ≥ 2 path
+    only — the audits need the per-rank cosine itself)."""
     cent_norms = {cid: _ivf_seq_norm(cvec) for cid, cvec in centroids}
     cent_ids = [cid for cid, _ in centroids]
     cent_vecs = [[float(x) for x in cvec] for _, cvec in centroids]
@@ -347,11 +350,15 @@ def ivf_assign(
     w = Window.partitionBy(vid_alias).orderBy(
         F.desc("ccos"), F.asc("centroid_id")
     )
-    return (
-        stacked.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= rank_limit)
-        .select(vid_alias, "__v", "__n", "centroid_id")
+    ranked = stacked.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= rank_limit
     )
+    if keep_cos:
+        return ranked.select(
+            vid_alias, "__v", "__n", "centroid_id",
+            F.col("ccos").alias("__ccos"), "__r",
+        )
+    return ranked.select(vid_alias, "__v", "__n", "centroid_id")
 
 
 def cosine_topk_ivf(

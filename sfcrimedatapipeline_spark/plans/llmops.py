@@ -3047,3 +3047,121 @@ ORACLE_SQL["ann_ivf_imbalance_audit"] = f"""
     LEFT JOIN sizes s USING (centroid_id)
     LEFT JOIN probes p USING (centroid_id)
 """
+
+
+def emb_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per trained cluster —
+    the cluster-quality verdict on the SAME deterministic quantizer
+    the IVF index uses: per vector a = 1−cos(own centroid),
+    b = 1−cos(second-nearest centroid), s = (b−a)/max(a,b); per
+    cluster the fx-exact means of a, b, s. High mean s = compact,
+    well-separated list; s near 0 = boundary-straddling list whose
+    n_probe=1 recall will be poor. Completes the index-health pair
+    with ann_ivf_imbalance_audit (size skew there, geometric
+    cohesion here), riding the same spherical_kmeans_det centroids
+    and the same shared assignment expression."""
+    from sfcrimedatapipeline_spark.functions.fixedpoint import sql_fx, sql_unfx
+    from sfcrimedatapipeline_spark.operators import similarity
+    from sfcrimedatapipeline_spark.operators.mltrain import spherical_kmeans_det
+
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    trained = spherical_kmeans_det(
+        emb, k=ANN_IVF_CENTROIDS, iters=ANN_IVF_TRAIN_ITERS
+    )
+    top2 = similarity.ivf_assign(emb, trained, "vid", 2, keep_cos=True)
+    pv = top2.groupBy("vid").agg(
+        F.max(F.when(F.col("__r") == 1, F.col("centroid_id"))).alias("own"),
+        F.max(F.when(F.col("__r") == 1, F.col("__ccos"))).alias("c1"),
+        F.max(F.when(F.col("__r") == 2, F.col("__ccos"))).alias("c2"),
+    )
+    a = F.lit(1.0) - F.col("c1")
+    b = F.lit(1.0) - F.col("c2")
+    sv = pv.select(
+        "own",
+        a.alias("a"),
+        b.alias("b"),
+        F.when(
+            F.greatest(a, b) > 0.0, (b - a) / F.greatest(a, b)
+        ).otherwise(F.lit(0.0)).alias("s"),
+    )
+    n_dbl = F.count("*").cast("double")
+    agg = sv.groupBy(F.col("own").alias("centroid_id")).agg(
+        F.count("*").cast("long").alias("n"),
+        (F.expr(sql_unfx("sum(" + sql_fx("s") + ")")) / n_dbl).alias(
+            "silhouette"
+        ),
+        (F.expr(sql_unfx("sum(" + sql_fx("a") + ")")) / n_dbl).alias(
+            "mean_intra"
+        ),
+        (F.expr(sql_unfx("sum(" + sql_fx("b") + ")")) / n_dbl).alias(
+            "mean_nearest"
+        ),
+    )
+    spine = spark.createDataFrame(
+        [(int(cid),) for cid, _ in trained], "centroid_id long"
+    )
+    return spine.join(agg, "centroid_id", "left").select(
+        "centroid_id",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        "silhouette",
+        "mean_intra",
+        "mean_nearest",
+    )
+
+
+QUERIES["emb_cluster_silhouette"] = emb_cluster_silhouette
+
+
+def _silhouette_oracle_sql() -> str:
+    from sfcrimedatapipeline_spark.functions.fixedpoint import sql_fx, sql_unfx
+
+    cos = _sql_cosine_raw("v.__v", "cent.cvv")
+    mean = lambda col: (
+        sql_unfx(f"sum({sql_fx(col)})") + " / CAST(count(*) AS DOUBLE)"
+    )
+    return f"""
+        WITH RECURSIVE v AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS __v
+            FROM embeddings
+        ),
+        {_ivf_trained_cent_sql()},
+        ranked AS (
+            SELECT vec_id, centroid_id, c, r FROM (
+                SELECT v.vec_id, cent.centroid_id, {cos} AS c,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {cos} DESC, cent.centroid_id ASC) AS r
+                FROM v, cent
+            ) t WHERE r <= 2
+        ),
+        pv AS (
+            SELECT vec_id,
+                   max(CASE WHEN r = 1 THEN centroid_id END) AS own,
+                   max(CASE WHEN r = 1 THEN c END) AS c1,
+                   max(CASE WHEN r = 2 THEN c END) AS c2
+            FROM ranked GROUP BY vec_id
+        ),
+        sv AS (
+            SELECT own, (1.0 - c1) AS a, (1.0 - c2) AS b,
+                   CASE WHEN greatest(1.0 - c1, 1.0 - c2) > 0.0
+                        THEN ((1.0 - c2) - (1.0 - c1))
+                             / greatest(1.0 - c1, 1.0 - c2)
+                        ELSE 0.0 END AS s
+            FROM pv
+        ),
+        agg AS (
+            SELECT own AS centroid_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   {mean("s")} AS silhouette,
+                   {mean("a")} AS mean_intra,
+                   {mean("b")} AS mean_nearest
+            FROM sv GROUP BY 1
+        )
+        SELECT c.centroid_id,
+               CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+               a.silhouette, a.mean_intra, a.mean_nearest
+        FROM (SELECT DISTINCT centroid_id FROM cent) c
+        LEFT JOIN agg a USING (centroid_id)
+    """
+
+
+ORACLE_SQL["emb_cluster_silhouette"] = _silhouette_oracle_sql()

@@ -516,3 +516,31 @@ def test_ivf_imbalance_audit_conservation(spark):
     assert sum(r.list_size for r in rows) == n_vecs
     assert sum(r.n_probing_queries for r in rows) == ANN_N_QUERIES * ANN_IVF_PROBE
     assert abs(sum(r.scan_share for r in rows) - 1.0) < 1e-12
+
+
+def test_cluster_silhouette_separated_vs_boundary(spark):
+    """Silhouette semantics on the planted geometry: with the fixture
+    corpus every cluster's silhouette lies in [-1, 1], counts conserve,
+    and mean_nearest >= mean_intra for every non-empty cluster (the
+    second-nearest centroid is by construction no closer than the
+    assigned one)."""
+    from sfcrimedatapipeline_spark.plans.llmops import (
+        ANN_IVF_CENTROIDS,
+        emb_cluster_silhouette,
+    )
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = emb_cluster_silhouette(spark, sf).collect()
+    assert len(rows) == ANN_IVF_CENTROIDS
+    n_vecs = read_table(spark, sf, "embeddings").count()
+    assert sum(r.n for r in rows) == n_vecs
+    for r in rows:
+        if r.n == 0:
+            assert r.silhouette is None
+            continue
+        assert -1.0 <= r.silhouette <= 1.0
+        # assignment is argmax-cosine: distance to own centroid can
+        # never exceed distance to the runner-up
+        assert r.mean_nearest >= r.mean_intra
+        assert r.silhouette >= 0.0
