@@ -774,6 +774,36 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sf_dir → (session, trained spherical-kmeans centroids). The
+#: _DUP_MEMO precedent applied to the IVF coarse quantizer: three
+#: queries (the trained search, the imbalance audit, the silhouette
+#: audit) each re-ran the full multi-job k-means trainer per query.
+#: The trained table is a k·dims driver-side literal (no Spark
+#: resources held), but entries are still keyed to the session and
+#: stale-session entries evicted, so a long-lived process that cycles
+#: sessions across regenerated test data can never serve stale
+#: centroids.
+_KMEANS_MEMO: dict[str, tuple[SparkSession, list]] = {}
+
+
+def _trained_ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Session-memoized spherical_kmeans_det centroids — the shared
+    training prefix of every trained-quantizer query."""
+    from sfcrimedatapipeline_spark.operators.mltrain import spherical_kmeans_det
+
+    entry = _KMEANS_MEMO.get(sf_dir)
+    if entry is None or entry[0] is not spark:
+        for key in [k for k, e in _KMEANS_MEMO.items() if e[0] is not spark]:
+            _KMEANS_MEMO.pop(key)
+        emb = _read_parallel(spark, sf_dir, "embeddings")
+        trained = spherical_kmeans_det(
+            emb, k=ANN_IVF_CENTROIDS, iters=ANN_IVF_TRAIN_ITERS
+        )
+        entry = (spark, trained)
+        _KMEANS_MEMO[sf_dir] = entry
+    return entry[1]
+
+
 def ann_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE IVF story, VALUE-HASH GATED end-to-end since round
     9b: deterministic spherical k-means training
@@ -785,14 +815,11 @@ def ann_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_ivf_trained_cent_sql) and searches with the same SQL as the
     untrained twin. The float mapInPandas trainer
     (operators/similarity.py:train_ivf_centroids) remains for the
-    treeAggregate-shape demo, pinned by its numpy parity test."""
-    from sfcrimedatapipeline_spark.operators.mltrain import spherical_kmeans_det
-
+    treeAggregate-shape demo, pinned by its numpy parity test.
+    Training rides the session memo (_trained_ivf_centroids)."""
     emb = _read_parallel(spark, sf_dir, "embeddings")
     queries = ann_queries(emb)
-    trained = spherical_kmeans_det(
-        emb, k=ANN_IVF_CENTROIDS, iters=ANN_IVF_TRAIN_ITERS
-    )
+    trained = _trained_ivf_centroids(spark, sf_dir)
     return similarity.cosine_topk_ivf(
         emb,
         queries,
@@ -2962,12 +2989,9 @@ def ann_ivf_imbalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives both assignments. Exact integers + one double division
     per row."""
     from sfcrimedatapipeline_spark.operators import similarity
-    from sfcrimedatapipeline_spark.operators.mltrain import spherical_kmeans_det
 
     emb = _read_parallel(spark, sf_dir, "embeddings")
-    trained = spherical_kmeans_det(
-        emb, k=ANN_IVF_CENTROIDS, iters=ANN_IVF_TRAIN_ITERS
-    )
+    trained = _trained_ivf_centroids(spark, sf_dir)
     sizes = (
         similarity.ivf_assign(emb, trained, "nid", 1)
         .groupBy("centroid_id")
@@ -3062,12 +3086,9 @@ def emb_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the same shared assignment expression."""
     from sfcrimedatapipeline_spark.functions.fixedpoint import sql_fx, sql_unfx
     from sfcrimedatapipeline_spark.operators import similarity
-    from sfcrimedatapipeline_spark.operators.mltrain import spherical_kmeans_det
 
     emb = _read_parallel(spark, sf_dir, "embeddings")
-    trained = spherical_kmeans_det(
-        emb, k=ANN_IVF_CENTROIDS, iters=ANN_IVF_TRAIN_ITERS
-    )
+    trained = _trained_ivf_centroids(spark, sf_dir)
     top2 = similarity.ivf_assign(emb, trained, "vid", 2, keep_cos=True)
     pv = top2.groupBy("vid").agg(
         F.max(F.when(F.col("__r") == 1, F.col("centroid_id"))).alias("own"),
