@@ -1446,3 +1446,97 @@ def retrieval_ndcg(
             "ndcg"
         ),
     )
+
+
+#: RAKE: top keywords kept per document
+RAKE_TOP_K = 3
+
+
+def rake_keywords(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = RAKE_TOP_K,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are the maximal stopword-free token runs (the English stopword
+    list is the delimiter set — this corpus has no punctuation), each
+    word scores deg(w)/freq(w) over the DOCUMENT's candidates (freq =
+    occurrences, deg = Σ length of phrases containing it — favoring
+    words that live in long collocations), and a phrase scores the sum
+    of its member words. Top-k phrases per document, score DESC,
+    phrase ASC.
+
+    Determinism: deg/freq are exact integers; each member ratio is one
+    exact division; the phrase score folds those doubles IN PHRASE
+    ORDER (Spark ``aggregate`` over the position-sorted list = DuckDB
+    ``list_sum`` over ``list(... ORDER BY p)`` — the MMR sequential-
+    fold discipline), so scores are bit-identical and the top-k gate
+    holds.
+
+    Scale shape: one posexplode, one per-doc cumulative-sum window
+    (PARTITIONED by doc), two doc-keyed groupBys and two doc-keyed
+    joins, one per-doc top-k window — everything keyed by document, no
+    global state, no UDFs.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    pos = df.select(
+        id_col, F.posexplode(toks).alias("__p", "__w")
+    ).withColumn("__stop", F.col("__w").isin(STOPWORDS["en"]))
+    wrun = (
+        Window.partitionBy(id_col)
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    members = (
+        pos.withColumn(
+            "__ph",
+            F.sum(F.col("__stop").cast("int")).over(wrun),
+        )
+        .filter(~F.col("__stop"))
+        .select(id_col, "__ph", "__p", "__w")
+    )
+    phrases = members.groupBy(id_col, "__ph").agg(
+        F.count("*").cast("long").alias("__plen"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__w"))),
+                lambda s: s["__w"],
+            ),
+        ).alias("phrase"),
+    )
+    wordstats = (
+        members.join(
+            phrases.select(id_col, "__ph", "__plen"), [id_col, "__ph"]
+        )
+        .groupBy(id_col, "__w")
+        .agg(
+            F.count("*").cast("long").alias("__freq"),
+            F.sum("__plen").cast("long").alias("__deg"),
+        )
+    )
+    scored = (
+        members.join(wordstats, [id_col, "__w"])
+        .groupBy(id_col, "__ph")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__p", "__deg", "__freq"))
+                    ),
+                    lambda s: s["__deg"].cast("double")
+                    / s["__freq"].cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score")
+        )
+        .join(phrases.select(id_col, "__ph", "phrase"), [id_col, "__ph"])
+    )
+    wk = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("int").alias("rank"), "phrase", "score")
+    )

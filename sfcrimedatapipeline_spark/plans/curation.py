@@ -189,3 +189,74 @@ ORACLE_SQL: dict[str, str] = {
     "docs_fim_transform": _fim_oracle_sql(),
     "docs_sft_render": _sft_oracle_sql(),
 }
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction per document
+    (operators/textstats.py:rake_keywords): stopword-delimited
+    candidate phrases scored by Σ deg(w)/freq(w), top-3 per doc under
+    the hash gate — the unsupervised doc-labeling op beside TF-IDF's
+    corpus-relative terms (RAKE is document-local: no corpus pass)."""
+    return textstats.rake_keywords(_docs(spark, sf_dir))
+
+
+QUERIES["text_rake_keywords"] = text_rake_keywords
+
+
+def _rake_oracle_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    k = textstats.RAKE_TOP_K
+    return f"""
+        WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+        pos AS (
+            SELECT doc_id,
+                   unnest([{{'p': i, 'w': toks[i]}}
+                           FOR i IN generate_series(1, len(toks))],
+                          recursive := true)
+            FROM tok
+        ),
+        marked AS (
+            SELECT doc_id, p, w,
+                   list_contains([{en}], w) AS stop,
+                   sum(CASE WHEN list_contains([{en}], w) THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p) AS ph
+            FROM pos
+        ),
+        members AS (
+            SELECT doc_id, ph, p, w FROM marked WHERE NOT stop
+        ),
+        phrases AS (
+            SELECT doc_id, ph,
+                   CAST(count(*) AS BIGINT) AS plen,
+                   string_agg(w, ' ' ORDER BY p) AS phrase
+            FROM members GROUP BY doc_id, ph
+        ),
+        wordstats AS (
+            SELECT m.doc_id, m.w,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(ph2.plen) AS BIGINT) AS deg
+            FROM members m
+            JOIN phrases ph2 ON m.doc_id = ph2.doc_id AND m.ph = ph2.ph
+            GROUP BY m.doc_id, m.w
+        ),
+        scored AS (
+            SELECT m.doc_id, m.ph,
+                   list_sum(list(CAST(ws.deg AS DOUBLE)
+                                 / CAST(ws.freq AS DOUBLE)
+                            ORDER BY m.p)) AS score
+            FROM members m
+            JOIN wordstats ws ON m.doc_id = ws.doc_id AND m.w = ws.w
+            GROUP BY m.doc_id, m.ph
+        )
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, phrase, score
+        FROM (
+            SELECT s.doc_id, s.score, p.phrase,
+                   ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                       ORDER BY s.score DESC, p.phrase ASC) AS rank
+            FROM scored s
+            JOIN phrases p ON s.doc_id = p.doc_id AND s.ph = p.ph
+        ) r WHERE rank <= {k}
+    """
+
+
+ORACLE_SQL["text_rake_keywords"] = _rake_oracle_sql()

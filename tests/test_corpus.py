@@ -1456,3 +1456,27 @@ def test_sft_render_groups_and_order(spark):
     tail = out[("s0", 1)]
     assert tail.n_turns == 1
     assert tail.sft_digest == _hl.md5((u + "text 8").encode()).hexdigest()
+
+
+def test_rake_keywords_hand_computed(spark):
+    """rake_keywords vs hand-scored phrases: deg/freq accumulate
+    across ALL of a doc's candidate phrases, phrases are maximal
+    stopword-free runs, and ranking is score DESC, phrase ASC."""
+    from sfcrimedatapipeline_spark.operators.textstats import rake_keywords
+
+    rows = [
+        # phrases: [quick brown fox] deg/freq 3+3+3=9, [lazy dog] 2+2=4
+        (1, "the quick brown fox and a lazy dog"),
+        # 'data'/'fast' span phrases: freq(data)=3 deg(data)=2+3+1=6,
+        # freq(fast)=2 deg(fast)=2+3=5, freq(slow)=1 deg(slow)=3 →
+        # scores: [data fast slow]=2+2.5+3=7.5, [data fast]=4.5, [data]=2
+        (2, "data fast the data fast slow the data"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id, r.rank): (r.phrase, r.score) for r in rake_keywords(df).collect()}
+    assert out[(1, 1)] == ("quick brown fox", 9.0)
+    assert out[(1, 2)] == ("lazy dog", 4.0)
+    assert out[(2, 1)] == ("data fast slow", 7.5)
+    assert out[(2, 2)] == ("data fast", 4.5)
+    assert out[(2, 3)] == ("data", 2.0)
+    assert (1, 3) not in out  # only two candidates in doc 1
