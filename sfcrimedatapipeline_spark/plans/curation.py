@@ -260,3 +260,111 @@ def _rake_oracle_sql() -> str:
 
 
 ORACLE_SQL["text_rake_keywords"] = _rake_oracle_sql()
+
+
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel under ONE hash: raw corpus →
+    Gopher gate (quality keep/drop) → near-dup collapse among the
+    SURVIVORS (memoized MinHash pair graph + CC map; keeper = lowest
+    surviving doc id per component, docs outside any dup component are
+    unique and kept) — the composed filter-then-dedup pass every
+    pretraining pipeline runs, with per-source retention accounting
+    at each stage (doc counts + exact char volumes).
+
+    Gate-sharing: the quality stage IS text_gopher_gate's operator and
+    the dedup stage rides plans/corpus_queries._dup_cc (the memo
+    invariant — no re-derivation); the oracle composes the same two
+    oracle builders textually.
+
+    Note the stage order matters and is pinned by the oracle: dedup
+    runs AMONG GATE SURVIVORS, so a cluster whose best doc failed the
+    gate elects a new surviving keeper rather than dropping the whole
+    cluster."""
+    from sfcrimedatapipeline_spark.plans.corpus_queries import _dup_cc
+
+    docs = _docs(spark, sf_dir)
+    gate = textstats.gopher_gate(docs).select("doc_id", "pass_all")
+    base = docs.select("doc_id", "source", "n_chars").join(gate, "doc_id")
+    survivors = base.filter(F.col("pass_all"))
+    cc = _dup_cc(spark, sf_dir)
+    with_cc = survivors.join(cc, "doc_id", "left")
+    keeper_min = (
+        with_cc.filter(F.col("canonical_id").isNotNull())
+        .groupBy("canonical_id")
+        .agg(F.min("doc_id").alias("__keep_id"))
+    )
+    kept = with_cc.join(
+        keeper_min, "canonical_id", "left"
+    ).withColumn(
+        "__kept",
+        F.col("canonical_id").isNull()
+        | (F.col("doc_id") == F.col("__keep_id")),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        base.select("doc_id", "source", "n_chars", "pass_all")
+        .join(kept.select("doc_id", "__kept"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.sum(F.when(F.col("pass_all"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gopher_pass"),
+            F.coalesce(
+                F.sum(F.when(F.col("__kept"), 1).otherwise(0)).cast("long"),
+                zero,
+            ).alias("n_unique_kept"),
+            F.sum("n_chars").cast("long").alias("chars_raw"),
+            F.coalesce(
+                F.sum(F.when(F.col("__kept"), F.col("n_chars")).otherwise(0))
+                .cast("long"),
+                zero,
+            ).alias("chars_kept"),
+        )
+    )
+
+
+QUERIES["corpus_curation_funnel"] = corpus_curation_funnel
+
+
+def _funnel_oracle_sql() -> str:
+    from sfcrimedatapipeline_spark.plans.corpus_queries import _cc_oracle_sql
+
+    return f"""
+        WITH gate AS ({_gopher_oracle_sql()}),
+        cc AS ({_cc_oracle_sql()}),
+        base AS (
+            SELECT d.doc_id, d.source, d.n_chars, g.pass_all
+            FROM documents d JOIN gate g ON d.doc_id = g.doc_id
+        ),
+        survivors AS (SELECT * FROM base WHERE pass_all),
+        with_cc AS (
+            SELECT s.*, cc.canonical_id
+            FROM survivors s LEFT JOIN cc ON s.doc_id = cc.doc_id
+        ),
+        keeper_min AS (
+            SELECT canonical_id, min(doc_id) AS keep_id
+            FROM with_cc WHERE canonical_id IS NOT NULL
+            GROUP BY canonical_id
+        ),
+        kept AS (
+            SELECT w.doc_id,
+                   (w.canonical_id IS NULL OR w.doc_id = k.keep_id) AS kept
+            FROM with_cc w
+            LEFT JOIN keeper_min k ON w.canonical_id = k.canonical_id
+        )
+        SELECT b.source,
+               CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(sum(CASE WHEN b.pass_all THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gopher_pass,
+               CAST(coalesce(sum(CASE WHEN k.kept THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_unique_kept,
+               CAST(sum(b.n_chars) AS BIGINT) AS chars_raw,
+               CAST(coalesce(sum(CASE WHEN k.kept THEN b.n_chars ELSE 0 END),
+                             0) AS BIGINT) AS chars_kept
+        FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+        GROUP BY b.source
+    """
+
+
+ORACLE_SQL["corpus_curation_funnel"] = _funnel_oracle_sql()

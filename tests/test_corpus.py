@@ -1480,3 +1480,44 @@ def test_rake_keywords_hand_computed(spark):
     assert out[(2, 2)] == ("data fast", 4.5)
     assert out[(2, 3)] == ("data", 2.0)
     assert (1, 3) not in out  # only two candidates in doc 1
+
+
+def test_curation_funnel_stage_monotonicity_and_keeper_election(spark):
+    """Funnel invariants at sf0.001: per source
+    n_raw >= n_gopher_pass >= n_unique_kept (each stage only drops),
+    chars_kept <= chars_raw, and totals reconcile against the
+    standalone gate. Keeper election happens AMONG SURVIVORS: the
+    number kept equals gopher-passing docs minus (surviving cluster
+    members - surviving clusters)."""
+    from sfcrimedatapipeline_spark.plans.corpus_queries import _dup_cc
+    from sfcrimedatapipeline_spark.plans.curation import (
+        _docs,
+        corpus_curation_funnel,
+    )
+    from sfcrimedatapipeline_spark.operators import textstats
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = corpus_curation_funnel(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.n_raw >= r.n_gopher_pass >= r.n_unique_kept >= 0
+        assert r.chars_raw >= r.chars_kept >= 0
+
+    docs = _docs(spark, sf)
+    gate = textstats.gopher_gate(docs).select("doc_id", "pass_all")
+    n_pass = gate.filter("pass_all").count()
+    assert sum(r.n_gopher_pass for r in rows) == n_pass
+
+    surv_cc = (
+        gate.filter("pass_all")
+        .join(_dup_cc(spark, sf), "doc_id")
+        .groupBy("canonical_id")
+        .agg(F.count("*").alias("m"))
+    )
+    agg = surv_cc.agg(
+        F.coalesce(F.sum("m"), F.lit(0)).alias("members"),
+        F.count("*").alias("clusters"),
+    ).collect()[0]
+    expect_kept = n_pass - (agg.members - agg.clusters)
+    assert sum(r.n_unique_kept for r in rows) == expect_kept

@@ -139,6 +139,20 @@ PROBE_QUERIES = [
     # stays data-proportional
     "ann_cosine_topk_ivf_trained",
     "ann_pq_topk_trained",
+    # round-9c additions: the fixed-round kcore peel and the HITS
+    # rounds over the dup graph (expect pair-graph-proportional), the
+    # Gopher gate / FIM / SFT / RAKE doc-grain curation ops (expect ≈
+    # data-proportional — FIM is a zero-shuffle map and should read
+    # well below 10x), and the trained-quantizer audits (memoized
+    # training + one assignment scan each)
+    "graph_kcore_dup",
+    "graph_hits_dup",
+    "text_gopher_gate",
+    "docs_fim_transform",
+    "docs_sft_render",
+    "text_rake_keywords",
+    "ann_ivf_imbalance_audit",
+    "emb_cluster_silhouette",
 ]
 
 
