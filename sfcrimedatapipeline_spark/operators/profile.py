@@ -1276,3 +1276,117 @@ def runs_test(
         F.when(ok, sigma).alias("sigma"),
         F.when(ok, (r.cast("double") - mu) / sigma).alias("z"),
     )
+
+
+#: bootstrap resample count and the percentile ranks it implies
+BOOT_B = 200
+BOOT_SEED = 17
+BOOT_LO_RANK = 5    # ceil(0.025 * BOOT_B)
+BOOT_HI_RANK = 195  # ceil(0.975 * BOOT_B)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame, value_col: str, order_col: str
+) -> DataFrame:
+    """Nonparametric bootstrap CI for the mean of an ordered integer
+    series — the distribution-free uncertainty band a KPI dashboard
+    puts around "mean daily revenue". B deterministic resamples: draw
+    j = 1..n picks per resample b with the portable-hash coin
+    h(b_j) % n (engine-identical, partition-free — the stratified-
+    sample idiom), so the WHOLE bootstrap replays bit-for-bit on any
+    engine: resample means are exact-integer sums over one double
+    division, the CI bounds are order statistics at fixed integer
+    ranks (2.5%/97.5% of B), and the bootstrap SE is an fx-exact
+    moment pair.
+
+    Scale shape: the grid is B × n rows where n is an
+    aggregate-bounded series length (daily rollup — calendar-bounded),
+    never fact cardinality; one join back to the indexed series, one
+    groupBy(b), one B-bounded rank window, 1-row scalar assembly.
+
+    Output one row: (n_days, b_resamples, mean_obs, se, ci_lo, ci_hi).
+    """
+    from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+
+    base = df.select(
+        F.col(order_col).alias("__d"), F.col(value_col).cast("long").alias("__y")
+    )
+    wi = Window.orderBy("__d")
+    idx = base.select(
+        "__y", F.row_number().over(wi).cast("long").alias("__i")
+    )
+    n_row = base.agg(F.count("*").cast("long").alias("__n"))
+    grid = (
+        idx.select(F.col("__i").alias("__j"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "__j",
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("__b"),
+        )
+    )
+    pick = (
+        F.pmod(
+            portable_hash64(
+                F.concat_ws(
+                    "_", F.col("__b").cast("string"), F.col("__j").cast("string")
+                ),
+                BOOT_SEED,
+            ),
+            F.col("__n"),
+        )
+        + 1
+    )
+    picks = grid.select("__b", "__n", pick.alias("__i")).join(idx, "__i")
+    # per-resample SUM stays an exact integer; the mean is one double
+    # division; the SE moments sum the exact integer sums in
+    # DECIMAL(38,0) (sy² ≈ 1e21 ≪ 1e38 — no fx quantization needed,
+    # and the fx path would overflow F.floor's LONG on m²·2^40 anyway)
+    sums = picks.groupBy("__b").agg(
+        F.sum("__y").cast("long").alias("__sy"),
+        F.max("__n").alias("__bn"),
+    )
+    means = sums.select(
+        "__b",
+        "__sy",
+        (F.col("__sy").cast("double") / F.col("__bn").cast("double")).alias(
+            "__m"
+        ),
+    )
+    wr = Window.orderBy("__m", "__b")
+    ranked = means.withColumn("__r", F.row_number().over(wr))
+    bounds = ranked.agg(
+        F.max(F.when(F.col("__r") == BOOT_LO_RANK, F.col("__m"))).alias("ci_lo"),
+        F.max(F.when(F.col("__r") == BOOT_HI_RANK, F.col("__m"))).alias("ci_hi"),
+    )
+    sy_dec = F.col("__sy").cast("decimal(19,0)")
+    mstats = means.agg(
+        F.sum(sy_dec).alias("__s1"),
+        F.sum(sy_dec * sy_dec).alias("__s2"),
+    )
+    obs = base.agg(F.sum("__y").cast("long").alias("__ty"))
+    bf = float(BOOT_B)
+    s1d = F.col("__s1").cast("double")
+    s2d = F.col("__s2").cast("double")
+    var_sy = (
+        (s2d / F.lit(bf) - (s1d / F.lit(bf)) * (s1d / F.lit(bf)))
+        * F.lit(bf)
+        / F.lit(bf - 1.0)
+    )
+    return (
+        n_row.crossJoin(F.broadcast(obs))
+        .crossJoin(F.broadcast(mstats))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("__n").alias("n_days"),
+            F.lit(BOOT_B).cast("long").alias("b_resamples"),
+            (F.col("__ty").cast("double") / F.col("__n").cast("double")).alias(
+                "mean_obs"
+            ),
+            F.when(
+                var_sy > 0.0, F.sqrt(var_sy) / F.col("__n").cast("double")
+            ).alias("se"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )

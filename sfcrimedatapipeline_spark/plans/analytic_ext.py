@@ -1623,3 +1623,111 @@ ORACLE_SQL["orders_runs_test"] = """
            END AS z
     FROM agg
 """
+
+
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% CI for mean daily order revenue
+    (operators/profile.py:bootstrap_mean_ci): 200 deterministic
+    hash-coin resamples of the daily-cents series, order-statistic
+    bounds at ranks 5/195, fx-exact bootstrap SE — the
+    distribution-free uncertainty band beside the parametric control
+    chart. The whole bootstrap replays bit-for-bit on both engines."""
+    from sfcrimedatapipeline_spark.operators.profile import bootstrap_mean_ci
+
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    return bootstrap_mean_ci(daily, "y", "o_orderdate")
+
+
+QUERIES["orders_bootstrap_ci"] = orders_bootstrap_ci
+
+
+def _bootstrap_oracle_sql() -> str:
+    from sfcrimedatapipeline_spark.functions.hashing import sql_hash64
+    from sfcrimedatapipeline_spark.operators.profile import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        BOOT_SEED,
+    )
+
+    h = sql_hash64(
+        "CAST(b AS VARCHAR) || '_' || CAST(j AS VARCHAR)", str(BOOT_SEED)
+    )
+    bf = repr(float(BOOT_B))
+    bm1 = repr(float(BOOT_B) - 1.0)
+    return f"""
+        WITH daily AS (
+            SELECT o_orderdate AS d,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM orders GROUP BY 1
+        ),
+        idx AS (
+            SELECT y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+            FROM daily
+        ),
+        ncte AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        grid AS (
+            SELECT g.b, x.i AS j FROM idx x,
+                   generate_series(1, {BOOT_B}) g(b)
+        ),
+        picks AS (
+            SELECT b, ({h}) % (SELECT n FROM ncte) + 1 AS i FROM grid
+        ),
+        sums AS (
+            SELECT p.b, CAST(sum(x.y) AS BIGINT) AS sy
+            FROM picks p JOIN idx x USING (i)
+            GROUP BY p.b
+        ),
+        means AS (
+            SELECT b, sy,
+                   CAST(sy AS DOUBLE)
+                       / CAST((SELECT n FROM ncte) AS DOUBLE) AS m
+            FROM sums
+        ),
+        ranked AS (
+            SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means
+        ),
+        bounds AS (
+            SELECT max(CASE WHEN r = {BOOT_LO_RANK} THEN m END) AS ci_lo,
+                   max(CASE WHEN r = {BOOT_HI_RANK} THEN m END) AS ci_hi
+            FROM ranked
+        ),
+        mstats AS (
+            SELECT sum(CAST(sy AS DECIMAL(19,0))) AS s1,
+                   sum(CAST(sy AS DECIMAL(19,0))
+                       * CAST(sy AS DECIMAL(19,0))) AS s2
+            FROM means
+        ),
+        obs AS (SELECT CAST(sum(y) AS BIGINT) AS ty FROM daily)
+        SELECT (SELECT n FROM ncte) AS n_days,
+               CAST({BOOT_B} AS BIGINT) AS b_resamples,
+               CAST((SELECT ty FROM obs) AS DOUBLE)
+                   / CAST((SELECT n FROM ncte) AS DOUBLE) AS mean_obs,
+               CASE WHEN (CAST(s2 AS DOUBLE) / {bf}
+                          - (CAST(s1 AS DOUBLE) / {bf})
+                            * (CAST(s1 AS DOUBLE) / {bf}))
+                         * {bf} / {bm1} > 0.0
+                    THEN sqrt((CAST(s2 AS DOUBLE) / {bf}
+                               - (CAST(s1 AS DOUBLE) / {bf})
+                                 * (CAST(s1 AS DOUBLE) / {bf}))
+                              * {bf} / {bm1})
+                         / CAST((SELECT n FROM ncte) AS DOUBLE)
+               END AS se,
+               (SELECT ci_lo FROM bounds) AS ci_lo,
+               (SELECT ci_hi FROM bounds) AS ci_hi
+        FROM mstats
+    """
+
+
+ORACLE_SQL["orders_bootstrap_ci"] = _bootstrap_oracle_sql()

@@ -209,3 +209,34 @@ def test_runs_test_degenerate_series_yields_nulls(spark):
     assert (r2.n_above, r2.n_below, r2.n_runs) == (1, 0, 1)
     # one side empty → sigma/z NULL by the n1>0 AND n2>0 guard
     assert r2.sigma is None and r2.z is None
+
+
+def test_bootstrap_mean_ci_deterministic_and_sane(spark):
+    """bootstrap_mean_ci: resamples are hash-deterministic (same
+    output at any partitioning), the observed mean is the exact
+    sum/n, the CI brackets are order statistics that bracket the
+    resample distribution's bulk, and se > 0 on a varying series."""
+    from sfcrimedatapipeline_spark.operators.profile import (
+        BOOT_B,
+        bootstrap_mean_ci,
+    )
+
+    rows = [(i, 100 + 7 * (i % 13)) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "d long, v long")
+    r = bootstrap_mean_ci(df, "v", "d").collect()[0]
+    assert r.n_days == 40 and r.b_resamples == BOOT_B
+    assert r.mean_obs == sum(v for _, v in rows) / 40.0
+    assert r.ci_lo <= r.ci_hi
+    # the CI must contain the observed mean for this tame series
+    assert r.ci_lo <= r.mean_obs <= r.ci_hi
+    assert r.se is not None and r.se > 0.0
+
+    again = bootstrap_mean_ci(df.repartition(7), "v", "d").collect()[0]
+    assert again == r  # bit-identical under repartition
+
+    # constant series: every resample mean identical -> zero-width CI,
+    # NULL se (variance guard)
+    flat = spark.createDataFrame([(i, 5) for i in range(1, 21)], "d long, v long")
+    fr = bootstrap_mean_ci(flat, "v", "d").collect()[0]
+    assert fr.ci_lo == fr.ci_hi == fr.mean_obs == 5.0
+    assert fr.se is None

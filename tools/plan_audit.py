@@ -171,6 +171,7 @@ CROSS_OK: dict[str, str] = {
     "orders_runs_test": "crossJoin(broadcast(1-row n scalar)) + crossJoin(broadcast(1-row lower-median scalar)) over the calendar-bounded daily frame",
     "graph_hits_dup": "crossJoin(broadcast(1-row L1-total scalar)) per half-round — the pagerank-normalization shape",
     "ann_ivf_imbalance_audit": "crossJoin(broadcast(1-row corpus-total scalar)) over the k-row centroid spine (driver-literal)",
+    "orders_bootstrap_ci": "crossJoin(broadcast(1-row n/total/moment/bound scalars)) over the calendar-bounded daily frame; the B x n grid is aggregate-bounded",
 }
 
 #: Grouped aggregates whose output IS bounded, but by semantics the
@@ -192,6 +193,7 @@ GROUP_BOUNDED_OK: dict[str, list[str]] = {
     # daily-order-count frame: one row per o_orderdate (the Theil-Sen
     # bound) — the runs test's median scalar derives from it
     "orders_runs_test": ["o_orderdate"],
+    "orders_bootstrap_ci": ["o_orderdate", "__b"],
 }
 
 #: Build sides bounded by SEMANTICS a physical plan cannot exhibit
@@ -251,6 +253,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     # round-9c: rank + sign-lag windows over the calendar-bounded
     # daily-aggregate frame (one row per o_orderdate)
     "orders_runs_test": "calendar-bounded daily-aggregate frame (o_orderdate)",
+    "orders_bootstrap_ci": "day-index rank over the calendar-bounded daily frame + resample rank over the B-bounded means frame",
 }
 
 
