@@ -468,11 +468,15 @@ def _tokenize_bpe_sql() -> str:
 
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training over the corpus word-frequency
-    table (operators/textstats.py:train_bpe). Rows-only by design: the
-    ~10 iterative argmax rounds are not one-SQL-expressible — the merge
-    table is exactly deterministic (integer counts, lexicographic
-    tie-break) and pinned value-for-value by the pure-Python parity
-    test in tests/test_corpus.py."""
+    table (operators/textstats.py:train_bpe). VALUE-HASH GATED since
+    round 9c — the old rows-only rationale ("~10 iterative argmax
+    rounds are not one-SQL-expressible") fell to the unrolled-round
+    recipe: _bpe_merges_oracle_sql re-runs each round as exact pair
+    counts + a 1-row argmax CTE + the delimiter-guarded replace()
+    rewrite (the _tokenize_bpe_sql scheme), with the trainer's early
+    stop reproduced by the freeze argument (sub-2 best ⇒ state frozen
+    ⇒ filtered — tests/test_corpus.py pins it on a drying corpus).
+    The pure-Python parity test remains."""
     docs = _read_parallel(spark, sf_dir, "documents")
     m = textstats.train_bpe(docs, n_merges=10)
     return spark.createDataFrame(
@@ -485,9 +489,10 @@ def text_bpe_merges_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_bpe_local): ONE distributed word-frequency aggregation, then
     the merge loop driver-local over the vocabulary-bounded table —
     no per-merge shuffle, so 30 merges here cost the same Spark work
-    as 10,000 would. Rows-only for the same reason as text_bpe_merges;
-    output equality with the distributed trainer and the pure-Python
-    reference is pinned in tests/test_corpus.py."""
+    as 10,000 would. VALUE-HASH GATED since round 9c (the same
+    unrolled oracle as text_bpe_merges at 30 rounds); output equality
+    with the distributed trainer and the pure-Python reference is
+    pinned in tests/test_corpus.py."""
     docs = _read_parallel(spark, sf_dir, "documents")
     m = textstats.train_bpe_local(docs, n_merges=30)
     return spark.createDataFrame(
@@ -3186,3 +3191,83 @@ def _silhouette_oracle_sql() -> str:
 
 
 ORACLE_SQL["emb_cluster_silhouette"] = _silhouette_oracle_sql()
+
+
+def _bpe_merges_oracle_sql(rounds: int) -> str:
+    """Unrolled BPE-trainer oracle — the twin of
+    operators/textstats.py:train_bpe / train_bpe_local (identical
+    output contract). Round r: exact pair counts over the round-(r-1)
+    vocab states, argmax with the (count DESC, left ASC, right ASC)
+    tie-break as a 1-row CTE, then the delimiter-guarded replace()
+    rewrite (the _tokenize_bpe_sql two-space scheme: replace() is
+    non-overlapping left-to-right — exactly the BPE greedy scan).
+
+    Early-stop equivalence (the kcore-upgrade argument): the trainer
+    stops when the best pair count is < 2; here the state FREEZES
+    instead (the CASE guard), and once the max pair count is < 2 it
+    can never rise again (merging removes occurrences and creates new
+    pairs with count ≤ the merged pair's count), so the frozen rounds
+    re-elect the same sub-2 best, the final ``WHERE cnt >= 2`` filter
+    drops them, and the unrolled output equals the early-stopped
+    trainer whenever ``rounds`` ≥ the trainer's round budget.
+
+    Everything is exact integers and binary-collated string
+    comparisons (DuckDB codepoint order == Spark UTF8_BINARY), so the
+    merge table hash-gates."""
+    steps = []
+    for r in range(1, rounds + 1):
+        prev = f"v{r - 1}"
+        steps.append(f"""
+            tk{r} AS (
+                SELECT freq,
+                       list_filter(string_split(s, ' '), x -> x <> '')
+                           AS toks
+                FROM {prev}
+            ),
+            pr{r} AS MATERIALIZED (
+                SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                    SELECT freq,
+                           unnest([{{'a': toks[i], 'b': toks[i + 1]}}
+                                   FOR i IN generate_series(1, len(toks) - 1)],
+                                  recursive := true)
+                    FROM tk{r}
+                ) p GROUP BY a, b
+            ),
+            b{r} AS MATERIALIZED (
+                SELECT a, b, cnt FROM pr{r}
+                ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+            ),
+            v{r} AS MATERIALIZED (
+                SELECT freq,
+                       CASE WHEN (SELECT cnt FROM b{r}) >= 2
+                            THEN replace(s,
+                                     ' ' || (SELECT a FROM b{r}) || '  '
+                                         || (SELECT b FROM b{r}) || ' ',
+                                     ' ' || (SELECT a FROM b{r})
+                                         || (SELECT b FROM b{r}) || ' ')
+                            ELSE s END AS s
+                FROM {prev}
+            )""")
+    unions = "\n            UNION ALL ".join(
+        f"""SELECT CAST({r} AS INTEGER) AS rank, a AS "left", b AS "right",
+                   a || b AS merged, cnt AS pair_count
+            FROM b{r} WHERE cnt >= 2"""
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+        WITH wf AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest({SQL_TOKENS}) AS w FROM documents
+            ) t GROUP BY w
+        ),
+        v0 AS MATERIALIZED (
+            SELECT freq,
+                   '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s
+            FROM wf
+        ),{",".join(steps)}
+        {unions}
+    """
+
+
+ORACLE_SQL["text_bpe_merges"] = _bpe_merges_oracle_sql(10)
+ORACLE_SQL["text_bpe_merges_local"] = _bpe_merges_oracle_sql(30)

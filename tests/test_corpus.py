@@ -1521,3 +1521,29 @@ def test_curation_funnel_stage_monotonicity_and_keeper_election(spark):
     ).collect()[0]
     expect_kept = n_pass - (agg.members - agg.clusters)
     assert sum(r.n_unique_kept for r in rows) == expect_kept
+
+
+def test_bpe_oracle_freeze_equals_trainer_early_stop(spark):
+    """The BPE oracle unrolls a FIXED round count and relies on the
+    freeze argument: once the best pair count is < 2 the state stops
+    changing and the sub-2 best is filtered, so the unroll equals the
+    trainer's early stop. Pin it on a corpus that dries up after 2
+    merges while the oracle unrolls 6 rounds."""
+    import duckdb
+
+    from sfcrimedatapipeline_spark.operators.textstats import train_bpe
+    from sfcrimedatapipeline_spark.plans.llmops import _bpe_merges_oracle_sql
+
+    rows = [(1, "abab abab cd"), (2, "abab xy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=6)
+    assert len(merges) < 6  # the trainer really early-stops here
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    oracle = con.execute(_bpe_merges_oracle_sql(6)).fetchall()
+    assert [(r, a, b, m, c) for r, a, b, m, c in oracle] == merges
