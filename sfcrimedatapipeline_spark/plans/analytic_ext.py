@@ -1731,3 +1731,119 @@ def _bootstrap_oracle_sql() -> str:
 
 
 ORACLE_SQL["orders_bootstrap_ci"] = _bootstrap_oracle_sql()
+
+
+def orders_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily order revenue — the
+    significance companion to orders_theilsen_trend (Theil-Sen gives
+    the robust slope; MK says whether a monotone trend exists at
+    all): S = Σ_{i<j} sign(y_j − y_i) over the day-ordered series,
+    tie-corrected variance, and the continuity-corrected normal
+    z. Everything up to z is exact integers (S, n, the tie term);
+    z is one guarded double expression — engine-identical.
+
+    Scale shape: the pairwise step runs on the calendar-bounded DAILY
+    aggregate (the theilsen precedent — ~3M pairs regardless of fact
+    cardinality); the tie term is one groupBy over daily values; the
+    output row assembles three 1-row scalars."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        o.groupBy("o_orderdate")
+        .agg(F.sum(cents).cast("long").alias("y"))
+        .select(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "y",
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_row = (
+        a.join(b, F.col("b.x") > F.col("a.x"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), 1)
+                .when(F.col("b.y") < F.col("a.y"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    tie_row = (
+        daily.groupBy("y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n_row = daily.agg(F.count("*").cast("long").alias("n"))
+    n, s, tie = F.col("n"), F.col("s"), F.col("tie_term")
+    var_num = n * (n - 1) * (2 * n + 5) - tie
+    var_s = var_num.cast("double") / F.lit(18.0)
+    z = (
+        F.when(
+            (var_num > 0) & (s > 0),
+            (s.cast("double") - F.lit(1.0)) / F.sqrt(var_s),
+        )
+        .when(
+            (var_num > 0) & (s < 0),
+            (s.cast("double") + F.lit(1.0)) / F.sqrt(var_s),
+        )
+        .when(var_num > 0, F.lit(0.0))
+    )
+    return (
+        n_row.crossJoin(F.broadcast(s_row))
+        .crossJoin(F.broadcast(tie_row))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_statistic"),
+            F.when(var_num > 0, var_s).alias("var_s"),
+            z.alias("z"),
+        )
+    )
+
+
+QUERIES["orders_mann_kendall"] = orders_mann_kendall
+
+ORACLE_SQL["orders_mann_kendall"] = """
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS x,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    s_row AS (
+        SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+        FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    tie_row AS (
+        SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y) g
+    ),
+    n_row AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+    SELECT n AS n_days,
+           s AS s_statistic,
+           CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term > 0
+                THEN CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                     / 18.0
+           END AS var_s,
+           CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term > 0 AND s > 0
+                THEN (CAST(s AS DOUBLE) - 1.0)
+                     / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+                                 AS DOUBLE) / 18.0)
+                WHEN n * (n - 1) * (2 * n + 5) - tie_term > 0 AND s < 0
+                THEN (CAST(s AS DOUBLE) + 1.0)
+                     / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+                                 AS DOUBLE) / 18.0)
+                WHEN n * (n - 1) * (2 * n + 5) - tie_term > 0
+                THEN 0.0
+           END AS z
+    FROM n_row, s_row, tie_row
+"""

@@ -544,3 +544,48 @@ def test_cluster_silhouette_separated_vs_boundary(spark):
         # never exceed distance to the runner-up
         assert r.mean_nearest >= r.mean_intra
         assert r.silhouette >= 0.0
+
+
+def test_mann_kendall_hand_computed(spark):
+    """Mann-Kendall on hand-checked series via the operator's own
+    query shape: strictly increasing daily values → S = n(n-1)/2,
+    z > 0; a flat series → S = 0, tie term kills the variance → NULL
+    var/z (the all-tied guard)."""
+    import math
+
+    from sfcrimedatapipeline_spark.plans.analytic_ext import (
+        orders_mann_kendall,
+    )
+
+    # build a tiny orders table on the fly through the same pipeline
+    # shape: one order per day, price = day index (strictly rising)
+    import datetime
+
+    rows = [
+        (i, datetime.date(1995, 1, 1) + datetime.timedelta(days=i), float(i + 1))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    r = orders_mann_kendall(spark, d).collect()[0]
+    n = 6
+    assert r.n_days == n
+    assert r.s_statistic == n * (n - 1) // 2  # every pair ascending
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    assert abs(r.var_s - var) < 1e-12
+    assert abs(r.z - (r.s_statistic - 1.0) / math.sqrt(var)) < 1e-15
+
+    flat = spark.createDataFrame(
+        [(i, datetime.date(1995, 1, 1) + datetime.timedelta(days=i), 5.0)
+         for i in range(6)],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    d2 = tempfile.mkdtemp()
+    flat.write.mode("overwrite").parquet(os.path.join(d2, "orders.parquet"))
+    fr = orders_mann_kendall(spark, d2).collect()[0]
+    assert fr.s_statistic == 0
+    assert fr.var_s is None and fr.z is None  # all-tied variance guard

@@ -172,6 +172,7 @@ CROSS_OK: dict[str, str] = {
     "graph_hits_dup": "crossJoin(broadcast(1-row L1-total scalar)) per half-round — the pagerank-normalization shape",
     "ann_ivf_imbalance_audit": "crossJoin(broadcast(1-row corpus-total scalar)) over the k-row centroid spine (driver-literal)",
     "orders_bootstrap_ci": "crossJoin(broadcast(1-row n/total/moment/bound scalars)) over the calendar-bounded daily frame; the B x n grid is aggregate-bounded",
+    "orders_mann_kendall": "calendar-bounded daily-aggregate pair join (the theilsen shape) + 1-row S/tie/n scalar crossJoins",
 }
 
 #: Grouped aggregates whose output IS bounded, but by semantics the
@@ -194,6 +195,7 @@ GROUP_BOUNDED_OK: dict[str, list[str]] = {
     # bound) — the runs test's median scalar derives from it
     "orders_runs_test": ["o_orderdate"],
     "orders_bootstrap_ci": ["o_orderdate", "__b"],
+    "orders_mann_kendall": ["o_orderdate", "y"],
 }
 
 #: Build sides bounded by SEMANTICS a physical plan cannot exhibit
