@@ -2159,3 +2159,126 @@ ORACLE_SQL["events_user_lifespan"] = """
     SELECT lifespan_days, CAST(count(*) AS BIGINT) AS n_users
     FROM span GROUP BY 1 ORDER BY lifespan_days
 """
+
+
+#: periodogram harmonics of the daily cycle (period 24/k hours)
+PERIODOGRAM_HARMONICS = 4
+#: trig-weight quantization: 2^20 integer weights make every product
+#: y·w an EXACT BIGINT multiply — immune even to a fast-math-compiled
+#: engine whose double multiply rounds off by an ulp (measured on this
+#: container's DuckDB: 117 * cos(2π/24) rounds 103/128 ulp off — see
+#: the round-9c periodogram note in PLANS.md)
+PERIODOGRAM_WSCALE = 1 << 20
+
+
+def _trig_tables() -> list[tuple[int, list[int], list[int]]]:
+    """(k, cos table, sin table) per harmonic, QUANTIZED:
+    w[hod] = round(cos/sin(2πk·hod/24)·2^20) as exact ints. Computed
+    ONCE in Python and interpolated as INTEGER LITERALS into BOTH
+    engines — no libm call and no inexact float multiply ever runs
+    inside either engine (the literal IS the contract, and y·w stays
+    an exact BIGINT for hourly counts up to 2^43)."""
+    import math
+
+    out = []
+    s = PERIODOGRAM_WSCALE
+    for k in range(1, PERIODOGRAM_HARMONICS + 1):
+        cos_t = [
+            int(round(math.cos(2.0 * math.pi * k * h / 24.0) * s))
+            for h in range(24)
+        ]
+        sin_t = [
+            int(round(math.sin(2.0 * math.pi * k * h / 24.0) * s))
+            for h in range(24)
+        ]
+        out.append((k, cos_t, sin_t))
+    return out
+
+
+def events_periodogram24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal harmonic power of the hourly event series at the
+    daily cycle's first 4 harmonics (periods 24/12/8/6 h):
+    a_k = Σ_t y_t·cos(2πk·hod/24), b_k the sine twin, power = a²+b² —
+    the quantitative "how 24-hourly is this signal" spectrum beside
+    events_seasonality_profile's shape table and the MASE baseline.
+
+    Determinism, the strongest tier in the repo: the trig weights are
+    24-entry QUANTIZED INTEGER literal tables (2^20 — no runtime libm),
+    every weighted sum is an exact BIGINT aggregate, the squares
+    accumulate in DECIMAL(38,0), and the only float ops are final
+    exact power-of-two scalings plus one integer→double cast — so the
+    result is bit-identical even against an engine whose double
+    MULTIPLY is fast-math-contracted (measured on this container, see
+    PLANS.md). Scale shape: ONE map-side-combined hourly aggregate
+    (time-bounded), then 4 scalar aggregates unioned into 4 rows."""
+    from functools import reduce
+
+    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    hourly = (
+        ev.groupBy(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .agg(F.count("*").cast("long").alias("y"))
+        .withColumn("hod", F.pmod(F.col("h"), F.lit(24)).cast("int"))
+    )
+    ws = float(PERIODOGRAM_WSCALE)
+    ws2 = float(PERIODOGRAM_WSCALE) * float(PERIODOGRAM_WSCALE)
+    rows = []
+    for k, cos_t, sin_t in _trig_tables():
+        w_cos = F.element_at(F.lit(cos_t), F.col("hod") + 1).cast("long")
+        w_sin = F.element_at(F.lit(sin_t), F.col("hod") + 1).cast("long")
+        agg = hourly.agg(
+            F.sum(F.col("y") * w_cos).cast("decimal(38,0)").alias("__sa"),
+            F.sum(F.col("y") * w_sin).cast("decimal(38,0)").alias("__sb"),
+        )
+        rows.append(
+            agg.select(
+                F.lit(k).cast("int").alias("harmonic"),
+                (F.col("__sa").cast("double") / F.lit(ws)).alias("cos_sum"),
+                (F.col("__sb").cast("double") / F.lit(ws)).alias("sin_sum"),
+                (
+                    (
+                        F.col("__sa") * F.col("__sa")
+                        + F.col("__sb") * F.col("__sb")
+                    ).cast("double")
+                    / F.lit(ws2)
+                ).alias("power"),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), rows)
+
+
+QUERIES["events_periodogram24"] = events_periodogram24
+
+
+def _periodogram_oracle_sql() -> str:
+    ws = repr(float(PERIODOGRAM_WSCALE))
+    ws2 = repr(float(PERIODOGRAM_WSCALE) * float(PERIODOGRAM_WSCALE))
+    parts = []
+    for k, cos_t, sin_t in _trig_tables():
+        cos_lit = "[" + ", ".join(str(v) for v in cos_t) + "]"
+        sin_lit = "[" + ", ".join(str(v) for v in sin_t) + "]"
+        parts.append(f"""
+        SELECT CAST({k} AS INTEGER) AS harmonic,
+               CAST(sa AS DOUBLE) / {ws} AS cos_sum,
+               CAST(sb AS DOUBLE) / {ws} AS sin_sum,
+               CAST(sa * sa + sb * sb AS DOUBLE) / {ws2} AS power
+        FROM (
+            SELECT CAST(sum(y * CAST({cos_lit}[hod + 1] AS BIGINT))
+                        AS DECIMAL(38,0)) AS sa,
+                   CAST(sum(y * CAST({sin_lit}[hod + 1] AS BIGINT))
+                        AS DECIMAL(38,0)) AS sb
+            FROM hourly
+        ) s{k}""")
+    return f"""
+        WITH hourly AS MATERIALIZED (
+            SELECT h, CAST(count(*) AS BIGINT) AS y,
+                   CAST(h % 24 AS INTEGER) AS hod
+            FROM (
+                SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+                FROM events
+            ) e GROUP BY h
+        )
+        {" UNION ALL ".join(parts)}
+    """
+
+
+ORACLE_SQL["events_periodogram24"] = _periodogram_oracle_sql()

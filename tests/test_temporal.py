@@ -358,3 +358,46 @@ def test_resample_gap_stats_runs_and_bounds(spark):
     assert out[2].n_filled == 4 and out[2].max_gap_run == 4
     for r in out.values():
         assert r.n_buckets == r.n_obs + r.n_filled
+
+
+def test_periodogram24_detects_planted_daily_cycle(spark):
+    """events_periodogram24 semantics on a planted signal: a pure
+    24-hour cosine in the hourly counts concentrates power in
+    harmonic 1; a flat series has (near-)zero power everywhere. Built
+    through the real query over a temp parquet dir."""
+    import datetime
+    import math
+    import os
+    import tempfile
+
+    from sfcrimedatapipeline_spark.plans.timeseries import (
+        events_periodogram24,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for t in range(24 * 14):  # two weeks of hours
+        count = 10 + round(8 * math.cos(2 * math.pi * (t % 24) / 24))
+        for _ in range(count):
+            rows.append(
+                (eid, base + datetime.timedelta(hours=t), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.harmonic: r for r in events_periodogram24(spark, d).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # the planted cycle dominates: harmonic 1 carries >100x any other
+    others = max(out[k].power for k in (2, 3, 4))
+    assert out[1].power > 100 * max(others, 1e-9)
+    # amplitude recovery: |a_1 + i b_1| ≈ n_hours/2 * amplitude (8);
+    # the integer-rounded waveform shifts its fundamental slightly
+    n_hours = 24 * 14
+    amp = 2 * math.sqrt(out[1].power) / n_hours
+    assert abs(amp - 8.0) < 0.25
