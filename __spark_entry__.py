@@ -164,10 +164,11 @@ _DEFERRED = [
     "emb_power_iteration",
     "events_markov_stationary",
     # round-9c iterative additions (k-means trainer loops / multi-job
-    # graph rounds) — same budget rationale
+    # graph rounds / the CC-memo-riding funnel) — same budget rationale
     "graph_hits_dup",
     "ann_ivf_imbalance_audit",
     "emb_cluster_silhouette",
+    "corpus_curation_funnel",
 ]
 
 

@@ -153,6 +153,12 @@ PROBE_QUERIES = [
     "text_rake_keywords",
     "ann_ivf_imbalance_audit",
     "emb_cluster_silhouette",
+    # round-9c second batch: the composed curation funnel (gate + CC
+    # memo), the bootstrap's B x n calendar-bounded grid, and the
+    # exact-integer periodogram (expect all ≈ flat-to-linear)
+    "corpus_curation_funnel",
+    "orders_bootstrap_ci",
+    "events_periodogram24",
 ]
 
 
