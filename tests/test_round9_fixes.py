@@ -388,3 +388,55 @@ def test_embedding_contamination_lsh_is_cross_only(spark):
     ).collect()
     assert {(r.id_a, r.id_b) for r in rows} == {(0, 100)}
     assert rows[0].cosine == 1.0
+
+
+# ------------------------------------------------------------- round 9c
+def test_kmeans_memo_evicts_stale_sessions_and_serves_hits(spark):
+    """_KMEANS_MEMO hygiene (the _DUP_MEMO discipline applied to the
+    trained-IVF centroids): stale-session entries for ANY sf_dir drop
+    on rebuild, a same-session second call is a pure memo hit (no
+    retrain — pinned by identity), and the served table is the
+    cosine_topk_ivf input shape."""
+    from sfcrimedatapipeline_spark.plans import llmops
+
+    dead_session = object()
+    llmops._KMEANS_MEMO.pop("/root/testdata/sf0.001", None)
+    llmops._KMEANS_MEMO["__stale_dir__"] = (dead_session, [(0, [1.0])])
+    try:
+        t1 = llmops._trained_ivf_centroids(spark, "/root/testdata/sf0.001")
+        assert "__stale_dir__" not in llmops._KMEANS_MEMO
+        assert len(t1) == llmops.ANN_IVF_CENTROIDS
+        cid, vec = t1[0]
+        assert isinstance(cid, int) and len(vec) == 64
+        t2 = llmops._trained_ivf_centroids(spark, "/root/testdata/sf0.001")
+        assert t2 is t1  # memo hit, not a retrain
+    finally:
+        llmops._KMEANS_MEMO.pop("__stale_dir__", None)
+
+
+def test_ivf_assign_keep_cos_contract(spark):
+    """ivf_assign(keep_cos=True) must expose the per-rank raw cosine
+    the audits consume: ranks are 1..limit per vector, cosines
+    non-increasing by rank, and the rank-1 centroid equals the
+    keep_cos=False argmax path (the two code branches cannot drift)."""
+    from sfcrimedatapipeline_spark.operators.similarity import ivf_assign
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) for j in range(64)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = [(k, [float((k + 1) * (j % 3) - 1) for j in range(64)]) for k in range(4)]
+
+    top2 = ivf_assign(df, cents, "vid", 2, keep_cos=True).collect()
+    by_vid = {}
+    for r in top2:
+        by_vid.setdefault(r.vid, {})[r["__r"]] = r
+    argmax = {
+        r.vid: r.centroid_id
+        for r in ivf_assign(df, cents, "vid", 1).collect()
+    }
+    for vid, ranks in by_vid.items():
+        assert set(ranks) == {1, 2}
+        assert ranks[1]["__ccos"] >= ranks[2]["__ccos"]
+        assert ranks[1].centroid_id == argmax[vid]
