@@ -402,8 +402,16 @@ def emb_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 PCA eigenvalues + explained-variance ratios
     (operators/similarity.py:pca_eigenvalues: exact distributed
     Gram/mean sums, bounded d²-row driver assembly, LAPACK eigvalsh).
-    Rows-only (iterative eigensolver); numpy-cov parity + trace
-    identity pinned in tests/test_analytic_ext.py."""
+    Rows-only with a MEASURED justification (round 9c): the embedding
+    covariance spectrum is near-isotropic (top-5 eigenvalues within
+    8%), so the fixed-round deterministic replacement that retired
+    pagerank/kcore/BPE — Q40 deflated power iteration, unrolled-CTE
+    oracle — is numerically meaningless here: at 24 rounds the
+    estimates are still 1-6% off LAPACK with rank inversions, and an
+    eigensolver that converges on flat spectra (cyclic Jacobi) needs
+    thousands of SEQUENTIAL rotations no oracle can express (see
+    docs/SCALING.md). numpy-cov parity + trace identity pinned in
+    tests/test_analytic_ext.py."""
     from sfcrimedatapipeline_spark.operators.similarity import pca_eigenvalues
 
     emb = read_table(spark, sf_dir, "embeddings")
