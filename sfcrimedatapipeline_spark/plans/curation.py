@@ -368,3 +368,78 @@ def _funnel_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_curation_funnel"] = _funnel_oracle_sql()
+
+
+#: SFT pack budget: ~4 conversations per training context
+SFT_PACK_CAP = 1024
+
+
+def corpus_sft_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed SFT shard chain under ONE hash: chat-template
+    rendering (docs_sft_render) → first-fit token-budget packing into
+    ~SFT_PACK_CAP-token training contexts (the pack_sequences
+    semantics: a conversation opens a new bin when the tokens BEFORE
+    it fill the cap, packing per SOURCE — the natural shard key, so no
+    global running sum ever forms) → per-pack assembly digest (md5 of
+    member digests in conversation order). The corpus_denoise_shards
+    precedent applied to the SFT path: what a fine-tuning data build
+    actually ships.
+
+    Scale shape: one per-source window over the CONVERSATION grain
+    (already ~4× smaller than docs), one groupBy(source, bin) whose
+    order-pinned digest rides array_sort(collect_list(struct)) —
+    cumulative-sum division by a power of two is exact, so bin
+    boundaries are engine-identical."""
+    from pyspark.sql import Window
+
+    convs = corpus_ops.sft_render_conversations(_docs(spark, sf_dir))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("conv_seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum("total_tokens").over(w), F.lit(0).cast("long")
+    )
+    binned = convs.withColumn(
+        "bin_id", F.floor(cum_before / F.lit(SFT_PACK_CAP)).cast("long")
+    )
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.sum("total_tokens").cast("long").alias("pack_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("conv_seq", "sft_digest"))
+                        ),
+                        lambda s: s["sft_digest"],
+                    ),
+                )
+            ).alias("pack_digest"),
+        )
+        .select("source", "bin_id", "n_convs", "pack_tokens", "pack_digest")
+    )
+
+
+QUERIES["corpus_sft_packs"] = corpus_sft_packs
+
+ORACLE_SQL["corpus_sft_packs"] = f"""
+    WITH convs AS ({_sft_oracle_sql()}),
+    binned AS (
+        SELECT source, conv_seq, total_tokens, sft_digest,
+               CAST(floor(coalesce(sum(total_tokens) OVER (
+                       PARTITION BY source ORDER BY conv_seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / {SFT_PACK_CAP}) AS BIGINT) AS bin_id
+        FROM convs
+    )
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT) AS n_convs,
+           CAST(sum(total_tokens) AS BIGINT) AS pack_tokens,
+           md5(string_agg(sft_digest, '' ORDER BY conv_seq)) AS pack_digest
+    FROM binned GROUP BY source, bin_id
+"""

