@@ -355,10 +355,17 @@ def k_core(
     |V|: each round removes every currently sub-k node at once.
 
     The output (doc_id, degree within the k-core) is exact integers,
-    but the peel is a non-monotone fixed point — not expressible as a
-    single recursive-CTE oracle — so the driver query is rows-only
-    with a pure-Python peeling parity test (tests/test_graph.py), the
-    pagerank precedent.
+    and the peel is IDEMPOTENT past its fixed point: once no node is
+    sub-k, further rounds change nothing. So a FIXED round count ≥ the
+    peel depth replays the converged answer exactly, and the driver
+    query (graph_kcore_dup) is value-hash gated against a DuckDB
+    oracle that unrolls ``KCORE_ROUNDS`` peel rounds as MATERIALIZED
+    CTEs (plans/corpus_queries.py:_kcore_oracle_sql); the plan-level
+    query asserts round ``KCORE_ROUNDS`` equals round
+    ``KCORE_ROUNDS-1`` (idempotence = convergence proof). The
+    pure-Python peeling parity test (tests/test_graph.py) additionally
+    pins the run-to-convergence semantics this fixed-round contract
+    stands in for.
     """
     from sfcrimedatapipeline_spark.functions.caching import truncate_lineage
 
@@ -585,8 +592,16 @@ def hits(
     truncated every second round (executor-local, or reliable via
     ``checkpoint_dir=``).
     """
-    from sfcrimedatapipeline_spark.functions.caching import truncate_lineage
+    from sfcrimedatapipeline_spark.functions.caching import (
+        truncate_lineage,
+        unpersist_when_released,
+    )
     from sfcrimedatapipeline_spark.functions.fixedpoint import sql_fx, sql_unfx
+
+    if iters < 1:
+        # with zero rounds `a` would stay None below and the output
+        # join would crash; half a round is also not HITS (ADVICE r9)
+        raise ValueError(f"hits() needs iters >= 1, got {iters}")
 
     edges = (
         pairs.select(
@@ -654,6 +669,10 @@ def hits(
             F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
         )
     )
-    edges.unpersist()
-    nodes.unpersist()
-    return out
+    # the final left-joins against edges/nodes are LAZY: unpersisting
+    # here would make every downstream action re-derive the distinct
+    # mirrored edge list and node spine from source (ADVICE r9). Tie
+    # the caches' lifetime to the returned frame instead — the last
+    # h/a half-rounds are already eagerly truncated, so the output
+    # joins read cached inputs exactly once per action.
+    return unpersist_when_released(out, edges, nodes)

@@ -784,29 +784,57 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: queries (the trained search, the imbalance audit, the silhouette
 #: audit) each re-ran the full multi-job k-means trainer per query.
 #: The trained table is a k·dims driver-side literal (no Spark
-#: resources held), but entries are still keyed to the session and
-#: stale-session entries evicted, so a long-lived process that cycles
-#: sessions across regenerated test data can never serve stale
-#: centroids.
-_KMEANS_MEMO: dict[str, tuple[SparkSession, list]] = {}
+#: resources held), but entries are keyed to BOTH the session and a
+#: cheap parquet fingerprint (mtime+size of every data file under
+#: embeddings.parquet — ADVICE r9), so a long-lived process that
+#: cycles sessions OR regenerates the parquet at the same path can
+#: never serve stale centroids.
+_KMEANS_MEMO: dict[str, tuple[SparkSession, tuple, list]] = {}
+
+
+def _parquet_fingerprint(sf_dir: str, table: str) -> tuple:
+    """(relative-name, size, mtime_ns) of every data file under the
+    table path — one os.stat per file, no Spark job. Parquet rewrites
+    (even same-size) bump mtime_ns; a missing path degrades to a
+    sentinel rather than raising (the read itself will surface it)."""
+    import os
+
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    out = []
+    try:
+        if os.path.isfile(root):
+            st = os.stat(root)
+            return ((table, st.st_size, st.st_mtime_ns),)
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                if name.startswith((".", "_")):
+                    continue
+                st = os.stat(os.path.join(dirpath, name))
+                rel = os.path.relpath(os.path.join(dirpath, name), root)
+                out.append((rel, st.st_size, st.st_mtime_ns))
+    except OSError:
+        return ("unstattable",)
+    return tuple(sorted(out))
 
 
 def _trained_ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
-    """Session-memoized spherical_kmeans_det centroids — the shared
-    training prefix of every trained-quantizer query."""
+    """Session+data-fingerprint-memoized spherical_kmeans_det
+    centroids — the shared training prefix of every trained-quantizer
+    query."""
     from sfcrimedatapipeline_spark.operators.mltrain import spherical_kmeans_det
 
+    fp = _parquet_fingerprint(sf_dir, "embeddings")
     entry = _KMEANS_MEMO.get(sf_dir)
-    if entry is None or entry[0] is not spark:
+    if entry is None or entry[0] is not spark or entry[1] != fp:
         for key in [k for k, e in _KMEANS_MEMO.items() if e[0] is not spark]:
             _KMEANS_MEMO.pop(key)
         emb = _read_parallel(spark, sf_dir, "embeddings")
         trained = spherical_kmeans_det(
             emb, k=ANN_IVF_CENTROIDS, iters=ANN_IVF_TRAIN_ITERS
         )
-        entry = (spark, trained)
+        entry = (spark, fp, trained)
         _KMEANS_MEMO[sf_dir] = entry
-    return entry[1]
+    return entry[2]
 
 
 def ann_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2210,7 +2210,18 @@ def events_periodogram24(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is bit-identical even against an engine whose double
     MULTIPLY is fast-math-contracted (measured on this container, see
     PLANS.md). Scale shape: ONE map-side-combined hourly aggregate
-    (time-bounded), then 4 scalar aggregates unioned into 4 rows."""
+    (time-bounded), then 4 scalar aggregates unioned into 4 rows.
+
+    Cross-engine hour index (ADVICE r9): Spark side uses ``pmod(h,
+    24)`` (always ≥ 0) while DuckDB ``%`` follows the dividend's sign,
+    so the oracle applies the sign-safe ``((h % 24) + 24) % 24``. The
+    remaining divergence is the hour-bucket division itself — Spark
+    ``div`` truncates toward zero, DuckDB ``//`` floors — which only
+    differs for PRE-EPOCH timestamps; the events fixture (and any
+    sane event-log deployment) is post-1970, and for pre-epoch data
+    the hod phases would shift coherently on both sides of each
+    engine, leaving powers comparable but the cos/sin split
+    engine-specific."""
     from functools import reduce
 
     ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
@@ -2271,7 +2282,7 @@ def _periodogram_oracle_sql() -> str:
     return f"""
         WITH hourly AS MATERIALIZED (
             SELECT h, CAST(count(*) AS BIGINT) AS y,
-                   CAST(h % 24 AS INTEGER) AS hod
+                   CAST(((h % 24) + 24) % 24 AS INTEGER) AS hod
             FROM (
                 SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
                 FROM events

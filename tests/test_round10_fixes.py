@@ -1,0 +1,133 @@
+"""Round-10 regression tests: the five r9 ADVICE items plus the
+bench_diff environment-canary correction (VERDICT r9 #2/#3)."""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+
+def _load_module(name: str, rel_path: str):
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(repo, rel_path)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# ------------------------------------------------------ ADVICE r9: hits()
+def test_hits_rejects_zero_iters(spark):
+    from sfcrimedatapipeline_spark.operators.graph import hits
+
+    df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="iters >= 1"):
+        hits(df, iters=0)
+
+
+def test_hits_output_survives_repeated_actions(spark):
+    """ADVICE r9: hits() used to unpersist edges/nodes BEFORE the
+    returned lazy frame was actioned, so every downstream action
+    re-derived the distinct mirrored edge list from source. The fix
+    ties the caches to the returned frame (unpersist_when_released):
+    holding the result, two successive actions must agree and the
+    edge/node inputs must still be cached (storageLevel.useMemory)."""
+    from sfcrimedatapipeline_spark.operators.graph import hits
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 1)], "doc_a long, doc_b long"
+    )
+    out = hits(df, iters=2)
+    first = {r.doc_id: (r.hub, r.authority) for r in out.collect()}
+    second = {r.doc_id: (r.hub, r.authority) for r in out.collect()}
+    assert first == second and len(first) == 4
+    # at least one persisted RDD is still alive while `out` is held
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0
+    del out  # finalizer releases the edge/node caches
+
+
+# ------------------------------------------- ADVICE r9: periodogram oracle
+def test_periodogram_oracle_hod_is_sign_safe():
+    """DuckDB % follows the dividend's sign; the oracle must bucket
+    pre-epoch hour indexes into [0, 24) exactly like Spark's pmod."""
+    import duckdb
+
+    from sfcrimedatapipeline_spark.plans.timeseries import (
+        _periodogram_oracle_sql,
+    )
+
+    sql = _periodogram_oracle_sql()
+    assert "((h % 24) + 24) % 24" in sql
+    # the exact expression, evaluated by the oracle engine on a
+    # negative hour index, lands in [0, 24)
+    got = duckdb.sql("SELECT ((-5 % 24) + 24) % 24").fetchone()[0]
+    assert got == 19
+
+
+# --------------------------------------------- ADVICE r9: _KMEANS_MEMO fp
+def test_parquet_fingerprint_shapes():
+    from sfcrimedatapipeline_spark.plans.llmops import _parquet_fingerprint
+
+    fp = _parquet_fingerprint("/root/testdata/sf0.001", "embeddings")
+    assert fp and fp != ("unstattable",)
+    for rel, size, mtime_ns in fp:
+        assert isinstance(rel, str) and size > 0 and mtime_ns > 0
+    missing = _parquet_fingerprint("/root/testdata/sf0.001", "nope")
+    assert missing == ()  # empty walk, distinct from any real table
+
+
+# ------------------------------------ VERDICT r9 #2: env-canary correction
+def test_bench_diff_canary_correction_absorbs_uniform_shift(tmp_path):
+    """A synthetic 1.3x uniform environment shift across every query
+    (canaries included) must produce ZERO regression flags once
+    bench_diff normalizes by the canary median ratio; a genuine 3x
+    single-query regression on top of the same shift must still flag."""
+    import json
+    import subprocess
+    import sys
+
+    bd = _load_module("bench_diff_r10", "tools/bench_diff.py")
+    base = {c: 0.5 for c in bd.CANARIES}
+    base.update({"real_query_a": 2.0, "real_query_b": 4.0})
+    shifted = {q: v * 1.3 for q, v in base.items()}
+    old_p, new_p = tmp_path / "old.json", tmp_path / "new.json"
+    old_p.write_text(json.dumps({"queries": base}))
+    new_p.write_text(json.dumps({"queries": shifted}))
+    repo_root = bd.__file__.rsplit("/tools/", 1)[0]
+    r = subprocess.run(
+        [sys.executable, bd.__file__, str(old_p), str(new_p)],
+        capture_output=True, text=True, cwd=repo_root,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "REGRESSION" not in r.stdout
+    assert "environment factor" in r.stdout
+
+    shifted["real_query_b"] = 4.0 * 3.9  # real regression atop the shift
+    new_p.write_text(json.dumps({"queries": shifted}))
+    r2 = subprocess.run(
+        [sys.executable, bd.__file__, str(old_p), str(new_p)],
+        capture_output=True, text=True, cwd=repo_root,
+    )
+    assert r2.returncode == 1
+    assert "REGRESSION real_query_b" in r2.stdout
+    assert "REGRESSION real_query_a" not in r2.stdout
+
+
+def test_bench_diff_canaries_are_gated_trivial_scans():
+    """The canary set must be real, cheap, pure-scan queries that every
+    bench run includes: declared in queries(), not deferred, not
+    bench-skipped."""
+    import __spark_entry__ as e
+
+    bd = _load_module("bench_diff_r10b", "tools/bench_diff.py")
+    bench = _load_module("bench_r10", "bench.py")
+    qs = e.queries()
+    assert len(bd.CANARIES) >= 3
+    for c in bd.CANARIES:
+        assert c in qs
+        assert c not in bench.BENCH_SKIP

@@ -401,7 +401,7 @@ def test_kmeans_memo_evicts_stale_sessions_and_serves_hits(spark):
 
     dead_session = object()
     llmops._KMEANS_MEMO.pop("/root/testdata/sf0.001", None)
-    llmops._KMEANS_MEMO["__stale_dir__"] = (dead_session, [(0, [1.0])])
+    llmops._KMEANS_MEMO["__stale_dir__"] = (dead_session, (), [(0, [1.0])])
     try:
         t1 = llmops._trained_ivf_centroids(spark, "/root/testdata/sf0.001")
         assert "__stale_dir__" not in llmops._KMEANS_MEMO
@@ -412,6 +412,29 @@ def test_kmeans_memo_evicts_stale_sessions_and_serves_hits(spark):
         assert t2 is t1  # memo hit, not a retrain
     finally:
         llmops._KMEANS_MEMO.pop("__stale_dir__", None)
+
+
+def test_kmeans_memo_invalidates_on_data_fingerprint_change(spark):
+    """ADVICE r9: within ONE session, regenerating the parquet at the
+    same sf_dir path must invalidate the trained-centroid memo. The
+    fingerprint is (file, size, mtime_ns) of the data files, so a
+    fabricated stale fingerprint on the real dir forces a retrain even
+    though the session matches; the fresh entry then carries the true
+    fingerprint and subsequent calls memo-hit."""
+    from sfcrimedatapipeline_spark.plans import llmops
+
+    sf = "/root/testdata/sf0.001"
+    t1 = llmops._trained_ivf_centroids(spark, sf)
+    true_fp = llmops._KMEANS_MEMO[sf][1]
+    assert true_fp == llmops._parquet_fingerprint(sf, "embeddings")
+    assert true_fp and true_fp != ("unstattable",)
+    # simulate "data regenerated at the same path": stored fp differs
+    llmops._KMEANS_MEMO[sf] = (spark, (("old", 1, 1),), t1)
+    t2 = llmops._trained_ivf_centroids(spark, sf)
+    assert t2 is not t1  # retrained, not served stale
+    assert t2 == t1  # same data → same deterministic centroids
+    assert llmops._KMEANS_MEMO[sf][1] == true_fp
+    assert llmops._trained_ivf_centroids(spark, sf) is t2  # memo hit
 
 
 def test_ivf_assign_keep_cos_contract(spark):

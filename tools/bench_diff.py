@@ -12,7 +12,29 @@ any regression crosses the bar (CI-friendly).
 from __future__ import annotations
 
 import json
+import statistics
 import sys
+
+#: Environment canaries (VERDICT r9 #2): trivial pure-scan/projection
+#: queries untouched since round 1 whose cost is dominated by the
+#: parquet scan itself. The median NEW/OLD ratio over these defines
+#: the host/VM environment correction factor — round 9 measured a
+#: UNIFORM 1.33x cross-VM shift that consumed a verdict cycle; with
+#: the correction, a uniform shift produces zero flags while a
+#: genuine single-query regression still stands out.
+CANARIES = [
+    "p1_project_alias",
+    "p2_null_default",
+    "p3_cast_date",
+    "p4_cast_time",
+    "p5_in_filter",
+    "a1_distinct_2col",
+]
+
+#: Distrust the canaries outside this range: a >2.5x "environment"
+#: reading is itself a finding (wrong SF dir, broken host), not a
+#: correction to silently apply.
+FACTOR_CLAMP = (0.4, 2.5)
 
 
 def load(path: str) -> dict[str, float]:
@@ -56,19 +78,39 @@ def load_isolated() -> dict[str, float]:
         return {}
 
 
+def env_factor(old: dict[str, float], new: dict[str, float]) -> float:
+    """Median NEW/OLD ratio over the shared canaries (≥3 required,
+    else 1.0), clamped to FACTOR_CLAMP. Regression ratios are then
+    computed on environment-corrected new readings (n / factor)."""
+    ratios = [
+        new[c] / old[c]
+        for c in CANARIES
+        if c in old and c in new and old[c] > 0
+    ]
+    if len(ratios) < 3:
+        return 1.0
+    f = statistics.median(ratios)
+    return max(FACTOR_CLAMP[0], min(FACTOR_CLAMP[1], f))
+
+
 def main() -> int:
     old, new = load(sys.argv[1]), load(sys.argv[2])
     iso = load_isolated()
     ratio_bar = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     abs_bar = 0.3
     shared = sorted(set(old) & set(new))
+    factor = env_factor(old, new)
     print(f"shared queries: {len(shared)}  (old-only {len(set(old)-set(new))}, "
           f"new-only {len(set(new)-set(old))})")
     print(f"overlap totals: {sum(old[q] for q in shared):.1f}s -> "
           f"{sum(new[q] for q in shared):.1f}s")
+    print(f"environment factor (canary median NEW/OLD, clamped): "
+          f"{factor:.3f} over {sum(1 for c in CANARIES if c in old and c in new)} "
+          f"canaries — per-query deltas corrected by it")
     regressions, swings = [], []
     for q in shared:
-        o, n = old[q], new[q]
+        o, n_raw = old[q], new[q]
+        n = n_raw / factor  # environment-corrected reading
         if n > o * ratio_bar and n - o >= abs_bar:
             # a "regression" is shared-session scheduling interference
             # (not a code regression) only when the PAIR straddles the
@@ -79,16 +121,20 @@ def main() -> int:
             # under their isolated medians in shared sessions, so a
             # genuine multi-x memo-path regression that still lands
             # under the band would otherwise be auto-excused).
-            in_band_new = q in iso and n <= iso[q] * 1.3 + abs_bar
-            old_at_steady = q in iso and o >= iso[q] / 1.3 - abs_bar
+            # iso medians are recorded in the CURRENT environment
+            # (--isolate re-runs each round); correct them into the
+            # same old-environment units as n before band tests.
+            iso_c = iso[q] / factor if q in iso else None
+            in_band_new = iso_c is not None and n <= iso_c * 1.3 + abs_bar
+            old_at_steady = iso_c is not None and o >= iso_c / 1.3 - abs_bar
             if in_band_new and old_at_steady:
-                swings.append((n / max(o, 1e-9), q, o, n, iso[q]))
+                swings.append((n / max(o, 1e-9), q, o, n, iso_c))
             else:
                 regressions.append((n / max(o, 1e-9), q, o, n))
     for r, q, o, n in sorted(regressions, reverse=True):
         extra = ""
         if q in iso:
-            if n > iso[q] * 1.3 + abs_bar:
+            if n > (iso[q] / factor) * 1.3 + abs_bar:
                 extra = f" [isolated steady state {iso[q]:.2f}s EXCEEDED]"
             else:
                 extra = (f" [old reading {o:.2f}s is below the isolated "
