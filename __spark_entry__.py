@@ -102,6 +102,42 @@ def _current_round() -> int:
 _ROUND_SNAPSHOT: int | None = None
 
 
+def _driver_seen() -> frozenset[str]:
+    """Query names present in any published per-round driver artifact
+    (``CORRECTNESS_r*.json`` — NOT the ``_FULL_`` local runs, which
+    cover everything and would defeat the rotation). Used to sort
+    never-driver-verified queries FIRST within the rotating middle
+    (VERDICT r9 #8): the driver's ~50-query budget then maximizes
+    fresh cumulative coverage every round instead of relying on the
+    hash shuffle to land on unseen names. Pure function of repo state,
+    snapshotted once per process like the round number; any I/O or
+    parse failure degrades to the empty set (plain hash rotation)."""
+    global _SEEN_SNAPSHOT
+    if _SEEN_SNAPSHOT is not None:
+        return _SEEN_SNAPSHOT
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        if "_FULL_" in os.path.basename(path.upper()):
+            continue
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            if isinstance(doc, dict):
+                seen.update(k for k in doc if isinstance(k, str))
+        except (OSError, json.JSONDecodeError):
+            continue
+    _SEEN_SNAPSHOT = frozenset(seen)
+    return _SEEN_SNAPSHOT
+
+
+_SEEN_SNAPSHOT: frozenset[str] | None = None
+
+
 #: Run these LAST: pipeline rebuilds, iterative ops, and genuine
 #: streaming executions (micro-batched, fixture-backed). The round-4
 #: driver artifact truncated at 50/118 queries on a time budget
@@ -226,9 +262,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     deferred = set(_DEFERRED)
     first = set(_REFERENCE_FIRST)
     rnd = _current_round()
+    seen = _driver_seen()
     middle = sorted(
         (k for k in merged if k not in deferred and k not in first),
-        key=lambda k: hashlib.sha256(f"r{rnd}:{k}".encode()).hexdigest(),
+        key=lambda k: (
+            k in seen,  # never-driver-verified queries rotate FIRST
+            hashlib.sha256(f"r{rnd}:{k}".encode()).hexdigest(),
+        ),
     )
     ordered = {k: merged[k] for k in _REFERENCE_FIRST if k in merged}
     ordered.update({k: merged[k] for k in middle})

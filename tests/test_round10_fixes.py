@@ -131,3 +131,27 @@ def test_bench_diff_canaries_are_gated_trivial_scans():
     for c in bd.CANARIES:
         assert c in qs
         assert c not in bench.BENCH_SKIP
+
+
+# ------------------------------------- VERDICT r9 #8: unseen-first rotation
+def test_rotation_puts_never_driver_seen_queries_first():
+    """The rotating middle must sort queries absent from every
+    published per-round driver artifact BEFORE already-verified ones,
+    so the driver's ~50-query budget maximizes fresh cumulative
+    coverage (VERDICT r9 #8 asks >=15 fresh in round 10's record)."""
+    import __spark_entry__ as e
+
+    qs = list(e.queries())
+    seen = e._driver_seen()
+    assert len(seen) >= 100  # r6-r9 cumulative record is present
+    first50 = qs[:50]
+    fresh = [q for q in first50 if q not in seen]
+    # reference-first block (21) is always included and mostly seen;
+    # the remaining ~29 rotation slots must all be unseen while any
+    # unseen queries remain in the middle
+    assert len(fresh) >= 15, fresh
+    middle = qs[len(e._REFERENCE_FIRST):-len(e._DEFERRED)]
+    unseen_flags = [q in seen for q in middle]
+    # once a seen query appears, no unseen query may follow it
+    if True in unseen_flags:
+        assert all(unseen_flags[unseen_flags.index(True):])
