@@ -443,3 +443,317 @@ ORACLE_SQL["corpus_sft_packs"] = f"""
            md5(string_agg(sft_digest, '' ORDER BY conv_seq)) AS pack_digest
     FROM binned GROUP BY source, bin_id
 """
+
+
+# --------------------------------------------------------------- round 10
+# URL / domain curation (VERDICT r9 #4). The documents fixture carries
+# no URL column, so one is PLANTED deterministically from doc_id — the
+# planted-twin precedent (plans/llmops.py:_planted_emb_sql): both
+# engines derive bit-identical URLs from the same md5 formula
+# (functions/hashing.py), so the canonicalize/dedup/cap/blocklist
+# layer is value-hash gated end-to-end. Every URL_GROUP consecutive
+# docs share one canonical target URL; per-doc cosmetic noise (scheme
+# case, www variants, default ports, tracking params, fragments,
+# trailing slashes) exercises every canonicalization rule.
+
+from sfcrimedatapipeline_spark.functions.hashing import portable_hash64
+from sfcrimedatapipeline_spark.operators import urls as url_ops
+
+URL_GROUP = 3
+URL_SEED_GROUP = 101  # group-level hash → domain/scheme/path
+URL_SEED_NOISE = 102  # doc-level hash → cosmetic noise variants
+#: 5 keeps every stage of the funnel ACTIVE at the sf0.01 gate (after
+#: the blocklist removes the heaviest domains, the biggest surviving
+#: domain holds 7 eligible docs there)
+DOMAIN_CAP_K = 5
+#: the heaviest planted domains (quadratic skew: dom 0 absorbs ~10% of
+#: groups, dom 1 ~5%) across all three TLD variants
+URL_BLOCKLIST = ["site0.com", "site0.org", "site0.net", "site1.com"]
+
+_SUBS = ["", "www.", "WWW.", "Www."]
+_TLDS = ["com", "org", "net"]
+_QSFX = ["", "?utm_source=rss", "?q=7&utm_campaign=z"]
+
+
+def _with_url(docs: DataFrame) -> DataFrame:
+    """documents + planted ``url`` (module note). All integer/string
+    Catalyst expressions; the skewed domain id is (t*t) div 100 over
+    t = h mod 100, so low domain ids absorb quadratically more mass —
+    the per-domain cap has real work at every SF."""
+    d = docs.withColumn("__ukey", F.expr(f"doc_id div {URL_GROUP}"))
+    d = d.withColumn("__h", portable_hash64(F.col("__ukey"), URL_SEED_GROUP))
+    d = d.withColumn("__hd", portable_hash64(F.col("doc_id"), URL_SEED_NOISE))
+    d = d.withColumn("__t", F.expr("pmod(__h, 100)"))
+    scheme = F.when(F.expr("pmod(__h div 300, 4)") == 0, F.lit("https")).otherwise(
+        F.lit("http")
+    )
+    host = F.concat(
+        F.lit("site"),
+        F.expr("(__t * __t) div 100").cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _TLDS]),
+            (F.expr("pmod(__h div 100, 3)") + 1).cast("int"),
+        ),
+    )
+    sub = F.element_at(
+        F.array(*[F.lit(s) for s in _SUBS]),
+        (F.expr("pmod(__hd, 4)") + 1).cast("int"),
+    )
+    scheme_var = F.when(
+        F.expr("pmod(__hd div 5, 3)") == 0, F.upper(scheme)
+    ).otherwise(scheme)
+    port = F.when(
+        F.expr("pmod(__hd div 7, 3)") == 0,
+        F.when(scheme == "https", F.lit(":443")).otherwise(F.lit(":80")),
+    ).otherwise(F.lit(""))
+    qsfx = F.element_at(
+        F.array(*[F.lit(q) for q in _QSFX]),
+        (F.expr("pmod(__hd div 11, 3)") + 1).cast("int"),
+    )
+    frag = F.when(F.expr("pmod(__hd div 13, 2)") == 1, F.lit("#sec")).otherwise(
+        F.lit("")
+    )
+    tslash = F.when(F.expr("pmod(__hd div 17, 2)") == 1, F.lit("/")).otherwise(
+        F.lit("")
+    )
+    url = F.concat(
+        scheme_var,
+        F.lit("://"),
+        sub,
+        host,
+        port,
+        F.lit("/doc/"),
+        F.col("__ukey").cast("string"),
+        tslash,
+        qsfx,
+        frag,
+    )
+    return d.withColumn("url", url).drop("__ukey", "__h", "__hd", "__t")
+
+
+def docs_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw planted URL → canonical URL + domain per document
+    (operators/urls.py:canonical_url — every rule exercised by the
+    planted noise variants)."""
+    d = _with_url(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        "url",
+        url_ops.canonical_url(F.col("url")).alias("canonical_url"),
+        url_ops.url_domain(F.col("url")).alias("domain"),
+    ).orderBy("doc_id")
+
+
+def dedup_url_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL exact dedup report (operators/urls.py:
+    url_exact_dedup): canonical URLs with ≥2 docs, kept id, copies."""
+    d = _with_url(_docs(spark, sf_dir))
+    return url_ops.url_exact_dedup(d).orderBy("canonical_url")
+
+
+def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain C4-style cap report: the salted two-phase top-K
+    (operators/urls.py:domain_cap) keeps the DOMAIN_CAP_K lowest doc
+    ids per domain; the report carries the kept-id checksum so the
+    gate pins the kept SET, not just its size."""
+    d = _with_url(_docs(spark, sf_dir)).withColumn(
+        "domain", url_ops.url_domain(F.col("url"))
+    )
+    totals = d.groupBy("domain").agg(F.count("*").cast("long").alias("n_docs"))
+    kept = url_ops.domain_cap(d.select("doc_id", "domain"), cap=DOMAIN_CAP_K)
+    kstats = kept.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("kept_id_sum"),
+        F.max("doc_id").cast("long").alias("max_kept_id"),
+    )
+    return (
+        totals.join(kstats, "domain", "left")
+        .select(
+            "domain",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_id_sum", F.lit(0)).cast("long").alias("kept_id_sum"),
+            F.coalesce("max_kept_id", F.lit(-1)).cast("long").alias("max_kept_id"),
+        )
+        .orderBy("domain")
+    )
+
+
+def docs_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web-curation funnel under ONE hash
+    (operators/urls.py:web_dispositions): blocklist → URL dedup →
+    domain cap → kept, one disposition per document (the
+    curate_corpus report contract, so sum(n_docs) == corpus size)."""
+    d = _with_url(_docs(spark, sf_dir))
+    flagged = url_ops.web_dispositions(
+        d, blocklist=URL_BLOCKLIST, cap=DOMAIN_CAP_K
+    )
+    return (
+        flagged.groupBy(F.col("__disp").alias("disposition"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("disposition")
+    )
+
+
+QUERIES["docs_url_canonicalize"] = docs_url_canonicalize
+QUERIES["dedup_url_exact"] = dedup_url_exact
+QUERIES["docs_domain_cap"] = docs_domain_cap
+QUERIES["docs_web_curation"] = docs_web_curation
+
+
+def _url_sql() -> str:
+    """DuckDB twin of _with_url — same md5 formula, same literals."""
+    h = sql_hash64(f"(doc_id // {URL_GROUP})", str(URL_SEED_GROUP))
+    hd = sql_hash64("doc_id", str(URL_SEED_NOISE))
+    subs = "[" + ", ".join(f"'{s}'" for s in _SUBS) + "]"
+    tlds = "[" + ", ".join(f"'{t}'" for t in _TLDS) + "]"
+    qsfx = "[" + ", ".join(f"'{q}'" for q in _QSFX) + "]"
+    return f"""
+        SELECT doc_id,
+               (CASE WHEN (hd // 5) % 3 = 0 THEN upper(scheme) ELSE scheme END)
+               || '://'
+               || {subs}[CAST(hd % 4 AS INTEGER) + 1]
+               || 'site' || CAST((t * t) // 100 AS VARCHAR)
+               || '.' || {tlds}[CAST((h // 100) % 3 AS INTEGER) + 1]
+               || (CASE WHEN (hd // 7) % 3 = 0
+                        THEN (CASE WHEN scheme = 'https'
+                                   THEN ':443' ELSE ':80' END)
+                        ELSE '' END)
+               || '/doc/' || CAST(doc_id // {URL_GROUP} AS VARCHAR)
+               || (CASE WHEN (hd // 17) % 2 = 1 THEN '/' ELSE '' END)
+               || {qsfx}[CAST((hd // 11) % 3 AS INTEGER) + 1]
+               || (CASE WHEN (hd // 13) % 2 = 1 THEN '#sec' ELSE '' END)
+               AS url
+        FROM (
+            SELECT doc_id, h, hd, h % 100 AS t,
+                   CASE WHEN (h // 300) % 4 = 0 THEN 'https' ELSE 'http' END
+                   AS scheme
+            FROM (SELECT doc_id, {h} AS h, {hd} AS hd FROM documents) hh
+        ) parts
+    """
+
+
+def _canon_sql() -> str:
+    """DuckDB twin of operators/urls.py:canonical_url/url_domain over
+    the planted-url CTE ``u`` — same regexes (module constants)."""
+    track = url_ops.TRACKING_PARAM_RE
+    scheme = "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    hostport = (
+        "lower(regexp_extract(url,"
+        " '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1))"
+    )
+    return f"""
+        SELECT doc_id, url,
+               scheme || '://' || host || path
+               || (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
+               AS canonical_url,
+               host AS domain
+        FROM (
+            SELECT doc_id, url, scheme,
+                   regexp_replace(
+                       CASE WHEN scheme = 'http'
+                            THEN regexp_replace(hostport, ':80$', '')
+                            WHEN scheme = 'https'
+                            THEN regexp_replace(hostport, ':443$', '')
+                            ELSE hostport END,
+                       '^www\\.', '') AS host,
+                   regexp_replace(
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+([^?#]*)', 1),
+                       '/+$', '') AS path,
+                   array_to_string(
+                       list_filter(string_split(
+                           regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                           x -> NOT regexp_matches(x, '{track}')
+                                AND x <> ''),
+                       '&') AS q
+            FROM (
+                SELECT doc_id, url, {scheme} AS scheme, {hostport} AS hostport
+                FROM u
+            ) split
+        ) canon
+    """
+
+
+ORACLE_SQL["docs_url_canonicalize"] = f"""
+    WITH u AS MATERIALIZED ({_url_sql()})
+    SELECT doc_id, url, canonical_url, domain
+    FROM ({_canon_sql()}) c
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["dedup_url_exact"] = f"""
+    WITH u AS MATERIALIZED ({_url_sql()})
+    SELECT canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM ({_canon_sql()}) c
+    GROUP BY canonical_url
+    HAVING count(*) >= 2
+    ORDER BY canonical_url
+"""
+
+ORACLE_SQL["docs_domain_cap"] = f"""
+    WITH u AS MATERIALIZED ({_url_sql()}),
+    c AS MATERIALIZED (SELECT doc_id, domain FROM ({_canon_sql()}) cc),
+    ranked AS (
+        SELECT doc_id, domain,
+               row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+               AS rn
+        FROM c
+    )
+    SELECT c.domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN r.rn <= {DOMAIN_CAP_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN r.rn <= {DOMAIN_CAP_K} THEN c.doc_id
+                         ELSE 0 END) AS BIGINT) AS kept_id_sum,
+           CAST(max(CASE WHEN r.rn <= {DOMAIN_CAP_K} THEN c.doc_id
+                         ELSE -1 END) AS BIGINT) AS max_kept_id
+    FROM c JOIN ranked r ON c.doc_id = r.doc_id
+    GROUP BY c.domain
+    ORDER BY c.domain
+"""
+
+_BLOCK_IN = ", ".join(f"'{b}'" for b in URL_BLOCKLIST)
+
+ORACLE_SQL["docs_web_curation"] = f"""
+    WITH u AS MATERIALIZED ({_url_sql()}),
+    c AS MATERIALIZED (
+        SELECT doc_id, canonical_url, domain,
+               domain IN ({_BLOCK_IN}) AS blocked
+        FROM ({_canon_sql()}) cc
+    ),
+    keepers AS (
+        SELECT canonical_url, min(doc_id) AS keep_id
+        FROM c WHERE NOT blocked GROUP BY canonical_url
+    ),
+    flagged AS (
+        SELECT c.doc_id, c.domain, c.blocked,
+               (NOT c.blocked AND c.doc_id <> k.keep_id) AS is_dup
+        FROM c LEFT JOIN keepers k ON c.canonical_url = k.canonical_url
+    ),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+               AS rn
+        FROM flagged WHERE NOT blocked AND NOT is_dup
+    ),
+    disp AS (
+        SELECT f.doc_id,
+               CASE WHEN f.blocked THEN 'blocked_domain'
+                    WHEN f.is_dup THEN 'url_duplicate'
+                    WHEN r.rn IS NULL OR r.rn > {DOMAIN_CAP_K}
+                         THEN 'domain_capped'
+                    ELSE 'kept' END AS disposition
+        FROM flagged f LEFT JOIN ranked r ON f.doc_id = r.doc_id
+    )
+    SELECT disposition,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM disp GROUP BY disposition ORDER BY disposition
+"""
