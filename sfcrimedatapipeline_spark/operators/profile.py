@@ -929,6 +929,19 @@ def mann_whitney_u(
         F.sum(1 - F.col("__is_a")).cast("long").alias("__c2"),
         F.count("*").alias("__t"),
     )
+    # eager lineage cut (round-10 adjudication of events_purchase_auc):
+    # downstream, vc is consumed THREE times per action — the range
+    # partitioner's sampling pass plus the with_run plan's two branches
+    # (the offsets aggregate and the main join) — so without this the
+    # full input scan+aggregate re-runs up to 3x. vc is one row per
+    # DISTINCT value (bounded by the value domain, not the data), so
+    # the checkpoint is tiny. At sf0.1 (100k input rows) the isolated
+    # wall is scheduling-overhead-dominated and unchanged within the
+    # ±25% noise band; the win is input-proportional — at cluster
+    # scale the input scan runs once instead of three times.
+    from sfcrimedatapipeline_spark.functions.caching import truncate_lineage
+
+    vc = truncate_lineage(vc, eager=True)
     sorted_df = vc.repartitionByRange(F.asc("__v")).sortWithinPartitions(
         F.asc("__v")
     )
@@ -1124,6 +1137,11 @@ def _doubled_avg_ranks(df: DataFrame, col: str) -> DataFrame:
     from sfcrimedatapipeline_spark.operators.keys import partition_offsets
 
     vc = df.groupBy(col).agg(F.count("*").cast("long").alias("__t"))
+    # same 3x-rescan lineage cut as mann_whitney_u (range sampling +
+    # two with_run branches); distinct-value cardinality keeps it tiny
+    from sfcrimedatapipeline_spark.functions.caching import truncate_lineage
+
+    vc = truncate_lineage(vc, eager=True)
     sorted_df = vc.repartitionByRange(F.asc(col)).sortWithinPartitions(
         F.asc(col)
     )
