@@ -205,6 +205,9 @@ _DEFERRED = [
     "ann_ivf_imbalance_audit",
     "emb_cluster_silhouette",
     "corpus_curation_funnel",
+    # round-10: persisted-index build+append at plan time (the
+    # docs_bm25_index_search precedent)
+    "ann_ivfpq_index_delta",
 ]
 
 

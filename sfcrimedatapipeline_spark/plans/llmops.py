@@ -3299,3 +3299,159 @@ def _bpe_merges_oracle_sql(rounds: int) -> str:
 
 ORACLE_SQL["text_bpe_merges"] = _bpe_merges_oracle_sql(10)
 ORACLE_SQL["text_bpe_merges_local"] = _bpe_merges_oracle_sql(30)
+
+
+# --------------------------------------------------------------- round 10
+# Incremental ANN index maintenance (VERDICT r9 #5): assign a delta
+# embedding batch into the PERSISTED IVF+PQ index without retraining —
+# the embedding twin of dedup_against_corpus. The Spark side builds
+# the index from the BASE split only (quantizers frozen at write
+# time), appends the delta batch's codes with ivfpq_index_append (the
+# frozen meta.json quantizers; parquet append inside the existing
+# list_id partition directories — base files never rewritten, pinned
+# by tests/test_plan_quality.py), then searches the grown index
+# partition-pruned. The oracle derives the SAME quantizers from the
+# base split in its CTE chain and encodes base+delta against them, so
+# the frozen-quantizer semantics are value-hash gated end-to-end.
+
+#: every 10th vector arrives as the "daily increment"
+IVFPQ_DELTA_MOD = 10
+
+#: sf_dir → (session, index dir). The _INDEX_CACHE discipline
+#: (plans/llmops_ext.py): build+append once per (session, sf_dir),
+#: search many; stale-session entries evicted on rebuild.
+_IVFPQ_DELTA_CACHE: dict[str, tuple] = {}
+
+
+def _ivfpq_delta_index(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    entry = _IVFPQ_DELTA_CACHE.get(sf_dir)
+    if entry is None or entry[0] is not spark:
+        for key in [k for k, e in _IVFPQ_DELTA_CACHE.items() if e[0] is not spark]:
+            _IVFPQ_DELTA_CACHE.pop(key)
+        emb = _read_parallel(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") % IVFPQ_DELTA_MOD != 0)
+        delta = emb.filter(F.col("vec_id") % IVFPQ_DELTA_MOD == 0)
+        d = tempfile.mkdtemp(prefix="ivfpq_delta_")
+        # quantizers derive from BASE ONLY (lowest-id seeds / default
+        # codebooks of the base split), then freeze in meta.json
+        similarity.ivfpq_index_write(base, d, n_centroids=ANN_IVF_CENTROIDS)
+        similarity.ivfpq_index_append(d, delta)
+        _IVFPQ_DELTA_CACHE[sf_dir] = (spark, d)
+    return _IVFPQ_DELTA_CACHE[sf_dir][1]
+
+
+def ann_ivfpq_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search the incrementally-grown persisted IVF+PQ index (module
+    note): base build + frozen-quantizer delta append + partition-
+    pruned search, all under one value hash."""
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_index_search(
+        spark,
+        _ivfpq_delta_index(spark, sf_dir),
+        ann_queries(emb),
+        k=ANN_K,
+        n_probe=ANN_IVF_PROBE,
+    )
+
+
+QUERIES["ann_ivfpq_index_delta"] = ann_ivfpq_index_delta
+
+
+def _ivfpq_delta_sql(
+    m: int = 8,
+    sub: int = 8,
+    n_codes: int = 16,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+) -> str:
+    """_ivfpq_sql with the quantizer CTEs (cb/cc) derived from the
+    BASE split only while assignment/encoding cover base+delta — the
+    SQL statement of 'the delta is assigned into frozen quantizers,
+    never retrained'."""
+    enc_cols = ", ".join(
+        f"CAST(min([d{s}, CAST(cid AS DOUBLE)])[2] AS INT) AS c{s}"
+        for s in range(m)
+    )
+    pair_d = ", ".join(
+        f"{_sqd_sql('e.embedding', 'cb.cv', s * sub, sub)} AS d{s}"
+        for s in range(m)
+    )
+    qt_d = ", ".join(
+        f"{_sqd_sql('q.embedding', 'cb.cv', s * sub, sub)} AS t{s}"
+        for s in range(m)
+    )
+    joins = "\n            ".join(
+        f"JOIN qtab qt{s} ON qt{s}.cid = en.c{s} AND qt{s}.query_id = qp.query_id"
+        for s in range(m)
+    )
+    adc = " + ".join(f"qt{s}.t{s}" for s in range(m))
+    coarse_e = _sqd_sql("e.embedding", "cc.cv", 0, dim)
+    return f"""
+        WITH base AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % {IVFPQ_DELTA_MOD} <> 0
+        ),
+        cb AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+            FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT {n_codes})
+        ),
+        cc AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+            FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT {n_centroids})
+        ),
+        assign AS (
+            SELECT vec_id, CAST(min([df, CAST(cid AS DOUBLE)])[2] AS INT) AS list_id
+            FROM (
+                SELECT e.vec_id, cc.cid, {coarse_e} AS df
+                FROM embeddings e CROSS JOIN cc
+            ) GROUP BY vec_id
+        ),
+        pairs AS (
+            SELECT e.vec_id, cb.cid, {pair_d}
+            FROM embeddings e CROSS JOIN cb
+        ),
+        enc AS (
+            SELECT p.vec_id, a.list_id, {enc_cols}
+            FROM pairs p JOIN assign a ON p.vec_id = a.vec_id
+            GROUP BY p.vec_id, a.list_id
+        ),
+        qprobe AS (
+            SELECT vec_id AS query_id, cid AS list_id FROM (
+                SELECT e.vec_id, cc.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {coarse_e} ASC, cc.cid ASC) AS pr
+                FROM embeddings e CROSS JOIN cc
+                WHERE e.vec_id < {ANN_N_QUERIES}
+            ) WHERE pr <= {n_probe}
+        ),
+        qtab AS (
+            SELECT q.vec_id AS query_id, cb.cid, {qt_d}
+            FROM embeddings q CROSS JOIN cb
+            WHERE q.vec_id < {ANN_N_QUERIES}
+        ),
+        scored AS (
+            SELECT qp.query_id, en.vec_id AS neighbor_id,
+                   round({adc}, 6) AS approx_dist
+            FROM enc en
+            JOIN qprobe qp ON qp.list_id = en.list_id
+            {joins}
+            WHERE en.vec_id <> qp.query_id
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, approx_dist
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= {ANN_K}
+    """
+
+
+ORACLE_SQL["ann_ivfpq_index_delta"] = _ivfpq_delta_sql(
+    n_centroids=ANN_IVF_CENTROIDS, n_probe=ANN_IVF_PROBE
+)
