@@ -636,3 +636,133 @@ ORACLE_SQL["media_dedup_video"] = """
        OR coalesce(a.b[3], 0) = coalesce(c.b[3], 0)
        OR coalesce(a.b[4], 0) = coalesce(c.b[4], 0))
 """
+
+
+# --------------------------------------------------------------- round 10
+# Perceptual train/eval contamination (VERDICT r9 #6): the image-side
+# split audit mirroring contamination_semantic. The eval set is
+# PLANTED RE-ENCODED TWINS — every MEDIA_EVAL_MOD-th image doc
+# re-emitted under doc_id+MEDIA_EVAL_OFFSET with its first character
+# replaced ('x' re-encode artifact: different bytes, so raw-byte md5
+# dedup misses it) while the metadata plane (w, h) stays the SOURCE's.
+# For ASCII-leading texts the byte length is preserved and only grid
+# row 0 comparisons can flip, so most twins land within hamming ≤ 3 of
+# their source; multibyte-leading texts shift every sampled index and
+# (deterministically, on both engines) escape — the honest recall
+# boundary of perceptual hashing under re-encoding, stated here rather
+# than hidden.
+
+MEDIA_EVAL_MOD = 15
+MEDIA_EVAL_OFFSET = 2_000_000
+
+
+def _media_eval_twins(docs: DataFrame) -> DataFrame:
+    """Planted re-encoded eval twins (module note) in the canonical
+    media shape. w/h derive from the SOURCE doc_id — a re-encode keeps
+    the image plane — while the id is offset above the train range."""
+    src = docs.filter(F.col("doc_id") % MEDIA_EVAL_MOD == 0)
+    twin_text = F.concat(
+        F.lit("x"), F.expr("substring(text, 2, length(text))")
+    )
+    meta = F.struct(
+        ((F.col("doc_id") % 64) * 16 + 16).cast("int").alias("width"),
+        ((F.col("doc_id") % 48) * 16 + 16).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+    )
+    return src.select(
+        (F.col("doc_id") + MEDIA_EVAL_OFFSET).alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(twin_text, "utf-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def media_contamination_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which eval images have a re-encoded twin in the training
+    corpus? (operators/multimodal.py:perceptual_contamination —
+    delta-vs-corpus banded Hamming pairing across the split; eval
+    never triggers a train×train pass). Report shape: ONE row per
+    CONTAMINATED eval item — match count plus the best (lowest-
+    hamming, lowest-id) train twin via struct-min — so the output is
+    bounded by |eval| regardless of how promiscuous the perceptual
+    space is (the raw pair list reads 178k rows at sf0.1 on this
+    fixture's heavily-colliding byte-images)."""
+    docs = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    pairs = mm.perceptual_contamination(
+        _media_eval_twins(docs),
+        mm.synthesize_media(docs),
+        method="bytes",
+        algorithm="dhash",
+        max_hamming=3,
+    )
+    best = F.min(F.struct(F.col("hamming"), F.col("train_id")))
+    return (
+        pairs.groupBy("eval_id")
+        .agg(
+            F.count("*").cast("long").alias("n_train_matches"),
+            best.getField("hamming").cast("int").alias("best_hamming"),
+            best.getField("train_id").cast("long").alias("best_train_id"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+QUERIES["media_contamination_perceptual"] = media_contamination_perceptual
+
+_EVAL_BANDS_CTE = f"""eimg AS (
+        SELECT doc_id + {MEDIA_EVAL_OFFSET} AS doc_id, hx, n, w, h FROM (
+            SELECT doc_id,
+                   hex(encode('x' || substring(text, 2))) AS hx,
+                   octet_length(encode('x' || substring(text, 2))) AS n,
+                   (doc_id % 64) * 16 + 16 AS w,
+                   (doc_id % 48) * 16 + 16 AS h
+            FROM documents WHERE doc_id % {MEDIA_EVAL_MOD} = 0
+        ) s
+    ),
+    egrid AS (
+        SELECT doc_id,
+               [CASE WHEN n > 0
+                     THEN CAST(('0x' || substring(hx,
+                          ((((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * n // (w * h)) * 2 + 1,
+                          2)) AS INT)
+                     ELSE 0 END
+                for i in generate_series(0, 71)] AS g
+        FROM eimg
+    ),
+    ebands AS (
+        SELECT doc_id,
+               [list_sum([CASE WHEN g[(k // 8) * 9 + (k % 8) + 1]
+                                    > g[(k // 8) * 9 + (k % 8) + 2]
+                               THEN CAST(power(2, 15 - (k - 16 * j)) AS BIGINT)
+                               ELSE 0 END
+                          for k in generate_series(16 * j, 16 * j + 15)])
+                for j in generate_series(0, 3)] AS b
+        FROM egrid
+    )"""
+
+ORACLE_SQL["media_contamination_perceptual"] = f"""
+    WITH {_IMG_BANDS_CTE},
+    {_EVAL_BANDS_CTE},
+    cpairs AS (
+        SELECT CAST(e.doc_id AS BIGINT) AS eval_id,
+               CAST(t.doc_id AS BIGINT) AS train_id,
+               CAST(bit_count(xor(coalesce(e.b[1], 0), coalesce(t.b[1], 0)))
+                  + bit_count(xor(coalesce(e.b[2], 0), coalesce(t.b[2], 0)))
+                  + bit_count(xor(coalesce(e.b[3], 0), coalesce(t.b[3], 0)))
+                  + bit_count(xor(coalesce(e.b[4], 0), coalesce(t.b[4], 0)))
+                  AS BIGINT) AS hamming
+        FROM ebands e JOIN bands t
+          ON (coalesce(e.b[1], 0) = coalesce(t.b[1], 0)
+           OR coalesce(e.b[2], 0) = coalesce(t.b[2], 0)
+           OR coalesce(e.b[3], 0) = coalesce(t.b[3], 0)
+           OR coalesce(e.b[4], 0) = coalesce(t.b[4], 0))
+    )
+    SELECT eval_id,
+           CAST(count(*) AS BIGINT) AS n_train_matches,
+           CAST(min([hamming, train_id])[1] AS INTEGER) AS best_hamming,
+           CAST(min([hamming, train_id])[2] AS BIGINT) AS best_train_id
+    FROM cpairs
+    WHERE hamming <= 3
+    GROUP BY eval_id
+    ORDER BY eval_id
+"""

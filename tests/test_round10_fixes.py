@@ -205,3 +205,59 @@ def test_ivfpq_delta_query_search_is_partition_pruned(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+# ---------------------------- VERDICT r9 #6: perceptual contamination
+def test_perceptual_contamination_finds_planted_reencoded_twin(spark):
+    """A re-encoded eval copy (first byte changed — different raw
+    bytes, so exact byte dedup misses it; same metadata plane) must be
+    attributed to its train source within hamming <= 3, and an
+    unrelated eval image must not match."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators import multimodal as mm
+
+    text0 = "the quick brown fox jumps over the lazy dog " * 4
+    text1 = "zzzz completely different content qqqq " * 5
+    docs = spark.createDataFrame(
+        [(0, text0), (3, text1)], "doc_id long, text string"
+    )
+    train = mm.synthesize_media(docs)  # both are images (doc_id % 3 == 0)
+    # re-encode twin of doc 0: one leading-byte artifact, source w/h
+    twin_docs = spark.createDataFrame(
+        [(0, "x" + text0[1:])], "doc_id long, text string"
+    )
+    eval_media = mm.synthesize_media(twin_docs).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        "media_type",
+        "payload",
+        "meta",
+    )
+    got = mm.perceptual_contamination(
+        eval_media, train, method="bytes", algorithm="dhash", max_hamming=3
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.eval_id, r.train_id) == (1000, 0) and r.hamming <= 3
+    # and the twin's raw bytes differ from the source's (md5-exact
+    # dedup would NOT have caught this pair)
+    payloads = {row.doc_id: bytes(row.payload) for row in train.collect()}
+    twin_payload = bytes(eval_media.collect()[0].payload)
+    assert twin_payload != payloads[0]
+
+
+def test_media_contamination_query_attributes_sources(spark):
+    """The gated report at sf0.001: every planted eval twin of an
+    ASCII-leading source is contaminated, and best_train_id recovers
+    the source doc (or a hamming-tied earlier twin of it)."""
+    from sfcrimedatapipeline_spark.plans import media as media_plans
+
+    rows = media_plans.media_contamination_perceptual(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) >= 10
+    by_eval = {r.eval_id: r for r in rows}
+    for eval_id, r in by_eval.items():
+        src = eval_id - media_plans.MEDIA_EVAL_OFFSET
+        assert src % media_plans.MEDIA_EVAL_MOD == 0
+        assert r.best_hamming <= 3 and r.n_train_matches >= 1
