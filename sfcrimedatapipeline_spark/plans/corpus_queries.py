@@ -129,7 +129,11 @@ def graph_kcore_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree/filter rounds (the pagerank-upgrade precedent, without
     even needing the fx trick — everything here is BIGINT).
     Peel-depth coverage is pinned by a convergence test
-    (tests/test_graph.py) and the pure-Python peel parity test."""
+    (tests/test_graph.py), the pure-Python peel parity test, and the
+    round-10 MARGIN assertion (tests/test_round10_fixes.py): measured
+    depth is 1 round at all three SFs (dense LSH cliques peel in one
+    pass — see operators/graph.py:k_core for why depth tracks chain
+    structure, not data volume), vs the 12 unrolled rounds."""
     from sfcrimedatapipeline_spark.operators.graph import k_core
 
     return k_core(_dup_pairs(spark, sf_dir), k=KCORE_K, max_iters=KCORE_ROUNDS)

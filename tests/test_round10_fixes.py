@@ -261,3 +261,24 @@ def test_media_contamination_query_attributes_sources(spark):
         src = eval_id - media_plans.MEDIA_EVAL_OFFSET
         assert src % media_plans.MEDIA_EVAL_MOD == 0
         assert r.best_hamming <= 3 and r.n_train_matches >= 1
+
+
+# ------------------------- VERDICT r9 #9: kcore fixed-round margin
+def test_kcore_rounds_dominate_measured_peel_depth(spark):
+    """The graph_kcore_dup gate unrolls KCORE_ROUNDS oracle rounds and
+    relies on fixed-round == run-to-convergence (idempotent peel).
+    That contract holds iff KCORE_ROUNDS >= the dup graph's actual
+    peel depth WITH MARGIN. Measure the depth at both gate SFs via
+    k_core_peel_depth (which raises if 50 rounds don't converge) and
+    assert a >= 2-round margin under KCORE_ROUNDS."""
+    from sfcrimedatapipeline_spark.operators.graph import k_core_peel_depth
+    from sfcrimedatapipeline_spark.plans import corpus_queries as cq
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        pairs = cq._dup_pairs(spark, sf)
+        depth = k_core_peel_depth(pairs, k=cq.KCORE_K, max_iters=50)
+        assert depth + 2 <= cq.KCORE_ROUNDS, (
+            f"{sf}: measured peel depth {depth} leaves <2 rounds of "
+            f"margin under KCORE_ROUNDS={cq.KCORE_ROUNDS} — raise the "
+            f"constant (and the oracle unroll) before data grows"
+        )

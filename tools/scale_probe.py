@@ -159,6 +159,16 @@ PROBE_QUERIES = [
     "corpus_curation_funnel",
     "orders_bootstrap_ci",
     "events_periodogram24",
+    # round-10 additions: the URL/domain web-curation layer (codegen
+    # projections + one short-key groupBy + salted two-phase cap —
+    # expect ≈ data-proportional), the cross-split perceptual
+    # contamination (distinct-hash band join, bounded report), and the
+    # incremental IVF+PQ index chain (build+append+pruned search)
+    "docs_web_curation",
+    "dedup_url_exact",
+    "docs_domain_cap",
+    "media_contamination_perceptual",
+    "ann_ivfpq_index_delta",
 ]
 
 
