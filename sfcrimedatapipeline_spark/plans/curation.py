@@ -757,3 +757,120 @@ ORACLE_SQL["docs_web_curation"] = f"""
            CAST(sum(doc_id) AS BIGINT) AS id_sum
     FROM disp GROUP BY disposition ORDER BY disposition
 """
+
+
+#: greedy per-domain token budget: the heaviest unblocked domain holds
+#: ~600 tokens at the sf0.01 gate, so 300 forces real drops there
+DOMAIN_TOKEN_BUDGET = 300
+
+
+def docs_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cap by TOKEN budget instead of document count: within
+    each domain, keep documents (in doc_id order — crawl order in a
+    real pipeline) while the RUNNING token total stays ≤
+    DOMAIN_TOKEN_BUDGET. The report pins the kept set exactly: per
+    domain, doc/kept counts plus exact kept/total token sums.
+
+    Scale shape: one codegen'd projection for domain + token count,
+    then ONE window partitioned by domain (a running sum — unlike the
+    top-K cap, a greedy prefix fold is order-dependent across the
+    whole domain, so it cannot salt-split; the skew bound is the
+    domain's own cardinality, and a deployment that caps by tokens on
+    a billion-doc domain should apply docs_domain_cap's count cap
+    first — the composition bounds this window's partition to
+    DOMAIN_CAP_K rows), and a map-side-combined rollup."""
+    from pyspark.sql import Window
+
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    d = (
+        _with_url(_docs(spark, sf_dir))
+        .withColumn("domain", url_ops.url_domain(F.col("url")))
+        .withColumn("n_tokens", F.size(tokens(F.col("text"))).cast("long"))
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = d.withColumn(
+        "__kept", F.sum("n_tokens").over(w) <= DOMAIN_TOKEN_BUDGET
+    )
+    return (
+        flagged.groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("__kept").cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("__kept"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("domain")
+    )
+
+
+def docs_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain web-corpus health report — the 'which domains are
+    worth crawling' table: doc count, distinct canonical URLs (their
+    gap = the domain's duplication mass), distinct languages, exact
+    token volume. One groupBy on the domain key; countDistinct
+    expands map-side like every profile query."""
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    d = (
+        _with_url(_docs(spark, sf_dir))
+        .withColumn("domain", url_ops.url_domain(F.col("url")))
+        .withColumn("canonical_url", url_ops.canonical_url(F.col("url")))
+        .withColumn("n_tokens", F.size(tokens(F.col("text"))).cast("long"))
+    )
+    return (
+        d.groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("canonical_url").cast("long").alias("n_urls"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("domain")
+    )
+
+
+QUERIES["docs_domain_token_cap"] = docs_domain_token_cap
+QUERIES["docs_domain_profile"] = docs_domain_profile
+
+_TOKN = "CAST(len(" + "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')" + ") AS BIGINT)"
+
+ORACLE_SQL["docs_domain_token_cap"] = f"""
+    WITH u AS MATERIALIZED ({_url_sql()}),
+    c AS (
+        SELECT cc.doc_id, cc.domain, {_TOKN.replace('text', 'd.text')} AS n_tokens
+        FROM ({_canon_sql()}) cc JOIN documents d ON cc.doc_id = d.doc_id
+    ),
+    runsum AS (
+        SELECT doc_id, domain, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING)
+                   <= {DOMAIN_TOKEN_BUDGET} AS kept
+        FROM c
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM runsum GROUP BY domain ORDER BY domain
+"""
+
+ORACLE_SQL["docs_domain_profile"] = f"""
+    WITH u AS MATERIALIZED ({_url_sql()})
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           CAST(sum({_TOKN.replace('text', 'd.text')}) AS BIGINT)
+               AS total_tokens
+    FROM ({_canon_sql()}) cc JOIN documents d ON cc.doc_id = d.doc_id
+    GROUP BY domain ORDER BY domain
+"""
