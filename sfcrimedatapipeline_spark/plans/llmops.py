@@ -3328,8 +3328,13 @@ def _ivfpq_delta_index(spark: SparkSession, sf_dir: str) -> str:
 
     entry = _IVFPQ_DELTA_CACHE.get(sf_dir)
     if entry is None or entry[0] is not spark:
+        import shutil
+
         for key in [k for k, e in _IVFPQ_DELTA_CACHE.items() if e[0] is not spark]:
-            _IVFPQ_DELTA_CACHE.pop(key)
+            stale = _IVFPQ_DELTA_CACHE.pop(key)
+            # unlike the executor-side memo frames, a stale index is
+            # real DISK under tempdir — reclaim it on eviction
+            shutil.rmtree(stale[1], ignore_errors=True)
         emb = _read_parallel(spark, sf_dir, "embeddings")
         base = emb.filter(F.col("vec_id") % IVFPQ_DELTA_MOD != 0)
         delta = emb.filter(F.col("vec_id") % IVFPQ_DELTA_MOD == 0)
