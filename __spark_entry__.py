@@ -206,8 +206,10 @@ _DEFERRED = [
     "emb_cluster_silhouette",
     "corpus_curation_funnel",
     # round-10: persisted-index build+append at plan time (the
-    # docs_bm25_index_search precedent)
+    # docs_bm25_index_search precedent); the composed web E2E rides
+    # the iterative CC memo
     "ann_ivfpq_index_delta",
+    "corpus_web_e2e",
 ]
 
 

@@ -721,41 +721,52 @@ ORACLE_SQL["docs_domain_cap"] = f"""
 
 _BLOCK_IN = ", ".join(f"'{b}'" for b in URL_BLOCKLIST)
 
-ORACLE_SQL["docs_web_curation"] = f"""
-    WITH u AS MATERIALIZED ({_url_sql()}),
-    c AS MATERIALIZED (
+
+def _web_disp_sql() -> str:
+    """Reusable CTE CHAIN (to splice after a ``u`` planted-url CTE):
+    ends in ``wdisp AS (... doc_id, domain, disposition ...)`` — the
+    oracle twin of operators/urls.py:web_dispositions, shared verbatim
+    by docs_web_curation and the composed corpus_web_e2e (the funnel
+    textual-composition precedent)."""
+    return f"""wcanon AS MATERIALIZED (
         SELECT doc_id, canonical_url, domain,
                domain IN ({_BLOCK_IN}) AS blocked
-        FROM ({_canon_sql()}) cc
+        FROM ({_canon_sql()}) cc0
     ),
-    keepers AS (
+    wkeepers AS (
         SELECT canonical_url, min(doc_id) AS keep_id
-        FROM c WHERE NOT blocked GROUP BY canonical_url
+        FROM wcanon WHERE NOT blocked GROUP BY canonical_url
     ),
-    flagged AS (
+    wflagged AS (
         SELECT c.doc_id, c.domain, c.blocked,
                (NOT c.blocked AND c.doc_id <> k.keep_id) AS is_dup
-        FROM c LEFT JOIN keepers k ON c.canonical_url = k.canonical_url
+        FROM wcanon c LEFT JOIN wkeepers k
+          ON c.canonical_url = k.canonical_url
     ),
-    ranked AS (
+    wranked AS (
         SELECT doc_id,
                row_number() OVER (PARTITION BY domain ORDER BY doc_id)
                AS rn
-        FROM flagged WHERE NOT blocked AND NOT is_dup
+        FROM wflagged WHERE NOT blocked AND NOT is_dup
     ),
-    disp AS (
-        SELECT f.doc_id,
+    wdisp AS (
+        SELECT f.doc_id, f.domain,
                CASE WHEN f.blocked THEN 'blocked_domain'
                     WHEN f.is_dup THEN 'url_duplicate'
                     WHEN r.rn IS NULL OR r.rn > {DOMAIN_CAP_K}
                          THEN 'domain_capped'
                     ELSE 'kept' END AS disposition
-        FROM flagged f LEFT JOIN ranked r ON f.doc_id = r.doc_id
-    )
+        FROM wflagged f LEFT JOIN wranked r ON f.doc_id = r.doc_id
+    )"""
+
+
+ORACLE_SQL["docs_web_curation"] = f"""
+    WITH u AS MATERIALIZED ({_url_sql()}),
+    {_web_disp_sql()}
     SELECT disposition,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(doc_id) AS BIGINT) AS id_sum
-    FROM disp GROUP BY disposition ORDER BY disposition
+    FROM wdisp GROUP BY disposition ORDER BY disposition
 """
 
 
@@ -874,3 +885,126 @@ ORACLE_SQL["docs_domain_profile"] = f"""
     FROM ({_canon_sql()}) cc JOIN documents d ON cc.doc_id = d.doc_id
     GROUP BY domain ORDER BY domain
 """
+
+
+def corpus_web_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE web-corpus pipeline under ONE hash — every stage a
+    real pretraining crawl-to-corpus pass runs, in order: URL
+    blocklist → canonical-URL dedup → per-domain cap
+    (operators/urls.py:web_dispositions) → Gopher quality gate among
+    the web-kept (operators/textstats.py:gopher_gate) → MinHash
+    near-dup collapse among the gate survivors (the memoized
+    full-corpus CC map, keeper = lowest SURVIVING member — the
+    corpus_curation_funnel election semantics) → per-DOMAIN yield
+    accounting with exact char volumes.
+
+    Composition contract: each stage is the already-gated operator
+    (zero re-implementation), and the oracle splices the same four
+    oracle builders textually (_web_disp_sql, _gopher_oracle_sql,
+    _cc_oracle_sql, the planted-url CTE) — so this query failing while
+    its stages pass isolates a composition bug, the funnel precedent.
+    """
+    from sfcrimedatapipeline_spark.plans.corpus_queries import _dup_cc
+
+    docs = _docs(spark, sf_dir)
+    webbed = url_ops.web_dispositions(
+        _with_url(docs), blocklist=URL_BLOCKLIST, cap=DOMAIN_CAP_K
+    ).select(
+        "doc_id",
+        "domain",
+        "n_chars",
+        (F.col("__disp") == "kept").alias("web_kept"),
+    )
+    gate = textstats.gopher_gate(docs).select("doc_id", "pass_all")
+    base = webbed.join(gate, "doc_id")
+    survivors = base.filter(F.col("web_kept") & F.col("pass_all"))
+    cc = _dup_cc(spark, sf_dir)
+    with_cc = survivors.join(cc, "doc_id", "left")
+    keeper_min = (
+        with_cc.filter(F.col("canonical_id").isNotNull())
+        .groupBy("canonical_id")
+        .agg(F.min("doc_id").alias("__keep_id"))
+    )
+    kept = with_cc.join(keeper_min, "canonical_id", "left").withColumn(
+        "__kept",
+        F.col("canonical_id").isNull()
+        | (F.col("doc_id") == F.col("__keep_id")),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        base.join(kept.select("doc_id", "__kept"), "doc_id", "left")
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.sum(F.when(F.col("web_kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_web_kept"),
+            F.sum(F.when(F.col("web_kept") & F.col("pass_all"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gopher_pass"),
+            F.coalesce(
+                F.sum(F.when(F.col("__kept"), 1).otherwise(0)).cast("long"),
+                zero,
+            ).alias("n_unique_kept"),
+            F.sum("n_chars").cast("long").alias("chars_raw"),
+            F.coalesce(
+                F.sum(F.when(F.col("__kept"), F.col("n_chars")).otherwise(0))
+                .cast("long"),
+                zero,
+            ).alias("chars_kept"),
+        )
+        .orderBy("domain")
+    )
+
+
+QUERIES["corpus_web_e2e"] = corpus_web_e2e
+
+
+def _web_e2e_oracle_sql() -> str:
+    from sfcrimedatapipeline_spark.plans.corpus_queries import _cc_oracle_sql
+
+    return f"""
+        WITH u AS MATERIALIZED ({_url_sql()}),
+        {_web_disp_sql()},
+        gate AS ({_gopher_oracle_sql()}),
+        ccm AS ({_cc_oracle_sql()}),
+        base AS (
+            SELECT d.doc_id, w.domain, d.n_chars,
+                   (w.disposition = 'kept') AS web_kept, g.pass_all
+            FROM documents d
+            JOIN wdisp w ON d.doc_id = w.doc_id
+            JOIN gate g ON d.doc_id = g.doc_id
+        ),
+        survivors AS (SELECT * FROM base WHERE web_kept AND pass_all),
+        with_cc AS (
+            SELECT s.*, ccm.canonical_id
+            FROM survivors s LEFT JOIN ccm ON s.doc_id = ccm.doc_id
+        ),
+        keeper_min AS (
+            SELECT canonical_id, min(doc_id) AS keep_id
+            FROM with_cc WHERE canonical_id IS NOT NULL
+            GROUP BY canonical_id
+        ),
+        kept AS (
+            SELECT w.doc_id,
+                   (w.canonical_id IS NULL OR w.doc_id = k.keep_id) AS kept
+            FROM with_cc w
+            LEFT JOIN keeper_min k ON w.canonical_id = k.canonical_id
+        )
+        SELECT b.domain,
+               CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(sum(CASE WHEN b.web_kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_web_kept,
+               CAST(sum(CASE WHEN b.web_kept AND b.pass_all
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+               CAST(coalesce(sum(CASE WHEN k.kept THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_unique_kept,
+               CAST(sum(b.n_chars) AS BIGINT) AS chars_raw,
+               CAST(coalesce(sum(CASE WHEN k.kept THEN b.n_chars ELSE 0 END),
+                             0) AS BIGINT) AS chars_kept
+        FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+        GROUP BY b.domain ORDER BY b.domain
+    """
+
+
+ORACLE_SQL["corpus_web_e2e"] = _web_e2e_oracle_sql()

@@ -177,3 +177,29 @@ def test_domain_token_cap_is_greedy_prefix(spark):
         want[dom] = (kept, kt)
     got = {r.domain: (r.n_kept, r.kept_tokens) for r in rows}
     assert got == want
+
+
+def test_corpus_web_e2e_stage_monotonicity(spark):
+    """The composed web pipeline's per-domain counters must nest:
+    unique_kept <= gopher_pass <= web_kept <= raw, chars_kept <=
+    chars_raw, and blocked domains yield zero at every post-web
+    stage."""
+    from sfcrimedatapipeline_spark.plans import curation
+
+    rows = curation.corpus_web_e2e(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.n_unique_kept <= r.n_gopher_pass <= r.n_web_kept <= r.n_raw
+        ), r
+        assert 0 <= r.chars_kept <= r.chars_raw
+        if r.domain in curation.URL_BLOCKLIST:
+            assert r.n_web_kept == 0 and r.n_unique_kept == 0
+    # the web stage agrees with the standalone funnel's kept count
+    disp = {
+        row.disposition: row.n_docs
+        for row in curation.docs_web_curation(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert sum(r.n_web_kept for r in rows) == disp["kept"]
