@@ -121,8 +121,11 @@ def _driver_seen() -> frozenset[str]:
 
     repo = os.path.dirname(os.path.abspath(__file__))
     seen: set[str] = set()
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        if "_FULL_" in os.path.basename(path.upper()):
+    # glob matches BOTH the per-round driver records (CORRECTNESS_r9)
+    # and the local full runs (CORRECTNESS_FULL_r9) — the _FULL_ guard
+    # below is what keeps full-coverage runs out of the rotation seed
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_*.json")):
+        if "_FULL_" in os.path.basename(path).upper():
             continue
         try:
             with open(path) as fh:

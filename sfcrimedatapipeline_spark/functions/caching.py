@@ -57,6 +57,23 @@ def truncate_lineage(df, checkpoint_dir: str | None = None, eager: bool = False)
     return df.localCheckpoint(eager=eager)
 
 
+def keep_alive_until_released(result, *holders):
+    """Chain object LIFETIMES: hold strong references to ``holders``
+    until ``result`` is released. For derived frames built on top of an
+    :func:`unpersist_when_released` result — the derived frame
+    references the PLAN, not the Python wrapper, so chaining
+    ``op(...).orderBy(...)`` would otherwise drop the wrapper and fire
+    its unpersist finalizer before any action runs (round-10 review:
+    graph_hits_dup made the hits() cache fix inert this way). Returns
+    ``result``."""
+
+    def _noop(hs=list(holders)):
+        del hs
+
+    weakref.finalize(result, _noop)
+    return result
+
+
 def unpersist_when_released(result, *cached):
     """Unpersist every frame in ``cached`` once ``result`` is released.
 

@@ -226,11 +226,16 @@ def graph_hits_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hub, authority) trace bit-identical across engines; the oracle
     unrolls the same 4 rounds (2 contribution + 2 normalization CTEs
     each, all MATERIALIZED) over the shared MinHash pair SQL."""
+    from sfcrimedatapipeline_spark.functions.caching import (
+        keep_alive_until_released,
+    )
     from sfcrimedatapipeline_spark.operators.graph import hits
 
-    return hits(
-        _dup_pairs(spark, sf_dir), iters=HITS_ITERS, deterministic=True
-    ).orderBy("doc_id")
+    base = hits(_dup_pairs(spark, sf_dir), iters=HITS_ITERS, deterministic=True)
+    # keep the hits() wrapper (and so its edge/node caches) alive for
+    # the lifetime of the derived frame — a bare .orderBy() chain would
+    # drop it and fire the unpersist finalizer before the first action
+    return keep_alive_until_released(base.orderBy("doc_id"), base)
 
 
 BFS_SEED_MOD = 3
@@ -267,11 +272,16 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub triage — 2·T(v)/(d(v)(d(v)−1)) from exact per-node triangle and
     degree counts, hash-gated against the relational triangle
     enumeration in SQL."""
+    from sfcrimedatapipeline_spark.functions.caching import (
+        keep_alive_until_released,
+    )
     from sfcrimedatapipeline_spark.operators.graph import (
         clustering_coefficients,
     )
 
-    return clustering_coefficients(_dup_pairs(spark, sf_dir)).orderBy("doc_id")
+    base = clustering_coefficients(_dup_pairs(spark, sf_dir))
+    # hold the wrapper so its edge-cache finalizer can't fire pre-action
+    return keep_alive_until_released(base.orderBy("doc_id"), base)
 
 
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

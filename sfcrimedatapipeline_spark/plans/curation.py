@@ -850,12 +850,16 @@ def docs_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["docs_domain_token_cap"] = docs_domain_token_cap
 QUERIES["docs_domain_profile"] = docs_domain_profile
 
-_TOKN = "CAST(len(" + "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')" + ") AS BIGINT)"
+# token count over the aliased documents side — built from the SHARED
+# SQL_TOKENS fragment so the Spark tokens() and every oracle move
+# together (round-10 review: a verbatim re-spelling here would drift
+# silently if functions/text._WS ever changed)
+_TOKN = f"CAST(len({SQL_TOKENS.replace('text', 'd.text')}) AS BIGINT)"
 
 ORACLE_SQL["docs_domain_token_cap"] = f"""
     WITH u AS MATERIALIZED ({_url_sql()}),
     c AS (
-        SELECT cc.doc_id, cc.domain, {_TOKN.replace('text', 'd.text')} AS n_tokens
+        SELECT cc.doc_id, cc.domain, {_TOKN} AS n_tokens
         FROM ({_canon_sql()}) cc JOIN documents d ON cc.doc_id = d.doc_id
     ),
     runsum AS (
@@ -880,7 +884,7 @@ ORACLE_SQL["docs_domain_profile"] = f"""
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_urls,
            CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
-           CAST(sum({_TOKN.replace('text', 'd.text')}) AS BIGINT)
+           CAST(sum({_TOKN}) AS BIGINT)
                AS total_tokens
     FROM ({_canon_sql()}) cc JOIN documents d ON cc.doc_id = d.doc_id
     GROUP BY domain ORDER BY domain

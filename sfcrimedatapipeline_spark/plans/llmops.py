@@ -3317,24 +3317,31 @@ ORACLE_SQL["text_bpe_merges_local"] = _bpe_merges_oracle_sql(30)
 #: every 10th vector arrives as the "daily increment"
 IVFPQ_DELTA_MOD = 10
 
-#: sf_dir → (session, index dir). The _INDEX_CACHE discipline
-#: (plans/llmops_ext.py): build+append once per (session, sf_dir),
-#: search many; stale-session entries evicted on rebuild.
+#: sf_dir → (session, data fingerprint, index dir). The _INDEX_CACHE
+#: discipline (plans/llmops_ext.py) plus the _KMEANS_MEMO parquet
+#: fingerprint: build+append once per (session, sf_dir, data state),
+#: search many; stale entries evicted (and their on-disk index
+#: reclaimed) on rebuild.
 _IVFPQ_DELTA_CACHE: dict[str, tuple] = {}
 
 
 def _ivfpq_delta_index(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
+    fp = _parquet_fingerprint(sf_dir, "embeddings")
     entry = _IVFPQ_DELTA_CACHE.get(sf_dir)
-    if entry is None or entry[0] is not spark:
+    if entry is None or entry[0] is not spark or entry[1] != fp:
         import shutil
 
-        for key in [k for k, e in _IVFPQ_DELTA_CACHE.items() if e[0] is not spark]:
+        for key in [
+            k
+            for k, e in _IVFPQ_DELTA_CACHE.items()
+            if e[0] is not spark or (k == sf_dir and e[1] != fp)
+        ]:
             stale = _IVFPQ_DELTA_CACHE.pop(key)
             # unlike the executor-side memo frames, a stale index is
             # real DISK under tempdir — reclaim it on eviction
-            shutil.rmtree(stale[1], ignore_errors=True)
+            shutil.rmtree(stale[2], ignore_errors=True)
         emb = _read_parallel(spark, sf_dir, "embeddings")
         base = emb.filter(F.col("vec_id") % IVFPQ_DELTA_MOD != 0)
         delta = emb.filter(F.col("vec_id") % IVFPQ_DELTA_MOD == 0)
@@ -3343,8 +3350,8 @@ def _ivfpq_delta_index(spark: SparkSession, sf_dir: str) -> str:
         # codebooks of the base split), then freeze in meta.json
         similarity.ivfpq_index_write(base, d, n_centroids=ANN_IVF_CENTROIDS)
         similarity.ivfpq_index_append(d, delta)
-        _IVFPQ_DELTA_CACHE[sf_dir] = (spark, d)
-    return _IVFPQ_DELTA_CACHE[sf_dir][1]
+        _IVFPQ_DELTA_CACHE[sf_dir] = (spark, fp, d)
+    return _IVFPQ_DELTA_CACHE[sf_dir][2]
 
 
 def ann_ivfpq_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -411,15 +411,17 @@ QUERIES["media_dedup_perceptual"] = media_dedup_perceptual
 # 1-indexed, bits pack MSB-first per 16-bit band, hamming = popcount of
 # band xors. The img/grid/bands CTE chain is shared with the
 # keep-one-groups oracle below.
-_IMG_BANDS_CTE = """img AS (
-        SELECT doc_id,
-               hex(encode(text)) AS hx,
-               octet_length(encode(text)) AS n,
-               (doc_id % 64) * 16 + 16 AS w,
-               (doc_id % 48) * 16 + 16 AS h
-        FROM documents WHERE doc_id % 3 = 0
-    ),
-    grid AS (
+def _bands_cte_sql(prefix: str, img_sql: str) -> str:
+    """CTE chain ``{p}img → {p}grid → {p}bands`` replaying the dhash
+    byte pipeline in SQL: byte_idx(r, c) = (((r*h//8)*w + (c*w//9)) *
+    n) // (w*h) — the nearest-neighbor fold the Python kernel uses —
+    DuckDB lists 1-indexed, bits packed MSB-first per 16-bit band.
+    ONE builder for every side (train images, planted eval twins) so
+    the grid/band arithmetic cannot drift between the two halves of
+    one oracle (round-10 review)."""
+    p = prefix
+    return f"""{p}img AS ({img_sql}),
+    {p}grid AS (
         SELECT doc_id,
                [CASE WHEN n > 0
                      THEN CAST(('0x' || substring(hx,
@@ -427,9 +429,9 @@ _IMG_BANDS_CTE = """img AS (
                           2)) AS INT)
                      ELSE 0 END
                 for i in generate_series(0, 71)] AS g
-        FROM img
+        FROM {p}img
     ),
-    bands AS (
+    {p}bands AS (
         SELECT doc_id,
                [list_sum([CASE WHEN g[(k // 8) * 9 + (k % 8) + 1]
                                     > g[(k // 8) * 9 + (k % 8) + 2]
@@ -437,8 +439,18 @@ _IMG_BANDS_CTE = """img AS (
                                ELSE 0 END
                           for k in generate_series(16 * j, 16 * j + 15)])
                 for j in generate_series(0, 3)] AS b
-        FROM grid
+        FROM {p}grid
     )"""
+
+
+_IMG_BANDS_CTE = _bands_cte_sql("", """
+        SELECT doc_id,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n,
+               (doc_id % 64) * 16 + 16 AS w,
+               (doc_id % 48) * 16 + 16 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    """)
 
 ORACLE_SQL["media_dedup_perceptual"] = f"""
     WITH {_IMG_BANDS_CTE}
@@ -658,22 +670,20 @@ MEDIA_EVAL_OFFSET = 2_000_000
 
 def _media_eval_twins(docs: DataFrame) -> DataFrame:
     """Planted re-encoded eval twins (module note) in the canonical
-    media shape. w/h derive from the SOURCE doc_id — a re-encode keeps
-    the image plane — while the id is offset above the train range."""
-    src = docs.filter(F.col("doc_id") % MEDIA_EVAL_MOD == 0)
-    twin_text = F.concat(
-        F.lit("x"), F.expr("substring(text, 2, length(text))")
+    media shape — built by synthesize_media itself over the
+    twin-texted source rows (round-10 review: re-spelling the
+    payload/meta construction here would silently diverge if the
+    synthesis formula ever changed). The meta plane derives from the
+    SOURCE doc_id — a re-encode keeps the image plane — and the id is
+    offset above the train range only AFTER synthesis; MEDIA_EVAL_MOD
+    is a multiple of 3, so every source row is media_type='image'."""
+    from sfcrimedatapipeline_spark.operators.multimodal import synthesize_media
+
+    src = docs.filter(F.col("doc_id") % MEDIA_EVAL_MOD == 0).withColumn(
+        "text", F.concat(F.lit("x"), F.expr("substring(text, 2, length(text))"))
     )
-    meta = F.struct(
-        ((F.col("doc_id") % 64) * 16 + 16).cast("int").alias("width"),
-        ((F.col("doc_id") % 48) * 16 + 16).cast("int").alias("height"),
-        F.lit(16000).cast("int").alias("sample_rate"),
-    )
-    return src.select(
-        (F.col("doc_id") + MEDIA_EVAL_OFFSET).alias("doc_id"),
-        F.lit("image").alias("media_type"),
-        F.encode(twin_text, "utf-8").alias("payload"),
-        meta.alias("meta"),
+    return synthesize_media(src).withColumn(
+        "doc_id", F.col("doc_id") + MEDIA_EVAL_OFFSET
     )
 
 
@@ -709,7 +719,7 @@ def media_contamination_perceptual(spark: SparkSession, sf_dir: str) -> DataFram
 
 QUERIES["media_contamination_perceptual"] = media_contamination_perceptual
 
-_EVAL_BANDS_CTE = f"""eimg AS (
+_EVAL_BANDS_CTE = _bands_cte_sql("e", f"""
         SELECT doc_id + {MEDIA_EVAL_OFFSET} AS doc_id, hx, n, w, h FROM (
             SELECT doc_id,
                    hex(encode('x' || substring(text, 2))) AS hx,
@@ -718,27 +728,7 @@ _EVAL_BANDS_CTE = f"""eimg AS (
                    (doc_id % 48) * 16 + 16 AS h
             FROM documents WHERE doc_id % {MEDIA_EVAL_MOD} = 0
         ) s
-    ),
-    egrid AS (
-        SELECT doc_id,
-               [CASE WHEN n > 0
-                     THEN CAST(('0x' || substring(hx,
-                          ((((i // 9) * h // 8) * w + ((i % 9) * w // 9)) * n // (w * h)) * 2 + 1,
-                          2)) AS INT)
-                     ELSE 0 END
-                for i in generate_series(0, 71)] AS g
-        FROM eimg
-    ),
-    ebands AS (
-        SELECT doc_id,
-               [list_sum([CASE WHEN g[(k // 8) * 9 + (k % 8) + 1]
-                                    > g[(k // 8) * 9 + (k % 8) + 2]
-                               THEN CAST(power(2, 15 - (k - 16 * j)) AS BIGINT)
-                               ELSE 0 END
-                          for k in generate_series(16 * j, 16 * j + 15)])
-                for j in generate_series(0, 3)] AS b
-        FROM egrid
-    )"""
+    """)
 
 ORACLE_SQL["media_contamination_perceptual"] = f"""
     WITH {_IMG_BANDS_CTE},

@@ -282,3 +282,32 @@ def test_kcore_rounds_dominate_measured_peel_depth(spark):
             f"margin under KCORE_ROUNDS={cq.KCORE_ROUNDS} — raise the "
             f"constant (and the oracle unroll) before data grows"
         )
+
+
+# ---------------------- round-10 self-review: wrapper lifetime chaining
+def test_keep_alive_until_released_chains_cache_lifetime(spark):
+    """A derived frame built on an unpersist_when_released result
+    references the PLAN, not the wrapper — keep_alive_until_released
+    must hold the wrapper (and so the caches) until the derived frame
+    itself is released (the graph_hits_dup .orderBy chain)."""
+    import gc
+
+    from sfcrimedatapipeline_spark.functions.caching import (
+        keep_alive_until_released,
+        unpersist_when_released,
+    )
+
+    cached = spark.range(100).persist()
+    cached.count()
+    assert cached.storageLevel.useMemory
+    wrapper = unpersist_when_released(cached.filter("id >= 0"), cached)
+    derived = keep_alive_until_released(wrapper.orderBy("id"), wrapper)
+    del wrapper
+    gc.collect()
+    # the wrapper is held by the derived frame's finalizer closure, so
+    # the cache must still be alive and usable
+    assert cached.storageLevel.useMemory
+    assert derived.count() == 100
+    del derived
+    gc.collect()
+    assert not cached.storageLevel.useMemory  # released with the chain
