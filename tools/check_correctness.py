@@ -64,9 +64,41 @@ def norm_cell(v) -> str:
     return f"{type(v).__name__}:{v!r}"
 
 
+#: cell types pandas sort_values/factorize cannot hash — the driver's
+#: canonicalizer dies on these (np.ndarray is checked separately).
+_UNSORTABLE_CELLS = (list, dict, set, bytearray)
+
+
+def assert_driver_sortable(df: pd.DataFrame) -> None:
+    """Mirror the DRIVER's sort constraint: its canonicalizer sorts the
+    result frame with pandas ``sort_values`` over all columns, whose
+    hash-based ``factorize`` cannot hash container cells. Round 10's
+    ``docs_span_corruption`` crashed the driver with ``TypeError:
+    unhashable type: 'list'`` while this replica's joined-repr row sort
+    tolerated the list cells and said ALL MATCH (VERDICT r10 #2 — a
+    replica-fidelity hole). Any frame carrying such cells must FAIL
+    here, before hashing, exactly as it would fail on the driver."""
+    import numpy as np
+
+    for c in df.columns:
+        if df[c].dtype == object:
+            for v in df[c]:
+                if isinstance(v, _UNSORTABLE_CELLS) or isinstance(
+                    v, np.ndarray
+                ):
+                    raise TypeError(
+                        f"driver-unsortable cell type "
+                        f"{type(v).__name__!r} in column {c!r} — the "
+                        "driver's pandas sort_values/factorize cannot "
+                        "hash it; serialize arrays at the plan boundary "
+                        "(functions/text.py:ids_to_str / sql_ids_to_str)"
+                    )
+
+
 def frame_sig(df: pd.DataFrame) -> tuple[str, list[str], int]:
     """(value-hash, [col:dtype...], nrows) of a pandas frame, columns
     sorted by name, rows sorted — mirroring the driver's compare."""
+    assert_driver_sortable(df)
     df = df.reindex(sorted(df.columns), axis=1)
     # Two divergences the driver demonstrably tolerates (green rows in
     # CORRECTNESS_r02/r03 across them), canonicalized here and ONLY here:
@@ -122,6 +154,15 @@ def main() -> int:
             continue
         dt = time.time() - t0
         spark.catalog.clearCache()  # drop operator-persisted frames between queries
+        try:
+            # rows-only results pass through the driver's canonicalizer
+            # too — the sortability constraint applies to every query
+            assert_driver_sortable(spark_pdf)
+        except TypeError as ex:
+            failures.append(name)
+            records[name] = {"mode": "error", "err": str(ex)[:300]}
+            print(f"✗ {name:28s} UNSORTABLE: {ex}")
+            continue
         if name not in oracles:
             records[name] = {
                 "mode": "rows_only",
@@ -132,6 +173,7 @@ def main() -> int:
             continue
         try:
             duck_pdf = con.sql(oracles[name]).df()
+            assert_driver_sortable(duck_pdf)
         except Exception as ex:
             failures.append(name)
             records[name] = {"mode": "hash", "err": f"oracle: {str(ex)[:300]}"}
