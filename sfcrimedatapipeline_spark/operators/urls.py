@@ -45,7 +45,11 @@ from pyspark.sql import functions as F
 
 #: query params dropped by canonicalization (C4 convention); shared
 #: verbatim with the DuckDB oracle so the two sides cannot drift.
-TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+#: Case-insensitive (UTM_Source= tracks the same as utm_source=) and
+#: matches valueless params ('?fbclid' with no '=') via the (=|$)
+#: alternative — ADVICE r10. The inline (?i) works identically in
+#: Java regex (Spark) and RE2 (DuckDB).
+TRACKING_PARAM_RE = "^(?i)(utm_[a-z0-9_]*|fbclid|gclid)(=|$)"
 
 #: phase-1 salt count for the two-phase domain cap. 16 spreads a hot
 #: domain over 16 tasks; phase 2 then sorts ≤ cap·16 rows per domain.
@@ -54,12 +58,19 @@ CAP_SALTS = 16
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.\\-]*)://"
 _HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+([^?#]*)"
-_QUERY_RE = "\\?([^#]*)"
+#: anchored to before any fragment — a '?' INSIDE the fragment
+#: ('#/route?tab=1', SPA-style) must not leak into the canonical
+#: query key (ADVICE r10). Shared with the DuckDB oracle twin.
+QUERY_CAPTURE_RE = "^[^?#]*\\?([^#]*)"
 
 
-def _parts(url: Column) -> tuple[Column, Column, Column, Column]:
-    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+def _parts(url: Column) -> tuple[Column, Column, Column, Column, Column]:
     hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    # scheme-less / non-hierarchical inputs ('a.com/p', 'mailto:x@y')
+    # have no '://' host — canonicalization must NOT degenerate them
+    # to '://' (a silent mass-merge on real crawl data, ADVICE r10)
+    hierarchical = hostport != ""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     host = F.when(
         scheme == "http", F.regexp_replace(hostport, ":80$", "")
     ).when(
@@ -69,32 +80,43 @@ def _parts(url: Column) -> tuple[Column, Column, Column, Column]:
     path = F.regexp_replace(
         F.regexp_extract(url, _PATH_RE, 1), "/+$", ""
     )
-    rawq = F.regexp_extract(url, _QUERY_RE, 1)
+    rawq = F.regexp_extract(url, QUERY_CAPTURE_RE, 1)
     kept = F.filter(
         F.split(rawq, "&"),
         lambda p: (~p.rlike(TRACKING_PARAM_RE)) & (p != F.lit("")),
     )
     query = F.concat_ws("&", kept)
-    return scheme, host, path, query
+    return hierarchical, scheme, host, path, query
 
 
 def canonical_url(url: Column) -> Column:
     """Canonical form of a raw URL column (module doc). Pure
-    regexp/array expressions — codegen'd, no UDF."""
-    scheme, host, path, query = _parts(url)
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
-    )
+    regexp/array expressions — codegen'd, no UDF. Non-hierarchical
+    inputs (no ``scheme://host``) pass through UNCHANGED — raw-string
+    equality is the only safe dedup key for them."""
+    hierarchical, scheme, host, path, query = _parts(url)
+    return F.when(
+        hierarchical,
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(query != "", F.concat(F.lit("?"), query)).otherwise(
+                F.lit("")
+            ),
+        ),
+    ).otherwise(url)
 
 
 def url_domain(url: Column) -> Column:
     """Canonical host (lowercased, default port and leading ``www.``
-    stripped) — the per-domain cap/blocklist key."""
-    return _parts(url)[1]
+    stripped) — the per-domain cap/blocklist key. NULL for
+    non-hierarchical inputs (no ``scheme://host``) so cap/blocklist
+    consumers can exclude them instead of lumping every such row into
+    one empty-string pseudo-domain."""
+    hierarchical, _, host, _, _ = _parts(url)
+    return F.when(hierarchical, host)
 
 
 def url_exact_dedup(
@@ -177,7 +199,10 @@ def web_dispositions(
     base = docs.withColumn(
         "canonical_url", canonical_url(F.col(url_col))
     ).withColumn("domain", url_domain(F.col(url_col)))
-    blocked = F.col("domain").isin(blocklist)
+    # a NULL domain (non-hierarchical URL) is never blocked and never
+    # capped — it has no domain key; it still participates in URL
+    # dedup on its raw-string canonical form (ADVICE r10)
+    blocked = F.coalesce(F.col("domain").isin(blocklist), F.lit(False))
     keep_ids = (
         base.filter(~blocked)
         .groupBy("canonical_url")
@@ -189,7 +214,9 @@ def web_dispositions(
         & F.col("__keep_id").isNotNull()
         & (F.col(id_col) != F.col("__keep_id")),
     )
-    eligible = flagged.filter(~blocked & ~F.col("__is_dup"))
+    eligible = flagged.filter(
+        ~blocked & ~F.col("__is_dup") & F.col("domain").isNotNull()
+    )
     capped_kept = domain_cap(
         eligible.select(id_col, "domain"), cap=cap, id_col=id_col
     ).select(F.col(id_col).alias("__kept_id"))
@@ -199,7 +226,10 @@ def web_dispositions(
         "__disp",
         F.when(blocked, F.lit("blocked_domain"))
         .when(F.col("__is_dup"), F.lit("url_duplicate"))
-        .when(F.col("__kept_id").isNull(), F.lit("domain_capped"))
+        .when(
+            F.col("__kept_id").isNull() & F.col("domain").isNotNull(),
+            F.lit("domain_capped"),
+        )
         .otherwise(F.lit("kept")),
     )
     return out.drop("__keep_id", "__is_dup", "__kept_id")

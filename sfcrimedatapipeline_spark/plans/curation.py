@@ -30,7 +30,11 @@ from sfcrimedatapipeline_spark.functions.hashing import sql_hash64
 from sfcrimedatapipeline_spark.functions.partitioning import (
     ensure_min_partitions,
 )
-from sfcrimedatapipeline_spark.functions.text import SQL_TOKENS, STOPWORDS
+from sfcrimedatapipeline_spark.functions.text import (
+    SQL_TOKENS,
+    STOPWORDS,
+    sql_tokens,
+)
 from sfcrimedatapipeline_spark.operators import corpus as corpus_ops
 from sfcrimedatapipeline_spark.operators import textstats
 from sfcrimedatapipeline_spark.plans.tpch import QueryFn
@@ -639,8 +643,12 @@ def _url_sql() -> str:
 
 def _canon_sql() -> str:
     """DuckDB twin of operators/urls.py:canonical_url/url_domain over
-    the planted-url CTE ``u`` — same regexes (module constants)."""
+    the planted-url CTE ``u`` — same regexes (module constants),
+    including the non-hierarchical guard (hostport '' → raw URL
+    passthrough + NULL domain) and the fragment-anchored query
+    capture (ADVICE r10)."""
     track = url_ops.TRACKING_PARAM_RE
+    qcap = url_ops.QUERY_CAPTURE_RE
     scheme = "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
     hostport = (
         "lower(regexp_extract(url,"
@@ -648,12 +656,14 @@ def _canon_sql() -> str:
     )
     return f"""
         SELECT doc_id, url,
-               scheme || '://' || host || path
-               || (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
+               CASE WHEN hostport <> ''
+                    THEN scheme || '://' || host || path
+                         || (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
+                    ELSE url END
                AS canonical_url,
-               host AS domain
+               CASE WHEN hostport <> '' THEN host END AS domain
         FROM (
-            SELECT doc_id, url, scheme,
+            SELECT doc_id, url, scheme, hostport,
                    regexp_replace(
                        CASE WHEN scheme = 'http'
                             THEN regexp_replace(hostport, ':80$', '')
@@ -667,7 +677,7 @@ def _canon_sql() -> str:
                        '/+$', '') AS path,
                    array_to_string(
                        list_filter(string_split(
-                           regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                           regexp_extract(url, '{qcap}', 1), '&'),
                            x -> NOT regexp_matches(x, '{track}')
                                 AND x <> ''),
                        '&') AS q
@@ -851,10 +861,11 @@ QUERIES["docs_domain_token_cap"] = docs_domain_token_cap
 QUERIES["docs_domain_profile"] = docs_domain_profile
 
 # token count over the aliased documents side — built from the SHARED
-# SQL_TOKENS fragment so the Spark tokens() and every oracle move
-# together (round-10 review: a verbatim re-spelling here would drift
-# silently if functions/text._WS ever changed)
-_TOKN = f"CAST(len({SQL_TOKENS.replace('text', 'd.text')}) AS BIGINT)"
+# parameterized tokenizer builder so the Spark tokens() and every
+# oracle move together (ADVICE r10: the earlier
+# SQL_TOKENS.replace('text', 'd.text') substring surgery would
+# silently corrupt if the fragment ever gained another 'text')
+_TOKN = f"CAST(len({sql_tokens('d.text')}) AS BIGINT)"
 
 ORACLE_SQL["docs_domain_token_cap"] = f"""
     WITH u AS MATERIALIZED ({_url_sql()}),

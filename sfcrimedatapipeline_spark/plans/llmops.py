@@ -3359,6 +3359,12 @@ def _ivfpq_delta_index(spark: SparkSession, sf_dir: str) -> str:
         base = emb.filter(F.col("vec_id") % IVFPQ_DELTA_MOD != 0)
         delta = emb.filter(F.col("vec_id") % IVFPQ_DELTA_MOD == 0)
         d = tempfile.mkdtemp(prefix="ivfpq_delta_")
+        # the index is real DISK: besides the eviction rmtree above,
+        # reclaim it at normal process exit too — a long-lived session
+        # cycling many sf_dirs must not leak tempdirs (ADVICE r10)
+        import atexit
+
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         # quantizers derive from BASE ONLY (lowest-id seeds / default
         # codebooks of the base split), then freeze in meta.json
         similarity.ivfpq_index_write(base, d, n_centroids=ANN_IVF_CENTROIDS)

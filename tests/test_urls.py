@@ -38,6 +38,18 @@ CANON_CASES = [
         "HTTPS://Www.Site2.ORG:443/p/1/?utm_medium=m&id=5#x",
         "https://site2.org/p/1?id=5",
     ),
+    # ADVICE r10: '?' INSIDE the fragment must not leak into the
+    # canonical query key (SPA-style '#/route?tab=1' URLs)
+    ("http://site1.com/p#x?y=1", "http://site1.com/p"),
+    ("http://site1.com/p#/route?tab=1&utm_source=s", "http://site1.com/p"),
+    # ADVICE r10: scheme-less / non-hierarchical inputs pass through
+    # unchanged instead of degenerating to '://'
+    ("a.com/p?q=1", "a.com/p?q=1"),
+    ("mailto:x@y.com", "mailto:x@y.com"),
+    # ADVICE r10: valueless and case-variant tracking params drop too
+    ("http://site1.com/p?fbclid", "http://site1.com/p"),
+    ("http://site1.com/p?UTM_Source=rss&a=1", "http://site1.com/p?a=1"),
+    ("http://site1.com/p?gclid&b=2", "http://site1.com/p?b=2"),
 ]
 
 
@@ -119,6 +131,37 @@ def test_web_dispositions_partition_and_priority(spark):
     }
     # the labels partition the corpus
     assert out.count() == df.count()
+
+
+def test_web_dispositions_null_domain_rows_bypass_block_and_cap(spark):
+    """ADVICE r10: non-hierarchical URLs (NULL domain) must not lump
+    into one pseudo-domain — they are never blocked, never capped,
+    and dedup only on raw-string equality."""
+    df = spark.createDataFrame(
+        [
+            (1, "mailto:x@y.com"),  # kept (unique raw string)
+            (2, "mailto:x@y.com"),  # url_duplicate of 1 (raw equality)
+            (3, "a.com/p?q=1"),  # kept — NOT merged with 1/2
+            (4, "ftp.example/f"),  # kept — cap=1 must not hit NULL rows
+            (5, "http://ok.com/a"),  # kept
+        ],
+        "doc_id long, url string",
+    )
+    out = urls.web_dispositions(df, blocklist=["bad.com"], cap=1)
+    disp = {
+        r["doc_id"]: r["__disp"]
+        for r in out.select("doc_id", "__disp").collect()
+    }
+    assert disp == {
+        1: "kept",
+        2: "url_duplicate",
+        3: "kept",
+        4: "kept",
+        5: "kept",
+    }
+    domains = {r["doc_id"]: r["domain"] for r in out.collect()}
+    assert domains[1] is None and domains[3] is None and domains[4] is None
+    assert domains[5] == "ok.com"
 
 
 def test_planted_url_noise_canonicalizes_within_group(spark):
