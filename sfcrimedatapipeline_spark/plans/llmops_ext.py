@@ -39,6 +39,18 @@ def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.chunk_dedup_corpus(_docs(spark, sf_dir), chunk_tokens=CHUNK_TOKENS)
 
 
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-offset exact substring dedup (operators/dedup.py:
+    substring_dedup_corpus, VERDICT r10 missing #1) — sliding 8-token
+    window fingerprints at every offset, first occurrence corpus-wide
+    wins, later occurrences drop the covered tokens; the alignment-free
+    companion to docs_chunk_dedup (a duplicated passage straddling the
+    fixed chunk boundary escapes that one, not this one)."""
+    return dedup.substring_dedup_corpus(
+        _docs(spark, sf_dir), window_tokens=CHUNK_TOKENS
+    )
+
+
 def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear classifier scoring (operators/textstats.py:
     with_classifier_score) — broadcast weight table, exact BIGINT
@@ -75,6 +87,7 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, QueryFn] = {
     "docs_chunk_dedup": docs_chunk_dedup,
+    "docs_substring_dedup": docs_substring_dedup,
     "text_classifier_score": text_classifier_score,
     "docs_decontaminate": docs_decontaminate,
     "docs_decontaminate_bloom": docs_decontaminate_bloom,
@@ -120,6 +133,52 @@ def build_oracle_sql() -> dict[str, str]:
                    coalesce(p.n_chunks, 0) AS n_chunks,
                    coalesce(p.n_dropped, 0) AS n_dropped
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "docs_substring_dedup": f"""
+            WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+            tokrows AS (
+                SELECT doc_id, tk,
+                       generate_subscripts(tk, 1) AS i,
+                       unnest(tk) AS tok
+                FROM toks
+            ),
+            wins AS (
+                SELECT doc_id, i - 1 AS s,
+                       md5(array_to_string(tk[i : i + {k - 1}], ' ')) AS fp
+                FROM tokrows
+                WHERE i + {k - 1} <= len(tk)
+            ),
+            ranked AS (
+                SELECT doc_id, s,
+                       row_number() OVER (PARTITION BY fp
+                                          ORDER BY doc_id, s) AS rn
+                FROM wins
+            ),
+            cov AS (
+                SELECT DISTINCT doc_id, s + j AS p
+                FROM ranked CROSS JOIN generate_series(0, {k - 1}) AS g(j)
+                WHERE rn > 1
+            ),
+            kept AS (
+                SELECT tr.doc_id, tr.i - 1 AS p, tr.tok
+                FROM tokrows tr LEFT JOIN cov
+                  ON cov.doc_id = tr.doc_id AND cov.p = tr.i - 1
+                WHERE cov.doc_id IS NULL
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       CAST(count(*) AS INTEGER) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY p) AS clean_text
+                FROM kept GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens
+                    FROM toks)
+            SELECT t.doc_id,
+                   coalesce(p.clean_text, '') AS clean_text,
+                   t.n_tokens,
+                   CAST(t.n_tokens - coalesce(p.n_kept, 0) AS INTEGER)
+                       AS n_dropped
+            FROM tot t LEFT JOIN per_doc p USING (doc_id)
         """,
         "text_classifier_score": f"""
             WITH weights AS (
