@@ -51,6 +51,15 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity CCNet-style quality filtering
+    (operators/corpus.py:paragraph_quality_filter, VERDICT r10 missing
+    #2): per-16-token-paragraph corpus-unigram rarity scores, the
+    corpus-level discrete 90th-percentile tail dropped, documents
+    reassembled from surviving paragraphs."""
+    return corpus_ops.paragraph_quality_filter(_docs(spark, sf_dir))
+
+
 def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear classifier scoring (operators/textstats.py:
     with_classifier_score) — broadcast weight table, exact BIGINT
@@ -88,6 +97,7 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QueryFn] = {
     "docs_chunk_dedup": docs_chunk_dedup,
     "docs_substring_dedup": docs_substring_dedup,
+    "docs_paragraph_filter": docs_paragraph_filter,
     "text_classifier_score": text_classifier_score,
     "docs_decontaminate": docs_decontaminate,
     "docs_decontaminate_bloom": docs_decontaminate_bloom,
@@ -99,7 +109,74 @@ def build_oracle_sql() -> dict[str, str]:
     dim = textstats.CLASSIFIER_DIM
     w_hash = sql_hash64("i", f"'{textstats.CLASSIFIER_WEIGHT_SEED}'")
     f_hash = sql_hash64("tok", f"'{textstats.CLASSIFIER_FEATURE_SEED}'")
+    pk = corpus_ops.PARA_CHUNK_TOKENS
+    pscale = corpus_ops.PARA_SCORE_SCALE
+    pnum, pden = corpus_ops.PARA_TAIL_NUM, corpus_ops.PARA_TAIL_DEN
+    lm_scale = textstats.LM_SCALE
     return {
+        "docs_paragraph_filter": f"""
+            WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+            tokrows AS (
+                SELECT doc_id,
+                       CAST(floor((generate_subscripts(tk, 1) - 1) / {pk})
+                            AS INT) AS chunk_idx,
+                       generate_subscripts(tk, 1) AS ord,
+                       unnest(tk) AS tok
+                FROM toks
+            ),
+            tf AS (
+                SELECT doc_id, chunk_idx, tok,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM tokrows GROUP BY 1, 2, 3
+            ),
+            lm AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct
+                   FROM tf GROUP BY tok),
+            sc AS (
+                SELECT doc_id, chunk_idx,
+                       (CAST(sum(c * ({lm_scale} // ct)) AS BIGINT)
+                        * {pscale})
+                       // CAST(sum(c) AS BIGINT) AS rq
+                FROM tf JOIN lm USING (tok) GROUP BY 1, 2
+            ),
+            dist AS (SELECT rq, CAST(count(*) AS BIGINT) AS c
+                     FROM sc GROUP BY rq),
+            cum AS (
+                SELECT rq, sum(c) OVER (ORDER BY rq) AS cum,
+                       (SELECT sum(c) FROM dist) AS tot
+                FROM dist
+            ),
+            cut AS (SELECT min(rq) AS cut FROM cum
+                    WHERE cum * {pden} >= {pnum} * tot),
+            chunks AS (
+                SELECT doc_id, chunk_idx,
+                       string_agg(tok, ' ' ORDER BY ord) AS chunk_text
+                FROM tokrows GROUP BY doc_id, chunk_idx
+            ),
+            kept AS (
+                SELECT c.doc_id, c.chunk_idx, c.chunk_text
+                FROM chunks c
+                JOIN sc USING (doc_id, chunk_idx)
+                CROSS JOIN cut
+                WHERE sc.rq <= cut.cut
+            ),
+            per_doc AS (
+                SELECT c.doc_id,
+                       CAST(count(*) AS INTEGER) AS n_chunks,
+                       CAST(count(*) - count(k.chunk_text) AS INTEGER)
+                           AS n_dropped,
+                       coalesce(string_agg(k.chunk_text, ' '
+                                           ORDER BY c.chunk_idx), '')
+                           AS clean_text
+                FROM chunks c
+                LEFT JOIN kept k USING (doc_id, chunk_idx)
+                GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.clean_text, '') AS clean_text,
+                   coalesce(p.n_chunks, 0) AS n_chunks,
+                   coalesce(p.n_dropped, 0) AS n_dropped
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
         "docs_chunk_dedup": f"""
             WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
             tokrows AS (

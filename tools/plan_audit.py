@@ -138,6 +138,9 @@ CROSS_OK: dict[str, str] = {
     "dq_event_id_gaps": "1-row min/max id bounds",
     "docs_sample_negatives": "partition_offsets triangular join (P-bounded)",
     "corpus_epoch_order": "partition_offsets triangular join (P-bounded)",
+    # round-11: the CCNet paragraph filter broadcasts its 1-row
+    # discrete-percentile cutoff back over the chunk scores
+    "docs_paragraph_filter": "crossJoin(broadcast(1-row percentile cutoff))",
     "sample_pps": "partition_offsets triangular join + 1-row total",
     # round-6b additions (verified in-plan): each BNLJ build side is
     # aggregate-bounded, never a data-cardinality frame
@@ -256,6 +259,10 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     # daily-aggregate frame (one row per o_orderdate)
     "orders_runs_test": "calendar-bounded daily-aggregate frame (o_orderdate)",
     "orders_bootstrap_ci": "day-index rank over the calendar-bounded daily frame + resample rank over the B-bounded means frame",
+    # round-11: percentile-by-definition cumsum runs over the groupBy
+    # of DISTINCT quantized rarity scores — bounded by the score
+    # quantization (PARA_SCORE_SCALE grid), never chunk cardinality
+    "docs_paragraph_filter": "cumsum over distinct quantized rarity scores (aggregate-bounded)",
 }
 
 
