@@ -107,3 +107,60 @@ def test_ids_to_str_parity_with_sql_twin(spark):
     ).df()
     want = dict(zip(duck["k"], duck["s"]))
     assert got == want == {1: "10 2 20000001", 2: "", 3: ""}
+
+
+# -------------------------------- VERDICT r10 #4: scheduling canaries
+def test_bench_diff_scheduling_shift_produces_zero_flags(tmp_path):
+    """A synthetic SCHEDULING-ONLY drift (multi-stage queries 2x,
+    pure scans flat — the BASELINE.md round-10 drift mode) must
+    produce zero REGRESSION flags; a genuine single-query regression
+    with flat canaries must still flag."""
+    import json
+    import subprocess
+    import sys
+
+    bd = _load_module("bd_r11", "tools/bench_diff.py")
+    base = {c: 0.5 for c in bd.CANARIES}
+    base.update({c: 2.0 for c in bd.SCHED_CANARIES})
+    base.update({"multi_stage_q": 3.0, "scan_like_q": 0.8})
+    # scheduling drift: every multi-stage shape doubles, scans flat
+    shifted = dict(base)
+    for q in [*bd.SCHED_CANARIES, "multi_stage_q"]:
+        shifted[q] = base[q] * 2.0
+    old_p, new_p = tmp_path / "old.json", tmp_path / "new.json"
+    old_p.write_text(json.dumps({"queries": base}))
+    new_p.write_text(json.dumps({"queries": shifted}))
+    repo_root = bd.__file__.rsplit("/tools/", 1)[0]
+    r = subprocess.run(
+        [sys.executable, bd.__file__, str(old_p), str(new_p)],
+        capture_output=True, text=True, cwd=repo_root,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "REGRESSION" not in r.stdout
+    assert "sched-swing multi_stage_q" in r.stdout
+
+    # genuine regression, ALL canaries flat -> must still flag
+    genuine = dict(base)
+    genuine["multi_stage_q"] = 3.0 * 3.0
+    new_p.write_text(json.dumps({"queries": genuine}))
+    r2 = subprocess.run(
+        [sys.executable, bd.__file__, str(old_p), str(new_p)],
+        capture_output=True, text=True, cwd=repo_root,
+    )
+    assert r2.returncode == 1
+    assert "REGRESSION multi_stage_q" in r2.stdout
+
+
+def test_bench_diff_sched_canaries_are_memo_free_reference_queries():
+    """The scheduling canaries must be benched, non-deferred,
+    reference-surface queries (stable since the early rounds, no
+    memo riders)."""
+    import __spark_entry__ as e
+
+    bd = _load_module("bd_r11b", "tools/bench_diff.py")
+    bench = _load_module("bench_r11", "bench.py")
+    qs = e.queries()
+    assert len(bd.SCHED_CANARIES) >= 3
+    for c in bd.SCHED_CANARIES:
+        assert c in qs and c not in bench.BENCH_SKIP
+        assert c in e._REFERENCE_FIRST  # untouched early-round surface
