@@ -1914,9 +1914,26 @@ def paragraph_quality_filter(
         _reassemble_chunks,
         _token_chunks,
     )
-    from sfcrimedatapipeline_spark.operators.textstats import LM_SCALE
 
     chunked = _token_chunks(df, id_col, text_col, chunk_tokens)
+    scores = paragraph_scores(chunked, id_col)
+    cutoff = paragraph_score_cutoff(scores, PARA_TAIL_NUM, PARA_TAIL_DEN)
+    kept = (
+        scores.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("__rq") <= F.col("__cut"))
+        .join(chunked, [id_col, "chunk_idx"])
+        .select(id_col, "chunk_idx", "chunk_text")
+    )
+    return _reassemble_chunks(df, id_col, chunked, kept)
+
+
+def paragraph_scores(chunked: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact-integer corpus-unigram rarity score per paragraph chunk
+    (the :func:`paragraph_quality_filter` scoring stage, exposed for
+    the bucket report): ``(id, chunk_idx, __rq)`` with ``__rq`` the
+    scaled mean inverse-probability quantum, an exact BIGINT."""
+    from sfcrimedatapipeline_spark.operators.textstats import LM_SCALE
+
     # chunk_text is space-joined whitespace tokens, so re-tokenizing
     # it returns exactly the chunk's token slice
     tf = (
@@ -1929,7 +1946,7 @@ def paragraph_quality_filter(
         .agg(F.count("*").alias("__c"))
     )
     lm = tf.groupBy("__t").agg(F.sum("__c").cast("long").alias("__ct"))
-    scores = (
+    return (
         tf.join(lm, "__t")
         .groupBy(id_col, "chunk_idx")
         .agg(
@@ -1944,9 +1961,17 @@ def paragraph_quality_filter(
             F.expr(f"(__sq * {PARA_SCORE_SCALE}L) div __n").alias("__rq"),
         )
     )
-    # discrete 90th percentile by definition, exact integers: the
-    # window runs over DISTINCT scores (quantization-bounded), with
-    # cumulative counts, then min score where cum·DEN >= NUM·total
+
+
+def paragraph_score_cutoff(
+    scores: DataFrame, num: int, den: int
+) -> DataFrame:
+    """Corpus-level discrete ``num/den`` percentile of ``__rq`` BY
+    DEFINITION (smallest score whose cumulative chunk count satisfies
+    ``cum*den >= num*total``) in exact integers — no engine percentile
+    built-ins whose index rounding could differ. The window runs over
+    DISTINCT scores (quantization-bounded, never chunk cardinality);
+    returns a 1-row frame ``(__cut)`` for broadcasting."""
     dist = scores.groupBy("__rq").agg(F.count("*").cast("long").alias("__c"))
     w = Window.orderBy("__rq").rowsBetween(Window.unboundedPreceding, 0)
     cum = dist.select(
@@ -1958,17 +1983,67 @@ def paragraph_quality_filter(
             )
         ).alias("__tot"),
     )
-    cutoff = (
-        cum.filter(
-            F.col("__cum") * F.lit(PARA_TAIL_DEN)
-            >= F.lit(PARA_TAIL_NUM) * F.col("__tot")
+    return cum.filter(
+        F.col("__cum") * F.lit(den) >= F.lit(num) * F.col("__tot")
+    ).agg(F.min("__rq").alias("__cut"))
+
+
+#: CCNet bucket boundaries: head = best third, tail = worst third of
+#: the corpus paragraph-rarity distribution (discrete 1/3 and 2/3
+#: percentiles by rank definition).
+PARA_BUCKETS = ((1, 3), (2, 3))
+
+
+def paragraph_bucket_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = PARA_CHUNK_TOKENS,
+    source_col: str = "source",
+) -> DataFrame:
+    """CCNet's head/middle/tail paragraph triage, per corpus source:
+    how many of each source's paragraphs land in the best third
+    (``head``), middle third, and worst third (``tail``) of the
+    corpus-level rarity distribution — the view a curation owner reads
+    before choosing per-source filtering pressure (a source whose mass
+    sits in the tail is a candidate for dropping wholesale; one with
+    tail pockets gets :func:`paragraph_quality_filter`).
+
+    Same exact-integer scoring and rank-definition percentile cuts as
+    the filter; output is one row per source, never per paragraph.
+    """
+    from sfcrimedatapipeline_spark.operators.dedup import _token_chunks
+
+    chunked = _token_chunks(df, id_col, text_col, chunk_tokens)
+    scores = paragraph_scores(chunked, id_col)
+    (n1, d1), (n2, d2) = PARA_BUCKETS
+    c1 = paragraph_score_cutoff(scores, n1, d1).select(
+        F.col("__cut").alias("__cut1")
+    )
+    c2 = paragraph_score_cutoff(scores, n2, d2).select(
+        F.col("__cut").alias("__cut2")
+    )
+    bucketed = (
+        scores.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .select(
+            id_col,
+            F.when(F.col("__rq") <= F.col("__cut1"), F.lit("head"))
+            .when(F.col("__rq") <= F.col("__cut2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("__bucket"),
         )
-        .agg(F.min("__rq").alias("__cut"))
     )
-    kept = (
-        scores.crossJoin(F.broadcast(cutoff))
-        .filter(F.col("__rq") <= F.col("__cut"))
-        .join(chunked, [id_col, "chunk_idx"])
-        .select(id_col, "chunk_idx", "chunk_text")
+    one = lambda b: F.sum(  # noqa: E731
+        F.when(F.col("__bucket") == b, 1).otherwise(0)
+    ).cast("long")
+    return (
+        bucketed.join(df.select(id_col, source_col), id_col)
+        .groupBy(source_col)
+        .agg(
+            one("head").alias("n_head"),
+            one("middle").alias("n_middle"),
+            one("tail").alias("n_tail"),
+            F.count("*").cast("long").alias("n_paragraphs"),
+        )
     )
-    return _reassemble_chunks(df, id_col, chunked, kept)

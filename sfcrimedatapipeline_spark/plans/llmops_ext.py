@@ -60,6 +60,14 @@ def docs_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.paragraph_quality_filter(_docs(spark, sf_dir))
 
 
+def docs_paragraph_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail paragraph triage per corpus source
+    (operators/corpus.py:paragraph_bucket_report): discrete 1/3 and
+    2/3 rarity percentile cuts by rank definition, exact integers,
+    one row per source."""
+    return corpus_ops.paragraph_bucket_report(_docs(spark, sf_dir))
+
+
 def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear classifier scoring (operators/textstats.py:
     with_classifier_score) — broadcast weight table, exact BIGINT
@@ -98,24 +106,24 @@ QUERIES: dict[str, QueryFn] = {
     "docs_chunk_dedup": docs_chunk_dedup,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_paragraph_filter": docs_paragraph_filter,
+    "docs_paragraph_buckets": docs_paragraph_buckets,
     "text_classifier_score": text_classifier_score,
     "docs_decontaminate": docs_decontaminate,
     "docs_decontaminate_bloom": docs_decontaminate_bloom,
 }
 
 
-def build_oracle_sql() -> dict[str, str]:
-    k = CHUNK_TOKENS
-    dim = textstats.CLASSIFIER_DIM
-    w_hash = sql_hash64("i", f"'{textstats.CLASSIFIER_WEIGHT_SEED}'")
-    f_hash = sql_hash64("tok", f"'{textstats.CLASSIFIER_FEATURE_SEED}'")
+def _para_common_sql() -> str:
+    """Shared CTE prefix for the paragraph-filter family oracles —
+    token chunks, per-chunk term counts, corpus LM, exact-integer
+    rarity scores ``sc`` and their distinct-score histogram ``dist``.
+    Built once from the operator constants so the filter and bucket
+    oracles cannot drift from each other or from Spark."""
     pk = corpus_ops.PARA_CHUNK_TOKENS
     pscale = corpus_ops.PARA_SCORE_SCALE
-    pnum, pden = corpus_ops.PARA_TAIL_NUM, corpus_ops.PARA_TAIL_DEN
     lm_scale = textstats.LM_SCALE
-    return {
-        "docs_paragraph_filter": f"""
-            WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+    return f"""
+            toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
             tokrows AS (
                 SELECT doc_id,
                        CAST(floor((generate_subscripts(tk, 1) - 1) / {pk})
@@ -139,14 +147,31 @@ def build_oracle_sql() -> dict[str, str]:
                 FROM tf JOIN lm USING (tok) GROUP BY 1, 2
             ),
             dist AS (SELECT rq, CAST(count(*) AS BIGINT) AS c
-                     FROM sc GROUP BY rq),
-            cum AS (
-                SELECT rq, sum(c) OVER (ORDER BY rq) AS cum,
-                       (SELECT sum(c) FROM dist) AS tot
-                FROM dist
-            ),
-            cut AS (SELECT min(rq) AS cut FROM cum
-                    WHERE cum * {pden} >= {pnum} * tot),
+                     FROM sc GROUP BY rq)"""
+
+
+def _para_cut_sql(num: int, den: int) -> str:
+    """Scalar subquery: the discrete num/den percentile of the rarity
+    scores by its rank definition (requires the ``dist`` CTE)."""
+    return f"""(
+        SELECT min(rq) FROM (
+            SELECT rq, sum(c) OVER (ORDER BY rq) AS cum,
+                   (SELECT sum(c) FROM dist) AS tot
+            FROM dist) z
+        WHERE cum * {den} >= {num} * tot)"""
+
+
+def build_oracle_sql() -> dict[str, str]:
+    k = CHUNK_TOKENS
+    dim = textstats.CLASSIFIER_DIM
+    w_hash = sql_hash64("i", f"'{textstats.CLASSIFIER_WEIGHT_SEED}'")
+    f_hash = sql_hash64("tok", f"'{textstats.CLASSIFIER_FEATURE_SEED}'")
+    pnum, pden = corpus_ops.PARA_TAIL_NUM, corpus_ops.PARA_TAIL_DEN
+    (b1n, b1d), (b2n, b2d) = corpus_ops.PARA_BUCKETS
+    return {
+        "docs_paragraph_filter": f"""
+            WITH {_para_common_sql()},
+            cut AS (SELECT {_para_cut_sql(pnum, pden)} AS cut),
             chunks AS (
                 SELECT doc_id, chunk_idx,
                        string_agg(tok, ' ' ORDER BY ord) AS chunk_text
@@ -176,6 +201,24 @@ def build_oracle_sql() -> dict[str, str]:
                    coalesce(p.n_chunks, 0) AS n_chunks,
                    coalesce(p.n_dropped, 0) AS n_dropped
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "docs_paragraph_buckets": f"""
+            WITH {_para_common_sql()},
+            cuts AS (SELECT {_para_cut_sql(b1n, b1d)} AS cut1,
+                            {_para_cut_sql(b2n, b2d)} AS cut2)
+            SELECT d.source,
+                   CAST(sum(CASE WHEN sc.rq <= cuts.cut1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+                   CAST(sum(CASE WHEN sc.rq > cuts.cut1
+                                  AND sc.rq <= cuts.cut2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+                   CAST(sum(CASE WHEN sc.rq > cuts.cut2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+                   CAST(count(*) AS BIGINT) AS n_paragraphs
+            FROM sc
+            JOIN documents d USING (doc_id)
+            CROSS JOIN cuts
+            GROUP BY d.source
         """,
         "docs_chunk_dedup": f"""
             WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),

@@ -1624,3 +1624,28 @@ def test_paragraph_filter_has_real_work_on_fixture(spark):
     ).collect()[0]
     dropped, total = agg["sum(n_dropped)"], agg["sum(n_chunks)"]
     assert 0 < dropped <= total // 10 + 1
+
+
+def test_paragraph_buckets_partition_and_sum(spark):
+    """Bucket counts partition each source's paragraphs (head + middle
+    + tail == total) and the corpus-level thirds hold globally: head
+    and tail each get <= 1/3 of paragraphs + tie slack, never more
+    than the middle by construction of the rank cuts."""
+    from sfcrimedatapipeline_spark.operators.corpus import (
+        paragraph_bucket_report,
+    )
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = paragraph_bucket_report(docs).collect()
+    assert len(rows) > 1
+    tot = h = t = 0
+    for r in rows:
+        assert r.n_head + r.n_middle + r.n_tail == r.n_paragraphs
+        tot += r.n_paragraphs
+        h += r.n_head
+        t += r.n_tail
+    # discrete cuts: head <= ceil(1/3) + ties; tail is the strict
+    # complement of the 2/3 cut so it can never exceed 1/3 of total
+    assert 0 < h and 0 < t
+    assert t <= tot // 3 + 1

@@ -141,6 +141,7 @@ CROSS_OK: dict[str, str] = {
     # round-11: the CCNet paragraph filter broadcasts its 1-row
     # discrete-percentile cutoff back over the chunk scores
     "docs_paragraph_filter": "crossJoin(broadcast(1-row percentile cutoff))",
+    "docs_paragraph_buckets": "crossJoin(broadcast(1-row percentile cutoff)) x2",
     "sample_pps": "partition_offsets triangular join + 1-row total",
     # round-6b additions (verified in-plan): each BNLJ build side is
     # aggregate-bounded, never a data-cardinality frame
@@ -263,6 +264,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     # of DISTINCT quantized rarity scores — bounded by the score
     # quantization (PARA_SCORE_SCALE grid), never chunk cardinality
     "docs_paragraph_filter": "cumsum over distinct quantized rarity scores (aggregate-bounded)",
+    "docs_paragraph_buckets": "cumsum over distinct quantized rarity scores (aggregate-bounded)",
 }
 
 

@@ -45,7 +45,10 @@ sys.path.insert(0, "/root/repo")
 
 SRC = "/root/testdata/sf0.1"
 DST = "/root/repo/.scale_probe/sf1"
-COPIES = 10
+#: SPARK_GRAFT_PROBE_COPIES=100 probes the ~sf10 frontier (VERDICT r10
+#: #8) — the artifact's "sf1" keys then mean "the scaled copy" and the
+#: recorded ``copies`` field names the actual multiplier.
+COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "10"))
 MODE = os.environ.get("SPARK_GRAFT_PROBE_MODE", "unique")
 
 #: (table, id columns to offset per copy)
