@@ -822,6 +822,18 @@ def perceptual_contamination(
     (eval, train-hash) pair survives exactly one band row (the
     first-matching-band rule), then expands to train documents through
     one hash-keyed member join — zero arithmetic on expanded rows.
+
+    Scale ceiling (SCALE_PROBE_r11_100x): on multiplicity-REALISTIC
+    growth the cost is sublinear (3.0x at 10x unique data), but under
+    duplicate-heavy media (the probe's 100 byte-identical copies) the
+    trend bends SUPERLINEAR — the report's own output is quadratic in
+    copy multiplicity (every eval copy × every train member of the
+    matched hash), and the timed-out 100x row is dominated by that
+    expansion plus the linear 100x decode. A corpus with heavy exact
+    duplication should run exact perceptual-hash dedup
+    (:func:`dedup_perceptual`) on BOTH splits first; the detector's
+    distinct-hash band join is already multiplicity-immune, only the
+    member expansion is not.
     """
     ph_e = perceptual_hashes(eval_media, method, algorithm)
     ph_t = perceptual_hashes(train_media, method, algorithm)

@@ -299,12 +299,20 @@ def main() -> None:
     results: dict[str, dict] = {}
     me = os.path.abspath(__file__)
     for name in probe_list:
-        proc = subprocess.run(
-            [sys.executable, me, "--child", name],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, me, "--child", name],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # a ceiling hit IS a probe finding (the r11 100x media
+            # contamination run) — record it instead of losing the
+            # whole artifact to the exception
+            results[name] = {"error": "child timeout: exceeded 1800s"}
+            print(f"{name:28s} TIMEOUT (1800s)", file=sys.stderr)
+            continue
         row = None
         for line in proc.stdout.splitlines():
             if line.startswith("SCALE_PROBE_CHILD "):
