@@ -150,7 +150,15 @@ def test_rotation_puts_never_driver_seen_queries_first():
     # the remaining ~29 rotation slots must all be unseen while any
     # unseen queries remain in the middle
     assert len(fresh) >= 15, fresh
-    middle = qs[len(e._REFERENCE_FIRST):-len(e._DEFERRED)]
+    # round 11 added a _PIN_FIRST block between the reference series
+    # and the rotating middle (VERDICT r10 #1/#7 driver-prove pins);
+    # the unseen-first ordering invariant applies to the middle only
+    pinned = [q for q in getattr(e, "_PIN_FIRST", []) if q in qs]
+    n_head = len([q for q in e._REFERENCE_FIRST if q in qs]) + len(pinned)
+    n_tail = len(
+        [q for q in e._DEFERRED if q in qs and q not in pinned]
+    )
+    middle = qs[n_head : len(qs) - n_tail]
     unseen_flags = [q in seen for q in middle]
     # once a seen query appears, no unseen query may follow it
     if True in unseen_flags:
