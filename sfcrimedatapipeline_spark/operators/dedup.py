@@ -1489,6 +1489,65 @@ def substring_dedup_corpus(
     )
 
 
+def substring_dup_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+    min_occurrences: int = 3,
+) -> DataFrame:
+    """The TRIAGE VIEW over :func:`substring_dedup_corpus`'s window
+    space: every ``window_tokens``-token passage occurring
+    ``min_occurrences``+ times corpus-wide, with its occurrence count,
+    distinct-document count, and first document — what a corpus owner
+    reads to find boilerplate families and license blocks BEFORE
+    choosing dedup pressure (the passage-level analogue of
+    dedup_cluster_sizes).
+
+    Emits ``(passage, n_occurrences, n_docs, first_doc_id)`` — output
+    bounded by the threshold, not corpus size. Two-level map-side
+    combinable aggregation: groupBy(fp, doc) collapses within-doc
+    repeats before the per-fingerprint rollup, so a passage repeated
+    10^6 times in one document crosses the second shuffle as one row.
+    The passage text rides the aggregation as a min() payload (all
+    rows of a fingerprint carry the same gram), never a join key.
+    """
+    k = window_tokens
+    if k < 2:
+        raise ValueError(
+            f"substring_dup_passages needs window_tokens >= 2, got {k}"
+        )
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts, lambda s: F.array_join(F.slice("__toks", s + 1, k), " ")
+            )
+        ).alias("__gram"),
+    )
+    per_doc = wins.groupBy(F.md5("__gram").alias("__fp"), F.col(id_col)).agg(
+        F.count("*").cast("long").alias("__c"),
+        F.min("__gram").alias("__gram"),
+    )
+    return (
+        per_doc.groupBy("__fp")
+        .agg(
+            F.min("__gram").alias("passage"),
+            F.sum("__c").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.min(id_col).cast("long").alias("first_doc_id"),
+        )
+        .filter(F.col("n_occurrences") >= min_occurrences)
+        .drop("__fp")
+    )
+
+
 def remove_boilerplate_chunks(
     df: DataFrame,
     id_col: str = "doc_id",

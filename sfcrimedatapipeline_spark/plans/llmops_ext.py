@@ -51,6 +51,22 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_PASSAGE_MIN = 3
+
+
+def dedup_top_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage triage (operators/dedup.py:
+    substring_dup_passages): every 8-token passage occurring 3+ times
+    corpus-wide with occurrence/document counts and first document —
+    the boilerplate-family view read before choosing substring-dedup
+    pressure."""
+    return dedup.substring_dup_passages(
+        _docs(spark, sf_dir),
+        window_tokens=CHUNK_TOKENS,
+        min_occurrences=DUP_PASSAGE_MIN,
+    )
+
+
 def docs_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-granularity CCNet-style quality filtering
     (operators/corpus.py:paragraph_quality_filter, VERDICT r10 missing
@@ -105,6 +121,7 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QueryFn] = {
     "docs_chunk_dedup": docs_chunk_dedup,
     "docs_substring_dedup": docs_substring_dedup,
+    "dedup_top_passages": dedup_top_passages,
     "docs_paragraph_filter": docs_paragraph_filter,
     "docs_paragraph_buckets": docs_paragraph_buckets,
     "text_classifier_score": text_classifier_score,
@@ -169,6 +186,31 @@ def build_oracle_sql() -> dict[str, str]:
     pnum, pden = corpus_ops.PARA_TAIL_NUM, corpus_ops.PARA_TAIL_DEN
     (b1n, b1d), (b2n, b2d) = corpus_ops.PARA_BUCKETS
     return {
+        "dedup_top_passages": f"""
+            WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+            tokrows AS (
+                SELECT doc_id, tk, generate_subscripts(tk, 1) AS i
+                FROM toks
+            ),
+            wins AS (
+                SELECT doc_id,
+                       array_to_string(tk[i : i + {k - 1}], ' ') AS gram
+                FROM tokrows
+                WHERE i + {k - 1} <= len(tk)
+            ),
+            per_doc AS (
+                SELECT md5(gram) AS fp, doc_id,
+                       CAST(count(*) AS BIGINT) AS c,
+                       min(gram) AS gram
+                FROM wins GROUP BY 1, 2
+            )
+            SELECT min(gram) AS passage,
+                   CAST(sum(c) AS BIGINT) AS n_occurrences,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc_id
+            FROM per_doc GROUP BY fp
+            HAVING sum(c) >= {DUP_PASSAGE_MIN}
+        """,
         "docs_paragraph_filter": f"""
             WITH {_para_common_sql()},
             cut AS (SELECT {_para_cut_sql(pnum, pden)} AS cut),

@@ -414,3 +414,25 @@ def test_substring_dedup_short_docs_and_empty(spark):
 
     with _pytest.raises(ValueError, match="window_tokens >= 2"):
         dedup.substring_dedup_corpus(docs, window_tokens=1)
+
+
+def test_substring_dup_passages_counts(spark):
+    """Within-doc repeats collapse at the (fp, doc) level but count in
+    n_occurrences; n_docs is distinct documents; first_doc_id is the
+    minimum."""
+    docs = spark.createDataFrame(
+        [
+            (1, PASSAGE),                      # windows once
+            (2, PASSAGE + " mid " + PASSAGE),  # windows twice
+            (3, "unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.substring_dup_passages(
+        docs, window_tokens=8, min_occurrences=3
+    ).collect()
+    assert rows  # the passage's windows each occur 3x (1 + 2)
+    by_passage = {r.passage: r for r in rows}
+    first8 = " ".join(PASSAGE.split()[:8])
+    r = by_passage[first8]
+    assert r.n_occurrences == 3 and r.n_docs == 2 and r.first_doc_id == 1
