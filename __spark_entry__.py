@@ -229,6 +229,9 @@ _DEFERRED = [
     # the iterative CC memo
     "ann_ivfpq_index_delta",
     "corpus_web_e2e",
+    # round-11: the composed paragraph-filter -> substring-dedup chain
+    # (two corpus passes by definition)
+    "corpus_ccnet_e2e",
 ]
 
 

@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sfcrimedatapipeline_spark.functions.hashing import sql_hash64
-from sfcrimedatapipeline_spark.functions.text import SQL_TOKENS, sql_ngrams
+from sfcrimedatapipeline_spark.functions.text import (
+    SQL_TOKENS,
+    sql_ngrams,
+    sql_tokens,
+)
 from sfcrimedatapipeline_spark.functions.partitioning import ensure_min_partitions
 from sfcrimedatapipeline_spark.operators import corpus as corpus_ops
 from sfcrimedatapipeline_spark.operators import dedup, textstats
@@ -118,16 +122,122 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_ccnet_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed CCNet-style curation chain under ONE hash (the
+    corpus_web_e2e discipline): paragraph-granularity quality filter
+    (drop the corpus rarity tail) -> any-offset exact substring dedup
+    over the CLEANED text -> per-source yield report. One row per
+    source with the funnel counters a corpus owner reads (paragraphs
+    dropped by quality, tokens removed by dedup, final token yield,
+    fully-emptied documents) — a regression anywhere in either stage
+    or their composition breaks exactly one hash."""
+    docs = _docs(spark, sf_dir)
+    cleaned = corpus_ops.paragraph_quality_filter(docs)
+    deduped = dedup.substring_dedup_corpus(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")),
+        window_tokens=CHUNK_TOKENS,
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(
+            cleaned.select(
+                "doc_id", "n_chunks", F.col("n_dropped").alias("__para_drop")
+            ),
+            "doc_id",
+        )
+        .join(
+            deduped.select(
+                "doc_id",
+                F.col("n_tokens").alias("__tok_in"),
+                F.col("n_dropped").alias("__dedup_drop"),
+                (F.col("clean_text") == "").alias("__empty"),
+            ),
+            "doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_paragraphs"),
+            F.sum("__para_drop").cast("long").alias("paragraphs_dropped"),
+            F.sum("__tok_in").cast("long").alias("tokens_after_filter"),
+            F.sum("__dedup_drop").cast("long").alias("tokens_deduped"),
+            (F.sum("__tok_in") - F.sum("__dedup_drop"))
+            .cast("long")
+            .alias("tokens_final"),
+            F.sum(F.when(F.col("__empty"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_empty_final"),
+        )
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "docs_chunk_dedup": docs_chunk_dedup,
     "docs_substring_dedup": docs_substring_dedup,
     "dedup_top_passages": dedup_top_passages,
+    "corpus_ccnet_e2e": corpus_ccnet_e2e,
     "docs_paragraph_filter": docs_paragraph_filter,
     "docs_paragraph_buckets": docs_paragraph_buckets,
     "text_classifier_score": text_classifier_score,
     "docs_decontaminate": docs_decontaminate,
     "docs_decontaminate_bloom": docs_decontaminate_bloom,
 }
+
+
+def _substr_sql(docs_rel: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of operators/dedup.py:substring_dedup_corpus,
+    parameterized over the source relation + text column so the
+    composed CCNet chain can run it over the paragraph filter's
+    cleaned output (corpus_ccnet_e2e) while the standalone
+    registration runs it over ``documents``."""
+    k = CHUNK_TOKENS
+    return f"""
+        WITH toks AS (SELECT doc_id, {sql_tokens(text_col)} AS tk
+                      FROM {docs_rel}),
+        tokrows AS (
+            SELECT doc_id, tk,
+                   generate_subscripts(tk, 1) AS i,
+                   unnest(tk) AS tok
+            FROM toks
+        ),
+        wins AS (
+            SELECT doc_id, i - 1 AS s,
+                   md5(array_to_string(tk[i : i + {k - 1}], ' ')) AS fp
+            FROM tokrows
+            WHERE i + {k - 1} <= len(tk)
+        ),
+        ranked AS (
+            SELECT doc_id, s,
+                   row_number() OVER (PARTITION BY fp
+                                      ORDER BY doc_id, s) AS rn
+            FROM wins
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, s + j AS p
+            FROM ranked CROSS JOIN generate_series(0, {k - 1}) AS g(j)
+            WHERE rn > 1
+        ),
+        kept AS (
+            SELECT tr.doc_id, tr.i - 1 AS p, tr.tok
+            FROM tokrows tr LEFT JOIN cov
+              ON cov.doc_id = tr.doc_id AND cov.p = tr.i - 1
+            WHERE cov.doc_id IS NULL
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS INTEGER) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY p) AS clean_text
+            FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens
+                FROM toks)
+        SELECT t.doc_id,
+               coalesce(p.clean_text, '') AS clean_text,
+               t.n_tokens,
+               CAST(t.n_tokens - coalesce(p.n_kept, 0) AS INTEGER)
+                   AS n_dropped
+        FROM tot t LEFT JOIN per_doc p USING (doc_id)
+    """
 
 
 def _para_common_sql() -> str:
@@ -178,6 +288,45 @@ def _para_cut_sql(num: int, den: int) -> str:
         WHERE cum * {den} >= {num} * tot)"""
 
 
+def _para_filter_sql() -> str:
+    """Full docs_paragraph_filter oracle SELECT — also embedded as a
+    CTE by the composed corpus_ccnet_e2e oracle."""
+    pnum, pden = corpus_ops.PARA_TAIL_NUM, corpus_ops.PARA_TAIL_DEN
+    return f"""
+        WITH {_para_common_sql()},
+        cut AS (SELECT {_para_cut_sql(pnum, pden)} AS cut),
+        chunks AS (
+            SELECT doc_id, chunk_idx,
+                   string_agg(tok, ' ' ORDER BY ord) AS chunk_text
+            FROM tokrows GROUP BY doc_id, chunk_idx
+        ),
+        kept AS (
+            SELECT c.doc_id, c.chunk_idx, c.chunk_text
+            FROM chunks c
+            JOIN sc USING (doc_id, chunk_idx)
+            CROSS JOIN cut
+            WHERE sc.rq <= cut.cut
+        ),
+        per_doc AS (
+            SELECT c.doc_id,
+                   CAST(count(*) AS INTEGER) AS n_chunks,
+                   CAST(count(*) - count(k.chunk_text) AS INTEGER)
+                       AS n_dropped,
+                   coalesce(string_agg(k.chunk_text, ' '
+                                       ORDER BY c.chunk_idx), '')
+                       AS clean_text
+            FROM chunks c
+            LEFT JOIN kept k USING (doc_id, chunk_idx)
+            GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.clean_text, '') AS clean_text,
+               coalesce(p.n_chunks, 0) AS n_chunks,
+               coalesce(p.n_dropped, 0) AS n_dropped
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 def build_oracle_sql() -> dict[str, str]:
     k = CHUNK_TOKENS
     dim = textstats.CLASSIFIER_DIM
@@ -186,6 +335,27 @@ def build_oracle_sql() -> dict[str, str]:
     pnum, pden = corpus_ops.PARA_TAIL_NUM, corpus_ops.PARA_TAIL_DEN
     (b1n, b1d), (b2n, b2d) = corpus_ops.PARA_BUCKETS
     return {
+        "corpus_ccnet_e2e": f"""
+            WITH cleaned AS MATERIALIZED ({_para_filter_sql()}),
+            s2 AS MATERIALIZED (
+                {_substr_sql("(SELECT doc_id, clean_text AS text "
+                             "FROM cleaned) c2", "text")}
+            )
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(c.n_chunks) AS BIGINT) AS n_paragraphs,
+                   CAST(sum(c.n_dropped) AS BIGINT) AS paragraphs_dropped,
+                   CAST(sum(s2.n_tokens) AS BIGINT) AS tokens_after_filter,
+                   CAST(sum(s2.n_dropped) AS BIGINT) AS tokens_deduped,
+                   CAST(sum(s2.n_tokens) - sum(s2.n_dropped) AS BIGINT)
+                       AS tokens_final,
+                   CAST(sum(CASE WHEN s2.clean_text = '' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_empty_final
+            FROM documents d
+            JOIN cleaned c USING (doc_id)
+            JOIN s2 USING (doc_id)
+            GROUP BY d.source
+        """,
         "dedup_top_passages": f"""
             WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
             tokrows AS (
@@ -211,39 +381,7 @@ def build_oracle_sql() -> dict[str, str]:
             FROM per_doc GROUP BY fp
             HAVING sum(c) >= {DUP_PASSAGE_MIN}
         """,
-        "docs_paragraph_filter": f"""
-            WITH {_para_common_sql()},
-            cut AS (SELECT {_para_cut_sql(pnum, pden)} AS cut),
-            chunks AS (
-                SELECT doc_id, chunk_idx,
-                       string_agg(tok, ' ' ORDER BY ord) AS chunk_text
-                FROM tokrows GROUP BY doc_id, chunk_idx
-            ),
-            kept AS (
-                SELECT c.doc_id, c.chunk_idx, c.chunk_text
-                FROM chunks c
-                JOIN sc USING (doc_id, chunk_idx)
-                CROSS JOIN cut
-                WHERE sc.rq <= cut.cut
-            ),
-            per_doc AS (
-                SELECT c.doc_id,
-                       CAST(count(*) AS INTEGER) AS n_chunks,
-                       CAST(count(*) - count(k.chunk_text) AS INTEGER)
-                           AS n_dropped,
-                       coalesce(string_agg(k.chunk_text, ' '
-                                           ORDER BY c.chunk_idx), '')
-                           AS clean_text
-                FROM chunks c
-                LEFT JOIN kept k USING (doc_id, chunk_idx)
-                GROUP BY c.doc_id
-            )
-            SELECT d.doc_id,
-                   coalesce(p.clean_text, '') AS clean_text,
-                   coalesce(p.n_chunks, 0) AS n_chunks,
-                   coalesce(p.n_dropped, 0) AS n_dropped
-            FROM documents d LEFT JOIN per_doc p USING (doc_id)
-        """,
+        "docs_paragraph_filter": _para_filter_sql(),
         "docs_paragraph_buckets": f"""
             WITH {_para_common_sql()},
             cuts AS (SELECT {_para_cut_sql(b1n, b1d)} AS cut1,
@@ -296,52 +434,7 @@ def build_oracle_sql() -> dict[str, str]:
                    coalesce(p.n_dropped, 0) AS n_dropped
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
-        "docs_substring_dedup": f"""
-            WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
-            tokrows AS (
-                SELECT doc_id, tk,
-                       generate_subscripts(tk, 1) AS i,
-                       unnest(tk) AS tok
-                FROM toks
-            ),
-            wins AS (
-                SELECT doc_id, i - 1 AS s,
-                       md5(array_to_string(tk[i : i + {k - 1}], ' ')) AS fp
-                FROM tokrows
-                WHERE i + {k - 1} <= len(tk)
-            ),
-            ranked AS (
-                SELECT doc_id, s,
-                       row_number() OVER (PARTITION BY fp
-                                          ORDER BY doc_id, s) AS rn
-                FROM wins
-            ),
-            cov AS (
-                SELECT DISTINCT doc_id, s + j AS p
-                FROM ranked CROSS JOIN generate_series(0, {k - 1}) AS g(j)
-                WHERE rn > 1
-            ),
-            kept AS (
-                SELECT tr.doc_id, tr.i - 1 AS p, tr.tok
-                FROM tokrows tr LEFT JOIN cov
-                  ON cov.doc_id = tr.doc_id AND cov.p = tr.i - 1
-                WHERE cov.doc_id IS NULL
-            ),
-            per_doc AS (
-                SELECT doc_id,
-                       CAST(count(*) AS INTEGER) AS n_kept,
-                       string_agg(tok, ' ' ORDER BY p) AS clean_text
-                FROM kept GROUP BY doc_id
-            ),
-            tot AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens
-                    FROM toks)
-            SELECT t.doc_id,
-                   coalesce(p.clean_text, '') AS clean_text,
-                   t.n_tokens,
-                   CAST(t.n_tokens - coalesce(p.n_kept, 0) AS INTEGER)
-                       AS n_dropped
-            FROM tot t LEFT JOIN per_doc p USING (doc_id)
-        """,
+        "docs_substring_dedup": _substr_sql(),
         "text_classifier_score": f"""
             WITH weights AS (
                 SELECT i AS bucket, {w_hash} % 17 - 8 AS weight

@@ -1649,3 +1649,25 @@ def test_paragraph_buckets_partition_and_sum(spark):
     # complement of the 2/3 cut so it can never exceed 1/3 of total
     assert 0 < h and 0 < t
     assert t <= tot // 3 + 1
+
+
+def test_ccnet_e2e_funnel_invariants(spark):
+    """The composed chain's counters must nest per source: dedup can
+    only remove tokens the filter kept, final tokens = after_filter -
+    deduped, empties <= docs, and the source rows partition the
+    corpus."""
+    from sfcrimedatapipeline_spark.plans.llmops_ext import corpus_ccnet_e2e
+    from sfcrimedatapipeline_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = corpus_ccnet_e2e(spark, sf).collect()
+    n_docs_total = read_table(spark, sf, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        assert r.paragraphs_dropped <= r.n_paragraphs
+        assert 0 <= r.tokens_deduped <= r.tokens_after_filter
+        assert r.tokens_final == r.tokens_after_filter - r.tokens_deduped
+        assert 0 <= r.n_empty_final <= r.n_docs
+    # both stages do real work somewhere in the corpus
+    assert sum(r.paragraphs_dropped for r in rows) > 0
+    assert sum(r.tokens_deduped for r in rows) > 0

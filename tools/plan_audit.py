@@ -142,6 +142,7 @@ CROSS_OK: dict[str, str] = {
     # discrete-percentile cutoff back over the chunk scores
     "docs_paragraph_filter": "crossJoin(broadcast(1-row percentile cutoff))",
     "docs_paragraph_buckets": "crossJoin(broadcast(1-row percentile cutoff)) x2",
+    "corpus_ccnet_e2e": "composes docs_paragraph_filter's 1-row cutoff broadcast",
     "sample_pps": "partition_offsets triangular join + 1-row total",
     # round-6b additions (verified in-plan): each BNLJ build side is
     # aggregate-bounded, never a data-cardinality frame
@@ -265,6 +266,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     # quantization (PARA_SCORE_SCALE grid), never chunk cardinality
     "docs_paragraph_filter": "cumsum over distinct quantized rarity scores (aggregate-bounded)",
     "docs_paragraph_buckets": "cumsum over distinct quantized rarity scores (aggregate-bounded)",
+    "corpus_ccnet_e2e": "cumsum over distinct quantized rarity scores (aggregate-bounded)",
 }
 
 
