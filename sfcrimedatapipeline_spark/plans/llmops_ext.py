@@ -131,13 +131,21 @@ def corpus_ccnet_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped by quality, tokens removed by dedup, final token yield,
     fully-emptied documents) — a regression anywhere in either stage
     or their composition breaks exactly one hash."""
+    from sfcrimedatapipeline_spark.functions.caching import (
+        unpersist_when_released,
+    )
+
     docs = _docs(spark, sf_dir)
-    cleaned = corpus_ops.paragraph_quality_filter(docs)
+    # the cleaned frame feeds FOUR consumers (three inside the
+    # substring stage + the final join); without a persist the whole
+    # paragraph-filter dataflow recomputes per consumer (first bench
+    # cut: 15.9 s composed vs 7.7 s for the stages standalone)
+    cleaned = corpus_ops.paragraph_quality_filter(docs).persist()
     deduped = dedup.substring_dedup_corpus(
         cleaned.select("doc_id", F.col("clean_text").alias("text")),
         window_tokens=CHUNK_TOKENS,
     )
-    return (
+    return unpersist_when_released(
         docs.select("doc_id", "source")
         .join(
             cleaned.select(
@@ -167,7 +175,8 @@ def corpus_ccnet_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("__empty"), 1).otherwise(0))
             .cast("long")
             .alias("n_empty_final"),
-        )
+        ),
+        cleaned,
     )
 
 
