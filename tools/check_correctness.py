@@ -130,6 +130,20 @@ def main() -> int:
     import __spark_entry__ as e
     from sfcrimedatapipeline_spark.session import get_spark
 
+    qs, oracles = e.queries(), e.oracle_sql()
+    # VERDICT r11 "What's wrong" #1: an unknown name (or stray flag) in
+    # ONLY used to silently filter to zero queries and print a vacuous
+    # ALL MATCH with exit 0. Unknown names are now a hard error (before
+    # Spark even starts), and a zero-query run exits non-zero below.
+    unknown = sorted(ONLY - set(qs))
+    if unknown:
+        print(
+            "ERROR: unknown query name(s): "
+            + ", ".join(unknown)
+            + " — not in __spark_entry__.queries()"
+        )
+        return 2
+
     spark = get_spark(app_name="correctness-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -137,7 +151,6 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
-    qs, oracles = e.queries(), e.oracle_sql()
     failures = []
     records: dict[str, dict] = {}
     for name, fn in qs.items():
@@ -236,6 +249,9 @@ def main() -> int:
         with open(out_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
         print(f"wrote {out_path}")
+    if not records:
+        print("ERROR: zero queries ran — refusing to report a vacuous pass")
+        return 2
     print(("FAIL: " + ", ".join(failures)) if failures else "ALL MATCH")
     return 1 if failures else 0
 
