@@ -533,6 +533,15 @@ def _with_url(docs: DataFrame) -> DataFrame:
         qsfx,
         frag,
     )
+    # a deterministic ~3% slice gets a NON-hierarchical URL (urn:
+    # scheme, no '://' host) keyed on the GROUP id, so the
+    # NULL-domain path — raw-string passthrough, never blocked,
+    # never domain-capped, dedup on the raw form — is exercised by
+    # the gate instead of staying latent (ADVICE r11)
+    url = F.when(
+        F.expr("pmod(__hd div 19, 29)") == 0,
+        F.concat(F.lit("urn:doc:"), F.col("__ukey").cast("string")),
+    ).otherwise(url)
     return d.withColumn("url", url).drop("__ukey", "__h", "__hd", "__t")
 
 
@@ -565,14 +574,26 @@ def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain", url_ops.url_domain(F.col("url"))
     )
     totals = d.groupBy("domain").agg(F.count("*").cast("long").alias("n_docs"))
-    kept = url_ops.domain_cap(d.select("doc_id", "domain"), cap=DOMAIN_CAP_K)
+    # NULL-domain docs (non-hierarchical URLs) are NEVER capped — they
+    # have no domain key (web_dispositions semantics, ADVICE r11) — so
+    # they are all kept; the cap ranks only the domain-keyed docs
+    kept = url_ops.domain_cap(
+        d.filter(F.col("domain").isNotNull()).select("doc_id", "domain"),
+        cap=DOMAIN_CAP_K,
+    ).unionByName(
+        d.filter(F.col("domain").isNull()).select("doc_id", "domain")
+    )
     kstats = kept.groupBy("domain").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.sum("doc_id").cast("long").alias("kept_id_sum"),
         F.max("doc_id").cast("long").alias("max_kept_id"),
     )
     return (
-        totals.join(kstats, "domain", "left")
+        totals.join(
+            kstats.withColumnRenamed("domain", "__kdom"),
+            totals["domain"].eqNullSafe(F.col("__kdom")),
+            "left",
+        )
         .select(
             "domain",
             "n_docs",
@@ -618,6 +639,9 @@ def _url_sql() -> str:
     qsfx = "[" + ", ".join(f"'{q}'" for q in _QSFX) + "]"
     return f"""
         SELECT doc_id,
+               CASE WHEN (hd // 19) % 29 = 0
+                    THEN 'urn:doc:' || CAST(doc_id // {URL_GROUP} AS VARCHAR)
+                    ELSE
                (CASE WHEN (hd // 5) % 3 = 0 THEN upper(scheme) ELSE scheme END)
                || '://'
                || {subs}[CAST(hd % 4 AS INTEGER) + 1]
@@ -631,7 +655,7 @@ def _url_sql() -> str:
                || (CASE WHEN (hd // 17) % 2 = 1 THEN '/' ELSE '' END)
                || {qsfx}[CAST((hd // 11) % 3 AS INTEGER) + 1]
                || (CASE WHEN (hd // 13) % 2 = 1 THEN '#sec' ELSE '' END)
-               AS url
+               END AS url
         FROM (
             SELECT doc_id, h, hd, h % 100 AS t,
                    CASE WHEN (h // 300) % 4 = 0 THEN 'https' ELSE 'http' END
@@ -714,17 +738,20 @@ ORACLE_SQL["docs_domain_cap"] = f"""
         SELECT doc_id, domain,
                row_number() OVER (PARTITION BY domain ORDER BY doc_id)
                AS rn
-        FROM c
+        FROM c WHERE domain IS NOT NULL
     )
     SELECT c.domain,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN r.rn <= {DOMAIN_CAP_K} THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN r.rn <= {DOMAIN_CAP_K} OR c.domain IS NULL
+                         THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_kept,
-           CAST(sum(CASE WHEN r.rn <= {DOMAIN_CAP_K} THEN c.doc_id
+           CAST(sum(CASE WHEN r.rn <= {DOMAIN_CAP_K} OR c.domain IS NULL
+                         THEN c.doc_id
                          ELSE 0 END) AS BIGINT) AS kept_id_sum,
-           CAST(max(CASE WHEN r.rn <= {DOMAIN_CAP_K} THEN c.doc_id
+           CAST(max(CASE WHEN r.rn <= {DOMAIN_CAP_K} OR c.domain IS NULL
+                         THEN c.doc_id
                          ELSE -1 END) AS BIGINT) AS max_kept_id
-    FROM c JOIN ranked r ON c.doc_id = r.doc_id
+    FROM c LEFT JOIN ranked r ON c.doc_id = r.doc_id
     GROUP BY c.domain
     ORDER BY c.domain
 """
@@ -740,7 +767,7 @@ def _web_disp_sql() -> str:
     textual-composition precedent)."""
     return f"""wcanon AS MATERIALIZED (
         SELECT doc_id, canonical_url, domain,
-               domain IN ({_BLOCK_IN}) AS blocked
+               coalesce(domain IN ({_BLOCK_IN}), FALSE) AS blocked
         FROM ({_canon_sql()}) cc0
     ),
     wkeepers AS (
@@ -757,13 +784,15 @@ def _web_disp_sql() -> str:
         SELECT doc_id,
                row_number() OVER (PARTITION BY domain ORDER BY doc_id)
                AS rn
-        FROM wflagged WHERE NOT blocked AND NOT is_dup
+        FROM wflagged
+        WHERE NOT blocked AND NOT is_dup AND domain IS NOT NULL
     ),
     wdisp AS (
         SELECT f.doc_id, f.domain,
                CASE WHEN f.blocked THEN 'blocked_domain'
                     WHEN f.is_dup THEN 'url_duplicate'
-                    WHEN r.rn IS NULL OR r.rn > {DOMAIN_CAP_K}
+                    WHEN (r.rn IS NULL OR r.rn > {DOMAIN_CAP_K})
+                         AND f.domain IS NOT NULL
                          THEN 'domain_capped'
                     ELSE 'kept' END AS disposition
         FROM wflagged f LEFT JOIN wranked r ON f.doc_id = r.doc_id
