@@ -3337,10 +3337,27 @@ IVFPQ_DELTA_MOD = 10
 #: reclaimed) on rebuild.
 _IVFPQ_DELTA_CACHE: dict[str, tuple] = {}
 
+#: live on-disk index dirs awaiting exit-time reclaim. ONE atexit hook
+#: iterates this set (registered lazily below); eviction removes the
+#: dir from the set when its rmtree runs, so a long-lived session
+#: cycling sf_dirs doesn't accumulate one finalizer per evicted
+#: tempdir (ADVICE r11).
+_IVFPQ_LIVE_DIRS: set[str] = set()
+_IVFPQ_ATEXIT_REGISTERED = False
+
+
+def _ivfpq_reap_live_dirs() -> None:
+    import shutil
+
+    for d in list(_IVFPQ_LIVE_DIRS):
+        shutil.rmtree(d, ignore_errors=True)
+    _IVFPQ_LIVE_DIRS.clear()
+
 
 def _ivfpq_delta_index(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
+    global _IVFPQ_ATEXIT_REGISTERED
     fp = _parquet_fingerprint(sf_dir, "embeddings")
     entry = _IVFPQ_DELTA_CACHE.get(sf_dir)
     if entry is None or entry[0] is not spark or entry[1] != fp:
@@ -3355,6 +3372,7 @@ def _ivfpq_delta_index(spark: SparkSession, sf_dir: str) -> str:
             # unlike the executor-side memo frames, a stale index is
             # real DISK under tempdir — reclaim it on eviction
             shutil.rmtree(stale[2], ignore_errors=True)
+            _IVFPQ_LIVE_DIRS.discard(stale[2])
         emb = _read_parallel(spark, sf_dir, "embeddings")
         base = emb.filter(F.col("vec_id") % IVFPQ_DELTA_MOD != 0)
         delta = emb.filter(F.col("vec_id") % IVFPQ_DELTA_MOD == 0)
@@ -3362,9 +3380,12 @@ def _ivfpq_delta_index(spark: SparkSession, sf_dir: str) -> str:
         # the index is real DISK: besides the eviction rmtree above,
         # reclaim it at normal process exit too — a long-lived session
         # cycling many sf_dirs must not leak tempdirs (ADVICE r10)
-        import atexit
+        _IVFPQ_LIVE_DIRS.add(d)
+        if not _IVFPQ_ATEXIT_REGISTERED:
+            import atexit
 
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
+            atexit.register(_ivfpq_reap_live_dirs)
+            _IVFPQ_ATEXIT_REGISTERED = True
         # quantizers derive from BASE ONLY (lowest-id seeds / default
         # codebooks of the base split), then freeze in meta.json
         similarity.ivfpq_index_write(base, d, n_centroids=ANN_IVF_CENTROIDS)

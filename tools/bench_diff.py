@@ -147,8 +147,21 @@ def main() -> int:
             if sched_factor > factor and (
                 n_sched <= o * ratio_bar or n_sched - o < abs_bar
             ):
-                sched_swings.append((n / max(o, 1e-9), q, o, n_raw, n_sched))
-                continue
+                # the sched-factor excuse must be CORROBORATED, not
+                # assumed (ADVICE r11): when an isolated median exists,
+                # the sched-corrected reading must also sit inside the
+                # isolated band — a genuine code regression in a
+                # multi-stage query landing in a round where the
+                # scheduling canaries also drifted would otherwise be
+                # auto-excused with no second signal. No isolated
+                # record → stays flagged as a regression (run
+                # bench.py --isolate to adjudicate).
+                iso_s = iso[q] / sched_factor if q in iso else None
+                if iso_s is not None and n_sched <= iso_s * 1.3 + abs_bar:
+                    sched_swings.append(
+                        (n / max(o, 1e-9), q, o, n_raw, n_sched, iso_s)
+                    )
+                    continue
             # a "regression" is shared-session scheduling interference
             # (not a code regression) only when the PAIR straddles the
             # query's isolated steady state (median ± the documented
@@ -185,10 +198,12 @@ def main() -> int:
         print(f"  swing {q}: {o:.2f}s -> {n * factor:.2f}s raw "
               f"/ {n:.2f}s corrected ({r:.1f}x) — within isolated "
               f"steady state {m:.2f}s (corrected), not a regression")
-    for r, q, o, n_raw, n_sched in sorted(sched_swings, reverse=True):
+    for r, q, o, n_raw, n_sched, iso_s in sorted(sched_swings, reverse=True):
         print(f"  sched-swing {q}: {o:.2f}s -> {n_raw:.2f}s raw "
               f"/ {n_sched:.2f}s sched-corrected ({r:.1f}x scan-corrected) "
-              f"— the multi-stage scheduling drift explains it")
+              f"— the multi-stage scheduling drift explains it, "
+              f"corroborated by isolated steady state {iso_s:.2f}s "
+              f"(sched-corrected)")
     # improvements get the SAME correction — under a 0.75x uniformly
     # faster VM nearly everything would read "improved" otherwise
     improvements = [
