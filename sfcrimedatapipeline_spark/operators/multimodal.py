@@ -805,52 +805,57 @@ def perceptual_contamination(
     algorithm: str = "dhash",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """PERCEPTUAL train/eval contamination (VERDICT r9 #6): directed
-    ``(eval_id, train_id, hamming)`` pairs where an eval image has a
+    """PERCEPTUAL train/eval contamination (VERDICT r9 #6): one row
+    per CONTAMINATED eval item — ``(eval_id, n_train_matches,
+    best_hamming, best_train_id)`` where the eval image has a
     re-encoded/near-identical twin (hamming ≤ max_hamming) in the
     training corpus — the image-side member of the contamination
     family beside the lexical detectors and contamination_semantic's
     embedding pass, which a re-encoded image escapes entirely (no
-    text, different bytes).
+    text, different bytes). ``n_train_matches`` counts train
+    DOCUMENTS (not distinct images); ``best_*`` is the lexicographic
+    min over (hamming, train_id) — the closest twin, lowest id on
+    ties.
 
-    Delta-vs-corpus SHAPE (the embedding_contamination_lsh
-    discipline): both sides hash independently (Arrow mapInPandas, no
-    shuffle), the train side collapses to DISTINCT hashes before the
-    band join, and candidates only ever pair eval-band × train-band
-    rows — the eval set never triggers a train×train pass, and recall
-    is EXACT for hamming ≤ 3 by the 4-band pigeonhole. Each colliding
-    (eval, train-hash) pair survives exactly one band row (the
-    first-matching-band rule), then expands to train documents through
-    one hash-keyed member join — zero arithmetic on expanded rows.
-
-    Scale ceiling (SCALE_PROBE_r11_100x): on multiplicity-REALISTIC
-    growth the cost is sublinear (3.0x at 10x unique data), but under
-    duplicate-heavy media (the probe's 100 byte-identical copies) the
-    trend bends SUPERLINEAR — the report's own output is quadratic in
-    copy multiplicity (every eval copy × every train member of the
-    matched hash), and the timed-out 100x row is dominated by that
-    expansion plus the linear 100x decode. A corpus with heavy exact
-    duplication should run exact perceptual-hash dedup
-    (:func:`dedup_perceptual`) on BOTH splits first; the detector's
-    distinct-hash band join is already multiplicity-immune, only the
-    member expansion is not.
+    Multiplicity-proof SHAPE (VERDICT r11 #2): both sides hash
+    independently (Arrow mapInPandas, no shuffle), then BOTH collapse
+    to DISTINCT perceptual hashes with multiplicity carried as
+    weights (count + min doc_id per hash) BEFORE the band join. The
+    banded Hamming pass therefore pairs distinct-hash × distinct-hash
+    rows only — recall is EXACT for hamming ≤ 3 by the 4-band
+    pigeonhole, and each colliding hash pair survives exactly one
+    band row (the first-matching-band rule). Per-eval-hash counts are
+    the SUM of matched train-hash weights (≡ the member-level count,
+    since every member of a train hash sits at the same hamming), and
+    the member-level best (hamming, train_id) min equals the min over
+    hash-level (hamming, min_train_id) structs. The only expansion is
+    ONE hash-keyed join back to eval members — output bounded by
+    |eval|, intermediate work by distinct-hash pairs, so 100
+    byte-identical copies of an image (the duplicate-heavy shape of
+    real crawls — SCALE_PROBE_r11_100x timed out on the quadratic
+    member×member expansion this replaces) cost 100× decode and
+    nothing more.
     """
     ph_e = perceptual_hashes(eval_media, method, algorithm)
     ph_t = perceptual_hashes(train_media, method, algorithm)
     band_ints = _band_ints()
-    be = ph_e.select(
-        F.col("doc_id").alias("eval_id"),
-        band_ints.alias("bints_e"),
-        F.posexplode(band_ints).alias("band_idx", "band_val"),
+    gt = ph_t.groupBy("phash").agg(
+        F.count("*").alias("__n_train"),
+        F.min("doc_id").alias("__min_train_id"),
     )
-    bt = (
-        ph_t.select("phash")
+    be = (
+        ph_e.select("phash")
         .distinct()
         .select(
-            F.col("phash").alias("ph_t"),
-            band_ints.alias("bints_t"),
+            F.col("phash").alias("ph_e"),
+            band_ints.alias("bints_e"),
             F.posexplode(band_ints).alias("band_idx", "band_val"),
         )
+    )
+    bt = gt.select(
+        F.col("phash").alias("ph_t"),
+        band_ints.alias("bints_t"),
+        F.posexplode(band_ints).alias("band_idx", "band_val"),
     )
     ham = (
         "aggregate(zip_with(bints_e, bints_t, (x, y) -> bit_count(x ^ y)), "
@@ -859,14 +864,27 @@ def perceptual_contamination(
     hits = (
         be.join(bt, ["band_idx", "band_val"])
         .filter(_no_earlier_band("bints_e", "bints_t"))
-        .select("eval_id", "ph_t", F.expr(ham).cast("int").alias("hamming"))
+        .select("ph_e", "ph_t", F.expr(ham).cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
-    members_t = ph_t.select(
-        F.col("phash").alias("ph_t"), F.col("doc_id").alias("train_id")
+    best = F.min(F.struct(F.col("hamming"), F.col("__min_train_id")))
+    per_hash = (
+        hits.join(gt.select(F.col("phash").alias("ph_t"),
+                            "__n_train", "__min_train_id"), "ph_t")
+        .groupBy("ph_e")
+        .agg(
+            F.sum("__n_train").cast("long").alias("n_train_matches"),
+            best.getField("hamming").cast("int").alias("best_hamming"),
+            best.getField("__min_train_id").cast("long").alias("best_train_id"),
+        )
     )
-    return hits.join(members_t, "ph_t").select(
-        "eval_id", "train_id", "hamming"
+    return ph_e.join(
+        per_hash, ph_e["phash"] == per_hash["ph_e"]
+    ).select(
+        F.col("doc_id").alias("eval_id"),
+        "n_train_matches",
+        "best_hamming",
+        "best_train_id",
     )
 
 

@@ -690,31 +690,23 @@ def _media_eval_twins(docs: DataFrame) -> DataFrame:
 def media_contamination_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which eval images have a re-encoded twin in the training
     corpus? (operators/multimodal.py:perceptual_contamination —
-    delta-vs-corpus banded Hamming pairing across the split; eval
-    never triggers a train×train pass). Report shape: ONE row per
-    CONTAMINATED eval item — match count plus the best (lowest-
-    hamming, lowest-id) train twin via struct-min — so the output is
-    bounded by |eval| regardless of how promiscuous the perceptual
-    space is (the raw pair list reads 178k rows at sf0.1 on this
-    fixture's heavily-colliding byte-images)."""
+    banded Hamming pairing over DISTINCT perceptual hashes with
+    multiplicity weights on both splits, VERDICT r11 #2; eval never
+    triggers a train×train pass and duplicate-heavy media never goes
+    quadratic). Report shape: ONE row per CONTAMINATED eval item —
+    train-document match count plus the best (lowest-hamming,
+    lowest-id) train twin — so the output is bounded by |eval|
+    regardless of how promiscuous the perceptual space is (the raw
+    pair list reads 178k rows at sf0.1 on this fixture's
+    heavily-colliding byte-images)."""
     docs = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
-    pairs = mm.perceptual_contamination(
+    return mm.perceptual_contamination(
         _media_eval_twins(docs),
         mm.synthesize_media(docs),
         method="bytes",
         algorithm="dhash",
         max_hamming=3,
-    )
-    best = F.min(F.struct(F.col("hamming"), F.col("train_id")))
-    return (
-        pairs.groupBy("eval_id")
-        .agg(
-            F.count("*").cast("long").alias("n_train_matches"),
-            best.getField("hamming").cast("int").alias("best_hamming"),
-            best.getField("train_id").cast("long").alias("best_train_id"),
-        )
-        .orderBy("eval_id")
-    )
+    ).orderBy("eval_id")
 
 
 QUERIES["media_contamination_perceptual"] = media_contamination_perceptual

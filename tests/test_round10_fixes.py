@@ -246,7 +246,8 @@ def test_perceptual_contamination_finds_planted_reencoded_twin(spark):
     ).collect()
     assert len(got) == 1
     r = got[0]
-    assert (r.eval_id, r.train_id) == (1000, 0) and r.hamming <= 3
+    assert (r.eval_id, r.best_train_id) == (1000, 0)
+    assert r.best_hamming <= 3 and r.n_train_matches == 1
     # and the twin's raw bytes differ from the source's (md5-exact
     # dedup would NOT have caught this pair)
     payloads = {row.doc_id: bytes(row.payload) for row in train.collect()}

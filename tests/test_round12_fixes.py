@@ -52,6 +52,44 @@ def test_gate_rejects_stray_flag_as_name():
     assert "ALL MATCH" not in proc.stdout
 
 
+def test_perceptual_contamination_multiplicity_weights(spark):
+    """VERDICT r11 #2: duplicate-heavy media must NOT expand
+    quadratically — both splits collapse to distinct perceptual
+    hashes with multiplicity weights before the band join. 12
+    byte-identical train copies of the eval twin's source must yield
+    ONE report row whose count carries the full weight (12) and whose
+    best twin is the lowest train id."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.operators import multimodal as mm
+
+    text0 = "the quick brown fox jumps over the lazy dog " * 4
+    base = mm.synthesize_media(
+        spark.createDataFrame([(0, text0)], "doc_id long, text string")
+    )
+    # 12 BYTE-IDENTICAL train copies (same payload AND meta, new ids)
+    train = base.crossJoin(spark.range(12)).select(
+        (F.col("id") * 3).alias("doc_id"), "media_type", "payload", "meta"
+    )
+    twin_docs = spark.createDataFrame(
+        [(0, "x" + text0[1:])], "doc_id long, text string"
+    )
+    eval_media = mm.synthesize_media(twin_docs).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        "media_type",
+        "payload",
+        "meta",
+    )
+    got = mm.perceptual_contamination(
+        eval_media, train, method="bytes", algorithm="dhash", max_hamming=3
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.eval_id == 1000
+    assert r.n_train_matches == 12
+    assert r.best_train_id == 0 and r.best_hamming <= 3
+
+
 def test_gate_zero_queries_exits_nonzero():
     """Backstop: even if the registry itself were empty (zero queries
     actually ran), the gate must exit non-zero, not print ALL MATCH."""
