@@ -536,12 +536,47 @@ def main() -> int:
             print(f"✗ {name:30s} {rec['findings']}")
         spark.catalog.clearCache()
     n_exec = sum(v.get("exchanges", 0) for v in out.values())
+    # codegen-fallback category (VERDICT r11 #1): a plan that LOOKS
+    # perfect but whose generated code fails to compile runs
+    # interpreted — invisible to this static sweep. The execution-side
+    # detector (tools/codegen_audit.py, fallback=false run) publishes
+    # CODEGEN_AUDIT.json; merge its findings here so a compile failure
+    # flags the query in THIS artifact, and a missing/stale detector
+    # run is visible rather than silently read as "all compiled".
+    cg_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CODEGEN_AUDIT.json",
+    )
+    codegen: dict = {"artifact": "CODEGEN_AUDIT.json"}
+    try:
+        with open(cg_path) as fh:
+            cg = json.load(fh)
+        codegen.update(
+            sf_dir=cg.get("sf_dir"),
+            n_queries=cg.get("n_queries"),
+            n_failures=cg.get("n_failures"),
+            failures=cg.get("failures", {}),
+            covers_current_surface=cg.get("n_queries") == len(e.queries()),
+        )
+        for q, err in cg.get("failures", {}).items():
+            if q in out:
+                out[q]["findings"].append("codegen_fallback")
+                out[q]["codegen_error"] = err
+                if q not in bad:
+                    bad.append(q)
+                    print(f"✗ {q:30s} ['codegen_fallback']")
+    except (OSError, json.JSONDecodeError):
+        codegen["missing"] = (
+            "no CODEGEN_AUDIT.json — run tools/codegen_audit.py; the "
+            "static sweep cannot see interpreted fallbacks"
+        )
     summary = {
         "sf_dir": SF_DIR,
         "n_queries": len(out),
         "n_flagged": len(bad),
         "flagged": bad,
         "total_exchanges": n_exec,
+        "codegen": codegen,
         "queries": out,
     }
     if not ONLY:

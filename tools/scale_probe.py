@@ -13,12 +13,15 @@ Two scale-up modes (the ``mode`` field in the artifact names which ran):
 
 - ``unique`` (default): every copy's text/vectors are DETERMINISTICALLY
   PERTURBED so copies are not near-duplicates of each other — each
-  document's tokens get a per-copy suffix (which preserves WITHIN-copy
-  token/shingle Jaccard exactly, so the organic duplicate structure of
-  sf0.1 replicates per copy: duplicate-group COUNT grows 10x, group
-  SIZE stays constant — realistic corpus growth), and each embedding
-  gets per-copy pseudo-random sign flips (cosine across copies ~0,
-  within-copy geometry exactly preserved). This separates data growth
+  document's text goes through a per-copy a-z bijection plus a
+  per-copy token suffix (which preserves WITHIN-copy token/shingle
+  Jaccard exactly, so the organic duplicate structure of sf0.1
+  replicates per copy: duplicate-group COUNT grows 10x, group SIZE
+  stays constant — realistic corpus growth; and because the bijection
+  perturbs every BYTE, the media twins synthesized from text get
+  copy-distinct perceptual hashes too — VERDICT r11 #5), and each
+  embedding gets per-copy pseudo-random sign flips (cosine across
+  copies ~0, within-copy geometry exactly preserved). This separates data growth
   from pair-multiplicity growth — the question the probe exists to
   answer (r6 re-read the 8.3x minhash ratio as quadratic pair blow-up
   inside 10x-multiplied duplicate groups, which the replicate mode
@@ -175,6 +178,22 @@ PROBE_QUERIES = [
 ]
 
 
+_ABC = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _copy_letter_perm(i: int) -> str:
+    """Deterministic per-copy permutation of a-z (md5-seeded
+    Fisher-Yates — no Python hash()/random, stable across runs)."""
+    import hashlib
+
+    letters = list(_ABC)
+    seed = hashlib.md5(f"probe-copy-{i}".encode()).digest() * 4
+    for j in range(25, 0, -1):
+        k = seed[25 - j] % (j + 1)
+        letters[j], letters[k] = letters[k], letters[j]
+    return "".join(letters)
+
+
 def build_scaled(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -195,12 +214,35 @@ def build_scaled(spark) -> None:
                 c = c.withColumn(col, F.col(col) + F.lit(i * off))
             if MODE == "unique" and i > 0:
                 if table == "documents":
-                    # suffix every token with a per-copy tag: within-copy
-                    # shingle Jaccard is exactly preserved (every doc in
-                    # copy i shifts identically), cross-copy Jaccard = 0
+                    # per-copy letter BIJECTION (md5-seeded permutation
+                    # of a-z) + per-copy token suffix. The bijection
+                    # perturbs every payload BYTE, so the media twins
+                    # synthesized from text (payload = utf8(text)) get
+                    # copy-distinct perceptual hashes — the r11 100x
+                    # probe showed a constant suffix alone is washed
+                    # out by the dHash downsample, leaving 100
+                    # hash-identical copies (a replicate-mode stress,
+                    # VERDICT r11 #5); measured residual cross-copy
+                    # near-collisions ~1% of pairs, realistic density.
+                    # Within-copy duplicate structure is EXACTLY
+                    # preserved (a bijective char map + uniform suffix
+                    # keep token/shingle equality), cross-copy token
+                    # Jaccard ~0. Texts are single-space separated
+                    # (verified over sf0.1), so split/concat_ws ' '
+                    # round-trips whitespace losslessly.
+                    perm = _copy_letter_perm(i)
                     c = c.withColumn(
                         "text",
-                        F.regexp_replace(F.col("text"), r"(\S+)", rf"$1q{i}"),
+                        F.concat_ws(
+                            " ",
+                            F.transform(
+                                F.split(
+                                    F.translate(F.col("text"), _ABC, perm),
+                                    " ",
+                                ),
+                                lambda t: F.concat(t, F.lit(f"q{i}")),
+                            ),
+                        ),
                     ).withColumn("n_chars", F.length("text"))
                 elif table == "embeddings":
                     # per-copy pseudo-random sign flips: within-copy dot
@@ -338,8 +380,11 @@ def main() -> None:
         ),
         "vocab_axis": vocab,
         "uniqueness": (
-            "per-copy token suffix on documents.text (within-copy Jaccard "
-            "preserved, cross-copy 0) + per-copy sign flips on embeddings "
+            "per-copy a-z bijection + token suffix on documents.text "
+            "(within-copy Jaccard preserved, cross-copy ~0; media "
+            "payloads synthesized from text are byte-perturbed per "
+            "copy, so perceptual-hash multiplicity stays realistic — "
+            "VERDICT r11 #5) + per-copy sign flips on embeddings "
             "(within-copy geometry preserved, cross-copy cosine ~0)"
             if MODE == "unique"
             else "byte-identical copies — 10x duplicate-multiplicity stress"
