@@ -172,6 +172,47 @@ def with_pii_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def collapse_token_runs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition scrub (the Dolma/C4 intra-doc pass
+    the cross-doc dedup family cannot do): collapse every run of
+    CONSECUTIVE identical tokens to a single occurrence ("the the
+    the" → "the") and rebuild the text in order. Emits ``df`` +
+    ``n_tokens`` (before) / ``n_kept`` / ``clean_text``.
+
+    Pure higher-order array expressions — the positional filter keeps
+    token i iff it differs from token i-1 (CaseWhen guards the i=0
+    probe lazily, so ``element_at`` never sees index 0) — one
+    codegen'd projection, no shuffle, no UDF, linear per row; at
+    100 TB this is a free rider on any scan that already reads the
+    text column."""
+    toks = tokens(F.col(text_col))
+    d = df.withColumn("__tk", toks)
+    kept = F.filter(
+        F.col("__tk"),
+        lambda t, i: F.when(i == 0, F.lit(True)).otherwise(
+            t != F.element_at(F.col("__tk"), i)
+        ),
+    )
+    return (
+        d.withColumn("n_tokens", F.size("__tk").cast("long"))
+        .withColumn("__kept", kept)
+        .withColumn("n_kept", F.size("__kept").cast("long"))
+        .withColumn("clean_text", F.concat_ws(" ", F.col("__kept")))
+        .drop("__tk", "__kept")
+    )
+
+
+def has_blocked_word(toks: Column, words: list[str]) -> Column:
+    """True iff any token (exact, lowercased) is in ``words`` — the
+    C4 "bad-word list" document gate (the public pipeline drops any
+    page with one listed word; the list here is a neutral stand-in).
+    ``arrays_overlap`` against a literal array — broadcast by
+    construction, codegen'd, no shuffle."""
+    return F.arrays_overlap(toks, F.array(*[F.lit(w) for w in words]))
+
+
 #: winnowing defaults: k-char grams, window of w consecutive gram hashes
 WINNOW_K, WINNOW_W = 8, 4
 

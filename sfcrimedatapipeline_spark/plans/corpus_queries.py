@@ -2549,3 +2549,150 @@ ORACLE_SQL["graph_dup_degree_distribution"] = f"""
     SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
     FROM deg GROUP BY 1 ORDER BY degree
 """
+
+
+# ------------------------------------------------------------- round 12
+def docs_collapse_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scrub (operators/textstats.py:
+    collapse_token_runs — the Dolma/C4 intra-doc pass): collapse runs
+    of consecutive identical tokens and report, per document, the
+    before/after token counts plus an md5 digest of the rebuilt text
+    (the digest pins the TRANSFORM, not just its arithmetic). One
+    codegen'd projection over the documents scan — no shuffle."""
+    d = textstats.collapse_token_runs(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_kept",
+        F.md5(F.col("clean_text")).alias("clean_digest"),
+    ).orderBy("doc_id")
+
+
+QUERIES["docs_collapse_token_runs"] = docs_collapse_token_runs
+
+ORACLE_SQL["docs_collapse_token_runs"] = f"""
+    WITH tok AS (
+        SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(tk, (x, i) -> i = 1 OR tk[i - 1] <> x))
+                AS BIGINT) AS n_kept,
+           md5(array_to_string(
+               list_filter(tk, (x, i) -> i = 1 OR tk[i - 1] <> x), ' '
+           )) AS clean_digest
+    FROM tok ORDER BY doc_id
+"""
+
+
+#: rank-ensemble selection: how many documents to keep per source
+ENSEMBLE_TOP_K = 5
+#: integer scale for the ratio signals (exact div on both engines)
+ENSEMBLE_SCALE = 1_000_000
+
+
+def docs_quality_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-ensemble quality selection (the ensemble-of-weak-signals
+    data-selection recipe, integer-exact by construction): within each
+    source, rank documents by three signals — token volume, lexical
+    diversity (distinct/total tokens, scaled integer div), and mean
+    token length (chars-sans-spaces/tokens, scaled) — sum the three
+    row_number ranks (ties broken by doc_id, so every rank is
+    deterministic), and keep the ENSEMBLE_TOP_K best (lowest rank sum;
+    doc_id tiebreak). Rank composition sidesteps the z-score
+    float-determinism trap entirely: every number in the pipeline is a
+    BIGINT.
+
+    Scale shape: one projection computes all three signals in a single
+    pass over the text column; three source-partitioned row_number
+    windows + one final top-k window — skew bounded by source
+    cardinality, the same envelope as docs_top_fraction_per_source."""
+    from pyspark.sql import Window
+
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("__tk", tokens(F.col("text")))
+        .select(
+            "doc_id",
+            "source",
+            F.size("__tk").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("__tk")).cast("long").alias("__nd"),
+            F.length(F.regexp_replace(F.col("text"), " ", ""))
+            .cast("long")
+            .alias("__nc"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        # exact BIGINT floor division on both engines (Spark `div`,
+        # DuckDB `//`) — no float division anywhere in the pipeline
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"(__nd * {ENSEMBLE_SCALE}L) div n_tokens").alias(
+                "diversity"
+            ),
+            F.expr(f"(__nc * {ENSEMBLE_SCALE}L) div n_tokens").alias(
+                "mean_len"
+            ),
+        )
+    )
+    ranked = d
+    for sig in ("n_tokens", "diversity", "mean_len"):
+        w = Window.partitionBy("source").orderBy(
+            F.col(sig).desc(), F.col("doc_id").asc()
+        )
+        ranked = ranked.withColumn(f"__r_{sig}", F.row_number().over(w))
+    ranked = ranked.withColumn(
+        "rank_sum",
+        (
+            F.col("__r_n_tokens") + F.col("__r_diversity") + F.col("__r_mean_len")
+        ).cast("long"),
+    )
+    wtop = Window.partitionBy("source").orderBy(
+        F.col("rank_sum").asc(), F.col("doc_id").asc()
+    )
+    return (
+        ranked.withColumn("__pick", F.row_number().over(wtop))
+        .filter(F.col("__pick") <= ENSEMBLE_TOP_K)
+        .select("source", "doc_id", "rank_sum", "n_tokens")
+        .orderBy("source", "doc_id")
+    )
+
+
+QUERIES["docs_quality_rank_ensemble"] = docs_quality_rank_ensemble
+
+ORACLE_SQL["docs_quality_rank_ensemble"] = f"""
+    WITH sig AS (
+        SELECT doc_id, source,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(tk)) * {ENSEMBLE_SCALE} // len(tk)
+                    AS BIGINT) AS diversity,
+               CAST(length(replace(text, ' ', '')) * {ENSEMBLE_SCALE}
+                    // len(tk) AS BIGINT) AS mean_len
+        FROM (SELECT doc_id, source, text, {SQL_TOKENS} AS tk
+              FROM documents) t
+        WHERE len(tk) > 0
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY n_tokens DESC, doc_id) AS r1,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY diversity DESC, doc_id) AS r2,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY mean_len DESC, doc_id) AS r3
+        FROM sig
+    ),
+    summed AS (
+        SELECT source, doc_id, CAST(r1 + r2 + r3 AS BIGINT) AS rank_sum,
+               n_tokens,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY r1 + r2 + r3, doc_id) AS pick
+        FROM ranked
+    )
+    SELECT source, doc_id, rank_sum, n_tokens
+    FROM summed WHERE pick <= {ENSEMBLE_TOP_K}
+    ORDER BY source, doc_id
+"""

@@ -1052,3 +1052,129 @@ def _web_e2e_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_web_e2e"] = _web_e2e_oracle_sql()
+
+
+# ------------------------------------------------------------- round 12
+#: the C4-style "bad word" document gate's list — a neutral stand-in
+#: for the public LDNOOBW list (this synthetic corpus carries no
+#: actual profanity); shared verbatim with the oracle
+WORD_BLOCKLIST = ["slow", "vector"]
+
+
+def docs_word_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 bad-word rule as a per-source triage report: a document
+    containing ANY listed token (exact, lowercased) drops. Report =
+    per source, total docs, blocked count, blocked-id checksum (pins
+    the blocked SET), and kept count — the partition contract of the
+    other curation gates.
+
+    Scale shape: ``arrays_overlap`` against a literal array inside one
+    codegen'd projection (operators/textstats.py:has_blocked_word) —
+    the 100 TB cost is the text scan it shares with every other gate;
+    the aggregate is a map-side-combined groupBy on the source key."""
+    from sfcrimedatapipeline_spark.functions.text import tokens
+
+    d = _docs(spark, sf_dir).withColumn(
+        "__blocked",
+        textstats.has_blocked_word(tokens(F.col("text")), WORD_BLOCKLIST),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("__blocked").cast("long")).cast("long").alias(
+                "n_blocked"
+            ),
+            F.sum(
+                F.when(F.col("__blocked"), F.col("doc_id")).otherwise(0)
+            ).cast("long").alias("blocked_id_sum"),
+        )
+        .withColumn("n_kept", (F.col("n_docs") - F.col("n_blocked")).cast("long"))
+        .orderBy("source")
+    )
+
+
+QUERIES["docs_word_blocklist"] = docs_word_blocklist
+
+_BLOCK_WORDS_SQL = ", ".join(f"'{w}'" for w in WORD_BLOCKLIST)
+
+ORACLE_SQL["docs_word_blocklist"] = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_has_any({SQL_TOKENS}, [{_BLOCK_WORDS_SQL}]) AS blocked
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blocked,
+           CAST(sum(CASE WHEN blocked THEN doc_id ELSE 0 END) AS BIGINT)
+               AS blocked_id_sum,
+           CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_kept
+    FROM t GROUP BY source ORDER BY source
+"""
+
+
+#: eval split for URL-level decontamination: doc_id ≡ 7 (mod 10)
+URL_EVAL_MOD, URL_EVAL_REM = 10, 7
+
+
+def docs_url_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level decontamination — the cheapest member of the
+    decontamination family (beside the n-gram/semantic/Bloom passes):
+    an eval document is contaminated when its CANONICAL URL also
+    appears in the training split, i.e. the same page was crawled into
+    both sides under cosmetic URL variants. One row per contaminated
+    eval doc: train copy count + the earliest train twin.
+
+    Scale shape: the train side collapses to one row per canonical
+    URL (map-side-combined groupBy on the short key) before the join;
+    a deployment's eval set is tiny relative to the corpus, so the
+    join broadcasts the EVAL side — at this fixture's scale Spark
+    picks the strategy, the key stays the bounded canonical string
+    either way."""
+    d = _with_url(_docs(spark, sf_dir)).withColumn(
+        "curl", url_ops.canonical_url(F.col("url"))
+    )
+    is_eval = F.pmod(F.col("doc_id"), F.lit(URL_EVAL_MOD)) == URL_EVAL_REM
+    ev = d.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "curl"
+    )
+    tr = (
+        d.filter(~is_eval)
+        .groupBy("curl")
+        .agg(
+            F.count("*").cast("long").alias("n_train_copies"),
+            F.min("doc_id").cast("long").alias("min_train_id"),
+        )
+    )
+    return (
+        ev.join(tr, "curl")
+        .select("eval_id", "n_train_copies", "min_train_id")
+        .orderBy("eval_id")
+    )
+
+
+QUERIES["docs_url_decontamination"] = docs_url_decontamination
+
+ORACLE_SQL["docs_url_decontamination"] = f"""
+    WITH u AS MATERIALIZED ({_url_sql()}),
+    c AS MATERIALIZED (
+        SELECT doc_id, canonical_url FROM ({_canon_sql()}) cc
+    ),
+    ev AS (
+        SELECT doc_id AS eval_id, canonical_url
+        FROM c WHERE doc_id % {URL_EVAL_MOD} = {URL_EVAL_REM}
+    ),
+    tr AS (
+        SELECT canonical_url,
+               CAST(count(*) AS BIGINT) AS n_train_copies,
+               CAST(min(doc_id) AS BIGINT) AS min_train_id
+        FROM c WHERE doc_id % {URL_EVAL_MOD} <> {URL_EVAL_REM}
+        GROUP BY canonical_url
+    )
+    SELECT eval_id, n_train_copies, min_train_id
+    FROM ev JOIN tr USING (canonical_url)
+    ORDER BY eval_id
+"""

@@ -120,3 +120,61 @@ def test_gate_zero_queries_exits_nonzero():
     assert proc.returncode == 2, proc.stdout + proc.stderr
     assert "zero queries ran" in proc.stdout
     assert "ALL MATCH" not in proc.stdout
+
+
+# ------------------------------------------- round-12 surface additions
+def test_collapse_token_runs_semantics(spark):
+    from sfcrimedatapipeline_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a a b b a"), (2, "x x x"), (3, "no runs here"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in textstats.collapse_token_runs(df).collect()
+    }
+    assert rows[1].clean_text == "a b a" and rows[1].n_kept == 3
+    assert rows[2].clean_text == "x" and rows[2].n_tokens == 3
+    assert rows[3].clean_text == "no runs here"
+    assert rows[4].clean_text == "" and rows[4].n_tokens == 0
+
+
+def test_has_blocked_word_exact_token_match(spark):
+    """The C4 gate matches whole tokens only — 'slowly' must NOT
+    trigger the 'slow' entry (substring matching is the classic
+    blocklist false-positive)."""
+    from pyspark.sql import functions as F
+
+    from sfcrimedatapipeline_spark.functions.text import tokens
+    from sfcrimedatapipeline_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a slow query"), (2, "moving slowly"), (3, "SLOW caps")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id",
+            textstats.has_blocked_word(
+                tokens(F.col("text")), ["slow"]
+            ).alias("b"),
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: True}  # tokens() lowercases
+
+
+def test_url_decontamination_finds_cross_split_twin(spark):
+    """Two cosmetic variants of one URL split across eval/train must
+    pair; a train-only URL must not produce an eval row."""
+    from sfcrimedatapipeline_spark.plans import curation
+
+    rows = curation.docs_url_decontamination(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.eval_id % curation.URL_EVAL_MOD == curation.URL_EVAL_REM
+        assert r.n_train_copies >= 1
+        assert r.min_train_id % curation.URL_EVAL_MOD != curation.URL_EVAL_REM
