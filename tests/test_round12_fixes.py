@@ -178,3 +178,25 @@ def test_url_decontamination_finds_cross_split_twin(spark):
         assert r.eval_id % curation.URL_EVAL_MOD == curation.URL_EVAL_REM
         assert r.n_train_copies >= 1
         assert r.min_train_id % curation.URL_EVAL_MOD != curation.URL_EVAL_REM
+
+
+def test_web_curation_codegen_compiles_after_clearcache(spark):
+    """VERDICT r11 #1: the planted-url expression inlined into every
+    canonicalizer reference grew web_dispositions' generated method
+    past the JVM's 64 KB limit — Janino refused, Spark silently ran
+    interpreted (the r11 driver bench tail). The fix materializes the
+    planted frame behind a localCheckpoint barrier (plans/curation.py:
+    _url_docs). fallback=false turns any regression back into a hard
+    error; clearCache() first proves the barrier survives the gate's
+    between-query cache clears (an SQL-cache barrier would vanish)."""
+    from sfcrimedatapipeline_spark.plans import curation
+
+    spark.catalog.clearCache()
+    old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        curation.docs_web_curation(
+            spark, "/root/testdata/sf0.001"
+        ).write.mode("overwrite").format("noop").save()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
