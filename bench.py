@@ -58,7 +58,7 @@ WARM_SF_DIR = "/root/testdata/sf0.001"
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 REPO = os.path.dirname(os.path.abspath(__file__))
 FULL_OUT = os.environ.get(
-    "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "BENCH_FULL_r11.json")
+    "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "BENCH_FULL_r12.json")
 )
 
 #: Correctness-gate-only entries excluded from the bench: their wall
