@@ -175,6 +175,18 @@ PROBE_QUERIES = [
     "docs_domain_cap",
     "media_contamination_perceptual",
     "ann_ivfpq_index_delta",
+    # round-12 additions: the intra-doc scrub + bad-word gate (pure
+    # projections — expect ≈ linear), URL decontamination (short-key
+    # join, eval-bounded output), rank-ensemble selection (source-
+    # partitioned windows), and the composed CCNet chain + any-offset
+    # substring dedup (the steepest r11 rows, re-probed per VERDICT
+    # r11 #6)
+    "docs_collapse_token_runs",
+    "docs_word_blocklist",
+    "docs_url_decontamination",
+    "docs_quality_rank_ensemble",
+    "docs_substring_dedup",
+    "corpus_ccnet_e2e",
 ]
 
 
