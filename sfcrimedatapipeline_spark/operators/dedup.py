@@ -1459,7 +1459,16 @@ def substring_dedup_corpus(
             F.struct(F.col(id_col).alias("d"), F.col("s").alias("fs"))
         ).alias("__first")
     )
-    nonfirst = wins.join(firsts, "__fp").filter(
+    # ``firsts`` is CORPUS-sized by construction (one row per distinct
+    # fingerprint — linear in corpus tokens), so it must NEVER be the
+    # broadcast side regardless of what AQE's compressed-size estimate
+    # says: at ~sf10 the 22.5M-row aggregate slipped under the 64 MB
+    # threshold compressed, and every task then tried to deserialize a
+    # 1 GiB UnsafeHashedRelation (SparkOutOfMemoryError, the r12 100×
+    # probe). shuffle_hash keeps the join hash-partitioned with a
+    # per-partition build — md5 keys are uniform, no skew — and the
+    # same holds for ``covered`` (duplicated-token-cardinality) below.
+    nonfirst = wins.join(firsts.hint("shuffle_hash"), "__fp").filter(
         (F.col(id_col) != F.col("__first.d")) | (F.col("s") != F.col("__first.fs"))
     )
     covered = nonfirst.select(
@@ -1467,7 +1476,7 @@ def substring_dedup_corpus(
         F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))).alias("p"),
     ).distinct()
     tokrows = base.select(F.col(id_col), F.posexplode("__toks").alias("p", "__tok"))
-    kept = tokrows.join(covered, [id_col, "p"], "left_anti")
+    kept = tokrows.join(covered.hint("shuffle_hash"), [id_col, "p"], "left_anti")
     per_doc = kept.groupBy(id_col).agg(
         F.count("*").cast("int").alias("__n_kept"),
         F.array_join(
