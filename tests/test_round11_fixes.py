@@ -113,9 +113,12 @@ def test_ids_to_str_parity_with_sql_twin(spark):
 def test_bench_diff_scheduling_shift_produces_zero_flags(tmp_path):
     """A synthetic SCHEDULING-ONLY drift (multi-stage queries 2x,
     pure scans flat — the BASELINE.md round-10 drift mode) must
-    produce zero REGRESSION flags; a genuine single-query regression
-    with flat canaries must still flag."""
+    produce zero REGRESSION flags WHEN the isolated record corroborates
+    it (ADVICE r11: the sched-factor excuse requires a second signal);
+    without an isolated record the flag must STAY; a genuine
+    single-query regression with flat canaries must still flag."""
     import json
+    import os
     import subprocess
     import sys
 
@@ -130,22 +133,43 @@ def test_bench_diff_scheduling_shift_produces_zero_flags(tmp_path):
     old_p, new_p = tmp_path / "old.json", tmp_path / "new.json"
     old_p.write_text(json.dumps({"queries": base}))
     new_p.write_text(json.dumps({"queries": shifted}))
+    # isolated medians recorded in the CURRENT (drifted) environment
+    # read at the drifted level — the corroborating second signal
+    iso_p = tmp_path / "iso.json"
+    iso_p.write_text(json.dumps({
+        "mode": "isolate", "sf": 0.1,
+        "queries": {q: {"median": shifted[q], "samples": [shifted[q]],
+                        "reps": 1}
+                    for q in [*bd.SCHED_CANARIES, "multi_stage_q"]},
+    }))
+    env = {**os.environ, "SPARK_GRAFT_ISOLATED": str(iso_p)}
     repo_root = bd.__file__.rsplit("/tools/", 1)[0]
     r = subprocess.run(
         [sys.executable, bd.__file__, str(old_p), str(new_p)],
-        capture_output=True, text=True, cwd=repo_root,
+        capture_output=True, text=True, cwd=repo_root, env=env,
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "REGRESSION" not in r.stdout
     assert "sched-swing multi_stage_q" in r.stdout
 
-    # genuine regression, ALL canaries flat -> must still flag
+    # same drift, NO isolated record for the flagged query -> the
+    # sched-factor excuse is uncorroborated and the flag must stay
+    env_empty = {**os.environ, "SPARK_GRAFT_ISOLATED": str(tmp_path / "none.json")}
+    r_un = subprocess.run(
+        [sys.executable, bd.__file__, str(old_p), str(new_p)],
+        capture_output=True, text=True, cwd=repo_root, env=env_empty,
+    )
+    assert r_un.returncode == 1
+    assert "REGRESSION multi_stage_q" in r_un.stdout
+
+    # genuine regression, ALL canaries flat -> must still flag, even
+    # with the corroborating file present (iso band is exceeded)
     genuine = dict(base)
     genuine["multi_stage_q"] = 3.0 * 3.0
     new_p.write_text(json.dumps({"queries": genuine}))
     r2 = subprocess.run(
         [sys.executable, bd.__file__, str(old_p), str(new_p)],
-        capture_output=True, text=True, cwd=repo_root,
+        capture_output=True, text=True, cwd=repo_root, env=env,
     )
     assert r2.returncode == 1
     assert "REGRESSION multi_stage_q" in r2.stdout

@@ -84,8 +84,10 @@ def load_isolated() -> dict[str, float]:
     for the scheduling-swing class (VERDICT r7 #3)."""
     import os
 
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "BENCH_ISOLATED.json")
+    path = os.environ.get("SPARK_GRAFT_ISOLATED") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_ISOLATED.json",
+    )
     try:
         with open(path) as fh:
             doc = json.load(fh)
