@@ -138,61 +138,92 @@ def kmeans_train(
     k·dims rows — exactly reproducible by the DuckDB unrolled-CTE
     oracle and any partitioning.
 
-    Scale (100 TB): per iteration, one broadcast of k·dims centroid
-    cells into the exploded point grain, one (vec, cluster) distance
-    aggregate (map-side combinable), one (cluster, dim) mean aggregate.
-    Centroids collect to the driver between iterations (k·dims values —
-    the BPE/IVF trainer precedent); empty clusters keep their previous
+    Scale (100 TB): per iteration, ONE pass over the vector frame —
+    the k·dims centroids ride the plan as array literals, each row's
+    argmin is a per-row fixed-point fold (the ``pq_encode`` search-time
+    shape), and the only shuffle is the map-side-combined
+    (cluster, dim) mean aggregate. (OPTIMIZATION r12, guide §2.3/§2.4:
+    the previous shape exploded the points, broadcast-joined the
+    centroid cells, re-aggregated the (vec, cluster) distance grain and
+    sorted a per-vector window — 3 exchanges + a sort per iteration,
+    all carrying a |points|×k intermediate; the per-row fold produces
+    bit-identical fx integers with zero pair-grain shuffle.) Centroids
+    collect to the driver between iterations (k·dims values — the
+    BPE/IVF trainer precedent); empty clusters keep their previous
     centroid (COALESCE, mirrored in the oracle)."""
-    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE, sql_fx
-
-    spark = emb.sparkSession
-    pts = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val_f")
-    ).select(
-        "vec_id",
-        (F.col("pos") + F.lit(1)).alias("dim"),
-        F.col("val_f").cast("double").alias("val"),
+    from sfcrimedatapipeline_spark.functions.fixedpoint import (
+        FX_SCALE,
+        fx,
+        sql_fx,
     )
-    pts = pts.cache()
+
+    vecs = emb.select("vec_id", "embedding").cache()
     # deterministic init: the k smallest vec_ids, cluster = their rank
     init_ids = [
         r["vec_id"]
-        for r in emb.select("vec_id").orderBy("vec_id").limit(k).collect()
+        for r in vecs.select("vec_id").orderBy("vec_id").limit(k).collect()
     ]
     rank = {vid: c for c, vid in enumerate(init_ids)}
-    cent: list[tuple] = [
-        (rank[r["vec_id"]], 0, r["dim"], r["val"])
-        for r in pts.filter(F.col("vec_id").isin(init_ids)).collect()
-    ]
+    init_rows = (
+        vecs.filter(F.col("vec_id").isin(init_ids))
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val_f"))
+        .select(
+            "vec_id",
+            (F.col("pos") + F.lit(1)).alias("dim"),
+            F.col("val_f").cast("double").alias("val"),
+        )
+        .collect()
+    )
+    cent: list[tuple] = sorted(
+        (rank[r["vec_id"]], 0, r["dim"], r["val"]) for r in init_rows
+    )
+    dec0 = F.lit(0).cast("decimal(38,0)")
     for _ in range(iters):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(c, d, v) for (c, _, d, v) in cent],
-                "cluster bigint, dim int, cval double",
-            )
+        cvec: dict[int, list[float]] = {}
+        for c, _n, _d, v in sorted(cent, key=lambda t: (t[0], t[2])):
+            cvec.setdefault(c, []).append(v)
+        # per-row argmin over exact fx distance integers: floor each
+        # (val-cval)^2 term like the old grouped sum, integer-add in
+        # element order (order-free), tie -> lowest cluster id. Kept as
+        # a HOF fold over ONE nested-array literal (k is small):
+        # unrolling all k*dims terms into flat SQL was tried and blows
+        # whole-stage codegen's 64 KB method limit (Janino fallback —
+        # the exact r11 failure class), costing more than it saves.
+        cent_lit = F.lit([cvec[c] for c in sorted(cvec)])
+        dist_structs = F.transform(
+            F.sequence(F.lit(1), F.lit(len(cvec))),
+            lambda j: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.element_at(cent_lit, j),
+                        lambda x, y: fx(
+                            (x.cast("double") - y) * (x.cast("double") - y)
+                        ),
+                    ),
+                    dec0,
+                    lambda acc, t: acc + t,
+                ).alias("d"),
+                (j - 1).cast("bigint").alias("cluster"),
+            ),
         )
-        dist = (
-            pts.join(cdf, "dim")
-            .groupBy("vec_id", "cluster")
-            .agg(
-                F.sum(F.expr(sql_fx("(val - cval) * (val - cval)"))).alias(
-                    "dist_fx"
-                )
-            )
-        )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("dist_fx").asc(), F.col("cluster").asc()
-        )
-        assign = (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster")
-        )
+        # argmin in its OWN select: struct-field extraction and a
+        # generator in one projection trips analysis (field names
+        # degrade to col1/col2); the two projections collapse anyway
         means = (
-            assign.join(pts, "vec_id")
+            vecs.select(
+                F.array_min(dist_structs)["cluster"].alias("cluster"),
+                "embedding",
+            )
+            .select(
+                "cluster",
+                F.posexplode("embedding").alias("pos", "val_f"),
+            )
+            .select(
+                "cluster",
+                (F.col("pos") + F.lit(1)).alias("dim"),
+                F.col("val_f").cast("double").alias("val"),
+            )
             .groupBy("cluster", "dim")
             .agg(
                 F.sum(F.expr(sql_fx("val"))).alias("s_fx"),
@@ -214,7 +245,7 @@ def kmeans_train(
             else (c, 0, d, v)
             for (c, _, d, v) in cent
         ]
-    pts.unpersist()
+    vecs.unpersist()
     return cent
 
 
@@ -237,46 +268,53 @@ def power_iteration(
 
     The init is the exact uniform unit vector (1/√dims must be a power
     of two — asserted — so the literal is exact). Scale (100 TB): per
-    iteration, one dims-cell broadcast, one vec-grain aggregate, one
-    dim-grain aggregate — the driver holds only the 64 loadings
-    (BPE-trainer precedent)."""
+    iteration ONE pass over the vector frame — the dims-cell loading
+    vector rides the plan as an array literal, each row's x·v is a
+    per-row fixed-point fold, and the only shuffle is the map-side-
+    combined dim-grain aggregate (64 groups). (OPTIMIZATION r12, guide
+    §2.3/§2.4: the previous shape exploded the points and ran TWO
+    broadcast-join + groupBy rounds per iteration over the
+    |points|×dims grain; the per-row fold produces bit-identical fx
+    integers.) The driver holds only the 64 loadings (BPE-trainer
+    precedent)."""
     import math
 
-    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE, sql_fx
+    from sfcrimedatapipeline_spark.functions.fixedpoint import (
+        FX_SCALE,
+        fx,
+        sql_fx,
+    )
 
-    spark = emb.sparkSession
     lg = int(round(math.log2(dims)))
     assert (1 << lg) == dims and lg % 2 == 0, (
         "dims must be an even power of two so 1/sqrt(dims) is exact"
     )
     init = 1.0 / float(1 << (lg // 2))
-    pts = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val_f")
-    ).select(
-        "vec_id",
-        (F.col("pos") + F.lit(1)).alias("dim"),
-        F.col("val_f").cast("double").alias("val"),
-    )
-    pts = pts.cache()
+    vecs = emb.select("embedding").cache()
+    dec0 = F.lit(0).cast("decimal(38,0)")
     v = [init] * dims
     norm2 = 1.0
     for _ in range(iters):
-        vdf = F.broadcast(
-            spark.createDataFrame(
-                [(d + 1, v[d]) for d in range(dims)], "dim int, vval double"
-            )
+        u_fx = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.lit(v).cast("array<double>"),
+                lambda x, y: fx(x.cast("double") * y),
+            ),
+            dec0,
+            lambda acc, t: acc + t,
         )
-        u = (
-            pts.join(vdf, "dim")
-            .groupBy("vec_id")
-            .agg(F.sum(F.expr(sql_fx("val * vval"))).alias("u_fx"))
-            .select(
-                "vec_id",
-                (F.col("u_fx").cast("double") / F.lit(FX_SCALE)).alias("uval"),
-            )
-        )
+        uval = u_fx.cast("double") / F.lit(FX_SCALE)
         w_rows = (
-            pts.join(u, "vec_id")
+            vecs.select(
+                uval.alias("uval"),
+                F.posexplode("embedding").alias("pos", "val_f"),
+            )
+            .select(
+                (F.col("pos") + F.lit(1)).alias("dim"),
+                F.col("val_f").cast("double").alias("val"),
+                "uval",
+            )
             .groupBy("dim")
             .agg(F.sum(F.expr(sql_fx("val * uval"))).alias("w_fx"))
             .collect()
@@ -289,7 +327,7 @@ def power_iteration(
         norm2 = float(sum(math.floor((wd * wd) * FX_SCALE) for wd in w)) / FX_SCALE
         s = math.sqrt(norm2)
         v = [wd / s for wd in w]
-    pts.unpersist()
+    vecs.unpersist()
     return v, math.sqrt(norm2)
 
 
@@ -315,41 +353,55 @@ def spherical_kmeans_det(
 
     Returns ``[(centroid_id, vector), ...]`` in the
     :func:`~sfcrimedatapipeline_spark.operators.similarity.cosine_topk_ivf`
-    input shape (centroid ids 0..k-1). Scale: per iteration one k·dims
-    broadcast, one (vec, cid) dot aggregate, one (cid, dim) mean
-    aggregate — all map-side combinable; zero-norm vectors divide by
-    1.0 (the numpy trainer's vn[vn==0]=1 rule)."""
+    input shape (centroid ids 0..k-1). Scale: per iteration ONE pass
+    over the vector frame — normalized centroids ride the plan as
+    array literals, the per-row argmax is a fixed-point fold (exact
+    integers, ties -> lowest cid via min over (-dot, cid) structs), and
+    the only shuffle is the map-side-combined (cid, dim) mean
+    aggregate. (OPTIMIZATION r12, guide §2.3/§2.4: the previous shape
+    exploded the points, broadcast-joined k·dims centroid cells,
+    re-aggregated the (vec, cid) dot grain and sorted a per-vector
+    window — 3 exchanges + a sort per iteration over a |points|×k
+    intermediate; the per-row fold produces bit-identical fx
+    integers.) Zero-norm vectors divide by 1.0 (the numpy trainer's
+    vn[vn==0]=1 rule)."""
     import math
 
     from sfcrimedatapipeline_spark.functions.fixedpoint import (
         FX_SCALE,
+        fx,
         sql_fx,
         sql_unfx,
     )
 
-    spark = emb.sparkSession
-    pts = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val_f")
-    ).select(
-        "vec_id",
-        (F.col("pos") + F.lit(1)).alias("dim"),
-        F.col("val_f").cast("double").alias("val"),
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    # per-row norm from the SAME fx sum the exploded grain produced:
+    # floor each val^2 term, integer-add, one sqrt of the double
+    norm_fx = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: fx(x.cast("double") * x.cast("double")),
+        ),
+        dec0,
+        lambda acc, t: acc + t,
     )
-    norm_fx = sql_unfx(f"sum({sql_fx('val * val')})")
-    nv = pts.groupBy("vec_id").agg(F.expr(f"sqrt({norm_fx})").alias("nv"))
-    ph = (
-        pts.join(nv, "vec_id")
+    nv = F.sqrt(norm_fx.cast("double") / F.lit(FX_SCALE))
+    base = (
+        emb.select("vec_id", "embedding", nv.alias("__nv"))
         .select(
             "vec_id",
-            "dim",
-            "val",
-            F.expr(
-                "val / (CASE WHEN nv = 0.0 THEN 1.0 ELSE nv END)"
-            ).alias("valh"),
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double")
+                / F.when(F.col("__nv") == 0.0, F.lit(1.0)).otherwise(
+                    F.col("__nv")
+                ),
+            ).alias("__valh"),
         )
         .cache()
     )
-    ph.count()
+    base.count()
     seeds = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     )
@@ -360,35 +412,52 @@ def spherical_kmeans_det(
     for _ in range(iters):
         # centroid norms with the same fx discipline, driver-side
         # (python ints are exact — mirrors the oracle's per-cid fx sum)
-        ch_rows = []
-        for cid, cv in enumerate(cent):
+        chn: list[list[float]] = []
+        for cv in cent:
             nc = math.sqrt(
                 float(sum(math.floor((x * x) * FX_SCALE) for x in cv))
                 / FX_SCALE
             )
             div = 1.0 if nc == 0.0 else nc
-            for d in range(dims):
-                ch_rows.append((cid, d + 1, cv[d] / div))
-        cdf = F.broadcast(
-            spark.createDataFrame(ch_rows, "cid bigint, dim int, cvalh double")
+            chn.append([x / div for x in cv])
+        # argmax dot as min over (-dot, cid) structs, a HOF fold over
+        # ONE nested-array literal (k is small; flat SQL unrolling of
+        # k*dims fx terms blows codegen's 64 KB method limit — the r11
+        # Janino failure class — so the fold stays)
+        cent_lit = F.lit(chn)
+        dot_structs = F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda j: F.struct(
+                (
+                    -F.aggregate(
+                        F.zip_with(
+                            F.col("__valh"),
+                            F.element_at(cent_lit, j),
+                            lambda x, y: fx(x * y),
+                        ),
+                        dec0,
+                        lambda acc, t: acc + t,
+                    )
+                ).alias("nd"),
+                (j - 1).cast("bigint").alias("cid"),
+            ),
         )
-        dots = (
-            ph.join(cdf, "dim")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum(F.expr(sql_fx("valh * cvalh"))).alias("dot_fx"))
-        )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("dot_fx").desc(), F.col("cid").asc()
-        )
-        assign = (
-            dots.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
-        )
+        # argmax in its OWN select (see kmeans_train: struct-field
+        # extraction + generator in one projection breaks analysis)
         means = (
-            assign.join(ph, "vec_id")
+            base.select(
+                F.array_min(dot_structs)["cid"].alias("cid"),
+                "embedding",
+            )
+            .select(
+                "cid",
+                F.posexplode("embedding").alias("pos", "val_f"),
+            )
+            .select(
+                "cid",
+                (F.col("pos") + F.lit(1)).alias("dim"),
+                F.col("val_f").cast("double").alias("val"),
+            )
             .groupBy("cid", "dim")
             .agg(
                 F.expr(
@@ -406,7 +475,7 @@ def spherical_kmeans_det(
             ]
             for cid in range(k)
         ]
-    ph.unpersist()
+    base.unpersist()
     return [(cid, cent[cid]) for cid in range(k)]
 
 
