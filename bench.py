@@ -103,6 +103,28 @@ BENCH_NOOP_SINK = {
     "lineitem_unpivot_measures",
     "events_resample_locf",
     "events_resample_interp",
+    # OPTIMIZATION r12: the same audit applied to the whole surface
+    # (guide §1.4). Rule: output ≥ 250k rows at sf0.1 AND measured
+    # collect ≥ 2x the noop sink (medians of 3, one window — the
+    # per-query table is in OPTIMIZATION_r12.md). For these the
+    # recorded number was 55-85% driver Row pickling of a full join/
+    # pair/melt spine that at 100 TB feeds the next operator and never
+    # collects; a real compute regression would be invisible inside
+    # it. Old collect-contract numbers are kept in
+    # BENCH_FULL_r12_before.json and all prior BENCH_FULL_r* artifacts.
+    "j3_dim_aliased_twice",       # 600k rows, 4.4x
+    "j5_composite_null_keys",     # 600k rows, 4.8x
+    "j9_salted_skew_join",        # 600k rows, 2.6x
+    "j12_nullsafe_join",          # 600k rows, 5.4x
+    "w3_window_suite",            # 600k rows, 4.4x
+    "f2_unpivot",                 # 300k rows, 7.7x
+    "f3_explode_pos",             # 271k rows, 4.7x
+    "geo_radius_pairs",           # 626k pair rows, 2.5x
+    "media_dedup_perceptual",     # 644k pair rows, 2.2x
+    "text_winnow_fingerprints",   # 540k rows, 3.1x
+    # audited and kept ON the collect contract (below one of the two
+    # bars): events_missing_minutes (4.3k rows, 1.1x), emb_standardize
+    # (128k rows, 1.4x), text_tokens_multilingual (271k rows, 1.5x)
 }
 
 
