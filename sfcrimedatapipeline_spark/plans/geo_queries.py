@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sfcrimedatapipeline_spark.functions.partitioning import ensure_min_partitions
 from sfcrimedatapipeline_spark.operators import geo
 from sfcrimedatapipeline_spark.plans.tpch import QueryFn
 from sfcrimedatapipeline_spark.sources.tables import read_table
@@ -32,14 +31,17 @@ RADIUS_M = 10
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sfcrimedatapipeline_spark.plans.fact_queries import _staging_from_events
 
-    # reuse the staging derivation; ensure_min_partitions for local cores
+    # no fan-out repartition (OPTIMIZATION r12, guide §2.4): the
+    # repartition sat ABOVE this projection, so it never parallelized
+    # the per-row staging work — it only fed the downstream grid
+    # arithmetic, which shuffles into its groupBy/join immediately.
+    # Measured at sf0.1 (3-rep medians): radius_pairs 1.64 -> 1.16 s,
+    # grid_hotspots 0.88 -> 0.42 s without it.
     staging = _staging_from_events(spark, sf_dir)
-    return ensure_min_partitions(
-        staging.select(
-            F.col("id"),
-            F.col("Latitude").alias("lat"),
-            F.col("Longitude").alias("lon"),
-        )
+    return staging.select(
+        F.col("id"),
+        F.col("Latitude").alias("lat"),
+        F.col("Longitude").alias("lon"),
     )
 
 
@@ -87,12 +89,14 @@ def _blob_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise_lat = F.lit(3_770_000) + hslice(17) % 13000
     noise_lon = F.lit(-12_251_000) + hslice(25) % 15000
     is_noise = F.col("event_id") % 10 == 0
-    return ensure_min_partitions(
-        e.select(
-            F.col("event_id").alias("pid"),
-            F.when(is_noise, noise_lat).otherwise(blob_lat).alias("ilat"),
-            F.when(is_noise, noise_lon).otherwise(blob_lon).alias("ilon"),
-        )
+    # no fan-out repartition (see _points): the md5 placement math runs
+    # in the scan stage BELOW where the repartition sat, and the
+    # density clustering shuffles into its cell groupBy immediately —
+    # measured 2.83 -> 2.13 s at sf0.1 without the exchange
+    return e.select(
+        F.col("event_id").alias("pid"),
+        F.when(is_noise, noise_lat).otherwise(blob_lat).alias("ilat"),
+        F.when(is_noise, noise_lon).otherwise(blob_lon).alias("ilon"),
     )
 
 
