@@ -353,55 +353,30 @@ def spherical_kmeans_det(
 
     Returns ``[(centroid_id, vector), ...]`` in the
     :func:`~sfcrimedatapipeline_spark.operators.similarity.cosine_topk_ivf`
-    input shape (centroid ids 0..k-1). Scale: per iteration ONE pass
-    over the vector frame — normalized centroids ride the plan as
-    array literals, the per-row argmax is a fixed-point fold (exact
-    integers, ties -> lowest cid via min over (-dot, cid) structs), and
-    the only shuffle is the map-side-combined (cid, dim) mean
-    aggregate. (OPTIMIZATION r12, guide §2.3/§2.4: the previous shape
-    exploded the points, broadcast-joined k·dims centroid cells,
-    re-aggregated the (vec, cid) dot grain and sorted a per-vector
-    window — 3 exchanges + a sort per iteration over a |points|×k
-    intermediate; the per-row fold produces bit-identical fx
-    integers.) Zero-norm vectors divide by 1.0 (the numpy trainer's
-    vn[vn==0]=1 rule)."""
+    input shape (centroid ids 0..k-1).
+
+    Scale shape (OPTIMIZATION r13, guide §4.2): per iteration ONE
+    shuffle-free Arrow pass — assignment + per-(cid, dim) fx partial
+    sums run vectorized in numpy, each task emits k rows of exact
+    integer partials (as strings: Python ints are unbounded, so the
+    partial can never overflow at any corpus size), and the driver
+    reduces them exactly. The r12 Catalyst form (per-row interpreted
+    decimal HOF fold + posexplode + (cid, dim) shuffle + collect per
+    iteration) measured 2.03 s for 3 iterations at sf0.1 vs 1.19 s for
+    this pass — and the remaining cost is the per-iteration job floor,
+    not data.
+
+    Bit-identity with the r12 form (pinned by the parity tests and the
+    oracle gate on the trained-search query): every fx term is
+    ``floor(term · 2^40)`` of the same float64 IEEE op sequence, the
+    per-row integer sums are order-free by exactness, ``np.argmax``
+    takes the first maximum = lowest cid (the struct-min tie rule),
+    and the mean is the same two exact divisions. Zero-norm vectors
+    divide by 1.0 (the numpy trainer's vn[vn==0]=1 rule)."""
     import math
 
-    from sfcrimedatapipeline_spark.functions.fixedpoint import (
-        FX_SCALE,
-        fx,
-        sql_fx,
-        sql_unfx,
-    )
+    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE
 
-    dec0 = F.lit(0).cast("decimal(38,0)")
-    # per-row norm from the SAME fx sum the exploded grain produced:
-    # floor each val^2 term, integer-add, one sqrt of the double
-    norm_fx = F.aggregate(
-        F.transform(
-            F.col("embedding"),
-            lambda x: fx(x.cast("double") * x.cast("double")),
-        ),
-        dec0,
-        lambda acc, t: acc + t,
-    )
-    nv = F.sqrt(norm_fx.cast("double") / F.lit(FX_SCALE))
-    base = (
-        emb.select("vec_id", "embedding", nv.alias("__nv"))
-        .select(
-            "vec_id",
-            "embedding",
-            F.transform(
-                F.col("embedding"),
-                lambda x: x.cast("double")
-                / F.when(F.col("__nv") == 0.0, F.lit(1.0)).otherwise(
-                    F.col("__nv")
-                ),
-            ).alias("__valh"),
-        )
-        .cache()
-    )
-    base.count()
     seeds = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     )
@@ -409,6 +384,7 @@ def spherical_kmeans_det(
         [float(x) for x in r["embedding"]] for r in seeds
     ]
     dims = len(cent[0])
+    vecs = emb.select("embedding")
     for _ in range(iters):
         # centroid norms with the same fx discipline, driver-side
         # (python ints are exact — mirrors the oracle's per-cid fx sum)
@@ -420,62 +396,76 @@ def spherical_kmeans_det(
             )
             div = 1.0 if nc == 0.0 else nc
             chn.append([x / div for x in cv])
-        # argmax dot as min over (-dot, cid) structs, a HOF fold over
-        # ONE nested-array literal (k is small; flat SQL unrolling of
-        # k*dims fx terms blows codegen's 64 KB method limit — the r11
-        # Janino failure class — so the fold stays)
-        cent_lit = F.lit(chn)
-        dot_structs = F.transform(
-            F.sequence(F.lit(1), F.lit(k)),
-            lambda j: F.struct(
-                (
-                    -F.aggregate(
-                        F.zip_with(
-                            F.col("__valh"),
-                            F.element_at(cent_lit, j),
-                            lambda x, y: fx(x * y),
-                        ),
-                        dec0,
-                        lambda acc, t: acc + t,
-                    )
-                ).alias("nd"),
-                (j - 1).cast("bigint").alias("cid"),
-            ),
-        )
-        # argmax in its OWN select (see kmeans_train: struct-field
-        # extraction + generator in one projection breaks analysis)
-        means = (
-            base.select(
-                F.array_min(dot_structs)["cid"].alias("cid"),
-                "embedding",
+
+        def partials(batches, chn=chn, kk=k, dims=dims):
+            import numpy as np
+            import pyarrow as pa
+
+            C = np.array(chn, dtype=np.float64)  # (k, dims)
+            sums = [[0] * dims for _ in range(kk)]  # python ints: exact
+            cnts = [0] * kk
+            for batch in batches:
+                flat = batch.column(0).flatten().to_numpy(
+                    zero_copy_only=False
+                )
+                V = np.asarray(flat, dtype=np.float64).reshape(-1, dims)
+                # fx norm: floor each val² term, integer-add in element
+                # order (exact ⇒ order-free), one sqrt of the double
+                nt = np.floor(V * V * FX_SCALE).astype(np.int64)
+                acc = nt[:, 0].copy()
+                for d in range(1, dims):
+                    acc = acc + nt[:, d]
+                nv = np.sqrt(acc.astype(np.float64) / FX_SCALE)
+                nv[nv == 0.0] = 1.0
+                VH = V / nv[:, None]
+                # fx dot per centroid; argmax ties → lowest cid
+                dt = np.floor(
+                    VH[:, :, None] * C.T[None, :, :] * FX_SCALE
+                ).astype(np.int64)
+                dacc = dt[:, 0, :].copy()
+                for d in range(1, dims):
+                    dacc = dacc + dt[:, d, :]
+                assign = np.argmax(dacc, axis=1)
+                VF = np.floor(V * FX_SCALE).astype(np.int64)
+                for j in range(kk):
+                    msk = assign == j
+                    nm = int(msk.sum())
+                    if nm:
+                        cnts[j] += nm
+                        cs = VF[msk].sum(axis=0)
+                        for d in range(dims):
+                            sums[j][d] += int(cs[d])
+            yield pa.record_batch(
+                [
+                    pa.array(list(range(kk)), type=pa.int64()),
+                    pa.array(
+                        [[str(x) for x in sums[j]] for j in range(kk)],
+                        type=pa.list_(pa.string()),
+                    ),
+                    pa.array(cnts, type=pa.int64()),
+                ],
+                names=["cid", "fsum", "cnt"],
             )
-            .select(
-                "cid",
-                F.posexplode("embedding").alias("pos", "val_f"),
-            )
-            .select(
-                "cid",
-                (F.col("pos") + F.lit(1)).alias("dim"),
-                F.col("val_f").cast("double").alias("val"),
-            )
-            .groupBy("cid", "dim")
-            .agg(
-                F.expr(
-                    sql_unfx(f"sum({sql_fx('val')})")
-                    + " / CAST(count(*) AS DOUBLE)"
-                ).alias("mval")
-            )
-            .collect()
-        )
-        got = {(r["cid"], r["dim"]): r["mval"] for r in means}
+
+        rows = vecs.mapInArrow(
+            partials, "cid long, fsum array<string>, cnt long"
+        ).collect()
+        tot: dict[tuple[int, int], int] = {}
+        tc = [0] * k
+        for r in rows:
+            tc[r["cid"]] += r["cnt"]
+            for d in range(dims):
+                key = (r["cid"], d)
+                tot[key] = tot.get(key, 0) + int(r["fsum"][d])
         cent = [
             [
-                got.get((cid, d + 1), cent[cid][d])
+                (float(tot[(cid, d)]) / FX_SCALE) / float(tc[cid])
+                if tc[cid] > 0
+                else cent[cid][d]
                 for d in range(dims)
             ]
             for cid in range(k)
         ]
-    base.unpersist()
     return [(cid, cent[cid]) for cid in range(k)]
 
 
@@ -500,21 +490,30 @@ def pq_kmeans_det(
     :func:`~sfcrimedatapipeline_spark.operators.similarity.pq_topk`
     input shape — identical across partitionings AND engines, which is
     what upgrades ``ann_pq_topk_trained`` from rows-only to value-hash
-    gated. All ``m`` subspaces train in the same distributed passes
-    (the subspace id is just another grouping column)."""
-    from sfcrimedatapipeline_spark.functions.fixedpoint import sql_fx, sql_unfx
+    gated. All ``m`` subspaces train in the SAME Arrow pass.
 
-    spark = emb.sparkSession
+    Scale shape (OPTIMIZATION r13, guide §4.2): per iteration ONE
+    shuffle-free Arrow pass — per-subspace assignment + per-(cid, dim)
+    fx partial sums run vectorized in numpy, each task emits n_codes
+    rows of exact integer partials (strings: Python ints can never
+    overflow), and the driver reduces them exactly. The r12 shape
+    (posexplode to the (vec, dim) grain, broadcast-join the codebook
+    cells, (vec, s, cid) distance shuffle, per-(vec, s) row_number
+    window, join back, (cid, dim) mean shuffle — 4 shuffles + a sort
+    per iteration) measured 3.55 s for 3 iterations at sf0.1 vs 1.41 s
+    for this pass; its three previously-measured alternatives (py4j
+    Column HOF, flat SQL both decimal and bigint) all lose to the
+    64 KB codegen method limit and stay rejected.
+
+    Bit-identity with the r12 form (parity tests + the trained-search
+    oracle gate): every distance term is ``floor((val−cval)²·2^40)``
+    of the same float64 ops, per-(vec, s, cid) sums are exact integers
+    ⇒ order-free, ``np.argmin`` takes the first minimum = lowest cid
+    (the old (dist_fx ASC, cid ASC) row_number rule), and the mean is
+    the same two exact divisions over exact operands."""
+    from sfcrimedatapipeline_spark.functions.fixedpoint import FX_SCALE
+
     sub = dims // m
-    pts = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val_f")
-    ).select(
-        "vec_id",
-        (F.col("pos") + F.lit(1)).alias("dim"),
-        (F.col("pos") / F.lit(sub)).cast("int").alias("s"),
-        F.col("val_f").cast("double").alias("val"),
-    )
-    pts = pts.cache()
     seeds = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_codes).collect()
     )
@@ -524,46 +523,75 @@ def pq_kmeans_det(
     for cid, r in enumerate(seeds):
         for d, x in enumerate(r["embedding"]):
             cb[(cid, d + 1)] = float(x)
+    vecs = emb.select("embedding")
     for _ in range(iters):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(cid, d, v) for (cid, d), v in cb.items()],
-                "cid bigint, dim int, cval double",
-            )
-        )
-        dist = (
-            pts.join(cdf, "dim")
-            .groupBy("vec_id", "s", "cid")
-            .agg(
-                F.sum(F.expr(sql_fx("(val - cval) * (val - cval)"))).alias(
-                    "dist_fx"
-                )
-            )
-        )
-        from pyspark.sql import Window
+        cbl = [
+            [cb[(cid, d + 1)] for d in range(dims)]
+            for cid in range(n_codes)
+        ]
 
-        w = Window.partitionBy("vec_id", "s").orderBy(
-            F.col("dist_fx").asc(), F.col("cid").asc()
-        )
-        assign = (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "s", "cid")
-        )
-        means = (
-            assign.join(pts, ["vec_id", "s"])
-            .groupBy("cid", "dim")
-            .agg(
-                F.expr(
-                    sql_unfx(f"sum({sql_fx('val')})")
-                    + " / CAST(count(*) AS DOUBLE)"
-                ).alias("mval")
+        def partials(batches, cbl=cbl, kk=n_codes, mm=m, sub=sub, dims=dims):
+            import numpy as np
+            import pyarrow as pa
+
+            C = np.array(cbl, dtype=np.float64)  # (k, dims)
+            sums = [[0] * dims for _ in range(kk)]  # python ints: exact
+            cnts = [[0] * mm for _ in range(kk)]
+            for batch in batches:
+                flat = batch.column(0).flatten().to_numpy(
+                    zero_copy_only=False
+                )
+                V = np.asarray(flat, dtype=np.float64).reshape(-1, dims)
+                VF = np.floor(V * FX_SCALE).astype(np.int64)
+                for s in range(mm):
+                    Vs = V[:, s * sub : (s + 1) * sub]
+                    Cs = C[:, s * sub : (s + 1) * sub]
+                    term = np.floor(
+                        (Vs[:, None, :] - Cs[None, :, :]) ** 2 * FX_SCALE
+                    ).astype(np.int64)
+                    acc = term[:, :, 0]
+                    for d in range(1, sub):
+                        acc = acc + term[:, :, d]
+                    assign = np.argmin(acc, axis=1)
+                    for j in range(kk):
+                        msk = assign == j
+                        nm = int(msk.sum())
+                        if nm:
+                            cnts[j][s] += nm
+                            cs = VF[msk, s * sub : (s + 1) * sub].sum(axis=0)
+                            for d in range(sub):
+                                sums[j][s * sub + d] += int(cs[d])
+            yield pa.record_batch(
+                [
+                    pa.array(list(range(kk)), type=pa.int64()),
+                    pa.array(
+                        [[str(x) for x in sums[j]] for j in range(kk)],
+                        type=pa.list_(pa.string()),
+                    ),
+                    pa.array(
+                        [cnts[j] for j in range(kk)],
+                        type=pa.list_(pa.int64()),
+                    ),
+                ],
+                names=["cid", "fsum", "cnt"],
             )
-            .collect()
-        )
-        got = {(r["cid"], r["dim"]): r["mval"] for r in means}
-        cb = {key: got.get(key, v) for key, v in cb.items()}
-    pts.unpersist()
+
+        rows = vecs.mapInArrow(
+            partials, "cid long, fsum array<string>, cnt array<long>"
+        ).collect()
+        tot: dict[tuple[int, int], int] = {}
+        tc: dict[tuple[int, int], int] = {}
+        for r in rows:
+            for d in range(dims):
+                key = (r["cid"], d + 1)
+                tot[key] = tot.get(key, 0) + int(r["fsum"][d])
+            for s in range(m):
+                sk = (r["cid"], s)
+                tc[sk] = tc.get(sk, 0) + r["cnt"][s]
+        for (cid, d1), v in list(cb.items()):
+            c = tc.get((cid, (d1 - 1) // sub), 0)
+            if c > 0:
+                cb[(cid, d1)] = (float(tot[(cid, d1)]) / FX_SCALE) / float(c)
     return [
         [
             [cb[(cid, s * sub + d + 1)] for d in range(sub)]

@@ -464,7 +464,15 @@ def _pq_subspace_dists(vec: str, codebooks: list[list[list[float]]], s: int):
     one shared ``transform`` lambda over an array-literal codebook (the
     IVF lesson: per-centroid expression copies melt driver-side
     analysis). The fold is sequential in element order, matching the
-    oracle's unrolled left-associative sum."""
+    oracle's unrolled left-associative sum.
+
+    QUERY-side only since OPTIMIZATION r13: per corpus row the
+    interpreted HOF fold (m·k·sub lambda evaluations) was the dominant
+    cost of every PQ consumer (measured 1.36 s per corpus pass at
+    sf0.1, guide §4); corpus-side assignment now runs through
+    :func:`_pq_assign_arrow`. Flat SQL unrolling was re-measured and
+    REJECTED again (2.2× slower: 1024 squared-diff terms blow the
+    whole-stage-codegen method budget — the r12 lsh_bucket lesson)."""
     sub = len(codebooks[s][0])
     cent_arr = F.array(*[F.lit(c) for c in codebooks[s]])
     subv = F.slice(F.col(vec), s * sub + 1, sub)
@@ -485,6 +493,118 @@ def _pq_subspace_dists(vec: str, codebooks: list[list[list[float]]], s: int):
     )
 
 
+def _pq_assign_arrow(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_alias: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Corpus-side PQ (and optional IVF coarse) assignment as ONE
+    vectorized Arrow pass: ``(id_alias, [list_id,] code)``.
+
+    OPTIMIZATION r13 (guide §4.2): the per-row assignment is pure
+    arithmetic over plan-literal codebooks, but as Catalyst HOF folds it
+    ran INTERPRETED (m·k·sub lambda evaluations per row — measured
+    1.36 s per corpus pass at sf0.1, the dominant term of every PQ
+    consumer), and flat SQL unrolling blows the whole-stage-codegen
+    method budget (re-measured 2.2× slower). ``mapInArrow`` + numpy is
+    the remaining fast path: batches cross the boundary columnar, only
+    (id, vec) is shipped, and the argmin runs vectorized.
+
+    Bit-identity with the Catalyst form (proven by the oracle gate and
+    the parity in the r13 experiment log):
+
+    - each squared-diff term is the same float64 IEEE op sequence
+      (float→double widening exact, subtract, multiply);
+    - the per-subspace sum is accumulated LEFT-ASSOCIATIVELY in element
+      order (explicit sequential adds, never ``np.sum``'s pairwise
+      reduction), matching the old ``aggregate`` fold from 0.0 — exact
+      because t₁ ≥ 0 makes 0.0 + t₁ ≡ t₁;
+    - ``np.argmin`` returns the FIRST minimum = lowest centroid id,
+      the struct-min tie rule.
+
+    Vectors must carry at least ``m·sub`` elements (every caller here
+    passes fixed-dim embeddings; a ragged batch fails loudly in the
+    reshape instead of silently null-padding like ``slice`` did)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dim = m * sub
+    cbl = [[[float(v) for v in c] for c in s] for s in codebooks]
+    cl = (
+        [[float(x) for x in c] for c in centroids]
+        if centroids is not None
+        else None
+    )
+    with_list = cl is not None
+
+    def assign(batches, cbl=cbl, cl=cl, m=m, sub=sub, dim=dim):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.array(cbl, dtype=np.float64)  # (m, k, sub)
+        CO = np.array(cl, dtype=np.float64) if cl is not None else None
+        for batch in batches:
+            ids = batch.column(0)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            V = np.asarray(flat, dtype=np.float64).reshape(-1, dim)
+            n = len(batch)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                diff = V[:, s * sub : (s + 1) * sub, None] - C[s].T[None, :, :]
+                sq = diff * diff  # (n, sub, k)
+                acc = sq[:, 0, :]
+                for d in range(1, sub):  # left-assoc, element order
+                    acc = acc + sq[:, d, :]
+                codes[:, s] = np.argmin(acc, axis=1)
+            offs = pa.array(
+                np.arange(0, m * (n + 1), m, dtype=np.int32), type=pa.int32()
+            )
+            code_arr = pa.ListArray.from_arrays(
+                offs, pa.array(codes.ravel(), type=pa.int32())
+            )
+            cols, names = [ids], [id_alias]
+            if CO is not None:
+                cdiff = V[:, :, None] - CO.T[None, :, :]
+                csq = cdiff * cdiff  # (n, dim, n_cent)
+                cacc = csq[:, 0, :]
+                for d in range(1, dim):
+                    cacc = cacc + csq[:, d, :]
+                cols.append(
+                    pa.array(np.argmin(cacc, axis=1).astype(np.int32))
+                )
+                names.append("list_id")
+            cols.append(code_arr)
+            names.append("code")
+            yield pa.record_batch(cols, names=names)
+
+    schema = (
+        f"{id_alias} long, list_id int, code array<int>"
+        if with_list
+        else f"{id_alias} long, code array<int>"
+    )
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        assign, schema
+    )
+
+
+def _pq_adc_dist(tbl_col: str, code_col: str, m: int):
+    """ADC distance: the ``m`` table lookups summed as ONE flat
+    left-associative SQL expression — small enough to stay inside
+    whole-stage codegen, unlike the old interpreted ``aggregate`` fold
+    it replaces (OPTIMIZATION r13, guide §4.1). Identical arithmetic:
+    0-based ``[]`` indexing ≡ the old 1-based ``element_at(·, s)`` /
+    ``element_at(·, code[s]+1)``, and the flat ``+`` chain is the same
+    left fold from 0.0 (t₁ ≥ 0, so dropping the leading 0.0 is
+    IEEE-exact)."""
+    return F.expr(
+        " + ".join(
+            f"`{tbl_col}`[{s}][`{code_col}`[{s}]]" for s in range(m)
+        )
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -497,19 +617,13 @@ def pq_encode(
     embeddings the code table is ~32× smaller than the corpus and is
     the ONLY thing the search joins against.
 
-    Pure per-row Catalyst expressions over broadcast-literal codebooks:
-    one corpus scan, no shuffle, no Python. Ties in the per-subspace
-    argmin break to the lowest centroid id (struct min over (d, cid))
-    — bit-identical to the oracle's lexicographic list-min."""
-    m = len(codebooks)
-    staged = corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
-    code = F.array(
-        *[
-            F.array_min(_pq_subspace_dists("__v", codebooks, s))["cid"]
-            for s in range(m)
-        ]
-    )
-    return staged.select(F.col(id_col), code.alias("code"))
+    One vectorized Arrow pass over (id, vec) — see
+    :func:`_pq_assign_arrow` for why this replaced the interpreted
+    Catalyst HOF fold (OPTIMIZATION r13) and the bit-identity argument.
+    One corpus scan, no shuffle. Ties in the per-subspace argmin break
+    to the lowest centroid id — bit-identical to the oracle's
+    lexicographic list-min."""
+    return _pq_assign_arrow(corpus, codebooks, id_col, id_col, vec_col)
 
 
 def pq_topk(
@@ -555,14 +669,9 @@ def pq_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
         ).select("query_id", tbl.alias("__tbl"))
     )
-    dist = F.aggregate(
-        F.sequence(F.lit(1), F.lit(m)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at("__tbl", s), F.element_at("code", s) + F.lit(1)
-        ),
-    )
+    # per-pair ADC sum: flat codegen chain, not the interpreted fold
+    # (OPTIMIZATION r13 — this expression runs |corpus|×|queries| times)
+    dist = _pq_adc_dist("__tbl", "code", m)
     scored = (
         codes.join(q, F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(dist, 6).alias("approx_dist"))
@@ -738,21 +847,11 @@ def ivfpq_topk(
         )
     m = len(codebooks)
 
-    def _coarse_dists():
-        return _coarse_dist_structs("__v", centroids)
-
-    code = F.array(
-        *[
-            F.array_min(_pq_subspace_dists("__v", codebooks, s))["cid"]
-            for s in range(m)
-        ]
-    )
-    codes = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
-    ).select(
-        "neighbor_id",
-        F.array_min(_coarse_dists())["cid"].alias("list_id"),
-        code.alias("code"),
+    # coarse assignment + PQ encode fused into ONE Arrow pass over the
+    # corpus (OPTIMIZATION r13, guide §4.2 — was two interpreted HOF
+    # folds per row); bit-identity per _pq_assign_arrow's docstring
+    codes = _pq_assign_arrow(
+        corpus, codebooks, "neighbor_id", id_col, vec_col, centroids=centroids
     )
 
     tbl = F.array(
@@ -763,7 +862,9 @@ def ivfpq_topk(
             for s in range(m)
         ]
     )
-    probes = F.slice(F.array_sort(_coarse_dists()), 1, n_probe)
+    probes = F.slice(
+        F.array_sort(_coarse_dist_structs("__v", centroids)), 1, n_probe
+    )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v")
@@ -775,14 +876,7 @@ def ivfpq_topk(
         )
         .select("query_id", "__tbl", F.col("__p")["cid"].alias("list_id"))
     )
-    dist = F.aggregate(
-        F.sequence(F.lit(1), F.lit(m)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at("__tbl", s), F.element_at("code", s) + F.lit(1)
-        ),
-    )
+    dist = _pq_adc_dist("__tbl", "code", m)
     scored = (
         codes.join(q, "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -849,21 +943,8 @@ def ivfpq_index_write(
         codebooks = default_pq_codebooks(
             corpus, id_col=id_col, vec_col=vec_col, dim=dim
         )
-    m = len(codebooks)
-    code = F.array(
-        *[
-            F.array_min(_pq_subspace_dists("__v", codebooks, s))["cid"]
-            for s in range(m)
-        ]
-    )
-    codes = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
-    ).select(
-        "neighbor_id",
-        F.array_min(_coarse_dist_structs("__v", centroids))["cid"].alias(
-            "list_id"
-        ),
-        code.alias("code"),
+    codes = _pq_assign_arrow(
+        corpus, codebooks, "neighbor_id", id_col, vec_col, centroids=centroids
     )
     codes.write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(index_dir, "codes")
@@ -906,21 +987,13 @@ def ivfpq_index_append(
     with open(os.path.join(index_dir, "meta.json")) as fh:
         meta = json.load(fh)
     centroids, codebooks = meta["centroids"], meta["codebooks"]
-    m = len(codebooks)
-    code = F.array(
-        *[
-            F.array_min(_pq_subspace_dists("__v", codebooks, s))["cid"]
-            for s in range(m)
-        ]
-    )
-    codes = new_corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
-    ).select(
+    codes = _pq_assign_arrow(
+        new_corpus,
+        codebooks,
         "neighbor_id",
-        F.array_min(_coarse_dist_structs("__v", centroids))["cid"].alias(
-            "list_id"
-        ),
-        code.alias("code"),
+        id_col,
+        vec_col,
+        centroids=centroids,
     )
     codes.write.mode("append").partitionBy("list_id").parquet(
         os.path.join(index_dir, "codes")
@@ -979,14 +1052,7 @@ def ivfpq_index_search(
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
         F.col("list_id").isin(probe_ids)
     )
-    dist = F.aggregate(
-        F.sequence(F.lit(1), F.lit(m)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at("__tbl", s), F.element_at("code", s) + F.lit(1)
-        ),
-    )
+    dist = _pq_adc_dist("__tbl", "code", m)
     scored = (
         codes.join(F.broadcast(q_frame), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
