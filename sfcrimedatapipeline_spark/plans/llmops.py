@@ -786,19 +786,6 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: sf_dir → (session, trained spherical-kmeans centroids). The
-#: _DUP_MEMO precedent applied to the IVF coarse quantizer: three
-#: queries (the trained search, the imbalance audit, the silhouette
-#: audit) each re-ran the full multi-job k-means trainer per query.
-#: The trained table is a k·dims driver-side literal (no Spark
-#: resources held), but entries are keyed to BOTH the session and a
-#: cheap parquet fingerprint (mtime+size of every data file under
-#: embeddings.parquet — ADVICE r9), so a long-lived process that
-#: cycles sessions OR regenerates the parquet at the same path can
-#: never serve stale centroids.
-_KMEANS_MEMO: dict[str, tuple[SparkSession, tuple, list]] = {}
-
-
 def _parquet_fingerprint(sf_dir: str, table: str) -> tuple:
     """(relative-name, size, mtime_ns) of every data file under the
     table path — one os.stat per file, no Spark job. Parquet rewrites
@@ -825,23 +812,23 @@ def _parquet_fingerprint(sf_dir: str, table: str) -> tuple:
 
 
 def _trained_ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
-    """Session+data-fingerprint-memoized spherical_kmeans_det
-    centroids — the shared training prefix of every trained-quantizer
-    query."""
+    """spherical_kmeans_det centroids — the shared training prefix of
+    every trained-quantizer query. Trains on EVERY call (OPTIMIZATION
+    r13): the r9 ``_KMEANS_MEMO`` (sf_dir-keyed trained centroids)
+    made the IVF-trained bench lines skip training on reps 2-3 while
+    ``ann_pq_topk_trained`` retrained every rep — an asymmetric timing
+    contract the r12 verdict flagged as a bench-honesty soft spot, and
+    exactly the module-level result-memo class the optimization brief
+    rules out. Both trained-ANN families now pay training inside the
+    timed region every invocation; the trainer itself was made cheap
+    instead (operators/mltrain.py — one shuffle-free Arrow pass per
+    iteration)."""
     from sfcrimedatapipeline_spark.operators.mltrain import spherical_kmeans_det
 
-    fp = _parquet_fingerprint(sf_dir, "embeddings")
-    entry = _KMEANS_MEMO.get(sf_dir)
-    if entry is None or entry[0] is not spark or entry[1] != fp:
-        for key in [k for k, e in _KMEANS_MEMO.items() if e[0] is not spark]:
-            _KMEANS_MEMO.pop(key)
-        emb = _read_parallel(spark, sf_dir, "embeddings")
-        trained = spherical_kmeans_det(
-            emb, k=ANN_IVF_CENTROIDS, iters=ANN_IVF_TRAIN_ITERS
-        )
-        entry = (spark, fp, trained)
-        _KMEANS_MEMO[sf_dir] = entry
-    return entry[2]
+    emb = _read_parallel(spark, sf_dir, "embeddings")
+    return spherical_kmeans_det(
+        emb, k=ANN_IVF_CENTROIDS, iters=ANN_IVF_TRAIN_ITERS
+    )
 
 
 def ann_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,7 +843,8 @@ def ann_cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     untrained twin. The float mapInPandas trainer
     (operators/similarity.py:train_ivf_centroids) remains for the
     treeAggregate-shape demo, pinned by its numpy parity test.
-    Training rides the session memo (_trained_ivf_centroids)."""
+    Training runs per invocation (_trained_ivf_centroids) — the same
+    timing contract as ann_pq_topk_trained."""
     emb = _read_parallel(spark, sf_dir, "embeddings")
     queries = ann_queries(emb)
     trained = _trained_ivf_centroids(spark, sf_dir)
@@ -3331,8 +3319,8 @@ ORACLE_SQL["text_bpe_merges_local"] = _bpe_merges_oracle_sql(30)
 IVFPQ_DELTA_MOD = 10
 
 #: sf_dir → (session, data fingerprint, index dir). The _INDEX_CACHE
-#: discipline (plans/llmops_ext.py) plus the _KMEANS_MEMO parquet
-#: fingerprint: build+append once per (session, sf_dir, data state),
+#: discipline (plans/llmops_ext.py) plus the _parquet_fingerprint
+#: check: build+append once per (session, sf_dir, data state),
 #: search many; stale entries evicted (and their on-disk index
 #: reclaimed) on rebuild.
 _IVFPQ_DELTA_CACHE: dict[str, tuple] = {}

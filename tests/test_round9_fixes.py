@@ -391,50 +391,23 @@ def test_embedding_contamination_lsh_is_cross_only(spark):
 
 
 # ------------------------------------------------------------- round 9c
-def test_kmeans_memo_evicts_stale_sessions_and_serves_hits(spark):
-    """_KMEANS_MEMO hygiene (the _DUP_MEMO discipline applied to the
-    trained-IVF centroids): stale-session entries for ANY sf_dir drop
-    on rebuild, a same-session second call is a pure memo hit (no
-    retrain — pinned by identity), and the served table is the
-    cosine_topk_ivf input shape."""
+def test_trained_ivf_centroids_memo_free_and_deterministic(spark):
+    """OPTIMIZATION r13: the r9 _KMEANS_MEMO is retired — the trained
+    IVF centroids are re-trained on EVERY call (symmetric timing
+    contract with ann_pq_topk_trained; the bench may never serve a
+    module-level result memo keyed on the test data). Two calls return
+    EQUAL centroids (the trainer is bit-deterministic) but distinct
+    objects (no memo hit), in the cosine_topk_ivf input shape."""
     from sfcrimedatapipeline_spark.plans import llmops
 
-    dead_session = object()
-    llmops._KMEANS_MEMO.pop("/root/testdata/sf0.001", None)
-    llmops._KMEANS_MEMO["__stale_dir__"] = (dead_session, (), [(0, [1.0])])
-    try:
-        t1 = llmops._trained_ivf_centroids(spark, "/root/testdata/sf0.001")
-        assert "__stale_dir__" not in llmops._KMEANS_MEMO
-        assert len(t1) == llmops.ANN_IVF_CENTROIDS
-        cid, vec = t1[0]
-        assert isinstance(cid, int) and len(vec) == 64
-        t2 = llmops._trained_ivf_centroids(spark, "/root/testdata/sf0.001")
-        assert t2 is t1  # memo hit, not a retrain
-    finally:
-        llmops._KMEANS_MEMO.pop("__stale_dir__", None)
-
-
-def test_kmeans_memo_invalidates_on_data_fingerprint_change(spark):
-    """ADVICE r9: within ONE session, regenerating the parquet at the
-    same sf_dir path must invalidate the trained-centroid memo. The
-    fingerprint is (file, size, mtime_ns) of the data files, so a
-    fabricated stale fingerprint on the real dir forces a retrain even
-    though the session matches; the fresh entry then carries the true
-    fingerprint and subsequent calls memo-hit."""
-    from sfcrimedatapipeline_spark.plans import llmops
-
-    sf = "/root/testdata/sf0.001"
-    t1 = llmops._trained_ivf_centroids(spark, sf)
-    true_fp = llmops._KMEANS_MEMO[sf][1]
-    assert true_fp == llmops._parquet_fingerprint(sf, "embeddings")
-    assert true_fp and true_fp != ("unstattable",)
-    # simulate "data regenerated at the same path": stored fp differs
-    llmops._KMEANS_MEMO[sf] = (spark, (("old", 1, 1),), t1)
-    t2 = llmops._trained_ivf_centroids(spark, sf)
-    assert t2 is not t1  # retrained, not served stale
+    assert not hasattr(llmops, "_KMEANS_MEMO")  # memo really gone
+    t1 = llmops._trained_ivf_centroids(spark, "/root/testdata/sf0.001")
+    assert len(t1) == llmops.ANN_IVF_CENTROIDS
+    cid, vec = t1[0]
+    assert isinstance(cid, int) and len(vec) == 64
+    t2 = llmops._trained_ivf_centroids(spark, "/root/testdata/sf0.001")
+    assert t2 is not t1  # retrained, not memo-served
     assert t2 == t1  # same data → same deterministic centroids
-    assert llmops._KMEANS_MEMO[sf][1] == true_fp
-    assert llmops._trained_ivf_centroids(spark, sf) is t2  # memo hit
 
 
 def test_ivf_assign_keep_cos_contract(spark):
