@@ -506,6 +506,15 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness itself is fully hash-gated: counts are exact integers and
     each recall is one exact int/int division. One pass per tier plus
     three broadcast-sized semi-joins on (query_id, neighbor_id).
+
+    The exact tier is referenced FOUR times (its own count + one
+    semi-join per approximate tier); a lazy ``localCheckpoint`` makes
+    the plan compute that |queries|·k-row frame once instead of four
+    brute-force corpus passes (OPTIMIZATION r13, guide §5 — measured
+    5.8 → 4.7 s at sf0.1; a ``persist()`` was also measured and does
+    NOT help here, the r12 InMemoryRelation lesson). The checkpoint
+    lives inside one query execution — nothing is reused across
+    invocations.
     """
     from pyspark.sql import functions as F
 
@@ -514,8 +523,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = ensure_min_partitions(read_table(spark, sf_dir, "embeddings"))
     queries = ann_queries(emb)
-    exact = similarity.cosine_topk(emb, queries, k=ANN_K).select(
-        "query_id", "neighbor_id"
+    exact = (
+        similarity.cosine_topk(emb, queries, k=ANN_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     tiers = {
         "lsh": similarity.cosine_topk_lsh(emb, queries, k=ANN_K),
