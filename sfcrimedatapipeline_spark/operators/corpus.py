@@ -180,6 +180,14 @@ def _cc_two_phase(
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
         )
+        # mid-round lineage cut (OPTIMIZATION r13, guide §5): the
+        # small-star step consumes the large-star output TWICE (the m2
+        # aggregate and the rewire join), so without materialization the
+        # whole large-star subtree — two shuffles deep — recomputes per
+        # consumer, ~3× work per round (measured 2.91→1.42 s per
+        # two_phase call at sf0.1, identical output). Lazy: the round's
+        # signature job materializes it.
+        edges = truncate_lineage(edges, checkpoint_dir)
 
         # small-star: edges already point hi→lo; every smaller neighbor
         # (and u itself) points at the min smaller neighbor
